@@ -1,0 +1,213 @@
+"""FEATURE_REGISTRY — name → producer, with shared-intermediate reuse.
+
+Re-expresses ``cesium/features/graphs.py::dask_feature_graph`` †
+(SURVEY.md §2.2): the reference declares a dask graph whose culling
+computes only requested keys and whose shared nodes (``lomb_model``,
+``delta_t_hist``, ``cads``) are evaluated once. Here the same idea is a
+plain producer table + a per-call cache: ``compute_features(t, m, e,
+names)`` runs each *producer* at most once per group, no matter how many
+of its features were requested — a naive per-feature dispatch would
+refit the Lomb–Scargle model 49×.
+
+Custom features (cesium ``featurize(custom_functions=...)`` †,
+SURVEY.md §2.7) plug in via :func:`register_custom`: a callable
+``f(t, m, e) -> float`` keyed by feature name, dispatched inside the
+same vectorized kernel.
+
+This module is pure numpy (no Spark import) so executors ship it via
+``--py-files`` untouched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+import numpy as np
+
+from cesium_spark.functions import features as feat
+from cesium_spark.functions.lomb_scargle import ls_features
+
+# producer name -> callable(t, m, e) -> dict[feature_name, float]
+# Each producer computes a family of features sharing an intermediate.
+_PRODUCERS: dict[str, Callable[[np.ndarray, np.ndarray, np.ndarray], dict[str, float]]] = {}
+# feature name -> producer name
+_FEATURE_TO_PRODUCER: dict[str, str] = {}
+# user-registered custom features: name -> f(t, m, e) -> float
+_CUSTOM: dict[str, Callable[[np.ndarray, np.ndarray, np.ndarray], float]] = {}
+
+
+def _producer(name: str, feature_names: Iterable[str]):
+    def deco(fn):
+        _PRODUCERS[name] = fn
+        for f in feature_names:
+            _FEATURE_TO_PRODUCER[f] = name
+        return fn
+    return deco
+
+
+# --- GENERAL family --------------------------------------------------------
+
+_SIMPLE_GENERAL = [
+    "mean", "maximum", "minimum", "median", "amplitude", "std", "skew",
+    "weighted_average", "median_absolute_deviation", "max_slope",
+    "percent_amplitude", "percent_beyond_1_std", "percent_close_to_median",
+    "percent_difference_flux_percentile",
+]
+
+
+@_producer("general_simple", _SIMPLE_GENERAL)
+def _general_simple(t, m, e):
+    return {
+        "mean": feat.mean(m),
+        "maximum": feat.maximum(m),
+        "minimum": feat.minimum(m),
+        "median": feat.median(m),
+        "amplitude": feat.amplitude(m),
+        "std": feat.std(m),
+        "skew": feat.skew(m),
+        "weighted_average": feat.weighted_average(m, e),
+        "median_absolute_deviation": feat.median_absolute_deviation(m),
+        "max_slope": feat.max_slope(t, m),
+        "percent_amplitude": feat.percent_amplitude(m),
+        "percent_beyond_1_std": feat.percent_beyond_1_std(m, e),
+        "percent_close_to_median": feat.percent_close_to_median(m),
+        "percent_difference_flux_percentile": feat.percent_difference_flux_percentile(m),
+    }
+
+
+_FLUX_RATIOS = [f"flux_percentile_ratio_mid{x}" for x in (20, 35, 50, 65, 80)]
+
+
+@_producer("flux_percentiles", _FLUX_RATIOS)
+def _flux_percentiles(t, m, e):
+    return feat.flux_percentile_ratios(m)
+
+
+@_producer("stetson", ["stetson_j", "stetson_k"])
+def _stetson(t, m, e):
+    return {"stetson_j": feat.stetson_j(m), "stetson_k": feat.stetson_k(m)}
+
+
+# --- CADENCE family --------------------------------------------------------
+
+_CADS_FEATS = ["cads_avg", "cads_med", "cads_std"]
+_ERR_FEATS = ["avg_err", "med_err", "std_err"]
+_CAD_PROB_FEATS = [f"cad_probs_{n}" for n in feat.CAD_PROB_THRESHOLDS]
+_D2S_FEATS = ["med_double_to_single_step", "avg_double_to_single_step",
+              "std_double_to_single_step"]
+_NHIST_FEATS = (
+    ["all_times_nhist_numpeaks", "all_times_nhist_peak_val"]
+    + [f"all_times_nhist_peak{k}_bin" for k in range(1, 5)]
+    + [f"all_times_nhist_peak_{j}_to_{k}" for j in range(1, 5)
+       for k in range(j + 1, 5)]
+)
+
+
+@_producer("cadence_basic", ["n_epochs", "total_time", "avgt"]
+           + _CADS_FEATS + _ERR_FEATS + _CAD_PROB_FEATS + _D2S_FEATS)
+def _cadence_basic(t, m, e):
+    c = feat.cads(t)
+    out = {
+        "n_epochs": feat.n_epochs(t),
+        "total_time": feat.total_time(t),
+        "avgt": feat.avgt(t),
+    }
+    out.update(feat.cads_stats(c))
+    out.update(feat.error_stats(e))
+    out.update(feat.cad_probs(c))
+    out.update(feat.double_to_single_step(t))
+    return out
+
+
+@_producer("nhist", _NHIST_FEATS)
+def _nhist(t, m, e):
+    return feat.all_times_nhist_features(t)
+
+
+# --- LOMB_SCARGLE family (one producer, one fit, 49+ features) -------------
+
+_LS_FEATS = (
+    [f"freq{i}_freq" for i in (1, 2, 3)]
+    + [f"freq{i}_signif" for i in (1, 2, 3)]
+    + [f"freq{i}_amplitude{h}" for i in (1, 2, 3) for h in (1, 2, 3, 4)]
+    + [f"freq{i}_rel_phase{h}" for i in (1, 2, 3) for h in (2, 3, 4)]
+    + ["freq1_lambda", "freq_y_offset", "linear_trend", "freq_varrat",
+       "freq_n_alias",
+       "freq_amplitude_ratio_21", "freq_amplitude_ratio_31",
+       "freq_frequency_ratio_21", "freq_frequency_ratio_31",
+       "freq_signif_ratio_21", "freq_signif_ratio_31",
+       "period_fast",
+       "freq_model_max_delta_mags", "freq_model_min_delta_mags",
+       "freq_model_phi1_phi2", "medperc90_2p_p",
+       "fold2P_slope_10percentile", "fold2P_slope_90percentile",
+       "p2p_scatter_2praw", "p2p_scatter_over_mad",
+       "p2p_scatter_pfold_over_mad", "p2p_ssqr_diff_over_var",
+       "scatter_res_raw"]
+)
+
+
+@_producer("lomb_scargle", _LS_FEATS)
+def _lomb_scargle(t, m, e):
+    return ls_features(t, m, e)
+
+
+# --- public catalog (cesium family lists †: CADENCE_FEATS / GENERAL_FEATS /
+# LOMB_SCARGLE_FEATS — SURVEY.md §2.2) --------------------------------------
+
+GENERAL_FEATS = _SIMPLE_GENERAL + _FLUX_RATIOS + ["stetson_j", "stetson_k"]
+CADENCE_FEATS = (["n_epochs", "total_time", "avgt"] + _CADS_FEATS + _ERR_FEATS
+                 + _CAD_PROB_FEATS + _D2S_FEATS + _NHIST_FEATS)
+LOMB_SCARGLE_FEATS = list(_LS_FEATS)
+ALL_FEATS = GENERAL_FEATS + CADENCE_FEATS + LOMB_SCARGLE_FEATS
+
+# features cheap enough for every tier; LS/nhist restricted by default to
+# coarser tiers in the pipeline config (they are O(n·grid)/O(n²))
+DEFAULT_FEATS = GENERAL_FEATS + ["n_epochs", "total_time"] + _CADS_FEATS + _CAD_PROB_FEATS
+
+
+def register_custom(name: str,
+                    fn: Callable[[np.ndarray, np.ndarray, np.ndarray], float]) -> None:
+    """Register a user feature ``f(t, m, e) -> float`` (cesium
+    ``custom_functions`` †). Overrides nothing built-in."""
+    if name in _FEATURE_TO_PRODUCER:
+        raise ValueError(f"{name} is a built-in feature")
+    _CUSTOM[name] = fn
+
+
+def validate(names: Iterable[str]) -> list[str]:
+    unknown = [n for n in names if n not in _FEATURE_TO_PRODUCER and n not in _CUSTOM]
+    if unknown:
+        raise KeyError(f"unknown features: {unknown}")
+    return list(names)
+
+
+def compute_features(t: np.ndarray, m: np.ndarray, e: np.ndarray,
+                     names: Iterable[str]) -> dict[str, float]:
+    """Evaluate the requested features on one series, running each
+    producer at most once (graph culling + shared-intermediate reuse,
+    ≙ dask.get on the culled graph — cesium featurize_single_ts †).
+
+    Arrays must already be sorted by time (the Spark kernel sorts by
+    (turn_idx) before calling — determinism contract, SURVEY.md §4.3).
+    """
+    t = np.asarray(t, dtype=np.float64)
+    m = np.asarray(m, dtype=np.float64)
+    e = np.asarray(e, dtype=np.float64)
+    wanted = validate(names)
+    needed_producers: list[str] = []
+    seen = set()
+    for nm in wanted:
+        p = _FEATURE_TO_PRODUCER.get(nm)
+        if p and p not in seen:
+            seen.add(p)
+            needed_producers.append(p)
+    values: dict[str, float] = {}
+    for p in needed_producers:
+        values.update(_PRODUCERS[p](t, m, e))
+    for nm in wanted:
+        if nm in _CUSTOM:
+            try:
+                values[nm] = float(_CUSTOM[nm](t, m, e))
+            except Exception:
+                values[nm] = float("nan")  # raise_exceptions=False policy
+    return {nm: values[nm] for nm in wanted}

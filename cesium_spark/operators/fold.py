@@ -1,0 +1,46 @@
+"""Tier folding: 1m → 1h → 1d continuous-aggregate maintenance for the
+exactly-mergeable statistics (SURVEY.md §2.9 — TimescaleDB-style cagg
+fold; no reference counterpart).
+
+Folding reuses the fine tier's moments instead of rescanning raw turns:
+count/min/max merge exactly; float sums (Σy, Σy², Σy³) merge
+associatively but not bit-stably, so folded mean/std/skew are the FAST
+path only — order-sensitive features (median, percentiles, Stetson,
+Lomb–Scargle) are recomputed from the coarser tier's raw slice by the
+kernel path (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cesium_spark.operators.rollup import TIERS
+
+_FOLD_TARGETS = {"1h": "hour", "1d": "day"}
+
+
+def fold_moments(fine_moments: DataFrame, target_tier: str) -> DataFrame:
+    """Merge a finer tier's moments table up to ``target_tier``.
+    One JVM-only shuffle on the (smaller) moments table — at 10^12 turns
+    this touches 1m-window counts (~10^9 rows), not raw turns.
+    """
+    if target_tier not in _FOLD_TARGETS:
+        raise ValueError(f"can only fold to {list(_FOLD_TARGETS)}")
+    unit = TIERS[target_tier]
+    return (
+        fine_moments
+        .withColumn("window_start", F.date_trunc(unit, F.col("window_start")))
+        .groupBy("conv_id", "channel", "window_start")
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("y_min").alias("y_min"),
+            F.max("y_max").alias("y_max"),
+            F.sum("y_sum").alias("y_sum"),
+            F.sum("y_sum2").alias("y_sum2"),
+            F.sum("y_sum3").alias("y_sum3"),
+            F.min("t_min").alias("t_min"),
+            F.max("t_max").alias("t_max"),
+        )
+        .withColumn("tier", F.lit(target_tier))
+    )

@@ -1,0 +1,147 @@
+"""Tiered rollup — the distributed re-expression of
+``cesium/featurize.py::featurize_time_series`` † (SURVEY.md §2.3, §3.4).
+
+Two execution paths, by design (SURVEY.md §4.3):
+
+**Exact kernel path** (default; the correctness-bearing one): one
+``applyInPandas`` per (conv_id, channel, window) group → numpy feature
+kernels from ``cesium_spark.functions.registry``. The kernel sorts by
+``turn_idx`` in-group, so every value is a deterministic single-threaded
+numpy reduction — bit-for-bit identical at any Spark parallelism or
+partitioning. This is what the "rolled-up points match the reference
+bit-for-bit" bar requires: native float aggregation is partition-order
+dependent and can never satisfy it.
+
+**Native moments path** (throughput/fold path): pure JVM two-phase
+aggregation of exactly-mergeable statistics (count, min, max, Σy, Σy²,
+Σy³, t extremes). Used for tier folding (1m→1h→1d, operators/fold.py)
+and metrics; mean/std/skew derived from moments are flagged inexact.
+
+Scale: groups are bounded by the window (a 1-minute slice of one
+conversation), so kernel memory is O(window), and the single shuffle is
+the hash exchange on (conv_id, channel, window_start) — map-side
+partials do not apply to opaque kernels, which is precisely why the
+algebraic subset also has the native path. AQE handles residual skew;
+whole-conversation ('conv' tier) Lomb–Scargle on Zipf-tailed lengths is
+the known hot spot (SURVEY.md §4.4) — the nhist kernel self-caps (documented)
+and LS cost is O(n·grid) with grid ≤ 3000.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cesium_spark.functions.registry import DEFAULT_FEATS, compute_features, validate
+
+# tier name -> date_trunc unit; 'conv' = whole-conversation series
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+ROLLUP_SCHEMA = (
+    "conv_id string, channel string, window_start timestamp, "
+    "feature string, value double"
+)
+
+MOMENTS_SCHEMA_COLS = [
+    "n", "y_min", "y_max", "y_sum", "y_sum2", "y_sum3", "t_min", "t_max",
+]
+
+
+def _with_window(series: DataFrame, tier: str) -> DataFrame:
+    if tier in TIERS:
+        return series.withColumn("window_start", F.date_trunc(TIERS[tier], F.col("ts")))
+    if tier == "conv":
+        return series.withColumn(
+            "window_start", F.to_timestamp(F.lit("1970-01-01 00:00:00")))
+    raise ValueError(f"unknown tier {tier!r}; expected one of {list(TIERS)} or 'conv'")
+
+
+def rollup_features(series: DataFrame, tier: str,
+                    features: Iterable[str] | None = None) -> DataFrame:
+    """Exact path: long-form features table
+    (conv_id, channel, tier, window_start, feature, value)."""
+    feats = validate(list(features) if features is not None else DEFAULT_FEATS)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx", kind="stable")
+        vals = compute_features(
+            pdf["t"].to_numpy(np.float64),
+            pdf["y"].to_numpy(np.float64),
+            pdf["e"].to_numpy(np.float64),
+            feats,
+        )
+        return pd.DataFrame({
+            "conv_id": pdf["conv_id"].iloc[0],
+            "channel": pdf["channel"].iloc[0],
+            "window_start": pdf["window_start"].iloc[0],
+            "feature": list(vals.keys()),
+            "value": list(vals.values()),
+        })
+
+    grouped = (
+        _with_window(series, tier)
+        # manual pre-UDF projection: Catalyst cannot prune through the
+        # opaque kernel (SURVEY.md §4.2)
+        .select("conv_id", "channel", "window_start", "turn_idx", "t", "y", "e")
+        .groupBy("conv_id", "channel", "window_start")
+        .applyInPandas(kernel, schema=ROLLUP_SCHEMA)
+        .withColumn("tier", F.lit(tier))
+        .select("conv_id", "channel", "tier", "window_start", "feature", "value")
+    )
+    return grouped
+
+
+def pivot_wide(features_long: DataFrame, features: Iterable[str]) -> DataFrame:
+    """Wide view: one row per (conv, channel, tier, window), one column
+    per feature — ≙ cesium's (feature, channel) MultiIndex output
+    (assemble_featureset †)."""
+    return (
+        features_long
+        .groupBy("conv_id", "channel", "tier", "window_start")
+        .pivot("feature", list(features))
+        .agg(F.first("value"))
+    )
+
+
+def rollup_moments(series: DataFrame, tier: str) -> DataFrame:
+    """Native path: exactly-mergeable window statistics, JVM-only
+    two-phase aggregation (partial + final, whole-stage codegen)."""
+    return (
+        _with_window(series, tier)
+        .groupBy("conv_id", "channel", "window_start")
+        .agg(
+            F.count("y").alias("n"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            F.sum("y").alias("y_sum"),
+            F.sum(F.col("y") * F.col("y")).alias("y_sum2"),
+            F.sum(F.col("y") * F.col("y") * F.col("y")).alias("y_sum3"),
+            F.min("t").alias("t_min"),
+            F.max("t").alias("t_max"),
+        )
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def moments_derived(moments: DataFrame) -> DataFrame:
+    """mean/std/skew/amplitude/n_epochs/total_time from moments —
+    the inexact (float-sum) fast path; exact values come from kernels."""
+    n = F.col("n").cast("double")
+    mu = F.col("y_sum") / n
+    m2 = F.col("y_sum2") / n - mu * mu
+    m3 = (F.col("y_sum3") / n) - 3 * mu * (F.col("y_sum2") / n) + 2 * mu * mu * mu
+    return moments.select(
+        "conv_id", "channel", "tier", "window_start",
+        n.alias("n_epochs"),
+        F.col("y_max").alias("maximum"),
+        F.col("y_min").alias("minimum"),
+        ((F.col("y_max") - F.col("y_min")) / 2).alias("amplitude"),
+        mu.alias("mean"),
+        F.sqrt(F.greatest(m2, F.lit(0.0))).alias("std"),
+        F.when(m2 > 0, m3 / F.pow(m2, 1.5)).alias("skew"),
+        (F.col("t_max") - F.col("t_min")).alias("total_time"),
+    )
