@@ -1,0 +1,170 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing (SURVEY-adjacent first-class ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cesium_spark.operators import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "a"),
+    (1, "the quick brown fox jumps over the lazy dog", "a"),      # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog today", "a"),  # near dup
+    (3, "completely different text about spark query engines", "a"),
+    (4, "der schnelle braune fuchs und die faule katze ist nicht da", "b"),
+    (5, "el gato y el perro de la casa que es grande", "b"),
+    (6, "le chat et le chien est dans les maisons des gens", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text", "source"])).cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near dup
+    pdf = pd.DataFrame({"vec_id": np.arange(40),
+                        "embedding": [r for r in base]})
+    return spark.createDataFrame(pdf).cache()
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = dedup.exact_dedup(docs).toPandas().set_index("doc_id")
+        assert out.loc[0, "group_size"] == 2
+        assert out.loc[1, "group_size"] == 2
+        assert bool(out.loc[0, "is_canonical"]) is True
+        assert bool(out.loc[1, "is_canonical"]) is False
+        assert out.loc[3, "group_size"] == 1
+
+    def test_minhash_lsh_finds_near_dup(self, docs):
+        cands = dedup.minhash_lsh_candidates(
+            docs, k=64, bands=16, shingle_n=2).toPandas()
+        pairs = set(zip(cands["id_a"], cands["id_b"]))
+        assert (0, 1) in pairs          # identical docs share all bands
+        assert (0, 2) in pairs          # near dup shares many shingles
+        assert (0, 3) not in pairs      # unrelated
+
+    def test_minhash_signature_deterministic(self, docs):
+        s1 = dedup.minhash_signatures(docs, k=16).toPandas().set_index("doc_id")
+        s2 = dedup.minhash_signatures(docs, k=16).toPandas().set_index("doc_id")
+        for i in s1.index:
+            assert list(s1.loc[i, "sig"]) == list(s2.loc[i, "sig"])
+        # identical docs → identical signatures
+        assert list(s1.loc[0, "sig"]) == list(s1.loc[1, "sig"])
+
+    def test_simhash_hamming(self, docs):
+        out = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+        def ham(a, b):
+            return bin((int(a) ^ int(b)) & (2**64 - 1)).count("1")
+        assert ham(out[0], out[1]) == 0
+        assert ham(out[0], out[2]) <= 8
+        assert ham(out[0], out[3]) > 12
+
+    def test_ngram_jaccard_exact_value(self, docs):
+        out = dedup.ngram_jaccard_pairs(
+            docs, block_col="source", shingle_n=1, threshold=0.1).toPandas()
+        row = out[(out.id_a == 0) & (out.id_b == 2)]
+        # doc0 tokens: {the,quick,brown,fox,jumps,over,lazy,dog} (8)
+        # doc2 adds 'today' (9); intersection 8, union 9
+        assert row["jaccard"].iloc[0] == pytest.approx(8 / 9)
+        # cross-source pairs are blocked out
+        assert ((out.id_a < 4) & (out.id_b >= 4)).sum() == 0
+
+    def test_embedding_cosine_pairs(self, embs):
+        out = dedup.embedding_cosine_pairs(embs, threshold=0.95).toPandas()
+        assert set(zip(out.id_a, out.id_b)) == {(3, 7)}
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, embs):
+        pdf = embs.toPandas()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = mat[5]
+        sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))
+        exp = [(int(pdf["vec_id"][i]), sims[i]) for i in order[:5]]
+        got = similarity.cosine_topk(embs, list(q), k=5).collect()
+        assert [r["vec_id"] for r in got] == [e[0] for e in exp]
+        for r, e in zip(got, exp):
+            assert r["cosine"] == pytest.approx(e[1], rel=1e-9)
+
+    def test_lsh_recall(self, embs):
+        pdf = embs.toPandas()
+        q = list(np.stack(pdf["embedding"].to_numpy())[3].astype(np.float64))
+        exact = {r["vec_id"] for r in
+                 similarity.cosine_topk(embs, q, k=3).collect()}
+        approx = {r["vec_id"] for r in
+                  similarity.lsh_bucketed_topk(embs, q, k=3,
+                                               n_planes=8).collect()}
+        assert 3 in approx and 7 in approx  # query itself + its near dup
+        assert len(exact & approx) >= 2
+
+
+class TestTextStats:
+    def test_token_stats(self, docs, spark):
+        out = textstats.token_stats(docs).toPandas().set_index("doc_id")
+        assert out.loc[0, "n_tokens"] == 9
+        assert out.loc[0, "n_chars"] == len(DOCS[0][1])
+
+    def test_quality_score_bounds(self, docs):
+        out = textstats.quality_score(docs).toPandas()
+        assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+        assert out["stopword_ratio"].iloc[0] > 0
+
+    def test_lang_id_markers(self, docs):
+        out = textstats.lang_id(docs).toPandas().set_index("doc_id")
+        assert out.loc[0, "lang_pred"] == "en"
+        assert out.loc[4, "lang_pred"] == "de"
+        assert out.loc[5, "lang_pred"] == "es"
+        assert out.loc[6, "lang_pred"] == "fr"
+
+    def test_md5_fingerprint_normalizes(self, spark):
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["Hello,   World!", "hello world"]}))
+        out = textstats.md5_fingerprint(d).toPandas()
+        assert out["fingerprint"].nunique() == 1
+
+    def test_winnowing_overlap(self, docs):
+        out = (textstats.winnowing_fingerprints(docs, k=3, window=2)
+               .toPandas().set_index("doc_id")["fingerprints"])
+        f0, f2, f3 = set(out[0]), set(out[2]), set(out[3])
+        assert f0 == set(out[1])                 # identical docs
+        assert len(f0 & f2) / len(f0 | f2) > 0.5  # near dup overlaps
+        assert not (f0 & f3)                      # unrelated disjoint
+
+
+class TestMultimodal:
+    def test_attach_and_extract(self, docs):
+        media = multimodal.attach_fake_media(docs)
+        pdf = media.toPandas()
+        assert (pdf["n_bytes"] > 0).all()
+        feats = multimodal.extract_features(media, feat_dim=8).toPandas()
+        assert len(feats) == len(pdf)
+        assert all(len(f) == 8 for f in feats["feat"])
+        # deterministic: same input → same features
+        feats2 = multimodal.extract_features(media, feat_dim=8).toPandas()
+        a = np.stack(feats.sort_values("doc_id")["feat"].to_numpy())
+        b = np.stack(feats2.sort_values("doc_id")["feat"].to_numpy())
+        np.testing.assert_array_equal(a, b)
+
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(b"xx", "image", fake=False)
+
+    def test_frame_sampling(self, docs):
+        media = multimodal.attach_fake_media(docs)
+        frames = multimodal.sample_frames(media, every_k=5).toPandas()
+        vids = media.where("media_type = 'video'").toPandas()
+        exp = sum((int(n) + 4) // 5 for n in vids["n_frames"])
+        assert len(frames) == exp
