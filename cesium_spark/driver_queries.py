@@ -1,0 +1,855 @@
+"""Driver-contract query suite: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable with a matching DuckDB oracle SQL
+(SURVEY.md §5.2 layer 6). Column names/types/rounding are pinned
+identically on both sides; timestamps are emitted as formatted strings
+to remove engine dtype/timezone ambiguity; NaN is normalized to NULL.
+
+The `events` table is the transcript-stream stand-in (FIXTURES.md §5):
+user_id → conv_id, row_number over (ts, event_id) → turn_idx,
+event_type → role, props → text, value → y.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cesium_spark.codecs.chunks import decode_chunks, encode_chunks
+from cesium_spark.operators import dedup, multimodal, similarity, textstats
+from cesium_spark.operators.derive import derive_series
+from cesium_spark.operators.fold import fold_moments
+from cesium_spark.operators.gapfill import gapfill
+from cesium_spark.operators.rollup import (
+    moments_derived,
+    pivot_wide,
+    rollup_features,
+    rollup_moments,
+)
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _prep(spark: SparkSession) -> None:
+    # oracle comparison requires UTC truncation semantics on both sides
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # driver parquet carries TIMESTAMP_NTZ; normalize to session-TZ (UTC)
+    if "ts" in df.columns:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _nn(col):  # NaN → NULL (duckdb has no NaN in these pipelines)
+    return F.when(F.isnan(col) | col.isNull(), F.lit(None)).otherwise(col)
+
+
+def _r(col, n: int = 6):
+    return F.round(_nn(col), n)
+
+
+def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → the authoritative transcript shape (input_hint)."""
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "purchase", F.lit("checkout"))
+        .alias("tool"),
+        F.col("ts"),
+    )
+
+
+_SERIES_SQL = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         props, event_type, ts,
+         epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id) AS t,
+         epoch(ts) - lag(epoch(ts)) OVER w AS lat
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+series AS (
+  SELECT conv_id, 'latency' AS channel, turn_idx, ts, t, lat AS y
+  FROM t WHERE lat IS NOT NULL
+  UNION ALL
+  SELECT conv_id, 'tokens', turn_idx, ts, t,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS double)
+  FROM t
+  UNION ALL
+  SELECT conv_id, 'tool_rate', turn_idx, ts, t,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+  FROM t
+)
+"""
+
+_VALUE_SERIES_SQL = """
+WITH series AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         ts,
+         epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id) AS t,
+         value AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+"""
+
+
+def _value_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events value column as a single-channel series (engine shape)."""
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit("value").alias("channel"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("ts"),
+        (sec - F.min(sec).over(Window.partitionBy("user_id"))).alias("t"),
+        F.col("value").alias("y"),
+        F.lit(1e-4).alias("e"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series engine queries
+# ---------------------------------------------------------------------------
+
+def q_ts_derive_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = derive_series(events_transcripts(spark, sf_dir))
+    return s.select("conv_id", "channel", "turn_idx",
+                    _r(F.col("t")).alias("t"), _r(F.col("y")).alias("y"))
+
+
+SQL_TS_DERIVE = _SERIES_SQL + """
+SELECT conv_id, channel, turn_idx, round(t, 6) AS t, round(y, 6) AS y
+FROM series
+"""
+
+
+_ROLLUP_FEATS = ["n_epochs", "mean", "maximum", "minimum", "amplitude",
+                 "std", "skew", "median"]
+
+
+def q_ts_rollup_1h_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact kernel path through the driver oracle: hourly rollup of
+    all three derived channels, numpy kernels inside applyInPandas."""
+    s = derive_series(events_transcripts(spark, sf_dir))
+    long = rollup_features(s, "1h", _ROLLUP_FEATS)
+    wide = pivot_wide(long, _ROLLUP_FEATS)
+    return wide.select(
+        "conv_id", "channel",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n_epochs").cast("long").alias("n_epochs"),
+        _r(F.col("mean")).alias("mean"),
+        _r(F.col("maximum")).alias("maximum"),
+        _r(F.col("minimum")).alias("minimum"),
+        _r(F.col("amplitude")).alias("amplitude"),
+        _r(F.col("std")).alias("std"),
+        _r(F.col("skew")).alias("skew"),
+        _r(F.col("median")).alias("median"),
+    )
+
+
+SQL_TS_ROLLUP_1H = _SERIES_SQL + f"""
+SELECT conv_id, channel,
+       strftime(date_trunc('hour', ts), '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n_epochs,
+       round(avg(y), 6) AS mean,
+       round(max(y), 6) AS maximum,
+       round(min(y), 6) AS minimum,
+       round((max(y) - min(y)) / 2, 6) AS amplitude,
+       round(sqrt(greatest(avg(y*y) - avg(y)*avg(y), 0)), 6) AS std,
+       CASE WHEN avg(y*y) - avg(y)*avg(y) > 0 THEN
+         round((avg(y*y*y) - 3*avg(y)*avg(y*y) + 2*avg(y)*avg(y)*avg(y))
+               / (avg(y*y) - avg(y)*avg(y)) ^ 1.5, 6)
+       END AS skew,
+       round(median(y), 6) AS median
+FROM series
+GROUP BY 1, 2, 3
+"""
+
+
+def q_ts_rollup_1d_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native moments path at the daily tier (JVM two-phase agg)."""
+    s = _value_series(spark, sf_dir)
+    m = moments_derived(rollup_moments(s, "1d"))
+    return m.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n_epochs").cast("long").alias("n_epochs"),
+        _r(F.col("maximum")).alias("maximum"),
+        _r(F.col("minimum")).alias("minimum"),
+        _r(F.col("amplitude")).alias("amplitude"),
+        _r(F.col("mean")).alias("mean"),
+        _r(F.col("std")).alias("std"),
+        _r(F.col("total_time")).alias("total_time"),
+    )
+
+
+SQL_TS_ROLLUP_1D = _VALUE_SERIES_SQL + f"""
+SELECT conv_id,
+       strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n_epochs,
+       round(max(y), 6) AS maximum,
+       round(min(y), 6) AS minimum,
+       round((max(y) - min(y)) / 2, 6) AS amplitude,
+       round(avg(y), 6) AS mean,
+       round(sqrt(greatest(avg(y*y) - avg(y)*avg(y), 0)), 6) AS std,
+       round(max(t) - min(t), 6) AS total_time
+FROM series
+GROUP BY 1, 2
+"""
+
+
+def q_ts_tier_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1m → 1d fold of the exactly-mergeable stats (count/min/max)."""
+    s = _value_series(spark, sf_dir)
+    folded = fold_moments(rollup_moments(s, "1m"), "1d")
+    return folded.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n_epochs"),
+        _r(F.col("y_min")).alias("y_min"),
+        _r(F.col("y_max")).alias("y_max"),
+    )
+
+
+SQL_TS_TIER_FOLD = f"""
+SELECT cast(user_id AS varchar) AS conv_id,
+       strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n_epochs,
+       round(min(value), 6) AS y_min,
+       round(max(value), 6) AS y_max
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_ts_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gapfill(_value_series(spark, sf_dir), "1h", policy="ffill")
+    return g.select(
+        "conv_id",
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        _r(F.col("y")).alias("y"),
+        F.col("filled"),
+    )
+
+
+SQL_TS_GAPFILL_1H = f"""
+WITH b AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         date_trunc('hour', ts) AS bucket,
+         arg_max(value, ts) AS y_obs
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT conv_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1
+),
+grid AS (
+  SELECT conv_id,
+         unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+),
+j AS (
+  SELECT g.conv_id, g.bucket, b.y_obs
+  FROM grid g LEFT JOIN b ON g.conv_id = b.conv_id AND g.bucket = b.bucket
+)
+SELECT conv_id, strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
+       round(last_value(y_obs IGNORE NULLS) OVER (
+         PARTITION BY conv_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS y,
+       y_obs IS NULL AS filled
+FROM j
+"""
+
+
+def q_ts_cad_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    _prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    gaps = (ev.withColumn("gap", sec - F.lag(sec).over(w))
+            .where(F.col("gap").isNotNull()))
+    return (gaps.groupBy(F.col("user_id").cast("string").alias("conv_id"))
+            .agg(*[_r(F.avg((F.col("gap") <= s).cast("double")))
+                   .alias(f"cad_probs_{s}") for s in (60, 600, 3600)]))
+
+
+SQL_TS_CAD_PROBS = """
+WITH g AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         epoch(ts) - lag(epoch(ts)) OVER w AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT conv_id,
+       round(avg(CASE WHEN gap <= 60 THEN 1.0 ELSE 0.0 END), 6) AS cad_probs_60,
+       round(avg(CASE WHEN gap <= 600 THEN 1.0 ELSE 0.0 END), 6) AS cad_probs_600,
+       round(avg(CASE WHEN gap <= 3600 THEN 1.0 ELSE 0.0 END), 6) AS cad_probs_3600
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_ts_cadence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    _prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    gaps = ev.withColumn("gap", sec - F.lag(sec).over(w)).withColumn("sec", sec)
+    return (gaps.groupBy(F.col("user_id").cast("string").alias("conv_id"))
+            .agg(F.count("*").alias("n_epochs"),
+                 _r(F.max("sec") - F.min("sec")).alias("total_time"),
+                 _r(F.avg("gap")).alias("cads_avg"),
+                 _r(F.percentile("gap", F.lit(0.5))).alias("cads_med")))
+
+
+SQL_TS_CADENCE_STATS = """
+WITH g AS (
+  SELECT user_id, epoch(ts) AS sec,
+         epoch(ts) - lag(epoch(ts)) OVER w AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT cast(user_id AS varchar) AS conv_id,
+       count(*) AS n_epochs,
+       round(max(sec) - min(sec), 6) AS total_time,
+       round(avg(gap), 6) AS cads_avg,
+       round(median(gap), 6) AS cads_med
+FROM g GROUP BY 1
+"""
+
+
+def q_ts_max_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    _prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    d = (ev.withColumn("dv", F.col("value") - F.lag("value").over(w))
+         .withColumn("dt", sec - F.lag(sec).over(w))
+         .where(F.col("dt").isNotNull() & (F.col("dt") > 0)))
+    return (d.groupBy(F.col("user_id").cast("string").alias("conv_id"))
+            .agg(_r(F.max(F.abs(F.col("dv") / F.col("dt"))))
+                 .alias("max_slope")))
+
+
+SQL_TS_MAX_SLOPE = """
+WITH d AS (
+  SELECT user_id,
+         value - lag(value) OVER w AS dv,
+         epoch(ts) - lag(epoch(ts)) OVER w AS dt
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT cast(user_id AS varchar) AS conv_id,
+       round(max(abs(dv / dt)), 6) AS max_slope
+FROM d WHERE dt IS NOT NULL AND dt > 0
+GROUP BY 1
+"""
+
+
+def q_ts_percent_beyond_1_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    _prep(spark)
+    wu = Window.partitionBy("user_id")
+    mu = F.avg("value").over(wu)
+    m2 = F.avg(F.col("value") * F.col("value")).over(wu) - mu * mu
+    sd = F.sqrt(F.greatest(m2, F.lit(0.0)))
+    flagged = ev.withColumn("beyond",
+                            (F.abs(F.col("value") - mu) > sd).cast("double"))
+    return (flagged.groupBy(F.col("user_id").cast("string").alias("conv_id"))
+            .agg(_r(F.avg("beyond")).alias("percent_beyond_1_std")))
+
+
+SQL_TS_PB1S = """
+WITH s AS (
+  SELECT user_id, value,
+         avg(value) OVER w AS mu,
+         sqrt(greatest(avg(value*value) OVER w
+                       - (avg(value) OVER w) * (avg(value) OVER w), 0)) AS sd
+  FROM events WINDOW w AS (PARTITION BY user_id)
+)
+SELECT cast(user_id AS varchar) AS conv_id,
+       round(avg(CASE WHEN abs(value - mu) > sd THEN 1.0 ELSE 0.0 END), 6)
+         AS percent_beyond_1_std
+FROM s GROUP BY 1
+"""
+
+
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    _prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    gaps = ev.withColumn("new_sess",
+                         ((sec - F.lag(sec).over(w)) > 1800)
+                         .cast("int"))
+    return (gaps.groupBy(F.col("user_id").cast("string").alias("conv_id"))
+            .agg((F.coalesce(F.sum("new_sess"), F.lit(0)) + 1).cast("long")
+                 .alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+SQL_TS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT cast(user_id AS varchar) AS conv_id,
+       cast(sum(new_sess) + 1 AS bigint) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY 1
+"""
+
+
+def q_ts_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    _prep(spark)
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.desc("value"), F.asc("event_id")))
+    return (ev.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("event_type", F.col("rank").cast("long").alias("rank"),
+                    "event_id", _r(F.col("value")).alias("value")))
+
+
+SQL_TS_TOP3 = """
+SELECT event_type,
+       cast(row_number() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id) AS bigint) AS rank,
+       event_id, round(value, 6) AS value
+FROM events
+QUALIFY rank <= 3
+"""
+
+
+def q_ts_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec proof through the oracle: encode→decode the value series,
+    then aggregate — must equal direct SQL aggregation of the raw table."""
+    s = _value_series(spark, sf_dir)
+    decoded = decode_chunks(encode_chunks(s, chunk_size=512))
+    return (decoded.groupBy("conv_id")
+            .agg(F.count("*").alias("n_points"),
+                 _r(F.min("y")).alias("y_min"),
+                 _r(F.max("y")).alias("y_max"),
+                 F.round(F.sum("y"), 4).alias("y_sum")))
+
+
+SQL_TS_GORILLA = """
+SELECT cast(user_id AS varchar) AS conv_id,
+       count(*) AS n_points,
+       round(min(value), 6) AS y_min,
+       round(max(value), 6) AS y_max,
+       round(sum(value), 4) AS y_sum
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+
+def q_rel_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    _prep(spark)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_REL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join star query: orders ⋈ customer ⋈ nation."""
+    _prep(spark)
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+SQL_REL_NATION_REVENUE = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q_rel_customers_without_orders(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Anti-join (the resume planner's join type, SURVEY.md §2.11)."""
+    _prep(spark)
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    n = _read(spark, sf_dir, "nation")
+    inactive = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (inactive.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_inactive")))
+
+
+SQL_REL_ANTI = """
+SELECT n_name, count(*) AS n_inactive
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def q_rel_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(event_type, day): hierarchical summaries."""
+    ev = _read(spark, sf_dir, "events")
+    _prep(spark)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (ev.select("event_type", day, "value")
+            .rollup("event_type", "day")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total")))
+
+
+SQL_REL_ROLLUP_SETS = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY ROLLUP(event_type, day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return (dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+            .select("doc_id", "text_hash", "group_size", "is_canonical"))
+
+
+SQL_DOC_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+g AS (SELECT text_hash, count(*) AS group_size, min(doc_id) AS canon
+      FROM h GROUP BY 1)
+SELECT doc_id, h.text_hash, group_size, doc_id = canon AS is_canonical
+FROM h JOIN g ON h.text_hash = g.text_hash
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return textstats.md5_fingerprint(_read(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    out = textstats.token_stats(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      _r(F.col("avg_token_len")).alias("avg_token_len"),
+                      "est_bpe_tokens")
+
+
+SQL_DOC_TOKEN_STATS = """
+SELECT doc_id,
+       cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+       cast(length(text) AS bigint) AS n_chars,
+       round(length(text) / len(string_split_regex(trim(text), '\\s+')), 6)
+         AS avg_token_len,
+       cast(greatest(len(string_split_regex(trim(text), '\\s+')),
+                     ceil(length(text) / 4.0)) AS bigint) AS est_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    out = textstats.quality_score(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_tokens",
+                      _r(F.col("punct_ratio")).alias("punct_ratio"),
+                      _r(F.col("stopword_ratio")).alias("stopword_ratio"),
+                      _r(F.col("quality_score")).alias("quality_score"))
+
+
+SQL_DOC_QUALITY = """
+WITH s AS (
+  SELECT doc_id,
+         cast(len(string_split_regex(trim(lower(text)), '\\s+')) AS double)
+           AS n_tokens,
+         cast(length(text) AS double) AS n_chars,
+         cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+           AS n_punct,
+         cast(len(regexp_extract_all(lower(text),
+              '\\b(the|a|of|to|and|in|for|on|with)\\b')) AS double) AS n_stop
+  FROM documents
+)
+SELECT cast(doc_id AS bigint) AS doc_id,
+       cast(n_tokens AS bigint) AS n_tokens,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       round(least(n_tokens / 64.0, 1.0) * 0.4
+             + least(n_stop / n_tokens * 4.0, 1.0) * 0.4
+             + (1.0 - least(n_punct / n_chars * 10.0, 1.0)) * 0.2, 6)
+         AS quality_score
+FROM s
+"""
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    out = dedup.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), block_col="source",
+        shingle_n=1, threshold=0.2)
+    return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+SQL_DOC_JACCARD = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS s
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.s = b.s AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    out = textstats.lang_id(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred", _r(F.col("lang_score")).alias("lang_score"))
+
+
+SQL_DOC_LANG_ID = """
+WITH c AS (
+  SELECT doc_id,
+         cast(len(string_split_regex(trim(lower(text)), '\\s+')) AS double) AS n,
+         cast(len(regexp_extract_all(lower(text),
+              '\\b(the|and|of|to|in|is|that)\\b')) AS double) AS c_en,
+         cast(len(regexp_extract_all(lower(text),
+              '\\b(der|die|das|und|ist|nicht)\\b')) AS double) AS c_de,
+         cast(len(regexp_extract_all(lower(text),
+              '\\b(el|la|los|de|que|y|es)\\b')) AS double) AS c_es,
+         cast(len(regexp_extract_all(lower(text),
+              '\\b(le|la|les|et|est|que|des)\\b')) AS double) AS c_fr
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT doc_id, 'en' AS lang, c_en / n AS score FROM c
+    UNION ALL SELECT doc_id, 'de', c_de / n FROM c
+    UNION ALL SELECT doc_id, 'es', c_es / n FROM c
+    UNION ALL SELECT doc_id, 'fr', c_fr / n FROM c)
+)
+SELECT doc_id, lang AS lang_pred, round(score, 6) AS lang_score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+"""
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = similarity.cosine_topk(embs, [float(x) for x in q], k=10)
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+SQL_EMB_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+x AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(
+           list_zip(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])),
+           s -> s[1] * s[2])) AS dot,
+         sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                      a -> a * a))) AS na,
+         sqrt(list_sum(list_transform(CAST(q.qe AS DOUBLE[]),
+                                      b -> b * b))) AS nb
+  FROM embeddings e, q
+)
+SELECT vec_id, round(dot / (na * nb), 5) AS cosine
+FROM x ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    media = multimodal.attach_fake_media(_read(spark, sf_dir, "documents"))
+    return media.select("doc_id", "media_type",
+                        F.col("n_bytes").cast("long").alias("n_bytes"),
+                        F.col("width").cast("long").alias("width"),
+                        F.col("height").cast("long").alias("height"),
+                        F.col("n_frames").cast("long").alias("n_frames"))
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+       cast(16 + octet_length(encode(text)) % 48 AS bigint) AS width,
+       cast(16 + (octet_length(encode(text)) * 7) % 48 AS bigint) AS height,
+       cast(1 + octet_length(encode(text)) % 30 AS bigint) AS n_frames
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible queries (rows-only driver check; exact checks live
+# in tests/ — Lomb–Scargle, MinHash, SimHash, LSH, winnowing, multimodal)
+# ---------------------------------------------------------------------------
+
+def q_ts_lomb_scargle_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _value_series(spark, sf_dir)
+    feats = ["freq1_freq", "freq1_amplitude1", "freq1_signif",
+             "period_fast", "freq_varrat", "linear_trend"]
+    wide = pivot_wide(rollup_features(s, "conv", feats), feats)
+    return wide.select("conv_id",
+                       *[_r(F.col(f)).alias(f) for f in feats])
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return dedup.minhash_lsh_candidates(
+        _read(spark, sf_dir, "documents"), k=64, bands=16, shingle_n=3)
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return dedup.simhash(_read(spark, sf_dir, "documents"))
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = similarity.lsh_bucketed_topk(embs, [float(x) for x in q],
+                                       k=10, n_planes=12)
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    out = textstats.winnowing_fingerprints(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    media = multimodal.attach_fake_media(_read(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, feat_dim=8, fake=True)
+    return feats.select(
+        "doc_id", "media_type",
+        _r(F.aggregate("feat", F.lit(0.0),
+                       lambda s, x: s + x.cast("double")) / 8.0)
+        .alias("feat_mean"))
+
+
+QUERIES = {
+    "ts_derive_series": q_ts_derive_series,
+    "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
+    "ts_rollup_1d_native": q_ts_rollup_1d_native,
+    "ts_tier_fold": q_ts_tier_fold,
+    "ts_gapfill_1h": q_ts_gapfill_1h,
+    "ts_cad_probs": q_ts_cad_probs,
+    "ts_cadence_stats": q_ts_cadence_stats,
+    "ts_max_slope": q_ts_max_slope,
+    "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
+    "ts_sessionize": q_ts_sessionize,
+    "ts_top3_per_type": q_ts_top3_per_type,
+    "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
+    "rel_tpch_q1": q_rel_tpch_q1,
+    "rel_nation_revenue": q_rel_nation_revenue,
+    "rel_customers_without_orders": q_rel_customers_without_orders,
+    "rel_rollup_sets": q_rel_rollup_sets,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_lang_id": q_doc_lang_id,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "multimodal_meta": q_multimodal_meta,
+    # rows-only (non-SQL-expressible kernels)
+    "ts_lomb_scargle_conv": q_ts_lomb_scargle_conv,
+    "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_simhash": q_doc_simhash,
+    "emb_lsh_topk": q_emb_lsh_topk,
+    "doc_winnowing": q_doc_winnowing,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "ts_derive_series": SQL_TS_DERIVE,
+    "ts_rollup_1h_kernel": SQL_TS_ROLLUP_1H,
+    "ts_rollup_1d_native": SQL_TS_ROLLUP_1D,
+    "ts_tier_fold": SQL_TS_TIER_FOLD,
+    "ts_gapfill_1h": SQL_TS_GAPFILL_1H,
+    "ts_cad_probs": SQL_TS_CAD_PROBS,
+    "ts_cadence_stats": SQL_TS_CADENCE_STATS,
+    "ts_max_slope": SQL_TS_MAX_SLOPE,
+    "ts_percent_beyond_1_std": SQL_TS_PB1S,
+    "ts_sessionize": SQL_TS_SESSIONIZE,
+    "ts_top3_per_type": SQL_TS_TOP3,
+    "ts_gorilla_roundtrip": SQL_TS_GORILLA,
+    "rel_tpch_q1": SQL_REL_TPCH_Q1,
+    "rel_nation_revenue": SQL_REL_NATION_REVENUE,
+    "rel_customers_without_orders": SQL_REL_ANTI,
+    "rel_rollup_sets": SQL_REL_ROLLUP_SETS,
+    "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_jaccard_pairs": SQL_DOC_JACCARD,
+    "doc_lang_id": SQL_DOC_LANG_ID,
+    "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}

@@ -44,6 +44,9 @@ def derive_series(transcripts: DataFrame,
     sec = F.col("ts").cast("double")  # epoch seconds, µs precision kept
     base = (
         transcripts
+        # normalize TIMESTAMP_NTZ (e.g. plain parquet) to session-TZ
+        # timestamp; sessions pin UTC so NTZ is interpreted as UTC
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .select("conv_id", "turn_idx", "ts", "text", "tool")
         .withColumn("t", sec - F.min(sec).over(Window.partitionBy("conv_id")))
         .withColumn("latency", sec - F.lag(sec).over(w))

@@ -63,23 +63,43 @@ def _with_window(series: DataFrame, tier: str) -> DataFrame:
 def rollup_features(series: DataFrame, tier: str,
                     features: Iterable[str] | None = None) -> DataFrame:
     """Exact path: long-form features table
-    (conv_id, channel, tier, window_start, feature, value)."""
+    (conv_id, channel, tier, window_start, feature, value).
+
+    Grouping is by (conv_id, channel) — NOT by window — because
+    ``applyInPandas`` pays a fixed per-group Arrow/pandas cost that
+    dominates when windows are tiny (measured ~5 ms/group → 60× wasted
+    on 1-point hourly windows). The kernel slices windows inside one
+    numpy pass instead: lexsort once, find window boundaries, run the
+    feature kernels per contiguous slice. Values are identical: each
+    window is still one deterministic numpy reduction over
+    turn_idx-sorted data (SURVEY.md §4.3), and group size stays bounded
+    by conversation length (chunk-salting applies above CHUNK cap)."""
     feats = validate(list(features) if features is not None else DEFAULT_FEATS)
+    n_feats = len(feats)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx", kind="stable")
-        vals = compute_features(
-            pdf["t"].to_numpy(np.float64),
-            pdf["y"].to_numpy(np.float64),
-            pdf["e"].to_numpy(np.float64),
-            feats,
-        )
+        w = pdf["window_start"].to_numpy()
+        idx = pdf["turn_idx"].to_numpy()
+        order = np.lexsort((idx, w))  # sort by window, then turn_idx
+        w = w[order]
+        t = pdf["t"].to_numpy(np.float64)[order]
+        y = pdf["y"].to_numpy(np.float64)[order]
+        e = pdf["e"].to_numpy(np.float64)[order]
+        starts = np.flatnonzero(np.concatenate(([True], w[1:] != w[:-1])))
+        ends = np.concatenate((starts[1:], [w.size]))
+        n_win = starts.size
+        values = np.empty(n_win * n_feats, dtype=np.float64)
+        for g, (s0, s1) in enumerate(zip(starts, ends)):
+            vals = compute_features(t[s0:s1], y[s0:s1], e[s0:s1], feats)
+            values[g * n_feats:(g + 1) * n_feats] = list(vals.values())
         return pd.DataFrame({
-            "conv_id": pdf["conv_id"].iloc[0],
-            "channel": pdf["channel"].iloc[0],
-            "window_start": pdf["window_start"].iloc[0],
-            "feature": list(vals.keys()),
-            "value": list(vals.values()),
+            "conv_id": np.repeat(pdf["conv_id"].iloc[:1].to_numpy(),
+                                 n_win * n_feats),
+            "channel": np.repeat(pdf["channel"].iloc[:1].to_numpy(),
+                                 n_win * n_feats),
+            "window_start": np.repeat(w[starts], n_feats),
+            "feature": np.tile(np.asarray(feats, dtype=object), n_win),
+            "value": values,
         })
 
     grouped = (
@@ -87,7 +107,7 @@ def rollup_features(series: DataFrame, tier: str,
         # manual pre-UDF projection: Catalyst cannot prune through the
         # opaque kernel (SURVEY.md §4.2)
         .select("conv_id", "channel", "window_start", "turn_idx", "t", "y", "e")
-        .groupBy("conv_id", "channel", "window_start")
+        .groupBy("conv_id", "channel")
         .applyInPandas(kernel, schema=ROLLUP_SCHEMA)
         .withColumn("tier", F.lit(tier))
         .select("conv_id", "channel", "tier", "window_start", "feature", "value")

@@ -127,8 +127,9 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         h = np.zeros(n, dtype=np.uint64)
         # polynomial rolling hash over token hashes (vectorized horner)
         acc = np.zeros(len(toks) - k + 1, dtype=np.uint64)
-        for j in range(k):
-            acc = (acc * B + th[j:j + n]) & MOD_MASK
+        with np.errstate(over="ignore"):  # modular arithmetic by design
+            for j in range(k):
+                acc = (acc * B + th[j:j + n]) & MOD_MASK
         h = acc
         if h.size <= window:
             mins = np.array([h.min()])
@@ -139,8 +140,9 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
     def hash_token(t: str) -> np.uint64:
         v = np.uint64(1469598103934665603)
-        for ch in t.encode():  # FNV-1a, deterministic across processes
-            v = (v ^ np.uint64(ch)) * np.uint64(1099511628211)
+        with np.errstate(over="ignore"):  # FNV-1a is modular by design
+            for ch in t.encode():  # deterministic across processes
+                v = (v ^ np.uint64(ch)) * np.uint64(1099511628211)
         return v & MOD_MASK
 
     @pandas_udf("array<long>")
