@@ -26,6 +26,7 @@ import numpy as np
 
 from cesium_spark.functions import features as feat
 from cesium_spark.functions.lomb_scargle import ls_features
+from cesium_spark.functions.qso import qso_fit
 
 # producer name -> callable(t, m, e) -> dict[feature_name, float]
 # Each producer computes a family of features sharing an intermediate.
@@ -86,6 +87,17 @@ def _flux_percentiles(t, m, e):
 @_producer("stetson", ["stetson_j", "stetson_k"])
 def _stetson(t, m, e):
     return {"stetson_j": feat.stetson_j(m), "stetson_k": feat.stetson_k(m)}
+
+
+_QSO_FEATS = ["qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu"]
+
+
+@_producer("qso_model", _QSO_FEATS)
+def _qso_model(t, m, e):
+    # one DRW fit feeds both features (shared intermediate, like the
+    # reference's 'qso_model' dask node †)
+    out = qso_fit(t, m, e)
+    return {k: out[k] for k in _QSO_FEATS}
 
 
 # --- CADENCE family --------------------------------------------------------
@@ -154,7 +166,8 @@ def _lomb_scargle(t, m, e):
 # --- public catalog (cesium family lists †: CADENCE_FEATS / GENERAL_FEATS /
 # LOMB_SCARGLE_FEATS — SURVEY.md §2.2) --------------------------------------
 
-GENERAL_FEATS = _SIMPLE_GENERAL + _FLUX_RATIOS + ["stetson_j", "stetson_k"]
+GENERAL_FEATS = (_SIMPLE_GENERAL + _FLUX_RATIOS
+                 + ["stetson_j", "stetson_k"] + _QSO_FEATS)
 CADENCE_FEATS = (["n_epochs", "total_time", "avgt"] + _CADS_FEATS + _ERR_FEATS
                  + _CAD_PROB_FEATS + _D2S_FEATS + _NHIST_FEATS)
 LOMB_SCARGLE_FEATS = list(_LS_FEATS)

@@ -161,10 +161,10 @@ class TestLombScargle:
 
 class TestRegistry:
     def test_catalog_sizes(self):
-        assert len(GENERAL_FEATS) == 21
+        assert len(GENERAL_FEATS) == 23
         assert len(CADENCE_FEATS) == 41
         assert len(LOMB_SCARGLE_FEATS) == 50
-        assert len(set(ALL_FEATS)) == len(ALL_FEATS) == 112
+        assert len(set(ALL_FEATS)) == len(ALL_FEATS) == 114
 
     def test_all_features_finite_or_nan_on_random(self, white_noise_irregular):
         t, m, e = white_noise_irregular
@@ -181,3 +181,69 @@ class TestRegistry:
         register_custom("my_range", lambda t, m, e: float(m.max() - m.min()))
         vals = compute_features(t, m, e, ["my_range", "amplitude"])
         assert vals["my_range"] == pytest.approx(2 * vals["amplitude"])
+
+
+class TestQso:
+    """DRW model-fit features (cesium qso_model.py † — spec pinned in
+    cesium_spark/functions/qso.py per SURVEY.md §0)."""
+
+    def _ou_series(self, n=300, tau=1000.0, sig=1.0, err=0.05, seed=7):
+        rng = np.random.RandomState(seed)
+        t = np.sort(rng.uniform(0, 20000.0, n))
+        m = np.empty(n)
+        m[0] = rng.randn() * sig
+        for i in range(1, n):
+            a = np.exp(-(t[i] - t[i - 1]) / tau)
+            m[i] = a * m[i - 1] + sig * np.sqrt(1 - a * a) * rng.randn()
+        m += err * rng.randn(n)
+        e = np.full(n, err)
+        return t, m, e
+
+    def test_correlated_signal_favored_over_null(self):
+        t, m, e = self._ou_series()
+        out = compute_features(t, m, e,
+                               ["qso_log_chi2_qsonu",
+                                "qso_log_chi2nuNULL_chi2nu"])
+        # DRW explains an OU series far better than white noise
+        assert out["qso_log_chi2nuNULL_chi2nu"] > 1.0
+        assert np.isfinite(out["qso_log_chi2_qsonu"])
+
+    def test_white_noise_calibrated_errors_not_favored(self):
+        # white noise whose error bars MATCH the scatter: the null is the
+        # true model, chi2_null/nu ≈ 1, and the DRW can barely improve it
+        rng = np.random.RandomState(5)
+        t = np.sort(rng.uniform(0, 20000.0, 300))
+        m = rng.randn(300)
+        e = np.full(300, 1.0)
+        wn = compute_features(t, m, e, ["qso_log_chi2nuNULL_chi2nu",
+                                        "qso_log_chi2_qsonu"])
+        ou = compute_features(*self._ou_series(),
+                              ["qso_log_chi2nuNULL_chi2nu"])
+        assert abs(wn["qso_log_chi2_qsonu"]) < 0.5   # chi2/nu ≈ 1
+        assert wn["qso_log_chi2nuNULL_chi2nu"] < 0.5
+        assert (ou["qso_log_chi2nuNULL_chi2nu"]
+                > wn["qso_log_chi2nuNULL_chi2nu"] + 1.0)
+
+    def test_degenerate_small_n(self):
+        from cesium_spark.functions.qso import qso_fit
+        out = qso_fit(np.array([1.0]), np.array([2.0]), np.array([1e-4]))
+        assert np.isnan(out["qso_log_chi2_qsonu"])
+        assert np.isnan(out["qso_log_chi2nuNULL_chi2nu"])
+
+    def test_cap_deterministic_and_flagged(self):
+        from cesium_spark.functions.qso import QSO_MAX_N, qso_fit
+        rng = np.random.RandomState(3)
+        n = QSO_MAX_N + 501
+        t = np.sort(rng.uniform(0, 1e6, n))
+        m = rng.randn(n)
+        e = np.full(n, 1e-2)
+        out1 = qso_fit(t, m, e)
+        out2 = qso_fit(t, m, e)
+        assert out1["qso_capped"] == 1.0
+        assert out1 == out2  # bit-identical rerun
+
+    def test_bit_deterministic(self):
+        t, m, e = self._ou_series(seed=11)
+        a = compute_features(t, m, e, ["qso_log_chi2_qsonu"])
+        b = compute_features(t, m, e, ["qso_log_chi2_qsonu"])
+        assert a["qso_log_chi2_qsonu"] == b["qso_log_chi2_qsonu"]
