@@ -299,14 +299,20 @@ def error_stats(e: np.ndarray) -> dict[str, float]:
 
 
 def cad_probs(c: np.ndarray) -> dict[str, float]:
-    """cad_probs_N = P(Δt ≤ N seconds) for the threshold ladder."""
-    out = {}
-    for thr in CAD_PROB_THRESHOLDS:
-        if not c.size:
-            out[f"cad_probs_{thr}"] = float("nan")
-        else:
-            out[f"cad_probs_{thr}"] = float(np.mean(c <= thr))
-    return out
+    """cad_probs_N = P(Δt ≤ N seconds) for the threshold ladder.
+
+    One sort + vectorized searchsorted over all 17 thresholds;
+    count/n is bit-identical to np.mean(c <= thr) (boolean sums are
+    exact integers below 2^53)."""
+    if not c.size:
+        return {f"cad_probs_{thr}": float("nan")
+                for thr in CAD_PROB_THRESHOLDS}
+    sc = np.sort(c)
+    thrs = np.asarray(CAD_PROB_THRESHOLDS, dtype=np.float64)
+    counts = np.searchsorted(sc, thrs, side="right")
+    n = float(c.size)
+    return {f"cad_probs_{thr}": float(counts[i]) / n
+            for i, thr in enumerate(CAD_PROB_THRESHOLDS)}
 
 
 def double_to_single_step(t: np.ndarray) -> dict[str, float]:

@@ -14,7 +14,9 @@ Algorithm (vectorized numpy, one call per (conv, channel, window) group):
 2. periodogram scan over a deterministic frequency grid
    (df = 1/(ofac·T), fmax = 0.5·n/T, grid capped at MAX_GRID) using the
    closed-form single-harmonic generalized LS (Zechmeister & Kürster
-   2009 floating-mean GLS) — fully vectorized over the grid.
+   2009 floating-mean GLS) — fully vectorized over the grid, two-stage:
+   coarse stride-subsampled pass, then full-resolution refinement around
+   the coarse peak (COARSE_STRIDE/REFINE_HALF/SCAN_MAX_N below).
 3. at the peak frequency: ridge-regularized weighted least squares of
    ``nharm`` harmonics (regularization λ grows with harmonic order,
    controlled by ``tone_control`` — the reference's tone control idea).
@@ -28,6 +30,7 @@ Everything is deterministic: fixed grid, stable sorts, no RNG.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -37,8 +40,26 @@ NHARM = 8
 NFREQ = 3
 TONE_CONTROL = 5.0
 OFAC = 5.0          # oversampling factor for the frequency grid
-MAX_GRID = 3000     # cap on grid size (deterministic)
 N_AMP = 4           # amplitudes/phases exported per frequency
+
+# Two-stage scan (pinned oracle spec; deterministic): stage 1 evaluates
+# the floating-mean GLS power on the FULL natural grid (df = 1/(OFAC·T),
+# fmax = 0.5·n/T — no range truncation) with the Press–Rybicki
+# extirpolation+FFT method (Press & Rybicki 1989; the same algorithm
+# behind the reference's cesium/features/lomb_scargle_fast.py †), which
+# is O(n_grid·log n_grid) instead of O(n_grid·n). Stage 2 re-evaluates
+# the power EXACTLY (direct trig GLS) in a ±REFINE_HALF-bin window
+# around the stage-1 peak and takes the exact argmax — so the reported
+# frequency/power are exact GLS values while the scan stays FFT-cheap.
+# signif stats (mean/std of power) and the alias count are computed over
+# the stage-1 spectrum. Scan inputs above FAST_MAX_N points thin by a
+# deterministic stride for the scan only (the harmonic fit and all
+# residual/p2p math stay full-resolution) — bounds FFT memory for
+# million-turn whale conversations (SURVEY.md §4.4: documented caps,
+# never random, never silent).
+REFINE_HALF = 8
+FAST_MAX_N = 100_000
+MACC = 4            # extirpolation points per datum (Press–Rybicki)
 
 
 @dataclass
@@ -60,14 +81,104 @@ class LombScargleFit:
 
 
 def _freq_grid(t: np.ndarray) -> np.ndarray:
+    """Natural scan grid: k·df for k=1..n_out, df=1/(OFAC·T), up to the
+    mean-Nyquist fmax = 0.5·n/T. NOT range-truncated: long series get
+    more grid points (O(n)), which is why the scan must be FFT-based."""
     T = t[-1] - t[0]
     n = t.size
     if T <= 0 or n < 4:
         return np.empty(0)
     df = 1.0 / (OFAC * T)
     fmax = 0.5 * n / T
-    n_grid = int(min(MAX_GRID, max(8, np.floor(fmax / df))))
+    n_grid = int(max(8, np.floor(fmax / df)))
     return df * np.arange(1, n_grid + 1)
+
+
+def _extirpolate(x: np.ndarray, y: np.ndarray, ndim: int) -> np.ndarray:
+    """Scatter values y at fractional grid positions x onto an ndim
+    array using MACC-point Lagrange extirpolation (Press & Rybicki 1989
+    §II; NR 'spread'). Vectorized with deterministic np.add.at."""
+    out = np.zeros(ndim)
+    ix = np.floor(x).astype(np.int64)
+    exact = x == ix
+    # exact hits: direct add
+    if exact.any():
+        np.add.at(out, ix[exact] % ndim, y[exact])
+    rest = ~exact
+    if rest.any():
+        xr = x[rest]
+        yr = y[rest]
+        ilo = np.floor(xr - 0.5 * (MACC - 1)).astype(np.int64)
+        # Lagrange weights over the MACC consecutive integers ilo..ilo+MACC-1
+        offs = np.arange(MACC)
+        grid_pts = ilo[:, None] + offs[None, :]          # (n, MACC)
+        diffs = xr[:, None] - grid_pts                   # (n, MACC)
+        prod_all = np.prod(diffs, axis=1)                # Π (x - x_k)
+        # denominator: (-1)^(MACC-1-j) · j! · (MACC-1-j)!
+        fac = np.array([
+            ((-1.0) ** (MACC - 1 - j)) * float(math.factorial(j))
+            * float(math.factorial(MACC - 1 - j)) for j in range(MACC)])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wts = prod_all[:, None] / (fac[None, :] * diffs)
+        # where diffs==0 (x exactly on a grid point inside window): weight 1 there
+        hit = diffs == 0.0
+        if hit.any():
+            wts = np.where(hit, 1.0, np.where(np.any(hit, axis=1)[:, None],
+                                              0.0, wts))
+        np.add.at(out, grid_pts.ravel() % ndim, (wts * yr[:, None]).ravel())
+    return out
+
+
+def _fast_dft_sums(t: np.ndarray, vals: list[np.ndarray], df: float,
+                   n_out: int) -> list[np.ndarray]:
+    """For each series v in vals, return complex array S_v[k] =
+    Σ_j v_j · exp(i·2π·(k+1)·df·t_j) for k = 0..n_out-1, via
+    extirpolation + one real FFT per series (Press–Rybicki).
+    Frequencies up to 2·fmax are returned (2·n_out entries) so callers
+    can read double-angle sums: returns arrays of length 2·n_out+1."""
+    need = 2 * n_out + 1
+    ndim = 64
+    while ndim < MACC * need:
+        ndim <<= 1
+    fac = ndim * df  # grid cells per unit time
+    x = np.mod(t * fac, ndim)
+    outs = []
+    for v in vals:
+        work = _extirpolate(x, v, ndim)
+        sp = np.fft.rfft(work)           # Σ v e^{-2πi k x / ndim}
+        # e^{+iωt} at freq k·df corresponds to conj of rfft bin k
+        outs.append(np.conj(sp[1:need + 1]))
+    return outs
+
+
+def _gls_power_fast(t: np.ndarray, y: np.ndarray, w: np.ndarray,
+                    df: float, n_out: int) -> np.ndarray:
+    """Floating-mean GLS power on the uniform grid k·df, k=1..n_out,
+    computed from extirpolated FFTs — same quantities as _gls_power
+    (C, S, YC, YS, CC, SS, CS) with the double-angle identities
+    cos² = (1+cos2θ)/2, sin² = (1−cos2θ)/2, cos·sin = sin2θ/2."""
+    wn = w / np.sum(w)
+    Y = np.sum(wn * y)
+    yc = y - Y
+    YY = np.sum(wn * yc * yc)
+    if YY <= 0 or n_out < 1:
+        return np.zeros(max(n_out, 0))
+    s_w, s_wy = _fast_dft_sums(t, [wn, wn * yc], df, n_out)
+    k = np.arange(1, n_out + 1)
+    C = s_w[:n_out].real
+    S = s_w[:n_out].imag
+    YC = s_wy[:n_out].real
+    YS = s_wy[:n_out].imag
+    C2 = s_w[2 * k - 1].real   # Σ wn cos(2ω_k t)
+    S2 = s_w[2 * k - 1].imag
+    CC = 0.5 * (1.0 + C2) - C * C
+    SS = 0.5 * (1.0 - C2) - S * S
+    CS = 0.5 * S2 - C * S
+    D = CC * SS - CS * CS
+    with np.errstate(divide="ignore", invalid="ignore"):
+        power = (SS * YC * YC + CC * YS * YS - 2.0 * CS * YC * YS) / (YY * D)
+    power = np.nan_to_num(power, nan=0.0, posinf=0.0, neginf=0.0)
+    return np.clip(power, 0.0, 1.0)
 
 
 def _gls_power(t: np.ndarray, y: np.ndarray, w: np.ndarray,
@@ -168,15 +279,32 @@ def fit_lomb_scargle(t: np.ndarray, m: np.ndarray, e: np.ndarray,
         return fit
 
     resid = m - ybar - slope * (t0 - tbar)  # detrended residuals
+
+    # deterministic scan thinning for whale groups (scan only)
+    if n > FAST_MAX_N:
+        scan_step = int(np.ceil(n / FAST_MAX_N))
+        t_scan, w_scan = t0[::scan_step], w[::scan_step]
+    else:
+        scan_step = 1
+        t_scan, w_scan = t0, w
+    df = float(grid[0])
+
     first_power = None
     for k in range(nfreq):
-        power = _gls_power(t0, resid, w, grid)
+        r_scan = resid[::scan_step] if scan_step > 1 else resid
+        power = _gls_power_fast(t_scan, r_scan, w_scan, df, grid.size)
         if k == 0:
             first_power = power
-        pk = int(np.argmax(power))
+        pk_c = int(np.argmax(power))
+        # exact GLS re-evaluation around the FFT-scan peak
+        lo = max(0, pk_c - REFINE_HALF)
+        hi = min(grid.size, pk_c + REFINE_HALF + 1)
+        p_fine = _gls_power(t_scan, r_scan, w_scan, grid[lo:hi])
+        pk = lo + int(np.argmax(p_fine))
+        peak_power = float(p_fine[pk - lo])
         p_mean = float(np.mean(power))
         p_std = float(np.std(power))
-        signif = (float(power[pk]) - p_mean) / p_std if p_std > 0 else float("nan")
+        signif = (peak_power - p_mean) / p_std if p_std > 0 else float("nan")
         freq = float(grid[pk])
         amps, rel, model, offset, lam1 = _harmonic_fit(
             t0, resid, w, freq, nharm, tone_control)

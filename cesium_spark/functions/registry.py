@@ -58,21 +58,47 @@ _SIMPLE_GENERAL = [
 
 @_producer("general_simple", _SIMPLE_GENERAL)
 def _general_simple(t, m, e):
+    # Shared-intermediate evaluation: min/max/median/mean/std/weighted
+    # mean are each computed ONCE and reused — every reuse is the exact
+    # numpy op sequence of the corresponding feat.* oracle function, so
+    # values are bit-identical to calling them independently (the unit
+    # tests in tests/test_features_oracle.py pin feat.* ≡ numpy, and the
+    # per-window dispatch here is the hot path of the 1m rollup).
+    nan = float("nan")
+    if not m.size:
+        return dict.fromkeys(_SIMPLE_GENERAL, nan)
+    mx = float(np.max(m))
+    mn = float(np.min(m))
+    med = float(np.median(m))
+    mu = float(np.mean(m))
+    s = float(np.std(m))
+    w = 1.0 / (e * e)
+    wa = float(np.sum(m * w) / np.sum(w))
+
+    d = m - mu
+    m2 = float(np.mean(d * d))
+    sk = float(np.mean(d * d * d) / m2 ** 1.5) if m2 != 0.0 else nan
+
+    p5, p95 = np.percentile(m, [5.0, 95.0])
+    width = (mx - mn) * 0.1
     return {
-        "mean": feat.mean(m),
-        "maximum": feat.maximum(m),
-        "minimum": feat.minimum(m),
-        "median": feat.median(m),
-        "amplitude": feat.amplitude(m),
-        "std": feat.std(m),
-        "skew": feat.skew(m),
-        "weighted_average": feat.weighted_average(m, e),
-        "median_absolute_deviation": feat.median_absolute_deviation(m),
+        "mean": mu,
+        "maximum": mx,
+        "minimum": mn,
+        "median": med,
+        "amplitude": (mx - mn) / 2.0,
+        "std": s,
+        "skew": sk,
+        "weighted_average": wa,
+        "median_absolute_deviation": float(np.median(np.abs(m - med))),
         "max_slope": feat.max_slope(t, m),
-        "percent_amplitude": feat.percent_amplitude(m),
-        "percent_beyond_1_std": feat.percent_beyond_1_std(m, e),
-        "percent_close_to_median": feat.percent_close_to_median(m),
-        "percent_difference_flux_percentile": feat.percent_difference_flux_percentile(m),
+        "percent_amplitude": (
+            float(max(abs(mx - med), abs(mn - med)) / abs(med))
+            if med != 0.0 else nan),
+        "percent_beyond_1_std": float(np.mean(np.abs(m - wa) > s)),
+        "percent_close_to_median": float(np.mean(np.abs(m - med) < width)),
+        "percent_difference_flux_percentile": (
+            float((p95 - p5) / abs(med)) if med != 0.0 else nan),
     }
 
 
@@ -86,7 +112,18 @@ def _flux_percentiles(t, m, e):
 
 @_producer("stetson", ["stetson_j", "stetson_k"])
 def _stetson(t, m, e):
-    return {"stetson_j": feat.stetson_j(m), "stetson_k": feat.stetson_k(m)}
+    # share the normalized-residual vector (iterative Stetson mean is
+    # the expensive part; _stetson_delta is deterministic, so one call
+    # is bit-identical to stetson_j/stetson_k's internal ones)
+    nan = float("nan")
+    if m.size < 2:
+        return {"stetson_j": nan, "stetson_k": nan}
+    d = feat._stetson_delta(m)
+    p = d[:-1] * d[1:]
+    j = float(np.mean(np.sign(p) * np.sqrt(np.abs(p))))
+    denom = np.sqrt(np.mean(d * d))
+    k = float(np.mean(np.abs(d)) / denom) if denom != 0.0 else nan
+    return {"stetson_j": j, "stetson_k": k}
 
 
 _QSO_FEATS = ["qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu"]

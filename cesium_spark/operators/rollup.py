@@ -23,8 +23,9 @@ the hash exchange on (conv_id, channel, window_start) — map-side
 partials do not apply to opaque kernels, which is precisely why the
 algebraic subset also has the native path. AQE handles residual skew;
 whole-conversation ('conv' tier) Lomb–Scargle on Zipf-tailed lengths is
-the known hot spot (SURVEY.md §4.4) — the nhist kernel self-caps (documented)
-and LS cost is O(n·grid) with grid ≤ 3000.
+the known hot spot (SURVEY.md §4.4) — the nhist/qso kernels self-cap
+(documented) and the LS scan is Press–Rybicki O(n log n) with a
+deterministic thinning cap above FAST_MAX_N points.
 """
 
 from __future__ import annotations
@@ -72,8 +73,17 @@ def rollup_features(series: DataFrame, tier: str,
     numpy pass instead: lexsort once, find window boundaries, run the
     feature kernels per contiguous slice. Values are identical: each
     window is still one deterministic numpy reduction over
-    turn_idx-sorted data (SURVEY.md §4.3), and group size stays bounded
-    by conversation length (chunk-salting applies above CHUNK cap)."""
+    turn_idx-sorted data (SURVEY.md §4.3).
+
+    Skew policy (SURVEY.md §4.4): group size is bounded by conversation
+    length. Windowed tiers bound n by construction; the 'conv' tier on
+    Zipf-tailed lengths relies on (a) self-capping kernels (nhist and
+    qso thin deterministically above their documented caps; the LS scan
+    is FFT-based O(n log n)) and (b) the native moments path + fold for
+    exactly-mergeable statistics, which is the salted/partial route —
+    salting the opaque exact kernel would change float summation order
+    and break the bit-for-bit contract, so it is deliberately absent
+    here. Residual partition skew is AQE's job."""
     feats = validate(list(features) if features is not None else DEFAULT_FEATS)
     n_feats = len(feats)
 
@@ -102,12 +112,27 @@ def rollup_features(series: DataFrame, tier: str,
             "value": values,
         })
 
-    grouped = (
+    windowed = (
         _with_window(series, tier)
         # manual pre-UDF projection: Catalyst cannot prune through the
         # opaque kernel (SURVEY.md §4.2)
         .select("conv_id", "channel", "window_start", "turn_idx", "t", "y", "e")
-        .groupBy("conv_id", "channel")
+    )
+    # Windowed tiers additionally group by the window's DATE: a 1m/1h/1d
+    # window never crosses a date boundary (date_trunc alignment), so the
+    # values are identical, but a Zipf-tail conversation spanning D days
+    # splits into D parallel groups instead of one straggler — the skew
+    # fix that matters at 10^12 turns (SURVEY.md §4.4). The 'conv' tier
+    # needs the whole series in one group (exact whole-series kernels).
+    keys = ["conv_id", "channel"]
+    if tier in TIERS:
+        windowed = windowed.withColumn(
+            "grp_date", F.to_date(F.col("window_start")))
+        keys.append("grp_date")
+
+    grouped = (
+        windowed
+        .groupBy(*keys)
         .applyInPandas(kernel, schema=ROLLUP_SCHEMA)
         .withColumn("tier", F.lit(tier))
         .select("conv_id", "channel", "tier", "window_start", "feature", "value")
