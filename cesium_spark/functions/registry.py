@@ -210,9 +210,11 @@ CADENCE_FEATS = (["n_epochs", "total_time", "avgt"] + _CADS_FEATS + _ERR_FEATS
 LOMB_SCARGLE_FEATS = list(_LS_FEATS)
 ALL_FEATS = GENERAL_FEATS + CADENCE_FEATS + LOMB_SCARGLE_FEATS
 
-# features cheap enough for every tier; LS/nhist restricted by default to
-# coarser tiers in the pipeline config (they are O(n·grid)/O(n²))
-DEFAULT_FEATS = GENERAL_FEATS + ["n_epochs", "total_time"] + _CADS_FEATS + _CAD_PROB_FEATS
+# features cheap enough for every tier; LS/nhist/qso restricted by
+# default to coarser tiers / the conv tier in the pipeline config (LS
+# and qso are whole-series model fits; nhist is O(n²) pairwise)
+DEFAULT_FEATS = ([f for f in GENERAL_FEATS if f not in _QSO_FEATS]
+                 + ["n_epochs", "total_time"] + _CADS_FEATS + _CAD_PROB_FEATS)
 
 
 def register_custom(name: str,

@@ -130,8 +130,19 @@ def rollup_features(series: DataFrame, tier: str,
             "grp_date", F.to_date(F.col("window_start")))
         keys.append("grp_date")
 
+    # Explicit CPU-proportional partitioning for the kernel stage: AQE's
+    # byte-based coalescing sees a few MB of shuffle data and would
+    # collapse this to 1-2 reduce tasks, but the cost here is Python/
+    # numpy CPU per window, not bytes (measured 2x wall on local[32]
+    # when AQE coalesced the kernel exchange). A user-specified hash
+    # repartition on the exact group keys is preserved by AQE, and the
+    # following groupBy reuses it without a second exchange. 4x cores
+    # gives slot granularity for residual group-size skew.
+    spark = series.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism * 4
     grouped = (
         windowed
+        .repartition(n_parts, *keys)
         .groupBy(*keys)
         .applyInPandas(kernel, schema=ROLLUP_SCHEMA)
         .withColumn("tier", F.lit(tier))

@@ -56,6 +56,14 @@ class TableIO:
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> None:
+        if partition_by:
+            # cluster rows by partition value before a partitioned
+            # write: otherwise every upstream task emits a file into
+            # every partition dir (tasks × partitions small files —
+            # measured 45s vs 6s and 3498 vs 32 files for one tier at
+            # local[32]); the write stage is bytes-bound, so the plain
+            # hash repartition + AQE coalesce sizes it correctly.
+            df = df.repartition(*partition_by)
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -72,8 +80,10 @@ class TableIO:
             self.write(df, name, mode="overwrite", partition_by=partition_by)
             return
         # requires spark.sql.sources.partitionOverwriteMode=dynamic
-        # (set in session.get_spark)
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path(name))
+        # (set in session.get_spark); cluster by partition value first
+        # (see write())
+        (df.repartition(*partition_by).write.mode("overwrite")
+         .partitionBy(*partition_by).parquet(self.path(name)))
 
     def delete_where(self, name: str, predicate: str) -> int:
         """Retention delete: keep rows NOT matching ``predicate``.

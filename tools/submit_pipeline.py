@@ -39,20 +39,15 @@ def main() -> None:
     args = p.parse_args()
 
     # imports deferred so --py-files zip resolution happens under spark-submit
-    from pyspark.sql import SparkSession
-
     from cesium_spark.plans.pipeline import run_pipeline
+    from cesium_spark.session import get_spark
     from cesium_spark.sources.table_io import TableIO
 
-    # master/executors come from spark-submit; only job-level confs here
-    spark = (SparkSession.builder.appName("cesium_spark_pipeline")
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.adaptive.skewJoin.enabled", "true")
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
+    # master/executors come from spark-submit ("inherit" leaves --master
+    # untouched); get_spark pins worker BLAS threads and sets the
+    # engine's job confs. Set SPARK_GRAFT_CPUS to the per-run core count
+    # so shuffle partitions are sized to the cluster.
+    spark = get_spark(master="inherit", app_name="cesium_spark_pipeline")
 
     if args.gen_convs > 0:
         from cesium_spark.sources.synth import generate_transcripts
