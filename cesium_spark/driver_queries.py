@@ -756,6 +756,16 @@ def q_ts_lomb_scargle_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
                        *[_r(F.col(f)).alias(f) for f in feats])
 
 
+def q_ts_qso_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped-random-walk variability scores per conversation (cesium
+    qso_model.py † family; spec pinned in cesium_spark/functions/qso.py).
+    Model-fit kernel — rows-only check, exact check in tests layer 2."""
+    s = _value_series(spark, sf_dir)
+    feats = ["qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu", "n_epochs"]
+    wide = pivot_wide(rollup_features(s, "conv", feats), feats)
+    return wide.select("conv_id", *[_r(F.col(f)).alias(f) for f in feats])
+
+
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     return dedup.minhash_lsh_candidates(
@@ -820,6 +830,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     # rows-only (non-SQL-expressible kernels)
     "ts_lomb_scargle_conv": q_ts_lomb_scargle_conv,
+    "ts_qso_conv": q_ts_qso_conv,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "emb_lsh_topk": q_emb_lsh_topk,
