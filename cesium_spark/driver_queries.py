@@ -49,7 +49,17 @@ def _nn(col):  # NaN → NULL (duckdb has no NaN in these pipelines)
 
 
 def _r(col, n: int = 6):
-    return F.round(_nn(col), n)
+    # `+ 0.0` maps IEEE -0.0 → +0.0: the driver hashes value
+    # *representations*, and a value that rounds to zero can carry a
+    # different sign bit in Spark vs DuckDB (two-pass vs one-pass moment
+    # formulas differ at ~1e-9). Every rounded float column on BOTH
+    # sides gets this normalization (the oracle SQL appends `+ 0.0`).
+    return F.round(_nn(col), n) + F.lit(0.0)
+
+
+def _r0(col):
+    """Zero-sign normalization for already-rounded Spark float exprs."""
+    return col + F.lit(0.0)
 
 
 def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +143,7 @@ def q_ts_derive_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TS_DERIVE = _SERIES_SQL + """
-SELECT conv_id, channel, turn_idx, round(t, 6) AS t, round(y, 6) AS y
+SELECT conv_id, channel, turn_idx, round(t, 6) + 0.0 AS t, round(y, 6) + 0.0 AS y
 FROM series
 """
 
@@ -166,16 +176,16 @@ SQL_TS_ROLLUP_1H = _SERIES_SQL + f"""
 SELECT conv_id, channel,
        strftime(date_trunc('hour', ts), '{DUCK_TS_FMT}') AS window_start,
        count(*) AS n_epochs,
-       round(avg(y), 6) AS mean,
-       round(max(y), 6) AS maximum,
-       round(min(y), 6) AS minimum,
-       round((max(y) - min(y)) / 2, 6) AS amplitude,
-       round(sqrt(greatest(avg(y*y) - avg(y)*avg(y), 0)), 6) AS std,
+       round(avg(y), 6) + 0.0 AS mean,
+       round(max(y), 6) + 0.0 AS maximum,
+       round(min(y), 6) + 0.0 AS minimum,
+       round((max(y) - min(y)) / 2, 6) + 0.0 AS amplitude,
+       round(sqrt(greatest(avg(y*y) - avg(y)*avg(y), 0)), 6) + 0.0 AS std,
        CASE WHEN avg(y*y) - avg(y)*avg(y) > 0 THEN
          round((avg(y*y*y) - 3*avg(y)*avg(y*y) + 2*avg(y)*avg(y)*avg(y))
-               / (avg(y*y) - avg(y)*avg(y)) ^ 1.5, 6)
+               / (avg(y*y) - avg(y)*avg(y)) ^ 1.5, 6) + 0.0
        END AS skew,
-       round(median(y), 6) AS median
+       round(median(y), 6) + 0.0 AS median
 FROM series
 GROUP BY 1, 2, 3
 """
@@ -202,12 +212,12 @@ SQL_TS_ROLLUP_1D = _VALUE_SERIES_SQL + f"""
 SELECT conv_id,
        strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS window_start,
        count(*) AS n_epochs,
-       round(max(y), 6) AS maximum,
-       round(min(y), 6) AS minimum,
-       round((max(y) - min(y)) / 2, 6) AS amplitude,
-       round(avg(y), 6) AS mean,
-       round(sqrt(greatest(avg(y*y) - avg(y)*avg(y), 0)), 6) AS std,
-       round(max(t) - min(t), 6) AS total_time
+       round(max(y), 6) + 0.0 AS maximum,
+       round(min(y), 6) + 0.0 AS minimum,
+       round((max(y) - min(y)) / 2, 6) + 0.0 AS amplitude,
+       round(avg(y), 6) + 0.0 AS mean,
+       round(sqrt(greatest(avg(y*y) - avg(y)*avg(y), 0)), 6) + 0.0 AS std,
+       round(max(t) - min(t), 6) + 0.0 AS total_time
 FROM series
 GROUP BY 1, 2
 """
@@ -230,8 +240,8 @@ SQL_TS_TIER_FOLD = f"""
 SELECT cast(user_id AS varchar) AS conv_id,
        strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS window_start,
        count(*) AS n_epochs,
-       round(min(value), 6) AS y_min,
-       round(max(value), 6) AS y_max
+       round(min(value), 6) + 0.0 AS y_min,
+       round(max(value), 6) + 0.0 AS y_max
 FROM events
 GROUP BY 1, 2
 """
@@ -269,7 +279,7 @@ j AS (
 SELECT conv_id, strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
        round(last_value(y_obs IGNORE NULLS) OVER (
          PARTITION BY conv_id ORDER BY bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS y,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS y,
        y_obs IS NULL AS filled
 FROM j
 """
@@ -294,9 +304,9 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT conv_id,
-       round(avg(CASE WHEN gap <= 60 THEN 1.0 ELSE 0.0 END), 6) AS cad_probs_60,
-       round(avg(CASE WHEN gap <= 600 THEN 1.0 ELSE 0.0 END), 6) AS cad_probs_600,
-       round(avg(CASE WHEN gap <= 3600 THEN 1.0 ELSE 0.0 END), 6) AS cad_probs_3600
+       round(avg(CASE WHEN gap <= 60 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS cad_probs_60,
+       round(avg(CASE WHEN gap <= 600 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS cad_probs_600,
+       round(avg(CASE WHEN gap <= 3600 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS cad_probs_3600
 FROM g WHERE gap IS NOT NULL
 GROUP BY 1
 """
@@ -323,9 +333,9 @@ WITH g AS (
 )
 SELECT cast(user_id AS varchar) AS conv_id,
        count(*) AS n_epochs,
-       round(max(sec) - min(sec), 6) AS total_time,
-       round(avg(gap), 6) AS cads_avg,
-       round(median(gap), 6) AS cads_med
+       round(max(sec) - min(sec), 6) + 0.0 AS total_time,
+       round(avg(gap), 6) + 0.0 AS cads_avg,
+       round(median(gap), 6) + 0.0 AS cads_med
 FROM g GROUP BY 1
 """
 
@@ -351,7 +361,7 @@ WITH d AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT cast(user_id AS varchar) AS conv_id,
-       round(max(abs(dv / dt)), 6) AS max_slope
+       round(max(abs(dv / dt)), 6) + 0.0 AS max_slope
 FROM d WHERE dt IS NOT NULL AND dt > 0
 GROUP BY 1
 """
@@ -379,7 +389,7 @@ WITH s AS (
   FROM events WINDOW w AS (PARTITION BY user_id)
 )
 SELECT cast(user_id AS varchar) AS conv_id,
-       round(avg(CASE WHEN abs(value - mu) > sd THEN 1.0 ELSE 0.0 END), 6)
+       round(avg(CASE WHEN abs(value - mu) > sd THEN 1.0 ELSE 0.0 END), 6) + 0.0
          AS percent_beyond_1_std
 FROM s GROUP BY 1
 """
@@ -428,7 +438,7 @@ SQL_TS_TOP3 = """
 SELECT event_type,
        cast(row_number() OVER (PARTITION BY event_type
                                ORDER BY value DESC, event_id) AS bigint) AS rank,
-       event_id, round(value, 6) AS value
+       event_id, round(value, 6) + 0.0 AS value
 FROM events
 QUALIFY rank <= 3
 """
@@ -443,15 +453,15 @@ def q_ts_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_points"),
                  _r(F.min("y")).alias("y_min"),
                  _r(F.max("y")).alias("y_max"),
-                 F.round(F.sum("y"), 4).alias("y_sum")))
+                 _r0(F.round(F.sum("y"), 4)).alias("y_sum")))
 
 
 SQL_TS_GORILLA = """
 SELECT cast(user_id AS varchar) AS conv_id,
        count(*) AS n_points,
-       round(min(value), 6) AS y_min,
-       round(max(value), 6) AS y_max,
-       round(sum(value), 4) AS y_sum
+       round(min(value), 6) + 0.0 AS y_min,
+       round(max(value), 6) + 0.0 AS y_max,
+       round(sum(value), 4) + 0.0 AS y_sum
 FROM events GROUP BY 1
 """
 
@@ -466,19 +476,19 @@ def q_rel_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            .agg(_r0(F.round(F.sum("l_quantity"), 2)).alias("sum_qty"),
+                 _r0(F.round(F.sum("l_extendedprice"), 2)).alias("sum_base_price"),
+                 _r0(F.round(F.sum(disc), 2)).alias("sum_disc_price"),
                  _r(F.avg("l_quantity"), 4).alias("avg_qty"),
                  F.count("*").alias("count_order")))
 
 
 SQL_REL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+       round(sum(l_extendedprice), 2) + 0.0 AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS sum_disc_price,
+       round(avg(l_quantity), 4) + 0.0 AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
@@ -495,12 +505,12 @@ def q_rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
-            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            .agg(_r0(F.round(F.sum("o_totalprice"), 2)).alias("revenue"),
                  F.count("*").alias("n_orders")))
 
 
 SQL_REL_NATION_REVENUE = """
-SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+SELECT n_name, round(sum(o_totalprice), 2) + 0.0 AS revenue, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
@@ -536,13 +546,60 @@ def q_rel_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.select("event_type", day, "value")
             .rollup("event_type", "day")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("value"), 4).alias("total")))
+                 _r0(F.round(F.sum("value"), 4)).alias("total")))
 
 
 SQL_REL_ROLLUP_SETS = """
 SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       count(*) AS n, round(sum(value), 4) AS total
+       count(*) AS n, round(sum(value), 4) + 0.0 AS total
 FROM events GROUP BY ROLLUP(event_type, day)
+"""
+
+
+def q_rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct coverage (SURVEY.md §2.11): HLL++ sketch
+    values aren't cross-engine comparable, so the driver-checked output
+    is the exact distinct count plus a boolean pinning the sketch within
+    ±5% of it (rsd=0.02 → far tighter in practice)."""
+    ev = _read(spark, sf_dir, "events")
+    _prep(spark)
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_exact"),
+                 F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"))
+            .select("event_type",
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    ((F.abs(F.col("n_approx") - F.col("n_exact"))
+                      / F.col("n_exact")) <= 0.05).alias("approx_ok")))
+
+
+SQL_REL_APPROX_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+FROM events GROUP BY 1
+"""
+
+
+def q_rel_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL coverage: per-user count of events surviving
+    removal of one row per purchase event (bag difference semantics)."""
+    ev = _read(spark, sf_dir, "events")
+    _prep(spark)
+    all_ids = ev.select("user_id")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return (all_ids.exceptAll(purch)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_nonpurchase"))
+            .select(F.col("user_id").cast("string").alias("conv_id"),
+                    "n_nonpurchase"))
+
+
+SQL_REL_EXCEPT_ALL = """
+WITH d AS (
+  SELECT user_id FROM events
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(user_id AS VARCHAR) AS conv_id, count(*) AS n_nonpurchase
+FROM d GROUP BY 1
 """
 
 
@@ -591,7 +648,7 @@ SQL_DOC_TOKEN_STATS = """
 SELECT doc_id,
        cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
        cast(length(text) AS bigint) AS n_chars,
-       round(length(text) / len(string_split_regex(trim(text), '\\s+')), 6)
+       round(length(text) / len(string_split_regex(trim(text), '\\s+')), 6) + 0.0
          AS avg_token_len,
        cast(greatest(len(string_split_regex(trim(text), '\\s+')),
                      ceil(length(text) / 4.0)) AS bigint) AS est_bpe_tokens
@@ -622,11 +679,11 @@ WITH s AS (
 )
 SELECT cast(doc_id AS bigint) AS doc_id,
        cast(n_tokens AS bigint) AS n_tokens,
-       round(n_punct / n_chars, 6) AS punct_ratio,
-       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       round(n_punct / n_chars, 6) + 0.0 AS punct_ratio,
+       round(n_stop / n_tokens, 6) + 0.0 AS stopword_ratio,
        round(least(n_tokens / 64.0, 1.0) * 0.4
              + least(n_stop / n_tokens * 4.0, 1.0) * 0.4
-             + (1.0 - least(n_punct / n_chars * 10.0, 1.0)) * 0.2, 6)
+             + (1.0 - least(n_punct / n_chars * 10.0, 1.0)) * 0.2, 6) + 0.0
          AS quality_score
 FROM s
 """
@@ -654,7 +711,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+       round(i / (sa.sz + sb.sz - i), 6) + 0.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -689,7 +746,7 @@ scored AS (
     UNION ALL SELECT doc_id, 'es', c_es / n FROM c
     UNION ALL SELECT doc_id, 'fr', c_fr / n FROM c)
 )
-SELECT doc_id, lang AS lang_pred, round(score, 6) AS lang_score
+SELECT doc_id, lang AS lang_pred, round(score, 6) + 0.0 AS lang_score
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
 """
@@ -700,7 +757,7 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _read(spark, sf_dir, "embeddings")
     q = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = similarity.cosine_topk(embs, [float(x) for x in q], k=10)
-    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+    return out.select("vec_id", _r0(F.round("cosine", 5)).alias("cosine"))
 
 
 SQL_EMB_COSINE_TOPK = """
@@ -716,7 +773,7 @@ x AS (
                                       b -> b * b))) AS nb
   FROM embeddings e, q
 )
-SELECT vec_id, round(dot / (na * nb), 5) AS cosine
+SELECT vec_id, round(dot / (na * nb), 5) + 0.0 AS cosine
 FROM x ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
 """
 
@@ -767,40 +824,189 @@ def q_ts_qso_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH driver oracle via PLANTED duplicates: the corpus is
+    documents ∪ {copy of every 10th doc under doc_id+100000}. Identical
+    text ⇒ identical shingle sets ⇒ identical 64-hash signature ⇒ all 16
+    bands collide, so every planted pair MUST surface as a candidate
+    with n_shared_bands = 16 — a deterministic recall check DuckDB can
+    state without reproducing xxhash64. A missed pair drops the inner
+    join's row count (rows_match goes red)."""
     _prep(spark)
-    return dedup.minhash_lsh_candidates(
-        _read(spark, sf_dir, "documents"), k=64, bands=16, shingle_n=3)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    corpus = docs.unionByName(planted)
+    cands = dedup.minhash_lsh_candidates(corpus, k=64, bands=16, shingle_n=3)
+    expect = (docs.where(F.col("doc_id") % 10 == 0)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 100000).alias("id_b")))
+    return (expect.join(cands, ["id_a", "id_b"])
+            .select("id_a", "id_b",
+                    F.col("n_shared_bands").cast("long").alias("n_shared_bands")))
+
+
+SQL_DOC_MINHASH_LSH = """
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+       CAST(16 AS BIGINT) AS n_shared_bands
+FROM documents WHERE doc_id % 10 = 0
+"""
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash driver oracle via a token-permutation invariant: simhash
+    is a function of the DISTINCT-token set (dedup.simhash explodes
+    array_distinct), so reversing the token order of every document must
+    produce a bit-identical 64-bit hash — hamming distance 0 for all 500
+    docs. DuckDB states the invariant without reproducing xxhash64."""
     _prep(spark)
-    return dedup.simhash(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    rev = docs.select(
+        "doc_id",
+        F.array_join(F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " ")
+        .alias("text"))
+    a = dedup.simhash(docs).withColumnRenamed("simhash", "sh_a")
+    b = dedup.simhash(rev).withColumnRenamed("simhash", "sh_b")
+    return (a.join(b, "doc_id")
+            .select("doc_id",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .cast("int").alias("perm_hamming")))
+
+
+SQL_DOC_SIMHASH = """
+SELECT doc_id, CAST(0 AS INTEGER) AS perm_hamming FROM documents
+"""
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value oracle: the hyperplane matrix is a small deterministic
+    constant (similarity._planes, seed 42), so the ENTIRE LSH pipeline —
+    sign-bit signatures, multi-probe hamming≤1 candidate set, exact
+    cosine re-rank — is replayed in pure DuckDB SQL with the planes
+    inlined as literals (built by _lsh_topk_sql below)."""
     _prep(spark)
     embs = _read(spark, sf_dir, "embeddings")
     q = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = similarity.lsh_bucketed_topk(embs, [float(x) for x in q],
                                        k=10, n_planes=12)
-    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+    return out.select("vec_id", _r0(F.round("cosine", 5)).alias("cosine"))
+
+
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 12, k: int = 10) -> str:
+    """DuckDB replay of lsh_bucketed_topk(n_planes, multiprobe_bits=1):
+    the deterministic plane matrix is inlined as double literals; dot
+    products vs float64-cast embeddings reproduce the pandas-UDF matmul
+    signs exactly (verified value-identical at sf0.01 and sf0.001)."""
+    planes = similarity._planes(dim, n_planes)
+
+    def arr(j: int) -> str:
+        return "[" + ", ".join(repr(float(planes[i, j]))
+                               for i in range(dim)) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(j)}) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id, b.v, q.qv FROM b, q
+  WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1
+),
+x AS (
+  SELECT vec_id,
+         list_sum(list_transform(list_zip(v, qv), s -> s[1] * s[2])) AS dot,
+         sqrt(list_sum(list_transform(v, a -> a * a))) AS na,
+         sqrt(list_sum(list_transform(qv, a2 -> a2 * a2))) AS nb
+  FROM cand
+)
+SELECT vec_id, round(dot / (na * nb), 5) + 0.0 AS cosine
+FROM x ORDER BY dot / (na * nb) DESC, vec_id LIMIT {k}
+"""
 
 
 def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing driver oracle via two deterministic invariants per doc
+    (the hash values themselves are not SQL-expressible): (a) count
+    bounds — 0 fingerprints iff n_tokens < k, else 1 ≤ count ≤
+    n_tokens−k+1 (one rolling hash per k-gram, dedup'd); (b) planted
+    exact duplicates (every 10th doc) must get an identical fingerprint
+    ARRAY. Any violation flips a boolean the DuckDB oracle pins true."""
     _prep(spark)
-    out = textstats.winnowing_fingerprints(_read(spark, sf_dir, "documents"))
-    return out.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+    k = 5
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    corpus = docs.unionByName(planted)
+    fp = textstats.winnowing_fingerprints(corpus, k=k, window=4)
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = (corpus.select("doc_id", n_tok.alias("n_tokens"))
+            .join(fp, "doc_id")
+            .withColumn("n_fp", F.size("fingerprints")))
+    orig = base.where(F.col("doc_id") < 100000)
+    copy = (base.where(F.col("doc_id") >= 100000)
+            .select((F.col("doc_id") - 100000).alias("doc_id"),
+                    F.col("fingerprints").alias("fp_copy")))
+    bounds_ok = F.when(F.col("n_tokens") < k, F.col("n_fp") == 0) \
+        .otherwise((F.col("n_fp") >= 1)
+                   & (F.col("n_fp") <= F.col("n_tokens") - (k - 1)))
+    return (orig.join(copy, "doc_id", "left")
+            .select("doc_id", bounds_ok.alias("bounds_ok"),
+                    F.coalesce(F.col("fingerprints") == F.col("fp_copy"),
+                               F.lit(True)).alias("dup_consistent")))
+
+
+SQL_DOC_WINNOWING = """
+SELECT doc_id, true AS bounds_ok, true AS dup_consistent FROM documents
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value oracle for the mapInPandas feature extraction: the
+    fake decode is bytes/256 (dyadic rationals), the pooled mean uses a
+    float64 accumulator, and the stored float32 truncation is replayed
+    by DuckDB with CAST(.. AS REAL) — so all 8 feature columns are
+    REPRESENTATION-identical to a pure-SQL recomputation from the text
+    bytes. No rounding fudge anywhere."""
     _prep(spark)
     media = multimodal.attach_fake_media(_read(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media, feat_dim=8, fake=True)
     return feats.select(
         "doc_id", "media_type",
-        _r(F.aggregate("feat", F.lit(0.0),
-                       lambda s, x: s + x.cast("double")) / 8.0)
-        .alias("feat_mean"))
+        *[F.col("feat")[i].cast("double").alias(f"f{i}") for i in range(8)])
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH pos AS (
+  SELECT doc_id, i, ord(text[CAST(i AS INTEGER)]) AS b
+  FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS u(i)
+),
+cols AS (
+  SELECT doc_id, (i - 1) % 8 AS colidx, sum(b) AS s
+  FROM pos GROUP BY 1, 2
+),
+meta AS (
+  SELECT doc_id, length(text) AS n,
+         ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type
+  FROM documents
+),
+f AS (
+  SELECT m.doc_id, m.media_type, c.colidx,
+         CAST(CAST(c.s AS DOUBLE) / 256.0 / ceil(m.n / 8.0) AS REAL) AS fv
+  FROM meta m JOIN cols c USING (doc_id)
+)
+SELECT doc_id, media_type,
+       CAST(max(CASE WHEN colidx = 0 THEN fv END) AS DOUBLE) AS f0,
+       CAST(max(CASE WHEN colidx = 1 THEN fv END) AS DOUBLE) AS f1,
+       CAST(max(CASE WHEN colidx = 2 THEN fv END) AS DOUBLE) AS f2,
+       CAST(max(CASE WHEN colidx = 3 THEN fv END) AS DOUBLE) AS f3,
+       CAST(max(CASE WHEN colidx = 4 THEN fv END) AS DOUBLE) AS f4,
+       CAST(max(CASE WHEN colidx = 5 THEN fv END) AS DOUBLE) AS f5,
+       CAST(max(CASE WHEN colidx = 6 THEN fv END) AS DOUBLE) AS f6,
+       CAST(max(CASE WHEN colidx = 7 THEN fv END) AS DOUBLE) AS f7
+FROM f GROUP BY 1, 2
+"""
 
 
 QUERIES = {
@@ -820,6 +1026,8 @@ QUERIES = {
     "rel_nation_revenue": q_rel_nation_revenue,
     "rel_customers_without_orders": q_rel_customers_without_orders,
     "rel_rollup_sets": q_rel_rollup_sets,
+    "rel_approx_distinct": q_rel_approx_distinct,
+    "rel_except_all": q_rel_except_all,
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
@@ -828,14 +1036,16 @@ QUERIES = {
     "doc_lang_id": q_doc_lang_id,
     "emb_cosine_topk": q_emb_cosine_topk,
     "multimodal_meta": q_multimodal_meta,
-    # rows-only (non-SQL-expressible kernels)
-    "ts_lomb_scargle_conv": q_ts_lomb_scargle_conv,
-    "ts_qso_conv": q_ts_qso_conv,
+    # invariant-oracle queries (kernel not SQL-expressible, but a
+    # deterministic invariant of its output is — see each docstring)
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "emb_lsh_topk": q_emb_lsh_topk,
     "doc_winnowing": q_doc_winnowing,
     "multimodal_features": q_multimodal_features,
+    # rows-only (whole-series model fits; exact checks live in pytest)
+    "ts_lomb_scargle_conv": q_ts_lomb_scargle_conv,
+    "ts_qso_conv": q_ts_qso_conv,
 }
 
 ORACLE_SQL = {
@@ -855,6 +1065,8 @@ ORACLE_SQL = {
     "rel_nation_revenue": SQL_REL_NATION_REVENUE,
     "rel_customers_without_orders": SQL_REL_ANTI,
     "rel_rollup_sets": SQL_REL_ROLLUP_SETS,
+    "rel_approx_distinct": SQL_REL_APPROX_DISTINCT,
+    "rel_except_all": SQL_REL_EXCEPT_ALL,
     "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
@@ -863,4 +1075,9 @@ ORACLE_SQL = {
     "doc_lang_id": SQL_DOC_LANG_ID,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "doc_minhash_lsh": SQL_DOC_MINHASH_LSH,
+    "doc_simhash": SQL_DOC_SIMHASH,
+    "emb_lsh_topk": _lsh_topk_sql(),
+    "doc_winnowing": SQL_DOC_WINNOWING,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

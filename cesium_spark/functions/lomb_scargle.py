@@ -52,10 +52,12 @@ N_AMP = 4           # amplitudes/phases exported per frequency
 # around the stage-1 peak and takes the exact argmax — so the reported
 # frequency/power are exact GLS values while the scan stays FFT-cheap.
 # signif stats (mean/std of power) and the alias count are computed over
-# the stage-1 spectrum. Scan inputs above FAST_MAX_N points thin by a
-# deterministic stride for the scan only (the harmonic fit and all
-# residual/p2p math stay full-resolution) — bounds FFT memory for
-# million-turn whale conversations (SURVEY.md §4.4: documented caps,
+# the stage-1 spectrum (approximate by construction — see fit loop).
+# Scan inputs above FAST_MAX_N points thin by a deterministic stride for
+# the scan only (the harmonic fit and all residual/p2p math stay
+# full-resolution), and the grid's fmax derives from the THINNED length
+# (_freq_grid n_eff) — so both scan points and grid/FFT size are bounded
+# for million-turn whale conversations (SURVEY.md §4.4: documented caps,
 # never random, never silent).
 REFINE_HALF = 8
 FAST_MAX_N = 100_000
@@ -80,12 +82,19 @@ class LombScargleFit:
     ok: bool = False
 
 
-def _freq_grid(t: np.ndarray) -> np.ndarray:
+def _freq_grid(t: np.ndarray, n_eff: int | None = None) -> np.ndarray:
     """Natural scan grid: k·df for k=1..n_out, df=1/(OFAC·T), up to the
-    mean-Nyquist fmax = 0.5·n/T. NOT range-truncated: long series get
-    more grid points (O(n)), which is why the scan must be FFT-based."""
+    mean-Nyquist fmax = 0.5·n_eff/T. NOT range-truncated below the
+    Nyquist: long series get more grid points (O(n)), which is why the
+    scan must be FFT-based. ``n_eff`` is the EFFECTIVE scan length (the
+    thinned series' point count when FAST_MAX_N thinning fires): deriving
+    fmax from the full n would (a) grow the FFT work arrays unboundedly
+    (~0.27 GB per array at n=1e6, ×2 allocations ×NFREQ fits — OOM on
+    exactly the whale groups thinning targets) and (b) push the grid past
+    the thinned series' Nyquist, letting stage 1 and the refine window
+    lock onto an alias the scan data cannot resolve."""
     T = t[-1] - t[0]
-    n = t.size
+    n = n_eff if n_eff is not None else t.size
     if T <= 0 or n < 4:
         return np.empty(0)
     df = 1.0 / (OFAC * T)
@@ -192,7 +201,8 @@ def _gls_power(t: np.ndarray, y: np.ndarray, w: np.ndarray,
     YY = np.sum(wn * yc * yc)
     if YY <= 0:
         return np.zeros(freqs.size)
-    # (n_freq, n_pts) phase matrix — memory bounded: grid ≤ 3000, window n small
+    # (n_freq, n_pts) phase matrix — memory bounded: the exact path only
+    # ever sees the ±REFINE_HALF-bin refine window (≤ 17 frequencies)
     omega_t = 2.0 * np.pi * freqs[:, None] * t[None, :]
     cos = np.cos(omega_t)
     sin = np.sin(omega_t)
@@ -274,12 +284,6 @@ def fit_lomb_scargle(t: np.ndarray, m: np.ndarray, e: np.ndarray,
     slope = float(np.sum(w * (t0 - tbar) * (m - ybar)) / stt) if stt > 0 else 0.0
     fit.linear_trend = slope
 
-    grid = _freq_grid(t0)
-    if not grid.size:
-        return fit
-
-    resid = m - ybar - slope * (t0 - tbar)  # detrended residuals
-
     # deterministic scan thinning for whale groups (scan only)
     if n > FAST_MAX_N:
         scan_step = int(np.ceil(n / FAST_MAX_N))
@@ -287,6 +291,14 @@ def fit_lomb_scargle(t: np.ndarray, m: np.ndarray, e: np.ndarray,
     else:
         scan_step = 1
         t_scan, w_scan = t0, w
+
+    # grid derives from the EFFECTIVE scan length (see _freq_grid):
+    # bounds FFT memory AND keeps fmax at the thinned series' Nyquist
+    grid = _freq_grid(t0, n_eff=t_scan.size)
+    if not grid.size:
+        return fit
+
+    resid = m - ybar - slope * (t0 - tbar)  # detrended residuals
     df = float(grid[0])
 
     first_power = None
@@ -302,6 +314,11 @@ def fit_lomb_scargle(t: np.ndarray, m: np.ndarray, e: np.ndarray,
         p_fine = _gls_power(t_scan, r_scan, w_scan, grid[lo:hi])
         pk = lo + int(np.argmax(p_fine))
         peak_power = float(p_fine[pk - lo])
+        # signif z-scores the EXACT refined peak against mean/std of the
+        # stage-1 (Press–Rybicki, ~2e-3 abs power error) spectrum — by
+        # construction: the full-grid spectrum only exists in stage-1
+        # form, and its mean/std are O(1) statistics over 10^5 bins where
+        # the approximation error averages out. Pinned oracle semantics.
         p_mean = float(np.mean(power))
         p_std = float(np.std(power))
         signif = (peak_power - p_mean) / p_std if p_std > 0 else float("nan")

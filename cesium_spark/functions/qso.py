@@ -31,7 +31,8 @@ Determinism: one dense Cholesky solve per group on time-sorted arrays —
 bit-identical at any Spark parallelism (SURVEY.md §4.3). Cost is O(n^3)
 in the window length, so like the pairwise-Δt histogram it carries a
 documented, deterministic cap (every k-th point of the sorted series —
-never a random sample, never silent: the companion ``qso_capped`` value
+never a random sample, never silent: the companion ``qso_capped``
+feature — registered in the catalog alongside the two chi2 scores —
 reports 1.0 when the cap fired).
 """
 

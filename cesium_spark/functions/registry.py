@@ -127,14 +127,18 @@ def _stetson(t, m, e):
 
 
 _QSO_FEATS = ["qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu"]
+# qso_capped is a catalog feature so the QSO_MAX_N thinning cap is
+# visible through the pipeline, not only to direct qso_fit callers
+# (no-silent-caps rule, SURVEY.md §4.4)
+_QSO_ALL = _QSO_FEATS + ["qso_capped"]
 
 
-@_producer("qso_model", _QSO_FEATS)
+@_producer("qso_model", _QSO_ALL)
 def _qso_model(t, m, e):
     # one DRW fit feeds both features (shared intermediate, like the
     # reference's 'qso_model' dask node †)
     out = qso_fit(t, m, e)
-    return {k: out[k] for k in _QSO_FEATS}
+    return {k: out[k] for k in _QSO_ALL}
 
 
 # --- CADENCE family --------------------------------------------------------
@@ -204,7 +208,7 @@ def _lomb_scargle(t, m, e):
 # LOMB_SCARGLE_FEATS — SURVEY.md §2.2) --------------------------------------
 
 GENERAL_FEATS = (_SIMPLE_GENERAL + _FLUX_RATIOS
-                 + ["stetson_j", "stetson_k"] + _QSO_FEATS)
+                 + ["stetson_j", "stetson_k"] + _QSO_ALL)
 CADENCE_FEATS = (["n_epochs", "total_time", "avgt"] + _CADS_FEATS + _ERR_FEATS
                  + _CAD_PROB_FEATS + _D2S_FEATS + _NHIST_FEATS)
 LOMB_SCARGLE_FEATS = list(_LS_FEATS)
@@ -213,7 +217,7 @@ ALL_FEATS = GENERAL_FEATS + CADENCE_FEATS + LOMB_SCARGLE_FEATS
 # features cheap enough for every tier; LS/nhist/qso restricted by
 # default to coarser tiers / the conv tier in the pipeline config (LS
 # and qso are whole-series model fits; nhist is O(n²) pairwise)
-DEFAULT_FEATS = ([f for f in GENERAL_FEATS if f not in _QSO_FEATS]
+DEFAULT_FEATS = ([f for f in GENERAL_FEATS if f not in _QSO_ALL]
                  + ["n_epochs", "total_time"] + _CADS_FEATS + _CAD_PROB_FEATS)
 
 

@@ -71,7 +71,12 @@ def extract_features(media: DataFrame, feat_dim: int = 8,
                 pad = (-arr.size) % feat_dim
                 if pad:
                     arr = np.pad(arr, (0, pad))
-                feats.append(arr.reshape(-1, feat_dim).mean(axis=0))
+                # float64 accumulator: the column sums are then EXACT
+                # (every byte/256 is a dyadic rational), so the pooled
+                # means are bit-reproducible by any engine that sums the
+                # same bytes in double — the driver oracle relies on it
+                feats.append(arr.reshape(-1, feat_dim)
+                             .mean(axis=0, dtype=np.float64))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],

@@ -61,9 +61,12 @@ class TableIO:
             # write: otherwise every upstream task emits a file into
             # every partition dir (tasks × partitions small files —
             # measured 45s vs 6s and 3498 vs 32 files for one tier at
-            # local[32]); the write stage is bytes-bound, so the plain
-            # hash repartition + AQE coalesce sizes it correctly.
-            df = df.repartition(*partition_by)
+            # local[32]). REBALANCE (not a plain hash repartition on the
+            # low-cardinality partition cols): AQE can both coalesce
+            # small partitions AND split large ones across tasks, so one
+            # giant (tier, window_date) partition at 10^12-turn scale
+            # still fans out instead of serializing on a single writer.
+            df = df.hint("rebalance", *partition_by)
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -81,8 +84,8 @@ class TableIO:
             return
         # requires spark.sql.sources.partitionOverwriteMode=dynamic
         # (set in session.get_spark); cluster by partition value first
-        # (see write())
-        (df.repartition(*partition_by).write.mode("overwrite")
+        # (see write() — REBALANCE so big partitions can still fan out)
+        (df.hint("rebalance", *partition_by).write.mode("overwrite")
          .partitionBy(*partition_by).parquet(self.path(name)))
 
     def delete_where(self, name: str, predicate: str) -> int:

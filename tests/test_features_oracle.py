@@ -161,10 +161,10 @@ class TestLombScargle:
 
 class TestRegistry:
     def test_catalog_sizes(self):
-        assert len(GENERAL_FEATS) == 23
+        assert len(GENERAL_FEATS) == 24  # + qso_capped (cap visibility)
         assert len(CADENCE_FEATS) == 41
         assert len(LOMB_SCARGLE_FEATS) == 50
-        assert len(set(ALL_FEATS)) == len(ALL_FEATS) == 114
+        assert len(set(ALL_FEATS)) == len(ALL_FEATS) == 115
 
     def test_all_features_finite_or_nan_on_random(self, white_noise_irregular):
         t, m, e = white_noise_irregular

@@ -47,14 +47,19 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     for c in g.columns:
         gv, ev = g[c], e[c]
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
-            ga = gv.astype(float).to_numpy()
-            ea = ev.astype(float).to_numpy()
+            ga = np.ascontiguousarray(gv.astype(float).to_numpy())
+            ea = np.ascontiguousarray(ev.astype(float).to_numpy())
             both_nan = np.isnan(ga) & np.isnan(ea)
-            if not np.array_equal(ga[~both_nan], ea[~both_nan]):
-                bad = np.nonzero(~both_nan & (ga != ea))[0][:3]
+            # REPRESENTATION-exact (like the driver's value hash): bit
+            # compare, so -0.0 vs +0.0 is a mismatch even though == says
+            # equal. NaN-vs-NaN is accepted regardless of payload.
+            bits_ne = ga.view(np.uint64) != ea.view(np.uint64)
+            bad_mask = bits_ne & ~both_nan
+            if bad_mask.any():
+                bad = np.nonzero(bad_mask)[0][:3]
                 problems.append(
-                    f"col {c}: {len(np.nonzero(~both_nan & (ga != ea))[0])} "
-                    f"mismatches, e.g. idx {bad}: "
+                    f"col {c}: {int(bad_mask.sum())} "
+                    f"repr mismatches, e.g. idx {bad}: "
                     f"{ga[bad]} vs {ea[bad]}")
         else:
             if not gv.astype(str).equals(ev.astype(str)):
