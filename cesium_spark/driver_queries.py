@@ -466,6 +466,60 @@ FROM events GROUP BY 1
 """
 
 
+def q_ts_features_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cesium meta_features parity (featurize_time_series(meta_features=…)
+    †, SURVEY.md §2.7), both roles in one query: per-conversation dims
+    (first_role, n_turns) are (a) passed INTO the kernel where the
+    graph-dep custom feature `range_per_turn(t, m, e, n_turns)` consumes
+    them, and (b) broadcast-joined onto the output feature matrix
+    (with_meta passthrough). Full DuckDB oracle."""
+    from cesium_spark.functions import registry
+    from cesium_spark.operators.rollup import with_meta
+
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    meta = (ev.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("user_id").cast("string").alias("conv_id"))
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("event_type")))
+                 .alias("first_role"),
+                 F.count("*").alias("n_turns")))
+
+    registry.register_custom(
+        "range_per_turn",
+        lambda t, m, e, n_turns: (np.max(m) - np.min(m)) / n_turns)
+
+    s = _value_series(spark, sf_dir)
+    # max/min/range_per_turn are representation-stable across engines
+    # (same element selection + identical IEEE ops); summation-order-
+    # sensitive features (mean etc.) are proven by the flagship query
+    feats = ["maximum", "minimum", "range_per_turn"]
+    wide = pivot_wide(rollup_features(s, "conv", feats, meta=meta), feats)
+    out = with_meta(wide, meta)
+    return out.select(
+        "conv_id", "first_role",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        _r(F.col("maximum")).alias("maximum"),
+        _r(F.col("minimum")).alias("minimum"),
+        _r(F.col("range_per_turn")).alias("range_per_turn"))
+
+
+SQL_TS_FEATURES_WITH_META = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT conv_id,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_role,
+       count(*) AS n_turns,
+       round(max(value), 6) + 0.0 AS maximum,
+       round(min(value), 6) + 0.0 AS minimum,
+       round((max(value) - min(value)) / count(*), 6) + 0.0 AS range_per_turn
+FROM r GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY.md §2.11)
 # ---------------------------------------------------------------------------
@@ -1022,6 +1076,7 @@ QUERIES = {
     "ts_sessionize": q_ts_sessionize,
     "ts_top3_per_type": q_ts_top3_per_type,
     "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
+    "ts_features_with_meta": q_ts_features_with_meta,
     "rel_tpch_q1": q_rel_tpch_q1,
     "rel_nation_revenue": q_rel_nation_revenue,
     "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -1061,6 +1116,7 @@ ORACLE_SQL = {
     "ts_sessionize": SQL_TS_SESSIONIZE,
     "ts_top3_per_type": SQL_TS_TOP3,
     "ts_gorilla_roundtrip": SQL_TS_GORILLA,
+    "ts_features_with_meta": SQL_TS_FEATURES_WITH_META,
     "rel_tpch_q1": SQL_REL_TPCH_Q1,
     "rel_nation_revenue": SQL_REL_NATION_REVENUE,
     "rel_customers_without_orders": SQL_REL_ANTI,

@@ -396,9 +396,14 @@ def find_sorted_peaks(h: np.ndarray) -> list[tuple[int, float]]:
     return peaks
 
 
-def all_times_nhist_features(t: np.ndarray) -> dict[str, float]:
-    """The 12 all_times_nhist_* features from one pairwise-Δt histogram."""
-    h, _capped = delta_t_hist(t)
+def all_times_nhist_features(
+        t: np.ndarray,
+        hist_capped: tuple[np.ndarray, bool] | None = None) -> dict[str, float]:
+    """The 12 all_times_nhist_* features from one pairwise-Δt histogram.
+    ``hist_capped`` lets the registry inject the shared ``delta_t_hist``
+    intermediate (one evaluation per group, reused by graph-dep custom
+    features); omitted, it is computed here — identically."""
+    h, _capped = hist_capped if hist_capped is not None else delta_t_hist(t)
     peaks = find_sorted_peaks(h)
     nan = float("nan")
     out: dict[str, float] = {

@@ -355,11 +355,17 @@ def _phase_fold(t: np.ndarray, period: float) -> np.ndarray:
     return np.mod(t - t[0], period) / period
 
 
-def ls_features(t: np.ndarray, m: np.ndarray, e: np.ndarray) -> dict[str, float]:
-    """All LS-family features from one shared fit (SURVEY.md §2.6)."""
+def ls_features(t: np.ndarray, m: np.ndarray, e: np.ndarray,
+                fit: LombScargleFit | None = None) -> dict[str, float]:
+    """All LS-family features from one shared fit (SURVEY.md §2.6).
+    ``fit`` lets the registry inject the shared ``lomb_model``
+    intermediate so graph-dep custom features and the built-in family
+    consume ONE fit per group; omitted, the fit runs here — identically.
+    """
     nan = float("nan")
     out: dict[str, float] = {}
-    fit = fit_lomb_scargle(t, m, e)
+    if fit is None:
+        fit = fit_lomb_scargle(t, m, e)
 
     for i in range(1, NFREQ + 1):
         has = fit.ok and len(fit.freqs) >= i

@@ -10,9 +10,12 @@ of its features were requested — a naive per-feature dispatch would
 refit the Lomb–Scargle model 49×.
 
 Custom features (cesium ``featurize(custom_functions=...)`` †,
-SURVEY.md §2.7) plug in via :func:`register_custom`: a callable
-``f(t, m, e) -> float`` keyed by feature name, dispatched inside the
-same vectorized kernel.
+SURVEY.md §2.7) plug in via :func:`register_custom` — both reference
+forms: the plain callable ``f(t, m, e) -> float``, and the graph-dep
+form where named parameters beyond ``(t, m, e)`` pull shared
+intermediates (``lomb_model``/``cads``/``delta_t_hist``) or per-series
+``meta_features`` values, dispatched inside the same vectorized kernel
+with at most one evaluation of each shared node per group.
 
 This module is pure numpy (no Spark import) so executors ship it via
 ``--py-files`` untouched.
@@ -20,21 +23,43 @@ This module is pure numpy (no Spark import) so executors ship it via
 
 from __future__ import annotations
 
+import inspect
 from collections.abc import Callable, Iterable
 
 import numpy as np
 
 from cesium_spark.functions import features as feat
-from cesium_spark.functions.lomb_scargle import ls_features
+from cesium_spark.functions.lomb_scargle import fit_lomb_scargle, ls_features
 from cesium_spark.functions.qso import qso_fit
 
-# producer name -> callable(t, m, e) -> dict[feature_name, float]
-# Each producer computes a family of features sharing an intermediate.
-_PRODUCERS: dict[str, Callable[[np.ndarray, np.ndarray, np.ndarray], dict[str, float]]] = {}
+# producer name -> callable(t, m, e, cache) -> dict[feature_name, float]
+# Each producer computes a family of features sharing an intermediate;
+# `cache` is the per-group intermediate store (see _get_intermediate) so
+# built-ins and graph-dep custom features share ONE evaluation.
+_PRODUCERS: dict[str, Callable[..., dict[str, float]]] = {}
 # feature name -> producer name
 _FEATURE_TO_PRODUCER: dict[str, str] = {}
-# user-registered custom features: name -> f(t, m, e) -> float
-_CUSTOM: dict[str, Callable[[np.ndarray, np.ndarray, np.ndarray], float]] = {}
+# user-registered custom features: name -> (fn, dep_names) where
+# dep_names are fn's params beyond (t, m, e) — resolved against
+# _INTERMEDIATES first, then the per-series meta dict (cesium's
+# graph-dep custom_functions + meta_features-as-inputs †, SURVEY.md §2.7)
+_CUSTOM: dict[str, tuple[Callable[..., float], list[str]]] = {}
+
+# Shared intermediates a custom feature can declare as a named-parameter
+# dependency (≙ the reference's dask-graph nodes `lomb_model`,
+# `delta_t_hist`, `cads` †). Evaluated at most once per group: built-in
+# producers pull from the same cache (see _lomb_scargle/_cadence_basic).
+_INTERMEDIATES: dict[str, Callable[..., object]] = {
+    "lomb_model": lambda t, m, e: fit_lomb_scargle(t, m, e),
+    "cads": lambda t, m, e: feat.cads(t),
+    "delta_t_hist": lambda t, m, e: feat.delta_t_hist(t),
+}
+
+
+def _get_intermediate(name: str, t, m, e, cache: dict) -> object:
+    if name not in cache:
+        cache[name] = _INTERMEDIATES[name](t, m, e)
+    return cache[name]
 
 
 def _producer(name: str, feature_names: Iterable[str]):
@@ -57,7 +82,7 @@ _SIMPLE_GENERAL = [
 
 
 @_producer("general_simple", _SIMPLE_GENERAL)
-def _general_simple(t, m, e):
+def _general_simple(t, m, e, cache):
     # Shared-intermediate evaluation: min/max/median/mean/std/weighted
     # mean are each computed ONCE and reused — every reuse is the exact
     # numpy op sequence of the corresponding feat.* oracle function, so
@@ -106,12 +131,12 @@ _FLUX_RATIOS = [f"flux_percentile_ratio_mid{x}" for x in (20, 35, 50, 65, 80)]
 
 
 @_producer("flux_percentiles", _FLUX_RATIOS)
-def _flux_percentiles(t, m, e):
+def _flux_percentiles(t, m, e, cache):
     return feat.flux_percentile_ratios(m)
 
 
 @_producer("stetson", ["stetson_j", "stetson_k"])
-def _stetson(t, m, e):
+def _stetson(t, m, e, cache):
     # share the normalized-residual vector (iterative Stetson mean is
     # the expensive part; _stetson_delta is deterministic, so one call
     # is bit-identical to stetson_j/stetson_k's internal ones)
@@ -134,7 +159,7 @@ _QSO_ALL = _QSO_FEATS + ["qso_capped"]
 
 
 @_producer("qso_model", _QSO_ALL)
-def _qso_model(t, m, e):
+def _qso_model(t, m, e, cache):
     # one DRW fit feeds both features (shared intermediate, like the
     # reference's 'qso_model' dask node †)
     out = qso_fit(t, m, e)
@@ -158,8 +183,8 @@ _NHIST_FEATS = (
 
 @_producer("cadence_basic", ["n_epochs", "total_time", "avgt"]
            + _CADS_FEATS + _ERR_FEATS + _CAD_PROB_FEATS + _D2S_FEATS)
-def _cadence_basic(t, m, e):
-    c = feat.cads(t)
+def _cadence_basic(t, m, e, cache):
+    c = _get_intermediate("cads", t, m, e, cache)
     out = {
         "n_epochs": feat.n_epochs(t),
         "total_time": feat.total_time(t),
@@ -173,8 +198,9 @@ def _cadence_basic(t, m, e):
 
 
 @_producer("nhist", _NHIST_FEATS)
-def _nhist(t, m, e):
-    return feat.all_times_nhist_features(t)
+def _nhist(t, m, e, cache):
+    hist_capped = _get_intermediate("delta_t_hist", t, m, e, cache)
+    return feat.all_times_nhist_features(t, hist_capped=hist_capped)
 
 
 # --- LOMB_SCARGLE family (one producer, one fit, 49+ features) -------------
@@ -200,8 +226,12 @@ _LS_FEATS = (
 
 
 @_producer("lomb_scargle", _LS_FEATS)
-def _lomb_scargle(t, m, e):
-    return ls_features(t, m, e)
+def _lomb_scargle(t, m, e, cache):
+    # the fit is the shared 'lomb_model' intermediate: a graph-dep
+    # custom feature requesting lomb_model reuses THIS fit (and vice
+    # versa) — one fit per group no matter who asks first
+    return ls_features(t, m, e,
+                       fit=_get_intermediate("lomb_model", t, m, e, cache))
 
 
 # --- public catalog (cesium family lists †: CADENCE_FEATS / GENERAL_FEATS /
@@ -221,27 +251,60 @@ DEFAULT_FEATS = ([f for f in GENERAL_FEATS if f not in _QSO_ALL]
                  + ["n_epochs", "total_time"] + _CADS_FEATS + _CAD_PROB_FEATS)
 
 
-def register_custom(name: str,
-                    fn: Callable[[np.ndarray, np.ndarray, np.ndarray], float]) -> None:
-    """Register a user feature ``f(t, m, e) -> float`` (cesium
-    ``custom_functions`` †). Overrides nothing built-in."""
+def register_custom(name: str, fn: Callable[..., float]) -> None:
+    """Register a user feature (cesium ``custom_functions`` †, both
+    forms). The first three parameters are positional ``(t, m, e)``;
+    any FURTHER named parameters declare graph dependencies, resolved
+    per group against (a) the shared intermediates ``lomb_model`` /
+    ``cads`` / ``delta_t_hist`` — computed at most once per group and
+    shared with the built-in producers — then (b) the per-series
+    ``meta`` dict (cesium meta_features-as-inputs †)::
+
+        register_custom("my_ls_peak",
+                        lambda t, m, e, lomb_model: lomb_model.freqs[0])
+        register_custom("range_per_turn",
+                        lambda t, m, e, n_turns: (m.max() - m.min()) / n_turns)
+
+    Overrides nothing built-in; re-registering a custom name replaces it.
+    """
     if name in _FEATURE_TO_PRODUCER:
         raise ValueError(f"{name} is a built-in feature")
-    _CUSTOM[name] = fn
+    params = list(inspect.signature(fn).parameters)
+    _CUSTOM[name] = (fn, params[3:])
 
 
-def validate(names: Iterable[str]) -> list[str]:
-    unknown = [n for n in names if n not in _FEATURE_TO_PRODUCER and n not in _CUSTOM]
+def validate(names: Iterable[str],
+             custom: dict | None = None) -> list[str]:
+    cust = custom if custom is not None else _CUSTOM
+    unknown = [n for n in names
+               if n not in _FEATURE_TO_PRODUCER and n not in cust]
     if unknown:
         raise KeyError(f"unknown features: {unknown}")
     return list(names)
 
 
+def custom_snapshot(names: Iterable[str]) -> dict[str, tuple]:
+    """The registered custom features among ``names``, as a plain dict
+    safe to capture in a Spark kernel closure. REQUIRED for distributed
+    execution: ``_CUSTOM`` is driver-process module state — executors
+    import this module fresh and would see it empty, so the kernel must
+    carry its own copy (cloudpickle serializes the callables)."""
+    return {n: _CUSTOM[n] for n in names if n in _CUSTOM}
+
+
 def compute_features(t: np.ndarray, m: np.ndarray, e: np.ndarray,
-                     names: Iterable[str]) -> dict[str, float]:
+                     names: Iterable[str],
+                     meta: dict[str, object] | None = None,
+                     custom: dict[str, tuple] | None = None) -> dict[str, float]:
     """Evaluate the requested features on one series, running each
     producer at most once (graph culling + shared-intermediate reuse,
     ≙ dask.get on the culled graph — cesium featurize_single_ts †).
+    Intermediates (`lomb_model`/`cads`/`delta_t_hist`) are cached per
+    call, so a graph-dep custom feature and the built-in family that
+    shares its node trigger exactly one evaluation between them.
+
+    ``meta`` carries the per-series metadata values (cesium
+    meta_features †); custom features consume them as named parameters.
 
     Arrays must already be sorted by time (the Spark kernel sorts by
     (turn_idx) before calling — determinism contract, SURVEY.md §4.3).
@@ -249,7 +312,8 @@ def compute_features(t: np.ndarray, m: np.ndarray, e: np.ndarray,
     t = np.asarray(t, dtype=np.float64)
     m = np.asarray(m, dtype=np.float64)
     e = np.asarray(e, dtype=np.float64)
-    wanted = validate(names)
+    cust = custom if custom is not None else _CUSTOM
+    wanted = validate(names, cust)
     needed_producers: list[str] = []
     seen = set()
     for nm in wanted:
@@ -258,12 +322,21 @@ def compute_features(t: np.ndarray, m: np.ndarray, e: np.ndarray,
             seen.add(p)
             needed_producers.append(p)
     values: dict[str, float] = {}
+    cache: dict[str, object] = {}
     for p in needed_producers:
-        values.update(_PRODUCERS[p](t, m, e))
+        values.update(_PRODUCERS[p](t, m, e, cache))
     for nm in wanted:
-        if nm in _CUSTOM:
+        if nm in cust:
+            fn, deps = cust[nm]
             try:
-                values[nm] = float(_CUSTOM[nm](t, m, e))
+                kwargs = {}
+                for d in deps:
+                    if d in _INTERMEDIATES:
+                        kwargs[d] = _get_intermediate(d, t, m, e, cache)
+                    elif meta is not None and d in meta:
+                        kwargs[d] = meta[d]
+                    # unresolvable dep -> fn raises TypeError -> nan
+                values[nm] = float(fn(t, m, e, **kwargs))
             except Exception:
                 values[nm] = float("nan")  # raise_exceptions=False policy
     return {nm: values[nm] for nm in wanted}

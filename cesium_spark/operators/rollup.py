@@ -37,7 +37,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cesium_spark.functions.registry import DEFAULT_FEATS, compute_features, validate
+from cesium_spark.functions.registry import (
+    DEFAULT_FEATS,
+    compute_features,
+    custom_snapshot,
+    validate,
+)
 
 # tier name -> date_trunc unit; 'conv' = whole-conversation series
 TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
@@ -62,7 +67,8 @@ def _with_window(series: DataFrame, tier: str) -> DataFrame:
 
 
 def rollup_features(series: DataFrame, tier: str,
-                    features: Iterable[str] | None = None) -> DataFrame:
+                    features: Iterable[str] | None = None,
+                    meta: DataFrame | None = None) -> DataFrame:
     """Exact path: long-form features table
     (conv_id, channel, tier, window_start, feature, value).
 
@@ -83,11 +89,25 @@ def rollup_features(series: DataFrame, tier: str,
     exactly-mergeable statistics, which is the salted/partial route —
     salting the opaque exact kernel would change float summation order
     and break the bit-for-bit contract, so it is deliberately absent
-    here. Residual partition skew is AQE's job."""
+    here. Residual partition skew is AQE's job.
+
+    ``meta`` (cesium meta_features-as-inputs †, SURVEY.md §2.7): a
+    per-conversation dims table (conv_id, <dims...>), broadcast-joined
+    onto the series before the kernel exchange; inside the kernel the
+    dim values are handed to graph-dep custom features as named
+    parameters (see registry.register_custom). For passthrough onto the
+    OUTPUT feature matrix use :func:`with_meta` on the wide view."""
     feats = validate(list(features) if features is not None else DEFAULT_FEATS)
     n_feats = len(feats)
+    meta_cols = ([c for c in meta.columns if c != "conv_id"]
+                 if meta is not None else [])
+    # snapshot registered custom features into the kernel closure —
+    # executors import the registry fresh and would see it empty
+    custom = custom_snapshot(feats)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        meta_vals = ({c: pdf[c].iloc[0] for c in meta_cols}
+                     if meta_cols else None)
         w = pdf["window_start"].to_numpy()
         idx = pdf["turn_idx"].to_numpy()
         order = np.lexsort((idx, w))  # sort by window, then turn_idx
@@ -100,7 +120,8 @@ def rollup_features(series: DataFrame, tier: str,
         n_win = starts.size
         values = np.empty(n_win * n_feats, dtype=np.float64)
         for g, (s0, s1) in enumerate(zip(starts, ends)):
-            vals = compute_features(t[s0:s1], y[s0:s1], e[s0:s1], feats)
+            vals = compute_features(t[s0:s1], y[s0:s1], e[s0:s1], feats,
+                                    meta=meta_vals, custom=custom)
             values[g * n_feats:(g + 1) * n_feats] = list(vals.values())
         return pd.DataFrame({
             "conv_id": np.repeat(pdf["conv_id"].iloc[:1].to_numpy(),
@@ -118,6 +139,12 @@ def rollup_features(series: DataFrame, tier: str,
         # opaque kernel (SURVEY.md §4.2)
         .select("conv_id", "channel", "window_start", "turn_idx", "t", "y", "e")
     )
+    if meta_cols:
+        # broadcast join: the dims table is one row per conversation —
+        # tiny next to the turn stream — so no shuffle of the series
+        windowed = windowed.join(
+            F.broadcast(meta.select("conv_id", *meta_cols)),
+            "conv_id", "left")
     # Windowed tiers additionally group by the window's DATE: a 1m/1h/1d
     # window never crosses a date boundary (date_trunc alignment), so the
     # values are identical, but a Zipf-tail conversation spanning D days
@@ -161,6 +188,15 @@ def pivot_wide(features_long: DataFrame, features: Iterable[str]) -> DataFrame:
         .pivot("feature", list(features))
         .agg(F.first("value"))
     )
+
+
+def with_meta(wide: DataFrame, meta: DataFrame,
+              on: str = "conv_id") -> DataFrame:
+    """cesium meta_features passthrough (``assemble_featureset(...,
+    meta_features)`` †, SURVEY.md §2.3/§2.7): conversation-level dims
+    broadcast-joined onto the feature matrix, one column per dim. Left
+    join: series without dims keep their features (dims NULL)."""
+    return wide.join(F.broadcast(meta), on, "left")
 
 
 def rollup_moments(series: DataFrame, tier: str) -> DataFrame:

@@ -182,6 +182,58 @@ class TestRegistry:
         vals = compute_features(t, m, e, ["my_range", "amplitude"])
         assert vals["my_range"] == pytest.approx(2 * vals["amplitude"])
 
+    def test_custom_graph_dep_shares_one_fit(self, irregular_periodic,
+                                             monkeypatch):
+        """A custom feature depending on `lomb_model` must reuse the ONE
+        fit that also feeds the built-in LS family (cesium dask-graph
+        shared-node semantics †) — producer runs exactly once."""
+        from cesium_spark.functions import registry as reg
+        from cesium_spark.functions.lomb_scargle import fit_lomb_scargle
+
+        t, m, e, f = irregular_periodic
+        calls = {"n": 0}
+
+        def counting_fit(t_, m_, e_):
+            calls["n"] += 1
+            return fit_lomb_scargle(t_, m_, e_)
+
+        monkeypatch.setitem(reg._INTERMEDIATES, "lomb_model",
+                            counting_fit)
+        register_custom("my_ls_freq",
+                        lambda t, m, e, lomb_model: lomb_model.freqs[0])
+        vals = compute_features(t, m, e, ["my_ls_freq", "freq1_freq",
+                                          "period_fast"])
+        assert calls["n"] == 1
+        assert vals["my_ls_freq"] == vals["freq1_freq"]
+        assert vals["freq1_freq"] == pytest.approx(f, rel=0.05)
+
+    def test_custom_graph_dep_cads_and_hist(self, white_noise_irregular):
+        t, m, e = white_noise_irregular
+        register_custom("my_cads_max",
+                        lambda t, m, e, cads: float(np.max(cads)))
+        register_custom("my_hist_mass",
+                        lambda t, m, e, delta_t_hist:
+                        float(np.sum(delta_t_hist[0])))
+        vals = compute_features(t, m, e,
+                                ["my_cads_max", "my_hist_mass", "cads_avg"])
+        assert vals["my_cads_max"] == float(np.max(np.diff(t)))
+        assert vals["my_hist_mass"] > 0
+
+    def test_custom_meta_input(self, white_noise_irregular):
+        """meta_features-as-inputs †: named params resolve against the
+        per-series meta dict; missing meta → nan (raise_exceptions=False
+        policy), never an exception."""
+        t, m, e = white_noise_irregular
+        register_custom("range_over_label",
+                        lambda t, m, e, label: float(m.max() - m.min()) / label)
+        vals = compute_features(t, m, e, ["range_over_label"],
+                                meta={"label": 2.0})
+        assert vals["range_over_label"] == pytest.approx(
+            float(m.max() - m.min()) / 2.0)
+        # without meta the dep is unresolvable -> nan, no raise
+        vals = compute_features(t, m, e, ["range_over_label"])
+        assert np.isnan(vals["range_over_label"])
+
 
 class TestQso:
     """DRW model-fit features (cesium qso_model.py † — spec pinned in

@@ -140,6 +140,43 @@ def test_conv_tier_full_series(spark, tiny_transcripts, tiny_transcripts_pdf):
             assert (gv == v) or (np.isnan(gv) and np.isnan(v)), (conv, ch, f, gv, v)
 
 
+def test_meta_features_through_spark(spark, tiny_transcripts,
+                                     tiny_transcripts_pdf):
+    """cesium meta_features parity through the DISTRIBUTED path
+    (mirrors cesium/tests/test_featurize.py meta passthrough †): dims
+    are consumed inside the applyInPandas kernel by a graph-dep custom
+    feature (custom_snapshot ships the callable to executors) AND
+    joined onto the output matrix by with_meta."""
+    import pyspark.sql.functions as F
+
+    from cesium_spark.functions.registry import register_custom
+    from cesium_spark.operators.rollup import pivot_wide, with_meta
+
+    meta_pdf = (tiny_transcripts_pdf.groupby("conv_id")
+                .agg(n_turns=("turn_idx", "size"),
+                     label=("conv_id", lambda s: len(s.iloc[0]) % 3))
+                .reset_index())
+    meta = spark.createDataFrame(meta_pdf)
+    register_custom(
+        "spread_per_turn",
+        lambda t, m, e, n_turns: float(np.max(m) - np.min(m)) / n_turns)
+
+    feats = ["maximum", "minimum", "spread_per_turn"]
+    s = derive_series(tiny_transcripts).where(F.col("channel") == "tokens")
+    wide = with_meta(pivot_wide(rollup_features(s, "conv", feats, meta=meta),
+                                feats), meta)
+    got = wide.toPandas().set_index("conv_id").sort_index()
+
+    # meta passthrough columns present and correct
+    exp_meta = meta_pdf.set_index("conv_id").sort_index()
+    np.testing.assert_array_equal(got["n_turns"], exp_meta["n_turns"])
+    np.testing.assert_array_equal(got["label"], exp_meta["label"])
+    # custom feature consumed the meta value inside the kernel, exactly
+    np.testing.assert_array_equal(
+        got["spread_per_turn"],
+        (got["maximum"] - got["minimum"]) / got["n_turns"])
+
+
 def test_moments_close_to_kernel(spark, tiny_transcripts):
     """Native moments path ≈ kernel path (inexact by design, ~1e-9 rel)."""
     series = derive_series(tiny_transcripts)
