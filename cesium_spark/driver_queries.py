@@ -744,18 +744,29 @@ FROM s
 
 
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_df=20 exercises the hot-shingle guard (blocks are 25 docs, so
+    near-stop-words with df 21-25 get dropped); the oracle applies the
+    identical cap, so values stay exact over the capped vocabulary."""
     _prep(spark)
     out = dedup.ngram_jaccard_pairs(
         _read(spark, sf_dir, "documents"), block_col="source",
-        shingle_n=1, threshold=0.2)
+        shingle_n=1, threshold=0.2, max_df=20)
     return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
 SQL_DOC_JACCARD = """
-WITH tok AS (
+WITH tok0 AS (
   SELECT DISTINCT doc_id, source,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS s
   FROM documents
+),
+hot AS (
+  SELECT s, source FROM tok0 GROUP BY 1, 2 HAVING count(*) > 20
+),
+tok AS (
+  SELECT t.* FROM tok0 t
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.s = t.s AND h.source = t.source)
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
 inter AS (
@@ -770,6 +781,33 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+
+def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_cosine_pairs exact mode vs an all-pairs DuckDB oracle
+    (the 'lsh' scale mode — same exact re-scoring on LSH candidates —
+    is pinned by tests/test_pipeline_ops.py candidate-subset checks)."""
+    _prep(spark)
+    out = dedup.embedding_cosine_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3, method="exact")
+    return out.select("id_a", "id_b",
+                      _r0(F.round("cosine", 5)).alias("cosine"))
+
+
+SQL_EMB_COSINE_PAIRS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, a -> a * a))) AS norm
+      FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+           / (a.norm * b.norm) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 5) + 0.0 AS cosine
+FROM p WHERE cosine >= 0.3
 """
 
 
@@ -1090,6 +1128,7 @@ QUERIES = {
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_lang_id": q_doc_lang_id,
     "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
     "multimodal_meta": q_multimodal_meta,
     # invariant-oracle queries (kernel not SQL-expressible, but a
     # deterministic invariant of its output is — see each docstring)
@@ -1130,6 +1169,7 @@ ORACLE_SQL = {
     "doc_jaccard_pairs": SQL_DOC_JACCARD,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+    "emb_cosine_pairs": SQL_EMB_COSINE_PAIRS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "doc_minhash_lsh": SQL_DOC_MINHASH_LSH,
     "doc_simhash": SQL_DOC_SIMHASH,

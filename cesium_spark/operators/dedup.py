@@ -15,17 +15,23 @@ notes per operator. These are engine-side training-data-pipeline ops
              expressions (one shuffle); near-dup candidates = equal
              16-bit simhash bands (hamming-adjacent blocking).
 - n-gram Jaccard: token-set explode + self-equi-join on token with a
-  blocking column to bound the candidate space; exact Jaccard from
-  intersection/union counts.
-- embedding cosine: exact top-threshold pairs via blocked cross join at
-  small n; at scale, route through similarity.lsh_bucketed (same
-  signature) so candidates come from hyperplane buckets.
+  blocking column AND a document-frequency cap on shingles (hot join
+  keys — stop-words at corpus scale — are quadratic per key) to bound
+  the candidate space; exact Jaccard from intersection/union counts
+  over the capped vocabulary.
+- embedding cosine: multi-table random-hyperplane LSH candidates
+  (equi-join on (table, bucket)) re-scored with the exact cosine —
+  approximate recall, exact precision; 'exact' all-pairs mode kept as
+  the small-n verification path.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 TOKEN_SPLIT = r"\s+"
 
@@ -130,16 +136,39 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", block_col: str | None = None,
-                        shingle_n: int = 1,
-                        threshold: float = 0.5) -> DataFrame:
+                        shingle_n: int = 1, threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact token-shingle Jaccard for pairs sharing ≥1 shingle (and the
     same blocking key, if given): (id_a, id_b, jaccard). The candidate
-    join is shingle-equi (inverted-index join), never a cross join."""
+    join is shingle-equi (inverted-index join), never a cross join.
+
+    ``max_df``: drop shingles whose document frequency (within the
+    block, if blocked) exceeds the cap BEFORE the self-join. A shingle
+    present in d documents emits d·(d−1)/2 join rows — stop-words
+    ("the" at shingle_n=1) are quadratic hot keys at corpus scale, so
+    an uncapped run on 10^9 docs is a scale-killer. Jaccard is then
+    exact over the CAPPED vocabulary (set sizes recomputed post-filter
+    — a well-defined, documented similarity; not a silent truncation of
+    the uncapped one). The cap is logged (SURVEY.md §4.4 no-silent-caps)
+    and must match any external oracle's preprocessing."""
+    import logging
+
     base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
     sh = docs.select(*base_cols,
                      F.explode(_shingles(text_col, shingle_n)).alias("s"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     join_keys = ["s"] + ([block_col] if block_col else [])
+    if max_df is not None:
+        logging.getLogger(__name__).info(
+            "ngram_jaccard_pairs: dropping shingles with df > %d "
+            "(per %s); jaccard is over the capped vocabulary",
+            max_df, block_col or "corpus")
+        hot = (sh.groupBy(*join_keys).agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_df)
+               .select(*join_keys))
+        # broadcast anti-join: the hot-shingle list is tiny by
+        # construction (df follows a Zipf tail; few keys exceed the cap)
+        sh = sh.join(F.broadcast(hot), join_keys, "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, join_keys)
@@ -157,26 +186,94 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def _cosine_on_pairs(pairs: DataFrame, v: DataFrame, id_col: str,
+                     threshold: float) -> DataFrame:
+    """Exact cosine for candidate (id_a, id_b) pairs: two id-equi joins
+    back to the (id, v, norm) table, native zip_with/aggregate dot."""
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                  F.col("norm").alias("na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                  F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda s, x: s + x)
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
 def embedding_cosine_pairs(embs: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95,
-                           n_buckets: int = 1) -> DataFrame:
-    """Near-duplicate embedding pairs by exact cosine ≥ threshold.
-    n_buckets > 1 blocks the self-join by a norm-quantile bucket (cheap
-    LSH-lite); at real scale use similarity.lsh_bucketed candidates."""
+                           method: str = "lsh",
+                           n_planes: int = 8, n_tables: int = 8,
+                           dim: int | None = None) -> DataFrame:
+    """Near-duplicate embedding pairs (id_a < id_b, cosine) with EXACT
+    cosine ≥ threshold on every emitted pair.
+
+    method='lsh' (the scale path): candidates are pairs sharing a
+    random-hyperplane bucket in ≥1 of ``n_tables`` deterministic tables
+    of ``n_planes`` sign bits each (seeded from similarity.LSH_SEED).
+    Per-plane collision probability for angle θ is 1−θ/π, so recall at
+    cosine 0.95 (θ≈18°) is 1−(1−0.9^8)^8 ≈ 0.99; precision is exact
+    because every candidate is re-scored. The candidate join is equi on
+    (table, bucket) — shuffle is O(n·n_tables) ids, never O(n²) — and
+    vectors rejoin only for the surviving candidate pairs.
+
+    method='exact': all-pairs verification path — O(n²), small n only.
+
+    ``dim`` (vector length) is needed to build the plane matrix; if
+    omitted, one lightweight first() reads it from the data.
+    """
+    from cesium_spark.operators import similarity
+
     v = embs.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
     v = v.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)))
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    pairs = a.join(b, cond)
-    dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y),
-                      F.lit(0.0), lambda s, x: s + x)
-    return (pairs
+
+    if method == "exact":
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y),
+                          F.lit(0.0), lambda s, x: s + x)
+        return (pairs
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"),
+                        (dot / (F.col("a.norm") * F.col("b.norm")))
+                        .alias("cosine"))
+                .where(F.col("cosine") >= threshold))
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}; expected 'lsh'|'exact'")
+
+    if dim is None:
+        dim = len(embs.select(vec_col).first()[0])
+
+    # one (dim, n_tables·n_planes) matrix -> all table buckets in one
+    # Arrow-batched matmul per batch (no per-row Python)
+    planes_all = np.concatenate(
+        [similarity._planes(dim, n_planes, seed=similarity.LSH_SEED + 1 + t)
+         for t in range(n_tables)], axis=1)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    nt, npl = n_tables, n_planes
+
+    @pandas_udf("array<long>")
+    def buckets_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = (m @ planes_all) > 0                      # (batch, nt·npl)
+        b = np.stack([signs[:, t * npl:(t + 1) * npl] @ weights
+                      for t in range(nt)], axis=1)        # (batch, nt)
+        return pd.Series(list(b))
+
+    sig = (embs.select(F.col(id_col), buckets_of(F.col(vec_col))
+                       .alias("buckets"))
+           .select(F.col(id_col),
+                   F.posexplode("buckets").alias("tbl", "bucket")))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (a.join(b, ["tbl", "bucket"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    (dot / (F.col("a.norm") * F.col("b.norm")))
-                    .alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    return _cosine_on_pairs(cand, v, id_col, threshold)

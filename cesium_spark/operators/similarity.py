@@ -46,8 +46,8 @@ def cosine_topk(embs: DataFrame, query: list[float], k: int = 10,
             .limit(k))
 
 
-def _planes(dim: int, n_planes: int) -> np.ndarray:
-    rng = np.random.default_rng(LSH_SEED)
+def _planes(dim: int, n_planes: int, seed: int = LSH_SEED) -> np.ndarray:
+    rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_planes))
 
 

@@ -81,8 +81,43 @@ class TestDedup:
         assert ((out.id_a < 4) & (out.id_b >= 4)).sum() == 0
 
     def test_embedding_cosine_pairs(self, embs):
+        # default method='lsh': the planted near-dup must survive
+        # blocking (miss probability ~(1-0.9858^8)^8 ≈ 2e-8; the fixed
+        # seed makes the outcome deterministic)
         out = dedup.embedding_cosine_pairs(embs, threshold=0.95).toPandas()
         assert set(zip(out.id_a, out.id_b)) == {(3, 7)}
+
+    def test_embedding_cosine_pairs_lsh_subset_of_exact(self, embs):
+        """LSH candidates are exact-rescored: emitted pairs must be a
+        subset of the all-pairs result with BIT-identical cosines."""
+        exact = dedup.embedding_cosine_pairs(
+            embs, threshold=0.2, method="exact").toPandas()
+        lsh = dedup.embedding_cosine_pairs(
+            embs, threshold=0.2, method="lsh").toPandas()
+        e = {(r.id_a, r.id_b): r.cosine for r in exact.itertuples()}
+        l = {(r.id_a, r.id_b): r.cosine for r in lsh.itertuples()}
+        assert set(l) <= set(e)
+        assert (3, 7) in l
+        for k, v in l.items():
+            assert v == e[k]
+
+    def test_embedding_cosine_pairs_bad_method(self, embs):
+        with pytest.raises(ValueError):
+            dedup.embedding_cosine_pairs(embs, method="nope").collect()
+
+    def test_ngram_jaccard_max_df_guards_hot_shingles(self, spark):
+        """Stop-word-heavy corpus: an uncapped unigram join pairs every
+        doc through 'the'; max_df removes the hot shingle so no
+        candidates survive (and at scale, no quadratic hot key)."""
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": list(range(6)),
+            "text": ["the alpha", "the beta", "the gamma",
+                     "the delta", "the epsilon", "the zeta"]}))
+        uncapped = dedup.ngram_jaccard_pairs(d, shingle_n=1, threshold=0.01)
+        capped = dedup.ngram_jaccard_pairs(d, shingle_n=1, threshold=0.01,
+                                           max_df=3)
+        assert uncapped.count() == 15
+        assert capped.count() == 0
 
 
 class TestSimilarity:
