@@ -74,12 +74,19 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 64,
                        shingle_n: int = 3) -> DataFrame:
     """(id, sig array<bigint>[k]): sig[i] = min over shingles of
-    xxhash64(i-th seed, shingle). Explode + two-phase min-agg; k mins
-    computed in one pass as k aggregate expressions (JVM)."""
+    h_i(shingle) with h_i = xxhash64(i, xxhash64(shingle)) — the
+    variable-length STRING is hashed once per shingle row, and the k
+    variants rehash the resulting 8-byte long (fixed-width input, ~
+    length-independent cost; wrapping multiply-add families are out —
+    Spark 4 ANSI mode rejects long overflow). Equal shingle sets ⇒
+    equal signatures (the exact-dup guarantee the LSH invariants pin).
+    Explode + two-phase min-agg: k mins in one aggregation pass (JVM,
+    map-side partials)."""
     sh = (docs
           .select(F.col(id_col), F.explode(_shingles(text_col, shingle_n))
-                  .alias("shingle")))
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+                  .alias("shingle"))
+          .withColumn("h0", F.xxhash64("shingle")))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
             for i in range(k)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col,
@@ -88,12 +95,25 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 64,
-                           bands: int = 16, shingle_n: int = 3) -> DataFrame:
+                           bands: int = 16, shingle_n: int = 3,
+                           dedup_first: bool = False) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_shared_bands) via LSH
     banding: docs sharing ≥1 band bucket. The self-join is an equi-join
     on (band_idx, band_hash) — uniform keys, broadcast-free, scales
-    linearly with corpus size for fixed collision rate."""
+    linearly with corpus size for fixed collision rate.
+
+    ``dedup_first``: band only ONE canonical doc per identical-text
+    group. An exact-dup cluster of c docs puts c identical rows in
+    every band bucket → O(c²) join rows per bucket; web corpora have
+    huge clusters (boilerplate), so this is the standard guard at
+    scale. The duplicates themselves are exactly what
+    :func:`exact_dedup` reports — pair the two operators."""
     r = k // bands
+    if dedup_first:
+        canon = (exact_dedup(docs, text_col=text_col, id_col=id_col)
+                 .where(F.col("is_canonical"))
+                 .select(id_col))
+        docs = docs.join(canon, id_col, "left_semi")
     sig = minhash_signatures(docs, id_col, text_col, k, shingle_n)
     banded = sig.select(
         F.col(id_col),

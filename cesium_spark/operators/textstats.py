@@ -107,46 +107,95 @@ def md5_fingerprint(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col), F.md5(F.trim(norm)).alias("fingerprint"))
 
 
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+_WINNOW_B = np.uint64(1000003)
+_WINNOW_MASK = np.uint64(0xFFFFFFFFFFFF)  # 48-bit ring, overflow-free-ish
+
+
+def _fnv1a_token_scalar(t: str) -> np.uint64:
+    """Reference FNV-1a over a token's utf-8 bytes (the round-1 scalar
+    formulation; kept as the exact spec, the non-ASCII fallback, and the
+    test oracle for the vectorized path)."""
+    v = _FNV_OFFSET
+    with np.errstate(over="ignore"):  # modular arithmetic by design
+        for ch in t.encode():
+            v = (v ^ np.uint64(ch)) * _FNV_PRIME
+    return v & _WINNOW_MASK
+
+
+def _fnv1a_tokens(uniq: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over each token's utf-8 bytes: iterate CHARACTER
+    POSITIONS (≤ max token length) with each step updating all tokens at
+    once via the fixed-width codepoint matrix behind a numpy 'U' array —
+    bit-identical to _fnv1a_token_scalar. ASCII fast path (codepoint ==
+    utf-8 byte, verified); tokens with non-ASCII or embedded NULs take
+    the scalar fallback."""
+    uniq = np.asarray(uniq, dtype="U1") if uniq.dtype.kind != "U" else uniq
+    n = uniq.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    width = max(uniq.dtype.itemsize // 4, 1)
+    cp = np.ascontiguousarray(uniq).view(np.uint32).reshape(n, width)
+    true_len = np.char.str_len(uniq)
+    ascii_ok = (cp.max(axis=1) < 128) & \
+        (np.count_nonzero(cp, axis=1) == true_len)
+    out = np.empty(n, dtype=np.uint64)
+    v = np.full(int(ascii_ok.sum()), _FNV_OFFSET, dtype=np.uint64)
+    sub = cp[ascii_ok]
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            col = sub[:, j]
+            live = col != 0
+            if not live.any():
+                break
+            v[live] = (v[live] ^ col[live].astype(np.uint64)) * _FNV_PRIME
+    out[ascii_ok] = v & _WINNOW_MASK
+    for i in np.flatnonzero(~ascii_ok):
+        out[i] = _fnv1a_token_scalar(str(uniq[i]))
+    return out
+
+
 def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 5,
                            window: int = 4) -> DataFrame:
     """(id, fingerprints array<bigint>): Schleimer et al. winnowing —
     rolling (Karp–Rabin) hashes of k-grams, min per sliding window,
-    dedup'd. Per-doc numpy kernel in a vectorized pandas UDF (the hash
-    itself is vectorized via cumulative powers; only the doc loop is
-    Python, one iteration per document per batch)."""
-    B = np.uint64(1000003)
-    MOD_MASK = np.uint64(0xFFFFFFFFFFFF)  # 48-bit ring, overflow-free-ish
+    dedup'd. Fully vectorized per Arrow batch: ALL tokens of the batch
+    are uniqued once (np.unique) and FNV-hashed by character position
+    (_fnv1a_tokens — the per-token Python loop of round 1 was the CPU
+    hot spot at corpus scale); only the tiny per-doc rolling-min remains
+    per-document."""
 
-    def fp_one(text: str) -> list[int]:
-        toks = text.lower().split()
-        if len(toks) < k:
+    def fp_from_hashes(th: np.ndarray) -> list[int]:
+        if th.size < k:
             return []
-        th = np.array([hash_token(t) for t in toks], dtype=np.uint64)
-        n = len(toks) - k + 1
-        h = np.zeros(n, dtype=np.uint64)
+        n = th.size - k + 1
+        acc = np.zeros(n, dtype=np.uint64)
         # polynomial rolling hash over token hashes (vectorized horner)
-        acc = np.zeros(len(toks) - k + 1, dtype=np.uint64)
         with np.errstate(over="ignore"):  # modular arithmetic by design
             for j in range(k):
-                acc = (acc * B + th[j:j + n]) & MOD_MASK
-        h = acc
-        if h.size <= window:
-            mins = np.array([h.min()])
+                acc = (acc * _WINNOW_B + th[j:j + n]) & _WINNOW_MASK
+        if acc.size <= window:
+            mins = np.array([acc.min()])
         else:
             from numpy.lib.stride_tricks import sliding_window_view
-            mins = sliding_window_view(h, window).min(axis=1)
+            mins = sliding_window_view(acc, window).min(axis=1)
         return sorted({int(x) for x in mins})
-
-    def hash_token(t: str) -> np.uint64:
-        v = np.uint64(1469598103934665603)
-        with np.errstate(over="ignore"):  # FNV-1a is modular by design
-            for ch in t.encode():  # deterministic across processes
-                v = (v ^ np.uint64(ch)) * np.uint64(1099511628211)
-        return v & MOD_MASK
 
     @pandas_udf("array<long>")
     def fp(texts: pd.Series) -> pd.Series:
-        return texts.map(fp_one)
+        tok_lists = [t.lower().split() for t in texts]
+        lens = np.array([len(tl) for tl in tok_lists])
+        if lens.sum() == 0:
+            return pd.Series([[]] * len(tok_lists))
+        flat = np.concatenate(
+            [np.asarray(tl, dtype="U") if tl else np.empty(0, dtype="U1")
+             for tl in tok_lists])
+        uniq, inv = np.unique(flat, return_inverse=True)
+        th_flat = _fnv1a_tokens(uniq)[inv]
+        bounds = np.cumsum(lens)[:-1]
+        return pd.Series([fp_from_hashes(th)
+                          for th in np.split(th_flat, bounds)])
 
     return docs.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))

@@ -62,6 +62,14 @@ class TestDedup:
         # identical docs → identical signatures
         assert list(s1.loc[0, "sig"]) == list(s1.loc[1, "sig"])
 
+    def test_minhash_dedup_first_bands_canonicals_only(self, docs):
+        cands = dedup.minhash_lsh_candidates(
+            docs, k=64, bands=16, shingle_n=2, dedup_first=True).toPandas()
+        pairs = set(zip(cands["id_a"], cands["id_b"]))
+        assert (0, 1) not in pairs      # exact dup handled by exact_dedup
+        assert (0, 2) in pairs          # near dup still surfaces
+        assert all(a != 1 and b != 1 for a, b in pairs)  # non-canonical out
+
     def test_simhash_hamming(self, docs):
         out = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
         def ham(a, b):
@@ -169,6 +177,48 @@ class TestTextStats:
             "text": ["Hello,   World!", "hello world"]}))
         out = textstats.md5_fingerprint(d).toPandas()
         assert out["fingerprint"].nunique() == 1
+
+    def test_winnowing_vectorized_hash_matches_scalar(self):
+        """The batch-vectorized FNV path must be bit-identical to the
+        round-1 scalar spec, including non-ASCII fallback tokens."""
+        from cesium_spark.operators.textstats import (
+            _fnv1a_token_scalar,
+            _fnv1a_tokens,
+        )
+        toks = np.asarray(["the", "quick", "café", "naïve", "a",
+                           "zebra-striped", "", "ααβ"], dtype="U")
+        got = _fnv1a_tokens(toks)
+        exp = np.array([_fnv1a_token_scalar(str(t)) for t in toks],
+                       dtype=np.uint64)
+        np.testing.assert_array_equal(got, exp)
+
+    def test_winnowing_matches_scalar_reference(self, docs):
+        """Engine fingerprints == a from-scratch scalar winnowing."""
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from cesium_spark.operators.textstats import (
+            _WINNOW_B,
+            _WINNOW_MASK,
+            _fnv1a_token_scalar,
+        )
+        k, window = 3, 2
+        out = (textstats.winnowing_fingerprints(docs, k=k, window=window)
+               .toPandas().set_index("doc_id")["fingerprints"])
+        for doc_id, text, _src in DOCS:
+            toks = text.lower().split()
+            if len(toks) < k:
+                assert list(out[doc_id]) == []
+                continue
+            th = np.array([_fnv1a_token_scalar(t) for t in toks],
+                          dtype=np.uint64)
+            n = len(toks) - k + 1
+            acc = np.zeros(n, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(k):
+                    acc = (acc * _WINNOW_B + th[j:j + n]) & _WINNOW_MASK
+            mins = (np.array([acc.min()]) if acc.size <= window
+                    else sliding_window_view(acc, window).min(axis=1))
+            assert list(out[doc_id]) == sorted({int(x) for x in mins})
 
     def test_winnowing_overlap(self, docs):
         out = (textstats.winnowing_fingerprints(docs, k=3, window=2)
