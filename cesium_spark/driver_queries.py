@@ -466,6 +466,78 @@ FROM events GROUP BY 1
 """
 
 
+def q_ts_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-text ingest parity (cesium parse_ts_data †): a slice of
+    events is rendered to per-series csv files in all three positional
+    forms (uid%3: 1-col m / 2-col t,m / 3-col t,m,e with shortest-
+    roundtrip float formatting), parsed back through parse_ts_data, and
+    aggregated. The oracle recomputes the expected values straight from
+    the events VIEW — so file rendering, per-file line ordering
+    (turn_idx), positional mapping, and t/e defaults are all checked
+    end-to-end without the oracle ever touching the files."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from cesium_spark.sources.text_ingest import parse_ts_data
+
+    _prep(spark)
+    outdir = os.path.join("/tmp/cesium_spark_csv",
+                          os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir)
+    con = duckdb.connect()
+    rows = con.sql(f"""
+        SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS t, value AS y
+        FROM '{sf_dir}/events.parquet' WHERE user_id < 10
+        ORDER BY user_id, ts, event_id""").fetchall()
+    con.close()
+    by_uid: dict[int, list[tuple[float, float]]] = {}
+    for uid, t, y in rows:
+        by_uid.setdefault(int(uid), []).append((float(t), float(y)))
+    for uid, series in by_uid.items():
+        form = uid % 3
+        with open(os.path.join(outdir, f"u{uid}.csv"), "w") as fh:
+            for t, y in series:
+                if form == 0:
+                    fh.write(f"{y!r}\n")
+                elif form == 1:
+                    fh.write(f"{t!r},{y!r}\n")
+                else:
+                    fh.write(f"{t!r},{y!r},0.01\n")
+    parsed = parse_ts_data(spark, outdir)
+    return (parsed.groupBy("conv_id")
+            .agg(F.count("*").alias("n"),
+                 _r(F.min("t")).alias("t_min"),
+                 _r(F.max("t")).alias("t_max"),
+                 _r0(F.round(F.sum("y"), 4)).alias("y_sum"),
+                 _r(F.max(F.when(F.col("turn_idx") == 0, F.col("y"))))
+                 .alias("y_first"),
+                 _r(F.min("e")).alias("e_avg")))
+
+
+SQL_TS_PARSE_CSV = """
+WITH src AS (
+  SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS t, value AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS idx
+  FROM events WHERE user_id < 10
+)
+SELECT 'u' || CAST(user_id AS varchar) AS conv_id,
+       count(*) AS n,
+       round(min(CASE WHEN user_id % 3 = 0 THEN CAST(idx AS DOUBLE)
+                      ELSE t END), 6) + 0.0 AS t_min,
+       round(max(CASE WHEN user_id % 3 = 0 THEN CAST(idx AS DOUBLE)
+                      ELSE t END), 6) + 0.0 AS t_max,
+       round(sum(y), 4) + 0.0 AS y_sum,
+       round(max(CASE WHEN idx = 0 THEN y END), 6) + 0.0 AS y_first,
+       round(CASE WHEN user_id % 3 = 2 THEN 0.01 ELSE 0.0001 END, 6) + 0.0
+         AS e_avg
+FROM src GROUP BY user_id
+"""
+
+
 def q_ts_features_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cesium meta_features parity (featurize_time_series(meta_features=…)
     †, SURVEY.md §2.7), both roles in one query: per-conversation dims
@@ -1115,6 +1187,7 @@ QUERIES = {
     "ts_top3_per_type": q_ts_top3_per_type,
     "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
     "ts_features_with_meta": q_ts_features_with_meta,
+    "ts_parse_csv": q_ts_parse_csv,
     "rel_tpch_q1": q_rel_tpch_q1,
     "rel_nation_revenue": q_rel_nation_revenue,
     "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -1156,6 +1229,7 @@ ORACLE_SQL = {
     "ts_top3_per_type": SQL_TS_TOP3,
     "ts_gorilla_roundtrip": SQL_TS_GORILLA,
     "ts_features_with_meta": SQL_TS_FEATURES_WITH_META,
+    "ts_parse_csv": SQL_TS_PARSE_CSV,
     "rel_tpch_q1": SQL_REL_TPCH_Q1,
     "rel_nation_revenue": SQL_REL_NATION_REVENUE,
     "rel_customers_without_orders": SQL_REL_ANTI,

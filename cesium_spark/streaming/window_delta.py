@@ -1,0 +1,90 @@
+"""WindowDelta — the Structured Streaming seam for continuous
+aggregates (SURVEY.md §2.10).
+
+The engine's continuous aggregates are batch-incremental by design:
+idempotent per-partition MERGE of exactly-mergeable window moments
+(operators/fold.py + TableIO.merge_overwrite_partitions). This module
+reifies the documented seam where a ``readStream`` slots into the SAME
+moment schema:
+
+- :func:`stream_rollup_moments` is the streaming twin of
+  ``rollup_moments`` — identical columns (asserted by tests), computed
+  as a watermarked windowed aggregation, so everything downstream
+  (``fold_moments``, ``moments_derived``, tier tables) is agnostic to
+  whether moments arrived from a batch scan or a stream.
+- :func:`stream_to_table` materializes FINALIZED windows (append output
+  mode: each window is emitted exactly once, when the event-time
+  watermark passes its end) into a TableIO table partitioned by
+  ``window_date``. Exactly-once per window + the streaming checkpoint
+  directory give the same resume semantics the batch ledger provides.
+
+Scale/late-data contract: the stream handles in-watermark lateness;
+anything later belongs to the batch backfill path (re-MERGE of the
+affected windows), which is the standard lambda-style split for
+10^12-turn tables. The shuffle is the same single hash exchange on
+(conv_id, channel, window) as the batch path, with partial aggregation
+state in the state store instead of map-side combiners.
+
+The exact kernel path (numpy features) deliberately has NO streaming
+twin: bit-for-bit feature values require whole-window recomputation
+(SURVEY.md §4.3), which is the batch MERGE's job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cesium_spark.operators.rollup import TIERS
+from cesium_spark.sources.table_io import TableIO
+
+_TIER_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def stream_rollup_moments(series_stream: DataFrame, tier: str = "1m",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``rollup_moments``: same mergeable moment
+    columns over a ``readStream`` series (conv_id, channel, ts, y, t).
+    Windows finalize once the event-time watermark passes their end."""
+    if tier not in TIERS:
+        raise ValueError(f"unknown streaming tier {tier!r}; "
+                         f"expected one of {list(_TIER_DURATION)}")
+    win = F.window("ts", _TIER_DURATION[tier])
+    return (
+        series_stream.withWatermark("ts", watermark)
+        .groupBy(F.col("conv_id"), F.col("channel"), win)
+        .agg(
+            F.count("y").alias("n"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            F.sum("y").alias("y_sum"),
+            F.sum(F.col("y") * F.col("y")).alias("y_sum2"),
+            F.sum(F.col("y") * F.col("y") * F.col("y")).alias("y_sum3"),
+            F.min("t").alias("t_min"),
+            F.max("t").alias("t_max"),
+        )
+        .select("conv_id", "channel",
+                F.col("window.start").alias("window_start"),
+                "n", "y_min", "y_max", "y_sum", "y_sum2", "y_sum3",
+                "t_min", "t_max")
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def stream_to_table(moments_stream: DataFrame, io: TableIO, name: str,
+                    checkpoint: str, trigger_available_now: bool = True):
+    """Materialize finalized windows into a ``window_date``-partitioned
+    TableIO table. Append output mode ⇒ one emission per window ⇒ plain
+    appends are idempotent at window granularity; the checkpoint dir
+    carries resume. Returns the started StreamingQuery."""
+    out = moments_stream.withColumn(
+        "window_date", F.col("window_start").cast("date"))
+    writer = (out.writeStream
+              .outputMode("append")
+              .option("checkpointLocation", checkpoint)
+              .partitionBy("window_date")
+              .format("parquet")
+              .option("path", io.path(name)))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

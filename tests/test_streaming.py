@@ -1,0 +1,97 @@
+"""Streaming seam (SURVEY.md §2.10): the readStream moments twin must
+match the batch rollup_moments on finalized windows, incrementally,
+across two availableNow passes sharing one checkpoint."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cesium_spark.operators.rollup import rollup_moments
+from cesium_spark.sources.table_io import TableIO
+from cesium_spark.streaming.window_delta import (
+    stream_rollup_moments,
+    stream_to_table,
+)
+
+SERIES_SCHEMA = ("conv_id string, channel string, turn_idx int, "
+                 "ts timestamp, t double, y double, e double")
+
+
+def _series_pdf(day: int, n: int = 200) -> pd.DataFrame:
+    ts = (pd.Timestamp("2024-01-01", tz=None)
+          + pd.to_timedelta(day, "D")
+          + pd.to_timedelta(np.arange(n) * 97, "s"))
+    return pd.DataFrame({
+        "conv_id": ["conv%02d" % (i % 5) for i in range(n)],
+        "channel": "value",
+        "turn_idx": np.arange(n, dtype=np.int32),
+        "ts": ts,
+        "t": np.arange(n, dtype=np.float64),
+        "y": np.sin(np.arange(n) * 0.7 + day),
+        "e": 1e-4,
+    })
+
+
+def test_stream_moments_schema_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(_series_pdf(0))
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
+    sm = stream_rollup_moments(stream, "1h")
+    bm = rollup_moments(spark.read.parquet(src), "1h")
+    assert sm.schema == bm.schema  # downstream fold/derive agnostic
+
+
+def test_stream_finalized_windows_equal_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "tables")
+    io = TableIO(spark, root)
+    day0 = spark.createDataFrame(_series_pdf(0))
+    day1 = spark.createDataFrame(_series_pdf(1))
+
+    # pass 1: day-0 data (no window can finalize yet)
+    day0.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
+    q = stream_to_table(stream_rollup_moments(stream, "1h", "2 hours"),
+                        io, "stream_moments", ckpt)
+    q.awaitTermination(120)
+
+    # pass 2: day-1 data advances the watermark past every day-0 window
+    day1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
+    q = stream_to_table(stream_rollup_moments(stream, "1h", "2 hours"),
+                        io, "stream_moments", ckpt)
+    q.awaitTermination(120)
+
+    got = (io.read("stream_moments")
+           .where(F.col("window_start") < "2024-01-02")
+           .select("conv_id", "channel", "window_start", "n", "y_min",
+                   "y_max", "y_sum", "t_min", "t_max")
+           .toPandas()
+           .sort_values(["conv_id", "channel", "window_start"])
+           .reset_index(drop=True))
+    exp = (rollup_moments(day0, "1h")
+           .select("conv_id", "channel", "window_start", "n", "y_min",
+                   "y_max", "y_sum", "t_min", "t_max")
+           .toPandas()
+           .sort_values(["conv_id", "channel", "window_start"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "channel", "n"]], exp[["conv_id", "channel", "n"]],
+        check_dtype=False)
+    for c in ("y_min", "y_max", "t_min", "t_max"):
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
+    np.testing.assert_allclose(got["y_sum"], exp["y_sum"], rtol=1e-12)
+
+
+def test_stream_rejects_conv_tier(spark, tmp_path):
+    src = str(tmp_path / "s2")
+    spark.createDataFrame(_series_pdf(0)).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
+    with pytest.raises(ValueError):
+        stream_rollup_moments(stream, "conv")
