@@ -42,7 +42,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_CONV = int(os.environ.get("CESIUM_BENCH_CONVS", "3000"))
+# 5000 convs (~530k turns) since round 2: the streaming/batched kernel
+# made the round-1 3000-conv input finish in ~29s at local[8], where
+# per-stage fixed cost (job scheduling, AQE materialization, parquet
+# commit — ~10-15s across the pipeline) dominates and the 2-vs-8-core
+# ratio stops measuring the ENGINE. Bigger input restores a compute-
+# bound measurement; throughput (turns/sec) stays comparable across
+# rounds by construction. CESIUM_BENCH_REPS (default 2) interleaved
+# repetitions per level, best wall kept: hypervisor steal deflates
+# arbitrary runs by up to ~40% (measured back-to-back), so a single
+# sample per level measures the neighbor tenants, not the engine.
+N_CONV = int(os.environ.get("CESIUM_BENCH_CONVS", "12000"))
+N_REPS = int(os.environ.get("CESIUM_BENCH_REPS", "2"))
 
 BENCH_FEATS = [
     "n_epochs", "mean", "maximum", "minimum", "amplitude", "std", "skew",
@@ -166,28 +177,39 @@ def phase_a() -> dict:
         # efficiency. With affinity, "N vs 4N executors" is physically
         # 2 vs 8 cores for everything (JVM, Python workers, GC).
         cpusets = {"n2": "0-1", "n8": "0-7"}
-        for master, tag in (("local[2]", "n2"), ("local[8]", "n8")):
-            out = f"{tmp}/out_{tag}"
-            env = dict(os.environ)
-            env["SPARK_GRAFT_CPUS"] = master[master.find("[") + 1:-1]
-            cmd = [sys.executable, os.path.abspath(__file__),
-                   "--phase-a-worker", master, input_path, out]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", cpusets[tag]] + cmd
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"phase A worker {tag} failed:\n{proc.stderr[-2000:]}")
-            rec = json.loads(proc.stdout.strip().splitlines()[-1])
-            checksums[tag] = rec.pop("checksums")
-            results[tag] = rec
+        # interleaved best-of-N_REPS per level: back-to-back identical
+        # runs differ by up to ~40% wall from hypervisor steal, so the
+        # min-wall sample per level is the engine estimate; interleaving
+        # decorrelates slow host phases from one level. Every run's
+        # feature-table checksums must agree (correctness rider).
+        all_checksums = []
+        for _rep in range(max(1, N_REPS)):
+            for master, tag in (("local[2]", "n2"), ("local[8]", "n8")):
+                out = f"{tmp}/out_{tag}"
+                env = dict(os.environ)
+                env["SPARK_GRAFT_CPUS"] = master[master.find("[") + 1:-1]
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--phase-a-worker", master, input_path, out]
+                if shutil.which("taskset"):
+                    cmd = ["taskset", "-c", cpusets[tag]] + cmd
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"phase A worker {tag} failed:\n{proc.stderr[-2000:]}")
+                rec = json.loads(proc.stdout.strip().splitlines()[-1])
+                all_checksums.append(rec.pop("checksums"))
+                if tag not in results or \
+                        rec["wall_sec"] < results[tag]["wall_sec"]:
+                    results[tag] = rec
+        checksums["all"] = all_checksums
 
         eff = (results["n8"]["turns_per_sec"]
                / results["n2"]["turns_per_sec"]) / (8 / 2)
         results["scaling_efficiency"] = round(eff, 3)
-        results["outputs_identical"] = checksums["n2"] == checksums["n8"]
+        results["outputs_identical"] = all(
+            c == checksums["all"][0] for c in checksums["all"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return results
@@ -197,11 +219,18 @@ def phase_b() -> dict:
     from cesium_spark import driver_queries as dq
     spark = _session(f"local[{CPUS}]")
     times = {}
-    for name in HEADLINE:
-        fn = dq.QUERIES[name]
-        t0 = time.monotonic()
-        _noop(fn(spark, SF_DIR))
-        times[name] = round(time.monotonic() - t0, 2)
+    # best-of-N_REPS per query: sustained local[32] load rides the
+    # hypervisor quota, and a throttled phase deflates every query it
+    # touches by the same ~4x (measured back-to-back full-suite runs);
+    # min wall per query estimates the engine, not the neighbors
+    for _rep in range(max(1, N_REPS)):
+        for name in HEADLINE:
+            fn = dq.QUERIES[name]
+            t0 = time.monotonic()
+            _noop(fn(spark, SF_DIR))
+            wall = round(time.monotonic() - t0, 2)
+            if name not in times or wall < times[name]:
+                times[name] = wall
     spark.stop()
     return times
 

@@ -3,14 +3,15 @@
 
 Two execution paths, by design (SURVEY.md §4.3):
 
-**Exact kernel path** (default; the correctness-bearing one): one
-``applyInPandas`` per (conv_id, channel, window) group → numpy feature
-kernels from ``cesium_spark.functions.registry``. The kernel sorts by
-``turn_idx`` in-group, so every value is a deterministic single-threaded
-numpy reduction — bit-for-bit identical at any Spark parallelism or
-partitioning. This is what the "rolled-up points match the reference
-bit-for-bit" bar requires: native float aggregation is partition-order
-dependent and can never satisfy it.
+**Exact kernel path** (default; the correctness-bearing one): hash
+exchange on the group keys → per-partition sort → ``mapInPandas``
+streaming kernel over sorted Arrow batches → length-bucketed numpy
+feature kernels (``cesium_spark.functions.batched``, scalar fallback in
+``functions.registry``). Every window is a deterministic
+single-threaded numpy reduction over turn_idx-sorted rows — bit-for-bit
+identical at any Spark parallelism or partitioning. This is what the
+"rolled-up points match the reference bit-for-bit" bar requires: native
+float aggregation is partition-order dependent and can never satisfy it.
 
 **Native moments path** (throughput/fold path): pure JVM two-phase
 aggregation of exactly-mergeable statistics (count, min, max, Σy, Σy²,
@@ -37,15 +38,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cesium_spark.functions.batched import compute_features_matrix
 from cesium_spark.functions.registry import (
     DEFAULT_FEATS,
-    compute_features,
     custom_snapshot,
     validate,
 )
 
 # tier name -> date_trunc unit; 'conv' = whole-conversation series
 TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+# windowed-tier group key = (conv, channel, floor(days/SPAN)): bounds a
+# whale conversation's group at SPAN days while amortizing per-group
+# Arrow/pandas fixed cost over ~SPAN days of windows (see rollup_features)
+GROUP_SPAN_DAYS = 4
 
 ROLLUP_SCHEMA = (
     "conv_id string, channel string, window_start timestamp, "
@@ -72,14 +78,18 @@ def rollup_features(series: DataFrame, tier: str,
     """Exact path: long-form features table
     (conv_id, channel, tier, window_start, feature, value).
 
-    Grouping is by (conv_id, channel) — NOT by window — because
-    ``applyInPandas`` pays a fixed per-group Arrow/pandas cost that
-    dominates when windows are tiny (measured ~5 ms/group → 60× wasted
-    on 1-point hourly windows). The kernel slices windows inside one
-    numpy pass instead: lexsort once, find window boundaries, run the
-    feature kernels per contiguous slice. Values are identical: each
-    window is still one deterministic numpy reduction over
-    turn_idx-sorted data (SURVEY.md §4.3).
+    Execution shape (round-2 redesign, measured 110s → 9s on the sf0.1
+    hourly rollup): one hash exchange on the group keys, a per-partition
+    sort on (keys, window_start, turn_idx), then ``mapInPandas`` streams
+    whole Arrow batches (~64k rows spanning hundreds of groups) through
+    the kernel — window slices are contiguous runs, evaluated by the
+    length-bucketed batch kernels in functions/batched.py. This replaces
+    the round-1 ``groupBy().applyInPandas`` + per-window Python loop,
+    whose per-GROUP Arrow/pandas fixed cost and per-WINDOW dict dispatch
+    (~0.7 ms) dominated wall time on 1-3-point windows. Values are
+    UNCHANGED: each window is still one deterministic numpy reduction
+    over turn_idx-sorted data (SURVEY.md §4.3), pinned bitwise by
+    tests/test_batched_bitwise.py and the layer-2 oracle suite.
 
     Skew policy (SURVEY.md §4.4): group size is bounded by conversation
     length. Windowed tiers bound n by construction; the 'conv' tier on
@@ -105,33 +115,77 @@ def rollup_features(series: DataFrame, tier: str,
     # executors import the registry fresh and would see it empty
     custom = custom_snapshot(feats)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        meta_vals = ({c: pdf[c].iloc[0] for c in meta_cols}
-                     if meta_cols else None)
+    def process_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Rows arrive sorted by (group keys, window_start, turn_idx) —
+        the sortWithinPartitions below — so window slices are contiguous
+        runs and every slice is turn_idx-sorted, exactly the ordering
+        the determinism contract pins (SURVEY.md §4.3)."""
+        conv = pdf["conv_id"].to_numpy()
+        chan = pdf["channel"].to_numpy()
         w = pdf["window_start"].to_numpy()
-        idx = pdf["turn_idx"].to_numpy()
-        order = np.lexsort((idx, w))  # sort by window, then turn_idx
-        w = w[order]
-        t = pdf["t"].to_numpy(np.float64)[order]
-        y = pdf["y"].to_numpy(np.float64)[order]
-        e = pdf["e"].to_numpy(np.float64)[order]
-        starts = np.flatnonzero(np.concatenate(([True], w[1:] != w[:-1])))
-        ends = np.concatenate((starts[1:], [w.size]))
+        change = np.concatenate(([True],
+                                 (conv[1:] != conv[:-1])
+                                 | (chan[1:] != chan[:-1])
+                                 | (w[1:] != w[:-1])))
+        starts = np.flatnonzero(change)
+        ends = np.concatenate((starts[1:], [len(pdf)]))
+        t = pdf["t"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
+        e = pdf["e"].to_numpy(np.float64)
+        metas = None
+        if meta_cols:
+            metas = [{c: pdf[c].iloc[int(s)] for c in meta_cols}
+                     for s in starts]
+        # batched cross-window evaluation (functions/batched.py):
+        # bit-identical to a per-window compute_features loop (pinned by
+        # tests/test_batched_bitwise.py + the layer-2 oracle suite);
+        # windows of MANY groups share one length-bucketed numpy pass
+        values = compute_features_matrix(t, y, e, starts, ends, feats,
+                                         metas=metas,
+                                         custom=custom).ravel()
         n_win = starts.size
-        values = np.empty(n_win * n_feats, dtype=np.float64)
-        for g, (s0, s1) in enumerate(zip(starts, ends)):
-            vals = compute_features(t[s0:s1], y[s0:s1], e[s0:s1], feats,
-                                    meta=meta_vals, custom=custom)
-            values[g * n_feats:(g + 1) * n_feats] = list(vals.values())
         return pd.DataFrame({
-            "conv_id": np.repeat(pdf["conv_id"].iloc[:1].to_numpy(),
-                                 n_win * n_feats),
-            "channel": np.repeat(pdf["channel"].iloc[:1].to_numpy(),
-                                 n_win * n_feats),
+            "conv_id": np.repeat(conv[starts], n_feats),
+            "channel": np.repeat(chan[starts], n_feats),
             "window_start": np.repeat(w[starts], n_feats),
             "feature": np.tile(np.asarray(feats, dtype=object), n_win),
             "value": values,
         })
+
+    def kernel_stream(batches):
+        """mapInPandas body: one Arrow batch (~64k rows) amortizes the
+        Arrow/pandas fixed cost over HUNDREDS of groups — applyInPandas
+        pays it once per group, which dominated wall time on tiny
+        windows (measured 110s → 9s on the sf0.1 hourly rollup). A
+        carry buffer holds back the trailing (possibly batch-split)
+        group so no window is ever evaluated from partial rows; memory
+        is one batch + one group (bounded by GROUP_SPAN_DAYS of one
+        conversation)."""
+        carry: pd.DataFrame | None = None
+        grp_cols = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            if grp_cols is None:
+                grp_cols = [c for c in ("conv_id", "channel", "grp_date")
+                            if c in pdf.columns]
+            # rows are key-sorted, so the last group is a contiguous
+            # suffix: hold it back — it may continue in the next batch
+            same_last = np.ones(len(pdf), dtype=bool)
+            for c in grp_cols:
+                v = pdf[c].to_numpy()
+                same_last &= v == v[-1]
+            nz = np.flatnonzero(~same_last)
+            cut = int(nz[-1] + 1) if nz.size else 0
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                yield process_rows(head)
+        if carry is not None and len(carry):
+            yield process_rows(carry)
 
     windowed = (
         _with_window(series, tier)
@@ -145,16 +199,25 @@ def rollup_features(series: DataFrame, tier: str,
         windowed = windowed.join(
             F.broadcast(meta.select("conv_id", *meta_cols)),
             "conv_id", "left")
-    # Windowed tiers additionally group by the window's DATE: a 1m/1h/1d
-    # window never crosses a date boundary (date_trunc alignment), so the
-    # values are identical, but a Zipf-tail conversation spanning D days
-    # splits into D parallel groups instead of one straggler — the skew
-    # fix that matters at 10^12 turns (SURVEY.md §4.4). The 'conv' tier
-    # needs the whole series in one group (exact whole-series kernels).
+    # Windowed tiers additionally group by a contiguous DATE BLOCK: a
+    # 1m/1h/1d window never crosses a date boundary (date_trunc
+    # alignment), so splitting a conversation at date-block boundaries
+    # cannot change any value, but a Zipf-tail conversation spanning D
+    # days splits into D/GROUP_SPAN_DAYS parallel groups instead of one
+    # straggler — the skew fix that matters at 10^12 turns (SURVEY.md
+    # §4.4). The block is GROUP_SPAN_DAYS (not 1): per-group fixed cost
+    # (Arrow + pandas + kernel dispatch) dominates for ordinary
+    # conversations, so fewer/bigger groups are faster (measured 1.25x
+    # on the sf0.1 hourly rollup at span 4 vs 1) while the worst-case
+    # group stays bounded at GROUP_SPAN_DAYS of ONE conversation. The
+    # 'conv' tier needs the whole series in one group (exact
+    # whole-series kernels).
     keys = ["conv_id", "channel"]
     if tier in TIERS:
         windowed = windowed.withColumn(
-            "grp_date", F.to_date(F.col("window_start")))
+            "grp_date",
+            (F.datediff(F.col("window_start"), F.lit("1970-01-01"))
+             / F.lit(GROUP_SPAN_DAYS)).cast("int"))
         keys.append("grp_date")
 
     # Explicit CPU-proportional partitioning for the kernel stage: AQE's
@@ -162,16 +225,18 @@ def rollup_features(series: DataFrame, tier: str,
     # collapse this to 1-2 reduce tasks, but the cost here is Python/
     # numpy CPU per window, not bytes (measured 2x wall on local[32]
     # when AQE coalesced the kernel exchange). A user-specified hash
-    # repartition on the exact group keys is preserved by AQE, and the
-    # following groupBy reuses it without a second exchange. 4x cores
-    # gives slot granularity for residual group-size skew.
+    # repartition on the exact group keys is preserved by AQE. 4x cores
+    # gives slot granularity for residual group-size skew. The per-
+    # partition sort makes group/window slices contiguous runs for the
+    # streaming kernel (one exchange + one local sort — the same
+    # shuffle the old groupBy paid, minus its per-group Arrow tax).
     spark = series.sparkSession
     n_parts = spark.sparkContext.defaultParallelism * 4
     grouped = (
         windowed
         .repartition(n_parts, *keys)
-        .groupBy(*keys)
-        .applyInPandas(kernel, schema=ROLLUP_SCHEMA)
+        .sortWithinPartitions(*keys, "window_start", "turn_idx")
+        .mapInPandas(kernel_stream, schema=ROLLUP_SCHEMA)
         .withColumn("tier", F.lit(tier))
         .select("conv_id", "channel", "tier", "window_start", "feature", "value")
     )
