@@ -52,7 +52,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # repetitions per level, best wall kept: hypervisor steal deflates
 # arbitrary runs by up to ~40% (measured back-to-back), so a single
 # sample per level measures the neighbor tenants, not the engine.
-N_CONV = int(os.environ.get("CESIUM_BENCH_CONVS", "12000"))
+N_CONV = int(os.environ.get("CESIUM_BENCH_CONVS", "5000"))
 N_REPS = int(os.environ.get("CESIUM_BENCH_REPS", "2"))
 
 BENCH_FEATS = [

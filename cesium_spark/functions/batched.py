@@ -47,6 +47,11 @@ _CADENCE_BATCH = (["n_epochs", "total_time", "avgt",
                    "cads_avg", "cads_med", "cads_std",
                    "avg_err", "med_err", "std_err"]
                   + [f"cad_probs_{n}" for n in feat.CAD_PROB_THRESHOLDS])
+
+# cache-blocking chunk size (elements per matrix): 3 input matrices +
+# temporaries at 16k elements ≈ ~0.5-1 MB — inside per-core L2, so the
+# ~40 feature passes run on-chip instead of re-streaming DRAM
+_CHUNK_ELEMS = 16384
 BATCHABLE = set(_GENERAL_BATCH + _FLUX_BATCH + _STETSON_BATCH
                 + _CADENCE_BATCH)
 
@@ -236,9 +241,19 @@ def compute_features_matrix(t: np.ndarray, y: np.ndarray, e: np.ndarray,
         lens = ends - starts
         for L in np.unique(lens):
             rows = np.flatnonzero(lens == L)
-            gather = starts[rows][:, None] + np.arange(L)[None, :]
-            _batch_one_length(t[gather], y[gather], e[gather],
-                              batch_wanted, out, rows, col)
+            # cache-block the bucket: the families make ~40 elementwise/
+            # reduction passes over the (W, L) matrices, and full-bucket
+            # matrices stream from DRAM on every pass — measured 2-4x
+            # per-task slowdown under multi-core contention on this
+            # memory system. Chunking rows so one chunk's matrices fit
+            # in-cache keeps those passes on-chip (per-ROW reductions
+            # are untouched by row chunking, so values are identical).
+            step = max(1, _CHUNK_ELEMS // int(L))
+            for lo in range(0, rows.size, step):
+                sub = rows[lo:lo + step]
+                gather = starts[sub][:, None] + np.arange(L)[None, :]
+                _batch_one_length(t[gather], y[gather], e[gather],
+                                  batch_wanted, out, sub, col)
     if rest:
         rcols = np.array([col[f] for f in rest])
         for i in range(n_win):
