@@ -58,6 +58,13 @@ ROLLUP_SCHEMA = (
     "feature string, value double"
 )
 
+ROLLUP_MULTI_SCHEMA = (
+    "conv_id string, channel string, tier string, "
+    "window_start timestamp, feature string, value double"
+)
+
+_TIER_NP_UNIT = {"1m": "m", "1h": "h", "1d": "D"}
+
 MOMENTS_SCHEMA_COLS = [
     "n", "y_min", "y_max", "y_sum", "y_sum2", "y_sum3", "t_min", "t_max",
 ]
@@ -241,6 +248,109 @@ def rollup_features(series: DataFrame, tier: str,
         .select("conv_id", "channel", "tier", "window_start", "feature", "value")
     )
     return grouped
+
+
+def rollup_features_multi(series: DataFrame, tiers: Iterable[str],
+                          features: Iterable[str] | None = None,
+                          meta: DataFrame | None = None) -> DataFrame:
+    """ALL windowed tiers from ONE shuffle: long features table
+    (conv_id, channel, tier, window_start, feature, value) for every
+    tier in ``tiers`` (subset of 1m/1h/1d; the 'conv' tier needs whole
+    conversations — use :func:`rollup_features`).
+
+    Why this exists: 1m/1h/1d windows all NEST inside the
+    (conv, channel, GROUP_SPAN_DAYS date block) group, so one hash
+    exchange + one sorted scan can emit every tier — at 10^12 turns
+    that is one shuffle of the turn stream instead of three, and one
+    pass of kernel CPU amortized across tiers. Values are bit-identical
+    to per-tier :func:`rollup_features` calls (pinned by
+    tests/test_rollup_multi.py): the kernel derives each tier's window
+    ids by numpy datetime64 truncation, which equals Spark's UTC
+    ``date_trunc`` for post-epoch timestamps (the engine's domain)."""
+    tiers = list(tiers)
+    bad = [t for t in tiers if t not in _TIER_NP_UNIT]
+    if bad:
+        raise ValueError(f"rollup_features_multi supports {list(_TIER_NP_UNIT)}; "
+                         f"got {bad} (run 'conv' via rollup_features)")
+    feats = validate(list(features) if features is not None else DEFAULT_FEATS)
+    n_feats = len(feats)
+    meta_cols = ([c for c in meta.columns if c != "conv_id"]
+                 if meta is not None else [])
+    custom = custom_snapshot(feats)
+    tier_units = [(t, _TIER_NP_UNIT[t]) for t in tiers]
+
+    def process_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].to_numpy()
+        chan = pdf["channel"].to_numpy()
+        ts64 = pdf["ts"].to_numpy("datetime64[us]")
+        grp_change = np.concatenate(([True],
+                                     (conv[1:] != conv[:-1])
+                                     | (chan[1:] != chan[:-1])))
+        t = pdf["t"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
+        e = pdf["e"].to_numpy(np.float64)
+        outs = []
+        for tier, unit in tier_units:
+            w = ts64.astype(f"datetime64[{unit}]")
+            change = grp_change.copy()
+            change[1:] |= w[1:] != w[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            metas = None
+            if meta_cols:
+                metas = [{c: pdf[c].iloc[int(s)] for c in meta_cols}
+                         for s in starts]
+            values = compute_features_matrix(t, y, e, starts, ends, feats,
+                                             metas=metas,
+                                             custom=custom).ravel()
+            n_win = starts.size
+            outs.append(pd.DataFrame({
+                "conv_id": np.repeat(conv[starts], n_feats),
+                "channel": np.repeat(chan[starts], n_feats),
+                "tier": tier,
+                "window_start": np.repeat(w[starts].astype("datetime64[us]"),
+                                          n_feats),
+                "feature": np.tile(np.asarray(feats, dtype=object), n_win),
+                "value": values,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    def kernel_stream(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            same_last = np.ones(len(pdf), dtype=bool)
+            for c in ("conv_id", "channel", "grp_date"):
+                v = pdf[c].to_numpy()
+                same_last &= v == v[-1]
+            nz = np.flatnonzero(~same_last)
+            cut = int(nz[-1] + 1) if nz.size else 0
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                yield process_rows(head)
+        if carry is not None and len(carry):
+            yield process_rows(carry)
+
+    cols = ["conv_id", "channel", "ts", "turn_idx", "t", "y", "e"]
+    windowed = series.select(*cols).withColumn(
+        "grp_date",
+        (F.datediff(F.col("ts"), F.lit("1970-01-01"))
+         / F.lit(GROUP_SPAN_DAYS)).cast("int"))
+    if meta_cols:
+        windowed = windowed.join(
+            F.broadcast(meta.select("conv_id", *meta_cols)), "conv_id", "left")
+    keys = ["conv_id", "channel", "grp_date"]
+    spark = series.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    return (windowed
+            .repartition(n_parts, *keys)
+            .sortWithinPartitions(*keys, "ts", "turn_idx")
+            .mapInPandas(kernel_stream, schema=ROLLUP_MULTI_SCHEMA))
 
 
 def pivot_wide(features_long: DataFrame, features: Iterable[str]) -> DataFrame:

@@ -13,6 +13,15 @@ Scale shape (10^12 turns): every per-tier pass is
     (tier, window_date) partitions.
 Incremental runs therefore cost O(new windows), not O(table) — the
 batch-incremental formulation of continuous aggregates (SURVEY.md §2.10).
+
+Tier staging tradeoff: this pipeline runs tiers as SEPARATE stages on
+purpose — the ledger's resume/crash granularity is per (tier,
+window_date), and in the steady state each incremental pass touches a
+small pending slice where per-stage fixed cost is negligible. For BULK
+builds (initial backfill, full recompute), use
+``operators.rollup.rollup_features_multi``: all windowed tiers from ONE
+shuffle of the turn stream — at 10^12 turns, one exchange instead of
+three (bench.py's pipeline_body measures exactly that path).
 """
 
 from __future__ import annotations
