@@ -466,6 +466,53 @@ FROM events GROUP BY 1
 """
 
 
+def q_ts_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused multi-tier rollup under the driver gate: 1h AND 1d feature
+    windows from ONE shuffle (rollup_features_multi), checked against a
+    per-tier DuckDB oracle union. Representation rules as the flagship
+    query (skew +0.0 etc.)."""
+    from cesium_spark.operators.rollup import rollup_features_multi
+
+    s = derive_series(events_transcripts(spark, sf_dir))
+    feats = ["n_epochs", "mean", "maximum", "minimum", "std", "skew"]
+    long = rollup_features_multi(s, ["1h", "1d"], feats)
+    wide = (long.groupBy("conv_id", "channel", "tier", "window_start")
+            .pivot("feature", feats).agg(F.first("value")))
+    return wide.select(
+        "conv_id", "channel", "tier",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n_epochs").cast("long").alias("n_epochs"),
+        _r(F.col("mean")).alias("mean"),
+        _r(F.col("maximum")).alias("maximum"),
+        _r(F.col("minimum")).alias("minimum"),
+        _r(F.col("std")).alias("std"),
+        _r(F.col("skew")).alias("skew"),
+    )
+
+
+SQL_TS_ROLLUP_MULTI = _SERIES_SQL + f"""
+, both_tiers AS (
+  SELECT conv_id, channel, '1h' AS tier,
+         date_trunc('hour', ts) AS w, y FROM series
+  UNION ALL
+  SELECT conv_id, channel, '1d', date_trunc('day', ts), y FROM series
+)
+SELECT conv_id, channel, tier,
+       strftime(w, '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n_epochs,
+       round(avg(y), 6) + 0.0 AS mean,
+       round(max(y), 6) + 0.0 AS maximum,
+       round(min(y), 6) + 0.0 AS minimum,
+       round(sqrt(greatest(avg(y*y) - avg(y)*avg(y), 0)), 6) + 0.0 AS std,
+       CASE WHEN avg(y*y) - avg(y)*avg(y) > 0 THEN
+         round((avg(y*y*y) - 3*avg(y)*avg(y*y) + 2*avg(y)*avg(y)*avg(y))
+               / (avg(y*y) - avg(y)*avg(y)) ^ 1.5, 6) + 0.0
+       END AS skew
+FROM both_tiers
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_ts_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delimited-text ingest parity (cesium parse_ts_data †): a slice of
     events is rendered to per-series csv files in all three positional
@@ -535,6 +582,66 @@ SELECT 'u' || CAST(user_id AS varchar) AS conv_id,
        round(CASE WHEN user_id % 3 = 2 THEN 0.01 ELSE 0.0001 END, 6) + 0.0
          AS e_avg
 FROM src GROUP BY user_id
+"""
+
+
+def q_ts_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seam under the driver gate: the value series is
+    replayed through readStream (file source, availableNow), the
+    watermarked 1h moments stream materializes FINALIZED windows
+    (streaming/window_delta.py), and the result is checked against a
+    batch DuckDB oracle with the same cutoff. Spark's availableNow
+    final flush emits exactly the windows with window_end <= max(ts) −
+    delay; the 7000 s (non-round) delay keeps the cutoff off hour
+    boundaries so the <=/< edge cannot bite."""
+    import os
+    import shutil
+
+    from cesium_spark.sources.table_io import TableIO
+    from cesium_spark.streaming.window_delta import (
+        stream_rollup_moments,
+        stream_to_table,
+    )
+
+    _prep(spark)
+    base = os.path.join("/tmp/cesium_spark_stream",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+    s = _value_series(spark, sf_dir)
+    s.coalesce(1).write.mode("append").parquet(f"{base}/src")
+    schema = ("conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double, e double")
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src")
+    io = TableIO(spark, f"{base}/tables")
+    q = stream_to_table(stream_rollup_moments(stream, "1h", "7000 seconds"),
+                        io, "stream_moments", f"{base}/ckpt")
+    q.awaitTermination(300)
+    out = io.read("stream_moments")
+    return out.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        _r(F.col("y_min")).alias("y_min"),
+        _r(F.col("y_max")).alias("y_max"),
+        _r0(F.round(F.col("y_sum"), 4)).alias("y_sum"))
+
+
+SQL_TS_STREAM_MOMENTS = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+w AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         date_trunc('hour', ts) AS ws, value
+  FROM events
+)
+SELECT conv_id, strftime(ws, '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n,
+       round(min(value), 6) + 0.0 AS y_min,
+       round(max(value), 6) + 0.0 AS y_max,
+       round(sum(value), 4) + 0.0 AS y_sum
+FROM w, mx
+GROUP BY conv_id, ws, mx.m
+HAVING ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 7000 SECONDS
 """
 
 
@@ -1187,7 +1294,9 @@ QUERIES = {
     "ts_top3_per_type": q_ts_top3_per_type,
     "ts_gorilla_roundtrip": q_ts_gorilla_roundtrip,
     "ts_features_with_meta": q_ts_features_with_meta,
+    "ts_rollup_multi": q_ts_rollup_multi,
     "ts_parse_csv": q_ts_parse_csv,
+    "ts_stream_moments": q_ts_stream_moments,
     "rel_tpch_q1": q_rel_tpch_q1,
     "rel_nation_revenue": q_rel_nation_revenue,
     "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -1229,7 +1338,9 @@ ORACLE_SQL = {
     "ts_top3_per_type": SQL_TS_TOP3,
     "ts_gorilla_roundtrip": SQL_TS_GORILLA,
     "ts_features_with_meta": SQL_TS_FEATURES_WITH_META,
+    "ts_rollup_multi": SQL_TS_ROLLUP_MULTI,
     "ts_parse_csv": SQL_TS_PARSE_CSV,
+    "ts_stream_moments": SQL_TS_STREAM_MOMENTS,
     "rel_tpch_q1": SQL_REL_TPCH_Q1,
     "rel_nation_revenue": SQL_REL_NATION_REVENUE,
     "rel_customers_without_orders": SQL_REL_ANTI,
