@@ -243,6 +243,10 @@ def phase_a() -> dict:
 def phase_b() -> dict:
     from cesium_spark import driver_queries as dq
     spark = _session(f"local[{CPUS}]")
+    # untimed warmup (same rationale as phase A): the first timed query
+    # otherwise pays Python-worker spin-up + codegen inside its wall —
+    # measured ~10 s of pure startup attributed to ts_rollup_1h_kernel
+    _noop(dq.QUERIES["ts_rollup_1h_kernel"](spark, "/root/testdata/sf0.001"))
     times = {}
     # best-of-N_REPS per query: sustained local[32] load rides the
     # hypervisor quota, and a throttled phase deflates every query it
