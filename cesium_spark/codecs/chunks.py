@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cesium_spark.codecs.gorilla import (
-    decode_timestamps,
-    decode_values,
+    decode_timestamps_many,
+    decode_values_many,
     encode_timestamps,
     encode_values,
 )
@@ -89,26 +89,29 @@ def decode_chunks(chunks: DataFrame, verify_crc: bool = True) -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                crc = zlib.crc32(row.ts_blob)
-                crc = zlib.crc32(row.idx_blob, crc)
-                crc = zlib.crc32(row.y_blob, crc)
-                if verify_crc and crc != row.crc:
-                    raise ValueError(
-                        f"crc mismatch in chunk ({row.conv_id}, {row.channel}, "
-                        f"{row.chunk_idx})")
-                ts = decode_timestamps(row.ts_blob).view("datetime64[us]")
-                idx = decode_timestamps(row.idx_blob).astype(np.int32)
-                y = decode_values(row.y_blob)
-                frames.append(pd.DataFrame({
-                    "conv_id": row.conv_id,
-                    "channel": row.channel,
-                    "turn_idx": idx,
-                    "ts": ts,
-                    "y": y,
-                }))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            if verify_crc:
+                # zlib.crc32 is C-speed; per-row cost is negligible
+                for row in pdf.itertuples(index=False):
+                    crc = zlib.crc32(row.ts_blob)
+                    crc = zlib.crc32(row.idx_blob, crc)
+                    crc = zlib.crc32(row.y_blob, crc)
+                    if crc != row.crc:
+                        raise ValueError(
+                            f"crc mismatch in chunk ({row.conv_id}, "
+                            f"{row.channel}, {row.chunk_idx})")
+            # whole-batch vectorized decode (gorilla.decode_*_many):
+            # all chunks of the Arrow batch share one lockstep pass
+            ts_flat, n = decode_timestamps_many(list(pdf["ts_blob"]))
+            idx_flat, _ = decode_timestamps_many(list(pdf["idx_blob"]))
+            y_flat, _ = decode_values_many(list(pdf["y_blob"]))
+            yield pd.DataFrame({
+                "conv_id": np.repeat(pdf["conv_id"].to_numpy(), n),
+                "channel": np.repeat(pdf["channel"].to_numpy(), n),
+                "turn_idx": idx_flat.astype(np.int32),
+                "ts": ts_flat.view("datetime64[us]"),
+                "y": y_flat,
+            })
 
     return chunks.mapInPandas(kernel, schema=DECODED_SCHEMA)

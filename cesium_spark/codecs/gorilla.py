@@ -16,9 +16,18 @@
   codec at all).
 
 ENCODE is fully vectorized (token arrays → one bit-expansion →
-np.packbits). DECODE walks the bitstream sequentially (variable-length
-codes), which is off the hot path: the engine decodes only for
-verification and point reads; scans at scale read the rollup tiers.
+np.packbits). DECODE is vectorized too (round 3): variable-length
+codes serialize only the *positions* of tokens, not their payloads, so
+the decoder (a) follows the position chain for all chunks of a batch
+in lockstep — one vectorized step per token *index* across chunks,
+decoding each step's token width from a 2-3-byte gather + control-bit
+LUT at the visited positions only (O(tokens) total, independent of
+stream bit-length) — then (b) extracts all payloads with 9-byte window
+gathers and (c) reconstructs series with prefix scans
+(np.cumsum / np.bitwise_xor.accumulate with per-chunk offset
+subtraction, exact because +/xor are associative mod 2^64). The
+original per-token readers are kept as ``*_scalar`` references and the
+test suite asserts batch ≡ scalar bit-for-bit.
 
 Bitwise roundtrip is asserted for every IEEE-754 payload including
 ±0.0, subnormals and NaN payloads (tests/test_codecs.py, hypothesis).
@@ -146,7 +155,9 @@ def encode_timestamps(ts_us: np.ndarray) -> bytes:
     return b"".join(out)
 
 
-def decode_timestamps(buf: bytes) -> np.ndarray:
+def decode_timestamps_scalar(buf: bytes) -> np.ndarray:
+    """Reference per-token decoder (word-level peek reader). Kept as the
+    differential-testing baseline for the vectorized batch decoder."""
     n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
     if n == 0:
         return np.empty(0, dtype=np.int64)
@@ -263,7 +274,8 @@ def encode_values(y: np.ndarray) -> bytes:
     return b"".join(out)
 
 
-def decode_values(buf: bytes) -> np.ndarray:
+def decode_values_scalar(buf: bytes) -> np.ndarray:
+    """Reference per-token decoder; see decode_timestamps_scalar."""
     n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
     if n == 0:
         return np.empty(0, dtype=np.float64)
@@ -287,3 +299,327 @@ def decode_values(buf: bytes) -> np.ndarray:
         prev = (prev ^ x) & _M64
         vals[i] = prev
     return vals.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch decode (round 3)
+#
+# A variable-length code only serializes token POSITIONS; widths are a
+# pure function of a few leading control bits. So decode splits into:
+#   1. width-at-every-bit-position table (vectorized LUT gather),
+#   2. position chain p_{k+1} = p_k + width[p_k] — followed in LOCKSTEP
+#      across all chunks of the batch (one small gather per token
+#      index, not one Python iteration per token per chunk),
+#   3. payload extraction at the realized positions (one big gather +
+#      shift arithmetic),
+#   4. series reconstruction via prefix scans with per-chunk offset
+#      subtraction (exact: + and xor are associative mod 2^64, the
+#      same wraparound semantics as the scalar decoder).
+# Working-set is bounded by _MAX_STREAM_BYTES sub-batches.
+# ---------------------------------------------------------------------------
+
+_MAX_STREAM_BYTES = 64 << 20  # per sub-batch; bounds the bytes-join + O(tokens) scratch
+
+
+class _Arena:
+    """Persistent per-process scratch buffers. This host (and any cold
+    executor) pays heavy first-touch page-fault cost on fresh large
+    allocations; reusing named buffers across decode calls pays it once
+    per worker instead of once per Arrow batch. Buffers grow with 30%
+    headroom and are keyed by name, so the working set is bounded by
+    _MAX_STREAM_BYTES times a small constant (~70×) per process."""
+
+    def __init__(self):
+        self._bufs: dict[str, np.ndarray] = {}
+
+    def __call__(self, key: str, n: int, dtype) -> np.ndarray:
+        n = int(n)
+        buf = self._bufs.get(key)
+        if buf is None or buf.dtype != np.dtype(dtype) or buf.size < n:
+            buf = np.empty(max(n, int(n * 1.3) + 64), dtype=dtype)
+            self._bufs[key] = buf
+        return buf[:n]
+
+
+_arena = _Arena()
+
+# token width by the leading 5 bits (DoD ladder); 0b11111 never starts
+# a valid token — mapped to 69 (harmless: unreachable on valid input)
+_DOD_WIDTH_LUT = np.empty(32, dtype=np.uint8)
+for _c in range(32):
+    if _c < 0b10000:
+        _DOD_WIDTH_LUT[_c] = 1
+    elif _c < 0b11000:
+        _DOD_WIDTH_LUT[_c] = 2 + 7
+    elif _c < 0b11100:
+        _DOD_WIDTH_LUT[_c] = 3 + 9
+    elif _c < 0b11110:
+        _DOD_WIDTH_LUT[_c] = 4 + 12
+    else:
+        _DOD_WIDTH_LUT[_c] = 5 + 64
+
+# token width by the leading 12 bits (XOR values): '0' → 1, else
+# '1' + 5b lz + 6b sig-mod-64 → 12 + (sig or 64)
+_VAL_WIDTH_LUT = np.empty(4096, dtype=np.uint8)
+for _c in range(4096):
+    if _c < 0x800:
+        _VAL_WIDTH_LUT[_c] = 1
+    else:
+        _sig = _c & 0x3F
+        _VAL_WIDTH_LUT[_c] = 12 + (_sig if _sig else 64)
+del _c
+
+
+def _concat_streams(streams: list[bytes]):
+    """Concatenate per-chunk bit streams (byte-aligned, 16 pad bytes at
+    the end so 9-byte window gathers never overrun) and return the
+    padded byte array plus per-chunk start bit offsets. Windows near a
+    chunk's end spill into the next chunk's bytes, but spilled bits are
+    never part of any extracted payload (shift arithmetic discards
+    them)."""
+    offs = np.zeros(len(streams) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in streams], out=offs[1:])
+    buf = b"".join(streams) + b"\x00" * 16
+    return np.frombuffer(buf, dtype=np.uint8), offs[:-1] * 8
+
+
+def _win64_at(u8: np.ndarray, pos: np.ndarray, key: str) -> np.ndarray:
+    """64-bit big-endian window at arbitrary bit positions, built from
+    nine byte-gathers — O(tokens), no whole-stream table (token widths
+    here average tens of bits, so per-bit tables cost ~70x the token
+    count). Arena-backed: result valid until next call with same key."""
+    n = pos.size
+    i = _arena(key + "_i", n, np.int64)
+    t8 = _arena(key + "_t8", n, np.uint8)
+    w = _arena(key, n, np.uint64)
+    np.right_shift(pos, 3, out=i)
+    np.take(u8, i, out=t8)
+    np.copyto(w, t8)
+    for _ in range(7):
+        np.add(i, 1, out=i)
+        np.take(u8, i, out=t8)
+        np.left_shift(w, np.uint64(8), out=w)
+        np.bitwise_or(w, t8, out=w)
+    off = _arena(key + "_off", n, np.uint64)
+    np.copyto(off, pos, casting="unsafe")  # pos >= 0 always
+    np.bitwise_and(off, np.uint64(7), out=off)
+    np.left_shift(w, off, out=w)
+    np.add(i, 1, out=i)
+    np.take(u8, i, out=t8)
+    sp = _arena(key + "_sp", n, np.uint64)
+    np.copyto(sp, t8)
+    np.subtract(np.uint64(8), off, out=off)
+    np.right_shift(sp, off, out=sp)
+    np.bitwise_or(w, sp, out=w)
+    return w
+
+
+def _chain_positions(u8: np.ndarray, start_bits: np.ndarray,
+                     counts: np.ndarray, kind: str) -> np.ndarray:
+    """Follow p += width(p) for every chunk in lockstep; returns the
+    chunk-major flat array of realized token bit positions. Widths are
+    decoded at VISITED positions only (a 2-3 byte gather + control-bit
+    LUT per step, vectorized across chunks): total work is O(tokens),
+    independent of stream bit-length. The only per-token Python
+    iteration left in the codec — one iteration per token *index*, not
+    per token per chunk."""
+    if counts.size == 0 or counts.max() == 0:
+        return np.empty(0, dtype=np.int64)
+    maxn = int(counts.max())
+    nch = counts.size
+    last = (u8.size - 10) * 8  # keep all gathers in the padded buffer
+    pos = start_bits.copy()
+    out = _arena("chain", nch * maxn, np.int64).reshape(nch, maxn)
+    i = _arena("ch_i", nch, np.int64)
+    sh = _arena("ch_sh", nch, np.int64)
+    b8 = _arena("ch_b8", nch, np.uint8)
+    wstep = _arena("ch_w", nch, np.uint8)
+    if kind == "dod":
+        t = _arena("ch_t16", nch, np.uint16)
+        lut, topbits, mask = _DOD_WIDTH_LUT, 5, np.uint16(0x1F)
+        nbytes, shbase = 2, 11
+    else:
+        t = _arena("ch_t32", nch, np.uint32)
+        lut, topbits, mask = _VAL_WIDTH_LUT, 12, np.uint32(0xFFF)
+        nbytes, shbase = 3, 12
+    sh_t = _arena("ch_sht", nch, t.dtype)
+    for s in range(maxn):
+        out[:, s] = pos
+        np.right_shift(pos, 3, out=i)
+        np.take(u8, i, out=b8)
+        np.copyto(t, b8)
+        for _ in range(nbytes - 1):
+            np.left_shift(t, t.dtype.type(8), out=t)
+            np.add(i, 1, out=i)
+            np.take(u8, i, out=b8)
+            np.bitwise_or(t, b8, out=t)
+        # top control bits at bit offset (pos & 7) inside the window
+        np.bitwise_and(pos, 7, out=sh)
+        np.subtract(shbase, sh, out=sh)
+        np.copyto(sh_t, sh, casting="unsafe")
+        np.right_shift(t, sh_t, out=t)
+        np.bitwise_and(t, mask, out=t)
+        np.take(lut, t, out=wstep)
+        # exhausted chunks idle forward through pad/garbage, clamped
+        pos += wstep
+        np.minimum(pos, last, out=pos)
+    return out[np.arange(maxn)[None, :] < counts[:, None]]
+def _segment_starts(counts: np.ndarray) -> np.ndarray:
+    starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return starts
+
+
+def _segmented_cumsum(x: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment inclusive cumsum of concatenated int64 segments,
+    identical (mod 2^64) to per-segment np.cumsum."""
+    g = np.cumsum(x)
+    starts = _segment_starts(counts)
+    return g - np.repeat(g[starts] - x[starts], counts)
+
+
+def _segmented_cumxor(x: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    g = np.bitwise_xor.accumulate(x)
+    starts = _segment_starts(counts)
+    return g ^ np.repeat(g[starts] ^ x[starts], counts)
+
+
+def _scatter_series(n: np.ndarray, first: np.ndarray, second: np.ndarray,
+                    body: np.ndarray, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Assemble per-chunk output [first, second?, body...] into one flat
+    chunk-major array. `second` may be None (values streams decode
+    n-1 tokens, timestamps n-2)."""
+    total = int(n.sum())
+    out = np.empty(total, dtype=dtype)
+    starts = np.zeros(n.size, dtype=np.int64)
+    np.cumsum(n[:-1], out=starts[1:])
+    mask = np.ones(total, dtype=bool)
+    has1 = n >= 1
+    out[starts[has1]] = first[has1]
+    mask[starts[has1]] = False
+    if second is not None:
+        has2 = n >= 2
+        out[starts[has2] + 1] = second[has2]
+        mask[starts[has2] + 1] = False
+    out[mask] = body
+    return out, starts
+
+
+def decode_timestamps_many(bufs) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of many timestamp blobs.
+
+    Returns ``(flat, n)``: the concatenated int64 series in input order
+    and per-blob lengths (``np.split(flat, np.cumsum(n)[:-1])`` gives
+    the per-blob arrays). Sub-batches by stream bytes to bound memory.
+    """
+    n = np.array([int(np.frombuffer(b[:4], dtype=np.uint32)[0])
+                  for b in bufs], dtype=np.int64)
+    t0 = np.zeros(n.size, dtype=np.int64)
+    d0 = np.zeros(n.size, dtype=np.int64)
+    for j, b in enumerate(bufs):
+        if n[j] >= 1:
+            t0[j] = np.frombuffer(b[4:12], dtype=np.int64)[0]
+        if n[j] >= 2:
+            d0[j] = np.frombuffer(b[12:20], dtype=np.int64)[0]
+    t1 = t0 + d0  # array op: wraps mod 2^64 like the scalar decoder
+
+    counts = np.maximum(n - 2, 0)
+    body = np.empty(int(counts.sum()), dtype=np.int64)
+    bpos = 0
+    for sel in _byte_subbatches(bufs, counts, hdr=20):
+        streams = [bufs[j][20:] for j in sel]
+        u8, starts_bits = _concat_streams(streams)
+        flat_pos = _chain_positions(u8, starts_bits, counts[sel], "dod")
+        dod = _dod_payloads(u8, flat_pos)
+        c = counts[sel]
+        d = np.repeat(d0[sel], c) + _segmented_cumsum(dod, c)
+        seg = np.repeat(t1[sel], c) + _segmented_cumsum(d, c)
+        body[bpos:bpos + seg.size] = seg
+        bpos += seg.size
+    flat, _ = _scatter_series(n, t0, t1, body, np.int64)
+    return flat, n
+
+
+def _dod_payloads(u8, flat_pos) -> np.ndarray:
+    win = _win64_at(u8, flat_pos, "win")
+    dod = np.zeros(flat_pos.size, dtype=np.int64)
+    c1 = (win >> np.uint64(62)) == 0b10
+    c2 = (win >> np.uint64(61)) == 0b110
+    c3 = (win >> np.uint64(60)) == 0b1110
+    c4 = (win >> np.uint64(59)) == 0b11110
+    dod[c1] = ((win[c1] >> np.uint64(55)) & np.uint64(0x7F)).view(np.int64) - 63
+    dod[c2] = ((win[c2] >> np.uint64(52)) & np.uint64(0x1FF)).view(np.int64) - 255
+    dod[c3] = ((win[c3] >> np.uint64(48)) & np.uint64(0xFFF)).view(np.int64) - 2047
+    if c4.any():
+        # 64-bit two's-complement payload starts 5 bits in
+        dod[c4] = _win64_at(u8, flat_pos[c4] + 5, "win2").view(np.int64)
+    return dod
+
+
+def decode_values_many(bufs) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of many value blobs → ``(flat float64, n)``."""
+    n = np.array([int(np.frombuffer(b[:4], dtype=np.uint32)[0])
+                  for b in bufs], dtype=np.int64)
+    v0 = np.zeros(n.size, dtype=np.uint64)
+    for j, b in enumerate(bufs):
+        if n[j] >= 1:
+            v0[j] = np.frombuffer(b[4:12], dtype=np.uint64)[0]
+
+    counts = np.maximum(n - 1, 0)
+    body = np.empty(int(counts.sum()), dtype=np.uint64)
+    bpos = 0
+    for sel in _byte_subbatches(bufs, counts, hdr=12):
+        streams = [bufs[j][12:] for j in sel]
+        u8, starts_bits = _concat_streams(streams)
+        flat_pos = _chain_positions(u8, starts_bits, counts[sel], "val")
+        x = _xor_payloads(u8, flat_pos)
+        c = counts[sel]
+        seg = np.repeat(v0[sel], c) ^ _segmented_cumxor(x, c)
+        body[bpos:bpos + seg.size] = seg
+        bpos += seg.size
+    flat, _ = _scatter_series(n, v0, None, body, np.uint64)
+    return flat.view(np.float64), n
+
+
+def _xor_payloads(u8, flat_pos) -> np.ndarray:
+    win = _win64_at(u8, flat_pos, "win")
+    x = np.zeros(flat_pos.size, dtype=np.uint64)
+    nz = (win >> np.uint64(63)) == 1
+    winz = win[nz]
+    lz = (winz >> np.uint64(58)) & np.uint64(0x1F)
+    sig = (winz >> np.uint64(52)) & np.uint64(0x3F)
+    sig[sig == 0] = 64
+    # payload bits start 12 in; encoder guarantees lz + sig <= 64
+    w2 = _win64_at(u8, flat_pos[nz] + 12, "win2")
+    x[nz] = (w2 >> (np.uint64(64) - sig)) << (np.uint64(64) - lz - sig)
+    return x
+
+
+def _byte_subbatches(bufs, counts, hdr: int):
+    """Yield index arrays grouping blobs into sub-batches whose summed
+    stream bytes stay under _MAX_STREAM_BYTES (at least one per group).
+    Skips blobs with no tokens to decode."""
+    idx = [j for j in range(len(bufs)) if counts[j] > 0]
+    group: list[int] = []
+    size = 0
+    for j in idx:
+        b = len(bufs[j]) - hdr
+        if group and size + b > _MAX_STREAM_BYTES:
+            yield np.array(group, dtype=np.int64)
+            group, size = [], 0
+        group.append(j)
+        size += b
+    if group:
+        yield np.array(group, dtype=np.int64)
+
+
+def decode_timestamps(buf: bytes) -> np.ndarray:
+    """Single-blob decode via the vectorized batch path (so every
+    roundtrip test exercises the production decoder)."""
+    flat, _ = decode_timestamps_many([buf])
+    return flat
+
+
+def decode_values(buf: bytes) -> np.ndarray:
+    flat, _ = decode_values_many([buf])
+    return flat

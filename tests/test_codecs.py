@@ -11,7 +11,11 @@ from hypothesis import strategies as st
 
 from cesium_spark.codecs.gorilla import (
     decode_timestamps,
+    decode_timestamps_many,
+    decode_timestamps_scalar,
     decode_values,
+    decode_values_many,
+    decode_values_scalar,
     encode_timestamps,
     encode_values,
 )
@@ -89,6 +93,68 @@ class TestValues:
         rng = np.random.default_rng(9)
         bits = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
         roundtrip_vals(bits.view(np.float64))
+
+
+class TestBatchDecode:
+    """The vectorized batch decoder (round 3) must be bit-identical to
+    the per-token scalar reference on every input, including mixed
+    batches with empty/1/2-point blobs and sub-batch splits."""
+
+    def _mixed_ts(self, rng, count, max_n=80):
+        arrs = []
+        for _ in range(count):
+            n = int(rng.integers(0, max_n))
+            arrs.append(np.cumsum(
+                rng.integers(-10**12, 10**12, n)).astype(np.int64))
+        # force the header-only edge cases into every batch
+        arrs += [np.empty(0, np.int64), np.array([7], np.int64),
+                 np.array([-5, 10**18], np.int64)]
+        return arrs
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**32 - 1))
+    def test_timestamps_batch_equals_scalar(self, seed):
+        rng = np.random.default_rng(seed)
+        arrs = self._mixed_ts(rng, 20)
+        bufs = [encode_timestamps(a) for a in arrs]
+        flat, n = decode_timestamps_many(bufs)
+        parts = np.split(flat, np.cumsum(n)[:-1])
+        for buf, a, p in zip(bufs, arrs, parts):
+            np.testing.assert_array_equal(p, a)
+            np.testing.assert_array_equal(p, decode_timestamps_scalar(buf))
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**32 - 1))
+    def test_values_batch_equals_scalar(self, seed):
+        rng = np.random.default_rng(seed)
+        arrs = []
+        for _ in range(20):
+            n = int(rng.integers(0, 80))
+            bits = rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
+            v = np.where(rng.random(n) < 0.5,
+                         np.round(rng.normal(size=n), 2), bits.view(np.float64))
+            arrs.append(v)
+        arrs += [np.empty(0, np.float64), np.array([-0.0]),
+                 np.array([np.nan, 5e-324])]
+        bufs = [encode_values(a) for a in arrs]
+        flat, n = decode_values_many(bufs)
+        parts = np.split(flat, np.cumsum(n)[:-1])
+        for buf, a, p in zip(bufs, arrs, parts):
+            np.testing.assert_array_equal(p.view(np.uint64), a.view(np.uint64))
+            np.testing.assert_array_equal(
+                p.view(np.uint64), decode_values_scalar(buf).view(np.uint64))
+
+    def test_subbatch_split_boundary(self, monkeypatch):
+        """Force _MAX_STREAM_BYTES tiny so the batch splits mid-list."""
+        import cesium_spark.codecs.gorilla as g
+        monkeypatch.setattr(g, "_MAX_STREAM_BYTES", 64)
+        rng = np.random.default_rng(3)
+        arrs = [np.cumsum(rng.integers(-10**6, 10**6, 50)).astype(np.int64)
+                for _ in range(10)]
+        bufs = [encode_timestamps(a) for a in arrs]
+        flat, n = decode_timestamps_many(bufs)
+        for a, p in zip(arrs, np.split(flat, np.cumsum(n)[:-1])):
+            np.testing.assert_array_equal(p, a)
 
 
 class TestCrc:
