@@ -48,39 +48,95 @@ DECODED_SCHEMA = (
 
 def encode_chunks(series: DataFrame,
                   chunk_size: int = DEFAULT_CHUNK_SIZE) -> DataFrame:
-    """series(conv_id, channel, turn_idx, ts, y, …) → chunk table."""
+    """series(conv_id, channel, turn_idx, ts, y, …) → chunk table.
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx", kind="stable")
-        ts_us = pdf["ts"].to_numpy("datetime64[us]").view(np.int64)
+    Streaming kernel (same pattern as operators/rollup.py): explicit
+    CPU-proportional repartition on the chunk keys (AQE's byte-based
+    coalescing would collapse the few-MB shuffle that carries all the
+    encode CPU into 1-2 tasks), per-partition sort, then mapInPandas
+    with a carry buffer — one Arrow batch amortizes the Arrow/pandas
+    fixed cost over hundreds of chunks, where the old per-group
+    applyInPandas paid it (plus a 1-row DataFrame build) per chunk
+    (measured ~10s → ~1s on the sf0.1 roundtrip encode stage)."""
+
+    def encode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].to_numpy()
+        chan = pdf["channel"].to_numpy()
+        cidx = pdf["chunk_idx"].to_numpy(np.int64)
+        change = np.ones(len(pdf), dtype=bool)
+        change[1:] = ((conv[1:] != conv[:-1]) | (chan[1:] != chan[:-1])
+                      | (cidx[1:] != cidx[:-1]))
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        ts64 = pdf["ts"].to_numpy("datetime64[us]")
+        ts_us = ts64.view(np.int64)
         idx = pdf["turn_idx"].to_numpy(np.int64)
         y = pdf["y"].to_numpy(np.float64)
-        ts_blob = encode_timestamps(ts_us)
-        idx_blob = encode_timestamps(idx)
-        y_blob = encode_values(y)
-        crc = zlib.crc32(ts_blob)
-        crc = zlib.crc32(idx_blob, crc)
-        crc = zlib.crc32(y_blob, crc)
+        ts_blobs, idx_blobs, y_blobs, crcs = [], [], [], []
+        for s, e in zip(starts, ends):
+            tb = encode_timestamps(ts_us[s:e])
+            ib = encode_timestamps(idx[s:e])
+            yb = encode_values(y[s:e])
+            crc = zlib.crc32(tb)
+            crc = zlib.crc32(ib, crc)
+            crcs.append(zlib.crc32(yb, crc))
+            ts_blobs.append(tb)
+            idx_blobs.append(ib)
+            y_blobs.append(yb)
         return pd.DataFrame({
-            "conv_id": [pdf["conv_id"].iloc[0]],
-            "channel": [pdf["channel"].iloc[0]],
-            "chunk_idx": [int(pdf["chunk_idx"].iloc[0])],
-            "n": [len(pdf)],
-            "ts_min": [pdf["ts"].iloc[0]],
-            "ts_max": [pdf["ts"].iloc[-1]],
-            "crc": [crc],
-            "ts_blob": [ts_blob],
-            "idx_blob": [idx_blob],
-            "y_blob": [y_blob],
+            "conv_id": conv[starts],
+            "channel": chan[starts],
+            "chunk_idx": cidx[starts],
+            "n": ends - starts,
+            "ts_min": ts64[starts],
+            "ts_max": ts64[ends - 1],
+            "crc": crcs,
+            "ts_blob": ts_blobs,
+            "idx_blob": idx_blobs,
+            "y_blob": y_blobs,
         })
 
+    def kernel_stream(batches):
+        # carry accumulates as a LIST of frames, concatenated only at
+        # a group boundary — a group spanning B batches costs O(B)
+        # copying, not O(B^2)
+        carry: list[pd.DataFrame] = []
+        for pdf in batches:
+            if carry:
+                pdf = pd.concat(carry + [pdf], ignore_index=True)
+                carry = []
+            if not len(pdf):
+                continue
+            # key-sorted rows: the last group is a contiguous suffix —
+            # hold it back, it may continue in the next Arrow batch
+            same_last = ((pdf["conv_id"].to_numpy()
+                          == pdf["conv_id"].iloc[-1])
+                         & (pdf["channel"].to_numpy()
+                            == pdf["channel"].iloc[-1])
+                         & (pdf["chunk_idx"].to_numpy()
+                            == pdf["chunk_idx"].iloc[-1]))
+            nz = np.flatnonzero(~same_last)
+            cut = int(nz[-1] + 1) if nz.size else 0
+            carry = [pdf.iloc[cut:]]
+            if cut:
+                yield encode_rows(pdf.iloc[:cut])
+        if carry and len(carry[0]):
+            yield encode_rows(carry[0])
+
+    # 1x parallelism (not rollup's 4x): encode groups are bounded at
+    # chunk_size rows by construction, so per-task skew is structurally
+    # impossible and extra partitions only multiply Arrow/task fixed
+    # cost (measured 2.3s -> 1.1s on the sf0.1 encode at 128 -> 32)
+    spark = series.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
     return (
         series
         .withColumn("chunk_idx", (F.col("turn_idx") / chunk_size).cast("long"))
         # pre-UDF projection (Catalyst can't prune through the kernel)
         .select("conv_id", "channel", "chunk_idx", "turn_idx", "ts", "y")
-        .groupBy("conv_id", "channel", "chunk_idx")
-        .applyInPandas(kernel, schema=CHUNKS_SCHEMA)
+        .repartition(n_parts, "conv_id", "channel", "chunk_idx")
+        .sortWithinPartitions("conv_id", "channel", "chunk_idx", "turn_idx")
+        .mapInPandas(kernel_stream, schema=CHUNKS_SCHEMA)
     )
 
 
