@@ -1076,22 +1076,115 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q_ts_lomb_scargle_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb–Scargle driver oracle via self-consistency invariants
+    (round-3 upgrade of the former rows-only check; exact feature
+    values stay pytest-pinned in tests/test_lomb_scargle.py): the full
+    conv-tier GLS fit runs for real, and the emitted columns are facts
+    a DuckDB oracle can state from the raw events table —
+
+    * ``n_epochs`` (exact long) and ``fit_ok`` ⇔ (n ≥ 4 ∧ var > 0 ∧
+      span > 0), the kernel's documented degenerate policy;
+    * boolean invariants of the fit, TRUE whenever ``fit_ok``:
+      period_fast·freq1_freq ≈ 1, 0 < freq1_freq ≤ Nyquist(n, T),
+      0 ≤ freq_varrat ≤ 1 (uniform weights ⇒ LSQ can't add variance),
+      freq1_signif > 0, freq1_amplitude1 > 0, and kernel linear_trend ≡
+      native ``regr_slope(value, t)`` (ties the kernel to a
+      SQL-computable quantity). A wrong frequency grid, broken refine
+      step, or mis-weighted trend flips a boolean and the hash."""
     s = _value_series(spark, sf_dir)
     feats = ["freq1_freq", "freq1_amplitude1", "freq1_signif",
-             "period_fast", "freq_varrat", "linear_trend"]
+             "period_fast", "freq_varrat", "linear_trend",
+             "n_epochs", "total_time"]
     wide = pivot_wide(rollup_features(s, "conv", feats), feats)
-    return wide.select("conv_id",
-                       *[_r(F.col(f)).alias(f) for f in feats])
+    ev = _read(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    facts = (ev.groupBy(F.col("user_id").cast("string").alias("conv_id"))
+             .agg(F.regr_slope(F.col("value"), sec).alias("slope_sql")))
+    j = wide.join(facts, "conv_id")
+    ok = ~F.isnan("freq1_freq")
+
+    def inv(cond):
+        return F.when(ok, cond).otherwise(F.lit(True))
+
+    return j.select(
+        "conv_id",
+        F.col("n_epochs").cast("long").alias("n_epochs"),
+        ok.alias("fit_ok"),
+        inv(F.abs(F.col("period_fast") * F.col("freq1_freq") - 1) < 1e-9)
+        .alias("period_consistent"),
+        inv((F.col("freq1_freq") > 0)
+            & (F.col("freq1_freq")
+               <= 0.5 * F.col("n_epochs") / F.col("total_time") + 1e-9))
+        .alias("freq_in_nyquist"),
+        inv((F.col("freq_varrat") >= 0) & (F.col("freq_varrat") <= 1 + 1e-9))
+        .alias("varrat_in_range"),
+        inv(F.col("freq1_signif") > 0).alias("signif_positive"),
+        inv(F.col("freq1_amplitude1") > 0).alias("amp_positive"),
+        inv(F.abs(F.col("linear_trend") - F.col("slope_sql"))
+            <= 1e-6 * (F.lit(1.0) + F.abs("slope_sql")))
+        .alias("trend_matches_ols"),
+    )
+
+
+SQL_TS_LOMB_SCARGLE = """
+SELECT cast(user_id AS varchar) AS conv_id,
+       count(*) AS n_epochs,
+       (count(*) >= 4 AND var_pop(value) > 0
+        AND epoch(max(ts)) > epoch(min(ts))) AS fit_ok,
+       TRUE AS period_consistent,
+       TRUE AS freq_in_nyquist,
+       TRUE AS varrat_in_range,
+       TRUE AS signif_positive,
+       TRUE AS amp_positive,
+       TRUE AS trend_matches_ols
+FROM events GROUP BY 1
+"""
 
 
 def q_ts_qso_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped-random-walk variability scores per conversation (cesium
     qso_model.py † family; spec pinned in cesium_spark/functions/qso.py).
-    Model-fit kernel — rows-only check, exact check in tests layer 2."""
+    Driver oracle via invariants (round 3; exact values pytest-pinned):
+
+    * ``n_epochs`` exact, ``qso_defined`` ⇔ (n ≥ 2 ∧ var > 0),
+      ``qso_capped`` ⇔ n > QSO_MAX_N — all SQL-computable;
+    * ``chi2null_consistent``: the two features telescope —
+      qso_log_chi2_qsonu + qso_log_chi2nuNULL_chi2nu =
+      log(chi2_null / (n−1)) — and chi2_null = n·var_pop(value)/e² is
+      computable NATIVELY from events (e = 1e-4 constant), so the
+      kernel's Cholesky solve is pinned to a SQL quantity (asserted for
+      uncapped fits; thinning changes the point set under the cap)."""
     s = _value_series(spark, sf_dir)
-    feats = ["qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu", "n_epochs"]
+    feats = ["qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu",
+             "n_epochs", "qso_capped"]
     wide = pivot_wide(rollup_features(s, "conv", feats), feats)
-    return wide.select("conv_id", *[_r(F.col(f)).alias(f) for f in feats])
+    ev = _read(spark, sf_dir, "events")
+    facts = (ev.groupBy(F.col("user_id").cast("string").alias("conv_id"))
+             .agg(F.var_pop("value").alias("vp"), F.count("*").alias("cnt")))
+    j = wide.join(facts, "conv_id")
+    ok = ~F.isnan("qso_log_chi2_qsonu")
+    lognull = F.log(F.col("cnt") * F.col("vp") / F.lit(1e-8)
+                    / (F.col("cnt") - 1))
+    sumf = F.col("qso_log_chi2_qsonu") + F.col("qso_log_chi2nuNULL_chi2nu")
+    return j.select(
+        "conv_id",
+        F.col("n_epochs").cast("long").alias("n_epochs"),
+        ok.alias("qso_defined"),
+        (F.col("qso_capped") > 0).alias("qso_capped"),
+        F.when(ok & (F.col("qso_capped") == 0),
+               F.abs(sumf - lognull) <= 1e-6 * (F.lit(1.0) + F.abs(lognull)))
+        .otherwise(F.lit(True)).alias("chi2null_consistent"),
+    )
+
+
+SQL_TS_QSO = """
+SELECT cast(user_id AS varchar) AS conv_id,
+       count(*) AS n_epochs,
+       (count(*) >= 2 AND var_pop(value) > 0) AS qso_defined,
+       count(*) > 1500 AS qso_capped,
+       TRUE AS chi2null_consistent
+FROM events GROUP BY 1
+"""
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,7 +1412,8 @@ QUERIES = {
     "emb_lsh_topk": q_emb_lsh_topk,
     "doc_winnowing": q_doc_winnowing,
     "multimodal_features": q_multimodal_features,
-    # rows-only (whole-series model fits; exact checks live in pytest)
+    # whole-series model fits: invariant oracles since round 3 (exact
+    # value checks live in pytest layer 2)
     "ts_lomb_scargle_conv": q_ts_lomb_scargle_conv,
     "ts_qso_conv": q_ts_qso_conv,
 }
@@ -1361,4 +1455,6 @@ ORACLE_SQL = {
     "emb_lsh_topk": _lsh_topk_sql(),
     "doc_winnowing": SQL_DOC_WINNOWING,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "ts_lomb_scargle_conv": SQL_TS_LOMB_SCARGLE,
+    "ts_qso_conv": SQL_TS_QSO,
 }
