@@ -527,7 +527,7 @@ def q_ts_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import duckdb
 
-    from cesium_spark.sources.text_ingest import parse_ts_data
+    from cesium_spark.sources.text_ingest import parse_headerfile, parse_ts_data
 
     _prep(spark)
     outdir = os.path.join("/tmp/cesium_spark_csv",
@@ -553,15 +553,34 @@ def q_ts_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fh.write(f"{t!r},{y!r}\n")
                 else:
                     fh.write(f"{t!r},{y!r},0.01\n")
+    # header file (cesium parse_headerfile †): filename,label,meta —
+    # label/score are deterministic functions of uid the oracle can
+    # restate; the decoy row proves files_to_include filters it out
+    hdr_dir = outdir + "_hdr"
+    shutil.rmtree(hdr_dir, ignore_errors=True)
+    os.makedirs(hdr_dir)
+    with open(os.path.join(hdr_dir, "header.csv"), "w") as fh:
+        fh.write("filename,label,score\n")
+        for uid in by_uid:
+            fh.write(f"u{uid}.csv,grp{uid % 2},{uid * 0.5 + 0.25!r}\n")
+        fh.write("u999.csv,decoy,-1.0\n")
     parsed = parse_ts_data(spark, outdir)
-    return (parsed.groupBy("conv_id")
-            .agg(F.count("*").alias("n"),
-                 _r(F.min("t")).alias("t_min"),
-                 _r(F.max("t")).alias("t_max"),
-                 _r0(F.round(F.sum("y"), 4)).alias("y_sum"),
-                 _r(F.max(F.when(F.col("turn_idx") == 0, F.col("y"))))
-                 .alias("y_first"),
-                 _r(F.min("e")).alias("e_avg")))
+    dims = parse_headerfile(
+        spark, os.path.join(hdr_dir, "header.csv"),
+        files_to_include=[f"u{uid}.csv" for uid in by_uid])
+    agg = (parsed.groupBy("conv_id")
+           .agg(F.count("*").alias("n"),
+                _r(F.min("t")).alias("t_min"),
+                _r(F.max("t")).alias("t_max"),
+                _r0(F.round(F.sum("y"), 4)).alias("y_sum"),
+                _r(F.max(F.when(F.col("turn_idx") == 0, F.col("y"))))
+                .alias("y_first"),
+                _r(F.min("e")).alias("e_avg")))
+    # broadcast dims join ≙ meta/label passthrough (inner: a dropped or
+    # unfiltered header row changes the row count, not just values)
+    return (agg.join(F.broadcast(dims), "conv_id")
+            .select(agg["*"], F.col("label"),
+                    _r(F.col("score").cast("double")).alias("score")))
 
 
 SQL_TS_PARSE_CSV = """
@@ -580,7 +599,9 @@ SELECT 'u' || CAST(user_id AS varchar) AS conv_id,
        round(sum(y), 4) + 0.0 AS y_sum,
        round(max(CASE WHEN idx = 0 THEN y END), 6) + 0.0 AS y_first,
        round(CASE WHEN user_id % 3 = 2 THEN 0.01 ELSE 0.0001 END, 6) + 0.0
-         AS e_avg
+         AS e_avg,
+       'grp' || CAST(user_id % 2 AS varchar) AS label,
+       round(CAST(user_id AS DOUBLE) * 0.5 + 0.25, 6) + 0.0 AS score
 FROM src GROUP BY user_id
 """
 
@@ -670,17 +691,27 @@ def q_ts_features_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _value_series(spark, sf_dir)
     # max/min/range_per_turn are representation-stable across engines
-    # (same element selection + identical IEEE ops); summation-order-
-    # sensitive features (mean etc.) are proven by the flagship query
-    feats = ["maximum", "minimum", "range_per_turn"]
+    # (same element selection + identical IEEE ops) and value-matched.
+    # Round 3: mean/std additionally go THROUGH the kernel — conv-scale
+    # means land on round-6 half-way boundaries (2-decimal synth data),
+    # so instead of a repr match the oracle pins the exact claim:
+    # the meta-fed kernel run is BITWISE identical to the meta-free run
+    # for summation-order-sensitive features (booleans, no rounding)
+    feats = ["maximum", "minimum", "range_per_turn", "mean", "std"]
     wide = pivot_wide(rollup_features(s, "conv", feats, meta=meta), feats)
-    out = with_meta(wide, meta)
+    bare = pivot_wide(rollup_features(s, "conv", ["mean", "std"]),
+                      ["mean", "std"])
+    bare = bare.select("conv_id", F.col("mean").alias("mean_bare"),
+                       F.col("std").alias("std_bare"))
+    out = with_meta(wide, meta).join(bare, "conv_id")
     return out.select(
         "conv_id", "first_role",
         F.col("n_turns").cast("long").alias("n_turns"),
         _r(F.col("maximum")).alias("maximum"),
         _r(F.col("minimum")).alias("minimum"),
-        _r(F.col("range_per_turn")).alias("range_per_turn"))
+        _r(F.col("range_per_turn")).alias("range_per_turn"),
+        (F.col("mean") == F.col("mean_bare")).alias("mean_bitwise_stable"),
+        (F.col("std") == F.col("std_bare")).alias("std_bitwise_stable"))
 
 
 SQL_TS_FEATURES_WITH_META = """
@@ -694,7 +725,9 @@ SELECT conv_id,
        count(*) AS n_turns,
        round(max(value), 6) + 0.0 AS maximum,
        round(min(value), 6) + 0.0 AS minimum,
-       round((max(value) - min(value)) / count(*), 6) + 0.0 AS range_per_turn
+       round((max(value) - min(value)) / count(*), 6) + 0.0 AS range_per_turn,
+       TRUE AS mean_bitwise_stable,
+       TRUE AS std_bitwise_stable
 FROM r GROUP BY 1
 """
 
