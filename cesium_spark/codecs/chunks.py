@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cesium_spark.arrow_stream import stream_groups
+
 from cesium_spark.codecs.gorilla import (
     decode_timestamps_many,
     decode_values_many,
@@ -97,31 +99,9 @@ def encode_chunks(series: DataFrame,
         })
 
     def kernel_stream(batches):
-        # carry accumulates as a LIST of frames, concatenated only at
-        # a group boundary — a group spanning B batches costs O(B)
-        # copying, not O(B^2)
-        carry: list[pd.DataFrame] = []
-        for pdf in batches:
-            if carry:
-                pdf = pd.concat(carry + [pdf], ignore_index=True)
-                carry = []
-            if not len(pdf):
-                continue
-            # key-sorted rows: the last group is a contiguous suffix —
-            # hold it back, it may continue in the next Arrow batch
-            same_last = ((pdf["conv_id"].to_numpy()
-                          == pdf["conv_id"].iloc[-1])
-                         & (pdf["channel"].to_numpy()
-                            == pdf["channel"].iloc[-1])
-                         & (pdf["chunk_idx"].to_numpy()
-                            == pdf["chunk_idx"].iloc[-1]))
-            nz = np.flatnonzero(~same_last)
-            cut = int(nz[-1] + 1) if nz.size else 0
-            carry = [pdf.iloc[cut:]]
-            if cut:
-                yield encode_rows(pdf.iloc[:cut])
-        if carry and len(carry[0]):
-            yield encode_rows(carry[0])
+        # O(B)-carry group streaming (arrow_stream.stream_groups)
+        yield from stream_groups(
+            batches, ("conv_id", "channel", "chunk_idx"), encode_rows)
 
     # 1x parallelism (not rollup's 4x): encode groups are bounded at
     # chunk_size rows by construction, so per-task skew is structurally

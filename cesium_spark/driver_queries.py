@@ -637,7 +637,13 @@ def q_ts_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     io = TableIO(spark, f"{base}/tables")
     q = stream_to_table(stream_rollup_moments(stream, "1h", "7000 seconds"),
                         io, "stream_moments", f"{base}/ckpt")
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a silent partial read would surface as a confusing value
+        # mismatch; fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            "ts_stream_moments: availableNow stream did not finish "
+            "within 300s")
     out = io.read("stream_moments")
     return out.select(
         "conv_id",

@@ -301,7 +301,14 @@ def embedding_cosine_pairs(embs: DataFrame, id_col: str = "vec_id",
         raise ValueError(f"unknown method {method!r}; expected 'lsh'|'exact'")
 
     if dim is None:
-        dim = len(embs.select(vec_col).first()[0])
+        probe = embs.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            # empty input: return an empty, correctly-typed pair table
+            # (the exact path above already handles this shape-free)
+            id_type = embs.schema[id_col].dataType.simpleString()
+            return embs.sparkSession.createDataFrame(
+                [], f"id_a {id_type}, id_b {id_type}, cosine double")
+        dim = len(probe[0])
 
     # one (dim, n_tables·n_planes) matrix -> all table buckets in one
     # Arrow-batched matmul per batch (no per-row Python)

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cesium_spark.arrow_stream import stream_groups
 from cesium_spark.functions.batched import compute_features_matrix
 from cesium_spark.functions.registry import (
     DEFAULT_FEATS,
@@ -116,8 +117,7 @@ def rollup_features(series: DataFrame, tier: str,
     OUTPUT feature matrix use :func:`with_meta` on the wide view."""
     feats = validate(list(features) if features is not None else DEFAULT_FEATS)
     n_feats = len(feats)
-    meta_cols = ([c for c in meta.columns if c != "conv_id"]
-                 if meta is not None else [])
+    meta_cols = _checked_meta_cols(meta)
     # snapshot registered custom features into the kernel closure —
     # executors import the registry fresh and would see it empty
     custom = custom_snapshot(feats)
@@ -163,36 +163,14 @@ def rollup_features(series: DataFrame, tier: str,
         """mapInPandas body: one Arrow batch (~64k rows) amortizes the
         Arrow/pandas fixed cost over HUNDREDS of groups — applyInPandas
         pays it once per group, which dominated wall time on tiny
-        windows (measured 110s → 9s on the sf0.1 hourly rollup). A
-        carry buffer holds back the trailing (possibly batch-split)
-        group so no window is ever evaluated from partial rows; memory
-        is one batch + one group (bounded by GROUP_SPAN_DAYS of one
-        conversation)."""
-        carry: pd.DataFrame | None = None
-        grp_cols = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                carry = None
-                continue
-            if grp_cols is None:
-                grp_cols = [c for c in ("conv_id", "channel", "grp_date")
-                            if c in pdf.columns]
-            # rows are key-sorted, so the last group is a contiguous
-            # suffix: hold it back — it may continue in the next batch
-            same_last = np.ones(len(pdf), dtype=bool)
-            for c in grp_cols:
-                v = pdf[c].to_numpy()
-                same_last &= v == v[-1]
-            nz = np.flatnonzero(~same_last)
-            cut = int(nz[-1] + 1) if nz.size else 0
-            carry = pdf.iloc[cut:]
-            head = pdf.iloc[:cut]
-            if len(head):
-                yield process_rows(head)
-        if carry is not None and len(carry):
-            yield process_rows(carry)
+        windows (measured 110s → 9s on the sf0.1 hourly rollup). The
+        carry logic lives in arrow_stream.stream_groups: the trailing
+        (possibly batch-split) group is held back as a LIST of frames
+        and concatenated once at its boundary, so no window is ever
+        evaluated from partial rows and a whale group spanning B
+        batches costs O(B), not O(B²); memory is one batch + one group
+        (bounded by GROUP_SPAN_DAYS of one conversation)."""
+        yield from stream_groups(batches, keys, process_rows)
 
     windowed = (
         _with_window(series, tier)
@@ -274,8 +252,7 @@ def rollup_features_multi(series: DataFrame, tiers: Iterable[str],
                          f"got {bad} (run 'conv' via rollup_features)")
     feats = validate(list(features) if features is not None else DEFAULT_FEATS)
     n_feats = len(feats)
-    meta_cols = ([c for c in meta.columns if c != "conv_id"]
-                 if meta is not None else [])
+    meta_cols = _checked_meta_cols(meta)
     custom = custom_snapshot(feats)
     tier_units = [(t, _TIER_NP_UNIT[t]) for t in tiers]
 
@@ -316,25 +293,9 @@ def rollup_features_multi(series: DataFrame, tiers: Iterable[str],
         return pd.concat(outs, ignore_index=True)
 
     def kernel_stream(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                carry = None
-                continue
-            same_last = np.ones(len(pdf), dtype=bool)
-            for c in ("conv_id", "channel", "grp_date"):
-                v = pdf[c].to_numpy()
-                same_last &= v == v[-1]
-            nz = np.flatnonzero(~same_last)
-            cut = int(nz[-1] + 1) if nz.size else 0
-            carry = pdf.iloc[cut:]
-            head = pdf.iloc[:cut]
-            if len(head):
-                yield process_rows(head)
-        if carry is not None and len(carry):
-            yield process_rows(carry)
+        # O(B)-carry group streaming (see rollup_features' kernel)
+        yield from stream_groups(
+            batches, ("conv_id", "channel", "grp_date"), process_rows)
 
     cols = ["conv_id", "channel", "ts", "turn_idx", "t", "y", "e"]
     windowed = series.select(*cols).withColumn(
@@ -372,6 +333,24 @@ def with_meta(wide: DataFrame, meta: DataFrame,
     broadcast-joined onto the feature matrix, one column per dim. Left
     join: series without dims keep their features (dims NULL)."""
     return wide.join(F.broadcast(meta), on, "left")
+
+
+def _checked_meta_cols(meta: DataFrame | None) -> list[str]:
+    """Meta dim columns, rejecting names that a shared kernel
+    intermediate (cads/lomb_model/delta_t_hist) would silently shadow
+    in custom-feature dependency resolution (registry resolves
+    _INTERMEDIATES before meta)."""
+    if meta is None:
+        return []
+    from cesium_spark.functions.registry import _INTERMEDIATES
+    cols = [c for c in meta.columns if c != "conv_id"]
+    clash = sorted(set(cols) & set(_INTERMEDIATES))
+    if clash:
+        raise ValueError(
+            f"meta column(s) {clash} collide with shared kernel "
+            "intermediates and would be shadowed in custom-feature "
+            "dependency resolution; rename the meta dimension(s)")
+    return cols
 
 
 def rollup_moments(series: DataFrame, tier: str) -> DataFrame:

@@ -95,3 +95,60 @@ def test_stream_rejects_conv_tier(spark, tmp_path):
     stream = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
     with pytest.raises(ValueError):
         stream_rollup_moments(stream, "conv")
+
+
+def test_stream_late_data_within_watermark(spark, tmp_path):
+    """Late (out-of-order) rows that arrive while their window is still
+    open — inside the watermark — must land in the finalized windows:
+    day-0 windows must equal the batch oracle over the FULL day-0 data
+    even though ~a third of the last 90 minutes arrived one pass late."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "tables")
+    io = TableIO(spark, root)
+    day0 = _series_pdf(0)
+    day1 = _series_pdf(1)
+
+    cutoff = day0["ts"].max() - pd.Timedelta("90 minutes")
+    is_late = (day0["ts"] >= cutoff) & (np.arange(len(day0)) % 3 == 0)
+    assert is_late.sum() > 10
+    on_time = spark.createDataFrame(day0[~is_late])
+    late = spark.createDataFrame(day0[is_late])
+
+    # pass 1: on-time rows; watermark = max(ts) - 2h < cutoff, so the
+    # late rows' windows are all still open
+    on_time.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
+    q = stream_to_table(stream_rollup_moments(stream, "1h", "2 hours"),
+                        io, "stream_moments", ckpt)
+    assert q.awaitTermination(120)
+
+    # pass 2: the late batch + day-1 rows that push the watermark past
+    # every day-0 window, forcing finalization WITH the late rows
+    late.write.mode("append").parquet(src)
+    spark.createDataFrame(day1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
+    q = stream_to_table(stream_rollup_moments(stream, "1h", "2 hours"),
+                        io, "stream_moments", ckpt)
+    assert q.awaitTermination(120)
+
+    got = (io.read("stream_moments")
+           .where(F.col("window_start") < "2024-01-02")
+           .select("conv_id", "channel", "window_start", "n", "y_min",
+                   "y_max", "y_sum")
+           .toPandas()
+           .sort_values(["conv_id", "channel", "window_start"])
+           .reset_index(drop=True))
+    exp = (rollup_moments(spark.createDataFrame(day0), "1h")
+           .select("conv_id", "channel", "window_start", "n", "y_min",
+                   "y_max", "y_sum")
+           .toPandas()
+           .sort_values(["conv_id", "channel", "window_start"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "channel", "n"]], exp[["conv_id", "channel", "n"]],
+        check_dtype=False)
+    for c in ("y_min", "y_max"):
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
+    np.testing.assert_allclose(got["y_sum"], exp["y_sum"], rtol=1e-12)
