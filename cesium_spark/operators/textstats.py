@@ -124,35 +124,61 @@ def _fnv1a_token_scalar(t: str) -> np.uint64:
     return v & _WINNOW_MASK
 
 
+# Vectorization cap: tokens longer than this take the scalar fallback.
+# The character-position loop (and the fixed-width codepoint matrix
+# behind a numpy 'U' array) costs O(n_tokens × max_len) — ONE
+# pathological 1k-char token (minified JS, base64 blobs in web corpora)
+# would otherwise inflate every token's cost in the batch.
+_VEC_TOKEN_MAX_LEN = 64
+
+
 def _fnv1a_tokens(uniq: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a over each token's utf-8 bytes: iterate CHARACTER
-    POSITIONS (≤ max token length) with each step updating all tokens at
-    once via the fixed-width codepoint matrix behind a numpy 'U' array —
-    bit-identical to _fnv1a_token_scalar. ASCII fast path (codepoint ==
-    utf-8 byte, verified); tokens with non-ASCII or embedded NULs take
-    the scalar fallback."""
-    uniq = np.asarray(uniq, dtype="U1") if uniq.dtype.kind != "U" else uniq
+    POSITIONS (≤ _VEC_TOKEN_MAX_LEN) with each step updating all tokens
+    at once via the fixed-width codepoint matrix behind a numpy 'U'
+    array — bit-identical to _fnv1a_token_scalar. ASCII fast path
+    (codepoint == utf-8 byte, verified); tokens that are non-ASCII,
+    contain embedded NULs, or exceed the length cap take the scalar
+    fallback (logged), so one whale token cannot widen the matrix for
+    the whole batch. Accepts object- or U-dtype input; the U matrix is
+    built AFTER the length split so it is never wider than the cap."""
+    import logging
+
     n = uniq.size
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    width = max(uniq.dtype.itemsize // 4, 1)
-    cp = np.ascontiguousarray(uniq).view(np.uint32).reshape(n, width)
-    true_len = np.char.str_len(uniq)
-    ascii_ok = (cp.max(axis=1) < 128) & \
-        (np.count_nonzero(cp, axis=1) == true_len)
+    lens = np.fromiter((len(t) for t in uniq), count=n, dtype=np.int64)
+    short = lens <= _VEC_TOKEN_MAX_LEN
     out = np.empty(n, dtype=np.uint64)
-    v = np.full(int(ascii_ok.sum()), _FNV_OFFSET, dtype=np.uint64)
-    sub = cp[ascii_ok]
-    with np.errstate(over="ignore"):
-        for j in range(width):
-            col = sub[:, j]
-            live = col != 0
-            if not live.any():
-                break
-            v[live] = (v[live] ^ col[live].astype(np.uint64)) * _FNV_PRIME
-    out[ascii_ok] = v & _WINNOW_MASK
-    for i in np.flatnonzero(~ascii_ok):
-        out[i] = _fnv1a_token_scalar(str(uniq[i]))
+    long_idx = np.flatnonzero(~short)
+    if long_idx.size:
+        logging.getLogger(__name__).info(
+            "winnowing: %d token(s) over %d chars hashed via scalar "
+            "fallback (vectorization length cap)",
+            long_idx.size, _VEC_TOKEN_MAX_LEN)
+        for i in long_idx:
+            out[i] = _fnv1a_token_scalar(str(uniq[i]))
+    su = np.asarray(uniq[short], dtype=f"U{_VEC_TOKEN_MAX_LEN}")
+    if su.size:
+        width = max(su.dtype.itemsize // 4, 1)
+        cp = np.ascontiguousarray(su).view(np.uint32).reshape(su.size, width)
+        true_len = lens[short]
+        ascii_ok = (cp.max(axis=1) < 128) & \
+            (np.count_nonzero(cp, axis=1) == true_len)
+        sub_out = np.empty(su.size, dtype=np.uint64)
+        v = np.full(int(ascii_ok.sum()), _FNV_OFFSET, dtype=np.uint64)
+        sub = cp[ascii_ok]
+        with np.errstate(over="ignore"):
+            for j in range(width):
+                col = sub[:, j]
+                live = col != 0
+                if not live.any():
+                    break
+                v[live] = (v[live] ^ col[live].astype(np.uint64)) * _FNV_PRIME
+        sub_out[ascii_ok] = v & _WINNOW_MASK
+        for i in np.flatnonzero(~ascii_ok):
+            sub_out[i] = _fnv1a_token_scalar(str(su[i]))
+        out[short] = sub_out
     return out
 
 
@@ -189,9 +215,10 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         lens = np.array([len(tl) for tl in tok_lists])
         if lens.sum() == 0:
             return pd.Series([[]] * len(tok_lists))
-        flat = np.concatenate(
-            [np.asarray(tl, dtype="U") if tl else np.empty(0, dtype="U1")
-             for tl in tok_lists])
+        # object dtype until AFTER the length split in _fnv1a_tokens: a
+        # numpy 'U' array here would be n_tokens × max_len codepoints —
+        # one whale token would inflate the whole batch's memory
+        flat = np.array([t for tl in tok_lists for t in tl], dtype=object)
         uniq, inv = np.unique(flat, return_inverse=True)
         th_flat = _fnv1a_tokens(uniq)[inv]
         bounds = np.cumsum(lens)[:-1]

@@ -253,3 +253,36 @@ class TestMultimodal:
         vids = media.where("media_type = 'video'").toPandas()
         exp = sum((int(n) + 4) // 5 for n in vids["n_frames"])
         assert len(frames) == exp
+
+
+class TestWinnowingWhaleToken:
+    """Round-3 scale knob: a single pathological 1k-char token must not
+    inflate the vectorized FNV pass for the whole batch (length cap +
+    scalar fallback), and hashes stay bit-identical to the scalar spec."""
+
+    def test_flat_cost_and_bit_identity(self):
+        import time
+
+        import numpy as np
+
+        from cesium_spark.operators.textstats import (
+            _fnv1a_token_scalar,
+            _fnv1a_tokens,
+        )
+        rng = np.random.default_rng(0)
+        words = np.array(
+            ["".join(rng.choice(list("abcdefgh"), rng.integers(2, 12)))
+             for _ in range(20000)], dtype=object)
+        both = np.concatenate([words, np.array(["x" * 1000], dtype=object)])
+        _fnv1a_tokens(words)  # warm
+        t0 = time.perf_counter()
+        _fnv1a_tokens(words)
+        t1 = time.perf_counter()
+        h2 = _fnv1a_tokens(both)
+        t2 = time.perf_counter()
+        # generous 5x bound (vs ~85x uncapped width inflation)
+        assert (t2 - t1) < 5 * (t1 - t0) + 0.2
+        assert _fnv1a_token_scalar("x" * 1000) == h2[-1]
+        mixed = np.array(["hello2", "x" * 70, "plain", "héllo"], dtype=object)
+        for t_, h_ in zip(mixed, _fnv1a_tokens(mixed)):
+            assert _fnv1a_token_scalar(str(t_)) == h_
