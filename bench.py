@@ -247,21 +247,26 @@ def phase_b() -> dict:
     # otherwise pays Python-worker spin-up + codegen inside its wall —
     # measured ~10 s of pure startup attributed to ts_rollup_1h_kernel
     _noop(dq.QUERIES["ts_rollup_1h_kernel"](spark, "/root/testdata/sf0.001"))
-    times = {}
+    samples: dict[str, list[float]] = {}
     # best-of-N_REPS per query: sustained local[32] load rides the
     # hypervisor quota, and a throttled phase deflates every query it
     # touches by the same ~4x (measured back-to-back full-suite runs);
-    # min wall per query estimates the engine, not the neighbors
+    # min wall per query estimates the engine, not the neighbors.
+    # Round-3 protocol pin: N_CONV/N_REPS frozen at the round-2 values
+    # (5000/2) and BOTH best and median are reported so round-over-
+    # round deltas cannot be attributed to protocol drift.
     for _rep in range(max(1, N_REPS)):
         for name in HEADLINE:
             fn = dq.QUERIES[name]
             t0 = time.monotonic()
             _noop(fn(spark, SF_DIR))
             wall = round(time.monotonic() - t0, 2)
-            if name not in times or wall < times[name]:
-                times[name] = wall
+            samples.setdefault(name, []).append(wall)
     spark.stop()
-    return times
+    times = {n: min(s) for n, s in samples.items()}
+    medians = {n: round(sorted(s)[len(s) // 2], 2)
+               for n, s in samples.items()}
+    return times, medians
 
 
 def main() -> None:
@@ -269,7 +274,7 @@ def main() -> None:
         _phase_a_worker(sys.argv[2], sys.argv[3], sys.argv[4])
         return
     scaling = phase_a()
-    queries = phase_b()
+    queries, queries_median = phase_b()
     total = round(sum(queries.values()), 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -277,6 +282,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_median": queries_median,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling": scaling,
         "turns_per_sec_n": scaling["n2"]["turns_per_sec"],
