@@ -514,13 +514,16 @@ GROUP BY 1, 2, 3, 4
 
 
 def q_ts_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delimited-text ingest parity (cesium parse_ts_data †): a slice of
-    events is rendered to per-series csv files in all three positional
-    forms (uid%3: 1-col m / 2-col t,m / 3-col t,m,e with shortest-
-    roundtrip float formatting), parsed back through parse_ts_data, and
-    aggregated. The oracle recomputes the expected values straight from
+    """Delimited-text ingest parity (cesium parse_ts_data +
+    parse_headerfile †): a slice of events is rendered to per-series
+    csv files in all three positional forms (uid%3: 1-col m / 2-col
+    t,m / 3-col t,m,e with shortest-roundtrip float formatting) plus a
+    header CSV (filename,label,score with a decoy row), parsed back
+    through parse_ts_data / parse_headerfile, aggregated and
+    dim-joined. The oracle recomputes the expected values straight from
     the events VIEW — so file rendering, per-file line ordering
-    (turn_idx), positional mapping, and t/e defaults are all checked
+    (turn_idx), positional mapping, t/e defaults, label/meta
+    passthrough, and the files_to_include filter are all checked
     end-to-end without the oracle ever touching the files."""
     import os
     import shutil
