@@ -89,11 +89,13 @@ HEADLINE = [
 BENCH_TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
-def _session(master: str, local_dir: str | None = None):
+def _session(master: str, local_dir: str | None = None,
+             extra_conf: dict | None = None):
     from cesium_spark.session import get_spark
     conf = {"spark.ui.showConsoleProgress": "false"}
     if local_dir:
         conf["spark.local.dir"] = local_dir
+    conf.update(extra_conf or {})
     return get_spark(master=master, app_name=f"bench_{master}",
                      extra_conf=conf)
 
@@ -160,7 +162,17 @@ def table_checksum(spark, path: str) -> int:
 def _phase_a_worker(master: str, input_path: str, out: str) -> None:
     """Child-process body: one cold JVM per parallelism level
     (BASELINE.md protocol — 'cold session each'); prints one JSON line."""
-    spark = _session(master, local_dir=os.path.dirname(out))
+    # Bounded, fully pre-touched heap: this host faults in new memory at
+    # ~10 MB/s when cold (sandbox first-touch quirk), and with the
+    # default 48g ceiling G1 lazily grows the heap 20+ GB INSIDE the
+    # timed window — one observed rep paid ~16 min of page-fault stalls
+    # (9% kernel time, 88% idle) on a ~40 s job. Xms=Xmx=8g with
+    # AlwaysPreTouch moves every heap fault into untimed JVM boot; 8g is
+    # ~16x the phase-A working set so GC pressure stays negligible.
+    os.environ["CESIUM_SPARK_DRIVER_MEM"] = "8g"
+    spark = _session(master, local_dir=os.path.dirname(out),
+                     extra_conf={"spark.driver.extraJavaOptions":
+                                 "-Xms8g -XX:+AlwaysPreTouch"})
     # Untimed warmup on a small input slice: spins up the Python worker
     # pool (pandas/pyarrow imports), JIT/codegen, and the parquet reader
     # once per JVM. BASELINE.md's protocol excludes session startup from
@@ -185,12 +197,36 @@ def _phase_a_worker(master: str, input_path: str, out: str) -> None:
                       "checksums": checksums}))
 
 
+def host_probe() -> dict:
+    """Untimed ~2 s host-state sample recorded alongside every result:
+    first-touch page-fault bandwidth (this VM faults new pages at
+    ~10 MB/s when its burst credits are drained vs >2 GB/s rested) and
+    hypervisor steal%. Makes a degraded-host run self-documenting —
+    a reader can tell engine regressions from neighbor-tenant noise."""
+    import numpy as np
+
+    def _stat():
+        with open("/proc/stat") as fh:
+            f = [int(x) for x in fh.readline().split()[1:]]
+        return sum(f), f[7] if len(f) > 7 else 0
+    t0 = time.monotonic()
+    a = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+    a[::4096] = 1  # one write per page = pure first-touch cost
+    ft = 64.0 / max(time.monotonic() - t0, 1e-9)
+    del a
+    tot0, st0 = _stat()
+    time.sleep(1.0)
+    tot1, st1 = _stat()
+    steal = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
+    return {"first_touch_mb_s": round(ft, 1), "steal_pct": round(steal, 1)}
+
+
 def phase_a() -> dict:
     import subprocess
 
     tmp = tempfile.mkdtemp(prefix="cesium_bench_", dir=BENCH_TMP)
     input_path = f"{tmp}/transcripts"
-    results = {}
+    results = {"host_probe": host_probe()}
     checksums = {}
     try:
         # untimed: generate the deterministic input once
@@ -277,7 +313,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--phase-a-worker":
         _phase_a_worker(sys.argv[2], sys.argv[3], sys.argv[4])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--phase-a-only":
+        # cheap retry path when hunting a rested-host window for the
+        # scaling number; prints the scaling dict alone
+        print(json.dumps(phase_a()))
+        return
     scaling = phase_a()
+    probe_b = host_probe()
     queries, queries_median = phase_b()
     total = round(sum(queries.values()), 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -287,6 +329,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "queries_median": queries_median,
+        "host_probe_phase_b": probe_b,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling": scaling,
         "turns_per_sec_n": scaling["n2"]["turns_per_sec"],
