@@ -166,13 +166,15 @@ def _phase_a_worker(master: str, input_path: str, out: str) -> None:
     # ~10 MB/s when cold (sandbox first-touch quirk), and with the
     # default 48g ceiling G1 lazily grows the heap 20+ GB INSIDE the
     # timed window — one observed rep paid ~16 min of page-fault stalls
-    # (9% kernel time, 88% idle) on a ~40 s job. Xms=Xmx=8g with
-    # AlwaysPreTouch moves every heap fault into untimed JVM boot; 8g is
-    # ~16x the phase-A working set so GC pressure stays negligible.
-    os.environ["CESIUM_SPARK_DRIVER_MEM"] = "8g"
+    # (9% kernel time, 88% idle) on a ~40 s job. Xms=Xmx with
+    # AlwaysPreTouch moves every heap fault into untimed JVM boot; 4g is
+    # ~8x the phase-A live set (input is ~450 MB parquet; shuffle spill
+    # goes to tmpfs, not heap) and bounds worst-case pre-touch wall when
+    # the host is fully drained (~25 MB/s fresh-page rate → ~3 min).
+    os.environ["CESIUM_SPARK_DRIVER_MEM"] = "4g"
     spark = _session(master, local_dir=os.path.dirname(out),
                      extra_conf={"spark.driver.extraJavaOptions":
-                                 "-Xms8g -XX:+AlwaysPreTouch"})
+                                 "-Xms4g -XX:+AlwaysPreTouch"})
     # Untimed warmup on a small input slice: spins up the Python worker
     # pool (pandas/pyarrow imports), JIT/codegen, and the parquet reader
     # once per JVM. BASELINE.md's protocol excludes session startup from
