@@ -62,6 +62,14 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # N_REPS (best-of-2 + median reporting) stay frozen at round-2 values.
 N_CONV = int(os.environ.get("CESIUM_BENCH_CONVS", "12000"))
 N_REPS = int(os.environ.get("CESIUM_BENCH_REPS", "2"))
+# Parallelism levels for the N-vs-4N evidence (default 2→8 cores,
+# protocol-pinned since round 1). CESIUM_BENCH_LEVELS="1,4" runs the
+# same job at 1 vs 4 pinned cores — same 4x executor ratio, lower
+# aggregate memory-bus pressure at the top level; reported alongside
+# 2→8 in BENCH/BASELINE.md to separate engine task-scaling from the
+# single-VM bus ceiling (a real cluster multiplies buses per node).
+LEVELS = tuple(int(x) for x in
+               os.environ.get("CESIUM_BENCH_LEVELS", "2,8").split(","))
 
 BENCH_FEATS = [
     "n_epochs", "mean", "maximum", "minimum", "amplitude", "std", "skew",
@@ -243,7 +251,9 @@ def phase_a() -> dict:
         # inflates the small level's throughput and understates scaling
         # efficiency. With affinity, "N vs 4N executors" is physically
         # 2 vs 8 cores for everything (JVM, Python workers, GC).
-        cpusets = {"n2": "0-1", "n8": "0-7"}
+        lo, hi = LEVELS
+        levels = [(f"local[{c}]", f"n{c}",
+                   "0" if c == 1 else f"0-{c - 1}") for c in (lo, hi)]
         # interleaved best-of-N_REPS per level: back-to-back identical
         # runs differ by up to ~40% wall from hypervisor steal, so the
         # min-wall sample per level is the engine estimate; interleaving
@@ -251,14 +261,14 @@ def phase_a() -> dict:
         # feature-table checksums must agree (correctness rider).
         all_checksums = []
         for _rep in range(max(1, N_REPS)):
-            for master, tag in (("local[2]", "n2"), ("local[8]", "n8")):
+            for master, tag, cpuset in levels:
                 out = f"{tmp}/out_{tag}"
                 env = dict(os.environ)
                 env["SPARK_GRAFT_CPUS"] = master[master.find("[") + 1:-1]
                 cmd = [sys.executable, os.path.abspath(__file__),
                        "--phase-a-worker", master, input_path, out]
                 if shutil.which("taskset"):
-                    cmd = ["taskset", "-c", cpusets[tag]] + cmd
+                    cmd = ["taskset", "-c", cpuset] + cmd
                 proc = subprocess.run(
                     cmd, capture_output=True, text=True, env=env,
                     cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -272,8 +282,8 @@ def phase_a() -> dict:
                     results[tag] = rec
         checksums["all"] = all_checksums
 
-        eff = (results["n8"]["turns_per_sec"]
-               / results["n2"]["turns_per_sec"]) / (8 / 2)
+        eff = (results[f"n{hi}"]["turns_per_sec"]
+               / results[f"n{lo}"]["turns_per_sec"]) / (hi / lo)
         results["scaling_efficiency"] = round(eff, 3)
         results["outputs_identical"] = all(
             c == checksums["all"][0] for c in checksums["all"])
@@ -334,8 +344,8 @@ def main() -> None:
         "host_probe_phase_b": probe_b,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling": scaling,
-        "turns_per_sec_n": scaling["n2"]["turns_per_sec"],
-        "turns_per_sec_4n": scaling["n8"]["turns_per_sec"],
+        "turns_per_sec_n": scaling[f"n{LEVELS[0]}"]["turns_per_sec"],
+        "turns_per_sec_4n": scaling[f"n{LEVELS[1]}"]["turns_per_sec"],
         "scaling_efficiency": scaling["scaling_efficiency"],
     }
     print(json.dumps(out))

@@ -144,11 +144,17 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
 
 
 # SimHash SWAR lanes: 3 bit-plane counters packed per 64-bit
-# accumulator at 22-bit stride (each lane counts one plane; capacity
-# 2^22 distinct tokens per document, guarded below)
+# accumulator at 22-bit stride (each lane counts one plane). Capacity
+# is set by the TOP lane: it spans bits 44-63 — 20 bits, and bit 63 is
+# the sign bit, so a count ≥ 2^19 there makes the accumulator negative
+# and the arithmetic shiftright's sign fill reaches the read mask.
+# Reading the top lane through a 20-bit mask is exact for counts
+# < 2^20 (sign fill starts at result bit 20), hence the guard caps
+# documents at 2^20 distinct tokens. Lanes 0/1 hold full 22-bit fields
+# and are exact a fortiori.
 _SIMHASH_LANE_STRIDE = 22
 _SIMHASH_LANE_MASK = (1 << 44) | (1 << 22) | 1
-_SIMHASH_MAX_TOKENS = 1 << _SIMHASH_LANE_STRIDE
+_SIMHASH_MAX_TOKENS = 1 << 20
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
@@ -164,9 +170,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     popcounts use SWAR lanes: 22 ``aggregate()`` passes, each summing 3
     planes packed at 22-bit stride in one bigint accumulator (bit i of
     token-hash x lands in lane i//22 of pass i%22). Lane capacity is
-    2^22 distinct tokens per document — enforced with an in-plan guard
-    (raise_error), since a silent overflow would corrupt neighboring
-    lanes. Bit-for-bit equal to the round-2 implementation (sign of
+    2^20 distinct tokens per document (the top lane spans only bits
+    44-63 — see the note at ``_SIMHASH_MAX_TOKENS``) — enforced with an
+    in-plan guard (raise_error), since a silent overflow would corrupt
+    neighboring lanes. Bit-for-bit equal to the round-2 implementation (sign of
     2*cnt - n), verified on the sf0.1 corpus; 4.5x faster there."""
     toks = F.array_distinct(_tokens(text_col))
     d = docs.select(F.col(id_col),
@@ -181,8 +188,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
         for k in range(3):
             b = j + _SIMHASH_LANE_STRIDE * k
             if b < 64:
+                # top lane is only 20 bits wide (44-63); its read mask
+                # must stop before shiftright's sign fill (see capacity
+                # note at _SIMHASH_MAX_TOKENS)
+                width = 20 if k == 2 else _SIMHASH_LANE_STRIDE
                 cnts[b] = (F.shiftright(s, _SIMHASH_LANE_STRIDE * k)
-                           .bitwiseAND(F.lit(_SIMHASH_MAX_TOKENS - 1)))
+                           .bitwiseAND(F.lit((1 << width) - 1)))
     bit_expr = None
     for i in range(64):
         bit = F.when(cnts[i] * 2 > n,

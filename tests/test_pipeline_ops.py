@@ -70,6 +70,39 @@ class TestDedup:
         assert (0, 2) in pairs          # near dup still surfaces
         assert all(a != 1 and b != 1 for a, b in pairs)  # non-canonical out
 
+    def test_simhash_whale_doc_exact_and_lane_guard(self, spark):
+        # SWAR lane-capacity regression: the top lane spans only bits
+        # 44-63 (sign bit included), so the guard must fire at 2^20
+        # distinct tokens — with the old 2^22 guard, docs of ≥ ~2^20
+        # distinct tokens silently corrupted bits 44-63. Also checks a
+        # large-but-legal doc (600k distinct tokens, lane-2 counts
+        # ≈ 300k ≈ 2^18.2) bit-for-bit against a numpy popcount
+        # reference built from the very same xxhash64 values.
+        n_ok = 600_000
+        hashes = (spark.range(n_ok)
+                  .select(F.xxhash64(
+                      F.concat(F.lit("t"), F.col("id").cast("string")))
+                      .alias("h"))
+                  .toPandas()["h"].to_numpy(np.int64).astype(np.uint64))
+        bits = np.unpackbits(
+            hashes.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+        cnt = bits.sum(axis=0)  # cnt[0] = bit 63 ... cnt[63] = bit 0
+        expected = 0
+        for b in range(64):
+            if 2 * int(cnt[63 - b]) > n_ok:
+                expected |= 1 << b
+        text = " ".join(f"t{i}" for i in range(n_ok))
+        doc = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": [text]}))
+        got = dedup.simhash(doc).collect()[0]["simhash"]
+        assert got & (2**64 - 1) == expected
+        # guard: one over capacity raises in-plan, not silently corrupt
+        whale = " ".join(f"t{i}" for i in range(dedup._SIMHASH_MAX_TOKENS))
+        doc2 = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": [whale]}))
+        with pytest.raises(Exception, match="lane capacity"):
+            dedup.simhash(doc2).collect()
+
     def test_simhash_hamming(self, docs):
         out = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
         def ham(a, b):
