@@ -167,7 +167,8 @@ def table_checksum(spark, path: str) -> int:
     return int(c)
 
 
-def _phase_a_worker(master: str, input_path: str, out: str) -> None:
+def _phase_a_worker(master: str, input_path: str, out: str,
+                    warm_path: str | None = None) -> None:
     """Child-process body: one cold JVM per parallelism level
     (BASELINE.md protocol — 'cold session each'); prints one JSON line."""
     # Bounded, fully pre-touched heap: this host faults in new memory at
@@ -183,15 +184,26 @@ def _phase_a_worker(master: str, input_path: str, out: str) -> None:
     spark = _session(master, local_dir=os.path.dirname(out),
                      extra_conf={"spark.driver.extraJavaOptions":
                                  "-Xms4g -XX:+AlwaysPreTouch"})
-    # Untimed warmup on a small input slice: spins up the Python worker
-    # pool (pandas/pyarrow imports), JIT/codegen, and the parquet reader
-    # once per JVM. BASELINE.md's protocol excludes session startup from
-    # the timed body; at production scale these are amortized over hours.
-    from cesium_spark.operators.derive import derive_series
-    from cesium_spark.operators.rollup import rollup_features
-    warm = spark.read.parquet(input_path).limit(3000)
-    rollup_features(derive_series(warm), "1h", BENCH_FEATS).write.mode(
-        "overwrite").format("noop").save()
+    # Untimed warmup: run the FULL pipeline body once on a tiny slice
+    # (150 convs, ~1% of the timed input). This spins up the Python
+    # worker pool (pandas/pyarrow/numpy imports), query codegen for all
+    # four job shapes (multi-tier rollup, LS conv fit, moments, codec
+    # encode), the parquet reader AND the committer once per JVM.
+    # Measured decomposition (BENCH/BASELINE.md): the two-level wall
+    # fits F + C/cores with F ≈ 13 s when only the 1h kernel was
+    # warmed — almost all of it first-call cost of the three unwarmed
+    # plan shapes, identical at both levels, so it dilutes the measured
+    # ratio without being engine work. BASELINE.md's protocol excludes
+    # session startup from the timed body; at production scale these
+    # amortize over hours.
+    if warm_path:
+        pipeline_body(spark, warm_path, f"{out}_warm")
+    else:
+        from cesium_spark.operators.derive import derive_series
+        from cesium_spark.operators.rollup import rollup_features
+        warm = spark.read.parquet(input_path).limit(3000)
+        rollup_features(derive_series(warm), "1h", BENCH_FEATS).write.mode(
+            "overwrite").format("noop").save()
     # input row count is metadata about the input, not pipeline work —
     # counted OUTSIDE the timed window (round 3; it was a separate
     # timed scan job before)
@@ -239,11 +251,16 @@ def phase_a() -> dict:
     results = {"host_probe": host_probe()}
     checksums = {}
     try:
-        # untimed: generate the deterministic input once
+        # untimed: generate the deterministic input once, plus a tiny
+        # warm slice each worker runs through the full pipeline before
+        # its timed window (see _phase_a_worker)
+        warm_path = f"{tmp}/transcripts_warm"
         spark = _session("local[8]", local_dir=tmp)
         from cesium_spark.sources.synth import generate_transcripts
         generate_transcripts(spark, N_CONV).write.mode(
             "overwrite").parquet(input_path)
+        generate_transcripts(spark, 150).write.mode(
+            "overwrite").parquet(warm_path)
         spark.stop()
 
         # taskset pins each level to a REAL cpu set: in plain local mode
@@ -266,7 +283,8 @@ def phase_a() -> dict:
                 env = dict(os.environ)
                 env["SPARK_GRAFT_CPUS"] = master[master.find("[") + 1:-1]
                 cmd = [sys.executable, os.path.abspath(__file__),
-                       "--phase-a-worker", master, input_path, out]
+                       "--phase-a-worker", master, input_path, out,
+                       warm_path]
                 if shutil.which("taskset"):
                     cmd = ["taskset", "-c", cpuset] + cmd
                 proc = subprocess.run(
@@ -323,7 +341,8 @@ def phase_b() -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--phase-a-worker":
-        _phase_a_worker(sys.argv[2], sys.argv[3], sys.argv[4])
+        _phase_a_worker(sys.argv[2], sys.argv[3], sys.argv[4],
+                        sys.argv[5] if len(sys.argv) > 5 else None)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--phase-a-only":
         # cheap retry path when hunting a rested-host window for the
