@@ -145,16 +145,18 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
 
 # SimHash SWAR lanes: 3 bit-plane counters packed per 64-bit
 # accumulator at 22-bit stride (each lane counts one plane). Capacity
-# is set by the TOP lane: it spans bits 44-63 — 20 bits, and bit 63 is
-# the sign bit, so a count ≥ 2^19 there makes the accumulator negative
-# and the arithmetic shiftright's sign fill reaches the read mask.
-# Reading the top lane through a 20-bit mask is exact for counts
-# < 2^20 (sign fill starts at result bit 20), hence the guard caps
-# documents at 2^20 distinct tokens. Lanes 0/1 hold full 22-bit fields
-# and are exact a fortiori.
+# is set by the TOP lane and by SIGNED-overflow headroom: the
+# accumulator's value is cnt0 + cnt1·2^22 + cnt2·2^44 with each
+# cnt ≤ n, so the worst-case bit distribution (every token sets the
+# same top-lane plane) reaches n·2^44 — at n = 2^19 that is exactly
+# 2^63 and the bigint `+` overflows (ANSI mode throws mid-aggregate,
+# before the guard; non-ANSI would silently corrupt the top lane via
+# sign fill). n ≤ 2^19−1 keeps the sum < 2^63 for EVERY distribution,
+# the accumulator non-negative, and the 20-bit top-lane read exact.
+# Lanes 0/1 hold full 22-bit fields and are exact a fortiori.
 _SIMHASH_LANE_STRIDE = 22
 _SIMHASH_LANE_MASK = (1 << 44) | (1 << 22) | 1
-_SIMHASH_MAX_TOKENS = 1 << 20
+_SIMHASH_MAX_TOKENS = 1 << 19
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
@@ -170,10 +172,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     popcounts use SWAR lanes: 22 ``aggregate()`` passes, each summing 3
     planes packed at 22-bit stride in one bigint accumulator (bit i of
     token-hash x lands in lane i//22 of pass i%22). Lane capacity is
-    2^20 distinct tokens per document (the top lane spans only bits
-    44-63 — see the note at ``_SIMHASH_MAX_TOKENS``) — enforced with an
-    in-plan guard (raise_error), since a silent overflow would corrupt
-    neighboring lanes. Bit-for-bit equal to the round-2 implementation (sign of
+    2^19−1 distinct tokens per document — the distribution-independent
+    signed-overflow bound (see the note at ``_SIMHASH_MAX_TOKENS``) —
+    enforced with an in-plan guard (raise_error), since exceeding it
+    either throws a confusing ANSI overflow or silently corrupts the
+    top lane. Bit-for-bit equal to the round-2 implementation (sign of
     2*cnt - n), verified on the sf0.1 corpus; 4.5x faster there."""
     toks = F.array_distinct(_tokens(text_col))
     d = docs.select(F.col(id_col),

@@ -71,14 +71,16 @@ class TestDedup:
         assert all(a != 1 and b != 1 for a, b in pairs)  # non-canonical out
 
     def test_simhash_whale_doc_exact_and_lane_guard(self, spark):
-        # SWAR lane-capacity regression: the top lane spans only bits
-        # 44-63 (sign bit included), so the guard must fire at 2^20
-        # distinct tokens — with the old 2^22 guard, docs of ≥ ~2^20
-        # distinct tokens silently corrupted bits 44-63. Also checks a
-        # large-but-legal doc (600k distinct tokens, lane-2 counts
-        # ≈ 300k ≈ 2^18.2) bit-for-bit against a numpy popcount
+        # SWAR lane-capacity regression: the accumulator value is
+        # cnt0 + cnt1*2^22 + cnt2*2^44 (each cnt <= n), so the guard
+        # must fire at 2^19 distinct tokens — the worst-case bit
+        # distribution overflows the signed bigint at n = 2^19 (the
+        # original 2^22 guard silently corrupted bits 44-63; a 2^20
+        # guard admitted ANSI overflows on skewed planes). Also checks
+        # a large-but-legal doc (500k distinct tokens, lane-2 counts
+        # ≈ 250k ≈ 2^17.9) bit-for-bit against a numpy popcount
         # reference built from the very same xxhash64 values.
-        n_ok = 600_000
+        n_ok = 500_000
         hashes = (spark.range(n_ok)
                   .select(F.xxhash64(
                       F.concat(F.lit("t"), F.col("id").cast("string")))
