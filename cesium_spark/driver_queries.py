@@ -1332,6 +1332,64 @@ FROM x ORDER BY dot / (na * nb) DESC, vec_id LIMIT {k}
 """
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value oracle for the IVF ANN path: the coarse-centroid
+    matrix is a small deterministic constant (similarity.ivf_centroids,
+    seed 7, unit-norm rows), so the ENTIRE pipeline — argmax-dot list
+    assignment, nprobe=4/16 probe selection, exact cosine re-rank of
+    the probed lists — is replayed in pure DuckDB SQL with the
+    centroids inlined as literals (built by _ivf_topk_sql below). A
+    genuine pruning path (25% of lists probed), not the degenerate
+    nprobe=n_centroids mode."""
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = similarity.ivf_topk(embs, [float(x) for x in q],
+                              k=10, n_centroids=16, nprobe=4)
+    return out.select("vec_id", _r0(F.round("cosine", 5)).alias("cosine"))
+
+
+def _ivf_topk_sql(dim: int = 64, n_centroids: int = 16, nprobe: int = 4,
+                  k: int = 10) -> str:
+    """DuckDB replay of ivf_topk(n_centroids=16, nprobe=4): the
+    deterministic unit-norm centroid matrix is inlined as double
+    literals; per-vector argmax assignment uses the same tie rule as
+    np.argmax (dot desc, list id asc)."""
+    cents = similarity.ivf_centroids(dim, n_centroids)
+    rows = ", ".join(
+        "(" + str(j) + ", [" +
+        ", ".join(repr(float(cents[j, i])) for i in range(dim)) + "])"
+        for j in range(n_centroids))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT * FROM (VALUES {rows}) AS t(cid, cv)),
+d AS (SELECT e.vec_id, e.v, c.cid, list_dot_product(e.v, c.cv) AS dot
+      FROM e CROSS JOIN c),
+assign AS (
+  SELECT vec_id, v, cid FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT c.cid FROM c CROSS JOIN q
+  ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid LIMIT {nprobe}
+),
+cand AS (
+  SELECT a.vec_id, a.v, q.qv
+  FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+),
+x AS (
+  SELECT vec_id,
+         list_sum(list_transform(list_zip(v, qv), s -> s[1] * s[2])) AS dot,
+         sqrt(list_sum(list_transform(v, a -> a * a))) AS na,
+         sqrt(list_sum(list_transform(qv, a2 -> a2 * a2))) AS nb
+  FROM cand
+)
+SELECT vec_id, round(dot / (na * nb), 5) + 0.0 AS cosine
+FROM x ORDER BY dot / (na * nb) DESC, vec_id LIMIT {k}
+"""
+
+
 def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing driver oracle via two deterministic invariants per doc
     (the hash values themselves are not SQL-expressible): (a) count
@@ -1452,6 +1510,7 @@ QUERIES = {
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "emb_lsh_topk": q_emb_lsh_topk,
+    "emb_ivf_topk": q_emb_ivf_topk,
     "doc_winnowing": q_doc_winnowing,
     "multimodal_features": q_multimodal_features,
     # whole-series model fits: invariant oracles since round 3 (exact
@@ -1495,6 +1554,7 @@ ORACLE_SQL = {
     "doc_minhash_lsh": SQL_DOC_MINHASH_LSH,
     "doc_simhash": SQL_DOC_SIMHASH,
     "emb_lsh_topk": _lsh_topk_sql(),
+    "emb_ivf_topk": _ivf_topk_sql(),
     "doc_winnowing": SQL_DOC_WINNOWING,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "ts_lomb_scargle_conv": SQL_TS_LOMB_SCARGLE,

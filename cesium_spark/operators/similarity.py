@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 LSH_SEED = 42
+IVF_SEED = 7
 
 
 def _as_double(vec_col: str):
@@ -68,6 +69,58 @@ def lsh_signatures(embs: DataFrame, dim: int, n_planes: int = 16,
 
     return embs.select(F.col(id_col), F.col(vec_col),
                        bucket_of(F.col(vec_col)).alias("bucket"))
+
+
+def ivf_centroids(dim: int, n_centroids: int,
+                  seed: int = IVF_SEED) -> np.ndarray:
+    """Deterministic unit-norm coarse centroids, shape (n_centroids,
+    dim). Unit norm makes dot-product ranking equal cosine ranking, so
+    assignment needs no per-centroid normalization at scan time (and
+    the DuckDB oracle can inline the exact float64 literals)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.sqrt((c * c).sum(axis=1, keepdims=True))
+
+
+def ivf_assign(embs: DataFrame, dim: int, n_centroids: int = 16,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, list_id int): inverted-file coarse quantization — each
+    vector is assigned to its max-dot-product centroid (ties to the
+    lowest list id; np.argmax picks the first maximum). One
+    (batch × dim) @ (dim × n_centroids) float64 matmul per Arrow batch;
+    the centroid matrix is a broadcast constant, so assignment is a
+    single scan with no shuffle. At 10^9+ vectors, write the corpus
+    partitioned by list_id so the probe filter partition-prunes."""
+    cents = ivf_centroids(dim, n_centroids).T  # (dim, n_centroids)
+
+    @pandas_udf("int")
+    def list_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series((m @ cents).argmax(axis=1).astype(np.int32))
+
+    return embs.select(F.col(id_col), F.col(vec_col),
+                       list_of(F.col(vec_col)).alias("list_id"))
+
+
+def ivf_topk(embs: DataFrame, query: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: probe the `nprobe` centroid lists nearest
+    the query (dot desc, list id tiebreak — computed driver-side on the
+    tiny centroid matrix), filter the assigned corpus with a native
+    IN-list (partition-prunes when stored bucketed by list_id), then
+    exact cosine re-score of the candidates only. nprobe = n_centroids
+    degenerates to exact brute force — the verification mode."""
+    q = np.asarray(query, dtype=np.float64)
+    cents = ivf_centroids(q.size, n_centroids)
+    dots = cents @ q
+    order = np.lexsort((np.arange(n_centroids), -dots))
+    probes = [int(i) for i in order[:nprobe]]
+    a = ivf_assign(embs, q.size, n_centroids, id_col, vec_col)
+    cands = a.where(F.col("list_id").isin(probes))
+    return cosine_topk(cands, list(q), k, id_col, vec_col)
 
 
 def lsh_bucketed_topk(embs: DataFrame, query: list[float], k: int = 10,

@@ -176,6 +176,42 @@ class TestSimilarity:
         for r, e in zip(got, exp):
             assert r["cosine"] == pytest.approx(e[1], rel=1e-9)
 
+    def test_ivf_assign_matches_numpy_argmax(self, embs):
+        pdf = embs.toPandas()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        cents = similarity.ivf_centroids(16, 8)
+        exp = (mat @ cents.T).argmax(axis=1)
+        got = (similarity.ivf_assign(embs, dim=16, n_centroids=8)
+               .toPandas().set_index("vec_id")["list_id"])
+        for vid, e in zip(pdf["vec_id"], exp):
+            assert got[vid] == e
+
+    def test_ivf_full_probe_equals_exact(self, embs):
+        """nprobe = n_centroids degenerates to exact brute force."""
+        pdf = embs.toPandas()
+        q = list(np.stack(pdf["embedding"].to_numpy())[3].astype(np.float64))
+        exact = similarity.cosine_topk(embs, q, k=5).collect()
+        ivf = similarity.ivf_topk(embs, q, k=5, n_centroids=8,
+                                  nprobe=8).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in ivf] == \
+            [(r["vec_id"], r["cosine"]) for r in exact]
+
+    def test_ivf_recall_and_subset(self, embs):
+        """Small nprobe: results ⊆ exact scores, the query's own list is
+        always the top probe so the query vector itself is returned."""
+        pdf = embs.toPandas()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = list(mat[3])
+        sims = mat @ np.asarray(q) / (np.linalg.norm(mat, axis=1)
+                                      * np.linalg.norm(q))
+        all_exact = dict(zip(pdf["vec_id"].tolist(), sims))
+        got = similarity.ivf_topk(embs, q, k=5, n_centroids=8,
+                                  nprobe=2).collect()
+        assert 3 in {r["vec_id"] for r in got}
+        for r in got:
+            assert r["cosine"] == pytest.approx(all_exact[r["vec_id"]],
+                                                rel=1e-9)
+
     def test_lsh_recall(self, embs):
         pdf = embs.toPandas()
         q = list(np.stack(pdf["embedding"].to_numpy())[3].astype(np.float64))
