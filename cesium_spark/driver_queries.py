@@ -1005,6 +1005,77 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.2
 """
 
 
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → duplicate CLUSTERS: the same capped-vocabulary
+    Jaccard pairs as doc_jaccard_pairs (threshold 0.2, max_df 20) fed
+    through iterative min-label connected components; singletons keep
+    their own id. The DuckDB oracle replays the pair generation and
+    computes components with a recursive CTE (label = min reachable
+    id), so cluster ids AND sizes are value-exact."""
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, block_col="source",
+                                      shingle_n=1, threshold=0.2, max_df=20)
+    comp = dedup.connected_components(pairs)
+    lab = (docs.select("doc_id")
+           .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("component", F.col("doc_id"))
+                   .alias("cluster_id")))
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (lab.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size"))
+
+
+SQL_DOC_DEDUP_CLUSTERS = """
+WITH RECURSIVE tok0 AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS s
+  FROM documents
+),
+hot AS (
+  SELECT s, source FROM tok0 GROUP BY 1, 2 HAVING count(*) > 20
+),
+tok AS (
+  SELECT t.* FROM tok0 t
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.s = t.s AND h.source = t.source)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.s = b.s AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, c.cluster_size
+FROM lab l JOIN csz c USING (cluster_id)
+"""
+
+
 def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding_cosine_pairs exact mode vs an all-pairs DuckDB oracle
     (the 'lsh' scale mode — same exact re-scoring on LSH candidates —
@@ -1501,6 +1572,7 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_lang_id": q_doc_lang_id,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -1547,6 +1619,7 @@ ORACLE_SQL = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_jaccard_pairs": SQL_DOC_JACCARD,
+    "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_cosine_pairs": SQL_EMB_COSINE_PAIRS,

@@ -362,3 +362,51 @@ def embedding_cosine_pairs(embs: DataFrame, id_col: str = "vec_id",
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
     return _cosine_on_pairs(cand, v, id_col, threshold)
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(node, component): connected components over an undirected edge
+    list — the standard finishing step that turns LSH/Jaccard candidate
+    PAIRS into duplicate CLUSTERS (component = min node id reachable,
+    i.e. the canonical representative). Nodes not present in `pairs`
+    are singletons and simply don't appear; union the full id set and
+    coalesce(component, id) downstream.
+
+    Algorithm: iterative min-label propagation (the hash-to-min step of
+    Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"). Each round is one equi-join (edges ⋈ labels on src) plus
+    one min-aggregate on node — two shuffles, both hash-partitioned on
+    the node id, so AQE reuses the exchange layout round to round.
+    Rounds needed = O(max component diameter); near-dup clusters from
+    banded LSH are dense (diameter ≤ 2-3 in practice), so this
+    converges in a handful of rounds even at 10^10 edges. Lineage is
+    truncated with an eager localCheckpoint every round (plan size and
+    task-deserialization cost stay O(1) in the round count); the
+    convergence probe is a bounded `limit(1).count()`, not a collect.
+    For adversarial high-diameter graphs, switch to the paper's
+    large-star/small-star alternation — same join/agg primitives,
+    O(log² n) rounds.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        msgs = (edges.join(labels, edges["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), "component"))
+        new = (labels.select("node", "component").unionByName(msgs)
+               .groupBy("node").agg(F.min("component").alias("component"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("component", "old"),
+                            "node")
+                   .where(F.col("component") != F.col("old"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -148,6 +148,27 @@ class TestDedup:
         with pytest.raises(ValueError):
             dedup.embedding_cosine_pairs(embs, method="nope").collect()
 
+    def test_connected_components_two_clusters(self, spark):
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]}))
+        got = {r["node"]: r["component"] for r in
+               dedup.connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_connected_components_path_graph(self, spark):
+        """Diameter-5 path: label must propagate across multiple
+        rounds (exercises the convergence loop, not just round 1)."""
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [5, 4, 3, 2, 1],
+                          "id_b": [4, 3, 2, 1, 0]}))
+        got = {r["node"]: r["component"] for r in
+               dedup.connected_components(pairs).collect()}
+        assert got == {i: 0 for i in range(6)}
+
+    def test_connected_components_empty(self, spark):
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert dedup.connected_components(pairs).count() == 0
+
     def test_ngram_jaccard_max_df_guards_hot_shingles(self, spark):
         """Stop-word-heavy corpus: an uncapped unigram join pairs every
         doc through 'the'; max_df removes the hot shingle so no
