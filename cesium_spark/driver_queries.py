@@ -609,6 +609,64 @@ FROM src GROUP BY user_id
 """
 
 
+def q_ts_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the driver gate
+    (streaming/stateful.py, applyInPandasWithState): the value series
+    is split into 3 source files by turn_idx % 3 and replayed with
+    maxFilesPerTrigger=1, so the per-conv totals REALLY cross
+    micro-batch boundaries through the state store (each batch appends
+    a cumulative snapshot; the max-n row per key is the final total —
+    n strictly increases across a key's emissions). Only mergeable
+    algebra lives in state, so the final snapshot equals a one-pass
+    batch aggregate, which the DuckDB oracle computes directly from
+    events."""
+    import os
+    import shutil
+
+    from cesium_spark.streaming import stateful
+
+    _prep(spark)
+    base = os.path.join("/tmp/cesium_spark_stream_state",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+    s = _value_series(spark, sf_dir)
+    for i in range(3):
+        (s.where(F.col("turn_idx") % 3 == i)
+         .coalesce(1).write.mode("append").parquet(f"{base}/src"))
+    schema = ("conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double, e double")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{base}/src"))
+    q = stateful.totals_to_table(
+        stateful.stateful_running_totals(stream),
+        f"{base}/out", f"{base}/ckpt")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ts_stream_stateful: availableNow stream did not finish "
+            "within 300s")
+    res = spark.read.parquet(f"{base}/out")
+    w = Window.partitionBy("conv_id", "channel").orderBy(F.desc("n"))
+    return (res.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("conv_id",
+                    F.col("n").cast("long").alias("n"),
+                    _r0(F.round("y_sum", 4)).alias("y_sum"),
+                    _r(F.col("y_min")).alias("y_min"),
+                    _r(F.col("y_max")).alias("y_max")))
+
+
+SQL_TS_STREAM_STATEFUL = """
+SELECT cast(user_id AS varchar) AS conv_id,
+       count(*) AS n,
+       round(sum(value), 4) + 0.0 AS y_sum,
+       round(min(value), 6) + 0.0 AS y_min,
+       round(max(value), 6) + 0.0 AS y_max
+FROM events GROUP BY 1
+"""
+
+
 def q_ts_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming seam under the driver gate: the value series is
     replayed through readStream (file source, availableNow), the
@@ -1561,6 +1619,7 @@ QUERIES = {
     "ts_rollup_multi": q_ts_rollup_multi,
     "ts_parse_csv": q_ts_parse_csv,
     "ts_stream_moments": q_ts_stream_moments,
+    "ts_stream_stateful": q_ts_stream_stateful,
     "rel_tpch_q1": q_rel_tpch_q1,
     "rel_nation_revenue": q_rel_nation_revenue,
     "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -1608,6 +1667,7 @@ ORACLE_SQL = {
     "ts_rollup_multi": SQL_TS_ROLLUP_MULTI,
     "ts_parse_csv": SQL_TS_PARSE_CSV,
     "ts_stream_moments": SQL_TS_STREAM_MOMENTS,
+    "ts_stream_stateful": SQL_TS_STREAM_STATEFUL,
     "rel_tpch_q1": SQL_REL_TPCH_Q1,
     "rel_nation_revenue": SQL_REL_NATION_REVENUE,
     "rel_customers_without_orders": SQL_REL_ANTI,

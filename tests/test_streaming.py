@@ -152,3 +152,73 @@ def test_stream_late_data_within_watermark(spark, tmp_path):
     for c in ("y_min", "y_max"):
         np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
     np.testing.assert_allclose(got["y_sum"], exp["y_sum"], rtol=1e-12)
+
+
+def test_stateful_totals_cross_batch_state(spark, tmp_path):
+    """applyInPandasWithState: two single-file micro-batches; the
+    second batch's snapshot for a key seen in both must be CUMULATIVE
+    (state crossed the batch boundary), and the max-n snapshot per key
+    must equal a one-pass batch aggregate exactly."""
+    from cesium_spark.streaming import stateful
+
+    src = str(tmp_path / "src")
+    pdf = _series_pdf(0)
+    half = len(pdf) // 2
+    s1 = spark.createDataFrame(pdf.iloc[:half])
+    s2 = spark.createDataFrame(pdf.iloc[half:])
+    s1.coalesce(1).write.mode("append").parquet(src)
+    s2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(SERIES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stateful.totals_to_table(
+        stateful.stateful_running_totals(stream),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert q.awaitTermination(240)
+
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    # every conv appears in both halves → exactly 2 snapshots per key
+    assert (out.groupby(["conv_id", "channel"]).size() == 2).all()
+    final = (out.sort_values("n").groupby(["conv_id", "channel"])
+             .tail(1).set_index("conv_id"))
+    exp = pdf.groupby("conv_id")["y"].agg(["count", "min", "max"])
+    for cid, row in exp.iterrows():
+        got = final.loc[cid]
+        assert got["n"] == row["count"]
+        assert got["y_min"] == row["min"]   # min/max exact (order-free)
+        assert got["y_max"] == row["max"]
+        assert got["y_sum"] == pytest.approx(
+            pdf[pdf.conv_id == cid]["y"].sum(), rel=1e-12)
+
+
+def test_stateful_totals_resume_from_checkpoint(spark, tmp_path):
+    """State store + checkpoint: a second availableNow pass over a
+    grown source resumes from committed offsets and keeps accumulating
+    (the new file's snapshot builds on restored state)."""
+    from cesium_spark.streaming import stateful
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    pdf = _series_pdf(0)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
+    q = stateful.totals_to_table(
+        stateful.stateful_running_totals(stream), out, ckpt)
+    assert q.awaitTermination(240)
+
+    pdf2 = _series_pdf(1)
+    spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
+    q2 = stateful.totals_to_table(
+        stateful.stateful_running_totals(stream2), out, ckpt)
+    assert q2.awaitTermination(240)
+
+    res = spark.read.parquet(out).toPandas()
+    both = pd.concat([pdf, pdf2])
+    final = (res.sort_values("n").groupby(["conv_id", "channel"])
+             .tail(1).set_index("conv_id"))
+    exp = both.groupby("conv_id")["y"].agg(["count", "min", "max"])
+    for cid, row in exp.iterrows():
+        assert final.loc[cid, "n"] == row["count"]
+        assert final.loc[cid, "y_min"] == row["min"]
+        assert final.loc[cid, "y_max"] == row["max"]
