@@ -389,10 +389,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     large-star/small-star alternation — same join/agg primitives,
     O(log² n) rounds.
     """
+    # materialize the edge list once: `pairs` usually carries expensive
+    # lineage (an LSH/Jaccard candidate join), and each round references
+    # edges twice (msgs + convergence probe) — without this the whole
+    # candidate generation would re-execute 2× per round
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=True))
