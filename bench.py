@@ -69,7 +69,11 @@ N_REPS = int(os.environ.get("CESIUM_BENCH_REPS", "2"))
 # 2→8 in BENCH/BASELINE.md to separate engine task-scaling from the
 # single-VM bus ceiling (a real cluster multiplies buses per node).
 LEVELS = tuple(int(x) for x in
-               os.environ.get("CESIUM_BENCH_LEVELS", "2,8").split(","))
+               os.environ.get("CESIUM_BENCH_LEVELS", "2,8").split(",")
+               if x.strip())
+if len(LEVELS) != 2 or LEVELS[0] >= LEVELS[1]:
+    raise SystemExit(
+        f"CESIUM_BENCH_LEVELS must be 'lo,hi' with lo < hi, got {LEVELS!r}")
 
 BENCH_FEATS = [
     "n_epochs", "mean", "maximum", "minimum", "amplitude", "std", "skew",
@@ -310,7 +314,7 @@ def phase_a() -> dict:
     return results
 
 
-def phase_b() -> dict:
+def phase_b() -> tuple[dict, dict]:
     from cesium_spark import driver_queries as dq
     spark = _session(f"local[{CPUS}]")
     # untimed warmup (same rationale as phase A): the first timed query

@@ -318,7 +318,13 @@ def decode_values_scalar(buf: bytes) -> np.ndarray:
 # Working-set is bounded by _MAX_STREAM_BYTES sub-batches.
 # ---------------------------------------------------------------------------
 
-_MAX_STREAM_BYTES = 64 << 20  # per sub-batch; bounds the bytes-join + O(tokens) scratch
+_MAX_STREAM_BYTES = 64 << 20  # per sub-batch; bounds the bytes-join
+# Decoder scratch scales with TOKEN count, not bytes (a Δ=1 index
+# stream packs ~8 one-bit tokens per byte), so sub-batches are bounded
+# by BOTH: bytes for the concat/gather buffers, tokens for the
+# O(tokens) position/window/payload scratch (~50 B/token peak → ≤1 GiB
+# per sub-batch at this cap, executor-memory safe).
+_MAX_STREAM_TOKENS = 16 << 20
 
 
 class _Arena:
@@ -327,7 +333,10 @@ class _Arena:
     allocations; reusing named buffers across decode calls pays it once
     per worker instead of once per Arrow batch. Buffers grow with 30%
     headroom and are keyed by name, so the working set is bounded by
-    _MAX_STREAM_BYTES times a small constant (~70×) per process."""
+    the sub-batch caps: a few × _MAX_STREAM_BYTES for byte-side
+    buffers plus ~50 B × _MAX_STREAM_TOKENS for token-side scratch,
+    per process. Buffers never shrink — a persistent high-water mark
+    by design (first-touch cost paid once per worker)."""
 
     def __init__(self):
         self._bufs: dict[str, np.ndarray] = {}
@@ -597,18 +606,24 @@ def _xor_payloads(u8, flat_pos) -> np.ndarray:
 
 def _byte_subbatches(bufs, counts, hdr: int):
     """Yield index arrays grouping blobs into sub-batches whose summed
-    stream bytes stay under _MAX_STREAM_BYTES (at least one per group).
-    Skips blobs with no tokens to decode."""
+    stream bytes stay under _MAX_STREAM_BYTES AND summed token counts
+    under _MAX_STREAM_TOKENS (at least one blob per group — a single
+    over-cap blob still decodes, its scratch is inherently O(its own
+    tokens)). Skips blobs with no tokens to decode."""
     idx = [j for j in range(len(bufs)) if counts[j] > 0]
     group: list[int] = []
     size = 0
+    toks = 0
     for j in idx:
         b = len(bufs[j]) - hdr
-        if group and size + b > _MAX_STREAM_BYTES:
+        t = int(counts[j])
+        if group and (size + b > _MAX_STREAM_BYTES
+                      or toks + t > _MAX_STREAM_TOKENS):
             yield np.array(group, dtype=np.int64)
-            group, size = [], 0
+            group, size, toks = [], 0, 0
         group.append(j)
         size += b
+        toks += t
     if group:
         yield np.array(group, dtype=np.int64)
 

@@ -179,8 +179,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     top lane. Bit-for-bit equal to the round-2 implementation (sign of
     2*cnt - n), verified on the sf0.1 corpus; 4.5x faster there."""
     toks = F.array_distinct(_tokens(text_col))
-    d = docs.select(F.col(id_col),
-                    F.transform(toks, lambda t: F.xxhash64(t)).alias("h"))
+    # NULL text ⇒ NULL token array: drop the row (round-2 parity — the
+    # explode path emitted no rows for it; the per-row projection would
+    # otherwise emit simhash 0 and band-match every NULL doc pairwise)
+    d = (docs.select(F.col(id_col),
+                     F.transform(toks, lambda t: F.xxhash64(t)).alias("h"))
+         .where(F.col("h").isNotNull()))
     n = F.size("h")
     cnts: dict[int, F.Column] = {}
     for j in range(_SIMHASH_LANE_STRIDE):
@@ -413,5 +417,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                    .limit(1).count())
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    # no-silent-caps rule (SURVEY §4.4): returning here would hand back
+    # intermediate labels — one logical cluster reported as several,
+    # with no signal. Diameter > max_iter graphs need more rounds or
+    # the O(log² n) large-star/small-star alternation.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(component diameter exceeds max_iter); raise max_iter or use "
+        f"large-star/small-star for high-diameter graphs")

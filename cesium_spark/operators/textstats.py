@@ -158,7 +158,8 @@ def _fnv1a_tokens(uniq: np.ndarray) -> np.ndarray:
             long_idx.size, _VEC_TOKEN_MAX_LEN)
         for i in long_idx:
             out[i] = _fnv1a_token_scalar(str(uniq[i]))
-    su = np.asarray(uniq[short], dtype=f"U{_VEC_TOKEN_MAX_LEN}")
+    orig = uniq[short]  # keep originals: the U-dtype copy below strips
+    su = np.asarray(orig, dtype=f"U{_VEC_TOKEN_MAX_LEN}")  # trailing NULs
     if su.size:
         width = max(su.dtype.itemsize // 4, 1)
         cp = np.ascontiguousarray(su).view(np.uint32).reshape(su.size, width)
@@ -177,7 +178,10 @@ def _fnv1a_tokens(uniq: np.ndarray) -> np.ndarray:
                 v[live] = (v[live] ^ col[live].astype(np.uint64)) * _FNV_PRIME
         sub_out[ascii_ok] = v & _WINNOW_MASK
         for i in np.flatnonzero(~ascii_ok):
-            sub_out[i] = _fnv1a_token_scalar(str(su[i]))
+            # hash the ORIGINAL token, not the U-dtype copy: numpy 'U'
+            # arrays drop trailing NULs, so a token like 'a\0' would
+            # otherwise hash identically to 'a'
+            sub_out[i] = _fnv1a_token_scalar(str(orig[i]))
         out[short] = sub_out
     return out
 

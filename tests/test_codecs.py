@@ -156,6 +156,18 @@ class TestBatchDecode:
         for a, p in zip(arrs, np.split(flat, np.cumsum(n)[:-1])):
             np.testing.assert_array_equal(p, a)
 
+    def test_subbatch_token_cap_split(self, monkeypatch):
+        """Dense Δ=1 streams pack ~8 tokens/byte, so the TOKEN cap (not
+        the byte cap) must bound decoder scratch: force it tiny and
+        check the split path decodes exactly."""
+        import cesium_spark.codecs.gorilla as g
+        monkeypatch.setattr(g, "_MAX_STREAM_TOKENS", 40)
+        arrs = [np.arange(j, j + 100, dtype=np.int64) for j in range(8)]
+        bufs = [encode_timestamps(a) for a in arrs]
+        flat, n = decode_timestamps_many(bufs)
+        for a, p in zip(arrs, np.split(flat, np.cumsum(n)[:-1])):
+            np.testing.assert_array_equal(p, a)
+
 
 class TestCrc:
     def test_decode_detects_corruption(self, spark, tiny_transcripts):

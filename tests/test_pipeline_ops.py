@@ -113,6 +113,15 @@ class TestDedup:
         assert ham(out[0], out[2]) <= 8
         assert ham(out[0], out[3]) > 12
 
+    def test_simhash_null_text_dropped(self, spark):
+        """NULL-text docs must be ABSENT (round-2 explode parity), not
+        emitted as simhash 0 (which would band-match them pairwise)."""
+        d = spark.createDataFrame(
+            [(0, "alpha beta"), (1, None), (2, None)],
+            "doc_id long, text string")
+        out = dedup.simhash(d).toPandas()
+        assert out["doc_id"].tolist() == [0]
+
     def test_ngram_jaccard_exact_value(self, docs):
         out = dedup.ngram_jaccard_pairs(
             docs, block_col="source", shingle_n=1, threshold=0.1).toPandas()
@@ -164,6 +173,15 @@ class TestDedup:
         got = {r["node"]: r["component"] for r in
                dedup.connected_components(pairs).collect()}
         assert got == {i: 0 for i in range(6)}
+
+    def test_connected_components_raises_on_non_convergence(self, spark):
+        """no-silent-caps: a diameter-5 path cannot converge in 2
+        rounds — intermediate labels must never be returned."""
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [5, 4, 3, 2, 1],
+                          "id_b": [4, 3, 2, 1, 0]}))
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(pairs, max_iter=2)
 
     def test_connected_components_empty(self, spark):
         pairs = spark.createDataFrame([], "id_a long, id_b long")
@@ -283,6 +301,22 @@ class TestTextStats:
         exp = np.array([_fnv1a_token_scalar(str(t)) for t in toks],
                        dtype=np.uint64)
         np.testing.assert_array_equal(got, exp)
+
+    def test_winnowing_hash_trailing_nul_tokens(self):
+        """Regression: numpy 'U' arrays silently strip trailing NULs —
+        the scalar fallback must hash the ORIGINAL token, so 'a\\0' and
+        'a' get different hashes (bit-identity with the scalar spec)."""
+        from cesium_spark.operators.textstats import (
+            _fnv1a_token_scalar,
+            _fnv1a_tokens,
+        )
+        toks = np.array(["a\x00", "a", "b\x00c", "a\x00\x00", "\x00"],
+                        dtype=object)
+        got = _fnv1a_tokens(toks)
+        exp = np.array([_fnv1a_token_scalar(t) for t in toks],
+                       dtype=np.uint64)
+        np.testing.assert_array_equal(got, exp)
+        assert got[0] != got[1]
 
     def test_winnowing_matches_scalar_reference(self, docs):
         """Engine fingerprints == a from-scratch scalar winnowing."""
