@@ -1602,6 +1602,61 @@ FROM f GROUP BY 1, 2
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value oracle for the area-mean resize kernel: source pixel
+    (i, j) of the (height, width) byte grid (payload truncated /
+    zero-padded to h*w) pools into output cell (i*4//h, j*4//w); the
+    pooled mean is sum/count/256 in float64, stored float32. Every step
+    is replayed in SQL with the same division order and a CAST(.. AS
+    REAL) truncation, so all 16 raster cells are representation-exact
+    (same technique as multimodal_features)."""
+    _prep(spark)
+    media = multimodal.attach_fake_media(_read(spark, sf_dir, "documents"))
+    pix = multimodal.resize_media(media, out_h=4, out_w=4, fake=True)
+    return pix.select(
+        "doc_id",
+        *[F.col("pix")[i].cast("double").alias(f"p{i}") for i in range(16)])
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH meta AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + (length(text) % 48) AS w,
+         16 + ((length(text) * 7) % 48) AS h
+  FROM documents
+),
+pix AS (
+  SELECT doc_id, w, h, i,
+         CASE WHEN i <= n THEN ord(text[CAST(i AS INTEGER)]) ELSE 0 END AS b
+  FROM meta, LATERAL unnest(range(1, w * h + 1)) AS u(i)
+),
+grp AS (
+  SELECT doc_id,
+         ((((i - 1) // w) * 4) // h) * 4 + (((i - 1) % w) * 4) // w AS p,
+         CAST(CAST(sum(b) AS DOUBLE) / count(*) / 256.0 AS REAL) AS fv
+  FROM pix GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(max(CASE WHEN p = 0 THEN fv END) AS DOUBLE) AS p0,
+       CAST(max(CASE WHEN p = 1 THEN fv END) AS DOUBLE) AS p1,
+       CAST(max(CASE WHEN p = 2 THEN fv END) AS DOUBLE) AS p2,
+       CAST(max(CASE WHEN p = 3 THEN fv END) AS DOUBLE) AS p3,
+       CAST(max(CASE WHEN p = 4 THEN fv END) AS DOUBLE) AS p4,
+       CAST(max(CASE WHEN p = 5 THEN fv END) AS DOUBLE) AS p5,
+       CAST(max(CASE WHEN p = 6 THEN fv END) AS DOUBLE) AS p6,
+       CAST(max(CASE WHEN p = 7 THEN fv END) AS DOUBLE) AS p7,
+       CAST(max(CASE WHEN p = 8 THEN fv END) AS DOUBLE) AS p8,
+       CAST(max(CASE WHEN p = 9 THEN fv END) AS DOUBLE) AS p9,
+       CAST(max(CASE WHEN p = 10 THEN fv END) AS DOUBLE) AS p10,
+       CAST(max(CASE WHEN p = 11 THEN fv END) AS DOUBLE) AS p11,
+       CAST(max(CASE WHEN p = 12 THEN fv END) AS DOUBLE) AS p12,
+       CAST(max(CASE WHEN p = 13 THEN fv END) AS DOUBLE) AS p13,
+       CAST(max(CASE WHEN p = 14 THEN fv END) AS DOUBLE) AS p14,
+       CAST(max(CASE WHEN p = 15 THEN fv END) AS DOUBLE) AS p15
+FROM grp GROUP BY 1
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -1644,6 +1699,7 @@ QUERIES = {
     "emb_ivf_topk": q_emb_ivf_topk,
     "doc_winnowing": q_doc_winnowing,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
     # whole-series model fits: invariant oracles since round 3 (exact
     # value checks live in pytest layer 2)
     "ts_lomb_scargle_conv": q_ts_lomb_scargle_conv,
@@ -1690,6 +1746,7 @@ ORACLE_SQL = {
     "emb_ivf_topk": _ivf_topk_sql(),
     "doc_winnowing": SQL_DOC_WINNOWING,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "ts_lomb_scargle_conv": SQL_TS_LOMB_SCARGLE,
     "ts_qso_conv": SQL_TS_QSO,
 }

@@ -87,6 +87,44 @@ def extract_features(media: DataFrame, feat_dim: int = 8,
             .mapInPandas(kernel, schema=FEATURES_SCHEMA))
 
 
+RESIZED_SCHEMA = "doc_id long, pix array<float>"
+
+
+def resize_media(media: DataFrame, out_h: int = 4, out_w: int = 4,
+                 fake: bool = True) -> DataFrame:
+    """Area-mean resize of each media item's pixel grid to a fixed
+    (out_h, out_w) raster via mapInPandas. Unlike ``decode_media`` this
+    kernel is NOT a stub — it runs a real vectorized pooling (bincount
+    over the target-pixel map) on the decoded array; only the
+    byte→pixel decode step itself is the deterministic fake. Source
+    pixel (i, j) of an (h, w) grid pools into output cell
+    (i*out_h//h, j*out_w//w); the payload is truncated / zero-padded to
+    h*w bytes. Float64 sums of integer bytes are exact, so the stored
+    float32 raster is representation-identical to a pure-SQL replay
+    (same division order: sum/count/256)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload, mtype, h, w in zip(pdf["media"], pdf["media_type"],
+                                            pdf["height"], pdf["width"]):
+                arr = decode_media(bytes(payload), mtype, fake=fake)
+                byts = (arr * 256.0).astype(np.int64)[: h * w]
+                grid = np.zeros(h * w, dtype=np.int64)
+                grid[: byts.size] = byts
+                rmap = (np.arange(h, dtype=np.int64) * out_h) // h
+                cmap = (np.arange(w, dtype=np.int64) * out_w) // w
+                tgt = (rmap[:, None] * out_w + cmap[None, :]).ravel()
+                sums = np.bincount(tgt, weights=grid,
+                                   minlength=out_h * out_w)
+                cnts = np.bincount(tgt, minlength=out_h * out_w)
+                out.append((sums / cnts / 256.0).astype(np.float32))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pix": out})
+
+    return (media.select("doc_id", "media_type", "media", "height", "width")
+            .mapInPandas(kernel, schema=RESIZED_SCHEMA))
+
+
 def sample_frames(media: DataFrame, every_k: int = 5) -> DataFrame:
     """Frame sampling for video rows: explode frame indices 0, k, 2k, …
     < n_frames. Pure native sequence/explode — no UDF."""

@@ -373,6 +373,31 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             multimodal.decode_media(b"xx", "image", fake=False)
 
+    def test_resize_area_mean_exact(self, docs):
+        """resize_media == a from-scratch scalar area-mean pooling
+        (same float64 sum/count/256 order, float32 storage)."""
+        media = multimodal.attach_fake_media(docs)
+        out = (multimodal.resize_media(media, out_h=4, out_w=4)
+               .toPandas().set_index("doc_id")["pix"])
+        meta = media.toPandas().set_index("doc_id")
+        assert len(out) == len(meta)
+        for doc_id, row in meta.iterrows():
+            h, w = int(row["height"]), int(row["width"])
+            byts = np.frombuffer(bytes(row["media"]),
+                                 dtype=np.uint8).astype(np.float64)[: h * w]
+            grid = np.zeros(h * w)
+            grid[: byts.size] = byts
+            grid = grid.reshape(h, w)
+            exp = np.empty((4, 4), dtype=np.float32)
+            for r in range(4):
+                for c in range(4):
+                    rows = [i for i in range(h) if (i * 4) // h == r]
+                    cols = [j for j in range(w) if (j * 4) // w == c]
+                    blk = grid[np.ix_(rows, cols)]
+                    exp[r, c] = np.float32(blk.sum() / blk.size / 256.0)
+            np.testing.assert_array_equal(np.asarray(out[doc_id]),
+                                          exp.ravel())
+
     def test_frame_sampling(self, docs):
         media = multimodal.attach_fake_media(docs)
         frames = multimodal.sample_frames(media, every_k=5).toPandas()
