@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -338,7 +339,11 @@ def phase_b() -> tuple[dict, dict]:
             samples.setdefault(name, []).append(wall)
     spark.stop()
     times = {n: min(s) for n, s in samples.items()}
-    medians = {n: round(sorted(s)[len(s) // 2], 2)
+    # true median (even counts average the middle pair): with the
+    # protocol-pinned N_REPS=2 the old upper-middle pick reported the
+    # WORST rep as "median" — exactly the steal-inflated wall the
+    # best-of policy exists to discount
+    medians = {n: round(statistics.median(s), 2)
                for n, s in samples.items()}
     return times, medians
 

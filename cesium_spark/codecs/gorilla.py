@@ -35,6 +35,8 @@ Bitwise roundtrip is asserted for every IEEE-754 payload including
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 _TS_MAGIC_EMPTY = b""
@@ -325,6 +327,16 @@ _MAX_STREAM_BYTES = 64 << 20  # per sub-batch; bounds the bytes-join
 # O(tokens) position/window/payload scratch (~50 B/token peak → ≤1 GiB
 # per sub-batch at this cap, executor-memory safe).
 _MAX_STREAM_TOKENS = 16 << 20
+# The lockstep chain runs max(counts) steps over len(group)-wide
+# arrays, so its REAL cost is cells = max(counts) * len(group), which
+# skewed groups (many tiny blobs + one whale) can blow up to >>
+# sum(counts). Two more split rules keep it honest: cells may never
+# exceed _CHAIN_WASTE x the group's useful tokens (bounds total chain
+# work at _CHAIN_WASTE x O(tokens) whatever the skew), nor the
+# absolute _MAX_CHAIN_CELLS (bounds the chain arena buffer, 128 MiB
+# of int64 at this cap).
+_MAX_CHAIN_CELLS = 16 << 20
+_CHAIN_WASTE = 2
 
 
 class _Arena:
@@ -339,14 +351,23 @@ class _Arena:
     by design (first-touch cost paid once per worker)."""
 
     def __init__(self):
-        self._bufs: dict[str, np.ndarray] = {}
+        self._local = threading.local()
 
     def __call__(self, key: str, n: int, dtype) -> np.ndarray:
+        # buffers are per-THREAD (threading.local): the decode_*_many
+        # API stays safe under concurrent driver-side callers (e.g. a
+        # ThreadPoolExecutor submitting jobs) — sharing one buffer dict
+        # across threads would silently corrupt in-flight windows.
+        # PySpark workers are single-threaded, so the scale path pays
+        # for exactly one buffer set per process either way.
+        bufs = getattr(self._local, "bufs", None)
+        if bufs is None:
+            bufs = self._local.bufs = {}
         n = int(n)
-        buf = self._bufs.get(key)
+        buf = bufs.get(key)
         if buf is None or buf.dtype != np.dtype(dtype) or buf.size < n:
             buf = np.empty(max(n, int(n * 1.3) + 64), dtype=dtype)
-            self._bufs[key] = buf
+            bufs[key] = buf
         return buf[:n]
 
 
@@ -500,8 +521,7 @@ def _scatter_series(n: np.ndarray, first: np.ndarray, second: np.ndarray,
     n-1 tokens, timestamps n-2)."""
     total = int(n.sum())
     out = np.empty(total, dtype=dtype)
-    starts = np.zeros(n.size, dtype=np.int64)
-    np.cumsum(n[:-1], out=starts[1:])
+    starts = _segment_starts(n)
     mask = np.ones(total, dtype=bool)
     has1 = n >= 1
     out[starts[has1]] = first[has1]
@@ -605,25 +625,35 @@ def _xor_payloads(u8, flat_pos) -> np.ndarray:
 
 
 def _byte_subbatches(bufs, counts, hdr: int):
-    """Yield index arrays grouping blobs into sub-batches whose summed
-    stream bytes stay under _MAX_STREAM_BYTES AND summed token counts
-    under _MAX_STREAM_TOKENS (at least one blob per group — a single
-    over-cap blob still decodes, its scratch is inherently O(its own
-    tokens)). Skips blobs with no tokens to decode."""
+    """Yield index arrays grouping CONTIGUOUS runs of blobs into
+    sub-batches (contiguity keeps the body-buffer layout sequential)
+    bounded four ways: summed stream bytes (_MAX_STREAM_BYTES), summed
+    token counts (_MAX_STREAM_TOKENS), and the lockstep-chain cell
+    count max(counts)*len(group) — both absolutely (_MAX_CHAIN_CELLS)
+    and relative to useful tokens (_CHAIN_WASTE), so a token-count-
+    skewed batch (many 1-token tail blobs + full 4096-token chunks)
+    can't inflate chain work/scratch beyond O(tokens). At least one
+    blob per group — a single over-cap blob still decodes, its scratch
+    is inherently O(its own tokens). Skips blobs with no tokens."""
     idx = [j for j in range(len(bufs)) if counts[j] > 0]
     group: list[int] = []
     size = 0
     toks = 0
+    maxtok = 0
     for j in idx:
         b = len(bufs[j]) - hdr
         t = int(counts[j])
+        cells = max(maxtok, t) * (len(group) + 1)
         if group and (size + b > _MAX_STREAM_BYTES
-                      or toks + t > _MAX_STREAM_TOKENS):
+                      or toks + t > _MAX_STREAM_TOKENS
+                      or cells > _MAX_CHAIN_CELLS
+                      or cells > _CHAIN_WASTE * (toks + t)):
             yield np.array(group, dtype=np.int64)
-            group, size, toks = [], 0, 0
+            group, size, toks, maxtok = [], 0, 0, 0
         group.append(j)
         size += b
         toks += t
+        maxtok = max(maxtok, t)
     if group:
         yield np.array(group, dtype=np.int64)
 

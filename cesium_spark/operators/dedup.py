@@ -309,6 +309,11 @@ def embedding_cosine_pairs(embs: DataFrame, id_col: str = "vec_id",
     """
     from cesium_spark.operators import similarity
 
+    # NULL-vector rows carry no signal on either path: the exact path
+    # would drop them via a NULL cosine anyway, and the LSH bucketing
+    # UDF cannot stack them — filter once up front for identical
+    # semantics on both paths
+    embs = embs.where(F.col(vec_col).isNotNull())
     v = embs.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
@@ -330,9 +335,13 @@ def embedding_cosine_pairs(embs: DataFrame, id_col: str = "vec_id",
         raise ValueError(f"unknown method {method!r}; expected 'lsh'|'exact'")
 
     if dim is None:
+        # embs is pre-filtered to non-NULL vectors, so a None probe
+        # really means "no usable vectors" — a NULL embedding in
+        # whatever row first() happens to hit can no longer masquerade
+        # as empty input (which would silently drop every real pair)
         probe = embs.select(vec_col).first()
-        if probe is None or probe[0] is None:
-            # empty input: return an empty, correctly-typed pair table
+        if probe is None:
+            # no non-NULL vectors: empty, correctly-typed pair table
             # (the exact path above already handles this shape-free)
             id_type = embs.schema[id_col].dataType.simpleString()
             return embs.sparkSession.createDataFrame(

@@ -108,6 +108,14 @@ def resize_media(media: DataFrame, out_h: int = 4, out_w: int = 4,
             out = []
             for payload, mtype, h, w in zip(pdf["media"], pdf["media_type"],
                                             pdf["height"], pdf["width"]):
+                if h < out_h or w < out_w:
+                    # upsampling would leave target cells with zero
+                    # source pixels (0/0 → silent NaN raster); refuse
+                    # loudly per the no-silent-degradation rule
+                    raise ValueError(
+                        f"resize_media: item is {h}x{w} but target is "
+                        f"{out_h}x{out_w}; area-mean resize only "
+                        f"downsamples")
                 arr = decode_media(bytes(payload), mtype, fake=fake)
                 byts = (arr * 256.0).astype(np.int64)[: h * w]
                 grid = np.zeros(h * w, dtype=np.int64)

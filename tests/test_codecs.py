@@ -168,6 +168,40 @@ class TestBatchDecode:
         for a, p in zip(arrs, np.split(flat, np.cumsum(n)[:-1])):
             np.testing.assert_array_equal(p, a)
 
+    def test_subbatch_chain_cells_bounded_under_skew(self):
+        """The lockstep chain's real cost is max(counts)*len(group)
+        cells; a skewed batch (many 1-token tail blobs + whale chunks)
+        must stay O(tokens): every yielded group's cell count is
+        bounded by _CHAIN_WASTE x its useful tokens (single-blob groups
+        are trivially tight)."""
+        import cesium_spark.codecs.gorilla as g
+        counts = np.array([1] * 500 + [5000] + [1] * 500 + [3000],
+                          dtype=np.int64)
+        bufs = [b"\0" * 30] * counts.size  # sizes irrelevant here
+        total_cells = 0
+        for sel in g._byte_subbatches(bufs, counts, hdr=20):
+            grp = counts[sel]
+            cells = int(grp.max()) * grp.size
+            if grp.size > 1:
+                assert cells <= g._CHAIN_WASTE * int(grp.sum())
+            assert cells <= g._MAX_CHAIN_CELLS
+            total_cells += cells
+        assert total_cells <= g._CHAIN_WASTE * int(counts.sum())
+
+    def test_skewed_blob_mix_roundtrip(self):
+        """Correctness under the skew-split path: interleaved 1-point
+        tails and full-size chunks decode exactly."""
+        rng = np.random.default_rng(11)
+        arrs = []
+        for j in range(40):
+            n = 3 if j % 2 else 600
+            arrs.append(np.cumsum(
+                rng.integers(-10**6, 10**6, n)).astype(np.int64))
+        bufs = [encode_timestamps(a) for a in arrs]
+        flat, n = decode_timestamps_many(bufs)
+        for a, p in zip(arrs, np.split(flat, np.cumsum(n)[:-1])):
+            np.testing.assert_array_equal(p, a)
+
 
 class TestCrc:
     def test_decode_detects_corruption(self, spark, tiny_transcripts):

@@ -153,6 +153,24 @@ class TestDedup:
         for k, v in l.items():
             assert v == e[k]
 
+    def test_embedding_cosine_pairs_null_vector_rows(self, spark, embs):
+        """A NULL-embedding row — even when first() lands on it — must
+        be dropped, not collapse the whole output to an empty pair
+        table (silent data loss) or crash the bucketing UDF."""
+        null_row = spark.createDataFrame([(999, None)], schema=embs.schema)
+        with_null = null_row.unionByName(embs)  # NULL row first
+        for method in ("exact", "lsh"):
+            out = dedup.embedding_cosine_pairs(
+                with_null, threshold=0.95, method=method).toPandas()
+            got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+            assert (3, 7) in got, method
+            assert not any(999 in p for p in got), method
+
+    def test_embedding_cosine_pairs_all_null(self, spark, embs):
+        nulls = spark.createDataFrame([(1, None), (2, None)],
+                                      schema=embs.schema)
+        assert dedup.embedding_cosine_pairs(nulls).count() == 0
+
     def test_embedding_cosine_pairs_bad_method(self, embs):
         with pytest.raises(ValueError):
             dedup.embedding_cosine_pairs(embs, method="nope").collect()
@@ -397,6 +415,15 @@ class TestMultimodal:
                     exp[r, c] = np.float32(blk.sum() / blk.size / 256.0)
             np.testing.assert_array_equal(np.asarray(out[doc_id]),
                                           exp.ravel())
+
+    def test_resize_refuses_upsample(self, spark):
+        """A target raster larger than the source grid would emit
+        silent 0/0 NaN cells — must raise instead."""
+        row = spark.createDataFrame(
+            [(1, bytearray(b"abcd"), "image", 4, 2, 2, 1)],
+            schema=multimodal.MEDIA_SCHEMA)
+        with pytest.raises(Exception, match="downsamples"):
+            multimodal.resize_media(row, out_h=4, out_w=4).collect()
 
     def test_frame_sampling(self, docs):
         media = multimodal.attach_fake_media(docs)
