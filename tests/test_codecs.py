@@ -188,6 +188,25 @@ class TestBatchDecode:
             total_cells += cells
         assert total_cells <= g._CHAIN_WASTE * int(counts.sum())
 
+    def test_concurrent_decode_threads(self):
+        """Arena scratch is thread-local: concurrent driver-side
+        decode_*_many callers must not corrupt each other's windows."""
+        from concurrent.futures import ThreadPoolExecutor
+        rng = np.random.default_rng(7)
+        jobs = []
+        for _ in range(4):
+            arrs = [np.cumsum(rng.integers(-10**5, 10**5, 400))
+                    .astype(np.int64) for _ in range(30)]
+            jobs.append((arrs, [encode_timestamps(a) for a in arrs]))
+        def run(job):
+            arrs, bufs = job
+            for _ in range(5):
+                flat, n = decode_timestamps_many(bufs)
+                for a, p in zip(arrs, np.split(flat, np.cumsum(n)[:-1])):
+                    np.testing.assert_array_equal(p, a)
+        with ThreadPoolExecutor(4) as ex:
+            list(ex.map(run, jobs))  # raises on any mismatch
+
     def test_skewed_blob_mix_roundtrip(self):
         """Correctness under the skew-split path: interleaved 1-point
         tails and full-size chunks decode exactly."""
