@@ -33,6 +33,19 @@ def stream_groups(batches: Iterable[pd.DataFrame],
     for pdf in batches:
         if not len(pdf):
             continue
+        # NULL group keys break the equality-based boundary detection
+        # below in dtype-dependent ways (NaN/NaT compare unequal to
+        # themselves → one logical group silently splits into per-row
+        # groups; an all-NaN suffix makes the carried tail EMPTY, and a
+        # later `carry[-1].iloc[-1]` raises IndexError). No engine
+        # kernel groups on nullable keys, so fail loudly at the boundary
+        # instead of emitting wrong group splits.
+        for c in grp_cols:
+            if pdf[c].isna().any():
+                raise ValueError(
+                    f"stream_groups: NULL in group-key column {c!r}; "
+                    "group keys must be non-null (filter or fill "
+                    "upstream of the kernel)")
         # rows are key-sorted, so the last group is a contiguous
         # suffix: hold it back — it may continue in the next batch
         same_last = np.ones(len(pdf), dtype=bool)

@@ -62,6 +62,16 @@ def _r0(col):
     return col + F.lit(0.0)
 
 
+def _bits(col: str):
+    """IEEE-754 bit pattern of a double column — the literal-bitwise
+    comparator. Double ``==`` is numeric (-0.0 == 0.0, and Spark's
+    EqualTo treats NaN = NaN as true), so it cannot certify the
+    'BITWISE identical' claim the meta-stability booleans make;
+    doubleToRawLongBits distinguishes signed zeros and NaN payloads."""
+    return F.expr(
+        f"reflect('java.lang.Double', 'doubleToRawLongBits', {col})")
+
+
 def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → the authoritative transcript shape (input_hint)."""
     _prep(spark)
@@ -763,7 +773,10 @@ def q_ts_features_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # means land on round-6 half-way boundaries (2-decimal synth data),
     # so instead of a repr match the oracle pins the exact claim:
     # the meta-fed kernel run is BITWISE identical to the meta-free run
-    # for summation-order-sensitive features (booleans, no rounding)
+    # for summation-order-sensitive features (booleans, no rounding).
+    # "Bitwise" is literal: the comparison is on doubleToRawLongBits,
+    # not double `==` (which would pass -0.0 vs 0.0 and any NaN pair —
+    # exactly the cases summation-order differences produce)
     feats = ["maximum", "minimum", "range_per_turn", "mean", "std"]
     wide = pivot_wide(rollup_features(s, "conv", feats, meta=meta), feats)
     bare = pivot_wide(rollup_features(s, "conv", ["mean", "std"]),
@@ -777,8 +790,8 @@ def q_ts_features_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("maximum")).alias("maximum"),
         _r(F.col("minimum")).alias("minimum"),
         _r(F.col("range_per_turn")).alias("range_per_turn"),
-        (F.col("mean") == F.col("mean_bare")).alias("mean_bitwise_stable"),
-        (F.col("std") == F.col("std_bare")).alias("std_bitwise_stable"))
+        (_bits("mean") == _bits("mean_bare")).alias("mean_bitwise_stable"),
+        (_bits("std") == _bits("std_bare")).alias("std_bitwise_stable"))
 
 
 SQL_TS_FEATURES_WITH_META = """

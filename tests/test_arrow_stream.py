@@ -91,6 +91,28 @@ def test_carry_is_linear_not_quadratic():
     assert copied <= B * rows + 10
 
 
+@pytest.mark.parametrize("bad", [
+    # NaN float key in the batch TAIL: v == v[-1] is all-False, the
+    # carried tail would be EMPTY and the next batch's
+    # carry[-1].iloc[-1] raises IndexError (or the final flush emits an
+    # empty frame into a kernel that can't take one)
+    [pd.DataFrame({"g": [1.0, float("nan")], "x": [0, 1]}),
+     pd.DataFrame({"g": [2.0, 2.0], "x": [2, 3]})],
+    # NaT timestamp key mid-batch: NaT != NaT would silently split one
+    # logical group into per-row groups (wrong results, no signal)
+    [pd.DataFrame({"g": pd.to_datetime([None, None]), "x": [0, 1]})],
+    # None object key: Python None == None is True, but the policy is
+    # uniform — no nullable group keys at the kernel boundary
+    [pd.DataFrame({"g": [None, "a"], "x": [0, 1]})],
+])
+def test_null_group_keys_rejected(bad):
+    def emit(pdf):
+        return pdf
+
+    with pytest.raises(ValueError, match="NULL in group-key column"):
+        list(stream_groups(bad, ("g",), emit))
+
+
 def test_meta_collision_guard(spark):
     from cesium_spark.operators.rollup import rollup_features
     s = spark.createDataFrame(
