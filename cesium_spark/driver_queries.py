@@ -1234,8 +1234,12 @@ FROM x ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata of REAL synthesized containers (PGM/WAV/Y4M —
+    round 4 de-stub): n_bytes is the source content byte count, dims
+    derive from it; the oracle restates the derivations from the text
+    column."""
     _prep(spark)
-    media = multimodal.attach_fake_media(_read(spark, sf_dir, "documents"))
+    media = multimodal.attach_media(_read(spark, sf_dir, "documents"))
     return media.select("doc_id", "media_type",
                         F.col("n_bytes").cast("long").alias("n_bytes"),
                         F.col("width").cast("long").alias("width"),
@@ -1569,38 +1573,70 @@ SELECT doc_id, true AS bounds_ok, true AS dup_consistent FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-value oracle for the mapInPandas feature extraction: the
-    fake decode is bytes/256 (dyadic rationals), the pooled mean uses a
-    float64 accumulator, and the stored float32 truncation is replayed
-    by DuckDB with CAST(.. AS REAL) — so all 8 feature columns are
-    REPRESENTATION-identical to a pure-SQL recomputation from the text
-    bytes. No rounding fudge anywhere."""
+    """Full-value oracle for the REAL decode → pool pipeline (round 4:
+    no fake path left). The engine builds genuine PGM/WAV/Y4M
+    containers with native exprs and PARSES them back in the kernel;
+    the oracle replays the construction from the text column — sample
+    streams are byte/256 (image/video rasters, space-padded) or
+    (pcm16 ^ 0x8000)/65536 (audio) — all dyadic rationals, the pooled
+    mean uses a float64 accumulator, and the stored float32 truncation
+    is replayed with CAST(.. AS REAL), so all 8 feature columns are
+    REPRESENTATION-identical. A header-parsing bug (wrong offset, wrong
+    sample count, wrong endianness) shifts every downstream value and
+    flips the hash."""
     _prep(spark)
-    media = multimodal.attach_fake_media(_read(spark, sf_dir, "documents"))
-    feats = multimodal.extract_features(media, feat_dim=8, fake=True)
+    media = multimodal.attach_media(_read(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, feat_dim=8)
     return feats.select(
         "doc_id", "media_type",
         *[F.col("feat")[i].cast("double").alias(f"f{i}") for i in range(8)])
 
 
 SQL_MULTIMODAL_FEATURES = """
-WITH pos AS (
-  SELECT doc_id, i, ord(text[CAST(i AS INTEGER)]) AS b
-  FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS u(i)
-),
-cols AS (
-  SELECT doc_id, (i - 1) % 8 AS colidx, sum(b) AS s
-  FROM pos GROUP BY 1, 2
-),
-meta AS (
-  SELECT doc_id, length(text) AS n,
+WITH meta AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + (length(text) % 48) AS w,
+         16 + ((length(text) * 7) % 48) AS h,
+         1 + (length(text) % 30) AS nf,
          ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type
   FROM documents
 ),
-f AS (
-  SELECT m.doc_id, m.media_type, c.colidx,
-         CAST(CAST(c.s AS DOUBLE) / 256.0 / ceil(m.n / 8.0) AS REAL) AS fv
-  FROM meta m JOIN cols c USING (doc_id)
+img AS (  -- PGM raster: content bytes space-padded to w*h, /256
+  SELECT doc_id, media_type, i AS j,
+         CAST(CASE WHEN i <= n THEN ord(text[CAST(i AS INTEGER)])
+              ELSE 32 END AS DOUBLE) AS num,
+         256.0 AS denom, w * h AS L
+  FROM meta, LATERAL unnest(range(1, w * h + 1)) AS u(i)
+  WHERE media_type = 'image'
+),
+aud AS (  -- WAV PCM16 LE mono: content padded to even length;
+          -- sample = (lo + 256*hi + 32768) mod 65536, /65536
+  SELECT doc_id, media_type, j,
+         CAST(((CASE WHEN 2*j-1 <= n THEN ord(text[CAST(2*j-1 AS INTEGER)])
+                ELSE 32 END)
+             + 256 * (CASE WHEN 2*j <= n THEN ord(text[CAST(2*j AS INTEGER)])
+                      ELSE 32 END)
+             + 32768) % 65536 AS DOUBLE) AS num,
+         65536.0 AS denom, (n + n % 2) // 2 AS L
+  FROM meta, LATERAL unnest(range(1, (n + n % 2) // 2 + 1)) AS u(j)
+  WHERE media_type = 'audio'
+),
+vid AS (  -- Y4M mono frames: content space-padded to nf*w*h, /256
+  SELECT doc_id, media_type, i AS j,
+         CAST(CASE WHEN i <= n THEN ord(text[CAST(i AS INTEGER)])
+              ELSE 32 END AS DOUBLE) AS num,
+         256.0 AS denom, nf * w * h AS L
+  FROM meta, LATERAL unnest(range(1, nf * w * h + 1)) AS u(i)
+  WHERE media_type = 'video'
+),
+s AS (
+  SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+),
+f AS (  -- mean-pool: (sum of exact numerators)/denom/ceil(L/8) — the
+        -- kernel's division order; zero-pad rows add nothing to sums
+  SELECT doc_id, media_type, (j - 1) % 8 AS colidx,
+         CAST(sum(num) / max(denom) / ceil(max(L) / 8.0) AS REAL) AS fv
+  FROM s GROUP BY 1, 2, 3
 )
 SELECT doc_id, media_type,
        CAST(max(CASE WHEN colidx = 0 THEN fv END) AS DOUBLE) AS f0,
@@ -1616,16 +1652,19 @@ FROM f GROUP BY 1, 2
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-value oracle for the area-mean resize kernel: source pixel
-    (i, j) of the (height, width) byte grid (payload truncated /
-    zero-padded to h*w) pools into output cell (i*4//h, j*4//w); the
-    pooled mean is sum/count/256 in float64, stored float32. Every step
-    is replayed in SQL with the same division order and a CAST(.. AS
-    REAL) truncation, so all 16 raster cells are representation-exact
-    (same technique as multimodal_features)."""
+    """Full-value oracle for the area-mean resize kernel over the REAL
+    decode (round 4): images use their parsed PGM raster, videos their
+    first Y4M frame — both are the content bytes space-padded to w*h,
+    so ONE SQL formula replays them; audio rows have no raster and are
+    filtered. Source pixel (i, j) pools into output cell (i*4//h,
+    j*4//w); the pooled mean is sum/count/256 in float64, stored
+    float32. Every step is replayed in SQL with the same division order
+    and a CAST(.. AS REAL) truncation, so all 16 raster cells are
+    representation-exact (same technique as multimodal_features)."""
     _prep(spark)
-    media = multimodal.attach_fake_media(_read(spark, sf_dir, "documents"))
-    pix = multimodal.resize_media(media, out_h=4, out_w=4, fake=True)
+    media = multimodal.attach_media(_read(spark, sf_dir, "documents"))
+    pix = multimodal.resize_media(media.where(F.col("media_type") != "audio"),
+                                  out_h=4, out_w=4)
     return pix.select(
         "doc_id",
         *[F.col("pix")[i].cast("double").alias(f"p{i}") for i in range(16)])
@@ -1637,10 +1676,11 @@ WITH meta AS (
          16 + (length(text) % 48) AS w,
          16 + ((length(text) * 7) % 48) AS h
   FROM documents
+  WHERE (doc_id % 3) != 1  -- audio rows have no raster
 ),
 pix AS (
   SELECT doc_id, w, h, i,
-         CASE WHEN i <= n THEN ord(text[CAST(i AS INTEGER)]) ELSE 0 END AS b
+         CASE WHEN i <= n THEN ord(text[CAST(i AS INTEGER)]) ELSE 32 END AS b
   FROM meta, LATERAL unnest(range(1, w * h + 1)) AS u(i)
 ),
 grp AS (

@@ -1,14 +1,30 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata; decode / feature-extract / frame-sample as
-vectorized pandas UDFs over ``mapInPandas``.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata; decode / feature-extract / resize / frame-sample
+as vectorized pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio libraries, so the actual media decode
-is STUBBED (clearly marked): ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces
-a deterministic fake decode derived from the payload bytes. Everything
-Spark-side — schema, partitioning, UDF signatures, Arrow batch shapes —
-is real and tested; swapping the stub for PIL/ffmpeg is a one-function
-change on the executor side.
+Round 4: the decode step is REAL — no stub, no fake path. The engine
+synthesizes and parses three genuinely public, pure-numpy-parseable
+container formats (the sandbox ships no media libraries, so formats
+whose codecs are trivial were chosen; swapping in PIL/ffmpeg decoders
+for JPEG/MP3/MP4 is still a one-function change in ``decode_media``):
+
+- image: binary PGM (``P5``) / PPM (``P6``) — Netpbm ASCII header
+  (magic, width, height, maxval, ``#`` comments allowed) followed by
+  raw bytes.
+- audio: canonical RIFF/WAVE, PCM 16-bit little-endian mono.
+- video: YUV4MPEG2 (y4m) with ``Cmono`` colorspace — ASCII stream
+  header with W/H params, then per-frame ``FRAME\\n`` + width·height
+  luma bytes.
+
+Decoded samples are float32 in [0, 1): pixel byte b → b/256 and PCM
+sample s → (s + 32768)/65536. This divides by 2^k rather than the
+conventional maxval/32767 so that every decoded value is an exactly
+representable dyadic rational — float64 pooling sums over them are
+EXACT, which is what lets the driver gate replay feature extraction
+and resize bit-for-bit in pure SQL (driver_queries.py
+SQL_MULTIMODAL_*). The payloads themselves are built with native Spark
+expressions (concat/rpad/substring/unhex over binary — Tungsten-side,
+zero Python), so attach → decode is a true container round-trip.
 """
 
 from __future__ import annotations
@@ -17,7 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -27,54 +43,231 @@ MEDIA_SCHEMA = (
 
 FEATURES_SCHEMA = "doc_id long, media_type string, feat array<float>"
 
+# RIFF/WAVE constants for the canonical 44-byte PCM16-mono header.
+# Everything between the two variable LE32 sizes is fixed:
+#   "WAVE" + "fmt " + size 16 + format 1 (PCM) + channels 1 +
+#   sample rate 8000 + byte rate 16000 + block align 2 + bits 16 + "data"
+_WAV_MID = (b"WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+            b"\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00data")
 
-def attach_fake_media(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """Synthesize an opaque binary payload + typed metadata per doc
-    (deterministic: the payload is the utf-8 text bytes). Native exprs
-    only — binary columns flow through Tungsten untouched."""
-    payload = F.encode(F.col(text_col), "utf-8")
-    n_bytes = F.octet_length(payload)
-    return docs.select(
+
+def _le32(col: Column) -> Column:
+    """Little-endian uint32 byte encoding of a non-negative int column
+    (native: four shift/mask bytes hex-formatted, then unhex)."""
+    return F.unhex(F.format_string(
+        "%02x%02x%02x%02x",
+        col.bitwiseAND(F.lit(255)),
+        F.shiftright(col, 8).bitwiseAND(F.lit(255)),
+        F.shiftright(col, 16).bitwiseAND(F.lit(255)),
+        F.shiftright(col, 24).bitwiseAND(F.lit(255))))
+
+
+def attach_media(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Synthesize a REAL media container per doc (deterministic: the
+    sample bytes are the doc's utf-8 text, truncated / space-padded to
+    the container's sample count) plus typed metadata. Media type
+    cycles image/audio/video by doc_id; dims derive from the content
+    byte count. ``n_bytes`` is the SOURCE content byte count (pre-
+    container), not the payload size — the metadata contract is about
+    the content, the container adds format-specific framing.
+
+    All construction is native Spark expressions (concat / rpad /
+    substring / format_string / unhex over binary; the y4m frame loop
+    is an ``aggregate`` over a frame-index sequence) — binary payloads
+    flow through Tungsten with no Python and no shuffle; at 10^9 docs
+    this is a pure projection over the scan."""
+    d = docs.select(
         F.col(id_col).alias("doc_id"),
-        payload.alias("media"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                     (F.col(id_col) % 3 + 1).cast("int")).alias("media_type"),
-        n_bytes.alias("n_bytes"),
-        (F.lit(16) + F.pmod(n_bytes, F.lit(48))).alias("width"),
-        (F.lit(16) + F.pmod(n_bytes * 7, F.lit(48))).alias("height"),
-        (F.lit(1) + F.pmod(n_bytes, F.lit(30))).alias("n_frames"))
+                     (F.col(id_col) % 3 + 1).cast("int")).alias("media_type"))
+    n = F.octet_length("content")
+    d = d.select(
+        "doc_id", "content", "media_type",
+        n.alias("n_bytes"),
+        (F.lit(16) + F.pmod(n, F.lit(48))).alias("width"),
+        (F.lit(16) + F.pmod(n * 7, F.lit(48))).alias("height"),
+        (F.lit(1) + F.pmod(n, F.lit(30))).alias("n_frames"))
+
+    wh = (F.col("width") * F.col("height")).cast("int")
+
+    def body(length: Column) -> Column:
+        # truncate to `length` bytes, pad with 0x20 if shorter
+        return F.rpad(F.substring(F.col("content"), 1, length),
+                      length, F.lit(b" "))
+
+    img = F.concat(
+        F.encode(F.format_string("P5\n%d %d\n255\n", "width", "height"),
+                 "utf-8"),
+        body(wh))
+
+    data_len = (F.col("n_bytes") + F.pmod("n_bytes", F.lit(2))).cast("int")
+    wav = F.concat(F.lit(b"RIFF"), _le32(data_len + F.lit(36)),
+                   F.lit(_WAV_MID), _le32(data_len), body(data_len))
+
+    vid_body = body((wh * F.col("n_frames")).cast("int"))
+    y4m = F.concat(
+        F.encode(F.format_string("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n",
+                                 "width", "height"), "utf-8"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.col("n_frames") - 1),
+            F.lit(b"").cast("binary"),
+            lambda acc, f: F.concat(acc, F.lit(b"FRAME\n"),
+                                    F.substring(vid_body, f * wh + 1, wh))))
+
+    payload = (F.when(F.col("media_type") == "image", img)
+               .when(F.col("media_type") == "audio", wav)
+               .otherwise(y4m))
+    return d.select("doc_id", payload.alias("media"), "media_type",
+                    "n_bytes", "width", "height", "n_frames")
 
 
-def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
-    """STUB: real implementation needs PIL/soundfile/ffmpeg (absent in
-    this container). fake=True returns a deterministic pseudo-decode:
-    payload bytes as float32 in [0, 1)."""
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires image/audio libs not present in this "
-            "environment; pass fake=True for the deterministic test stub")
-    return np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 256.0
+def _pnm_header(buf: bytes) -> tuple[int, int, int, int]:
+    """Parse a Netpbm binary header: magic already checked; returns
+    (width, height, maxval, data_offset). Whitespace-separated ASCII
+    ints, ``#`` comments to end-of-line, single whitespace after
+    maxval."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        if pos >= len(buf):
+            raise ValueError("PNM: truncated header")
+        c = buf[pos:pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("PNM: unterminated comment")
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(buf) and buf[end:end + 1].isdigit():
+                end += 1
+            vals.append(int(buf[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"PNM: unexpected byte {c!r} in header")
+    if pos >= len(buf) or not buf[pos:pos + 1].isspace():
+        raise ValueError("PNM: missing whitespace after maxval")
+    w, h, maxval = vals
+    if not (0 < maxval <= 255):
+        raise ValueError(f"PNM: unsupported maxval {maxval} (1-byte only)")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PNM: bad dimensions {w}x{h}")
+    return w, h, maxval, pos + 1
 
 
-def extract_features(media: DataFrame, feat_dim: int = 8,
-                     fake: bool = True) -> DataFrame:
-    """Per-item feature vector via mapInPandas: decode (stub) → fixed-dim
-    mean-pooled features. Arrow-batched; per-batch numpy, the only
-    Python loop is one iteration per media item (the decode call)."""
+def _decode_pnm(buf: bytes) -> np.ndarray:
+    depth = 1 if buf[:2] == b"P5" else 3
+    w, h, _maxval, off = _pnm_header(buf)
+    need = w * h * depth
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=off)
+    if raw.size < need:
+        raise ValueError(
+            f"PNM: raster has {raw.size} bytes, header promises {need}")
+    pix = raw[:need].astype(np.float32) / np.float32(256.0)
+    return pix.reshape((h, w) if depth == 1 else (h, w, depth))
+
+
+def _decode_wav(buf: bytes) -> np.ndarray:
+    if len(buf) < 12 or buf[8:12] != b"WAVE":
+        raise ValueError("WAV: not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        chunk = buf[pos + 8:pos + 8 + size]
+        if len(chunk) < size:
+            raise ValueError(f"WAV: chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"WAV: only PCM16 mono supported, got format={audio_format} "
+            f"channels={channels} bits={bits}")
+    s = np.frombuffer(data, dtype="<i2")
+    # (s + 32768)/65536 ∈ [0, 1): exact in float32 (≤16 significant bits)
+    return ((s.astype(np.int32) + 32768).astype(np.float32)
+            / np.float32(65536.0))
+
+
+def _decode_y4m(buf: bytes) -> np.ndarray:
+    nl = buf.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M: unterminated stream header")
+    params = buf[:nl].split(b" ")
+    w = h = None
+    for p in params[1:]:
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C" and p[1:] != b"mono":
+            raise ValueError(f"Y4M: only Cmono supported, got {p!r}")
+    if not w or not h:
+        raise ValueError("Y4M: missing W/H in stream header")
+    frames, pos, wh = [], nl + 1, w * h
+    while pos < len(buf):
+        fnl = buf.find(b"\n", pos)
+        if not buf[pos:].startswith(b"FRAME") or fnl < 0:
+            raise ValueError("Y4M: malformed FRAME marker")
+        start = fnl + 1
+        if start + wh > len(buf):
+            raise ValueError("Y4M: truncated frame raster")
+        frames.append(np.frombuffer(buf, dtype=np.uint8,
+                                    count=wh, offset=start))
+        pos = start + wh
+    if not frames:
+        raise ValueError("Y4M: stream has no frames")
+    return (np.stack(frames).astype(np.float32)
+            / np.float32(256.0)).reshape(len(frames), h, w)
+
+
+def decode_media(payload: bytes) -> np.ndarray:
+    """REAL media decode — sniffs the container magic and parses it in
+    pure numpy. Returns float32 samples in [0, 1): image → (h, w) or
+    (h, w, 3); audio → (n_samples,); video → (n_frames, h, w).
+    Malformed containers raise ValueError with the reason (tested)."""
+    buf = bytes(payload)
+    if buf[:2] in (b"P5", b"P6"):
+        return _decode_pnm(buf)
+    if buf[:4] == b"RIFF":
+        return _decode_wav(buf)
+    if buf[:9] == b"YUV4MPEG2":
+        return _decode_y4m(buf)
+    raise ValueError(
+        f"decode_media: unrecognized container (magic {buf[:9]!r}); "
+        "supported: PGM/PPM (P5/P6), RIFF/WAVE PCM16 mono, YUV4MPEG2")
+
+
+def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Per-item feature vector via mapInPandas: real container decode →
+    fixed-dim mean-pooled features over the flattened samples (zero-
+    padded to a multiple of feat_dim). Arrow-batched; the only Python
+    loop is one iteration per media item (the decode call).
+
+    float64 accumulator: every decoded sample is a dyadic rational
+    (b/256 or k/65536), so the column sums are EXACT and the pooled
+    means are bit-reproducible by any engine that sums the same
+    integers in double — the driver oracle relies on it."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload, mtype in zip(pdf["media"], pdf["media_type"]):
-                arr = decode_media(bytes(payload), mtype, fake=fake)
+            for payload in pdf["media"]:
+                arr = decode_media(bytes(payload)).ravel()
                 pad = (-arr.size) % feat_dim
                 if pad:
                     arr = np.pad(arr, (0, pad))
-                # float64 accumulator: the column sums are then EXACT
-                # (every byte/256 is a dyadic rational), so the pooled
-                # means are bit-reproducible by any engine that sums the
-                # same bytes in double — the driver oracle relies on it
                 feats.append(arr.reshape(-1, feat_dim)
                              .mean(axis=0, dtype=np.float64))
             yield pd.DataFrame({
@@ -90,24 +283,32 @@ def extract_features(media: DataFrame, feat_dim: int = 8,
 RESIZED_SCHEMA = "doc_id long, pix array<float>"
 
 
-def resize_media(media: DataFrame, out_h: int = 4, out_w: int = 4,
-                 fake: bool = True) -> DataFrame:
-    """Area-mean resize of each media item's pixel grid to a fixed
-    (out_h, out_w) raster via mapInPandas. Unlike ``decode_media`` this
-    kernel is NOT a stub — it runs a real vectorized pooling (bincount
-    over the target-pixel map) on the decoded array; only the
-    byte→pixel decode step itself is the deterministic fake. Source
-    pixel (i, j) of an (h, w) grid pools into output cell
-    (i*out_h//h, j*out_w//w); the payload is truncated / zero-padded to
-    h*w bytes. Float64 sums of integer bytes are exact, so the stored
-    float32 raster is representation-identical to a pure-SQL replay
-    (same division order: sum/count/256)."""
+def resize_media(media: DataFrame, out_h: int = 4, out_w: int = 4) -> DataFrame:
+    """Area-mean resize of each item's pixel raster to a fixed
+    (out_h, out_w) grid via mapInPandas. The raster comes from the REAL
+    decode: images use their (h, w) grid, videos their FIRST frame
+    (deterministic, documented); audio has no raster and raises. Source
+    pixel (i, j) pools into output cell (i*out_h//h, j*out_w//w) —
+    vectorized bincount pooling over the target-pixel map. Float64 sums
+    of integer bytes are exact, so the stored float32 raster is
+    representation-identical to a pure-SQL replay (same division order:
+    sum/count/256). Dimensions come from the parsed container header,
+    not the metadata columns — a corrupted payload can't silently
+    produce a wrong-shaped pool."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for payload, mtype, h, w in zip(pdf["media"], pdf["media_type"],
-                                            pdf["height"], pdf["width"]):
+            for payload in pdf["media"]:
+                arr = decode_media(bytes(payload))
+                if arr.ndim == 3 and arr.shape[-1] != 3:
+                    arr = arr[0]          # video: first frame
+                if arr.ndim != 2:
+                    raise ValueError(
+                        "resize_media: item decodes to a "
+                        f"{arr.ndim}-d sample array, not a 2-d raster "
+                        "(audio rows must be filtered out upstream)")
+                h, w = arr.shape
                 if h < out_h or w < out_w:
                     # upsampling would leave target cells with zero
                     # source pixels (0/0 → silent NaN raster); refuse
@@ -116,20 +317,18 @@ def resize_media(media: DataFrame, out_h: int = 4, out_w: int = 4,
                         f"resize_media: item is {h}x{w} but target is "
                         f"{out_h}x{out_w}; area-mean resize only "
                         f"downsamples")
-                arr = decode_media(bytes(payload), mtype, fake=fake)
-                byts = (arr * 256.0).astype(np.int64)[: h * w]
-                grid = np.zeros(h * w, dtype=np.int64)
-                grid[: byts.size] = byts
+                # b/256 decode is exact, so *256 recovers integer bytes
+                grid = (arr.astype(np.float64) * 256.0).astype(np.int64)
                 rmap = (np.arange(h, dtype=np.int64) * out_h) // h
                 cmap = (np.arange(w, dtype=np.int64) * out_w) // w
                 tgt = (rmap[:, None] * out_w + cmap[None, :]).ravel()
-                sums = np.bincount(tgt, weights=grid,
+                sums = np.bincount(tgt, weights=grid.ravel(),
                                    minlength=out_h * out_w)
                 cnts = np.bincount(tgt, minlength=out_h * out_w)
                 out.append((sums / cnts / 256.0).astype(np.float32))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pix": out})
 
-    return (media.select("doc_id", "media_type", "media", "height", "width")
+    return (media.select("doc_id", "media")
             .mapInPandas(kernel, schema=RESIZED_SCHEMA))
 
 

@@ -374,12 +374,45 @@ class TestTextStats:
 
 
 class TestMultimodal:
-    def test_attach_and_extract(self, docs):
-        media = multimodal.attach_fake_media(docs)
-        pdf = media.toPandas()
-        assert (pdf["n_bytes"] > 0).all()
+    def test_attach_builds_real_containers(self, docs):
+        """attach_media emits REAL parseable payloads: magic bytes match
+        the type, and decode_media round-trips the content bytes."""
+        media = multimodal.attach_media(docs).toPandas().set_index("doc_id")
+        texts = docs.toPandas().set_index("doc_id")["text"]
+        assert (media["n_bytes"] > 0).all()
+        for did, row in media.iterrows():
+            buf = bytes(row["media"])
+            arr = multimodal.decode_media(buf)
+            n = int(row["n_bytes"])
+            w, h = int(row["width"]), int(row["height"])
+            txt = texts[did].encode()
+            if row["media_type"] == "image":
+                assert buf[:2] == b"P5" and arr.shape == (h, w)
+                body = txt[: w * h] + b" " * max(0, w * h - n)
+                exp = (np.frombuffer(body, np.uint8).astype(np.float32)
+                       / np.float32(256.0))
+                np.testing.assert_array_equal(arr.ravel(), exp)
+            elif row["media_type"] == "audio":
+                dl = n + n % 2
+                assert buf[:4] == b"RIFF" and arr.shape == (dl // 2,)
+                body = txt[:dl] + b" " * (dl - n)
+                u = np.frombuffer(body, "<u2").astype(np.int64)
+                exp = ((u ^ 0x8000).astype(np.float32)
+                       / np.float32(65536.0))
+                np.testing.assert_array_equal(arr, exp)
+            else:
+                nf = int(row["n_frames"])
+                assert buf[:9] == b"YUV4MPEG2" and arr.shape == (nf, h, w)
+                L = nf * w * h
+                body = txt[:L] + b" " * max(0, L - n)
+                exp = (np.frombuffer(body, np.uint8).astype(np.float32)
+                       .reshape(nf, h, w) / np.float32(256.0))
+                np.testing.assert_array_equal(arr, exp)
+
+    def test_extract_features_real_decode(self, docs):
+        media = multimodal.attach_media(docs)
         feats = multimodal.extract_features(media, feat_dim=8).toPandas()
-        assert len(feats) == len(pdf)
+        assert len(feats) == media.count()
         assert all(len(f) == 8 for f in feats["feat"])
         # deterministic: same input → same features
         feats2 = multimodal.extract_features(media, feat_dim=8).toPandas()
@@ -387,25 +420,62 @@ class TestMultimodal:
         b = np.stack(feats2.sort_values("doc_id")["feat"].to_numpy())
         np.testing.assert_array_equal(a, b)
 
-    def test_decode_stub_raises_without_fake(self):
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_media(b"xx", "image", fake=False)
+    def test_decode_parses_handwritten_formats(self):
+        """decode_media against containers written by hand (independent
+        of attach_media), including a commented PGM header and a P6
+        color raster."""
+        pgm = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+        np.testing.assert_array_equal(
+            multimodal.decode_media(pgm),
+            (np.arange(6, dtype=np.float32) / 256).reshape(2, 3))
+        ppm = b"P6 2 1 255\n" + bytes(range(6))
+        assert multimodal.decode_media(ppm).shape == (1, 2, 3)
+        samples = np.array([-32768, -1, 0, 1, 32767], dtype="<i2")
+        data = samples.tobytes()
+        wav = (b"RIFF" + (36 + len(data)).to_bytes(4, "little")
+               + b"WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+               + b"\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00"
+               + b"data" + len(data).to_bytes(4, "little") + data)
+        np.testing.assert_array_equal(
+            multimodal.decode_media(wav),
+            (samples.astype(np.float32) + 32768) / np.float32(65536.0))
+        y4m = (b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n"
+               + b"FRAME\n" + bytes([0, 64, 128, 192])
+               + b"FRAME\n" + bytes([255, 0, 255, 0]))
+        v = multimodal.decode_media(y4m)
+        assert v.shape == (2, 2, 2)
+        np.testing.assert_array_equal(
+            v[1].ravel() * 256, np.array([255, 0, 255, 0], np.float32))
+
+    @pytest.mark.parametrize("bad,msg", [
+        (b"xx nonsense", "unrecognized container"),
+        (b"P5\n3 2\n", "truncated header"),
+        (b"P5\n3 2\n70000\n" + b"\x00" * 6, "unsupported maxval"),
+        (b"P5\n30 20\n255\n" + b"\x00" * 10, "raster has"),
+        (b"RIFF\x04\x00\x00\x00JUNK", "not a RIFF/WAVE"),
+        (b"RIFF\x28\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x02\x00\x01\x00"
+         b"\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00"
+         b"data\x02\x00\x00\x00ab", "only PCM16 mono"),
+        (b"YUV4MPEG2 F25:1\nFRAME\nxx", "missing W/H"),
+        (b"YUV4MPEG2 W2 H2 Cmono\nFRAME\nab", "truncated frame"),
+    ])
+    def test_decode_malformed_raises(self, bad, msg):
+        with pytest.raises(ValueError, match=msg):
+            multimodal.decode_media(bad)
 
     def test_resize_area_mean_exact(self, docs):
-        """resize_media == a from-scratch scalar area-mean pooling
-        (same float64 sum/count/256 order, float32 storage)."""
-        media = multimodal.attach_fake_media(docs)
+        """resize_media == a from-scratch scalar area-mean pooling over
+        the DECODED raster (same float64 sum/count/256 order, float32
+        storage); video rows pool their first frame."""
+        media = multimodal.attach_media(docs).where("media_type != 'audio'")
         out = (multimodal.resize_media(media, out_h=4, out_w=4)
                .toPandas().set_index("doc_id")["pix"])
         meta = media.toPandas().set_index("doc_id")
         assert len(out) == len(meta)
         for doc_id, row in meta.iterrows():
-            h, w = int(row["height"]), int(row["width"])
-            byts = np.frombuffer(bytes(row["media"]),
-                                 dtype=np.uint8).astype(np.float64)[: h * w]
-            grid = np.zeros(h * w)
-            grid[: byts.size] = byts
-            grid = grid.reshape(h, w)
+            arr = multimodal.decode_media(bytes(row["media"]))
+            grid = (arr[0] if arr.ndim == 3 else arr).astype(np.float64) * 256
+            h, w = grid.shape
             exp = np.empty((4, 4), dtype=np.float32)
             for r in range(4):
                 for c in range(4):
@@ -418,15 +488,26 @@ class TestMultimodal:
 
     def test_resize_refuses_upsample(self, spark):
         """A target raster larger than the source grid would emit
-        silent 0/0 NaN cells — must raise instead."""
+        silent 0/0 NaN cells — must raise instead (dims come from the
+        PARSED header, not metadata)."""
         row = spark.createDataFrame(
-            [(1, bytearray(b"abcd"), "image", 4, 2, 2, 1)],
+            [(1, bytearray(b"P5\n2 2\n255\nabcd"), "image", 4, 2, 2, 1)],
             schema=multimodal.MEDIA_SCHEMA)
         with pytest.raises(Exception, match="downsamples"):
             multimodal.resize_media(row, out_h=4, out_w=4).collect()
 
+    def test_resize_refuses_audio(self, spark):
+        wav = (b"RIFF\x26\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"
+               b"\x01\x00\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00"
+               b"data\x02\x00\x00\x00ab")
+        row = spark.createDataFrame(
+            [(1, bytearray(wav), "audio", 2, 16, 16, 1)],
+            schema=multimodal.MEDIA_SCHEMA)
+        with pytest.raises(Exception, match="not a 2-d raster"):
+            multimodal.resize_media(row, out_h=4, out_w=4).collect()
+
     def test_frame_sampling(self, docs):
-        media = multimodal.attach_fake_media(docs)
+        media = multimodal.attach_media(docs)
         frames = multimodal.sample_frames(media, every_k=5).toPandas()
         vids = media.where("media_type = 'video'").toPandas()
         exp = sum((int(n) + 4) // 5 for n in vids["n_frames"])
