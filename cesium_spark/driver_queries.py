@@ -1429,6 +1429,41 @@ SELECT doc_id, CAST(0 AS INTEGER) AS perm_hamming FROM documents
 """
 
 
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-blocking driver oracle via PLANTED duplicates (the
+    minhash_lsh pattern): corpus = documents ∪ {copy of every 10th doc
+    under doc_id+100000}. Identical text ⇒ identical token set ⇒
+    identical 64-bit simhash ⇒ all 4 bands collide and hamming = 0, so
+    every planted pair MUST surface with (hamming, n_shared_bands) =
+    (0, 4) — recall DuckDB can state without reproducing xxhash64. A
+    missed pair drops the inner join's row count; a broken band shift
+    or bit_count changes the pinned columns. (The hamming ≤ 3 recall
+    GUARANTEE on non-identical pairs is pytest-pinned with handcrafted
+    signatures in tests/test_pipeline_ops.py — band math is not
+    SQL-expressible.)"""
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    corpus = docs.unionByName(planted)
+    cands = dedup.simhash_candidates(corpus, bands=4, max_hamming=3)
+    expect = (docs.where(F.col("doc_id") % 10 == 0)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 100000).alias("id_b")))
+    return (expect.join(cands, ["id_a", "id_b"])
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming"),
+                    F.col("n_shared_bands").cast("long")
+                    .alias("n_shared_bands")))
+
+
+SQL_DOC_SIMHASH_PAIRS = """
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+       CAST(0 AS BIGINT) AS hamming, CAST(4 AS BIGINT) AS n_shared_bands
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-value oracle: the hyperplane matrix is a small deterministic
     constant (similarity._planes, seed 42), so the ENTIRE LSH pipeline —
@@ -1748,6 +1783,7 @@ QUERIES = {
     # deterministic invariant of its output is — see each docstring)
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
     "emb_lsh_topk": q_emb_lsh_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
     "doc_winnowing": q_doc_winnowing,
@@ -1795,6 +1831,7 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "doc_minhash_lsh": SQL_DOC_MINHASH_LSH,
     "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_simhash_pairs": SQL_DOC_SIMHASH_PAIRS,
     "emb_lsh_topk": _lsh_topk_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
     "doc_winnowing": SQL_DOC_WINNOWING,

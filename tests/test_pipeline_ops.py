@@ -122,6 +122,60 @@ class TestDedup:
         out = dedup.simhash(d).toPandas()
         assert out["doc_id"].tolist() == [0]
 
+    def test_simhash_band_pairs_recall_guarantee(self, spark):
+        """Handcrafted signatures pin the band math: with 4 × 16-bit
+        bands, hamming ≤ 3 is GUARANTEED found (pigeonhole — ≤3 flips
+        leave ≥1 band intact), one-flip-per-band (hamming 4) shares no
+        band and must NOT surface, and an in-band hamming-5 pair is
+        blocked as a candidate but dropped by the exact re-score."""
+        def s64(v):  # wrap a Python int to signed 64-bit (Spark long)
+            v &= (1 << 64) - 1
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        x = -0x123456789ABCDEF  # negative: exercises sign-extension
+        rows = [
+            (0, x),
+            (1, s64(x ^ 0b111)),                            # h=3, band 0
+            (2, s64(x ^ (1 << 0) ^ (1 << 16)
+                    ^ (1 << 32) ^ (1 << 48))),              # h=4
+            (3, s64(x ^ 0b11111)),                          # h=5, band 0
+            (4, s64(x ^ (1 << 63))),                        # h=1, top band
+        ]
+        sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+        out = dedup.simhash_band_pairs(sig, bands=4, max_hamming=3).toPandas()
+        got = {(r.id_a, r.id_b): (r.hamming, r.n_shared_bands)
+               for r in out.itertuples()}
+        assert got[(0, 1)] == (3, 3)     # 3 flips in one band: 3 intact
+        assert got[(0, 4)] == (1, 3)     # top-band flip (sign bit)
+        assert (0, 2) not in got         # every band touched, no block
+        assert (0, 3) not in got         # blocked, but re-score drops it
+        assert (1, 3) in got             # x^111 vs x^11111: h=2
+        plan = out_plan = dedup.simhash_band_pairs(
+            sig, bands=4, max_hamming=3)._jdf.queryExecution().toString()
+        assert "Cartesian" not in plan
+
+    def test_simhash_band_pairs_rejects_bad_params(self, spark):
+        sig = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
+        with pytest.raises(ValueError, match="must divide 64"):
+            dedup.simhash_band_pairs(sig, bands=5)
+        with pytest.raises(ValueError, match="recall"):
+            dedup.simhash_band_pairs(sig, bands=4, max_hamming=4)
+
+    def test_simhash_candidates_end_to_end(self, docs):
+        """Exact dups are hamming-0 with all 4 bands shared; unrelated
+        docs don't pair; dedup_first suppresses the exact-dup pair."""
+        out = dedup.simhash_candidates(docs).toPandas()
+        got = {(r.id_a, r.id_b): (r.hamming, r.n_shared_bands)
+               for r in out.itertuples()}
+        assert got[(0, 1)] == (0, 4)
+        assert (0, 3) not in got
+        deduped = dedup.simhash_candidates(docs, dedup_first=True).toPandas()
+        assert (0, 1) not in set(zip(deduped["id_a"], deduped["id_b"]))
+
+    def test_minhash_lsh_rejects_indivisible_bands(self, docs):
+        with pytest.raises(ValueError, match="must divide"):
+            dedup.minhash_lsh_candidates(docs, k=64, bands=10)
+
     def test_ngram_jaccard_exact_value(self, docs):
         out = dedup.ngram_jaccard_pairs(
             docs, block_col="source", shingle_n=1, threshold=0.1).toPandas()
