@@ -459,9 +459,96 @@ def embedding_cosine_pairs(embs: DataFrame, id_col: str = "vec_id",
     return _cosine_on_pairs(cand, v, id_col, threshold)
 
 
+def _make_truncator(spark, checkpoint_mode: str, checkpoint_dir):
+    """Per-round lineage truncation for iterative algorithms.
+
+    'local' (default): eager ``localCheckpoint`` — blocks live on
+    executor local storage. Fast, but on a real cluster a lost executor
+    after truncation kills the job (the lineage needed to recompute the
+    blocks is gone). Fine for local mode and short interactive runs.
+
+    'table': write the frame to parquet under ``checkpoint_dir`` and
+    read it back — a RELIABLE checkpoint (any shared filesystem: HDFS,
+    object store). Survives executor loss; this is the 100 TB knob.
+    Slots ping-pong per tag (round r writes slot r % 2, which round
+    r−1's frame no longer references), so disk stays O(2 rounds)."""
+    if checkpoint_mode == "local":
+        return lambda df, tag, rnd: df.localCheckpoint(eager=True)
+    if checkpoint_mode != "table":
+        raise ValueError(
+            f"checkpoint_mode must be 'local'|'table', got "
+            f"{checkpoint_mode!r}")
+    if not checkpoint_dir:
+        raise ValueError(
+            "checkpoint_mode='table' needs checkpoint_dir (a path on "
+            "storage that survives executor loss)")
+
+    def trunc(df: DataFrame, tag: str, rnd: int) -> DataFrame:
+        path = f"{checkpoint_dir}/{tag}_{rnd % 2}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return trunc
+
+
+def _star_components(edges_sym: DataFrame, max_iter: int,
+                     trunc) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014) — the
+    diameter-independent path: O(log² n) rounds on ANY graph, vs
+    min-label's O(diameter). Each round is two groupBy-min + join
+    passes over the canonical (hi, lo) edge set; at the fixpoint the
+    edges form stars (node → component min) and are read off directly.
+
+    large-star: every node u connects its LARGER neighbors to
+    min(Γ(u) ∪ {u}); small-star (on edges directed big → small):
+    every node u connects its smaller neighbors and itself to the
+    minimum among them. Both preserve connectivity and strictly shrink
+    potential; convergence = edge-set fixpoint (stars are stable under
+    both ops)."""
+    cur = (edges_sym.where(F.col("src") != F.col("dst"))
+           .select(F.greatest("src", "dst").alias("u"),
+                   F.least("src", "dst").alias("v"))
+           .distinct())
+    cur = trunc(cur, "star", 0)
+    n_cur = cur.count()
+    for r in range(max_iter):
+        sym = cur.union(cur.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+        lmins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                 .select("u", F.least("mn", F.col("u")).alias("m")))
+        ls = (sym.join(lmins, "u").where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        # ls rows keep u > v (new u = old v > old u ≥ m = new v)
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        j = ls.join(smins, "u")
+        ss = (j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .union(j.select("u", F.col("m").alias("v")))
+              .where(F.col("u") != F.col("v"))
+              .distinct())
+        new = trunc(ss, "star", r + 1)
+        n_new = new.count()
+        if n_new == n_cur and new.exceptAll(cur).limit(1).count() == 0:
+            cur = new
+            break
+        cur, n_cur = new, n_new
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} "
+            f"rounds — theoretically impossible below O(log² n); check "
+            "for NULL node ids in the edge list")
+    return (cur.select(F.col("u").alias("node"),
+                       F.col("v").alias("component"))
+            .union(cur.select(F.col("v").alias("node"),
+                              F.col("v").alias("component")))
+            .distinct())
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         checkpoint_mode: str = "local",
+                         checkpoint_dir: str | None = None,
+                         switch_after: int | None = None) -> DataFrame:
     """(node, component): connected components over an undirected edge
     list — the standard finishing step that turns LSH/Jaccard candidate
     PAIRS into duplicate CLUSTERS (component = min node id reachable,
@@ -477,31 +564,45 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Rounds needed = O(max component diameter); near-dup clusters from
     banded LSH are dense (diameter ≤ 2-3 in practice), so this
     converges in a handful of rounds even at 10^10 edges. Lineage is
-    truncated with an eager localCheckpoint every round (plan size and
-    task-deserialization cost stay O(1) in the round count); the
-    convergence probe is a bounded `limit(1).count()`, not a collect.
-    For adversarial high-diameter graphs, switch to the paper's
-    large-star/small-star alternation — same join/agg primitives,
-    O(log² n) rounds.
-    """
+    truncated every round (plan size and task-deserialization cost stay
+    O(1) in the round count) via ``checkpoint_mode``: 'local'
+    (localCheckpoint — fast, executor-loss-fragile) or 'table'
+    (parquet ping-pong under ``checkpoint_dir`` — the durable cluster
+    knob). The convergence probe is a bounded `limit(1).count()`, not
+    a collect.
+
+    ``switch_after``: optional round budget for min-label; an
+    adversarial high-diameter graph that hasn't converged by then
+    switches to :func:`_star_components` (large-star/small-star,
+    O(log² n) rounds regardless of diameter) instead of raising —
+    min-label's per-round cost is lower, so dense LSH clusters stay on
+    the fast path and only pathological chains pay the alternation.
+    Without it, non-convergence inside ``max_iter`` raises (no-silent-
+    caps rule, SURVEY §4.4: returning intermediate labels would report
+    one logical cluster as several, with no signal)."""
+    trunc = _make_truncator(pairs.sparkSession, checkpoint_mode,
+                            checkpoint_dir)
     # materialize the edge list once: `pairs` usually carries expensive
     # lineage (an LSH/Jaccard candidate join), and each round references
     # edges twice (msgs + convergence probe) — without this the whole
     # candidate generation would re-execute 2× per round
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .union(pairs.select(F.col(id_b).alias("src"),
-                                 F.col(id_a).alias("dst")))
-             .distinct()
-             .localCheckpoint(eager=True))
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("component", F.col("node"))
-              .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    edges = trunc(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .distinct(), "edges", 0)
+    labels = trunc(
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node")), "labels", 0)
+    minlabel_rounds = (min(switch_after, max_iter)
+                       if switch_after is not None else max_iter)
+    for r in range(minlabel_rounds):
         msgs = (edges.join(labels, edges["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), "component"))
-        new = (labels.select("node", "component").unionByName(msgs)
-               .groupBy("node").agg(F.min("component").alias("component"))
-               .localCheckpoint(eager=True))
+        new = trunc(
+            labels.select("node", "component").unionByName(msgs)
+            .groupBy("node").agg(F.min("component").alias("component")),
+            "labels", r + 1)
         changed = (new.join(labels.withColumnRenamed("component", "old"),
                             "node")
                    .where(F.col("component") != F.col("old"))
@@ -509,11 +610,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new
         if changed == 0:
             return labels
-    # no-silent-caps rule (SURVEY §4.4): returning here would hand back
-    # intermediate labels — one logical cluster reported as several,
-    # with no signal. Diameter > max_iter graphs need more rounds or
-    # the O(log² n) large-star/small-star alternation.
+    if switch_after is not None:
+        # high-diameter graph: hand the materialized edges to the
+        # diameter-independent alternation instead of giving up
+        return _star_components(edges, max_iter, trunc)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        f"(component diameter exceeds max_iter); raise max_iter or use "
-        f"large-star/small-star for high-diameter graphs")
+        f"(component diameter exceeds max_iter); raise max_iter or set "
+        f"switch_after to fall back to large-star/small-star")

@@ -259,6 +259,58 @@ class TestDedup:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert dedup.connected_components(pairs).count() == 0
 
+    def test_connected_components_star_fallback_high_diameter(self, spark):
+        """A diameter-40 chain with a 3-round min-label budget must
+        auto-switch to large-star/small-star and STILL produce exact
+        clusters (instead of raising) — the alternation converges in
+        O(log² n) rounds regardless of diameter."""
+        n = 41
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": range(1, n), "id_b": range(0, n - 1)}))
+        got = {r["node"]: r["component"] for r in
+               dedup.connected_components(
+                   pairs, max_iter=12, switch_after=3).collect()}
+        assert got == {i: 0 for i in range(n)}
+
+    def test_connected_components_star_equals_minlabel(self, spark):
+        """Random multi-component graph: the star alternation (forced
+        via switch_after=0) and plain min-label agree exactly — both
+        label every node with its component's min id."""
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 60, 80)
+        b = rng.integers(0, 60, 80)
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": a, "id_b": b})).where("id_a != id_b")
+        ml = {r["node"]: r["component"] for r in
+              dedup.connected_components(pairs).collect()}
+        star = {r["node"]: r["component"] for r in
+                dedup.connected_components(
+                    pairs, switch_after=0).collect()}
+        assert ml == star and ml
+
+    def test_connected_components_table_checkpoint(self, spark, tmp_path):
+        """checkpoint_mode='table': every round persists to parquet
+        (the executor-loss-durable knob) and results are unchanged;
+        ping-pong slots keep the directory O(1) in round count."""
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [5, 4, 3, 2, 1, 10],
+                          "id_b": [4, 3, 2, 1, 0, 11]}))
+        got = {r["node"]: r["component"] for r in
+               dedup.connected_components(
+                   pairs, checkpoint_mode="table",
+                   checkpoint_dir=str(tmp_path / "cc")).collect()}
+        assert got == {**{i: 0 for i in range(6)}, 10: 10, 11: 10}
+        slots = sorted(p.name for p in (tmp_path / "cc").iterdir())
+        assert "edges_0" in slots and "labels_0" in slots
+        assert len([s for s in slots if s.startswith("labels")]) <= 2
+
+    def test_connected_components_table_mode_needs_dir(self, spark):
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="needs checkpoint_dir"):
+            dedup.connected_components(pairs, checkpoint_mode="table")
+        with pytest.raises(ValueError, match="'local'"):
+            dedup.connected_components(pairs, checkpoint_mode="nope")
+
     def test_ngram_jaccard_max_df_guards_hot_shingles(self, spark):
         """Stop-word-heavy corpus: an uncapped unigram join pairs every
         doc through 'the'; max_df removes the hot shingle so no
