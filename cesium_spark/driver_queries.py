@@ -1514,29 +1514,37 @@ FROM x ORDER BY dot / (na * nb) DESC, vec_id LIMIT {k}
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-value oracle for the IVF ANN path: the coarse-centroid
-    matrix is a small deterministic constant (similarity.ivf_centroids,
-    seed 7, unit-norm rows), so the ENTIRE pipeline — argmax-dot list
-    assignment, nprobe=4/16 probe selection, exact cosine re-rank of
-    the probed lists — is replayed in pure DuckDB SQL with the
-    centroids inlined as literals (built by _ivf_topk_sql below). A
-    genuine pruning path (25% of lists probed), not the degenerate
-    nprobe=n_centroids mode."""
+    """Full-value oracle for the IVF ANN path, round 4 on TRAINED
+    centroids: the frozen k-means index (similarity.
+    ivf_trained_centroids — trained once by tools/train_ivf_centroids.
+    py, balanced lists pytest-pinned vs random) is a checked-in
+    constant, so the ENTIRE pipeline — argmax-dot list assignment,
+    nprobe=4/16 probe selection, exact cosine re-rank of the probed
+    lists — is replayed in pure DuckDB SQL with the centroids inlined
+    as literals (built by _ivf_topk_sql below). A genuine pruning path
+    (25% of lists probed), not the degenerate nprobe=n_centroids mode.
+    check_ties=1e-9 makes the replay non-flaky BY CONSTRUCTION: any
+    vector whose assignment (or the probe cut) sits within summation-
+    order rounding of a tie fails fast instead of hash-mismatching."""
     _prep(spark)
     embs = _read(spark, sf_dir, "embeddings")
     q = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = similarity.ivf_topk(embs, [float(x) for x in q],
-                              k=10, n_centroids=16, nprobe=4)
+                              k=10, n_centroids=16, nprobe=4,
+                              centroids=similarity.ivf_trained_centroids(),
+                              check_ties=1e-9)
     return out.select("vec_id", _r0(F.round("cosine", 5)).alias("cosine"))
 
 
 def _ivf_topk_sql(dim: int = 64, n_centroids: int = 16, nprobe: int = 4,
                   k: int = 10) -> str:
-    """DuckDB replay of ivf_topk(n_centroids=16, nprobe=4): the
-    deterministic unit-norm centroid matrix is inlined as double
-    literals; per-vector argmax assignment uses the same tie rule as
-    np.argmax (dot desc, list id asc)."""
-    cents = similarity.ivf_centroids(dim, n_centroids)
+    """DuckDB replay of ivf_topk over the frozen trained centroids
+    (inlined as double literals); per-vector argmax assignment uses the
+    same tie rule as np.argmax (dot desc, list id asc) — and the engine
+    side's check_ties margin guarantees no near-tie can make the two
+    replays diverge."""
+    cents = similarity.ivf_trained_centroids()
+    assert cents.shape == (n_centroids, dim)
     rows = ", ".join(
         "(" + str(j) + ", [" +
         ", ".join(repr(float(cents[j, i])) for i in range(dim)) + "])"

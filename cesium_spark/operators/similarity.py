@@ -82,22 +82,127 @@ def ivf_centroids(dim: int, n_centroids: int,
     return c / np.sqrt((c * c).sum(axis=1, keepdims=True))
 
 
+def ivf_trained_centroids() -> np.ndarray:
+    """The frozen production index: spherical-k-means centroids trained
+    ONCE by ``tools/train_ivf_centroids.py`` (deterministic
+    :func:`kmeans_train` over the sf0.01 embeddings corpus) and checked
+    in as float64 literals — train-once/ship-the-index is how an IVF
+    deployment works, and freezing makes the matrix a constant both the
+    engine and the DuckDB oracle can inline. Unit-norm rows, shape
+    (n_centroids, dim)."""
+    from cesium_spark.operators._ivf_trained import TRAINED_CENTROIDS
+    return np.asarray(TRAINED_CENTROIDS, dtype=np.float64)
+
+
+def kmeans_train(embs: DataFrame, dim: int, k: int = 16, n_iter: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed_salt: int = 0) -> np.ndarray:
+    """Deterministic DISTRIBUTED spherical k-means for IVF coarse
+    centroids — returns a unit-norm (k, dim) float64 matrix. Random
+    unit centroids give unbalanced inverted lists on clustered
+    embedding distributions (recall and probe cost degrade); a few
+    Lloyd iterations fix the balance (pytest-pinned vs random).
+
+    Scale shape: nothing but the (k × dim) centroid matrix ever reaches
+    the driver. Seeding is a top-k by (xxhash64(id), id) — k rows
+    collected; each Lloyd round is one assignment scan (broadcast
+    matmul, no shuffle) plus one posexplode → groupBy(list, pos)
+    aggregation whose map-side partials collapse to k·dim rows before
+    the exchange. At 10^9+ vectors, train on a hash-sampled slice
+    (``embs.where(xxhash64(id) % P == 0)``) — coarse quantizers need
+    samples, not the corpus.
+
+    Determinism (bit-for-bit across partitionings and cluster sizes,
+    pytest-asserted): per-component sums use DECIMAL(27,15) — exact,
+    order-independent arithmetic, unlike float sums whose value depends
+    on partition order — and the mean is a decimal division cast to
+    double. Spherical update: means are L2-normalized driver-side (tiny
+    k × dim numpy); empty lists keep their previous centroid."""
+    v = embs.where(F.col(vec_col).isNotNull())
+    seed_rows = (v.select(id_col, vec_col)
+                 .orderBy(F.xxhash64(F.col(id_col), F.lit(seed_salt)),
+                          F.col(id_col))
+                 .limit(k).collect())
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_train: corpus has {len(seed_rows)} non-null "
+            f"vectors, need at least k={k}")
+    cents = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+
+    def _unit(m: np.ndarray) -> np.ndarray:
+        n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        if (n == 0).any():
+            raise ValueError("kmeans_train: zero-norm centroid")
+        return m / n
+
+    cents = _unit(cents)
+    for _ in range(n_iter):
+        assigned = ivf_assign(v, dim, id_col=id_col, vec_col=vec_col,
+                              centroids=cents)
+        rows = (assigned
+                .select("list_id",
+                        F.posexplode(F.transform(
+                            F.col(vec_col), lambda x: x.cast("double")))
+                        .alias("pos", "val"))
+                .groupBy("list_id", "pos")
+                .agg(F.sum(F.col("val").cast("decimal(27,15)")).alias("s"),
+                     F.count("*").alias("n"))
+                .select("list_id", "pos",
+                        (F.col("s") / F.col("n")).cast("double").alias("m"))
+                .collect())
+        new = cents.copy()
+        for r in rows:
+            new[r["list_id"], r["pos"]] = r["m"]
+        cents = _unit(new)
+    return cents
+
+
 def ivf_assign(embs: DataFrame, dim: int, n_centroids: int = 16,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: np.ndarray | None = None,
+               check_ties: float | None = None) -> DataFrame:
     """(id, vec, list_id int): inverted-file coarse quantization — each
     vector is assigned to its max-dot-product centroid (ties to the
     lowest list id; np.argmax picks the first maximum). One
     (batch × dim) @ (dim × n_centroids) float64 matmul per Arrow batch;
     the centroid matrix is a broadcast constant, so assignment is a
     single scan with no shuffle. At 10^9+ vectors, write the corpus
-    partitioned by list_id so the probe filter partition-prunes."""
-    cents = ivf_centroids(dim, n_centroids).T  # (dim, n_centroids)
+    partitioned by list_id so the probe filter partition-prunes
+    (pytest-evidenced in tests/test_pipeline_ops.py).
+
+    ``centroids``: explicit unit-norm (n, dim) matrix (e.g. the frozen
+    :func:`ivf_trained_centroids`); default keeps the deterministic
+    random matrix. ``check_ties``: relative top-2 margin assertion —
+    an oracle that replays assignment with a different summation order
+    (sequential SQL vs BLAS) can flip argmax on near-ties; with a
+    margin of e.g. 1e-9 (≫ the ~1e-15 rounding spread, ≪ real gaps)
+    any vector whose assignment could flip fails FAST instead of
+    surfacing as a confusing hash mismatch."""
+    if centroids is not None:
+        cmat = np.asarray(centroids, dtype=np.float64)
+        if cmat.ndim != 2 or cmat.shape[1] != dim:
+            raise ValueError(
+                f"centroids must be (n, {dim}), got {cmat.shape}")
+    else:
+        cmat = ivf_centroids(dim, n_centroids)
+    cents = cmat.T  # (dim, n_centroids)
+    margin = check_ties
 
     @pandas_udf("int")
     def list_of(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        return pd.Series((m @ cents).argmax(axis=1).astype(np.int32))
+        d = m @ cents
+        if margin is not None and d.shape[1] > 1:
+            top2 = np.partition(d, -2, axis=1)[:, -2:]
+            gap = top2[:, 1] - top2[:, 0]
+            bad = gap < margin * np.maximum(1.0, np.abs(top2[:, 1]))
+            if bad.any():
+                raise ValueError(
+                    f"ivf_assign: {int(bad.sum())} vector(s) have "
+                    f"top-2 centroid dots within relative margin "
+                    f"{margin:g} — assignment is summation-order "
+                    "sensitive; retrain or lower the margin knowingly")
+        return pd.Series(d.argmax(axis=1).astype(np.int32))
 
     return embs.select(F.col(id_col), F.col(vec_col),
                        list_of(F.col(vec_col)).alias("list_id"))
@@ -105,20 +210,34 @@ def ivf_assign(embs: DataFrame, dim: int, n_centroids: int = 16,
 
 def ivf_topk(embs: DataFrame, query: list[float], k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None,
+             check_ties: float | None = None) -> DataFrame:
     """IVF approximate top-k: probe the `nprobe` centroid lists nearest
     the query (dot desc, list id tiebreak — computed driver-side on the
-    tiny centroid matrix), filter the assigned corpus with a native
+    tiny centroid matrix; n_centroids is small by construction, so this
+    is O(k·dim) driver work), filter the assigned corpus with a native
     IN-list (partition-prunes when stored bucketed by list_id), then
     exact cosine re-score of the candidates only. nprobe = n_centroids
-    degenerates to exact brute force — the verification mode."""
+    degenerates to exact brute force — the verification mode.
+    ``centroids``/``check_ties`` as in :func:`ivf_assign`; with a
+    margin set, the probe CUT is also asserted (the nprobe-th and
+    nprobe+1-th centroid dots must be separated)."""
     q = np.asarray(query, dtype=np.float64)
-    cents = ivf_centroids(q.size, n_centroids)
-    dots = cents @ q
-    order = np.lexsort((np.arange(n_centroids), -dots))
+    cmat = (np.asarray(centroids, dtype=np.float64)
+            if centroids is not None else ivf_centroids(q.size, n_centroids))
+    dots = cmat @ q
+    order = np.lexsort((np.arange(len(cmat)), -dots))
+    if check_ties is not None and 0 < nprobe < len(cmat):
+        lo, hi = dots[order[nprobe]], dots[order[nprobe - 1]]
+        if hi - lo < check_ties * max(1.0, abs(hi)):
+            raise ValueError(
+                f"ivf_topk: probe cut at nprobe={nprobe} falls on a "
+                f"centroid-dot tie (gap {hi - lo:g}) — replay-order "
+                "sensitive")
     probes = [int(i) for i in order[:nprobe]]
-    a = ivf_assign(embs, q.size, n_centroids, id_col, vec_col)
+    a = ivf_assign(embs, q.size, n_centroids, id_col, vec_col,
+                   centroids=centroids, check_ties=check_ties)
     cands = a.where(F.col("list_id").isin(probes))
     return cosine_topk(cands, list(q), k, id_col, vec_col)
 
