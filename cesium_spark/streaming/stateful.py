@@ -20,10 +20,27 @@ Scale notes: state is O(distinct keys) × four scalars — the smallest
 possible state for running totals; the per-batch shuffle is the same
 single hash exchange on the group key as the batch path. Rows inside a
 batch are reduced vectorized (numpy) before touching state, so state
-updates are O(keys-in-batch), not O(rows). NoTimeout keeps keys
-forever — for unbounded key spaces at 100 TB, switch the timeout conf
-to ProcessingTimeTimeout and emit-and-drop idle keys (the operator
-exposes the knob).
+updates are O(keys-in-batch), not O(rows).
+
+Unbounded key spaces (the 100 TB norm — conversation ids never stop):
+``timeout='event'`` switches to EventTimeTimeout eviction. Keys whose
+idle window (no rows for ``idle`` of EVENT time, judged against the
+stream's watermark) expires are emitted one last time with
+``is_final = true`` and REMOVED from the state store, so state stays
+O(active keys) instead of O(all keys ever). Event-time eviction is
+deterministic (a function of the data, not the wall clock) and works
+under every trigger including availableNow. A key that reappears after
+eviction restarts from zero — by design: its closed total was already
+published, and the totals algebra is mergeable, so the two epochs
+MERGE the same way tier folds do.
+
+``timeout='processing'`` is the wall-clock twin (ProcessingTimeTimeout)
+for CONTINUOUS triggers: the same evict-and-emit contract keyed on
+processing-time idleness. CAUTION: do not run it under
+``trigger(availableNow=True)`` — Spark schedules another micro-batch
+whenever any processing-time timer is pending (shouldRunAnotherBatch is
+unconditionally true for this conf), so an availableNow run never
+terminates. The pytest drives it with a processingTime trigger.
 """
 
 from __future__ import annotations
@@ -36,14 +53,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = ("conv_id string, channel string, n long, "
               "y_sum double, y_min double, y_max double")
+EVICT_SCHEMA = OUT_SCHEMA + ", is_final boolean"
 STATE_SCHEMA = "n long, y_sum double, y_min double, y_max double"
 
 
-def _update_totals(key: tuple, pdfs: Iterable[pd.DataFrame],
-                   state: GroupState) -> Iterator[pd.DataFrame]:
+def _accumulate(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState, track_ts: bool = False):
+    """Fold the batch's rows into the state tuple (vectorized per
+    Arrow frame); returns (totals row dict, max event-time ms or None).
+    """
     n, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+    max_ts = None
     for pdf in pdfs:
         y = pdf["y"].to_numpy(dtype=float)
+        if track_ts and len(pdf):
+            t = pdf["ts"].max()
+            max_ts = t if max_ts is None else max(max_ts, t)
         if y.size == 0:
             continue
         n += int(y.size)
@@ -52,19 +77,84 @@ def _update_totals(key: tuple, pdfs: Iterable[pd.DataFrame],
         mn = bmn if mn is None else min(mn, bmn)
         mx = bmx if mx is None else max(mx, bmx)
     state.update((n, s, mn, mx))
-    yield pd.DataFrame({"conv_id": [key[0]], "channel": [key[1]],
-                        "n": [n], "y_sum": [s],
-                        "y_min": [mn], "y_max": [mx]})
+    row = {"conv_id": [key[0]], "channel": [key[1]],
+           "n": [n], "y_sum": [s], "y_min": [mn], "y_max": [mx]}
+    ts_ms = (None if max_ts is None
+             else int(pd.Timestamp(max_ts).value // 1_000_000))
+    return row, ts_ms
 
 
-def stateful_running_totals(series_stream: DataFrame) -> DataFrame:
+def _update_totals(key: tuple, pdfs: Iterable[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    row, _ = _accumulate(key, pdfs, state)
+    yield pd.DataFrame(row)
+
+
+def _make_evicting_update(mode: str, idle_ms: int):
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle eviction: publish the closed total, drop the key —
+            # state stays O(active keys) on unbounded key spaces
+            n, s, mn, mx = state.get
+            state.remove()
+            yield pd.DataFrame({"conv_id": [key[0]], "channel": [key[1]],
+                                "n": [n], "y_sum": [s], "y_min": [mn],
+                                "y_max": [mx], "is_final": [True]})
+            return
+        row, ts_ms = _accumulate(key, pdfs, state, track_ts=(mode == "event"))
+        if mode == "event":
+            # re-arm: evict once the watermark passes last-activity +
+            # idle. The timestamp must sit above the current watermark
+            # (Spark rejects past timers); a key whose rows are already
+            # older than watermark − idle is due at the next tick.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((ts_ms or 0) + idle_ms, wm + 1))
+        else:
+            state.setTimeoutDuration(idle_ms)
+        yield pd.DataFrame({**row, "is_final": [False]})
+
+    return update
+
+
+def stateful_running_totals(series_stream: DataFrame,
+                            timeout: str = "none",
+                            idle_ms: int = 3_600_000,
+                            watermark_delay: str = "30 minutes") -> DataFrame:
     """Per-(conv_id, channel) running totals over a streaming series
     (conv_id, channel, ..., y). Emits one row per key per micro-batch
-    containing that key; values are cumulative over all batches."""
-    return (series_stream.groupBy("conv_id", "channel")
-            .applyInPandasWithState(
-                _update_totals, OUT_SCHEMA, STATE_SCHEMA,
-                "append", GroupStateTimeout.NoTimeout))
+    containing that key; values are cumulative over all batches.
+
+    ``timeout='none'``: keys live forever (bounded key spaces).
+    ``timeout='event'``: EventTimeTimeout — the stream is watermarked
+    on ``ts`` with ``watermark_delay``; a key with no rows for
+    ``idle_ms`` of event time (relative to its last activity, judged
+    by the watermark) is emitted once more with ``is_final = true``
+    (the closed total) and evicted. Deterministic and availableNow-
+    compatible. ``timeout='processing'``: wall-clock idleness instead;
+    CONTINUOUS triggers only (see module docstring — availableNow
+    never terminates under processing-time timers). Both eviction
+    modes add the ``is_final`` column."""
+    if timeout == "none":
+        return (series_stream.groupBy("conv_id", "channel")
+                .applyInPandasWithState(
+                    _update_totals, OUT_SCHEMA, STATE_SCHEMA,
+                    "append", GroupStateTimeout.NoTimeout))
+    if timeout == "event":
+        return (series_stream.withWatermark("ts", watermark_delay)
+                .groupBy("conv_id", "channel")
+                .applyInPandasWithState(
+                    _make_evicting_update("event", idle_ms),
+                    EVICT_SCHEMA, STATE_SCHEMA,
+                    "append", GroupStateTimeout.EventTimeTimeout))
+    if timeout == "processing":
+        return (series_stream.groupBy("conv_id", "channel")
+                .applyInPandasWithState(
+                    _make_evicting_update("processing", idle_ms),
+                    EVICT_SCHEMA, STATE_SCHEMA,
+                    "append", GroupStateTimeout.ProcessingTimeTimeout))
+    raise ValueError(
+        f"timeout must be 'none'|'event'|'processing', got {timeout!r}")
 
 
 def totals_to_table(totals_stream: DataFrame, path: str, checkpoint: str):

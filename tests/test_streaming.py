@@ -191,6 +191,121 @@ def test_stateful_totals_cross_batch_state(spark, tmp_path):
             pdf[pdf.conv_id == cid]["y"].sum(), rel=1e-12)
 
 
+def test_stateful_event_timeout_evicts_idle_keys(spark, tmp_path):
+    """EventTimeTimeout eviction (deterministic — driven by the data's
+    own clock): a key idle for idle_ms of EVENT time once the watermark
+    passes is emitted with is_final=true carrying its closed totals and
+    REMOVED; its next appearance restarts from zero. Keys with recent
+    activity are never finalized. This is the unbounded-key-space knob:
+    state is O(active keys), not O(all keys ever)."""
+    from cesium_spark.streaming import stateful
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    from datetime import datetime
+
+    schema = "conv_id string, channel string, ts timestamp, y double"
+
+    def T(s):
+        return datetime.fromisoformat(s)
+
+    def run_pass(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stateful.totals_to_table(
+            stateful.stateful_running_totals(
+                stream, timeout="event", idle_ms=3_600_000,
+                watermark_delay="30 minutes"),
+            out, ckpt)
+        assert q.awaitTermination(240)
+
+    # pass 1: A and B active around 10:00 → timers ≈ 11:10 / 11:15
+    run_pass([("A", "v", T("2024-01-01 10:00"), 1.0),
+              ("A", "v", T("2024-01-01 10:10"), 3.0),
+              ("B", "v", T("2024-01-01 10:15"), 10.0)])
+    # pass 2: only B, at 13:00 → watermark 12:30 > A's timer → A evicted
+    run_pass([("B", "v", T("2024-01-01 13:00"), 20.0)])
+    # pass 3: A reappears at 16:00 → restarts from zero; watermark
+    # 15:30 > B's 14:00 timer → B evicted with its closed total
+    run_pass([("A", "v", T("2024-01-01 16:00"), 100.0)])
+
+    res = spark.read.parquet(out).toPandas()
+    a_final = res[(res.conv_id == "A") & res.is_final]
+    assert len(a_final) == 1
+    f = a_final.iloc[0]
+    assert (f["n"], f["y_sum"], f["y_min"], f["y_max"]) == (2, 4.0, 1.0, 3.0)
+    # epoch 2 restarted from zero: the reappearance snapshot sees only
+    # the new row (epoch-1's n=2 snapshot also remains in the append
+    # sink — readers separate epochs by the is_final markers)
+    a_live = res[(res.conv_id == "A") & ~res.is_final]
+    assert (1, 100.0) in set(zip(a_live["n"], a_live["y_sum"]))
+    assert (3, 104.0) not in set(zip(a_live["n"], a_live["y_sum"]))
+    # B was live across both its batches (cumulative), then closed at 30
+    b = res[res.conv_id == "B"].sort_values(["is_final", "n"])
+    assert list(b[~b.is_final]["n"]) == [1, 2]
+    b_final = b[b.is_final]
+    assert len(b_final) == 1
+    assert (b_final.iloc[0]["n"], b_final.iloc[0]["y_sum"]) == (2, 30.0)
+
+
+def test_stateful_processing_timeout_continuous_trigger(spark, tmp_path):
+    """ProcessingTimeTimeout under a CONTINUOUS trigger (its supported
+    mode — availableNow never terminates with processing-time timers,
+    see module docstring): a key idle past idle_ms of wall time is
+    evicted with its closed totals while the query keeps running."""
+    import time
+
+    from cesium_spark.streaming import stateful
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "conv_id string, channel string, y double"
+    spark.createDataFrame([("A", "v", 1.0), ("A", "v", 3.0)],
+                          schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stateful.stateful_running_totals(
+            stream, timeout="processing", idle_ms=500)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out)
+         .trigger(processingTime="250 milliseconds").start())
+    try:
+        # B arrives later; A then idles past 500 ms and must be evicted
+        time.sleep(2)
+        spark.createDataFrame([("B", "v", 10.0)], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        deadline = time.time() + 90
+        a_final = None
+        while time.time() < deadline:
+            try:
+                res = spark.read.parquet(out).toPandas()
+                fin = res[(res.conv_id == "A") & res.is_final]
+                if len(fin):
+                    a_final = fin.iloc[0]
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert a_final is not None, "idle key A was never evicted"
+    assert (a_final["n"], a_final["y_sum"]) == (2, 4.0)
+
+
+def test_stateful_timeout_bad_param(spark, tmp_path):
+    from cesium_spark.streaming import stateful
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([("A", "v", 1.0)],
+                          "conv_id string, channel string, y double") \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, channel string, y double").parquet(src)
+    with pytest.raises(ValueError, match="'none'"):
+        stateful.stateful_running_totals(stream, timeout="nope")
+
+
 def test_stateful_totals_resume_from_checkpoint(spark, tmp_path):
     """State store + checkpoint: a second availableNow pass over a
     grown source resumes from committed offsets and keeps accumulating
