@@ -120,6 +120,41 @@ def encode_chunks(series: DataFrame,
     )
 
 
+# raw column widths the codec replaces: ts int64 µs, turn_idx int32,
+# y float64 — the denominator for the compression ratio
+RAW_BYTES_PER_POINT = {"ts": 8, "idx": 4, "y": 8}
+
+
+def compression_metrics(chunks: DataFrame) -> DataFrame:
+    """(kind, blob_bytes, points, bytes_per_point, ratio_vs_raw) per
+    blob kind over a chunk table — one native aggregate (no decode).
+
+    Retention-tier sizing at 10^12 turns needs the MEASURED ratio, not
+    the design estimate, and the number guards the codec's documented
+    Gorilla window-reuse divergence: a regression that widens XOR
+    windows shows up here as bytes/point drift long before anyone reads
+    a chunk back (pytest pins per-kind bounds on the deterministic
+    synth corpus). ``ratio_vs_raw`` compares against the unencoded
+    column widths (ts 8 B µs, idx 4 B int32, y 8 B float64)."""
+    agg = chunks.agg(
+        F.sum(F.octet_length("ts_blob")).alias("ts"),
+        F.sum(F.octet_length("idx_blob")).alias("idx"),
+        F.sum(F.octet_length("y_blob")).alias("y"),
+        F.sum("n").alias("points"))
+    kinds = F.array(*[
+        F.struct(F.lit(k).alias("kind"), F.col(k).alias("blob_bytes"),
+                 F.lit(raw).alias("raw_bytes"))
+        for k, raw in RAW_BYTES_PER_POINT.items()])
+    return (agg.select(F.explode(kinds).alias("b"), "points")
+            .select(F.col("b.kind").alias("kind"),
+                    F.col("b.blob_bytes").alias("blob_bytes"),
+                    F.col("points"),
+                    (F.col("b.blob_bytes") / F.col("points"))
+                    .alias("bytes_per_point"),
+                    (F.col("b.raw_bytes") * F.col("points")
+                     / F.col("b.blob_bytes")).alias("ratio_vs_raw")))
+
+
 def decode_chunks(chunks: DataFrame, verify_crc: bool = True) -> DataFrame:
     """Chunk table → exact series rows (bitwise y, exact µs ts)."""
 

@@ -32,7 +32,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cesium_spark.codecs.chunks import encode_chunks
+from cesium_spark.codecs.chunks import compression_metrics, encode_chunks
 from cesium_spark.functions.registry import DEFAULT_FEATS
 from cesium_spark.operators.derive import derive_series
 from cesium_spark.operators.rollup import rollup_features
@@ -122,6 +122,19 @@ def run_pipeline(
         with StageTimer(ledger, run_id, stage) as st:
             chunks = encode_chunks(series)
             io.write(chunks, CHUNKS_TABLE, mode="overwrite")
+            # measured bytes/point per blob kind → _metrics: retention
+            # sizing runs on the measured ratio, and the number guards
+            # the codec's Gorilla window-reuse divergence (see
+            # codecs.chunks.compression_metrics)
+            comp = compression_metrics(io.read(CHUNKS_TABLE)).collect()
+            report["compression"] = {}
+            for r in comp:
+                ledger.record_metric(run_id, stage,
+                                     f"bytes_per_point_{r['kind']}",
+                                     r["bytes_per_point"])
+                report["compression"][r["kind"]] = {
+                    "bytes_per_point": r["bytes_per_point"],
+                    "ratio_vs_raw": r["ratio_vs_raw"]}
         report["stages"][stage] = st.wall_ms
 
     wall = time.monotonic() - t_start

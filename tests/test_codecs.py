@@ -232,3 +232,85 @@ class TestCrc:
         corrupted = chunks.withColumn("crc", F.col("crc") + 1)
         with pytest.raises(Exception, match="crc mismatch"):
             decode_chunks(corrupted).count()
+
+
+class TestCompressionMetrics:
+    """codecs.chunks.compression_metrics: the measured bytes/point per
+    blob kind — retention sizing input and the regression guard on the
+    codec's Gorilla window-reuse divergence (a widened-XOR-window bug
+    moves y bytes/point long before a roundtrip test notices)."""
+
+    def test_exact_math_vs_manual_sums(self, spark):
+        import pandas as pd
+
+        from cesium_spark.codecs.chunks import (
+            compression_metrics,
+            encode_chunks,
+        )
+        pdf = pd.DataFrame({
+            "conv_id": ["a"] * 6 + ["b"] * 4,
+            "channel": "value",
+            "turn_idx": np.r_[np.arange(6), np.arange(4)].astype(np.int32),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.r_[np.arange(6), np.arange(4)] * 31, "s"),
+            "y": np.arange(10) * 0.25,
+        })
+        chunks = encode_chunks(spark.createDataFrame(pdf)).cache()
+        got = (compression_metrics(chunks).toPandas()
+               .set_index("kind"))
+        raw = chunks.toPandas()
+        exp = {"ts": sum(len(b) for b in raw["ts_blob"]),
+               "idx": sum(len(b) for b in raw["idx_blob"]),
+               "y": sum(len(b) for b in raw["y_blob"])}
+        n = raw["n"].sum()
+        raw_w = {"ts": 8, "idx": 4, "y": 8}
+        for kind, total in exp.items():
+            assert got.loc[kind, "blob_bytes"] == total
+            assert got.loc[kind, "points"] == n
+            assert got.loc[kind, "bytes_per_point"] == total / n
+            assert got.loc[kind, "ratio_vs_raw"] == raw_w[kind] * n / total
+
+    def test_synth_corpus_bounds(self, spark, tiny_transcripts):
+        """Measured bounds on the deterministic synth corpus (round-4
+        values: idx 0.31, y 2.45, ts 8.65 — ts EXPANDS because the
+        synth cadence is uniform-random at µs resolution, i.e. the
+        delta-of-deltas are ~25-bit entropy; DoD only wins on regular
+        cadence, see test below). Drift outside these windows means the
+        codec's bit layout changed."""
+        from cesium_spark.codecs.chunks import (
+            compression_metrics,
+            encode_chunks,
+        )
+        from cesium_spark.operators.derive import derive_series
+
+        m = (compression_metrics(
+                encode_chunks(derive_series(tiny_transcripts)))
+             .toPandas().set_index("kind")["bytes_per_point"])
+        assert 0.1 < m["idx"] < 0.6, m["idx"]   # Δ=1 → ~1-3 bits/pt
+        assert 1.5 < m["y"] < 3.5, m["y"]       # Gorilla on 2-dec data
+        assert 7.5 < m["ts"] < 10.0, m["ts"]    # irregular µs cadence
+
+    def test_regular_cadence_ts_compresses_55x(self, spark):
+        """Fixed 30 s cadence → DoD(ts) is zero after the first pair:
+        ~1 bit/point + headers. This is the workload the codec's
+        timestamp path is designed for (regular rollup tiers)."""
+        import pandas as pd
+
+        from cesium_spark.codecs.chunks import (
+            compression_metrics,
+            encode_chunks,
+        )
+        n = 8000
+        pdf = pd.DataFrame({
+            "conv_id": ["c%02d" % (i % 8) for i in range(n)],
+            "channel": "value",
+            "turn_idx": (np.arange(n, dtype=np.int32) // 8),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta((np.arange(n) // 8) * 30, "s"),
+            "y": np.round(np.cumsum(
+                np.random.default_rng(0).normal(0, 0.01, n)), 2),
+        })
+        m = (compression_metrics(encode_chunks(spark.createDataFrame(pdf)))
+             .toPandas().set_index("kind"))
+        assert m.loc["ts", "bytes_per_point"] < 0.3
+        assert m.loc["ts", "ratio_vs_raw"] > 25

@@ -83,3 +83,25 @@ def test_retention_expiry(spark, tiny_transcripts, tmp_path):
     assert io.read("series").count() == total - deleted
     # rollups survive expiry
     assert io.read("features_1d").count() > 0
+
+
+def test_pipeline_records_compression_metrics(spark, tiny_transcripts,
+                                              tmp_path):
+    """The compress stage writes measured bytes/point per blob kind
+    into _metrics (retention sizing reads the ratio, not a guess)."""
+    io = TableIO(spark, str(tmp_path / "cm"))
+    report = run_pipeline(io, tiny_transcripts, tiers=("1d",),
+                          features=["mean"], compress=True)
+    assert set(report["compression"]) == {"ts", "idx", "y"}
+    assert all(v["bytes_per_point"] > 0
+               for v in report["compression"].values())
+    ledger = Ledger(io)
+    rows = (ledger.metrics()
+            .where(F.col("metric").startswith("bytes_per_point_"))
+            .toPandas())
+    assert set(rows["metric"]) == {"bytes_per_point_ts",
+                                   "bytes_per_point_idx",
+                                   "bytes_per_point_y"}
+    got = dict(zip(rows["metric"], rows["value"]))
+    for kind, rep in report["compression"].items():
+        assert got[f"bytes_per_point_{kind}"] == rep["bytes_per_point"]
