@@ -1753,12 +1753,230 @@ FROM grp GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 additions: as-of join, interpolation gap-fill, M4 downsample,
+# counter rate, quantile rollup
+# ---------------------------------------------------------------------------
+
+def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent purchase at-or-before each click, per user — the
+    general two-table as-of join (union-trick plan, one exchange).
+    DuckDB's native ASOF LEFT JOIN is the oracle, so the tie (>=) and
+    no-match (NULL) semantics are certified against an independent
+    implementation, not a replay of our own."""
+    from cesium_spark.operators.asof import asof_join
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    left = (ev.where(F.col("event_type") == "click")
+            .select("user_id", "event_id", "ts", "value"))
+    right = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts",
+                     F.col("value").alias("purchase_value")))
+    j = asof_join(left, right, on=["user_id"], ts="ts",
+                  values=["purchase_value"], direction="backward",
+                  matched_ts_col="matched_ts")
+    return j.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "event_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        _r(F.col("value")).alias("value"),
+        _r(F.col("purchase_value")).alias("purchase_value"),
+        F.date_format("matched_ts", TS_FMT).alias("matched_ts"),
+    )
+
+
+SQL_TS_ASOF_JOIN = f"""
+SELECT cast(l.user_id AS varchar) AS conv_id,
+       l.event_id,
+       strftime(l.ts, '{DUCK_TS_FMT}') AS ts,
+       round(l.value, 6) + 0.0 AS value,
+       round(r.value, 6) + 0.0 AS purchase_value,
+       strftime(r.ts, '{DUCK_TS_FMT}') AS matched_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid with linear interpolation between observed
+    neighbors (timescaledb interpolate() semantics); edge buckets with
+    a neighbor on only one side stay NULL."""
+    g = gapfill(_value_series(spark, sf_dir), "1h", policy="interp")
+    # interpolated values land exactly on 1e-6 half-way points (grid
+    # fractions are small rationals), where Spark's HALF_UP round and
+    # DuckDB's round disagree by one ulp of the 6th decimal; both sides
+    # therefore round via the SAME explicit IEEE ops:
+    # floor(y * 1e6 + 0.5) / 1e6
+    rexp = (F.floor(_nn(F.col("y")) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6) + F.lit(0.0))
+    return g.select(
+        "conv_id",
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        rexp.alias("y"),
+        F.col("filled"),
+    )
+
+
+# interpolation restated with the SAME window shapes and the SAME
+# arithmetic order (prev + (next - prev) * ((b - pb) / (nb - pb)))
+SQL_TS_GAPFILL_INTERP = f"""
+WITH b AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         date_trunc('hour', ts) AS bucket,
+         arg_max(value, ts) AS y_obs
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT conv_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1
+),
+grid AS (
+  SELECT conv_id,
+         unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+),
+j AS (
+  SELECT g.conv_id, g.bucket, b.y_obs
+  FROM grid g LEFT JOIN b ON g.conv_id = b.conv_id AND g.bucket = b.bucket
+),
+nb AS (
+  SELECT conv_id, bucket, y_obs,
+         last_value(y_obs IGNORE NULLS) OVER wb AS prev_y,
+         last_value(CASE WHEN y_obs IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER wb AS prev_b,
+         first_value(y_obs IGNORE NULLS) OVER wf AS next_y,
+         first_value(CASE WHEN y_obs IS NOT NULL THEN bucket END
+                     IGNORE NULLS) OVER wf AS next_b
+  FROM j
+  WINDOW wb AS (PARTITION BY conv_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY conv_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
+       floor((CASE WHEN y_obs IS NOT NULL THEN y_obs
+                   WHEN prev_y IS NOT NULL AND next_y IS NOT NULL
+                   THEN prev_y + (next_y - prev_y)
+                        * ((epoch(bucket) - epoch(prev_b))
+                           / (epoch(next_b) - epoch(prev_b)))
+              END) * 1e6 + 0.5) / 1e6 + 0.0 AS y,
+       y_obs IS NULL AS filled
+FROM nb
+"""
+
+
+def q_ts_m4_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsample (min/max/first/last per hour bucket
+    — Jugel VLDB'14), full-value oracle via arg_min/arg_max."""
+    from cesium_spark.operators.downsample import m4_downsample
+    m = m4_downsample(_value_series(spark, sf_dir), "1h")
+    return m.select(
+        "conv_id",
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        _r(F.col("y_min")).alias("y_min"),
+        _r(F.col("y_max")).alias("y_max"),
+        _r(F.col("y_first")).alias("y_first"),
+        _r(F.col("y_last")).alias("y_last"),
+        _r(F.col("t_first")).alias("t_first"),
+        _r(F.col("t_last")).alias("t_last"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+SQL_TS_M4_1H = f"""{_VALUE_SERIES_SQL}
+SELECT conv_id,
+       strftime(date_trunc('hour', ts), '{DUCK_TS_FMT}') AS bucket,
+       round(min(y), 6) + 0.0 AS y_min,
+       round(max(y), 6) + 0.0 AS y_max,
+       round(arg_min(y, t), 6) + 0.0 AS y_first,
+       round(arg_max(y, t), 6) + 0.0 AS y_last,
+       round(min(t), 6) + 0.0 AS t_first,
+       round(max(t), 6) + 0.0 AS t_last,
+       count(*) AS n
+FROM series
+GROUP BY 1, 2
+"""
+
+
+def q_ts_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter rate per hour bucket with reset detection
+    (delta when monotone, raw value after a reset)."""
+    from cesium_spark.operators.rates import counter_rate
+    r = counter_rate(_value_series(spark, sf_dir), "1h")
+    return r.select(
+        "conv_id",
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        _r(F.col("increase")).alias("increase"),
+        _r(F.col("rate_per_s")).alias("rate_per_s"),
+        F.col("n_resets").cast("long").alias("n_resets"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+SQL_TS_COUNTER_RATE_1H = f"""{_VALUE_SERIES_SQL},
+d AS (
+  SELECT conv_id, date_trunc('hour', ts) AS bucket,
+         CASE WHEN lag(y) OVER w IS NULL THEN NULL
+              WHEN y >= lag(y) OVER w THEN y - lag(y) OVER w
+              ELSE y END AS inc,
+         CASE WHEN lag(y) OVER w IS NOT NULL AND y < lag(y) OVER w
+              THEN 1 ELSE 0 END AS reset
+  FROM series
+  WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+)
+SELECT conv_id, strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
+       round(sum(inc), 6) + 0.0 AS increase,
+       round(sum(inc) / 3600.0, 6) + 0.0 AS rate_per_s,
+       sum(reset) AS n_resets,
+       count(inc) AS n
+FROM d
+GROUP BY 1, 2
+HAVING count(inc) > 0
+"""
+
+
+def q_ts_quantiles_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95/p99 via the EXACT percentile path (linear
+    interpolation on the sorted group — the definition DuckDB's
+    quantile_cont shares). The mergeable GK-sketch path
+    (``approx=True``) is the 100 TB variant, verified against this one
+    by bounded-rank-error pytest (not SQL-restatable)."""
+    from cesium_spark.operators.rollup import rollup_quantiles
+    q = rollup_quantiles(_value_series(spark, sf_dir), "1d",
+                         qs=(0.5, 0.95, 0.99), approx=False)
+    return q.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        _r(F.col("p50")).alias("p50"),
+        _r(F.col("p95")).alias("p95"),
+        _r(F.col("p99")).alias("p99"),
+    )
+
+
+SQL_TS_QUANTILES_1D = f"""{_VALUE_SERIES_SQL}
+SELECT conv_id,
+       strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS window_start,
+       count(y) AS n,
+       round(quantile_cont(y, 0.5), 6) + 0.0 AS p50,
+       round(quantile_cont(y, 0.95), 6) + 0.0 AS p95,
+       round(quantile_cont(y, 0.99), 6) + 0.0 AS p99
+FROM series
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
     "ts_rollup_1d_native": q_ts_rollup_1d_native,
     "ts_tier_fold": q_ts_tier_fold,
     "ts_gapfill_1h": q_ts_gapfill_1h,
+    "ts_gapfill_interp": q_ts_gapfill_interp,
+    "ts_asof_join": q_ts_asof_join,
+    "ts_m4_1h": q_ts_m4_1h,
+    "ts_counter_rate_1h": q_ts_counter_rate_1h,
+    "ts_quantiles_1d": q_ts_quantiles_1d,
     "ts_cad_probs": q_ts_cad_probs,
     "ts_cadence_stats": q_ts_cadence_stats,
     "ts_max_slope": q_ts_max_slope,
@@ -1809,6 +2027,11 @@ ORACLE_SQL = {
     "ts_rollup_1d_native": SQL_TS_ROLLUP_1D,
     "ts_tier_fold": SQL_TS_TIER_FOLD,
     "ts_gapfill_1h": SQL_TS_GAPFILL_1H,
+    "ts_gapfill_interp": SQL_TS_GAPFILL_INTERP,
+    "ts_asof_join": SQL_TS_ASOF_JOIN,
+    "ts_m4_1h": SQL_TS_M4_1H,
+    "ts_counter_rate_1h": SQL_TS_COUNTER_RATE_1H,
+    "ts_quantiles_1d": SQL_TS_QUANTILES_1D,
     "ts_cad_probs": SQL_TS_CAD_PROBS,
     "ts_cadence_stats": SQL_TS_CADENCE_STATS,
     "ts_max_slope": SQL_TS_MAX_SLOPE,

@@ -12,10 +12,14 @@ Pure DataFrame composition — no UDFs:
 3. left-join raw-on-grid (grid side is generated co-partitioned with
    the aggregation output, so the join is a local sort-merge after one
    shuffle);
-4. fill policy per channel: ``null`` (leave holes), ``zero``, or
+4. fill policy per channel: ``null`` (leave holes), ``zero``,
    ``ffill`` (carry-forward = ``last(y, ignorenulls=True)`` over an
    unbounded-preceding row frame — the as-of-join-free formulation,
-   SURVEY.md §2.11).
+   SURVEY.md §2.11), or ``interp`` (linear interpolation between the
+   nearest observed neighbors — the timescaledb ``interpolate()``
+   twin: one backward + one forward window over the SAME sort order,
+   so Catalyst plans a single exchange + single sort for both; edge
+   buckets with no neighbor on one side stay NULL).
 
 Catalyst view: one hash aggregate, one sequence/explode (narrow), one
 join on (conv_id, channel, bucket), one window — three exchanges total,
@@ -32,7 +36,7 @@ from cesium_spark.operators.rollup import TIERS
 _INTERVALS = {"1m": "interval 1 minute", "1h": "interval 1 hour",
               "1d": "interval 1 day"}
 
-FILL_POLICIES = ("null", "zero", "ffill")
+FILL_POLICIES = ("null", "zero", "ffill", "interp")
 
 
 def gapfill(series: DataFrame, tier: str, policy: str = "ffill") -> DataFrame:
@@ -73,6 +77,25 @@ def gapfill(series: DataFrame, tier: str, policy: str = "ffill") -> DataFrame:
         w = (Window.partitionBy("conv_id", "channel").orderBy("bucket")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         filled = grid.withColumn("y", F.last("y_obs", ignorenulls=True).over(w))
+    elif policy == "interp":
+        wb = (Window.partitionBy("conv_id", "channel").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wf = (Window.partitionBy("conv_id", "channel").orderBy("bucket")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        obs_bucket = F.when(F.col("y_obs").isNotNull(), F.col("bucket"))
+        prev_y = F.last("y_obs", ignorenulls=True).over(wb)
+        prev_b = F.last(obs_bucket, ignorenulls=True).over(wb)
+        next_y = F.first("y_obs", ignorenulls=True).over(wf)
+        next_b = F.first(obs_bucket, ignorenulls=True).over(wf)
+        # fraction in epoch seconds; guarded so an observed bucket
+        # (prev==next==bucket) never reaches the 0/0 branch
+        frac = ((F.col("bucket").cast("double") - prev_b.cast("double"))
+                / (next_b.cast("double") - prev_b.cast("double")))
+        filled = grid.withColumn(
+            "y",
+            F.when(F.col("y_obs").isNotNull(), F.col("y_obs"))
+            .when(prev_y.isNotNull() & next_y.isNotNull(),
+                  prev_y + (next_y - prev_y) * frac))
     else:
         filled = grid.withColumn("y", F.col("y_obs"))
     return (

@@ -391,3 +391,43 @@ def moments_derived(moments: DataFrame) -> DataFrame:
         F.when(m2 > 0, m3 / F.pow(m2, 1.5)).alias("skew"),
         (F.col("t_max") - F.col("t_min")).alias("total_time"),
     )
+
+
+def rollup_quantiles(series: DataFrame, tier: str,
+                     qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                     approx: bool = False,
+                     accuracy: int = 10000) -> DataFrame:
+    """Per-tier latency/value quantiles (p50/p95/p99 of the north_star's
+    turn-latency series).
+
+    Two paths, same schema:
+
+    - ``approx=False``: exact ``percentile`` (linear interpolation on
+      the sorted group — the definition DuckDB's ``quantile_cont``
+      shares, so results are oracle-comparable bit-for-bit after
+      rounding). Exact percentile buffers each group's values; right
+      for verification scales and modest groups.
+    - ``approx=True``: ``percentile_approx`` (Greenwald–Khanna sketch,
+      MERGEABLE partial aggregation — the 100 TB path: map-side
+      partials, bounded memory per group regardless of group size,
+      and tier folds can re-merge sketches). Deterministic for a given
+      accuracy but NOT restatable in DuckDB; it is verified against
+      the exact path by bounded-rank-error pytest instead.
+    """
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}")
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must lie in [0,1], got {qs!r}")
+    arr = F.array(*[F.lit(float(q)) for q in qs])
+    agg = (F.percentile_approx("y", arr, F.lit(accuracy)) if approx
+           else F.percentile("y", arr))
+    g = (
+        _with_window(series, tier)
+        .groupBy("conv_id", "channel", "window_start")
+        .agg(F.count("y").alias("n"), agg.alias("__qs"))
+    )
+    cols = ["conv_id", "channel", "window_start", "n"] + [
+        F.col("__qs")[i].alias(f"p{int(round(q * 100)):02d}")
+        for i, q in enumerate(qs)
+    ]
+    return g.select(*cols).withColumn("tier", F.lit(tier))
