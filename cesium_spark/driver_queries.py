@@ -1966,6 +1966,94 @@ GROUP BY 1, 2
 """
 
 
+_BM25_TERMS = ("spark", "window", "hash")
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 of every document against a fixed 3-term query: two
+    stateless projections + one broadcast 1-row corpus-stats aggregate
+    — zero corpus shuffles. Integer Σdl keeps avgdl (and therefore the
+    whole score) bit-reproducible and restatable in DuckDB."""
+    _prep(spark)
+    out = textstats.bm25_scores(_read(spark, sf_dir, "documents"),
+                                _BM25_TERMS)
+    return out.select(
+        "doc_id", "dl",
+        *[F.col(f"tf_{t}") for t in _BM25_TERMS],
+        _r(F.col("bm25")).alias("bm25"),
+    )
+
+
+def _bm25_sql(terms=_BM25_TERMS, k1=1.2, b=0.75) -> str:
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    tf_cols = ",\n         ".join(
+        f"cast(len(list_filter({toks}, x -> x = '{t}')) AS bigint)"
+        f" AS tf_{i}" for i, t in enumerate(terms))
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    # identical arithmetic order to the engine:
+    # idf * (tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl))
+    term_exprs = " + ".join(
+        f"(ln((cast(N AS double) - cast(df_{i} AS double) + 0.5)"
+        f" / (cast(df_{i} AS double) + 0.5) + 1.0)"
+        f" * (cast(tf_{i} AS double) * {k1 + 1.0})"
+        f" / (cast(tf_{i} AS double) + {k1} * ({1.0 - b}"
+        f" + {b} * cast(dl AS double)"
+        f" / (cast(sum_dl AS double) / cast(N AS double)))))"
+        for i in range(len(terms)))
+    out_tfs = ", ".join(f"tf_{i} AS tf_{t}" for i, t in enumerate(terms))
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         cast(len({toks}) AS bigint) AS dl,
+         {tf_cols}
+  FROM documents
+),
+s AS (
+  SELECT count(*) AS N, sum(dl) AS sum_dl,
+         {df_cols}
+  FROM p
+)
+SELECT doc_id, dl, {out_tfs},
+       round({term_exprs}, 6) + 0.0 AS bm25
+FROM p, s
+"""
+
+
+_SPLIT_WEIGHTS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_SPLIT_SALT = "r4"
+
+
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test assignment: split is a pure
+    function of md5(doc_id || salt) — stable under re-runs,
+    repartitions and table growth (no randomSplit leakage). Row-level
+    full-value oracle: DuckDB replays the identical hash bands."""
+    from cesium_spark.operators.sampling import hash_split
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(docs, dict(_SPLIT_WEIGHTS), key="doc_id",
+                     salt=_SPLIT_SALT)
+    return out.select("doc_id", "split")
+
+
+def _hash_split_sql() -> str:
+    bucket = (f"(('0x' || substr(md5(cast(doc_id AS varchar) || "
+              f"'{_SPLIT_SALT}'), 1, 8))::BIGINT % 10000)")
+    names = [n for n, _ in _SPLIT_WEIGHTS]
+    cum, cases = 0.0, []
+    for n, w in _SPLIT_WEIGHTS[:-1]:
+        cum += w
+        cases.append(f"WHEN {bucket} < {int(round(cum * 10000))} "
+                     f"THEN '{n}'")
+    return f"""
+SELECT doc_id,
+       CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split
+FROM documents
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -1996,6 +2084,8 @@ QUERIES = {
     "rel_approx_distinct": q_rel_approx_distinct,
     "rel_except_all": q_rel_except_all,
     "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_bm25": q_doc_bm25,
+    "doc_hash_split": q_doc_hash_split,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -2051,6 +2141,8 @@ ORACLE_SQL = {
     "rel_approx_distinct": SQL_REL_APPROX_DISTINCT,
     "rel_except_all": SQL_REL_EXCEPT_ALL,
     "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
+    "doc_bm25": _bm25_sql(),
+    "doc_hash_split": _hash_split_sql(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,

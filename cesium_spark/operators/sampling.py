@@ -1,0 +1,84 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+`randomSplit` is the stock Spark answer, but it is *sample-based*: the
+assignment depends on partition layout and re-shuffles between runs, so
+a re-run (or a backfill over a grown table) migrates rows between
+train/val/test — silent leakage. Training pipelines want **content-
+addressed** assignment: a row's split is a pure function of its key, so
+it is stable across runs, re-partitions, engine versions, AND table
+growth (new rows land in splits at the configured rates; old rows never
+move). This is the published practice for LLM corpus curation
+(fixed-hash holdout).
+
+Implementation: first 8 hex digits of md5(key || salt) → 32-bit int →
+per-mille bucket → threshold bands. Pure native expressions (codegen,
+no UDF, no shuffle — a projection over the scan); md5 is bit-identical
+everywhere, which also makes the assignment restatable in any other
+engine (the DuckDB oracle replays it exactly).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def split_bucket(key_col, salt: str = ""):
+    """Column expr: stable bucket in [0, 10000) from md5(key||salt)."""
+    h = F.md5(F.concat(key_col.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(BUCKETS))
+
+
+def hash_split(df: DataFrame, weights: Mapping[str, float],
+               key: str = "doc_id", salt: str = "") -> DataFrame:
+    """Adds a `split` column assigning each row to a named split with
+    the given weights (must sum to 1.0 within 1e-9). Assignment is a
+    pure function of (key, salt): re-runs, repartitions and table
+    growth never move a row between splits.
+
+    Weights are quantized to 1/10000 (the bucket resolution); the salt
+    re-deals the assignment (e.g. per experiment) without touching the
+    data.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+
+    bucket = split_bucket(F.col(key), salt)
+    # cumulative integer thresholds in bucket units; the LAST band is
+    # open-ended so quantization never drops a row
+    names = list(weights)
+    cum, edges = 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        edges.append(int(round(cum * BUCKETS)))
+    expr = None
+    for name, edge in zip(names[:-1], edges):
+        cond = bucket < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(
+        F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key: str = "doc_id", salt: str = "") -> DataFrame:
+    """Content-addressed Bernoulli sample: keeps rows whose bucket
+    falls below fraction*10000. Unlike df.sample(), the same rows are
+    kept on every run and on any partitioning, and a larger fraction's
+    sample is a SUPERSET of a smaller one (nested samples — the
+    property you want for scaling-law subsets)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    edge = int(round(fraction * BUCKETS))
+    return df.where(split_bucket(F.col(key), salt) < F.lit(edge))

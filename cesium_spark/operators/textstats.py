@@ -230,3 +230,71 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                           for th in np.split(th_flat, bounds)])
 
     return docs.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))
+
+
+def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """BM25 relevance of every document against a fixed query
+    (Robertson/Sparck-Jones idf with the +1 floor, the Lucene form).
+
+    Plan shape — built for the 100 TB corpus:
+
+    1. one projection computes per-doc length and per-term tf with
+       native ``filter(split(...))`` expressions (codegen; no UDF, no
+       explode — the doc row count never amplifies);
+    2. ONE tiny corpus-stats aggregate (N, Σdl, per-term df — a single
+       row regardless of corpus size) is broadcast back;
+    3. scoring is a second stateless projection.
+
+    Two passes over the scan, zero shuffles of the corpus, no joins
+    except the 1-row broadcast. Determinism: Σdl is an INTEGER sum
+    (exact, order-independent) so avgdl and every downstream float op
+    is bit-reproducible across partitionings — and restatable in any
+    engine (the DuckDB oracle replays the same expression tree).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if any((not t) or t != t.lower() or " " in t for t in query_terms):
+        raise ValueError("query terms must be non-empty, lowercase, "
+                         "single tokens")
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def _tf(term: str):
+        # NB: the lambda must be unary — pyspark treats a second
+        # parameter (even a defaulted one) as the (element, index) form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    proj = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).cast("long").alias(f"tf_{i}")
+          for i, t in enumerate(query_terms)],
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(query_terms))],
+    )
+    from pyspark.sql.functions import broadcast
+    scored = proj.crossJoin(broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("N").cast("double")
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        n = F.col("N").cast("double")
+        idf = F.log((n - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        term = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("dl").cast("double") / avgdl))
+        score = term if score is None else score + term
+    return scored.select(
+        F.col(id_col), F.col("dl"),
+        *[F.col(f"tf_{i}").alias(f"tf_{t}")
+          for i, t in enumerate(query_terms)],
+        score.alias("bm25"),
+    )
