@@ -1966,6 +1966,128 @@ GROUP BY 1, 2
 """
 
 
+def q_ts_hll_tier_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count tiers: hourly HLL sketches of distinct
+    props per conv, FOLDED to daily by sketch union (never rescanning
+    raw — the 10^12-turn plan), vs the daily sketch computed directly.
+    Invariant oracle (sketch bytes aren't SQL-restatable): (a) the
+    folded estimate EQUALS the direct estimate (sketch-union algebra —
+    deterministic, not approximate), (b) estimate within 5% of the
+    exact distinct, which the oracle recomputes exactly; row count, n,
+    and exact_distinct are full-value-checked."""
+    from cesium_spark.operators.fold import (
+        fold_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+    _prep(spark)
+    ev = (_read(spark, sf_dir, "events")
+          .select(F.col("user_id").cast("string").alias("conv_id"),
+                  "ts", "props"))
+    hourly = rollup_distinct_sketches(ev, "1h", ["conv_id"], "props")
+    folded = fold_distinct_sketches(hourly, "1d", ["conv_id"])
+    direct = (rollup_distinct_sketches(ev, "1d", ["conv_id"], "props")
+              .select("conv_id", "window_start",
+                      F.hll_sketch_estimate("sketch").cast("long")
+                      .alias("direct_est")))
+    exact = (ev.withColumn("window_start", F.date_trunc("day", F.col("ts")))
+             .groupBy("conv_id", "window_start")
+             .agg(F.countDistinct("props").alias("exact_distinct")))
+    out = (folded.join(direct, ["conv_id", "window_start"])
+           .join(exact, ["conv_id", "window_start"]))
+    return out.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (F.col("distinct_est") == F.col("direct_est"))
+        .alias("fold_identical"),
+        (F.abs(F.col("distinct_est").cast("double")
+               - F.col("exact_distinct").cast("double"))
+         <= F.lit(0.05) * F.col("exact_distinct").cast("double"))
+        .alias("est_ok"),
+    )
+
+
+SQL_TS_HLL_TIER_FOLD = f"""
+SELECT cast(user_id AS varchar) AS conv_id,
+       strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n,
+       count(DISTINCT props) AS exact_distinct,
+       TRUE AS fold_identical,
+       TRUE AS est_ok
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_ts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows under the driver gate: the value
+    series replayed through readStream (availableNow), native
+    F.session_window with a 30-minute gap, append mode — each session
+    emitted exactly once when the watermark (max ts − 7000 s,
+    non-round so the <=/< edge can't bite) passes session end =
+    last_ts + gap. Oracle: batch lag-gap sessionization with the SAME
+    boundary rule (new session iff Δ > gap — Δ == gap merges, measured
+    against Spark's operator) and the same cutoff."""
+    import os
+    import shutil
+
+    from cesium_spark.streaming.window_delta import stream_sessionize
+
+    _prep(spark)
+    base = os.path.join("/tmp/cesium_spark_stream_sess",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+    s = _value_series(spark, sf_dir)
+    s.coalesce(1).write.mode("append").parquet(f"{base}/src")
+    schema = ("conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double, e double")
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src")
+    sess = stream_sessionize(stream, gap="30 minutes",
+                             watermark="7000 seconds")
+    q = (sess.writeStream.outputMode("append")
+         .option("checkpointLocation", f"{base}/ckpt")
+         .format("parquet").option("path", f"{base}/out")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("ts_stream_sessions: availableNow stream "
+                           "did not finish within 300s")
+    out = spark.read.parquet(f"{base}/out")
+    return out.select(
+        "conv_id",
+        F.date_format("session_start", TS_FMT).alias("session_start"),
+        F.date_format("session_end", TS_FMT).alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SQL_TS_STREAM_SESSIONS = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+g AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT conv_id, ts,
+         sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT conv_id,
+       strftime(min(ts), '{DUCK_TS_FMT}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{DUCK_TS_FMT}')
+         AS session_end,
+       count(*) AS n_events
+FROM sid, mx
+GROUP BY conv_id, sess, mx.m
+HAVING max(ts) + INTERVAL 30 MINUTE <= mx.m - INTERVAL 7000 SECONDS
+"""
+
+
 _BM25_TERMS = ("spark", "window", "hash")
 
 
@@ -2059,6 +2181,7 @@ QUERIES = {
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
     "ts_rollup_1d_native": q_ts_rollup_1d_native,
     "ts_tier_fold": q_ts_tier_fold,
+    "ts_hll_tier_fold": q_ts_hll_tier_fold,
     "ts_gapfill_1h": q_ts_gapfill_1h,
     "ts_gapfill_interp": q_ts_gapfill_interp,
     "ts_asof_join": q_ts_asof_join,
@@ -2076,6 +2199,7 @@ QUERIES = {
     "ts_rollup_multi": q_ts_rollup_multi,
     "ts_parse_csv": q_ts_parse_csv,
     "ts_stream_moments": q_ts_stream_moments,
+    "ts_stream_sessions": q_ts_stream_sessions,
     "ts_stream_stateful": q_ts_stream_stateful,
     "rel_tpch_q1": q_rel_tpch_q1,
     "rel_nation_revenue": q_rel_nation_revenue,
@@ -2116,6 +2240,7 @@ ORACLE_SQL = {
     "ts_rollup_1h_kernel": SQL_TS_ROLLUP_1H,
     "ts_rollup_1d_native": SQL_TS_ROLLUP_1D,
     "ts_tier_fold": SQL_TS_TIER_FOLD,
+    "ts_hll_tier_fold": SQL_TS_HLL_TIER_FOLD,
     "ts_gapfill_1h": SQL_TS_GAPFILL_1H,
     "ts_gapfill_interp": SQL_TS_GAPFILL_INTERP,
     "ts_asof_join": SQL_TS_ASOF_JOIN,
@@ -2133,6 +2258,7 @@ ORACLE_SQL = {
     "ts_rollup_multi": SQL_TS_ROLLUP_MULTI,
     "ts_parse_csv": SQL_TS_PARSE_CSV,
     "ts_stream_moments": SQL_TS_STREAM_MOMENTS,
+    "ts_stream_sessions": SQL_TS_STREAM_SESSIONS,
     "ts_stream_stateful": SQL_TS_STREAM_STATEFUL,
     "rel_tpch_q1": SQL_REL_TPCH_Q1,
     "rel_nation_revenue": SQL_REL_NATION_REVENUE,

@@ -44,3 +44,47 @@ def fold_moments(fine_moments: DataFrame, target_tier: str) -> DataFrame:
         )
         .withColumn("tier", F.lit(target_tier))
     )
+
+
+def rollup_distinct_sketches(df: DataFrame, tier: str, key_cols: list[str],
+                             value_col: str,
+                             lgk: int = 12) -> DataFrame:
+    """Per-tier HLL sketches of approx-distinct(value_col) — the
+    MERGEABLE form of distinct counting (Apache DataSketches HLL via
+    native hll_sketch_agg): fixed ~(2^lgk) bytes per group regardless
+    of group size, partial aggregation map-side, and higher tiers fold
+    from lower by sketch UNION instead of rescanning raw (exact
+    distinct is a full re-shuffle of raw values per tier — the thing
+    that does NOT scale to 10^12 turns)."""
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}")
+    return (
+        df.withColumn("window_start", F.date_trunc(TIERS[tier], F.col("ts")))
+        .groupBy(*key_cols, "window_start")
+        .agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch"),
+             F.count(F.lit(1)).alias("n"))
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def fold_distinct_sketches(fine: DataFrame, target_tier: str,
+                           key_cols: list[str]) -> DataFrame:
+    """Union a finer tier's HLL sketches up to ``target_tier`` —
+    exactly the moments-fold plan shape (one shuffle of the SMALL
+    sketch table, never of raw turns). The union of per-window HLL
+    sketches is, by the sketch algebra, the sketch of the unioned
+    windows, so estimates after folding equal estimates computed
+    directly at the coarse tier (pytest + driver invariant)."""
+    if target_tier not in _FOLD_TARGETS:
+        raise ValueError(f"can only fold to {list(_FOLD_TARGETS)}")
+    unit = TIERS[target_tier]
+    return (
+        fine
+        .withColumn("window_start", F.date_trunc(unit, F.col("window_start")))
+        .groupBy(*key_cols, "window_start")
+        .agg(F.hll_union_agg("sketch").alias("sketch"),
+             F.sum("n").alias("n"))
+        .withColumn("tier", F.lit(target_tier))
+        .withColumn("distinct_est",
+                    F.hll_sketch_estimate("sketch").cast("long"))
+    )

@@ -88,3 +88,38 @@ def stream_to_table(moments_stream: DataFrame, io: TableIO, name: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sessionize(series_stream: DataFrame,
+                      gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via ``F.session_window`` — the
+    streaming twin of the batch lag-gap sessionizer (driver query
+    ts_sessionize). Sessions are per (conv_id): events within ``gap``
+    of the previous event merge into one session — Δ == gap still
+    MERGES (measured: Spark extends the session for an event at
+    exactly last+gap; only Δ > gap splits, matching the batch
+    sessionizer's `> 1800` rule); a session
+    finalizes (append mode: emitted exactly once) when the event-time
+    watermark passes its end = last_ts + gap.
+
+    State is O(open sessions) — the state store holds only sessions the
+    watermark hasn't closed, so unbounded key spaces are safe; this is
+    the native-operator complement to streaming/stateful.py's
+    applyInPandasWithState eviction. One hash exchange on conv_id,
+    same as the batch path."""
+    return (
+        series_stream.withWatermark("ts", watermark)
+        .groupBy(F.col("conv_id"), F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "first_ts", "last_ts",
+        )
+    )

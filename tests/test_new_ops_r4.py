@@ -251,3 +251,73 @@ def test_quantiles_validation(spark):
         rollup_quantiles(s, "2h")
     with pytest.raises(ValueError, match="quantiles"):
         rollup_quantiles(s, "1h", qs=(1.5,))
+
+
+# --------------------------------------------------------------------------
+# HLL distinct-count tier fold
+# --------------------------------------------------------------------------
+
+def test_hll_fold_equals_direct_and_near_exact(spark):
+    from cesium_spark.operators.fold import (
+        fold_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+    from pyspark.sql import functions as SF
+    rng = np.random.default_rng(3)
+    n = 3000
+    ts0 = pd.Timestamp(2024, 1, 1).value
+    pdf = pd.DataFrame({
+        "conv_id": (rng.integers(0, 5, n)).astype(str),
+        "ts": pd.to_datetime(ts0 + rng.integers(0, 48 * 3600, n) * 10 ** 9),
+        "props": [f"v{v}" for v in rng.integers(0, 400, n)],
+    })
+    df = spark.createDataFrame(pdf)
+    hourly = rollup_distinct_sketches(df, "1h", ["conv_id"], "props")
+    folded = fold_distinct_sketches(hourly, "1d", ["conv_id"])
+    direct = (rollup_distinct_sketches(df, "1d", ["conv_id"], "props")
+              .select("conv_id", "window_start",
+                      SF.hll_sketch_estimate("sketch").cast("long")
+                      .alias("direct_est")))
+    exact = (df.withColumn("window_start",
+                           SF.date_trunc("day", SF.col("ts")))
+             .groupBy("conv_id", "window_start")
+             .agg(SF.countDistinct("props").alias("exact")))
+    j = (folded.join(direct, ["conv_id", "window_start"])
+         .join(exact, ["conv_id", "window_start"])).collect()
+    assert len(j) == 10  # 5 convs x 2 days
+    for r in j:
+        # sketch-union algebra: folding hourly == sketching daily
+        assert r["distinct_est"] == r["direct_est"], r
+        assert abs(r["distinct_est"] - r["exact"]) <= 0.05 * r["exact"], r
+
+
+def test_hll_fold_partitioning_independent(spark):
+    from cesium_spark.operators.fold import (
+        fold_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+    rng = np.random.default_rng(4)
+    n = 1000
+    ts0 = pd.Timestamp(2024, 1, 1).value
+    pdf = pd.DataFrame({
+        "conv_id": "c", "ts": pd.to_datetime(
+            ts0 + rng.integers(0, 24 * 3600, n) * 10 ** 9),
+        "props": [f"v{v}" for v in rng.integers(0, 200, n)],
+    })
+    df = spark.createDataFrame(pdf)
+
+    def est(d):
+        h = rollup_distinct_sketches(d, "1h", ["conv_id"], "props")
+        return {(r["conv_id"], r["window_start"]): r["distinct_est"]
+                for r in fold_distinct_sketches(
+                    h, "1d", ["conv_id"]).collect()}
+
+    assert est(df) == est(df.repartition(17))
+
+
+def test_hll_fold_validation(spark):
+    from cesium_spark.operators.fold import rollup_distinct_sketches
+    df = spark.createDataFrame(pd.DataFrame(
+        {"conv_id": ["c"], "ts": [_ts(0)], "props": ["x"]}))
+    with pytest.raises(ValueError, match="tier"):
+        rollup_distinct_sketches(df, "2h", ["conv_id"], "props")

@@ -337,3 +337,93 @@ def test_stateful_totals_resume_from_checkpoint(spark, tmp_path):
         assert final.loc[cid, "n"] == row["count"]
         assert final.loc[cid, "y_min"] == row["min"]
         assert final.loc[cid, "y_max"] == row["max"]
+
+
+# ---------------------------------------------------------------------------
+# session windows (round-4 session 2)
+# ---------------------------------------------------------------------------
+
+def _run_sessions(spark, pdf, out_dir, gap="30 minutes",
+                  watermark="1 second"):
+    from cesium_spark.streaming.window_delta import stream_sessionize
+    src, out, ckpt = (f"{out_dir}/src", f"{out_dir}/out", f"{out_dir}/ckpt")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SERIES_SCHEMA).parquet(src)
+    q = (stream_sessionize(stream, gap=gap, watermark=watermark)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_stream_sessionize_boundaries(spark, tmp_path):
+    """Session merge rule (measured): Δ <= gap merges — INCLUDING
+    Δ == gap exactly — and only Δ > gap splits; session_end =
+    last_ts + gap; append emits only watermark-closed sessions (the
+    trailing session is withheld)."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    gap_s = 1800
+    ts = [t0,
+          t0 + pd.Timedelta(seconds=gap_s),          # Δ == gap: MERGES
+          t0 + pd.Timedelta(seconds=2 * gap_s - 1),  # merges again
+          # one second past the gap: NEW session
+          t0 + pd.Timedelta(seconds=3 * gap_s),
+          # far later: a third session that stays OPEN at the cutoff
+          t0 + pd.Timedelta(days=2)]
+    pdf = pd.DataFrame({
+        "conv_id": "c1", "channel": "value",
+        "turn_idx": np.arange(len(ts), dtype=np.int32),
+        "ts": ts, "t": np.arange(len(ts), dtype=np.float64),
+        "y": 1.0, "e": 1e-4,
+    })
+    rows = {tuple(r) for r in _run_sessions(
+        spark, pdf, str(tmp_path)).select(
+            "session_start", "session_end", "n_events").collect()}
+    exp = {
+        (t0.to_pydatetime(),
+         (ts[2] + pd.Timedelta(seconds=gap_s)).to_pydatetime(), 3),
+        (ts[3].to_pydatetime(),
+         (ts[3] + pd.Timedelta(seconds=gap_s)).to_pydatetime(), 1),
+    }
+    # the day-2 session's end is NOT past the watermark cutoff
+    # (max ts - 1 s), so append withholds it
+    assert rows == exp
+
+
+def test_stream_sessionize_matches_batch_lag_gap(spark, tmp_path):
+    """Streaming session count per conv == batch lag-gap sessionizer
+    (> gap ⇒ new session) on a multi-conv corpus, for every session
+    closed by the watermark."""
+    rng = np.random.default_rng(5)
+    n = 400
+    ts0 = pd.Timestamp("2024-01-01").value
+    gaps = rng.choice([60, 300, 2400, 7200], size=n)
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i % 7}" for i in range(n)],
+        "channel": "value",
+        "turn_idx": np.arange(n, dtype=np.int32),
+        "ts": pd.to_datetime(ts0 + np.cumsum(gaps) * 10 ** 9),
+        "t": np.arange(n, dtype=np.float64),
+        "y": 1.0, "e": 1e-4,
+    })
+    got = _run_sessions(spark, pdf, str(tmp_path), watermark="1 second")
+    cutoff = pdf.groupby("conv_id")["ts"].max().max() - pd.Timedelta(seconds=1)
+
+    sdf = pdf.sort_values(["conv_id", "ts"])
+    exp_rows = []
+    for cid, g in sdf.groupby("conv_id"):
+        t = g["ts"].to_numpy()
+        new = np.ones(len(t), dtype=bool)
+        new[1:] = (t[1:] - t[:-1]) > np.timedelta64(1800, "s")
+        sess_id = np.cumsum(new)
+        for s in np.unique(sess_id):
+            m = t[sess_id == s]
+            end = pd.Timestamp(m.max()) + pd.Timedelta(seconds=1800)
+            if end <= cutoff:
+                exp_rows.append((cid, pd.Timestamp(m.min()), end, int(len(m))))
+    got_rows = {(r["conv_id"], pd.Timestamp(r["session_start"]),
+                 pd.Timestamp(r["session_end"]), r["n_events"])
+                for r in got.collect()}
+    assert got_rows == set(exp_rows)
