@@ -2088,6 +2088,197 @@ HAVING max(ts) + INTERVAL 30 MINUTE <= mx.m - INTERVAL 7000 SECONDS
 """
 
 
+def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction on a deterministic PII-augmented corpus (the raw
+    documents are synthetic word soup, so the query plants one of each
+    PII kind per doc from doc_id — replayed identically in SQL). Counts
+    are taken before replacement; replacement order is part of the
+    contract. Pure codegen projection, restated verbatim in RE2."""
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" card 4111 1111 1111 1111 ssn 123-45-6789"
+                  " tel +1 555-123-4567"),
+        ).alias("text"))
+    out = textstats.redact_pii(aug)
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_card", "n_ipv4", "n_phone",
+        "n_pii_total", "text_redacted")
+
+
+def _redact_sql() -> str:
+    from cesium_spark.operators.textstats import PII_PATTERNS
+    aug = ("text || ' contact u' || doc_id || '@ex.com ip 10.0.0.' || "
+           "(doc_id % 256) || ' card 4111 1111 1111 1111 "
+           "ssn 123-45-6789 tel +1 555-123-4567'")
+    counts = ",\n       ".join(
+        f"cast(len(regexp_extract_all(t, '{rx}')) AS bigint) AS n_{kind}"
+        for kind, rx in PII_PATTERNS)
+    red = "t"
+    for kind, rx in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{rx}', '<{kind.upper()}>', 'g')"
+    total = " + ".join(f"n_{kind}" for kind, _ in PII_PATTERNS)
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS t FROM documents),
+c AS (
+  SELECT doc_id, t,
+       {counts}
+  FROM a
+)
+SELECT doc_id, n_email, n_ssn, n_card, n_ipv4, n_phone,
+       {total} AS n_pii_total,
+       {red} AS text_redacted
+FROM c
+"""
+
+
+def q_doc_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster RESOLUTION: the doc_dedup_clusters labels plus
+    the doc_quality score (quantized to 1e-6 — doc_quality proves
+    round-6 cross-engine equality, so the keep-best ordering is
+    cross-engine total) → keep the best-scoring doc per cluster, map
+    every member to its keeper. Full-value oracle: recursive-CTE
+    clusters + the same quantized score + the same (score DESC, id)
+    window pick."""
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, block_col="source",
+                                      shingle_n=1, threshold=0.2, max_df=20)
+    comp = dedup.connected_components(pairs)
+    lab = (docs.select("doc_id")
+           .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("component", F.col("doc_id"))
+                   .alias("cluster_id")))
+    score = (textstats.quality_score(docs)
+             .select("doc_id",
+                     _r0(F.round("quality_score", 6)).alias("score")))
+    res = dedup.resolve_duplicates(lab, score, score_col="score")
+    return res.select("doc_id", "cluster_id", _r0(F.col("score")).alias("score"),
+                      "is_canonical", "kept_id")
+
+
+SQL_DOC_DEDUP_RESOLVE = """
+WITH RECURSIVE tok0 AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS s
+  FROM documents
+),
+hot AS (
+  SELECT s, source FROM tok0 GROUP BY 1, 2 HAVING count(*) > 20
+),
+tok AS (
+  SELECT t.* FROM tok0 t
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.s = t.s AND h.source = t.source)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.s = b.s AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+qs AS (
+  SELECT doc_id,
+         cast(len(string_split_regex(trim(lower(text)), '\\s+')) AS double)
+           AS n_tokens,
+         cast(length(text) AS double) AS n_chars,
+         cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+           AS n_punct,
+         cast(len(regexp_extract_all(lower(text),
+              '\\b(the|a|of|to|and|in|for|on|with)\\b')) AS double) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT l.doc_id, l.cluster_id,
+         round(least(s.n_tokens / 64.0, 1.0) * 0.4
+               + least(s.n_stop / s.n_tokens * 4.0, 1.0) * 0.4
+               + (1.0 - least(s.n_punct / s.n_chars * 10.0, 1.0)) * 0.2,
+               6) + 0.0 AS score
+  FROM lab l JOIN qs s USING (doc_id)
+)
+SELECT doc_id, cluster_id, score,
+       row_number() OVER w = 1 AS is_canonical,
+       first_value(doc_id) OVER w AS kept_id
+FROM q
+WINDOW w AS (PARTITION BY cluster_id ORDER BY score DESC, doc_id)
+"""
+
+
+_PACK_CAP = 200
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of documents into cap-token bins per
+    source shard (applyInPandas per shard — packing is a sequential
+    recurrence, parallel ACROSS shards). Full-value oracle: DuckDB
+    recursive CTE replays the recurrence doc-by-doc."""
+    from cesium_spark.operators.packing import pack_sequences
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.col("source").alias("shard"), "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        .alias("n_tokens"))
+    out = pack_sequences(lens, cap=_PACK_CAP)
+    return out.select("shard", "doc_id", "n_tokens", "bin_id",
+                      "bin_fill", "oversize")
+
+
+SQL_DOC_PACK = f"""
+WITH RECURSIVE lens AS (
+  SELECT source AS shard, doc_id,
+         cast(len(string_split_regex(trim(text), '\\s+')) AS bigint)
+           AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT shard, doc_id, n_tokens, rn,
+         cast(0 AS bigint) AS bin_id, n_tokens AS bin_fill
+  FROM lens WHERE rn = 1
+  UNION ALL
+  SELECT l.shard, l.doc_id, l.n_tokens, l.rn,
+         CASE WHEN r.bin_fill + l.n_tokens <= {_PACK_CAP}
+              THEN r.bin_id ELSE r.bin_id + 1 END,
+         CASE WHEN r.bin_fill + l.n_tokens <= {_PACK_CAP}
+              THEN r.bin_fill + l.n_tokens ELSE l.n_tokens END
+  FROM rec r JOIN lens l ON l.shard = r.shard AND l.rn = r.rn + 1
+)
+SELECT shard, doc_id, n_tokens, bin_id, bin_fill,
+       n_tokens > {_PACK_CAP} AS oversize
+FROM rec
+"""
+
+
 _BM25_TERMS = ("spark", "window", "hash")
 
 
@@ -2210,6 +2401,9 @@ QUERIES = {
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_bm25": q_doc_bm25,
     "doc_hash_split": q_doc_hash_split,
+    "doc_redact_pii": q_doc_redact_pii,
+    "doc_dedup_resolve": q_doc_dedup_resolve,
+    "doc_pack": q_doc_pack,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -2269,6 +2463,9 @@ ORACLE_SQL = {
     "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
     "doc_bm25": _bm25_sql(),
     "doc_hash_split": _hash_split_sql(),
+    "doc_redact_pii": _redact_sql(),
+    "doc_dedup_resolve": SQL_DOC_DEDUP_RESOLVE,
+    "doc_pack": SQL_DOC_PACK,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,

@@ -618,3 +618,39 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         f"connected_components did not converge in {max_iter} rounds "
         f"(component diameter exceeds max_iter); raise max_iter or set "
         f"switch_after to fall back to large-star/small-star")
+
+
+def resolve_duplicates(labels: DataFrame, scores: DataFrame,
+                       id_col: str = "doc_id",
+                       cluster_col: str = "cluster_id",
+                       score_col: str = "score") -> DataFrame:
+    """Cluster → canonical-document resolution: the finishing step
+    after connected components. Keeps the highest-scoring document per
+    cluster (ties broken by smallest id, so the choice is total and
+    partitioning-independent) and maps every member to its keeper.
+
+    Cross-engine ordering note: callers that need the choice
+    restatable in another engine should pass a score already quantized
+    (e.g. round(q, 6)) — two scores that differ below the quantum
+    would otherwise order differently across engines' float pipelines
+    while both look "equal" after display rounding.
+
+    One window over cluster_col (a single hash exchange of the label
+    table — the small table, not the corpus). Returns
+    (id, cluster, score, is_canonical, kept_id)."""
+    from pyspark.sql import Window
+
+    j = labels.join(scores, id_col)
+    w = (Window.partitionBy(cluster_col)
+         .orderBy(F.desc(score_col), F.asc(id_col)))
+    ranked = j.withColumn("__rn", F.row_number().over(w))
+    keeper = F.first(F.when(F.col("__rn") == 1, F.col(id_col)),
+                     ignorenulls=True).over(
+        Window.partitionBy(cluster_col)
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ranked
+            .withColumn("kept_id", keeper)
+            .select(F.col(id_col), F.col(cluster_col), F.col(score_col),
+                    (F.col("__rn") == 1).alias("is_canonical"),
+                    "kept_id"))

@@ -298,3 +298,45 @@ def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
           for i, t in enumerate(query_terms)],
         score.alias("bm25"),
     )
+
+
+# PII redaction patterns — restricted to the regex subset with
+# IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB/Go):
+# char classes, bounded repetition, non-capturing groups, ASCII \b.
+# No lookaround (RE2 has none), no backrefs. Order matters: longer/
+# more-specific patterns run first so e.g. card numbers aren't
+# half-eaten by the phone pattern.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("card", r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b"),
+)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               patterns=PII_PATTERNS) -> DataFrame:
+    """(id, text_redacted, n_<kind>…, n_pii_total): replaces each PII
+    match with ``<KIND>`` and counts matches per kind (counted BEFORE
+    replacement, so overlapping-kind shadowing is visible: a count can
+    exceed the replacements left for later patterns — the sequential
+    order is part of the contract).
+
+    Pure codegen projection — one pass over the scan, no UDF, no
+    shuffle; the pattern set is pinned to the Java∩RE2 regex subset so
+    the operation is restatable in any engine (the DuckDB oracle
+    replays it verbatim with the 'g' flag)."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(rx))
+              .cast("long").alias(f"n_{kind}") for kind, rx in patterns]
+    red = F.col(text_col)
+    for kind, rx in patterns:
+        red = F.regexp_replace(red, rx, f"<{kind.upper()}>")
+    total = None
+    for kind, _ in patterns:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return (docs.select(F.col(id_col), *counts,
+                        red.alias("text_redacted"))
+            .withColumn("n_pii_total", total))
