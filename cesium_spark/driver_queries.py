@@ -2334,6 +2334,133 @@ FROM p, s
 """
 
 
+# Prometheus-style log-spaced edges covering the events.value range
+# (0.01 … ~500 in the fixtures); the overflow bucket is part of the
+# contract even when empty at small SF.
+_HIST_EDGES = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0]
+
+
+def _hist_bucket_sql(col: str = "y") -> str:
+    """The exact SQL restatement of histogram.bucket_expr's CASE chain."""
+    whens = " ".join(f"WHEN {col} <= {e!r} THEN {i}"
+                     for i, e in enumerate(_HIST_EDGES))
+    return f"CASE {whens} ELSE {len(_HIST_EDGES)} END"
+
+
+def q_ts_histogram_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram retention tiers: hourly fixed-edge bucket counts per
+    conv FOLDED to daily by integer addition (never rescanning raw —
+    the mergeable tier plan, operators/histogram.py). Because the fold
+    is exact int arithmetic, the folded counts must EQUAL the daily
+    counts the oracle computes directly from raw — a full-value check
+    of the whole fold path, bit-stable at any parallelism."""
+    from cesium_spark.operators.histogram import (
+        fold_histogram,
+        rollup_histogram,
+    )
+    hourly = rollup_histogram(_value_series(spark, sf_dir), "1h",
+                              ["conv_id"], "y", _HIST_EDGES)
+    daily = fold_histogram(hourly, "1d", ["conv_id"])
+    return daily.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+SQL_TS_HISTOGRAM_FOLD = f"""{_VALUE_SERIES_SQL}
+SELECT conv_id,
+       strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS window_start,
+       {_hist_bucket_sql('y')} AS bucket,
+       count(*) AS cnt
+FROM series
+WHERE y IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def _hist_quantile_sql_expr(q_lit: str, out: str) -> str:
+    """SQL restatement of histogram.histogram_quantile's interpolation
+    for one quantile — the SAME expression tree (lo + (hi-lo)*(rank -
+    cum_prev)/cnt with rank = q*total) so the double is reproduced
+    bit-for-bit from the integer counts and edge literals."""
+    n = len(_HIST_EDGES)
+    lo_case = " ".join(f"WHEN {i} THEN {_HIST_EDGES[i - 1]!r}"
+                       for i in range(1, n + 1))
+    hi_case = " ".join(f"WHEN {i} THEN {_HIST_EDGES[i]!r}"
+                       for i in range(1, n))
+    rank = f"CAST({q_lit} AS DOUBLE) * CAST(total AS DOUBLE)"
+    return f"""
+  SELECT conv_id, window_start, total,
+         CASE WHEN bucket = 0 THEN {_HIST_EDGES[0]!r}
+              WHEN bucket >= {n} THEN {_HIST_EDGES[-1]!r}
+              ELSE (CASE bucket {lo_case} END)
+                   + ((CASE bucket {hi_case} END)
+                      - (CASE bucket {lo_case} END))
+                   * ({rank} - CAST(cum - cnt AS DOUBLE))
+                   / CAST(cnt AS DOUBLE)
+         END AS {out}
+  FROM r
+  WHERE CAST(cum AS DOUBLE) >= {rank}
+    AND CAST(cum - cnt AS DOUBLE) < {rank}
+"""
+
+
+def q_ts_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile (Prometheus twin) over the folded daily tier:
+    p50/p90 estimated by linear interpolation inside the hit bucket.
+    Deterministic by construction — integer counts + edge literals
+    through one fixed expression tree, no float aggregation — so the
+    oracle restates the arithmetic and matches full-value (the bucket-
+    resolution error bound vs the exact quantile is pytest-pinned)."""
+    from cesium_spark.operators.histogram import (
+        fold_histogram,
+        histogram_quantile,
+        rollup_histogram,
+    )
+    hourly = rollup_histogram(_value_series(spark, sf_dir), "1h",
+                              ["conv_id"], "y", _HIST_EDGES)
+    daily = fold_histogram(hourly, "1d", ["conv_id"])
+    out = histogram_quantile(daily, ["conv_id"], [0.5, 0.9], _HIST_EDGES,
+                             ["p50_est", "p90_est"])
+    return out.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        _r(F.col("p50_est")).alias("p50_est"),
+        _r(F.col("p90_est")).alias("p90_est"),
+    )
+
+
+SQL_TS_HISTOGRAM_QUANTILE = f"""{_VALUE_SERIES_SQL},
+h AS (
+  SELECT conv_id, date_trunc('day', ts) AS window_start,
+         {_hist_bucket_sql('y')} AS bucket, count(*) AS cnt
+  FROM series
+  WHERE y IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT conv_id, window_start, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY conv_id, window_start ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY conv_id, window_start) AS total
+  FROM h
+),
+q50 AS ({_hist_quantile_sql_expr('0.5', 'p50_est')}),
+q90 AS ({_hist_quantile_sql_expr('0.9', 'p90_est')})
+SELECT q50.conv_id,
+       strftime(q50.window_start, '{DUCK_TS_FMT}') AS window_start,
+       q50.total AS n,
+       round(q50.p50_est, 6) + 0.0 AS p50_est,
+       round(q90.p90_est, 6) + 0.0 AS p90_est
+FROM q50
+JOIN q90 ON q50.conv_id = q90.conv_id
+        AND q50.window_start = q90.window_start
+"""
+
+
 _SPLIT_WEIGHTS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 _SPLIT_SALT = "r4"
 
@@ -2379,6 +2506,8 @@ QUERIES = {
     "ts_m4_1h": q_ts_m4_1h,
     "ts_counter_rate_1h": q_ts_counter_rate_1h,
     "ts_quantiles_1d": q_ts_quantiles_1d,
+    "ts_histogram_fold": q_ts_histogram_fold,
+    "ts_histogram_quantile": q_ts_histogram_quantile,
     "ts_cad_probs": q_ts_cad_probs,
     "ts_cadence_stats": q_ts_cadence_stats,
     "ts_max_slope": q_ts_max_slope,
@@ -2441,6 +2570,8 @@ ORACLE_SQL = {
     "ts_m4_1h": SQL_TS_M4_1H,
     "ts_counter_rate_1h": SQL_TS_COUNTER_RATE_1H,
     "ts_quantiles_1d": SQL_TS_QUANTILES_1D,
+    "ts_histogram_fold": SQL_TS_HISTOGRAM_FOLD,
+    "ts_histogram_quantile": SQL_TS_HISTOGRAM_QUANTILE,
     "ts_cad_probs": SQL_TS_CAD_PROBS,
     "ts_cadence_stats": SQL_TS_CADENCE_STATS,
     "ts_max_slope": SQL_TS_MAX_SLOPE,
