@@ -1002,6 +1002,44 @@ FROM documents
 """
 
 
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters (tokenizer-training primitive):
+    top-50 lowercased whitespace tokens by occurrence count with exact
+    document frequency and a deterministic rank (ties broken token ASC
+    so the k-boundary is reproducible). Integer counts → exact,
+    bit-stable full-value oracle."""
+    from cesium_spark.operators.textstats import vocab_topk
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = vocab_topk(docs, 50)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+SQL_DOC_VOCAB_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+c AS (
+  SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+  FROM tok
+  WHERE token <> ''
+  GROUP BY token
+)
+SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+       token, cnt, n_docs
+FROM c
+ORDER BY cnt DESC, token
+LIMIT 50
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     out = textstats.quality_score(_read(spark, sf_dir, "documents"))
@@ -2535,6 +2573,7 @@ QUERIES = {
     "doc_pack": q_doc_pack,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
+    "doc_vocab_topk": q_doc_vocab_topk,
     "doc_quality": q_doc_quality,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
@@ -2599,6 +2638,7 @@ ORACLE_SQL = {
     "doc_pack": SQL_DOC_PACK,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_jaccard_pairs": SQL_DOC_JACCARD,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,

@@ -42,6 +42,45 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
         .cast("long").alias("est_bpe_tokens"))
 
 
+def vocab_topk(docs: DataFrame, k: int, id_col: str = "doc_id",
+               text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the k most frequent lowercased
+    whitespace tokens with occurrence count, document frequency, and a
+    deterministic rank (ties broken by token ASC, so the k-boundary cut
+    is reproducible across runs and partitionings).
+
+    Scale shape at 100 TB: explode → ONE two-phase count aggregate —
+    partial map-side combine means the shuffle carries each partition's
+    DISTINCT tokens (Zipf head collapses locally; the stop-word mega-
+    keys that would skew a naive count arrive pre-reduced), never raw
+    token occurrences. Document frequency rides the same aggregate as
+    an exact two-phase distinct on (token, id). Top-k goes through
+    sort+limit = TakeOrderedAndProject (per-partition heap of k, merge
+    on the driver) — no global sort materialization, no windowed
+    rank over the full vocabulary. rank is attached AFTER the k-row
+    cut (k-bounded window — single tiny partition by construction).
+
+    This is the vocabulary/tokenizer-training primitive; counts are
+    integers, so results are exact and bit-stable at any parallelism.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    exploded = (docs
+                .select(F.col(id_col).alias("_id"),
+                        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                          r"\s+")).alias("token"))
+                .where(F.col("token") != ""))
+    counts = (exploded
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.countDistinct("_id").alias("n_docs"))
+              .where(F.col("cnt") >= F.lit(int(min_count))))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(id, n_tokens, punct_ratio, stopword_ratio, upper_ratio, score):
