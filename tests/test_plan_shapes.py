@@ -1,0 +1,115 @@
+"""Plan-shape audit for the round-4 operators: the shuffle/broadcast
+counts each docstring claims are asserted against the EXECUTED plan, so
+a regression that sneaks an extra exchange (or a cartesian) into a
+100 TB-path operator fails CI instead of surfacing as a 10× wall-clock
+surprise on a cluster.
+
+Counts pinned (and why they are the right shape at scale):
+- asof_join: 1 hash exchange — the union trick sorts both sides ONCE on
+  the shared (key, ts) spine; a range-join rewrite would be |L|×|R|.
+- m4_downsample / counter_rate / rollup_quantiles: 1 hash exchange —
+  groupBy/window share the same partitioning, partials map-side.
+- hash_split / deterministic_sample: 0 exchanges — pure projections;
+  this is the property that makes them stable under repartitioning.
+- bm25_scores: 0 hash exchanges on the corpus; exactly one 1-row
+  corpus-stats aggregate (SinglePartition) broadcast back.
+- histogram fold path: 2 hash exchanges (rollup group-by + fold
+  group-by), no join.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+
+
+def _shape(df) -> dict:
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "hash": len(re.findall(r"Exchange hashpartitioning", p)),
+        "range": len(re.findall(r"Exchange rangepartitioning", p)),
+        "single": len(re.findall(r"Exchange SinglePartition", p)),
+        "bcast": len(re.findall(r"BroadcastExchange", p)),
+        "cartesian": "Cartesian" in p,
+    }
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    ts = pd.date_range("2024-01-01", periods=50, freq="min")
+    return spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c"] * 50, "channel": ["v"] * 50,
+        "turn_idx": range(50), "ts": ts,
+        "t": [float(i) for i in range(50)],
+        "y": [float(i % 7) for i in range(50)],
+    }))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["a b c", "b c d", "c d e"]}))
+
+
+def test_asof_join_one_exchange(spark):
+    from cesium_spark.operators.asof import asof_join
+    ts = pd.date_range("2024-01-01", periods=50, freq="min")
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1] * 50, "ts": ts, "lv": range(50)}))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"k": [1] * 20, "ts": ts[:20], "rv": range(20)}))
+    s = _shape(asof_join(left, right, on=["k"]))
+    assert s == {"hash": 1, "range": 0, "single": 0, "bcast": 0,
+                 "cartesian": False}
+
+
+def test_m4_one_exchange(series):
+    from cesium_spark.operators.downsample import m4_downsample
+    s = _shape(m4_downsample(series, "1h"))
+    assert s["hash"] == 1 and not s["cartesian"] and s["bcast"] == 0
+
+
+def test_counter_rate_one_exchange(series):
+    """lag window and bucket aggregate reuse one partitioning."""
+    from cesium_spark.operators.rates import counter_rate
+    s = _shape(counter_rate(series, "1h"))
+    assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_quantiles_one_exchange_both_paths(series):
+    from cesium_spark.operators.rollup import rollup_quantiles
+    for approx in (False, True):
+        s = _shape(rollup_quantiles(series, "1d", qs=(0.5,), approx=approx))
+        assert s["hash"] == 1 and not s["cartesian"], approx
+
+
+def test_sampling_zero_exchange(docs):
+    from cesium_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+    for df in (hash_split(docs, {"train": 0.8, "val": 0.2},
+                          key="doc_id", salt="s"),
+               deterministic_sample(docs, 0.5, key="doc_id", salt="s")):
+        s = _shape(df)
+        assert s == {"hash": 0, "range": 0, "single": 0, "bcast": 0,
+                     "cartesian": False}
+
+
+def test_bm25_zero_corpus_shuffle(docs):
+    from cesium_spark.operators.textstats import bm25_scores
+    s = _shape(bm25_scores(docs, ("b", "c")))
+    assert s == {"hash": 0, "range": 0, "single": 1, "bcast": 1,
+                 "cartesian": False}
+
+
+def test_histogram_fold_two_exchanges(series):
+    from cesium_spark.operators.histogram import (
+        fold_histogram,
+        rollup_histogram,
+    )
+    h = rollup_histogram(series, "1h", ["conv_id"], "y", [1.0, 3.0, 6.0])
+    s = _shape(fold_histogram(h, "1d", ["conv_id"]))
+    assert s["hash"] == 2 and s["bcast"] == 0 and not s["cartesian"]
