@@ -1936,6 +1936,82 @@ GROUP BY 1, 2
 """
 
 
+_LTTB_M = 24
+
+
+def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB perceptual downsample to 24 points per conv (Steinarsson
+    2013). The selection recursion isn't SQL-expressible, so this is an
+    invariant oracle over SQL-computable facts of the output, all
+    computed IN Spark and pinned to constants the oracle restates:
+    n_out = least(n_raw, m); the first and last raw points survive;
+    every output row is byte-identical to a raw row (membership join);
+    and for downsampled series each of the m−2 interior buckets
+    (replayed with the kernel's own integer edge arithmetic, native
+    HOFs — no extra shuffle) contributed EXACTLY one point. Exact
+    selection values are pinned in pytest against an independent
+    scalar reference."""
+    from cesium_spark.operators.downsample import lttb_downsample
+    m = _LTTB_M
+    raw = _value_series(spark, sf_dir)
+    out = lttb_downsample(raw, m)
+
+    raw_stats = raw.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.min("t").alias("rt_min"), F.max("t").alias("rt_max"))
+    out_stats = out.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.min("t").alias("ot_min"), F.max("t").alias("ot_max"))
+    n_match = (out.join(raw.select("conv_id", "channel", "turn_idx",
+                                   "t", "y"),
+                        ["conv_id", "channel", "turn_idx", "t", "y"])
+               .groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_match")))
+
+    # replay the kernel's bucket edges (edge_k = 1 + (k*(n-2)) DIV (m-2))
+    # and check one selected point per interior bucket — native
+    # transform/filter HOFs on a tiny (m-1)-element array, no shuffle
+    interior = (out.join(raw_stats.select("conv_id", "n_raw"), "conv_id")
+                .where((F.col("n_raw") > m)
+                       & (F.col("turn_idx") >= 1)
+                       & (F.col("turn_idx") <= F.col("n_raw") - 2))
+                .withColumn("bucket", F.expr(
+                    f"size(filter(transform(sequence(0, {m - 2}), "
+                    f"k -> 1 + (k * (n_raw - 2)) DIV {m - 2}), "
+                    f"e -> e <= turn_idx)) - 1")))
+    per_bucket = (interior.groupBy("conv_id", "bucket")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    bucket_ok = per_bucket.groupBy("conv_id").agg(
+        ((F.max("c") == 1) & (F.count(F.lit(1)) == m - 2))
+        .alias("one_per_bucket_raw"))
+
+    j = (raw_stats.join(out_stats, "conv_id")
+         .join(n_match, "conv_id")
+         .join(bucket_ok, "conv_id", "left"))
+    return j.select(
+        "conv_id",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_out").cast("long").alias("n_out"),
+        (F.col("ot_min") == F.col("rt_min")).alias("first_kept"),
+        (F.col("ot_max") == F.col("rt_max")).alias("last_kept"),
+        (F.col("n_match") == F.col("n_out")).alias("all_from_raw"),
+        F.coalesce(F.col("one_per_bucket_raw"), F.lit(True))
+        .alias("one_per_bucket"),
+    )
+
+
+SQL_TS_LTTB = f"""{_VALUE_SERIES_SQL}
+SELECT conv_id,
+       count(*) AS n_raw,
+       least(count(*), {_LTTB_M}) AS n_out,
+       TRUE AS first_kept,
+       TRUE AS last_kept,
+       TRUE AS all_from_raw,
+       TRUE AS one_per_bucket
+FROM series
+GROUP BY conv_id
+"""
+
+
 def q_ts_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-style counter rate per hour bucket with reset detection
     (delta when monotone, raw value after a reset)."""
@@ -2542,6 +2618,7 @@ QUERIES = {
     "ts_gapfill_interp": q_ts_gapfill_interp,
     "ts_asof_join": q_ts_asof_join,
     "ts_m4_1h": q_ts_m4_1h,
+    "ts_lttb": q_ts_lttb,
     "ts_counter_rate_1h": q_ts_counter_rate_1h,
     "ts_quantiles_1d": q_ts_quantiles_1d,
     "ts_histogram_fold": q_ts_histogram_fold,
@@ -2607,6 +2684,7 @@ ORACLE_SQL = {
     "ts_gapfill_interp": SQL_TS_GAPFILL_INTERP,
     "ts_asof_join": SQL_TS_ASOF_JOIN,
     "ts_m4_1h": SQL_TS_M4_1H,
+    "ts_lttb": SQL_TS_LTTB,
     "ts_counter_rate_1h": SQL_TS_COUNTER_RATE_1H,
     "ts_quantiles_1d": SQL_TS_QUANTILES_1D,
     "ts_histogram_fold": SQL_TS_HISTOGRAM_FOLD,

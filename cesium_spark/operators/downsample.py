@@ -22,6 +22,7 @@ duplicate timestamps.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,4 +50,83 @@ def m4_downsample(series: DataFrame, tier: str) -> DataFrame:
             F.max("t").alias("t_last"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LTTB (Steinarsson, "Downsampling Time Series for Visual
+# Representation", MSc thesis, U. Iceland 2013) — the
+# perceptual-quality companion to M4: where M4 is the error-free
+# per-pixel-column aggregation, LTTB picks the m points that preserve
+# the visual SHAPE of the line (largest-triangle areas), the algorithm
+# Grafana/Timescale expose as `lttb()`.
+# ---------------------------------------------------------------------------
+
+LTTB_SCHEMA = ("conv_id string, channel string, turn_idx long, "
+               "t double, y double")
+
+
+def _lttb_select(t: np.ndarray, y: np.ndarray, m: int) -> np.ndarray:
+    """Indices kept by LTTB over one sorted series — first and last
+    always; the n−2 interior points split into m−2 equal-count buckets;
+    bucket k keeps the point maximizing the triangle area with the
+    previously KEPT point and the mean of bucket k+1 (the last interior
+    bucket pairs with the final point). Sequential in k by definition —
+    which is exactly why this is a per-series kernel, parallel ACROSS
+    series, never a cross-series shuffle. O(n) per series; ties in
+    area keep the earliest point (np.argmax), so output is a pure
+    function of the sorted series.
+    """
+    n = t.size
+    if n <= m:
+        return np.arange(n)
+    keep = np.empty(m, dtype=np.int64)
+    keep[0], keep[-1] = 0, n - 1
+    # interior bucket k (0-based) = sorted positions [edge[k], edge[k+1])
+    edges = 1 + ((np.arange(m - 1, dtype=np.int64) * (n - 2)) // (m - 2))
+    prev = 0
+    for k in range(m - 2):
+        lo, hi = edges[k], edges[k + 1]
+        if k + 1 < m - 2:
+            nlo, nhi = edges[k + 1], edges[k + 2]
+            cx, cy = t[nlo:nhi].mean(), y[nlo:nhi].mean()
+        else:
+            cx, cy = t[n - 1], y[n - 1]
+        ax, ay = t[prev], y[prev]
+        area = np.abs((ax - cx) * (y[lo:hi] - ay)
+                      - (ax - t[lo:hi]) * (cy - ay))
+        prev = lo + int(np.argmax(area))
+        keep[k + 1] = prev
+    return keep
+
+
+def lttb_downsample(series: DataFrame, threshold: int) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample to ``threshold``
+    points per (conv_id, channel) series; series with ≤ threshold
+    points pass through unchanged.
+
+    Plan shape: pre-UDF projection to the five needed columns, then ONE
+    hash exchange on the group key into a vectorized ``applyInPandas``
+    kernel (in-kernel stable sort on (t, turn_idx) keeps the result
+    partitioning-independent, per the §4.3 determinism policy). Group
+    memory is O(series length) — the same bound as the conv-tier
+    Lomb–Scargle kernel, with AQE absorbing Zipf length skew. Rows
+    with NULL t/y are dropped up front (triangle areas are undefined);
+    the caller gap-fills first if NULLs are meaningful.
+    """
+    if threshold < 3:
+        raise ValueError(f"threshold must be >= 3, got {threshold}")
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(["t", "turn_idx"], kind="stable")
+        keep = _lttb_select(pdf["t"].to_numpy(np.float64),
+                            pdf["y"].to_numpy(np.float64), threshold)
+        return pdf.iloc[keep]
+
+    return (
+        series
+        .select("conv_id", "channel", "turn_idx", "t", "y")
+        .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+        .groupBy("conv_id", "channel")
+        .applyInPandas(_kernel, LTTB_SCHEMA)
     )
