@@ -229,23 +229,40 @@ def host_probe() -> dict:
     first-touch page-fault bandwidth (this VM faults new pages at
     ~10 MB/s when its burst credits are drained vs >2 GB/s rested) and
     hypervisor steal%. Makes a degraded-host run self-documenting —
-    a reader can tell engine regressions from neighbor-tenant noise."""
+    a reader can tell engine regressions from neighbor-tenant noise.
+
+    Round-4 session-3 fix: the VERY FIRST 64 MB touch after ANY idle
+    period reads 6–200 MB/s even on a healthy host (machine pages must
+    be re-faulted into the idle VM / clocks ramp), then the next
+    back-to-back touch reads GB/s — measured repeatedly: idle 45 s →
+    probes (23, 562, 2378) MB/s. A single-shot probe therefore
+    conflates that cold-start artifact with a genuinely drained host
+    (which stays slow across consecutive touches) — it spuriously
+    wedged the wait_rested gate for its whole budget. The probe now
+    touches three times back-to-back and reports the BEST pass as the
+    host state (plus the first pass for diagnostics)."""
     import numpy as np
 
     def _stat():
         with open("/proc/stat") as fh:
             f = [int(x) for x in fh.readline().split()[1:]]
         return sum(f), f[7] if len(f) > 7 else 0
-    t0 = time.monotonic()
-    a = np.empty(64 * 1024 * 1024, dtype=np.uint8)
-    a[::4096] = 1  # one write per page = pure first-touch cost
-    ft = 64.0 / max(time.monotonic() - t0, 1e-9)
-    del a
+
+    def _touch() -> float:
+        t0 = time.monotonic()
+        a = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+        a[::4096] = 1  # one write per page = pure first-touch cost
+        ft = 64.0 / max(time.monotonic() - t0, 1e-9)
+        del a
+        return ft
+    passes = [_touch() for _ in range(3)]
     tot0, st0 = _stat()
     time.sleep(1.0)
     tot1, st1 = _stat()
     steal = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
-    return {"first_touch_mb_s": round(ft, 1), "steal_pct": round(steal, 1)}
+    return {"first_touch_mb_s": round(max(passes), 1),
+            "first_touch_cold_mb_s": round(passes[0], 1),
+            "steal_pct": round(steal, 1)}
 
 
 # Probe gate (round-4 protocol): a result recorded on a drained host
@@ -281,12 +298,61 @@ def wait_rested(tag: str, max_wait_s: float | None = None) -> dict:
         time.sleep(GATE_POLL_S)
 
 
+def _cpu_work() -> float:
+    """Fixed CPU-bound unit (numpy sort loop, GIL released): returns
+    its own wall time. Used by cpu_scale_probe in child processes."""
+    import numpy as np
+    a = np.random.default_rng(0).uniform(size=200_000)
+    t0 = time.monotonic()
+    for _ in range(200):
+        np.sort(a)
+    return time.monotonic() - t0
+
+
+def cpu_scale_probe() -> dict:
+    """Untimed ~3 s probe of how much per-core throughput THIS HOST
+    can deliver under 2-way vs 8-way concurrency — the resource the
+    N→4N scaling number actually depends on, which the (single-
+    threaded) first-touch probe cannot see.
+
+    With per-process slowdown s₂ at 2 concurrent workers and s₈ at 8,
+    a perfectly-scaling engine measures wall(n2)=W·s₂/2 and
+    wall(n8)=W·s₈/8, so the measured 2→8 efficiency is bounded by
+    ``s₂/s₈`` REGARDLESS of engine quality — all-core clock droop,
+    SMT sharing, and neighbor-tenant CPU contention all land here.
+    Measured on this sandbox: a rested-memory host (probe 6 GB/s)
+    still showed s₈/s₁ = 1.39 one afternoon → ceiling ≈ 0.76, while
+    the round-3 0.907 record was taken under a flatter curve. Embedding
+    the ceiling makes a sub-0.8 efficiency sample self-adjudicating:
+    engine regression vs host physics, decided by numbers in the same
+    JSON."""
+    import multiprocessing as mp
+    _cpu_work()                      # warm: clocks ramp on first burst
+    t1 = min(_cpu_work() for _ in range(3))
+    out = {"single_s": round(t1, 3)}
+    for n in (2, 8):
+        means = []
+        for _ in range(2):           # two rounds, keep the calmer one
+            with mp.Pool(n) as p:
+                ts = p.map(_cpu_work_star, [None] * n)
+            means.append(sum(ts) / len(ts))
+        out[f"slowdown_{n}"] = round(max(min(means) / t1, 1.0), 3)
+    out["efficiency_ceiling"] = round(
+        out["slowdown_2"] / out["slowdown_8"], 3)
+    return out
+
+
+def _cpu_work_star(_):
+    return _cpu_work()
+
+
 def phase_a() -> dict:
     import subprocess
 
     tmp = tempfile.mkdtemp(prefix="cesium_bench_", dir=BENCH_TMP)
     input_path = f"{tmp}/transcripts"
-    results = {"host_probe": wait_rested("phase_a"), "rep_probes": []}
+    results = {"host_probe": wait_rested("phase_a"),
+               "cpu_scale_probe": cpu_scale_probe(), "rep_probes": []}
     checksums = {}
     try:
         # untimed: generate the deterministic input once, plus a tiny
