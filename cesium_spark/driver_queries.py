@@ -2608,6 +2608,296 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3: ingest compaction, time-weighted aggregates,
+# incremental cagg refresh, SAX symbolization, EWMA smoothing
+# ---------------------------------------------------------------------------
+
+def q_ts_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins compaction of a re-delivered stream: events as
+    version 1, a corrected copy of every 7th event (y+100) as version
+    2; upsert_latest keeps exactly one row per event_id — the latest —
+    via one partial-aggregating max_by exchange (no window, no sort).
+    Full-value oracle: arg_max per column in DuckDB."""
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts"), F.col("value").alias("y"),
+        F.lit(1).alias("version"))
+    fix = (ev.where(F.col("event_id") % 7 == 0)
+           .select("event_id",
+                   F.col("user_id").cast("string").alias("conv_id"),
+                   F.col("ts"), (F.col("value") + 100.0).alias("y"),
+                   F.lit(2).alias("version")))
+    from cesium_spark.operators.compaction import upsert_latest
+    out = upsert_latest(base.unionByName(fix), keys=["event_id"],
+                        order_cols=["version"])
+    return out.select(
+        "event_id", "conv_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        _r(F.col("y")).alias("y"),
+        F.col("version").cast("int").alias("version"))
+
+
+SQL_TS_UPSERT_LATEST = f"""
+WITH v AS (
+  SELECT event_id, cast(user_id AS varchar) AS conv_id, ts,
+         value AS y, 1 AS version
+  FROM events
+  UNION ALL
+  SELECT event_id, cast(user_id AS varchar), ts, value + 100.0, 2
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT event_id,
+       arg_max(conv_id, version) AS conv_id,
+       strftime(arg_max(ts, version), '{DUCK_TS_FMT}') AS ts,
+       round(arg_max(y, version), 6) + 0.0 AS y,
+       cast(max(version) AS int) AS version
+FROM v
+GROUP BY event_id
+"""
+
+
+def q_ts_twa_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average (LOCF step integral over the
+    observed span — TimescaleDB time_weight semantics) of the value
+    series; single-point / zero-span buckets return the first point's
+    value. Full-value oracle restates the lead() arithmetic."""
+    from cesium_spark.operators.rates import time_weighted_avg
+    out = time_weighted_avg(_value_series(spark, sf_dir), "1h",
+                            method="locf")
+    return out.select(
+        "conv_id",
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        _r(F.col("twa")).alias("twa"),
+        _r(F.col("span_s")).alias("span_s"),
+        F.col("n").cast("long").alias("n"))
+
+
+SQL_TS_TWA_1H = f"""{_VALUE_SERIES_SQL}
+, b AS (
+  SELECT conv_id, date_trunc('hour', ts) AS bucket, t, turn_idx, y,
+         lead(t) OVER w AS nt
+  FROM series
+  WINDOW w AS (PARTITION BY conv_id, date_trunc('hour', ts)
+               ORDER BY t, turn_idx)
+)
+SELECT conv_id, strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
+       round(CASE WHEN max(t) - min(t) > 0
+                  THEN sum(y * (nt - t)) / (max(t) - min(t))
+                  ELSE arg_min(y, t) END, 6) + 0.0 AS twa,
+       round(max(t) - min(t), 6) + 0.0 AS span_s,
+       count(*) AS n
+FROM b
+GROUP BY 1, 2
+"""
+
+
+def q_ts_caggs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh: rollup_moments over
+    ~90% of the series (base), then merge_moments with the rollup of
+    the held-back 'late' slice (turn_idx % 10 == 7) — the refresh
+    shuffles only MOMENT rows, never re-scanning base raw turns. The
+    oracle computes the full from-scratch hourly rollup directly, so a
+    green row certifies incremental == from-scratch (n/min/max exact;
+    mean via merged float sums at house round-6)."""
+    from cesium_spark.operators.fold import merge_moments
+    s = _value_series(spark, sf_dir)
+    late_pred = F.col("turn_idx") % 10 == 7
+    m_base = rollup_moments(s.where(~late_pred), "1h")
+    m_late = rollup_moments(s.where(late_pred), "1h")
+    merged = merge_moments(m_base, m_late)
+    return merged.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        _r(F.col("y_min")).alias("y_min"),
+        _r(F.col("y_max")).alias("y_max"),
+        _r(F.col("y_sum") / F.col("n")).alias("mean"),
+        _r(F.col("t_min")).alias("t_min"),
+        _r(F.col("t_max")).alias("t_max"))
+
+
+SQL_TS_CAGGS_INCREMENTAL = f"""{_VALUE_SERIES_SQL}
+SELECT conv_id,
+       strftime(date_trunc('hour', ts), '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n,
+       round(min(y), 6) + 0.0 AS y_min,
+       round(max(y), 6) + 0.0 AS y_max,
+       round(sum(y) / count(*), 6) + 0.0 AS mean,
+       round(min(t), 6) + 0.0 AS t_min,
+       round(max(t), 6) + 0.0 AS t_max
+FROM series
+GROUP BY 1, 2
+"""
+
+
+_SAX_W = 8
+_SAX_BPS = [15.0, 35.0, 70.0]
+
+
+def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): 8-letter word per conv over
+    alphabet abcd with raw-unit breakpoints 15/35/70 (the value
+    column's rough quartiles, so words discriminate) — PAA segment
+    means via integer edge arithmetic, quantized after round-6 so the
+    boundary decision is pinned. Full-value string oracle."""
+    from cesium_spark.operators.downsample import sax_symbolize
+    out = sax_symbolize(_value_series(spark, sf_dir), _SAX_W, _SAX_BPS,
+                        alphabet="abcd")
+    return out.select(
+        "conv_id", "word",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_points").cast("long").alias("n_points"))
+
+
+SQL_TS_SAX = f"""{_VALUE_SERIES_SQL}
+, ranked AS (
+  SELECT conv_id, y,
+         row_number() OVER (PARTITION BY conv_id ORDER BY t, turn_idx)
+           - 1 AS r,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM series
+),
+paa AS (
+  SELECT conv_id, (r * {_SAX_W}) // n AS seg,
+         round(avg(y), 6) + 0.0 AS paa, max(n) AS n
+  FROM ranked GROUP BY 1, 2
+)
+SELECT conv_id,
+       string_agg(substring('abcd',
+         1 + len(list_filter({_SAX_BPS!r}, b -> b < paa)), 1),
+         '' ORDER BY seg) AS word,
+       count(*) AS n_segments,
+       max(n) AS n_points
+FROM paa
+GROUP BY conv_id
+"""
+
+
+_EWMA_ALPHA = 0.25
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (alpha=0.25, adjust=False) of the value series —
+    sequential per series, parallel across series (one exchange into
+    the pandas kernel). alpha is dyadic, so the kernel's C recurrence
+    is bit-replayable by s = 0.75·s_prev + 0.25·y (see smoothing.py);
+    the oracle replays it as a recursive CTE over dense turn_idx."""
+    from cesium_spark.operators.smoothing import ewma
+    out = ewma(_value_series(spark, sf_dir), _EWMA_ALPHA)
+    # y_smooth is BIT-identical to the oracle recurrence, so the only
+    # divergence risk is the rounding step itself: Spark's round is
+    # exact-decimal HALF_UP while DuckDB rounds in float — they split
+    # on doubles sitting at the 6-dp boundary (observed: 19.7871875).
+    # Use the identical float expression floor(x·1e6 + 0.5)/1e6 on
+    # BOTH sides (gapfill-interp precedent) so the boundary decision
+    # is the same fp op.
+    r6 = (F.floor(F.col("y_smooth") * 1e6 + 0.5) / 1e6 + F.lit(0.0))
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        _r(F.col("t")).alias("t"),
+        _r(F.col("y")).alias("y"),
+        r6.alias("y_smooth"))
+
+
+SQL_TS_EWMA = (
+    _VALUE_SERIES_SQL.replace("WITH series", "WITH RECURSIVE series", 1)
+    + """
+, r AS (
+  SELECT conv_id, turn_idx, t, y, y AS s
+  FROM series WHERE turn_idx = 0
+  UNION ALL
+  SELECT s2.conv_id, s2.turn_idx, s2.t, s2.y,
+         0.75 * r.s + 0.25 * s2.y
+  FROM r JOIN series s2
+    ON s2.conv_id = r.conv_id AND s2.turn_idx = r.turn_idx + 1
+)
+SELECT conv_id, turn_idx, round(t, 6) + 0.0 AS t,
+       round(y, 6) + 0.0 AS y,
+       floor(s * 1e6 + 0.5) / 1e6 + 0.0 AS y_smooth
+FROM r
+""")
+
+
+_ACF_K = 5
+
+
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation at turn lags 1..5 per conv (Pearson corr
+    of lag-aligned pairs — identical (n−1) estimator in Spark and
+    DuckDB). One window + one agg, one exchange. NaN (constant series)
+    normalizes to NULL on both sides."""
+    from cesium_spark.operators.seriesstats import acf
+    out = acf(_value_series(spark, sf_dir), _ACF_K)
+    return out.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        *[_r(F.col(f"acf_{k}")).alias(f"acf_{k}")
+          for k in range(1, _ACF_K + 1)])
+
+
+SQL_TS_ACF = f"""{_VALUE_SERIES_SQL}
+, lagged AS (
+  SELECT conv_id, y,
+         {', '.join(f'lag(y, {k}) OVER w AS lag{k}'
+                    for k in range(1, _ACF_K + 1))}
+  FROM series
+  WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+)
+SELECT conv_id, count(*) AS n,
+       {', '.join(f'round(corr(y, lag{k}), 6) + 0.0 AS acf_{k}'
+                  for k in range(1, _ACF_K + 1))}
+FROM lagged
+GROUP BY conv_id
+"""
+
+
+_ZSCORE_THRESHOLD = 2.0
+
+
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal z-score anomalies: points > 2σ from their conv's own
+    day-of-week baseline (population std). Window-based — no
+    self-join; output is the anomaly set only. Full-value oracle
+    (slot aligned: Spark dayofweek = DuckDB dayofweek + 1)."""
+    from cesium_spark.operators.seriesstats import seasonal_zscore
+    out = seasonal_zscore(_value_series(spark, sf_dir),
+                          threshold=_ZSCORE_THRESHOLD,
+                          season="day_of_week")
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.date_format("ts", TS_FMT).alias("ts"),
+        _r(F.col("y")).alias("y"),
+        F.col("slot").cast("int").alias("slot"),
+        _r(F.col("slot_mean")).alias("slot_mean"),
+        _r(F.col("slot_std")).alias("slot_std"),
+        F.col("slot_n").cast("long").alias("slot_n"),
+        _r(F.col("z")).alias("z"))
+
+
+SQL_TS_ANOMALY = f"""{_VALUE_SERIES_SQL}
+, b AS (
+  SELECT conv_id, turn_idx, ts, y,
+         dayofweek(ts) + 1 AS slot,
+         avg(y) OVER w AS slot_mean,
+         stddev_pop(y) OVER w AS slot_std,
+         count(*) OVER w AS slot_n
+  FROM series
+  WINDOW w AS (PARTITION BY conv_id, dayofweek(ts))
+)
+SELECT conv_id, turn_idx, strftime(ts, '{DUCK_TS_FMT}') AS ts,
+       round(y, 6) + 0.0 AS y, cast(slot AS int) AS slot,
+       round(slot_mean, 6) + 0.0 AS slot_mean,
+       round(slot_std, 6) + 0.0 AS slot_std, slot_n,
+       round((y - slot_mean) / slot_std, 6) + 0.0 AS z
+FROM b
+WHERE slot_std > 0
+  AND abs((y - slot_mean) / slot_std) > {_ZSCORE_THRESHOLD}
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -2621,6 +2911,13 @@ QUERIES = {
     "ts_lttb": q_ts_lttb,
     "ts_counter_rate_1h": q_ts_counter_rate_1h,
     "ts_quantiles_1d": q_ts_quantiles_1d,
+    "ts_acf": q_ts_acf,
+    "ts_anomaly": q_ts_anomaly,
+    "ts_upsert_latest": q_ts_upsert_latest,
+    "ts_twa_1h": q_ts_twa_1h,
+    "ts_caggs_incremental": q_ts_caggs_incremental,
+    "ts_sax": q_ts_sax,
+    "ts_ewma": q_ts_ewma,
     "ts_histogram_fold": q_ts_histogram_fold,
     "ts_histogram_quantile": q_ts_histogram_quantile,
     "ts_cad_probs": q_ts_cad_probs,
@@ -2687,6 +2984,13 @@ ORACLE_SQL = {
     "ts_lttb": SQL_TS_LTTB,
     "ts_counter_rate_1h": SQL_TS_COUNTER_RATE_1H,
     "ts_quantiles_1d": SQL_TS_QUANTILES_1D,
+    "ts_acf": SQL_TS_ACF,
+    "ts_anomaly": SQL_TS_ANOMALY,
+    "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
+    "ts_twa_1h": SQL_TS_TWA_1H,
+    "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,
+    "ts_sax": SQL_TS_SAX,
+    "ts_ewma": SQL_TS_EWMA,
     "ts_histogram_fold": SQL_TS_HISTOGRAM_FOLD,
     "ts_histogram_quantile": SQL_TS_HISTOGRAM_QUANTILE,
     "ts_cad_probs": SQL_TS_CAD_PROBS,

@@ -23,7 +23,7 @@ duplicate timestamps.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cesium_spark.operators.rollup import TIERS
@@ -129,4 +129,70 @@ def lttb_downsample(series: DataFrame, threshold: int) -> DataFrame:
         .where(F.col("t").isNotNull() & F.col("y").isNotNull())
         .groupBy("conv_id", "channel")
         .applyInPandas(_kernel, LTTB_SCHEMA)
+    )
+
+
+def sax_symbolize(series: DataFrame, w: int, breakpoints: list[float],
+                  alphabet: str = "abcdefghijklmnop") -> DataFrame:
+    """SAX symbolization (Lin, Keogh, Lonardi, Chiu — "A Symbolic
+    Representation of Time Series", DMKD 2003): compress each
+    (conv_id, channel) series to a ``w``-letter word — PAA segment
+    means quantized against ``breakpoints`` — the standard index key
+    for series-shape similarity/dedup (two conversations with the same
+    latency SHAPE hash to the same word regardless of length).
+
+    PAA uses SAX's equal-count segments via pure integer arithmetic
+    (point of rank r in an n-point series → segment ``(r·w) div n``,
+    the same edge rule as the LTTB kernel); series with n < w yield an
+    n-letter word (every point its own segment). Quantization letter =
+    #{breakpoints < round(paa, 6)} — rounding BEFORE the comparison
+    pins the boundary decision to the same 6-dp value the oracle sees.
+    The classic recipe z-normalizes first and uses Gaussian
+    breakpoints; normalization is the caller's choice (pass the
+    breakpoints that match — raw-unit values here), keeping the
+    operator free of the order-sensitive mean/std pass.
+
+    Plan shape: ONE hash exchange total — the rank/count window
+    partitions by (conv_id, channel), and both downstream aggregations
+    key on supersets of that, so their clustering is satisfied and the
+    exchanges are elided (plan-audited in pytest). All native exprs:
+    window, two-phase avg, HOF filter for the quantize, array_sort +
+    transform for the word — no UDF anywhere.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    if list(breakpoints) != sorted(set(breakpoints)):
+        raise ValueError("breakpoints must be strictly increasing")
+    if len(breakpoints) + 1 > len(alphabet):
+        raise ValueError(f"alphabet too short: need "
+                         f"{len(breakpoints) + 1} letters")
+    if not alphabet.isalnum():
+        raise ValueError("alphabet must be alphanumeric")
+    pw = Window.partitionBy("conv_id", "channel")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", "channel", "t", "turn_idx", "y")
+         .withColumn("__r", F.row_number().over(
+             pw.orderBy("t", "turn_idx")) - 1)
+         .withColumn("__n", F.count(F.lit(1)).over(pw)))
+    bps = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in breakpoints)
+    paa = (
+        s.withColumn("seg", F.expr(f"(__r * {int(w)}) DIV __n"))
+        .groupBy("conv_id", "channel", "seg")
+        .agg((F.round(F.avg("y"), 6) + F.lit(0.0)).alias("paa"),
+             F.max("__n").alias("__n"))
+        .withColumn("__idx",
+                    F.expr(f"size(filter(array({bps}), b -> b < paa))"))
+        .withColumn("letter",
+                    F.expr(f"substring('{alphabet}', __idx + 1, 1)"))
+    )
+    return (
+        paa.groupBy("conv_id", "channel")
+        .agg(
+            F.expr("array_join(transform(array_sort("
+                   "collect_list(struct(seg, letter))), x -> x.letter), '')")
+            .alias("word"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.max("__n").alias("n_points"),
+        )
     )

@@ -88,3 +88,53 @@ def fold_distinct_sketches(fine: DataFrame, target_tier: str,
         .withColumn("distinct_est",
                     F.hll_sketch_estimate("sketch").cast("long"))
     )
+
+
+def merge_moments(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental continuous-aggregate refresh (TimescaleDB cagg
+    invalidation semantics, SURVEY.md §2.9): merge a late-arriving
+    batch's moments into an existing tier table WITHOUT rescanning the
+    already-rolled-up raw turns.
+
+    Both inputs are rollup_moments-shaped (same tier). Because every
+    column is a semigroup (count/sum add, min/max lattice), the merge
+    is union + one re-aggregation — and crucially the shuffle carries
+    only (base ∪ delta) MOMENT rows, never raw turns: refreshing one
+    late hour against a 10^12-turn table moves ~|touched windows| rows.
+    Callers refresh incrementally as
+    ``merge_moments(base, rollup_moments(late_rows, tier))``; the
+    result is row-identical to rolling up (original ∪ late) raw turns
+    from scratch (driver query ts_caggs_incremental pins this, with
+    the float-sum caveat of fold_moments: Σy/Σy²/Σy³ merge
+    associatively, so derived mean/std agree to rounding, while
+    n/min/max agree exactly).
+
+    At scale the delta is tiny: broadcast it? No — the merged result
+    must land partitioned like ``base`` for the next refresh, so the
+    right plan is the hash merge below with base's partitioning reused.
+    When both inputs arrive as fresh rollups, Spark ELIDES the merge's
+    own exchange outright (both union children are hash-partitioned on
+    a subset of the merge keys — plan-asserted in pytest: 2 exchanges
+    total, both on the INPUT rollups, zero on the merge).
+    """
+    cols = ["conv_id", "channel", "window_start", "n", "y_min", "y_max",
+            "y_sum", "y_sum2", "y_sum3", "t_min", "t_max", "tier"]
+    missing = [c for c in cols if c not in base.columns
+               or c not in delta.columns]
+    if missing:
+        raise ValueError(f"not moments-shaped, missing: {missing}")
+    return (
+        base.select(*cols).unionByName(delta.select(*cols))
+        .groupBy("conv_id", "channel", "window_start", "tier")
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("y_min").alias("y_min"),
+            F.max("y_max").alias("y_max"),
+            F.sum("y_sum").alias("y_sum"),
+            F.sum("y_sum2").alias("y_sum2"),
+            F.sum("y_sum3").alias("y_sum3"),
+            F.min("t_min").alias("t_min"),
+            F.max("t_max").alias("t_max"),
+        )
+        .select(*cols)
+    )

@@ -53,3 +53,61 @@ def counter_rate(series: DataFrame, tier: str) -> DataFrame:
         # buckets whose only point is a series head carry no rate info
         .where(F.col("n") > 0)
     )
+
+
+def time_weighted_avg(series: DataFrame, tier: str,
+                      method: str = "locf") -> DataFrame:
+    """Time-weighted average per (conv_id, channel, tier bucket) over
+    irregularly-sampled points — the TimescaleDB ``time_weight()``
+    semantics (SURVEY.md §2.9 continuous-aggregate family). A plain
+    ``avg(y)`` over-weights burst periods; the time-weighted form
+    integrates y over the observed span and divides by its length, so
+    a turn-latency series sampled 100×/s during a tool storm and
+    1×/min while idle still averages to the true duty cycle.
+
+    ``method='locf'``: each point's value holds until the next sample
+    (step integral, Σ yᵢ·(tᵢ₊₁−tᵢ)). ``method='linear'``: trapezoid
+    (Σ (yᵢ+yᵢ₊₁)/2·(tᵢ₊₁−tᵢ)). Integration covers [t_first, t_last]
+    WITHIN the bucket (observed span only — no extrapolation to bucket
+    edges); a single-point or zero-span bucket returns that point's
+    value (first by (t, turn_idx) order) with span_s = 0.
+
+    Plan shape: ONE hash exchange — the lead() window partitions by the
+    full (conv_id, channel, bucket) key, so the following aggregation
+    on the same key reuses the partitioning (exchange elided; the only
+    extra cost vs a plain rollup is the in-partition sort). No UDF.
+    Rows with NULL y are dropped up front (an integral over NULL is
+    undefined; gap-fill first if NULLs are meaningful).
+    """
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}")
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be 'locf' or 'linear', got {method!r}")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .withColumn("bucket", F.date_trunc(TIERS[tier], F.col("ts"))))
+    w = (Window.partitionBy("conv_id", "channel", "bucket")
+         .orderBy("t", "turn_idx"))
+    nxt_t = F.lead("t").over(w)
+    dt = nxt_t - F.col("t")
+    if method == "locf":
+        seg = F.col("y") * dt
+    else:
+        seg = (F.col("y") + F.lead("y").over(w)) / 2.0 * dt
+    okey = F.struct(F.col("t"), F.col("turn_idx"))
+    return (
+        s.withColumn("__seg", seg)
+        .groupBy("conv_id", "channel", "bucket")
+        .agg(
+            F.sum("__seg").alias("__integral"),
+            (F.max("t") - F.min("t")).alias("span_s"),
+            F.min_by("y", okey).alias("__y_first"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "twa",
+            F.when(F.col("span_s") > 0,
+                   F.col("__integral") / F.col("span_s"))
+            .otherwise(F.col("__y_first")))
+        .select("conv_id", "channel", "bucket", "twa", "span_s", "n")
+    )

@@ -1,0 +1,99 @@
+"""Series diagnostics: autocorrelation and seasonal anomaly scoring
+(SURVEY.md §2.9 family — monitoring-stack operators over the same
+per-conversation series the rollups consume; no reference counterpart:
+cesium's periodicity features go through Lomb–Scargle, which remains
+the irregular-cadence path — ACF here is the cheap regular-lag twin).
+
+Both operators are pure native expressions with ONE hash exchange on
+the series' natural (conv_id, channel) key (plan-asserted in pytest):
+the lag/baseline windows partition by the group key and the following
+aggregation/projection reuses that partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def acf(series: DataFrame, max_lag: int) -> DataFrame:
+    """Sample autocorrelation per (conv_id, channel) at turn lags
+    1..max_lag — one row per series with columns ``acf_1..acf_K`` plus
+    ``n``. Estimator: Pearson correlation of (yₜ, yₜ₋ₖ) pairs (the
+    ``corr`` aggregate both Spark and DuckDB define identically with
+    (n−1) normalization), computed over the lag-aligned pairs only.
+    A constant series (zero variance) yields NULL, and so do series
+    with fewer than lag+2 points — NULL means "undefined", never 0.
+    Under ANSI mode (Spark 4 default) the built-in ``corr`` THROWS
+    DIVIDE_BY_ZERO on those degenerate groups, so the ratio is spelled
+    out as ``try_divide(covar_pop, σ·σ)`` over the pair-restricted
+    columns — algebraically the same r (the pop/samp normalization
+    cancels), but degenerate groups come back NULL instead of killing
+    a 10^12-turn job because one conversation repeated itself.
+
+    Plan: one window (K lag exprs over one sort) + one aggregation on
+    the window's own partition key → ONE exchange, no join, no UDF.
+    Lags are TURN lags (positional), the natural unit for transcript
+    series; resample onto a regular grid first (gapfill) if wall-clock
+    lags are wanted.
+    """
+    if not (1 <= max_lag <= 64):
+        raise ValueError(f"max_lag must be in [1, 64], got {max_lag}")
+    w = (Window.partitionBy("conv_id", "channel")
+         .orderBy("t", "turn_idx"))
+    s = series.where(F.col("y").isNotNull() & F.col("t").isNotNull())
+    for k in range(1, max_lag + 1):
+        s = s.withColumn(f"__lag{k}", F.lag("y", k).over(w))
+
+    def _r(k: int):
+        # pair-restricted Pearson: rows where the lag partner exists
+        paired_y = f"CASE WHEN __lag{k} IS NOT NULL THEN y END"
+        return F.expr(
+            f"try_divide(covar_pop(y, __lag{k}), "
+            f"stddev_pop({paired_y}) * stddev_pop(__lag{k}))")
+
+    return (
+        s.groupBy("conv_id", "channel")
+        .agg(F.count(F.lit(1)).alias("n"),
+             *[_r(k).alias(f"acf_{k}") for k in range(1, max_lag + 1)])
+    )
+
+
+def seasonal_zscore(series: DataFrame, threshold: float = 3.0,
+                    season: str = "hour_of_day") -> DataFrame:
+    """Seasonal-baseline anomaly scoring: each point's z-score against
+    the mean/std of ITS OWN series restricted to the same seasonal slot
+    (hour-of-day or day-of-week) — the "this conversation is loud for
+    3 am" alert, robust to per-series level differences and daily
+    rhythm. Returns the anomalous points (|z| > threshold) with the
+    baseline that fired.
+
+    Population std (ddof=0) over the slot; slots with zero variance or
+    a single point yield no anomalies (z undefined → filtered, never
+    ±inf). Baseline via windows partitioned by (conv_id, channel,
+    slot) — no self-join, ONE exchange; the filter keeps the output
+    tiny (anomalies only), so this composes as a cheap tail stage on
+    a 10^12-turn scan.
+    """
+    slots = {"hour_of_day": F.hour("ts"), "day_of_week": F.dayofweek("ts")}
+    if season not in slots:
+        raise ValueError(f"season must be one of {sorted(slots)}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    s = (series
+         .where(F.col("y").isNotNull())
+         .withColumn("slot", slots[season]))
+    w = Window.partitionBy("conv_id", "channel", "slot")
+    mu = F.avg("y").over(w)
+    sd = F.stddev_pop("y").over(w)
+    return (
+        s.withColumn("slot_mean", mu)
+        .withColumn("slot_std", sd)
+        .withColumn("slot_n", F.count(F.lit(1)).over(w))
+        .withColumn("z", (F.col("y") - F.col("slot_mean"))
+                    / F.col("slot_std"))
+        .where((F.col("slot_std") > 0)
+               & (F.abs(F.col("z")) > threshold))
+        .select("conv_id", "channel", "turn_idx", "ts", "y",
+                "slot", "slot_mean", "slot_std", "slot_n", "z")
+    )

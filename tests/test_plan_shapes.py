@@ -113,3 +113,66 @@ def test_histogram_fold_two_exchanges(series):
     h = rollup_histogram(series, "1h", ["conv_id"], "y", [1.0, 3.0, 6.0])
     s = _shape(fold_histogram(h, "1d", ["conv_id"]))
     assert s["hash"] == 2 and s["bcast"] == 0 and not s["cartesian"]
+
+
+def test_upsert_latest_one_exchange_with_partial_combine(series):
+    from pyspark.sql import functions as F
+    from cesium_spark.operators.compaction import upsert_latest
+    df = series.withColumn("version", F.lit(1))
+    out = upsert_latest(df, ["conv_id", "turn_idx"], ["version", "t"])
+    s = _shape(out)
+    assert s["hash"] == 1 and not s["cartesian"]
+    # the whole point vs row_number(): map-side combine, so the shuffle
+    # carries <= 1 candidate per (key x map partition). (struct max_by
+    # plans SortAggregate — sorts are on the combined stream, accepted.)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in p
+
+
+def test_twa_one_exchange(series):
+    from cesium_spark.operators.rates import time_weighted_avg
+    s = _shape(time_weighted_avg(series, "1h"))
+    # window partitions by the FULL group key, so the aggregation
+    # reuses the partitioning — the exchange is elided
+    assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_sax_one_exchange(series):
+    from cesium_spark.operators.downsample import sax_symbolize
+    s = _shape(sax_symbolize(series, 8, [2.0, 4.0], "abc"))
+    # rank window on (conv, channel); both downstream group-bys key on
+    # supersets, so their clustering is satisfied without re-shuffling
+    assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_ewma_one_exchange(series):
+    from cesium_spark.operators.smoothing import ewma
+    s = _shape(ewma(series, 0.25))
+    assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_merge_moments_two_exchanges(series):
+    from cesium_spark.operators.fold import merge_moments
+    from cesium_spark.operators.rollup import rollup_moments
+    from pyspark.sql import functions as F
+    late = F.col("turn_idx") % 10 == 7
+    out = merge_moments(rollup_moments(series.where(~late), "1h"),
+                        rollup_moments(series.where(late), "1h"))
+    s = _shape(out)
+    # only the two input rollups shuffle: both union children arrive
+    # hash-partitioned on (conv, channel, window_start) — a subset of
+    # the merge keys — so the merge re-aggregation's exchange is ELIDED
+    # and no MOMENT row moves again, let alone raw turns
+    assert s["hash"] == 2 and not s["cartesian"]
+
+
+def test_acf_one_exchange(series):
+    from cesium_spark.operators.seriesstats import acf
+    s = _shape(acf(series, 5))
+    assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_seasonal_zscore_one_exchange(series):
+    from cesium_spark.operators.seriesstats import seasonal_zscore
+    s = _shape(seasonal_zscore(series, season="day_of_week"))
+    assert s["hash"] == 1 and not s["cartesian"]
