@@ -2898,6 +2898,210 @@ WHERE slot_std > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-4: time-window family (trailing RANGE windows,
+# interval containment join, heartbeat/uptime, CUSUM drift alarms) +
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+_ROLL_SPAN_S = 3600.0
+
+
+def q_ts_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point trailing-1h mean/min/max/count over a RANGE frame
+    keyed on integer milliseconds (floor(t·1e3 + 0.5) — the same fp op
+    in both engines, so frame membership at the exact span boundary
+    cannot diverge). One window exchange, no UDF; full-value oracle
+    replays the identical RANGE frame."""
+    from cesium_spark.operators.intervals import rolling_window
+    out = rolling_window(_value_series(spark, sf_dir), _ROLL_SPAN_S)
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        _r(F.col("t")).alias("t"),
+        _r(F.col("y")).alias("y"),
+        _r(F.col("roll_mean")).alias("roll_mean"),
+        _r(F.col("roll_min")).alias("roll_min"),
+        _r(F.col("roll_max")).alias("roll_max"),
+        F.col("roll_n").cast("long").alias("roll_n"))
+
+
+SQL_TS_ROLLING_1H = f"""{_VALUE_SERIES_SQL}
+, b AS (
+  SELECT conv_id, turn_idx, t, y,
+         avg(y) OVER w AS roll_mean,
+         min(y) OVER w AS roll_min,
+         max(y) OVER w AS roll_max,
+         count(y) OVER w AS roll_n
+  FROM (SELECT *, cast(floor(t * 1000 + 0.5) AS bigint) AS tms
+        FROM series)
+  WINDOW w AS (PARTITION BY conv_id ORDER BY tms
+               RANGE BETWEEN {int(_ROLL_SPAN_S * 1000)} PRECEDING
+                     AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx, round(t, 6) + 0.0 AS t, round(y, 6) + 0.0 AS y,
+       round(roll_mean, 6) + 0.0 AS roll_mean,
+       round(roll_min, 6) + 0.0 AS roll_min,
+       round(roll_max, 6) + 0.0 AS roll_max, roll_n
+FROM b
+"""
+
+
+_INCIDENT_MOD = 499
+_INCIDENT_SPAN = "INTERVAL 2 HOURS"
+
+
+def q_ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-in-intervals containment join without a cartesian:
+    'incident windows' (every 499th event's [ts, ts+2h)) explode to
+    the hour buckets they overlap, the broadcast equi-join on the
+    point's single bucket prunes candidates, and the exact half-open
+    predicate refines — a naive ts BETWEEN lo AND hi join plans as
+    BroadcastNestedLoopJoin (quadratic at 10^12 points). Per-pair
+    full-value oracle (the BETWEEN join restated directly)."""
+    from cesium_spark.operators.intervals import interval_join
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_id") % _INCIDENT_MOD == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr(_INCIDENT_SPAN)).alias("hi"))
+    pts = ev.select("event_id", "user_id", "ts")
+    out = interval_join(pts, iv, keys=(), ts_col="ts",
+                        lo_col="lo", hi_col="hi", bucket_s=3600)
+    return out.select(
+        F.col("incident_id").cast("long").alias("incident_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("ts", TS_FMT).alias("ts"))
+
+
+SQL_TS_INTERVAL_JOIN = f"""
+WITH iv AS (
+  SELECT event_id AS incident_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi
+  FROM events WHERE event_id % {_INCIDENT_MOD} = 0
+)
+SELECT iv.incident_id, e.event_id, e.user_id,
+       strftime(e.ts, '{DUCK_TS_FMT}') AS ts
+FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi
+"""
+
+
+_HEARTBEAT_S = 3600.0
+
+
+def q_ts_heartbeat_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily uptime accounting (heartbeat_agg semantics): each point
+    keeps its series live for min(gap_to_next, 1h); live/dead seconds
+    attributed to the EARLIER point's day bucket, the final point
+    contributes a full heartbeat. One window exchange + one hash agg;
+    full-value oracle restates the lead() arithmetic."""
+    from cesium_spark.operators.intervals import heartbeat_uptime
+    out = heartbeat_uptime(_value_series(spark, sf_dir), "1d",
+                           _HEARTBEAT_S)
+    return out.select(
+        "conv_id", F.date_format("bucket", TS_FMT).alias("bucket"),
+        _r(F.col("live_s")).alias("live_s"),
+        _r(F.col("dead_s")).alias("dead_s"),
+        F.col("n_beats").cast("long").alias("n_beats"),
+        F.col("n_gaps").cast("long").alias("n_gaps"))
+
+
+SQL_TS_HEARTBEAT_1D = f"""{_VALUE_SERIES_SQL}
+, b AS (
+  SELECT conv_id, date_trunc('day', ts) AS bucket, t,
+         lead(t) OVER (PARTITION BY conv_id ORDER BY t, turn_idx) AS nt
+  FROM series
+)
+SELECT conv_id, strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
+       round(sum(CASE WHEN nt IS NULL THEN {_HEARTBEAT_S}
+                      ELSE least(nt - t, {_HEARTBEAT_S}) END), 6)
+         + 0.0 AS live_s,
+       round(sum(CASE WHEN nt IS NULL THEN 0.0
+                      ELSE greatest(nt - t - {_HEARTBEAT_S}, 0.0) END), 6)
+         + 0.0 AS dead_s,
+       count(*) AS n_beats,
+       sum(CASE WHEN nt - t > {_HEARTBEAT_S} THEN 1 ELSE 0 END) AS n_gaps
+FROM b
+GROUP BY 1, 2
+"""
+
+
+_CUSUM_K, _CUSUM_H = 0.25, 4.0
+
+
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift alarms (Page): S snapped to a 1e-4 grid
+    with the engine-independent floor op before the h-threshold
+    compare, so alarm membership is identical across engines despite
+    ~1e-12 prefix-sum drift. The max(0,·) recursion is computed as
+    prefix-sum minus running-min — two stacked window functions over
+    ONE exchange — and the oracle replays the identical identity."""
+    from cesium_spark.operators.intervals import cusum_changepoints
+    out = cusum_changepoints(_value_series(spark, sf_dir),
+                             k=_CUSUM_K, h=_CUSUM_H, grid_dp=4)
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.date_format("ts", TS_FMT).alias("ts"),
+        _r(F.col("y")).alias("y"),
+        (F.col("s_pos") + F.lit(0.0)).alias("s_pos"),
+        (F.col("s_neg") + F.lit(0.0)).alias("s_neg"))
+
+
+SQL_TS_CUSUM = f"""{_VALUE_SERIES_SQL}
+, z AS (
+  SELECT *, avg(y) OVER p AS m, stddev_pop(y) OVER p AS sd
+  FROM series WINDOW p AS (PARTITION BY conv_id)
+), c AS (
+  SELECT *, sum((y - m) / sd - {_CUSUM_K}) OVER o AS Cp,
+            sum(-((y - m) / sd) - {_CUSUM_K}) OVER o AS Cn
+  FROM z WHERE sd > 0
+  WINDOW o AS (PARTITION BY conv_id ORDER BY t, turn_idx
+               ROWS UNBOUNDED PRECEDING)
+), s AS (
+  SELECT *,
+         floor((Cp - least(0, min(Cp) OVER o)) * 1e4 + 0.5) / 1e4 AS sp,
+         floor((Cn - least(0, min(Cn) OVER o)) * 1e4 + 0.5) / 1e4 AS sn
+  FROM c WINDOW o AS (PARTITION BY conv_id ORDER BY t, turn_idx
+                      ROWS UNBOUNDED PRECEDING)
+)
+SELECT conv_id, turn_idx, strftime(ts, '{DUCK_TS_FMT}') AS ts,
+       round(y, 6) + 0.0 AS y, sp + 0.0 AS s_pos, sn + 0.0 AS s_neg
+FROM s WHERE sp > {_CUSUM_H} OR sn > {_CUSUM_H}
+"""
+
+
+_STRATA_FRACS = (("en", 0.5), ("de", 0.4), ("fr", 0.25), ("es", 0.1))
+_STRATA_SALT = "r4s4"
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed stratified sample (sampleBy semantics, but a
+    pure function of (doc_id, salt, stratum) — stable across re-runs,
+    repartitions and table growth; 'zh' absent from the rates → rate 0,
+    dropped). Zero-shuffle projection+filter; row-level full-value
+    oracle replays the stratum-salted md5 bands."""
+    from cesium_spark.operators.sampling import stratified_sample
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(docs, "lang", dict(_STRATA_FRACS),
+                            key="doc_id", salt=_STRATA_SALT)
+    return out.select("doc_id", "lang")
+
+
+def _stratified_sample_sql() -> str:
+    bucket = (f"(('0x' || substr(md5(cast(doc_id AS varchar) || "
+              f"'{_STRATA_SALT}' || chr(31) || lang), 1, 8))::BIGINT"
+              f" % 10000)")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(f * 10000))}"
+        for s, f in _STRATA_FRACS)
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {bucket} < (CASE lang {cases} ELSE 0 END)
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -2913,6 +3117,11 @@ QUERIES = {
     "ts_quantiles_1d": q_ts_quantiles_1d,
     "ts_acf": q_ts_acf,
     "ts_anomaly": q_ts_anomaly,
+    "ts_rolling_1h": q_ts_rolling_1h,
+    "ts_interval_join": q_ts_interval_join,
+    "ts_heartbeat_1d": q_ts_heartbeat_1d,
+    "ts_cusum": q_ts_cusum,
+    "doc_stratified_sample": q_doc_stratified_sample,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -2986,6 +3195,11 @@ ORACLE_SQL = {
     "ts_quantiles_1d": SQL_TS_QUANTILES_1D,
     "ts_acf": SQL_TS_ACF,
     "ts_anomaly": SQL_TS_ANOMALY,
+    "ts_rolling_1h": SQL_TS_ROLLING_1H,
+    "ts_interval_join": SQL_TS_INTERVAL_JOIN,
+    "ts_heartbeat_1d": SQL_TS_HEARTBEAT_1D,
+    "ts_cusum": SQL_TS_CUSUM,
+    "doc_stratified_sample": _stratified_sample_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

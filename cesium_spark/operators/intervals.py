@@ -1,0 +1,245 @@
+"""Time-interval operators: range-based rolling aggregates, interval
+containment join, heartbeat/uptime aggregation, and CUSUM changepoint
+detection — the time-window family SURVEY.md §2.9 mandates around the
+retention tiers (trailing-window stats a dashboard reads next to the
+bucketed rollups; outage accounting; drift alarms).
+
+All four are pure native expressions (codegen end-to-end, no UDF):
+
+* ``rolling_window`` — per-point trailing-``span_s`` mean/min/max/count
+  over a RANGE frame keyed on integer milliseconds. One hash exchange
+  on (conv_id, channel) — the series' natural layout, elided when the
+  input is already bucketed that way.
+* ``interval_join`` — points-in-intervals containment join WITHOUT a
+  cartesian: intervals explode to the fixed-width time buckets they
+  overlap (``F.sequence``, bounded by ``max_span_s``), the join is an
+  equi-join on (keys…, bucket) — broadcastable when the interval side
+  is small — and the exact ``lo <= ts < hi`` predicate refines. Each
+  point lives in exactly ONE bucket, so a qualifying pair appears
+  exactly once: no post-join dedup shuffle.
+* ``heartbeat_uptime`` — TimescaleDB ``heartbeat_agg`` semantics: a
+  series is "live" for ``min(gap, heartbeat_s)`` after each point;
+  summed per retention-tier bucket of the EARLIER point (deterministic
+  bucket attribution, exactly restatable in SQL). One window exchange.
+* ``cusum_changepoints`` — two-sided CUSUM drift alarm. The textbook
+  recursion S_i = max(0, S_{i-1} + z_i - k) is not a plain window
+  aggregate, but it equals ``C_i - min_{j<=i} C_j`` for the prefix sum
+  C of (z - k) — running max-of-0 is prefix-sum minus running-min — so
+  both sides compile to two stacked window functions over ONE exchange,
+  no UDF, no recursion, and the identical arithmetic replays in any
+  SQL engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cesium_spark.operators.rollup import TIERS
+
+
+def rolling_window(series: DataFrame, span_s: float) -> DataFrame:
+    """Per-point trailing-window stats: for each series point, the
+    mean/min/max/count of ``y`` over ``[t - span_s, t]`` (inclusive
+    both ends — RANGE frame semantics) within the same (conv_id,
+    channel).
+
+    The frame is keyed on ``tms = round(t * 1000)`` (integer
+    milliseconds) so the boundary arithmetic is exact integer
+    comparison — a double-keyed RANGE frame would make inclusion of a
+    point sitting exactly ``span_s`` back depend on float rounding.
+    Ties in ``tms`` are RANGE peers (all included), so the result is
+    partitioning- and intra-tie-order-independent.
+    """
+    if span_s <= 0:
+        raise ValueError(f"span_s must be positive, got {span_s}")
+    span_ms = int(round(span_s * 1000))
+    # floor(x·1e3 + 0.5) instead of round(): Spark's round is
+    # exact-decimal HALF_UP while most engines round doubles in float —
+    # the floor form is the same fp op everywhere, so the frame's
+    # integer key (and therefore point inclusion at the exact span
+    # boundary) is engine-independent (EWMA/gapfill-interp precedent)
+    out = series.withColumn(
+        "tms", F.floor(F.col("t") * 1000 + F.lit(0.5)).cast("long"))
+    w = (Window.partitionBy("conv_id", "channel")
+         .orderBy("tms").rangeBetween(-span_ms, 0))
+    return out.select(
+        "conv_id", "channel", "turn_idx", "ts", "t", "y",
+        F.avg("y").over(w).alias("roll_mean"),
+        F.min("y").over(w).alias("roll_min"),
+        F.max("y").over(w).alias("roll_max"),
+        F.count("y").over(w).alias("roll_n"),
+    )
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  keys: Sequence[str] = (), ts_col: str = "ts",
+                  lo_col: str = "lo", hi_col: str = "hi",
+                  bucket_s: int = 3600,
+                  max_span_s: int | None = 7 * 86400,
+                  broadcast_intervals: bool = True) -> DataFrame:
+    """Containment join: every (point, interval) pair with
+    ``lo <= ts < hi`` (half-open, the convention every windowing op in
+    this engine uses), equi-keyed on ``keys`` first.
+
+    Spark has no range-join optimizer rule in OSS; a naive
+    ``JOIN ON ts BETWEEN lo AND hi`` plans as BroadcastNestedLoopJoin
+    (every point tests every interval — quadratic at 10^12 turns). The
+    standard decomposition: quantize time into ``bucket_s``-wide
+    buckets, explode each interval to the buckets it overlaps (bounded
+    by ``max_span_s`` — a runaway open interval raises instead of
+    exploding 10^6 rows), equi-join on (keys…, bucket), refine with the
+    exact predicate. A point has exactly one bucket so no duplicate
+    pairs arise. Interval-side blowup = span/bucket_s rows per
+    interval — pick bucket_s near the median span.
+
+    With ``broadcast_intervals`` (the common shape: few thousand
+    incident/maintenance windows vs 10^12 points) the exploded interval
+    side broadcasts and the point side NEVER shuffles.
+    """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+    lo_s = F.col(lo_col).cast("double")
+    hi_s = F.col(hi_col).cast("double")
+    b = F.lit(int(bucket_s))
+    # hi is exclusive: an interval ending exactly on a bucket edge does
+    # not cover that bucket. The span guard is woven INTO the sequence
+    # bound (not a separate dropped column, which column pruning would
+    # silently optimize away): a runaway open interval raises instead
+    # of exploding millions of bucket rows.
+    end_bucket = F.floor((hi_s - F.lit(1e-9)) / b)
+    if max_span_s is not None:
+        end_bucket = F.when(
+            hi_s - lo_s > F.lit(float(max_span_s)),
+            F.raise_error(F.concat(
+                F.lit(f"interval span exceeds max_span_s={max_span_s}: "),
+                (hi_s - lo_s).cast("string"), F.lit(" s"))).cast("long")
+        ).otherwise(end_bucket)
+    ivals = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(F.floor(lo_s / b), end_bucket)))
+    if broadcast_intervals:
+        ivals = F.broadcast(ivals)
+    pts = points.withColumn(
+        "__bucket", F.floor(F.col(ts_col).cast("double") / b))
+    cond = [pts["__bucket"] == ivals["__bucket"]]
+    for k in keys:
+        cond.append(pts[k] == ivals[k])
+    joined = pts.join(ivals, cond, "inner").where(
+        (pts[ts_col].cast("double") >= ivals[lo_col].cast("double"))
+        & (pts[ts_col].cast("double") < ivals[hi_col].cast("double")))
+    drop = [ivals["__bucket"], pts["__bucket"]] + [ivals[k] for k in keys]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined
+
+
+def heartbeat_uptime(series: DataFrame, tier: str,
+                     heartbeat_s: float) -> DataFrame:
+    """Uptime accounting (TimescaleDB ``heartbeat_agg`` semantics): a
+    series is considered live for ``min(gap_to_next, heartbeat_s)``
+    seconds after each point (the final point contributes
+    ``heartbeat_s`` of liveness — it has not yet been contradicted).
+    Summed per (conv_id, channel, tier bucket) where the bucket is the
+    EARLIER point's — gap time is attributed where the gap started,
+    deterministic and exactly restatable in SQL without splitting a
+    gap across buckets.
+
+    Returns (conv_id, channel, bucket, live_s, dead_s, n_beats,
+    n_gaps): ``dead_s`` is observed span minus live time (clamped at
+    0 per pair), ``n_gaps`` counts pairs whose gap exceeded the
+    heartbeat. One window exchange on the series' natural key, then
+    one hash aggregation with map-side partials.
+    """
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}")
+    if heartbeat_s <= 0:
+        raise ValueError(f"heartbeat_s must be positive, got {heartbeat_s}")
+    w = Window.partitionBy("conv_id", "channel").orderBy("t", "turn_idx")
+    gap = F.lead("t").over(w) - F.col("t")
+    hb = F.lit(float(heartbeat_s))
+    live = F.when(gap.isNull(), hb).otherwise(F.least(gap, hb))
+    dead = F.when(gap.isNull(), F.lit(0.0)) \
+            .otherwise(F.greatest(gap - hb, F.lit(0.0)))
+    return (
+        series
+        .withColumn("bucket", F.date_trunc(TIERS[tier], F.col("ts")))
+        .withColumn("__live", live)
+        .withColumn("__dead", dead)
+        .withColumn("__gapped", (gap > hb).cast("long"))
+        .groupBy("conv_id", "channel", "bucket")
+        .agg(F.sum("__live").alias("live_s"),
+             F.sum("__dead").alias("dead_s"),
+             F.count(F.lit(1)).alias("n_beats"),
+             F.coalesce(F.sum("__gapped"), F.lit(0)).alias("n_gaps"))
+    )
+
+
+def cusum_changepoints(series: DataFrame, k: float = 0.5,
+                       h: float = 5.0,
+                       grid_dp: int | None = None) -> DataFrame:
+    """Two-sided standardized CUSUM drift detector per (conv_id,
+    channel): z_i = (y_i - mean)/std over the whole series (population
+    std; a zero-variance series has no changepoints by definition and
+    is dropped), then
+
+        S⁺_i = max(0, S⁺_{i-1} + z_i - k)
+        S⁻_i = max(0, S⁻_{i-1} - z_i - k)
+
+    flagged when either exceeds ``h`` (Page 1954 tabular CUSUM;
+    k = slack in σ units, h = decision threshold). The recursion is
+    computed WITHOUT a recursion: for the prefix sum C_i of (z - k),
+    ``S⁺_i = C_i - min_{j<=i} C_j`` (and symmetrically for S⁻) — the
+    running-floor identity turns max(0, ·) chains into two stacked
+    window aggregates. Plan: one hash exchange on (conv_id, channel);
+    the per-series mean/std come from an unbounded frame over the SAME
+    partitioning, so Catalyst reuses the sort — no second shuffle, and
+    the identical arithmetic replays in the DuckDB oracle.
+
+    Returns only the flagged points: (conv_id, channel, turn_idx, ts,
+    t, y, s_pos, s_neg) ordered upstream of any sink by (conv_id,
+    channel, t, turn_idx).
+
+    ``grid_dp`` snaps S to a 10^-dp grid — the same
+    ``floor(x·10^dp + 0.5)/10^dp`` float op in any engine — BEFORE the
+    threshold compare, so alarm membership cannot flip on the ~1e-12
+    cross-engine drift a long prefix sum accumulates (two identical
+    jobs, or the engine vs an audit replay, must flag the SAME rows).
+    """
+    if k < 0 or h <= 0:
+        raise ValueError(f"need k >= 0 and h > 0, got k={k} h={h}")
+    part = Window.partitionBy("conv_id", "channel")
+    full = part.orderBy("t", "turn_idx") \
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    cum = part.orderBy("t", "turn_idx") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mean = F.avg("y").over(full)
+    std = F.stddev_pop("y").over(full)
+    z = (F.col("y") - mean) / std
+    stepped = (
+        series
+        .withColumn("__std", std)
+        .where(F.col("__std") > 0)
+        .withColumn("__cp", (z - F.lit(float(k))))
+        .withColumn("__cn", (-z - F.lit(float(k))))
+        .withColumn("__Cp", F.sum("__cp").over(cum))
+        .withColumn("__Cn", F.sum("__cn").over(cum))
+        # running floor includes the current row, so S >= 0 by
+        # construction; min over [start, i] of the prefix sum, with an
+        # implicit 0 floor for the empty prefix (C_0 = 0)
+        .withColumn("s_pos", F.col("__Cp")
+                    - F.least(F.lit(0.0), F.min("__Cp").over(cum)))
+        .withColumn("s_neg", F.col("__Cn")
+                    - F.least(F.lit(0.0), F.min("__Cn").over(cum)))
+    )
+    if grid_dp is not None:
+        scale = float(10 ** grid_dp)
+        snap = lambda c: F.floor(c * scale + F.lit(0.5)) / scale  # noqa: E731
+        stepped = stepped.withColumn("s_pos", snap(F.col("s_pos"))) \
+                         .withColumn("s_neg", snap(F.col("s_neg")))
+    return (stepped
+            .where((F.col("s_pos") > h) | (F.col("s_neg") > h))
+            .select("conv_id", "channel", "turn_idx", "ts", "t", "y",
+                    "s_pos", "s_neg"))

@@ -82,3 +82,36 @@ def deterministic_sample(df: DataFrame, fraction: float,
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     edge = int(round(fraction * BUCKETS))
     return df.where(split_bucket(F.col(key), salt) < F.lit(edge))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: Mapping[str, float],
+                      key: str = "doc_id", salt: str = "") -> DataFrame:
+    """Content-addressed stratified sample: per-stratum keep rates
+    (`sampleBy` semantics) with the SAME determinism guarantees as
+    `deterministic_sample` — a row's fate is a pure function of
+    (key, salt), so re-runs, repartitions and table growth never
+    change which rows a stratum keeps, and raising one stratum's rate
+    yields a superset of the lower-rate sample. Strata absent from
+    `fractions` are dropped (rate 0 — `sampleBy` parity).
+
+    The hash is salted with the STRATUM too, so two strata keep
+    decorrelated key subsets (a shared-key row duplicated across
+    strata isn't kept/dropped in lockstep). Pure projection + filter:
+    codegen, zero shuffles, pushes below any downstream exchange.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0,1], got {f}")
+    # per-stratum edge via a literal map lookup (no join, no UDF)
+    edge_map = F.create_map(*[
+        x for s, f in fractions.items()
+        for x in (F.lit(s), F.lit(int(round(f * BUCKETS))))])
+    stratum_bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(salt),
+                       F.lit("\x1f"), F.col(strata_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % F.lit(BUCKETS))
+    return df.where(
+        stratum_bucket < edge_map[F.col(strata_col).cast("string")])

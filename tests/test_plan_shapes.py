@@ -176,3 +176,52 @@ def test_seasonal_zscore_one_exchange(series):
     from cesium_spark.operators.seriesstats import seasonal_zscore
     s = _shape(seasonal_zscore(series, season="day_of_week"))
     assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_rolling_window_one_exchange(series):
+    from cesium_spark.operators.intervals import rolling_window
+    s = _shape(rolling_window(series, 600.0))
+    assert s["hash"] == 1 and not s["cartesian"] and s["bcast"] == 0
+
+
+def test_interval_join_broadcast_no_point_shuffle(spark):
+    """The containment join's scale claim: the point side NEVER
+    shuffles — exploded intervals broadcast, the bucket equi-join is
+    a BroadcastHashJoin, and there is no nested-loop/cartesian (the
+    plan a naive BETWEEN join would produce)."""
+    import pandas as pd
+    from cesium_spark.operators.intervals import interval_join
+    ts = pd.date_range("2024-01-01", periods=100, freq="min")
+    pts = spark.createDataFrame(pd.DataFrame({"pid": range(100), "ts": ts}))
+    iv = spark.createDataFrame(pd.DataFrame(
+        {"iid": [1, 2], "lo": ts[:2], "hi": ts[10:12]}))
+    s = _shape(interval_join(pts, iv, bucket_s=600))
+    assert s["hash"] == 0 and s["bcast"] == 1 and not s["cartesian"]
+    p = interval_join(pts, iv, bucket_s=600)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_heartbeat_one_exchange(series):
+    from cesium_spark.operators.intervals import heartbeat_uptime
+    s = _shape(heartbeat_uptime(series, "1d", 120.0))
+    # lead window and bucket group-by reuse one (conv, channel)
+    # partitioning; aggregation partials are map-side
+    assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_cusum_one_exchange(series):
+    from cesium_spark.operators.intervals import cusum_changepoints
+    s = _shape(cusum_changepoints(series, k=0.1, h=0.5))
+    # mean/std unbounded frame + two stacked running frames all share
+    # the (conv, channel) sort — one exchange for the whole detector
+    assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_stratified_sample_zero_exchange(docs, spark):
+    from pyspark.sql import functions as F
+    from cesium_spark.operators.sampling import stratified_sample
+    d = docs.withColumn("lang", F.lit("en"))
+    s = _shape(stratified_sample(d, "lang", {"en": 0.5}))
+    assert s == {"hash": 0, "range": 0, "single": 0, "bcast": 0,
+                 "cartesian": False}
