@@ -3102,6 +3102,214 @@ WHERE {bucket} < (CASE lang {cases} ELSE 0 END)
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-5: state accounting, cross-channel correlation,
+# decontamination, repetition quality signals
+# ---------------------------------------------------------------------------
+
+
+def q_ts_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-in-state (TimescaleDB state_agg semantics) over the
+    transcript role column: each turn holds its role until the next
+    turn, the span attributed to the earlier turn's day bucket. One
+    window exchange + one hash agg; full-value oracle restates the
+    lead arithmetic."""
+    from cesium_spark.operators.intervals import state_agg
+    out = state_agg(events_transcripts(spark, sf_dir), "role", "1d")
+    return out.select(
+        "conv_id", F.date_format("bucket", TS_FMT).alias("bucket"),
+        F.col("state"),
+        _r(F.col("dur_s")).alias("dur_s"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_closed").cast("long").alias("n_closed"))
+
+
+SQL_TS_STATE_AGG = f"""
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS state, ts,
+         epoch(ts) AS sec,
+         -- engine orders by (ts, turn_idx); turn_idx is itself the
+         -- row_number over (ts, event_id), so this is the same order
+         lead(epoch(ts)) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT conv_id, strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS bucket,
+       state,
+       round(sum(coalesce(nxt - sec, 0.0)), 6) + 0.0 AS dur_s,
+       count(*) AS n_turns,
+       sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END) AS n_closed
+FROM t
+GROUP BY 1, 2, 3
+"""
+
+
+_CORR_CH = ("latency", "tokens")
+
+
+def q_ts_channel_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Pearson correlation of latency vs tokens,
+    aligned on turn_idx (pairwise-complete: turn 0 has no latency and
+    drops). try_divide → NULL on degenerate groups instead of an ANSI
+    throw. Two shrinking exchanges, no join; full-value oracle
+    replays the identical covar_pop/stddev_pop ratio."""
+    from cesium_spark.operators.seriesstats import channel_corr
+    s = derive_series(events_transcripts(spark, sf_dir))
+    out = channel_corr(s, *_CORR_CH)
+    return out.select(
+        "conv_id", F.col("n_pairs").cast("long").alias("n_pairs"),
+        _r(F.col("r")).alias("r"),
+        _r(F.col("mean_a")).alias("mean_a"),
+        _r(F.col("mean_b")).alias("mean_b"))
+
+
+SQL_TS_CHANNEL_CORR = _SERIES_SQL + f"""
+, aligned AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN channel = '{_CORR_CH[0]}' THEN y END) AS ya,
+         max(CASE WHEN channel = '{_CORR_CH[1]}' THEN y END) AS yb
+  FROM series WHERE y IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT conv_id, count(*) AS n_pairs,
+       round(CASE WHEN stddev_pop(ya) * stddev_pop(yb) > 0
+                  THEN covar_pop(ya, yb)
+                       / (stddev_pop(ya) * stddev_pop(yb)) END, 6)
+         + 0.0 AS r,
+       round(avg(ya), 6) + 0.0 AS mean_a,
+       round(avg(yb), 6) + 0.0 AS mean_b
+FROM aligned
+WHERE ya IS NOT NULL AND yb IS NOT NULL
+GROUP BY conv_id
+"""
+
+
+_CONTAM_MOD = 97
+_CONTAM_N = 4
+
+
+def _duck_shingles(src: str, n: int) -> str:
+    """DuckDB CTE body producing (doc_id, sh) distinct word n-grams —
+    the replay of dedup._shingles (lowercase, whitespace split, n-token
+    windows joined by single spaces)."""
+    return f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i : i + {n - 1}], ' ') AS sh
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM {src}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.toks) - {n - 1}))
+                AS i) g
+"""
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing any word 4-gram
+    with the planted 'eval suite' (doc_id % 97 == 0). Eval side folds
+    to ONE broadcast row of distinct shingles; corpus side scores with
+    a native array_intersect — zero corpus shuffles. Full-value
+    oracle replays the shingling + semi-join in SQL."""
+    from cesium_spark.operators.dedup import contamination
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % _CONTAM_MOD == 0)
+    train = docs.where(F.col("doc_id") % _CONTAM_MOD != 0)
+    out = contamination(train, ev, n=_CONTAM_N)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shingles"), F.col("n_hits"), F.col("contaminated"))
+
+
+SQL_DOC_CONTAMINATION = f"""
+WITH ev AS (
+  SELECT DISTINCT sh FROM ({_duck_shingles(
+      f"(SELECT * FROM documents WHERE doc_id % {_CONTAM_MOD} = 0)",
+      _CONTAM_N)})
+), ds AS ({_duck_shingles(
+      f"(SELECT * FROM documents WHERE doc_id % {_CONTAM_MOD} <> 0)",
+      _CONTAM_N)}
+), hits AS (
+  SELECT ds.doc_id, count(*) AS n_shingles, count(ev.sh) AS n_hits
+  FROM ds LEFT JOIN ev ON ds.sh = ev.sh
+  GROUP BY ds.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_shingles, 0) AS n_shingles,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {_CONTAM_MOD} <> 0
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals per document: duplicate-line
+    fraction (native, zero-shuffle), duplicate-line CHARACTER fraction
+    and most-frequent-2-gram coverage (two-phase counts over exploded
+    units — the shuffles carry one row per distinct (doc, unit)).
+    Integer counts + one division each; full-value oracle."""
+    from cesium_spark.operators.textstats import repetition_stats
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = repetition_stats(docs, gram_n=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars"), F.col("n_lines"),
+        _r(F.col("dup_line_frac")).alias("dup_line_frac"),
+        _r(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        F.col("top_gram"),
+        F.col("top_gram_cnt"),
+        _r(F.col("top_gram_frac")).alias("top_gram_frac"))
+
+
+SQL_DOC_REPETITION = """
+WITH d AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split(text, chr(10)),
+                     x -> regexp_matches(x, '\\S')) AS lines,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), pl AS (
+  SELECT doc_id,
+         sum(cnt * length(u)) AS line_chars,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(u) ELSE 0 END)
+           AS dup_chars
+  FROM (SELECT doc_id, u, count(*) AS cnt
+        FROM d, LATERAL (SELECT unnest(d.lines) AS u) t
+        GROUP BY 1, 2)
+  GROUP BY doc_id
+), pg AS (
+  SELECT doc_id, g AS top_gram, cnt AS top_gram_cnt
+  FROM (SELECT doc_id, g, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, g ASC) AS rn
+        FROM (SELECT doc_id,
+                     array_to_string(toks[i : i + 1], ' ') AS g,
+                     count(*) AS cnt
+              FROM d,
+                   LATERAL (SELECT unnest(generate_series(1, len(d.toks) - 1))
+                            AS i) s
+              GROUP BY 1, 2))
+  WHERE rn = 1
+)
+SELECT d.doc_id, d.n_chars, len(d.lines) AS n_lines,
+       round(CASE WHEN len(d.lines) > 0
+                  THEN (len(d.lines) - len(list_distinct(d.lines)))
+                       * 1.0 / len(d.lines) END, 6) + 0.0
+         AS dup_line_frac,
+       round(CASE WHEN pl.line_chars > 0
+                  THEN pl.dup_chars * 1.0 / pl.line_chars END, 6) + 0.0
+         AS dup_line_char_frac,
+       pg.top_gram, pg.top_gram_cnt,
+       round(CASE WHEN d.n_chars > 0
+                  THEN pg.top_gram_cnt * length(pg.top_gram) * 1.0
+                       / d.n_chars END, 6) + 0.0 AS top_gram_frac
+FROM d LEFT JOIN pl ON d.doc_id = pl.doc_id
+       LEFT JOIN pg ON d.doc_id = pg.doc_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -3122,6 +3330,10 @@ QUERIES = {
     "ts_heartbeat_1d": q_ts_heartbeat_1d,
     "ts_cusum": q_ts_cusum,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "ts_state_agg": q_ts_state_agg,
+    "ts_channel_corr": q_ts_channel_corr,
+    "doc_contamination": q_doc_contamination,
+    "doc_repetition": q_doc_repetition,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -3200,6 +3412,10 @@ ORACLE_SQL = {
     "ts_heartbeat_1d": SQL_TS_HEARTBEAT_1D,
     "ts_cusum": SQL_TS_CUSUM,
     "doc_stratified_sample": _stratified_sample_sql(),
+    "ts_state_agg": SQL_TS_STATE_AGG,
+    "ts_channel_corr": SQL_TS_CHANNEL_CORR,
+    "doc_contamination": SQL_DOC_CONTAMINATION,
+    "doc_repetition": SQL_DOC_REPETITION,
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

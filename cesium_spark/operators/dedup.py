@@ -654,3 +654,56 @@ def resolve_duplicates(labels: DataFrame, scores: DataFrame,
             .select(F.col(id_col), F.col(cluster_col), F.col(score_col),
                     (F.col("__rn") == 1).alias("is_canonical"),
                     "kept_id"))
+
+
+def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 4,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation corpus (the standard
+    train/test-overlap hygiene step before pre-training — GPT-3 §C /
+    PaLM-style n-gram collision screening).
+
+    Scale shape — built like ``bm25_scores``, for the asymmetry the
+    problem actually has (10^12-doc training corpus × a few-MB eval
+    suite):
+
+    1. the EVAL side (small by definition) reduces to ONE row holding
+       its distinct shingle set (explode → two-phase ``collect_set``);
+    2. that row broadcasts; the corpus side computes its own distinct
+       shingle array natively (``_shingles`` — transform/slice, no
+       explode, the doc row count never amplifies) and scores with
+       ``size(array_intersect(...))`` per row.
+
+    Zero corpus shuffles, zero corpus joins beyond the 1-row
+    broadcast; the corpus scan stays a projection+filter, so the flag
+    composes under any downstream partitioning. For eval suites past
+    ~10^6 distinct shingles, shingle STRINGS in the broadcast row get
+    heavy — hash both sides (xxhash64) to an 8-byte set; strings are
+    kept here because they make the oracle replay byte-exact with no
+    cross-engine hash to pin.
+
+    Returns (id, n_shingles, n_hits, contaminated): ``n_shingles`` =
+    distinct n-grams in the doc, ``n_hits`` = how many also occur
+    anywhere in the eval corpus, ``contaminated`` = n_hits > 0. Docs
+    shorter than ``n`` tokens have 0 shingles and are clean by
+    definition — they still come back (a decontamination pass must
+    account for every row it saw, not just the flagged ones).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ev = (eval_docs
+          .select(F.explode(_shingles(text_col, n)).alias("__sh"))
+          .distinct()
+          .agg(F.collect_set("__sh").alias("__eval_set")))
+    from pyspark.sql.functions import broadcast
+    doc_sh = _shingles(text_col, n)
+    scored = (docs
+              .select(F.col(id_col), doc_sh.alias("__doc_sh"))
+              .crossJoin(broadcast(ev)))
+    n_hits = F.size(F.array_intersect("__doc_sh", "__eval_set"))
+    return scored.select(
+        F.col(id_col),
+        F.size("__doc_sh").cast("long").alias("n_shingles"),
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits > 0).alias("contaminated"))

@@ -1,10 +1,11 @@
 """Time-interval operators: range-based rolling aggregates, interval
-containment join, heartbeat/uptime aggregation, and CUSUM changepoint
-detection — the time-window family SURVEY.md §2.9 mandates around the
-retention tiers (trailing-window stats a dashboard reads next to the
-bucketed rollups; outage accounting; drift alarms).
+containment join, heartbeat/uptime aggregation, time-in-state
+accounting, and CUSUM changepoint detection — the time-window family
+SURVEY.md §2.9 mandates around the retention tiers (trailing-window
+stats a dashboard reads next to the bucketed rollups; outage and
+state-duration accounting; drift alarms).
 
-All four are pure native expressions (codegen end-to-end, no UDF):
+All five are pure native expressions (codegen end-to-end, no UDF):
 
 * ``rolling_window`` — per-point trailing-``span_s`` mean/min/max/count
   over a RANGE frame keyed on integer milliseconds. One hash exchange
@@ -21,6 +22,10 @@ All four are pure native expressions (codegen end-to-end, no UDF):
   series is "live" for ``min(gap, heartbeat_s)`` after each point;
   summed per retention-tier bucket of the EARLIER point (deterministic
   bucket attribution, exactly restatable in SQL). One window exchange.
+* ``state_agg`` — TimescaleDB ``state_agg`` semantics: wall seconds
+  spent in each state (role/tool/status) per (conv, tier bucket), the
+  span attributed to the earlier turn's bucket and state. One window
+  exchange + one hash agg with map-side partials.
 * ``cusum_changepoints`` — two-sided CUSUM drift alarm. The textbook
   recursion S_i = max(0, S_{i-1} + z_i - k) is not a plain window
   aggregate, but it equals ``C_i - min_{j<=i} C_j`` for the prefix sum
@@ -243,3 +248,45 @@ def cusum_changepoints(series: DataFrame, k: float = 0.5,
             .where((F.col("s_pos") > h) | (F.col("s_neg") > h))
             .select("conv_id", "channel", "turn_idx", "ts", "t", "y",
                     "s_pos", "s_neg"))
+
+
+def state_agg(turns: DataFrame, state_col: str, tier: str,
+              key: str = "conv_id", ts_col: str = "ts",
+              order_col: str = "turn_idx") -> DataFrame:
+    """Time-in-state accounting (TimescaleDB ``state_agg`` semantics):
+    each turn holds its state (role, tool, status, …) until the next
+    turn in the same conversation; wall seconds per state are summed
+    per (key, tier bucket). The natural transcript question — "how
+    much wall-clock did this conversation spend in role=assistant vs
+    waiting on tools, per day?".
+
+    Attribution follows the ``heartbeat_uptime`` convention: a
+    turn→next-turn span is attributed whole to the EARLIER turn's
+    bucket and state (deterministic, exactly restatable in SQL — no
+    interval fragmentation across bucket edges), and the final turn of
+    a conversation contributes 0 seconds (its state has no observed
+    end) but still counts in ``n_turns``.
+
+    Returns (key, bucket, state, dur_s, n_turns, n_closed) where
+    ``n_closed`` counts spans with an observed end. Plan: one window
+    exchange on ``key`` (lead over the conversation order) + one hash
+    aggregation with map-side partials on (key, bucket, state) — the
+    shuffle carries one row per observed (key, bucket, state), never
+    raw turns twice. NULL states are kept as a real group (a missing
+    role is an observation, not a row to lose).
+    """
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}")
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    nxt = F.lead(F.col(ts_col).cast("double")).over(w)
+    dur = nxt - F.col(ts_col).cast("double")
+    return (
+        turns
+        .withColumn("bucket", F.date_trunc(TIERS[tier], F.col(ts_col)))
+        .withColumn("__dur", F.coalesce(dur, F.lit(0.0)))
+        .withColumn("__closed", nxt.isNotNull().cast("long"))
+        .groupBy(key, "bucket", F.col(state_col).alias("state"))
+        .agg(F.sum("__dur").alias("dur_s"),
+             F.count(F.lit(1)).alias("n_turns"),
+             F.sum("__closed").alias("n_closed"))
+    )

@@ -97,3 +97,48 @@ def seasonal_zscore(series: DataFrame, threshold: float = 3.0,
         .select("conv_id", "channel", "turn_idx", "ts", "y",
                 "slot", "slot_mean", "slot_std", "slot_n", "z")
     )
+
+
+def channel_corr(series: DataFrame, ch_a: str, ch_b: str) -> DataFrame:
+    """Cross-channel Pearson correlation per conversation: align the
+    two channels on (conv_id, turn_idx) — both values of a pair come
+    from the SAME turn — and correlate the aligned pairs. The
+    multivariate question the single-channel features can't answer:
+    "do long-latency turns carry more tokens in this conversation?".
+
+    Turns present in only one channel are dropped (latency starts at
+    turn 1, tokens at turn 0 — pairwise-complete semantics, the same
+    rule ``corr()`` applies to NULLs). Degenerate groups (constant
+    channel, < 2 pairs) return NULL via ``try_divide`` — under ANSI
+    mode the built-in ``corr`` would THROW on a zero-variance group,
+    and one monotone conversation must not kill a 10^12-turn job. The
+    pop/samp normalization cancels in the ratio, so this IS Pearson r.
+
+    Plan: two hash exchanges, both shrinking — the alignment agg keys
+    on (conv_id, turn_idx) and its map-side partials collapse the
+    channel rows to one row per turn, then the corr agg keys on
+    conv_id over one row per turn. No join: alignment is conditional
+    aggregation, so the channel table is scanned ONCE (a self-join
+    alignment would scan twice and shuffle both copies).
+    """
+    if ch_a == ch_b:
+        raise ValueError(f"channels must differ, got {ch_a!r} twice")
+    aligned = (
+        series
+        .where(F.col("channel").isin([ch_a, ch_b])
+               & F.col("y").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.when(F.col("channel") == ch_a, F.col("y")))
+             .alias("__ya"),
+             F.max(F.when(F.col("channel") == ch_b, F.col("y")))
+             .alias("__yb"))
+        .where(F.col("__ya").isNotNull() & F.col("__yb").isNotNull())
+    )
+    return (
+        aligned.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.expr("try_divide(covar_pop(__ya, __yb), "
+                    "stddev_pop(__ya) * stddev_pop(__yb))").alias("r"),
+             F.avg("__ya").alias("mean_a"),
+             F.avg("__yb").alias("mean_b"))
+    )

@@ -379,3 +379,101 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
     return (docs.select(F.col(id_col), *counts,
                         red.alias("text_redacted"))
             .withColumn("n_pii_total", total))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     gram_n: int = 2) -> DataFrame:
+    """Intra-document repetition signals (the Gopher / MassiveText
+    quality-rule family, Rae et al. 2021 §A1.1): machine-generated and
+    boilerplate text repeats itself, and these three fractions are the
+    standard cheap detectors —
+
+    * ``dup_line_frac``      — 1 − distinct/total over non-empty lines;
+    * ``dup_line_char_frac`` — characters on lines whose exact text
+      occurs ≥ 2 times, over all line characters (every occurrence of
+      a duplicated line counts, including the first — the conservative
+      reading, stated here so the number means one thing);
+    * ``top_gram_frac``      — characters covered by the single most
+      frequent word ``gram_n``-gram (count × gram length incl. its
+      joining spaces, over total text chars), tie broken by gram ASC
+      so the winner is total and partitioning-independent.
+
+    Ratios with an empty denominator (no lines / no grams / empty
+    text) are NULL — undefined, never 0.
+
+    Plan: line/char totals and the distinct-line fraction are ONE
+    native projection (array_distinct over the split — zero shuffle);
+    the per-line and per-gram occurrence counts explode to (id, unit)
+    and reduce by TWO-phase count aggregates, so each shuffle carries
+    one row per distinct (doc, unit), never raw occurrences (a repeated
+    line collapses map-side — the pathological 10^6-copy doc is exactly
+    the one whose shuffle rows shrink the most). The per-doc reductions
+    and the final joins all key on ``id``, and both aggregate outputs
+    arrive already hash-partitioned on it. The HOF alternative (count
+    via ``size(filter(lines, eq))`` per distinct line) is O(L·D) per
+    row — quadratic on whale docs — and was rejected.
+    """
+    if gram_n < 2:
+        raise ValueError(f"gram_n must be >= 2, got {gram_n}")
+    # blank = no non-whitespace char (\S — identical in Java regex and
+    # RE2); trim() would only strip 0x20 and keep tab-only lines
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: x.rlike(r"\S"))
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size(toks) < gram_n, F.array().cast("array<string>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(gram_n - 1),
+                                        F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, gram_n), " ")))
+
+    base = docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.try_divide(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            .cast("double"),
+            F.size(lines).cast("double")).alias("dup_line_frac"),
+        lines.alias("__lines"),
+        grams.alias("__grams"),
+    )
+
+    per_line = (base
+                .select(F.col(id_col), F.explode("__lines").alias("__u"))
+                .groupBy(id_col, "__u")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .groupBy(id_col)
+                .agg(F.sum(F.col("__cnt") * F.length("__u"))
+                     .alias("__line_chars"),
+                     F.sum(F.when(F.col("__cnt") >= 2,
+                                  F.col("__cnt") * F.length("__u"))
+                           .otherwise(F.lit(0)))
+                     .alias("__dup_chars")))
+
+    per_gram = (base
+                .select(F.col(id_col), F.explode("__grams").alias("__u"))
+                .groupBy(id_col, "__u")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .groupBy(id_col)
+                .agg(F.min_by(
+                        F.struct(F.col("__u").alias("g"),
+                                 F.col("__cnt").alias("c")),
+                        F.struct((-F.col("__cnt")).alias("nc"),
+                                 F.col("__u").alias("g"))).alias("__top")))
+
+    out = (base.drop("__lines", "__grams")
+           .join(per_line, id_col, "left")
+           .join(per_gram, id_col, "left"))
+    return out.select(
+        F.col(id_col), "n_chars", "n_lines", "dup_line_frac",
+        F.try_divide(F.col("__dup_chars").cast("double"),
+                     F.col("__line_chars").cast("double"))
+        .alias("dup_line_char_frac"),
+        F.col("__top.g").alias("top_gram"),
+        F.col("__top.c").cast("long").alias("top_gram_cnt"),
+        F.try_divide(F.col("__top.c") * F.length("__top.g"),
+                     F.col("n_chars").cast("double")).alias("top_gram_frac"),
+    )

@@ -266,3 +266,67 @@ def test_stratified_sample_properties(spark):
         stratified_sample(df, "lang", {})
     with pytest.raises(ValueError):
         stratified_sample(df, "lang", {"en": 1.5})
+
+
+# ---------------------------------------------------------------------------
+# state_agg
+# ---------------------------------------------------------------------------
+
+
+def test_state_agg_hand_computed(spark):
+    from cesium_spark.operators.intervals import state_agg
+    rows = [
+        # conv a, one day: u holds 0->10, v holds 10->70, u final (0s)
+        ("a", 0, dt.datetime(2024, 1, 1, 0, 0, 0), "u"),
+        ("a", 1, dt.datetime(2024, 1, 1, 0, 0, 10), "v"),
+        ("a", 2, dt.datetime(2024, 1, 1, 0, 1, 10), "u"),
+        # conv b: span crosses midnight, attributed to day 1 (earlier
+        # turn's bucket, whole)
+        ("b", 0, dt.datetime(2024, 1, 1, 23, 59, 30), "x"),
+        ("b", 1, dt.datetime(2024, 1, 2, 0, 0, 30), "x"),
+        # conv c: NULL state is a kept group
+        ("c", 0, dt.datetime(2024, 1, 3, 1, 0, 0), None),
+        ("c", 1, dt.datetime(2024, 1, 3, 1, 0, 5), "z"),
+    ]
+    turns = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role"]))
+    got = {(r["conv_id"], r["bucket"].day, r["state"]):
+           (r["dur_s"], r["n_turns"], r["n_closed"])
+           for r in state_agg(turns, "role", "1d").collect()}
+    assert got[("a", 1, "u")] == (10.0, 2, 1)
+    assert got[("a", 1, "v")] == (60.0, 1, 1)
+    assert got[("b", 1, "x")] == (60.0, 1, 1)   # cross-midnight span
+    assert got[("b", 2, "x")] == (0.0, 1, 0)    # final turn, open state
+    assert got[("c", 3, None)] == (5.0, 1, 1)   # NULL state kept
+    assert got[("c", 3, "z")] == (0.0, 1, 0)
+    assert len(got) == 6
+
+
+def test_state_agg_totals_and_partition_invariance(spark, rng_series):
+    """Sum of dur_s over all states == observed conv span (last turn
+    contributes 0 by definition), at any input partitioning."""
+    from cesium_spark.operators.intervals import state_agg
+    turns = rng_series.withColumnRenamed("channel", "role") \
+        .withColumn("role",
+                    F.when(F.col("turn_idx") % 3 == 0, "tool")
+                    .otherwise("assistant"))
+    out = state_agg(turns, "role", "1d")
+    tot = {r["conv_id"]: r["s"] for r in
+           out.groupBy("conv_id").agg(F.sum("dur_s").alias("s")).collect()}
+    span = {r["conv_id"]: r["s"] for r in
+            turns.groupBy("conv_id")
+            .agg((F.max(F.col("ts").cast("double"))
+                  - F.min(F.col("ts").cast("double"))).alias("s"))
+            .collect()}
+    for c in span:
+        assert tot[c] == pytest.approx(span[c], abs=1e-6)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple,
+                   state_agg(turns.repartition(13), "role", "1d").collect()))
+    assert a == b
+
+
+def test_state_agg_bad_tier(spark, rng_series):
+    from cesium_spark.operators.intervals import state_agg
+    with pytest.raises(ValueError):
+        state_agg(rng_series, "channel", "5m")

@@ -225,3 +225,48 @@ def test_stratified_sample_zero_exchange(docs, spark):
     s = _shape(stratified_sample(d, "lang", {"en": 0.5}))
     assert s == {"hash": 0, "range": 0, "single": 0, "bcast": 0,
                  "cartesian": False}
+
+
+def test_state_agg_one_exchange(series):
+    from cesium_spark.operators.intervals import state_agg
+    s = _shape(state_agg(series.withColumnRenamed("channel", "role"),
+                         "role", "1d"))
+    # lead window partitions on conv_id; the (conv, bucket, state)
+    # group-by clusters on a SUPERSET, so the window's partitioning
+    # satisfies it — one exchange, partials map-side
+    assert s["hash"] == 1 and not s["cartesian"] and s["bcast"] == 0
+
+
+def test_channel_corr_two_shrinking_exchanges(series):
+    from pyspark.sql import functions as F
+    from cesium_spark.operators.seriesstats import channel_corr
+    two = series.union(series.withColumn("channel", F.lit("w")))
+    s = _shape(channel_corr(two, "v", "w"))
+    # alignment agg on (conv, turn) then corr agg on conv — conditional
+    # aggregation, ONE scan, no self-join (a join alignment would scan
+    # and shuffle the channel table twice)
+    assert s["hash"] == 2 and s["bcast"] == 0 and not s["cartesian"]
+    p = channel_corr(two, "v", "w")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in p
+
+
+def test_contamination_zero_corpus_shuffle(docs):
+    from cesium_spark.operators.dedup import contamination
+    s = _shape(contamination(docs, docs.where("doc_id = 1"), n=2))
+    # the only exchanges belong to the eval side (small by definition):
+    # Catalyst elides the pre-distinct into collect_set, leaving one
+    # SinglePartition exchange; the corpus side is a projection joined
+    # to a broadcast single row (BNLJ over ONE build row = a map)
+    assert s["hash"] == 0 and s["single"] == 1 and s["bcast"] == 1
+    assert not s["cartesian"]
+
+
+def test_repetition_exchanges_all_on_id(docs):
+    from cesium_spark.operators.textstats import repetition_stats
+    s = _shape(repetition_stats(docs))
+    # exactly four hash exchanges: two unit-count aggs on (id, unit)
+    # and two per-doc reductions on id; the final joins broadcast the
+    # per-doc summaries (one row per doc — the SHRUNK side, never the
+    # corpus' exploded units), no cartesian, no sort-merge
+    assert s["hash"] == 4 and s["bcast"] == 2 and not s["cartesian"]
