@@ -3310,6 +3310,231 @@ FROM d LEFT JOIN pl ON d.doc_id = pl.doc_id
 """
 
 
+_HAMPEL_K, _HAMPEL_NSIGMA = 2, 3.0
+
+
+def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despike (k=2, 3σ·1.4826·MAD): centered rolling median +
+    MAD per point, windows shrinking at the edges, outlier decision
+    snapped to a 1e-6 grid on both engines before the compare. One
+    exchange into the vectorized kernel; full-value oracle replays the
+    window median (DuckDB median window fn) and the MAD via an
+    explicit windowed self-join."""
+    from cesium_spark.operators.smoothing import hampel
+    out = hampel(_value_series(spark, sf_dir), k=_HAMPEL_K,
+                 n_sigma=_HAMPEL_NSIGMA)
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        _r(F.col("t")).alias("t"), _r(F.col("y")).alias("y"),
+        _r(F.col("med")).alias("med"), _r(F.col("mad")).alias("mad"),
+        F.col("is_outlier"),
+        _r(F.col("y_clean")).alias("y_clean"))
+
+
+SQL_TS_HAMPEL = f"""{_VALUE_SERIES_SQL}
+, m AS (
+  SELECT conv_id, turn_idx, t, y,
+         median(y) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN {_HAMPEL_K} PRECEDING
+                               AND {_HAMPEL_K} FOLLOWING) AS med
+  FROM series
+), d AS (
+  SELECT a.conv_id, a.turn_idx, a.t, a.y, a.med,
+         median(abs(b.y - a.med)) AS mad
+  FROM m a JOIN series b
+    ON b.conv_id = a.conv_id
+   AND b.turn_idx BETWEEN a.turn_idx - {_HAMPEL_K}
+                      AND a.turn_idx + {_HAMPEL_K}
+  GROUP BY a.conv_id, a.turn_idx, a.t, a.y, a.med
+)
+SELECT conv_id, turn_idx, round(t, 6) + 0.0 AS t, round(y, 6) + 0.0 AS y,
+       round(med, 6) + 0.0 AS med, round(mad, 6) + 0.0 AS mad,
+       floor(abs(y - med) * 1e6 + 0.5)
+         > floor({_HAMPEL_NSIGMA} * 1.4826 * mad * 1e6 + 0.5) AS is_outlier,
+       round(CASE WHEN floor(abs(y - med) * 1e6 + 0.5)
+                       > floor({_HAMPEL_NSIGMA} * 1.4826 * mad * 1e6 + 0.5)
+                  THEN med ELSE y END, 6) + 0.0 AS y_clean
+FROM d
+"""
+
+
+_HOLT_A, _HOLT_B = 0.5, 0.25
+
+
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (alpha=0.5, beta=0.25 — both
+    dyadic, so the kernel's scalar recursion is bit-replayable): the
+    oracle restates the l/b recurrences verbatim as a recursive CTE
+    over dense turn_idx (EWMA precedent). floor-snap on both sides so
+    the 6-dp boundary decision is the same fp op."""
+    from cesium_spark.operators.smoothing import holt_linear
+    out = holt_linear(_value_series(spark, sf_dir), _HOLT_A, _HOLT_B)
+
+    def r6(c):
+        return F.floor(F.col(c) * 1e6 + 0.5) / 1e6 + F.lit(0.0)
+
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        _r(F.col("t")).alias("t"), _r(F.col("y")).alias("y"),
+        r6("level").alias("level"), r6("trend").alias("trend"),
+        r6("forecast").alias("forecast"),
+        r6("residual").alias("residual"))
+
+
+SQL_TS_HOLT = (
+    _VALUE_SERIES_SQL.replace("WITH series", "WITH RECURSIVE series", 1)
+    + f"""
+, base AS (
+  SELECT conv_id, count(*) AS n,
+         max(CASE WHEN turn_idx = 0 THEN y END) AS y0,
+         max(CASE WHEN turn_idx = 1 THEN y END) AS y1
+  FROM series GROUP BY conv_id
+), rec AS (
+  SELECT conv_id, 0 AS turn_idx, y0 AS l, y1 - y0 AS b,
+         CAST(NULL AS DOUBLE) AS f
+  FROM base WHERE n >= 2
+  UNION ALL
+  SELECT r.conv_id, r.turn_idx + 1,
+         {_HOLT_A} * s2.y + (1.0 - {_HOLT_A}) * (r.l + r.b),
+         {_HOLT_B} * (({_HOLT_A} * s2.y
+                       + (1.0 - {_HOLT_A}) * (r.l + r.b)) - r.l)
+           + (1.0 - {_HOLT_B}) * r.b,
+         CASE WHEN r.turn_idx + 1 >= 2 THEN r.l + r.b END
+  FROM rec r JOIN series s2
+    ON s2.conv_id = r.conv_id AND s2.turn_idx = r.turn_idx + 1
+)
+SELECT s.conv_id, s.turn_idx, round(s.t, 6) + 0.0 AS t,
+       round(s.y, 6) + 0.0 AS y,
+       floor(r.l * 1e6 + 0.5) / 1e6 + 0.0 AS level,
+       floor(r.b * 1e6 + 0.5) / 1e6 + 0.0 AS trend,
+       floor(r.f * 1e6 + 0.5) / 1e6 + 0.0 AS forecast,
+       floor((s.y - r.f) * 1e6 + 0.5) / 1e6 + 0.0 AS residual
+FROM rec r JOIN series s USING (conv_id, turn_idx)
+UNION ALL
+SELECT s.conv_id, s.turn_idx, round(s.t, 6) + 0.0, round(s.y, 6) + 0.0,
+       floor(s.y * 1e6 + 0.5) / 1e6 + 0.0, NULL, NULL, NULL
+FROM series s JOIN base ON s.conv_id = base.conv_id AND base.n = 1
+""")
+
+
+_DEDUP_PLANT_MOD = 7
+
+
+def q_ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup with BOUNDED state: the value
+    series plus a planted re-delivery of every 7th turn is replayed
+    through readStream, dropDuplicatesWithinWatermark on (conv_id,
+    turn_idx) collapses the duplicates while its state store stays
+    O(in-watermark keys) — vs dropDuplicates' O(all keys ever), an
+    OOM at 10^12 turns. Oracle = the batch DISTINCT (the original
+    series: re-deliveries carry identical payloads)."""
+    import os
+    import shutil
+
+    from cesium_spark.streaming.window_delta import stream_dedup
+
+    _prep(spark)
+    base = os.path.join("/tmp/cesium_spark_stream_dedup",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+    s = _value_series(spark, sf_dir)
+    dups = s.where(F.col("turn_idx") % _DEDUP_PLANT_MOD == 0)
+    s.unionByName(dups).coalesce(1).write.mode("append") \
+        .parquet(f"{base}/src")
+    schema = ("conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double, e double")
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src")
+    out = stream_dedup(stream, ["conv_id", "turn_idx"], "ts", "2 hours")
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", f"{base}/ckpt")
+         .format("parquet").option("path", f"{base}/out")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ts_stream_dedup: availableNow stream did not finish "
+            "within 300s")
+    got = spark.read.parquet(f"{base}/out")
+    return got.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.date_format("ts", TS_FMT).alias("ts"),
+        _r(F.col("t")).alias("t"), _r(F.col("y")).alias("y"))
+
+
+SQL_TS_STREAM_DEDUP = f"""{_VALUE_SERIES_SQL}
+SELECT conv_id, turn_idx, strftime(ts, '{DUCK_TS_FMT}') AS ts,
+       round(t, 6) + 0.0 AS t, round(y, 6) + 0.0 AS y
+FROM series
+"""
+
+
+_DTW_TEMPLATE = (12.0, 40.0, 25.0, 60.0, 18.0, 75.0, 30.0, 50.0)
+_DTW_PLANT = "__tpl__"
+
+
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance of every conversation's value series to a fixed
+    incident template (anti-diagonal vectorized DP, one exchange).
+    Invariant oracle (LTTB/QSO precedent — the recursion is not
+    SQL-expressible; exact values are pytest-pinned vs a scalar DP):
+    LB_Kim-corner lower bound ≤ dtw ≤ explicit-path upper bound, both
+    restated exactly in SQL, with a planted template-equal series
+    forcing lb = ub = 0 — so the invariant is tight at the plant and
+    dtw must be exactly 0 there."""
+    from cesium_spark.operators.dtw import dtw_to_template
+    s = _value_series(spark, sf_dir)
+    n_t = len(_DTW_TEMPLATE)
+    plant = spark.createDataFrame(
+        [(_DTW_PLANT, "value", i, None, float(i), v, 1e-4)
+         for i, v in enumerate(_DTW_TEMPLATE)],
+        "conv_id string, channel string, turn_idx int, ts timestamp, "
+        "t double, y double, e double")
+    out = dtw_to_template(s.unionByName(plant), _DTW_TEMPLATE)
+    assert n_t == 8
+    return out.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        _r(F.col("lb")).alias("lb"), _r(F.col("ub")).alias("ub"),
+        F.col("within_bounds"))
+
+
+def _dtw_sql() -> str:
+    t = _DTW_TEMPLATE
+    m = len(t)
+    vals = ", ".join(f"({j}, {v})" for j, v in enumerate(t))
+    return f"""{_VALUE_SERIES_SQL}
+, tpl(j, v) AS (VALUES {vals})
+, splus AS (
+  SELECT conv_id, turn_idx, y FROM series
+  UNION ALL
+  SELECT '{_DTW_PLANT}', j, v FROM tpl
+), a AS (
+  SELECT conv_id, count(*) AS n,
+         max(CASE WHEN turn_idx = 0 THEN y END) AS y0,
+         max_by(y, turn_idx) AS ylast,
+         max(y) AS ymax, min(y) AS ymin
+  FROM splus GROUP BY conv_id
+), ubd AS (
+  SELECT s.conv_id,
+         sum(CASE WHEN s.turn_idx <= {m - 1} THEN abs(s.y - t.v)
+                  ELSE abs(s.y - {t[-1]}) END) AS ub1
+  FROM splus s JOIN tpl t ON t.j = least(s.turn_idx, {m - 1})
+  GROUP BY s.conv_id
+), ubt AS (
+  SELECT a.conv_id, sum(abs(a.ylast - t.v)) AS ub2
+  FROM a JOIN tpl t ON t.j >= a.n GROUP BY a.conv_id
+)
+SELECT a.conv_id, a.n,
+       round(greatest(abs(a.y0 - {t[0]}), abs(a.ylast - {t[-1]}),
+                      abs(a.ymax - {max(t)}), abs(a.ymin - {min(t)})),
+             6) + 0.0 AS lb,
+       round(ubd.ub1 + coalesce(ubt.ub2, 0.0), 6) + 0.0 AS ub,
+       TRUE AS within_bounds
+FROM a JOIN ubd ON a.conv_id = ubd.conv_id
+       LEFT JOIN ubt ON a.conv_id = ubt.conv_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -3334,6 +3559,10 @@ QUERIES = {
     "ts_channel_corr": q_ts_channel_corr,
     "doc_contamination": q_doc_contamination,
     "doc_repetition": q_doc_repetition,
+    "ts_hampel": q_ts_hampel,
+    "ts_holt": q_ts_holt,
+    "ts_stream_dedup": q_ts_stream_dedup,
+    "ts_dtw": q_ts_dtw,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -3416,6 +3645,10 @@ ORACLE_SQL = {
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,
     "doc_contamination": SQL_DOC_CONTAMINATION,
     "doc_repetition": SQL_DOC_REPETITION,
+    "ts_hampel": SQL_TS_HAMPEL,
+    "ts_holt": SQL_TS_HOLT,
+    "ts_stream_dedup": SQL_TS_STREAM_DEDUP,
+    "ts_dtw": _dtw_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

@@ -66,3 +66,170 @@ def ewma(series: DataFrame, alpha: float,
         .groupBy("conv_id", "channel")
         .applyInPandas(_kernel, EWMA_SCHEMA)
     )
+
+
+HAMPEL_SCHEMA = ("conv_id string, channel string, turn_idx long, "
+                 "t double, y double, med double, mad double, "
+                 "is_outlier boolean, y_clean double")
+
+
+def hampel(series: DataFrame, k: int = 3, n_sigma: float = 3.0,
+           grid_dp: int | None = 6) -> DataFrame:
+    """Hampel despike filter per (conv_id, channel): for each point,
+    the median and MAD of the CENTERED window of up to 2k+1 rows
+    (shrinking at the series edges — the first point's window is just
+    its k successors plus itself), flag
+    ``|y − med| > n_sigma · 1.4826 · MAD``, and emit ``y_clean`` = the
+    window median for outliers, y otherwise. The standard robust
+    despiker (Pearson's recommendation over sigma-clipping: one spike
+    inflates a std but not a median).
+
+    Kernel: one hash exchange into ``applyInPandas``; interior windows
+    are a single ``sliding_window_view`` + ``np.median`` over the
+    window axis — vectorized O(n·k log k) per series, no per-row
+    Python — with the ≤ 2k edge windows handled explicitly (they
+    shrink, matching the SQL ROWS frame the oracle uses). MAD is the
+    median of |window − window's own med| (the true Hampel form, not
+    the rolling-MAD-of-global-median shortcut).
+
+    Cross-engine determinism: medians are order statistics —
+    bit-identical across engines given identical window contents (the
+    even-count midpoint average (a+b)/2 is the same single fp op) —
+    and the outlier DECISION is snapped to a 10^-grid_dp grid before
+    the compare (CUSUM precedent) so ~1-ulp MAD drift between two
+    engines' pipelines cannot flip flag membership. NULL t/y rows are
+    dropped up front (despiking a NULL is undefined; gap-fill first).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_sigma <= 0:
+        raise ValueError(f"n_sigma must be > 0, got {n_sigma}")
+    import numpy as np
+
+    scale = 1.4826  # MAD -> sigma under normality
+    snap = None if grid_dp is None else float(10 ** grid_dp)
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(["t", "turn_idx"], kind="stable")
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        n = len(y)
+        med = np.empty(n)
+        mad = np.empty(n)
+        if n > 2 * k:
+            win = np.lib.stride_tricks.sliding_window_view(y, 2 * k + 1)
+            med[k:n - k] = np.median(win, axis=1)
+            mad[k:n - k] = np.median(
+                np.abs(win - med[k:n - k, None]), axis=1)
+        for i in range(min(k, n)):          # shrunk leading windows
+            w = y[:i + k + 1]
+            med[i] = np.median(w)
+            mad[i] = np.median(np.abs(w - med[i]))
+        for i in range(max(n - k, k), n):   # shrunk trailing windows
+            w = y[i - k:]
+            med[i] = np.median(w)
+            mad[i] = np.median(np.abs(w - med[i]))
+        dev = np.abs(y - med)
+        thr = n_sigma * scale * mad
+        if snap is not None:
+            dev = np.floor(dev * snap + 0.5) / snap
+            thr = np.floor(thr * snap + 0.5) / snap
+        out = dev > thr
+        pdf["med"] = med
+        pdf["mad"] = mad
+        pdf["is_outlier"] = out
+        pdf["y_clean"] = np.where(out, med, y)
+        return pdf
+
+    return (
+        series
+        .select("conv_id", "channel", "turn_idx", "t", "y")
+        .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+        .groupBy("conv_id", "channel")
+        .applyInPandas(_kernel, HAMPEL_SCHEMA)
+    )
+
+
+HOLT_SCHEMA = ("conv_id string, channel string, turn_idx long, "
+               "t double, y double, level double, trend double, "
+               "forecast double, residual double")
+
+
+def holt_linear(series: DataFrame, alpha: float, beta: float,
+                allow_non_dyadic: bool = False) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per (conv_id,
+    channel) — the level+trend half of Holt–Winters (Prometheus
+    ``holt_winters()``/``double_exponential_smoothing()``):
+
+        l₀ = y₀,  b₀ = y₁ − y₀
+        lᵢ = α·yᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁)
+        bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁
+
+    with ``forecast``ᵢ = lᵢ₋₁ + bᵢ₋₁ (the one-step-ahead prediction —
+    NULL at i=0,1 where the state is still initializing, never a fake
+    0) and ``residual`` = y − forecast, the drift-alarm input.
+    Single-point series emit level = y, trend/forecast NULL.
+
+    The recursion is sequential per series BY DEFINITION (EWMA/LTTB
+    precedent): parallelism is across series — one hash exchange into
+    ``applyInPandas``, O(n) work per series. The state update is a
+    scalar float64 loop in the kernel (the coupled l/b recursion has
+    no pandas C path like ``ewm``; at ~5M updates/s/core the loop is
+    never the bottleneck when the parallelism is across 10^8
+    conversations — documented trade-off, an Arrow compute kernel is
+    the drop-in upgrade).
+
+    Determinism / oracle story (EWMA precedent): for DYADIC α and β
+    every coefficient is exactly representable and the update is the
+    same fixed expression tree in any IEEE-double engine, so the whole
+    stream is bit-replayable by a recursive CTE that restates the
+    recurrences verbatim. Non-dyadic values require
+    ``allow_non_dyadic=True``.
+    """
+    for name, v in (("alpha", alpha), ("beta", beta)):
+        if not (0.0 < v < 1.0):
+            raise ValueError(f"{name} must be in (0, 1), got {v}")
+        if not allow_non_dyadic and not _is_dyadic(v):
+            raise ValueError(
+                f"{name}={v} is not dyadic — the bit-exact oracle "
+                "guarantee does not hold; pass allow_non_dyadic=True "
+                "to proceed anyway")
+    import numpy as np
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(["t", "turn_idx"], kind="stable")
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        n = len(y)
+        level = np.full(n, np.nan)
+        trend = np.full(n, np.nan)
+        fcst = np.full(n, np.nan)
+        if n == 1:
+            level[0] = y[0]
+        elif n >= 2:
+            l_prev = y[0]
+            b_prev = y[1] - y[0]
+            level[0] = l_prev
+            trend[0] = b_prev
+            for i in range(1, n):
+                # fixed expression tree — restated verbatim in the
+                # recursive-CTE oracle; do not refactor the arithmetic
+                f = l_prev + b_prev
+                li = alpha * y[i] + (1.0 - alpha) * (l_prev + b_prev)
+                bi = beta * (li - l_prev) + (1.0 - beta) * b_prev
+                if i >= 2:
+                    fcst[i] = f
+                level[i] = li
+                trend[i] = bi
+                l_prev, b_prev = li, bi
+        pdf["level"] = level
+        pdf["trend"] = trend
+        pdf["forecast"] = fcst
+        pdf["residual"] = pdf["y"] - pdf["forecast"]
+        return pdf
+
+    return (
+        series
+        .select("conv_id", "channel", "turn_idx", "t", "y")
+        .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+        .groupBy("conv_id", "channel")
+        .applyInPandas(_kernel, HOLT_SCHEMA)
+    )

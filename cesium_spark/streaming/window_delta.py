@@ -123,3 +123,28 @@ def stream_sessionize(series_stream: DataFrame,
             "n_events", "first_ts", "last_ts",
         )
     )
+
+
+def stream_dedup(stream: DataFrame, keys, watermark_col: str = "ts",
+                 delay: str = "2 hours") -> DataFrame:
+    """Exactly-once row dedup over an unbounded re-delivery stream
+    with BOUNDED state: ``dropDuplicatesWithinWatermark`` keys the
+    state store on ``keys`` and EVICTS an entry once the event-time
+    watermark passes its timestamp + delay.
+
+    This is the streaming twin of the batch upsert compaction
+    (operators/compaction.py): at-least-once transports re-deliver
+    turns, and the batch MERGE path absorbs late re-deliveries beyond
+    the watermark. Plain ``dropDuplicates`` on a stream keeps state
+    for EVERY key ever seen — O(10^12) entries on the target table,
+    an inevitable OOM — while this operator's state is O(keys inside
+    the watermark horizon), the same bounded-lateness contract every
+    other streaming op in this module honors. First arrival wins;
+    re-deliveries carry identical payloads, so the output set is
+    deterministic and equal to the batch DISTINCT of the input.
+    """
+    ks = list(keys)
+    if not ks:
+        raise ValueError("keys must be non-empty")
+    return (stream.withWatermark(watermark_col, delay)
+            .dropDuplicatesWithinWatermark(ks))

@@ -270,3 +270,15 @@ def test_repetition_exchanges_all_on_id(docs):
     # per-doc summaries (one row per doc — the SHRUNK side, never the
     # corpus' exploded units), no cartesian, no sort-merge
     assert s["hash"] == 4 and s["bcast"] == 2 and not s["cartesian"]
+
+
+def test_hampel_holt_dtw_one_exchange(series):
+    from cesium_spark.operators.dtw import dtw_to_template
+    from cesium_spark.operators.smoothing import hampel, holt_linear
+    for df in (hampel(series, k=2),
+               holt_linear(series, 0.5, 0.25),
+               dtw_to_template(series, [1.0, 2.0, 3.0])):
+        s = _shape(df)
+        # sequential-per-series kernels: one exchange into
+        # applyInPandas, parallelism across series, no join/broadcast
+        assert s["hash"] == 1 and s["bcast"] == 0 and not s["cartesian"]

@@ -1,0 +1,246 @@
+"""Round-4 session-5 robust-series operators: Hampel despike, Holt
+linear-trend smoothing, DTW-to-template, streaming dedup-within-
+watermark. Exact values pinned against independent scalar references;
+degenerate inputs and the partitioning/determinism contracts asserted."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cesium_spark.operators.dtw import (
+    _bounds,
+    _dtw_scalar_free,
+    dtw_to_template,
+)
+from cesium_spark.operators.smoothing import hampel, holt_linear
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _series(spark, ys, conv="c"):
+    pdf = pd.DataFrame({
+        "conv_id": [conv] * len(ys), "channel": ["v"] * len(ys),
+        "turn_idx": range(len(ys)),
+        "t": [float(i) * 10 for i in range(len(ys))],
+        "y": [float(v) for v in ys]})
+    pdf["ts"] = pdf["t"].map(lambda s: EPOCH + dt.timedelta(seconds=s))
+    return spark.createDataFrame(
+        pdf[["conv_id", "channel", "turn_idx", "ts", "t", "y"]])
+
+
+# ---------------------------------------------------------------------------
+# hampel
+# ---------------------------------------------------------------------------
+
+
+def _hampel_ref(y, k, n_sigma):
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    med = np.empty(n)
+    mad = np.empty(n)
+    for i in range(n):
+        w = y[max(0, i - k):min(n, i + k + 1)]
+        med[i] = np.median(w)
+        mad[i] = np.median(np.abs(w - med[i]))
+    out = np.abs(y - med) > n_sigma * 1.4826 * mad
+    return med, mad, out
+
+
+def test_hampel_spike_replaced_inliers_kept(spark):
+    ys = [10, 11, 10, 900, 11, 10, 11, 10]
+    rows = {r["turn_idx"]: r
+            for r in hampel(_series(spark, ys), k=2).collect()}
+    assert rows[3]["is_outlier"] and rows[3]["y_clean"] == rows[3]["med"]
+    for i in (0, 1, 2, 4, 5, 6, 7):
+        assert not rows[i]["is_outlier"] and rows[i]["y_clean"] == ys[i]
+
+
+def test_hampel_matches_scalar_reference(spark):
+    rng = np.random.default_rng(9)
+    ys = rng.normal(100, 5, size=200)
+    ys[17] += 400
+    ys[103] -= 300
+    for k in (1, 2, 4):
+        med, mad, out = _hampel_ref(ys, k, 3.0)
+        got = {r["turn_idx"]: r
+               for r in hampel(_series(spark, ys), k=k,
+                               grid_dp=None).collect()}
+        for i in range(len(ys)):
+            assert got[i]["med"] == med[i]
+            assert got[i]["mad"] == mad[i]
+            assert got[i]["is_outlier"] == bool(out[i]), (k, i)
+
+
+def test_hampel_constant_series_and_edges(spark):
+    # constant window: MAD 0, dev 0 -> 0 > 0 is False, no flags
+    rows = hampel(_series(spark, [5.0] * 10), k=3).collect()
+    assert not any(r["is_outlier"] for r in rows)
+    # n <= k: every window is the whole (shrunk) series
+    rows = hampel(_series(spark, [1.0, 2.0]), k=5).collect()
+    assert {r["med"] for r in rows} == {1.5}
+    with pytest.raises(ValueError):
+        hampel(_series(spark, [1.0]), k=0)
+
+
+def test_hampel_partition_invariance(spark):
+    rng = np.random.default_rng(3)
+    dfs = [_series(spark, rng.normal(size=60), conv=f"c{i}")
+           for i in range(4)]
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    a = sorted(map(tuple, hampel(df, k=3).collect()))
+    b = sorted(map(tuple, hampel(df.repartition(17), k=3).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# holt_linear
+# ---------------------------------------------------------------------------
+
+
+def _holt_ref(y, a, b):
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    lv = np.full(n, np.nan)
+    tr = np.full(n, np.nan)
+    fc = np.full(n, np.nan)
+    if n == 1:
+        lv[0] = y[0]
+        return lv, tr, fc
+    lp, bp = y[0], y[1] - y[0]
+    lv[0], tr[0] = lp, bp
+    for i in range(1, n):
+        f = lp + bp
+        li = a * y[i] + (1.0 - a) * (lp + bp)
+        bi = b * (li - lp) + (1.0 - b) * bp
+        if i >= 2:
+            fc[i] = f
+        lv[i], tr[i] = li, bi
+        lp, bp = li, bi
+    return lv, tr, fc
+
+
+def test_holt_bitwise_vs_reference(spark):
+    rng = np.random.default_rng(21)
+    ys = np.cumsum(rng.normal(1.0, 2.0, size=150)) + 50
+    lv, tr, fc = _holt_ref(ys, 0.5, 0.25)
+    got = {r["turn_idx"]: r
+           for r in holt_linear(_series(spark, ys), 0.5, 0.25).collect()}
+    for i in range(len(ys)):
+        assert got[i]["level"] == lv[i]            # bitwise
+        assert got[i]["trend"] == tr[i]
+        if i >= 2:
+            assert got[i]["forecast"] == fc[i]
+            assert got[i]["residual"] == ys[i] - fc[i]
+        else:
+            assert got[i]["forecast"] is None
+
+
+def test_holt_tracks_linear_trend_exactly_in_the_limit(spark):
+    # on a pure linear ramp the state locks on: forecast == y
+    ys = [3.0 + 2.0 * i for i in range(40)]
+    rows = holt_linear(_series(spark, ys), 0.5, 0.25).collect()
+    for r in rows:
+        if r["forecast"] is not None:
+            assert r["residual"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_holt_degenerates_and_validation(spark):
+    one = holt_linear(_series(spark, [7.0]), 0.5, 0.25).collect()
+    assert one[0]["level"] == 7.0 and one[0]["trend"] is None
+    with pytest.raises(ValueError):
+        holt_linear(_series(spark, [1.0, 2.0]), 0.3, 0.25)
+    holt_linear(_series(spark, [1.0, 2.0]), 0.3, 0.25,
+                allow_non_dyadic=True).collect()
+    with pytest.raises(ValueError):
+        holt_linear(_series(spark, [1.0, 2.0]), 0.5, 1.5)
+
+
+# ---------------------------------------------------------------------------
+# dtw_to_template
+# ---------------------------------------------------------------------------
+
+
+def _dtw_ref(x, t):
+    n, m = len(x), len(t)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            D[i, j] = abs(x[i - 1] - t[j - 1]) + min(
+                D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+    return D[n, m]
+
+
+def test_dtw_kernel_matches_scalar_dp():
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n = int(rng.integers(1, 50))
+        m = int(rng.integers(2, 24))
+        x = rng.normal(size=n) * 10
+        t = rng.normal(size=m) * 10
+        d = _dtw_scalar_free(x, t)
+        assert d == pytest.approx(_dtw_ref(x, t), abs=1e-9)
+        lb, ub = _bounds(x, t)
+        assert lb - 1e-9 <= d <= ub + 1e-9
+
+
+def test_dtw_identity_shift_and_elasticity(spark):
+    tpl = [1.0, 5.0, 2.0, 8.0, 3.0]
+    # identical series -> 0; time-stretched copy -> still 0 (DTW's
+    # whole point); euclidean-style shift -> n*shift-ish
+    stretched = [1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 8.0, 8.0, 3.0]
+    df = _series(spark, tpl, conv="same") \
+        .unionByName(_series(spark, stretched, conv="stretch")) \
+        .unionByName(_series(spark, [v + 2 for v in tpl], conv="shift"))
+    got = {r["conv_id"]: r for r in dtw_to_template(df, tpl).collect()}
+    assert got["same"]["dtw"] == 0.0 and got["same"]["within_bounds"]
+    assert got["stretch"]["dtw"] == 0.0
+    assert got["shift"]["dtw"] == pytest.approx(2.0 * len(tpl), abs=1e-9)
+    assert all(r["within_bounds"] for r in got.values())
+
+
+def test_dtw_validation(spark):
+    with pytest.raises(ValueError):
+        dtw_to_template(_series(spark, [1.0]), [1.0])
+    with pytest.raises(ValueError):
+        dtw_to_template(_series(spark, [1.0]), [1.0, float("nan")])
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_stream_dedup_collapses_redeliveries(spark, tmp_path):
+    from cesium_spark.streaming.window_delta import stream_dedup
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    base = _series(spark, np.arange(30.0), conv="c1") \
+        .unionByName(_series(spark, np.arange(20.0) * 2, conv="c2"))
+    dups = base.where(F.col("turn_idx") % 3 == 0)
+    base.unionByName(dups).unionByName(dups) \
+        .coalesce(1).write.parquet(src)
+    schema = ("conv_id string, channel string, turn_idx long, "
+              "ts timestamp, t double, y double")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_dedup(stream, ["conv_id", "turn_idx"], "ts", "1 hour")
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ck)
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .select("conv_id", "turn_idx", "y").collect()))
+    exp = sorted(map(tuple,
+                     base.select("conv_id", "turn_idx", "y").collect()))
+    assert got == exp
+    with pytest.raises(ValueError):
+        stream_dedup(stream, [], "ts")
