@@ -3535,6 +3535,63 @@ FROM a JOIN ubd ON a.conv_id = ubd.conv_id
 """
 
 
+_DECOMP_P = 7
+
+
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (period 7, turn
+    positions): centered-MA trend (NULL at the 3 edge rows — honest
+    undefined, not edge-shrunken), slot-mean seasonal centered by the
+    unweighted mean of slot means, residual. Entirely native windows
+    sharing ONE exchange; full-value oracle replays every window."""
+    from cesium_spark.operators.seriesstats import classical_decompose
+    out = classical_decompose(_value_series(spark, sf_dir), _DECOMP_P)
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        _r(F.col("t")).alias("t"), _r(F.col("y")).alias("y"),
+        F.col("slot").cast("long").alias("slot"),
+        _r(F.col("trend")).alias("trend"),
+        _r(F.col("seasonal")).alias("seasonal"),
+        _r(F.col("resid")).alias("resid"))
+
+
+_DECOMP_HALF = (_DECOMP_P - 1) // 2
+
+SQL_TS_DECOMPOSE = f"""{_VALUE_SERIES_SQL}
+, o AS (
+  SELECT conv_id, turn_idx, ts, t, y,
+         row_number() OVER w - 1 AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n,
+         avg(y) OVER (PARTITION BY conv_id ORDER BY t, turn_idx
+                      ROWS BETWEEN {_DECOMP_HALF} PRECEDING
+                            AND {_DECOMP_HALF} FOLLOWING) AS ma
+  FROM series WHERE y IS NOT NULL AND t IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+), d AS (
+  SELECT *, rn % {_DECOMP_P} AS slot,
+         CASE WHEN rn >= {_DECOMP_HALF} AND rn < n - {_DECOMP_HALF}
+              THEN ma END AS trend
+  FROM o
+), sm AS (
+  SELECT *,
+         avg(y - trend) OVER (PARTITION BY conv_id, slot) AS slot_mean,
+         row_number() OVER (PARTITION BY conv_id, slot
+                            ORDER BY t, turn_idx) AS srn
+  FROM d
+), c AS (
+  SELECT *, avg(CASE WHEN srn = 1 THEN slot_mean END)
+              OVER (PARTITION BY conv_id) AS ctr
+  FROM sm
+)
+SELECT conv_id, turn_idx, round(t, 6) + 0.0 AS t, round(y, 6) + 0.0 AS y,
+       slot,
+       round(trend, 6) + 0.0 AS trend,
+       round(slot_mean - ctr, 6) + 0.0 AS seasonal,
+       round(y - trend - (slot_mean - ctr), 6) + 0.0 AS resid
+FROM c
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -3563,6 +3620,7 @@ QUERIES = {
     "ts_holt": q_ts_holt,
     "ts_stream_dedup": q_ts_stream_dedup,
     "ts_dtw": q_ts_dtw,
+    "ts_decompose": q_ts_decompose,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -3649,6 +3707,7 @@ ORACLE_SQL = {
     "ts_holt": SQL_TS_HOLT,
     "ts_stream_dedup": SQL_TS_STREAM_DEDUP,
     "ts_dtw": _dtw_sql(),
+    "ts_decompose": SQL_TS_DECOMPOSE,
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

@@ -142,3 +142,64 @@ def channel_corr(series: DataFrame, ch_a: str, ch_b: str) -> DataFrame:
              F.avg("__ya").alias("mean_a"),
              F.avg("__yb").alias("mean_b"))
     )
+
+
+def classical_decompose(series: DataFrame, period: int) -> DataFrame:
+    """Classical additive seasonal decomposition per (conv_id,
+    channel) at turn-position period ``period`` (the
+    statsmodels-``seasonal_decompose``/textbook method — the cheap
+    deterministic sibling of STL, whose loess fits are neither
+    SQL-restatable nor bit-stable):
+
+    * ``trend``    — centered moving average over ``period`` rows
+      (period must be ODD so the window is symmetric); NULL on the
+      (period−1)/2 edge rows of each series — the classical method
+      leaves edges undefined, and an honest NULL beats an
+      edge-shrunken fake;
+    * ``seasonal`` — per-slot (turn_idx mod period) mean of the
+      detrended series, centered by the UNWEIGHTED mean of the slot
+      means so the seasonal component sums to ~0 over one period
+      (slot means weighted by row counts would double-count slots the
+      trend's edge NULLs trimmed asymmetrically);
+    * ``resid``    — y − trend − seasonal.
+
+    Plan: every window — the centered MA on (conv, channel), the slot
+    mean on (conv, channel, slot), the slot-dedup row_number and the
+    centering mean back on (conv, channel) — partitions on a SUPERSET
+    of the first exchange's (conv_id, channel) key, so the whole
+    decomposition is ONE hash exchange, zero joins, zero UDFs, and
+    replays exactly in any SQL engine.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            f"period must be an odd integer >= 3, got {period}")
+    half = (period - 1) // 2
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull()))
+    order = (Window.partitionBy("conv_id", "channel")
+             .orderBy("t", "turn_idx"))
+    ma = order.rowsBetween(-half, half)
+    s = (s
+         .withColumn("__rn", F.row_number().over(order) - 1)
+         .withColumn("__n", F.count(F.lit(1)).over(
+             Window.partitionBy("conv_id", "channel")))
+         .withColumn("slot", F.col("__rn") % period)
+         .withColumn("trend", F.when(
+             (F.col("__rn") >= half) & (F.col("__rn") < F.col("__n") - half),
+             F.avg("y").over(ma)))
+         .withColumn("__det", F.col("y") - F.col("trend")))
+    slot_w = Window.partitionBy("conv_id", "channel", "slot")
+    s = (s
+         .withColumn("__slot_mean", F.avg("__det").over(slot_w))
+         .withColumn("__slot_rn", F.row_number().over(
+             slot_w.orderBy("t", "turn_idx"))))
+    center_w = Window.partitionBy("conv_id", "channel")
+    s = s.withColumn("__center", F.avg(
+        F.when(F.col("__slot_rn") == 1, F.col("__slot_mean"))).over(center_w))
+    return (s
+            .withColumn("seasonal",
+                        F.col("__slot_mean") - F.col("__center"))
+            .withColumn("resid",
+                        F.col("y") - F.col("trend") - F.col("seasonal"))
+            .select("conv_id", "channel", "turn_idx", "ts", "t", "y",
+                    "slot", "trend", "seasonal", "resid"))

@@ -282,3 +282,12 @@ def test_hampel_holt_dtw_one_exchange(series):
         # sequential-per-series kernels: one exchange into
         # applyInPandas, parallelism across series, no join/broadcast
         assert s["hash"] == 1 and s["bcast"] == 0 and not s["cartesian"]
+
+
+def test_decompose_one_exchange(series):
+    from cesium_spark.operators.seriesstats import classical_decompose
+    s = _shape(classical_decompose(series, 5))
+    # centered-MA, slot-mean, slot-dedup and centering windows all
+    # partition on supersets of (conv_id, channel) — one exchange for
+    # the whole decomposition
+    assert s["hash"] == 1 and s["bcast"] == 0 and not s["cartesian"]

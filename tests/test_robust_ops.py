@@ -244,3 +244,73 @@ def test_stream_dedup_collapses_redeliveries(spark, tmp_path):
     assert got == exp
     with pytest.raises(ValueError):
         stream_dedup(stream, [], "ts")
+
+
+# ---------------------------------------------------------------------------
+# classical_decompose
+# ---------------------------------------------------------------------------
+
+
+def _decomp_ref(y, p):
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    h = (p - 1) // 2
+    trend = np.full(n, np.nan)
+    for i in range(h, n - h):
+        trend[i] = np.mean(y[i - h:i + h + 1])
+    det = y - trend
+    slots = np.arange(n) % p
+    slot_means = {}
+    for s in range(p):
+        v = det[slots == s]
+        v = v[~np.isnan(v)]
+        slot_means[s] = np.mean(v) if len(v) else np.nan
+    ctr = np.nanmean([slot_means[s] for s in range(p)
+                      if s in {x for x in slots}])
+    seasonal = np.array([slot_means[s] - ctr for s in slots])
+    return trend, seasonal, y - trend - seasonal
+
+
+def test_decompose_recovers_planted_seasonality(spark):
+    from cesium_spark.operators.seriesstats import classical_decompose
+    p = 5
+    base = [10.0, -5.0, 0.0, 3.0, -8.0]              # sums to 0
+    ys = [100.0 + 0.5 * i + base[i % p] for i in range(60)]
+    got = {r["turn_idx"]: r
+           for r in classical_decompose(_series(spark, ys), p).collect()}
+    trend, seasonal, resid = _decomp_ref(ys, p)
+    for i in range(60):
+        if np.isnan(trend[i]):
+            assert got[i]["trend"] is None and got[i]["resid"] is None
+        else:
+            assert got[i]["trend"] == pytest.approx(trend[i], abs=1e-9)
+            assert got[i]["resid"] == pytest.approx(resid[i], abs=1e-9)
+        assert got[i]["seasonal"] == pytest.approx(seasonal[i], abs=1e-9)
+    # a pure linear ramp + exact seasonality decomposes losslessly:
+    # residual ~ 0 on interior rows
+    for i in range(2, 58):
+        assert abs(got[i]["resid"]) < 1e-9
+
+
+def test_decompose_scalar_reference_random(spark):
+    from cesium_spark.operators.seriesstats import classical_decompose
+    rng = np.random.default_rng(17)
+    ys = rng.normal(50, 10, size=83)                 # n not multiple of p
+    p = 7
+    trend, seasonal, resid = _decomp_ref(ys, p)
+    got = {r["turn_idx"]: r
+           for r in classical_decompose(_series(spark, ys), p).collect()}
+    for i in range(len(ys)):
+        for name, ref_v in (("trend", trend[i]), ("seasonal", seasonal[i]),
+                            ("resid", resid[i])):
+            if np.isnan(ref_v):
+                assert got[i][name] is None, (name, i)
+            else:
+                assert got[i][name] == pytest.approx(ref_v, abs=1e-9)
+
+
+def test_decompose_validation(spark):
+    from cesium_spark.operators.seriesstats import classical_decompose
+    for bad in (2, 4, 1):
+        with pytest.raises(ValueError):
+            classical_decompose(_series(spark, [1.0, 2.0]), bad)
