@@ -3592,6 +3592,79 @@ FROM c
 """
 
 
+def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix (the classic product-analytics
+    rollup): users grouped by first-activity ISO week, distinct active
+    users per (cohort_week, week_offset). Join-free — the cohort is a
+    min() window over the user's own partition, the (user, week)
+    dedup's clustering is SATISFIED by that window's partitioning
+    (exchange elided), so the whole matrix is two shrinking exchanges.
+    Integer counts → exact, bit-stable; full-value oracle."""
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    wk = F.date_trunc("week", F.col("ts"))
+    cohort = F.date_trunc("week", F.min("ts").over(w))
+    return (
+        ev.select(F.col("user_id"), wk.alias("wk"), cohort.alias("cw"))
+        .distinct()
+        .groupBy("cw", ((F.datediff(F.col("wk"), F.col("cw")) / 7)
+                        .cast("long").alias("week_offset")))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.date_format("cw", TS_FMT).alias("cohort_week"),
+                "week_offset",
+                F.col("n_users").cast("long").alias("n_users"))
+    )
+
+
+SQL_REL_RETENTION = f"""
+WITH a AS (
+  SELECT user_id, date_trunc('week', ts) AS wk,
+         date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cw
+  FROM events
+), d AS (SELECT DISTINCT user_id, wk, cw FROM a)
+SELECT strftime(cw, '{DUCK_TS_FMT}') AS cohort_week,
+       cast(date_diff('day', cw, wk) / 7 AS bigint) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM d GROUP BY cw, date_diff('day', cw, wk) / 7
+"""
+
+
+_JL_DIM, _JL_OUT = 64, 16
+
+
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 (seeded Achlioptas ±1 matrix,
+    1/√16 = 0.25 exact): pure codegen projection, zero shuffles —
+    the dim-reduction pre-step for LSH/IVF at 10^9 vectors. Each
+    coordinate is a native aggregate left-fold; the oracle restates
+    the identical fold as an explicit left-associated sum, so values
+    are bit-replayable before the shared 6-dp round."""
+    from cesium_spark.operators.similarity import random_projection
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    out = random_projection(embs, _JL_DIM, _JL_OUT)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[_r(F.col(f"p{j}")).alias(f"p{j}") for j in range(_JL_OUT)])
+
+
+def _jl_sql() -> str:
+    from cesium_spark.operators.similarity import _jl_signs
+    signs = _jl_signs(_JL_DIM, _JL_OUT)
+    outs = []
+    for j in range(_JL_OUT):
+        # v[i] is float32 in parquet — cast the LIST to DOUBLE[] up
+        # front (cosine_topk oracle precedent) or DuckDB runs the fold
+        # in float32 and every 6-dp round lands on a float32 repr
+        terms = " + ".join(
+            f"v[{i + 1}] * {signs[i, j]}" for i in range(_JL_DIM))
+        outs.append(f"round(({terms}) * 0.25, 6) + 0.0 AS p{j}")
+    cols = ",\n       ".join(outs)
+    return ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -3621,6 +3694,8 @@ QUERIES = {
     "ts_stream_dedup": q_ts_stream_dedup,
     "ts_dtw": q_ts_dtw,
     "ts_decompose": q_ts_decompose,
+    "rel_retention_cohorts": q_rel_retention_cohorts,
+    "emb_random_projection": q_emb_random_projection,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -3708,6 +3783,8 @@ ORACLE_SQL = {
     "ts_stream_dedup": SQL_TS_STREAM_DEDUP,
     "ts_dtw": _dtw_sql(),
     "ts_decompose": SQL_TS_DECOMPOSE,
+    "rel_retention_cohorts": SQL_REL_RETENTION,
+    "emb_random_projection": _jl_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

@@ -260,3 +260,49 @@ def lsh_bucketed_topk(embs: DataFrame, query: list[float], k: int = 10,
     sig = lsh_signatures(embs, q.size, n_planes, id_col, vec_col)
     cands = sig.where(F.col("bucket").isin([int(p) for p in probes]))
     return cosine_topk(cands, list(q), k, id_col, vec_col)
+
+
+JL_SEED = 11
+
+
+def _jl_signs(dim: int, out_dim: int, seed: int = JL_SEED) -> np.ndarray:
+    """Deterministic ±1 sign matrix (dim × out_dim), Achlioptas 2003
+    database-friendly JL form — every entry exactly representable, so
+    the projection arithmetic is a fixed exact expression tree."""
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random((dim, out_dim)) < 0.5, -1.0, 1.0)
+
+
+def random_projection(embs: DataFrame, dim: int, out_dim: int,
+                      seed: int = JL_SEED, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project
+    ``vec_col`` (length ``dim``) to ``out_dim`` coordinates with the
+    seeded Achlioptas ±1 sign matrix, scaled by 1/√out_dim. The
+    standard pre-step before LSH/IVF at 10^9+ vectors — distances are
+    preserved within (1±ε) w.h.p. (pytest-pinned statistically) while
+    every downstream signature/centroid matmul shrinks by
+    dim/out_dim.
+
+    Scale/determinism shape: the matrix is a compile-time literal
+    (seeded — same projection on every run, executor, and engine, the
+    property ``randomSplit``-style per-run randomness lacks), and each
+    output coordinate is a native ``aggregate(zip_with(...))``
+    left-fold — pure codegen projection, ZERO shuffles, no UDF, no
+    broadcast. The left-fold order plus exactly-representable ±1
+    signs and a dyadic 1/√out_dim (out_dim a power of 4 ⇒ exact)
+    make the arithmetic bit-replayable term-for-term in SQL.
+    """
+    if out_dim < 1 or out_dim >= dim:
+        raise ValueError(f"need 1 <= out_dim < dim, got {out_dim}/{dim}")
+    signs = _jl_signs(dim, out_dim, seed)
+    scale = 1.0 / float(np.sqrt(out_dim))
+    v = _as_double(vec_col)
+    cols = []
+    for j in range(out_dim):
+        slit = F.array(*[F.lit(float(s)) for s in signs[:, j]])
+        dot = F.aggregate(
+            F.zip_with(v, slit, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        cols.append((dot * F.lit(scale)).alias(f"p{j}"))
+    return embs.select(F.col(id_col), *cols)

@@ -291,3 +291,15 @@ def test_decompose_one_exchange(series):
     # partition on supersets of (conv_id, channel) — one exchange for
     # the whole decomposition
     assert s["hash"] == 1 and s["bcast"] == 0 and not s["cartesian"]
+
+
+def test_random_projection_zero_exchange(spark):
+    import pandas as pd
+    from cesium_spark.operators.similarity import random_projection
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2], "embedding": [[1.0] * 8, [2.0] * 8]}))
+    s = _shape(random_projection(df, 8, 4))
+    # a pure codegen projection: the dim-reduction pre-step must not
+    # cost a shuffle or a broadcast at 10^9 vectors
+    assert s == {"hash": 0, "range": 0, "single": 0, "bcast": 0,
+                 "cartesian": False}

@@ -314,3 +314,37 @@ def test_decompose_validation(spark):
     for bad in (2, 4, 1):
         with pytest.raises(ValueError):
             classical_decompose(_series(spark, [1.0, 2.0]), bad)
+
+
+# ---------------------------------------------------------------------------
+# random_projection (JL)
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_matches_numpy_and_preserves_distance(spark):
+    from cesium_spark.operators.similarity import (
+        _jl_signs,
+        random_projection,
+    )
+    rng = np.random.default_rng(4)
+    dim, out = 64, 16
+    X = rng.normal(size=(120, dim))
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(len(X)),
+        "embedding": [list(map(float, r)) for r in X]}))
+    got = {r["vec_id"]: np.array([r[f"p{j}"] for j in range(out)])
+           for r in random_projection(df, dim, out).collect()}
+    P = X @ _jl_signs(dim, out) / np.sqrt(out)
+    for i in range(len(X)):
+        assert got[i] == pytest.approx(P[i], abs=1e-9)
+    # JL property: pairwise distances preserved within a generous
+    # epsilon at this dim ratio (statistical, seeded -> deterministic)
+    d_hi = np.linalg.norm(X[:40, None, :] - X[None, :40, :], axis=2)
+    Pm = P[:40]
+    d_lo = np.linalg.norm(Pm[:, None, :] - Pm[None, :, :], axis=2)
+    mask = d_hi > 0
+    ratio = d_lo[mask] / d_hi[mask]
+    assert 0.35 < ratio.min() and ratio.max() < 1.8
+    assert abs(float(np.median(ratio)) - 1.0) < 0.15
+    with pytest.raises(ValueError):
+        random_projection(df, dim, dim)
