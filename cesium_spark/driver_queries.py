@@ -3592,6 +3592,36 @@ FROM c
 """
 
 
+def q_doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/MOSS candidate pairs via PLANTED duplicates (minhash
+    pattern): identical text ⇒ identical fingerprint set ⇒ containment
+    exactly 1.0 and n_shared = the copy's own fingerprint count, so
+    every planted pair MUST surface; the inner join makes a missed
+    pair drop the row count. Inverted-index equi-join (no cross join),
+    df-capped boilerplate fingerprints."""
+    from cesium_spark.operators.textstats import winnowing_pairs
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    pairs = winnowing_pairs(docs.unionByName(planted), threshold=0.99)
+    expect = (docs.where(F.col("doc_id") % 10 == 0)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 100000).alias("id_b")))
+    return (expect.join(pairs, ["id_a", "id_b"])
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    _r(F.col("containment")).alias("containment")))
+
+
+SQL_DOC_WINNOWING_PAIRS = """
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 1.0 AS containment
+FROM documents
+WHERE doc_id % 10 = 0
+  AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 5
+"""
+
+
 def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix (the classic product-analytics
     rollup): users grouped by first-activity ISO week, distinct active
@@ -3696,6 +3726,7 @@ QUERIES = {
     "ts_decompose": q_ts_decompose,
     "rel_retention_cohorts": q_rel_retention_cohorts,
     "emb_random_projection": q_emb_random_projection,
+    "doc_winnowing_pairs": q_doc_winnowing_pairs,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -3785,6 +3816,7 @@ ORACLE_SQL = {
     "ts_decompose": SQL_TS_DECOMPOSE,
     "rel_retention_cohorts": SQL_REL_RETENTION,
     "emb_random_projection": _jl_sql(),
+    "doc_winnowing_pairs": SQL_DOC_WINNOWING_PAIRS,
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

@@ -199,3 +199,37 @@ def test_repetition_scalar_reference_and_partition_invariance(spark):
     assert got == exp
     with pytest.raises(ValueError):
         repetition_stats(df, gram_n=1)
+
+
+# ---------------------------------------------------------------------------
+# winnowing_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_pairs_finds_verbatim_overlap(spark):
+    from cesium_spark.operators.textstats import winnowing_pairs
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [
+        shared,                                     # 0
+        shared + " extra trailing words here now",  # 1: contains 0
+        "totally different text with no overlap at all whatsoever ok",
+        shared,                                     # 3: exact dup of 0
+    ])
+    pairs = {(r["id_a"], r["id_b"]): r
+             for r in winnowing_pairs(docs, threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)]["containment"] == 1.0
+    assert (0, 1) in pairs          # coverage theorem: long shared run
+    assert (1, 3) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnowing_pairs_df_cap_drops_boilerplate(spark):
+    from cesium_spark.operators.textstats import winnowing_pairs
+    boiler = "standard legal disclaimer text appended to every document"
+    docs = _docs(spark, [f"unique{i} content{i} number{i} " * 3 + boiler
+                         for i in range(8)])
+    capped = winnowing_pairs(docs, max_df=4, threshold=0.3).collect()
+    uncapped = winnowing_pairs(docs, max_df=None, threshold=0.3).collect()
+    # the shared boilerplate suffix pairs everything without the cap
+    assert len(uncapped) == 8 * 7 / 2
+    assert len(capped) == 0
