@@ -3191,7 +3191,10 @@ _CONTAM_N = 4
 def _duck_shingles(src: str, n: int) -> str:
     """DuckDB CTE body producing (doc_id, sh) distinct word n-grams —
     the replay of dedup._shingles (lowercase, whitespace split, n-token
-    windows joined by single spaces)."""
+    windows joined by single spaces). NB: '\\s' here is RE2 while the
+    engine splits with Java regex — they differ only on \\x0B, the
+    standing convention of every shingle oracle in this file (jaccard,
+    minhash); testdata contains neither \\x0B nor unicode spaces."""
     return f"""
   SELECT DISTINCT doc_id,
          array_to_string(toks[i : i + {n - 1}], ' ') AS sh
@@ -3266,8 +3269,9 @@ SQL_DOC_REPETITION = """
 WITH d AS (
   SELECT doc_id, length(text) AS n_chars,
          list_filter(string_split(text, chr(10)),
-                     x -> regexp_matches(x, '\\S')) AS lines,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> regexp_matches(x, '[^ \\t\\n\\r\\f]')) AS lines,
+         list_filter(string_split_regex(trim(lower(text)),
+                                        '[ \\t\\n\\r\\f]+'),
                      x -> x <> '') AS toks
   FROM documents
 ), pl AS (
@@ -3429,14 +3433,15 @@ def q_ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOM at 10^12 turns. Oracle = the batch DISTINCT (the original
     series: re-deliveries carry identical payloads)."""
     import os
-    import shutil
+    import tempfile
 
     from cesium_spark.streaming.window_delta import stream_dedup
 
     _prep(spark)
-    base = os.path.join("/tmp/cesium_spark_stream_dedup",
-                        os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(base, ignore_errors=True)
+    # unique per-run scratch: a fixed path + rmtree would let a second
+    # concurrent driver/bench process delete this run's live streaming
+    # source and checkpoint mid-query (review finding, round 4 s5)
+    base = tempfile.mkdtemp(prefix="cesium_spark_stream_dedup_")
     os.makedirs(f"{base}/src")
     s = _value_series(spark, sf_dir)
     dups = s.where(F.col("turn_idx") % _DEDUP_PLANT_MOD == 0)
@@ -3492,9 +3497,15 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t double, y double, e double")
     out = dtw_to_template(s.unionByName(plant), _DTW_TEMPLATE)
     assert n_t == 8
+    # lb is order statistics (exact both engines — 6 dp); ub is a ~70-
+    # term SUM whose association differs between the kernel's fold and
+    # the aggregate's row order, so it gets a coarser 1e-4 floor-snap
+    # grid (same fp op both sides) that absorbs the ~1e-10 drift
+    # instead of flaking on a 6-dp boundary
+    ub4 = F.floor(F.col("ub") * 1e4 + 0.5) / 1e4 + F.lit(0.0)
     return out.select(
         "conv_id", F.col("n").cast("long").alias("n"),
-        _r(F.col("lb")).alias("lb"), _r(F.col("ub")).alias("ub"),
+        _r(F.col("lb")).alias("lb"), ub4.alias("ub"),
         F.col("within_bounds"))
 
 
@@ -3528,7 +3539,8 @@ SELECT a.conv_id, a.n,
        round(greatest(abs(a.y0 - {t[0]}), abs(a.ylast - {t[-1]}),
                       abs(a.ymax - {max(t)}), abs(a.ymin - {min(t)})),
              6) + 0.0 AS lb,
-       round(ubd.ub1 + coalesce(ubt.ub2, 0.0), 6) + 0.0 AS ub,
+       floor((ubd.ub1 + coalesce(ubt.ub2, 0.0)) * 1e4 + 0.5) / 1e4
+         + 0.0 AS ub,
        TRUE AS within_bounds
 FROM a JOIN ubd ON a.conv_id = ubd.conv_id
        LEFT JOIN ubt ON a.conv_id = ubt.conv_id
@@ -3605,7 +3617,14 @@ def q_doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = (docs.where(F.col("doc_id") % 10 == 0)
                .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     pairs = winnowing_pairs(docs.unionByName(planted), threshold=0.99)
-    expect = (docs.where(F.col("doc_id") % 10 == 0)
+    # eligibility gate on BOTH sides via the identical explicit
+    # whitespace class (no \s — Java and RE2 disagree on \x0B, python
+    # str.split on far more): splitting on FEWER separators yields <=
+    # as many tokens as the kernel's python split, so class-gate >= 5
+    # IMPLIES kernel tokens >= 5 implies fingerprints exist — the gate
+    # is sound by construction, not by testdata luck
+    gate = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")) >= 5
+    expect = (docs.where((F.col("doc_id") % 10 == 0) & gate)
               .select(F.col("doc_id").alias("id_a"),
                       (F.col("doc_id") + 100000).alias("id_b")))
     return (expect.join(pairs, ["id_a", "id_b"])
@@ -3618,7 +3637,7 @@ SQL_DOC_WINNOWING_PAIRS = """
 SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 1.0 AS containment
 FROM documents
 WHERE doc_id % 10 = 0
-  AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 5
+  AND len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) >= 5
 """
 
 

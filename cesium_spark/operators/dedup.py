@@ -692,9 +692,10 @@ def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 4,
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # collect_set deduplicates on its own — no pre-distinct (it would
+    # only add an exchange the optimizer must then prove away)
     ev = (eval_docs
           .select(F.explode(_shingles(text_col, n)).alias("__sh"))
-          .distinct()
           .agg(F.collect_set("__sh").alias("__eval_set")))
     from pyspark.sql.functions import broadcast
     doc_sh = _shingles(text_col, n)

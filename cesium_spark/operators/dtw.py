@@ -95,11 +95,18 @@ def _bounds(x: np.ndarray, t: np.ndarray) -> tuple[float, float]:
     lb = max(abs(x[0] - t[0]), abs(x[-1] - t[-1]),
              abs(x.max() - t.max()), abs(x.min() - t.min()))
     k = min(n, m)
-    ub = float(np.sum(np.abs(x[:k] - t[:k])))
+    # ub terms are summed by a SEQUENTIAL left fold (cumsum scan, not
+    # np.sum's pairwise tree): the SQL oracle's sum is fold-shaped, so
+    # keeping the kernel's association the same shrinks the cross-
+    # engine drift to the aggregate's row-order effects, which the
+    # driver's coarse ub grid then absorbs (lb is order statistics —
+    # exact as-is)
+    terms = np.abs(x[:k] - t[:k])
     if n > m:
-        ub += float(np.sum(np.abs(x[m:] - t[m - 1])))
+        terms = np.concatenate([terms, np.abs(x[m:] - t[m - 1])])
     elif m > n:
-        ub += float(np.sum(np.abs(x[-1] - t[n:])))
+        terms = np.concatenate([terms, np.abs(x[-1] - t[n:])])
+    ub = float(np.cumsum(terms)[-1]) if len(terms) else 0.0
     return float(lb), ub
 
 

@@ -416,11 +416,15 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     """
     if gram_n < 2:
         raise ValueError(f"gram_n must be >= 2, got {gram_n}")
-    # blank = no non-whitespace char (\S — identical in Java regex and
-    # RE2); trim() would only strip 0x20 and keep tab-only lines
+    # blank = no char outside the EXPLICIT class [ \t\n\r\f] — \s/\S
+    # are NOT identical across engines (Java \s lacks \x0B only, RE2 \s
+    # includes it), so the class is spelled out and the oracle repeats
+    # it verbatim; trim() alone would strip only 0x20 and keep tab-only
+    # lines
     lines = F.filter(F.split(F.col(text_col), "\n"),
-                     lambda x: x.rlike(r"\S"))
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                     lambda x: x.rlike(r"[^ \t\n\r\f]"))
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))),
+                            r"[ \t\n\r\f]+"),
                     lambda x: x != F.lit(""))
     grams = F.when(
         F.size(toks) < gram_n, F.array().cast("array<string>")
