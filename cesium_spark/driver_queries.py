@@ -3604,6 +3604,34 @@ FROM c
 """
 
 
+_ROLLQ_Q, _ROLLQ_W = 0.95, 20
+
+
+def q_ts_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling p95 over the trailing 20 rows per conv (shrinking head
+    windows): one exchange into the sliding_window_view + np.quantile
+    kernel; the oracle replays it with DuckDB's windowed quantile_cont
+    over the identical ROWS frame — both are the same linear order-
+    statistic interpolation, so 6-dp values match."""
+    from cesium_spark.operators.intervals import rolling_quantile
+    out = rolling_quantile(_value_series(spark, sf_dir),
+                           _ROLLQ_Q, _ROLLQ_W)
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        _r(F.col("t")).alias("t"), _r(F.col("y")).alias("y"),
+        _r(F.col("roll_q")).alias("roll_q"))
+
+
+SQL_TS_ROLLING_QUANTILE = f"""{_VALUE_SERIES_SQL}
+SELECT conv_id, turn_idx, round(t, 6) + 0.0 AS t, round(y, 6) + 0.0 AS y,
+       round(quantile_cont(y, {_ROLLQ_Q})
+               OVER (PARTITION BY conv_id ORDER BY t, turn_idx
+                     ROWS BETWEEN {_ROLLQ_W - 1} PRECEDING
+                           AND CURRENT ROW), 6) + 0.0 AS roll_q
+FROM series
+"""
+
+
 def q_doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing/MOSS candidate pairs via PLANTED duplicates (minhash
     pattern): identical text ⇒ identical fingerprint set ⇒ containment
@@ -3746,6 +3774,7 @@ QUERIES = {
     "rel_retention_cohorts": q_rel_retention_cohorts,
     "emb_random_projection": q_emb_random_projection,
     "doc_winnowing_pairs": q_doc_winnowing_pairs,
+    "ts_rolling_quantile": q_ts_rolling_quantile,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -3836,6 +3865,7 @@ ORACLE_SQL = {
     "rel_retention_cohorts": SQL_REL_RETENTION,
     "emb_random_projection": _jl_sql(),
     "doc_winnowing_pairs": SQL_DOC_WINNOWING_PAIRS,
+    "ts_rolling_quantile": SQL_TS_ROLLING_QUANTILE,
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

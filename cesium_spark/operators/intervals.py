@@ -290,3 +290,59 @@ def state_agg(turns: DataFrame, state_col: str, tier: str,
              F.count(F.lit(1)).alias("n_turns"),
              F.sum("__closed").alias("n_closed"))
     )
+
+
+ROLLQ_SCHEMA = ("conv_id string, channel string, turn_idx long, "
+                "t double, y double, roll_q double")
+
+
+def rolling_quantile(series: DataFrame, q: float,
+                     window_rows: int) -> DataFrame:
+    """Trailing rolling quantile per point: the linearly-interpolated
+    q-quantile of the last ``window_rows`` rows (shrinking at the
+    series head) within (conv_id, channel) — the rolling-p95-latency
+    every dashboard draws next to `rolling_window`'s mean/min/max.
+    Spark has no quantile window function (percentile over a moving
+    frame recomputes a full sort per row JVM-side and
+    ``percentile_approx`` has rank error), so the kernel is the
+    `hampel` shape: one hash exchange into ``applyInPandas``, interior
+    windows via ONE ``sliding_window_view`` + ``np.quantile`` over the
+    window axis (vectorized, O(n·w log w) per series), the < w head
+    windows handled explicitly to match the SQL ROWS frame.
+
+    ``np.quantile(method='linear')`` computes the same
+    ``x[floor(h)] + (h−floor(h))·(x[ceil(h)]−x[floor(h)])`` order-
+    statistic interpolation as SQL ``quantile_cont`` — order stats on
+    identical window contents, so values agree to the last few ulp and
+    a 6-dp round is stable (the exact-quantile precedent of
+    ``rollup_quantiles``).
+    """
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if window_rows < 2:
+        raise ValueError(f"window_rows must be >= 2, got {window_rows}")
+    import numpy as np
+
+    w = int(window_rows)
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(["t", "turn_idx"], kind="stable")
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        n = len(y)
+        out = np.empty(n)
+        head = min(w - 1, n)
+        for i in range(head):          # shrunk head windows
+            out[i] = np.quantile(y[:i + 1], q, method="linear")
+        if n >= w:
+            win = np.lib.stride_tricks.sliding_window_view(y, w)
+            out[w - 1:] = np.quantile(win, q, axis=1, method="linear")
+        pdf["roll_q"] = out
+        return pdf
+
+    return (
+        series
+        .select("conv_id", "channel", "turn_idx", "t", "y")
+        .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+        .groupBy("conv_id", "channel")
+        .applyInPandas(_kernel, ROLLQ_SCHEMA)
+    )

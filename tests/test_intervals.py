@@ -330,3 +330,35 @@ def test_state_agg_bad_tier(spark, rng_series):
     from cesium_spark.operators.intervals import state_agg
     with pytest.raises(ValueError):
         state_agg(rng_series, "channel", "5m")
+
+
+# ---------------------------------------------------------------------------
+# rolling_quantile
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_quantile_matches_scalar_reference(spark, rng_series):
+    from cesium_spark.operators.intervals import rolling_quantile
+    got = rolling_quantile(rng_series, 0.9, 7).toPandas()
+    for conv, g in got.groupby("conv_id"):
+        g = g.sort_values(["t", "turn_idx"])
+        y = g["y"].to_numpy()
+        for i, rq in enumerate(g["roll_q"].to_numpy()):
+            w = y[max(0, i - 6):i + 1]
+            assert rq == pytest.approx(
+                np.quantile(w, 0.9, method="linear"), abs=1e-12), (conv, i)
+
+
+def test_rolling_quantile_head_and_validation(spark):
+    from cesium_spark.operators.intervals import rolling_quantile
+    rows = rolling_quantile(_series_df(
+        spark, [("c", i, float(i), float(v))
+                for i, v in enumerate([5.0, 1.0, 9.0])]), 0.5, 10).collect()
+    by = {r["turn_idx"]: r["roll_q"] for r in rows}
+    assert by[0] == 5.0                     # window of one
+    assert by[1] == 3.0                     # median of {5,1}
+    assert by[2] == 5.0                     # median of {5,1,9}
+    with pytest.raises(ValueError):
+        rolling_quantile(_series_df(spark, []), 1.5, 5)
+    with pytest.raises(ValueError):
+        rolling_quantile(_series_df(spark, []), 0.5, 1)

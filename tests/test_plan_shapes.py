@@ -303,3 +303,9 @@ def test_random_projection_zero_exchange(spark):
     # cost a shuffle or a broadcast at 10^9 vectors
     assert s == {"hash": 0, "range": 0, "single": 0, "bcast": 0,
                  "cartesian": False}
+
+
+def test_rolling_quantile_one_exchange(series):
+    from cesium_spark.operators.intervals import rolling_quantile
+    s = _shape(rolling_quantile(series, 0.95, 10))
+    assert s["hash"] == 1 and s["bcast"] == 0 and not s["cartesian"]
