@@ -3632,6 +3632,97 @@ FROM series
 """
 
 
+def q_ts_gauge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL delta()/idelta() for gauges per hourly bucket: last −
+    first via min_by/max_by on the order struct (deterministic under
+    ties), idelta = the last IN-BUCKET adjacent pair (a trailing
+    boundary-crossing point can't shadow a real pair; single-point
+    buckets → NULL, never fake 0). One exchange; full-value oracle
+    restates the arg_min/arg_max and the bucket-membership guard."""
+    from cesium_spark.operators.rates import gauge_delta
+    out = gauge_delta(_value_series(spark, sf_dir), "1h")
+    return out.select(
+        "conv_id", F.date_format("bucket", TS_FMT).alias("bucket"),
+        _r(F.col("delta")).alias("delta"),
+        _r(F.col("idelta")).alias("idelta"),
+        F.col("n").cast("long").alias("n"))
+
+
+SQL_TS_GAUGE_DELTA = f"""{_VALUE_SERIES_SQL}
+, b AS (
+  SELECT conv_id, date_trunc('hour', ts) AS bucket, turn_idx, y,
+         lag(y) OVER w AS py,
+         date_trunc('hour', lag(ts) OVER w) AS pbucket
+  FROM series
+  WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+)
+SELECT conv_id, strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
+       round(arg_max(y, turn_idx) - arg_min(y, turn_idx), 6) + 0.0
+         AS delta,
+       round(arg_max(CASE WHEN pbucket = bucket THEN y - py END,
+                     CASE WHEN pbucket = bucket THEN turn_idx END), 6)
+         + 0.0 AS idelta,
+       count(*) AS n
+FROM b
+GROUP BY conv_id, bucket
+"""
+
+
+_XCORR_LAG = 2
+
+
+def q_ts_channel_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation latency×tokens at turn lags −2..2 —
+    lead/lag detection between channels of one conversation. One scan,
+    pair-restricted Pearson per lag in a single aggregation pass;
+    full-value oracle replays the shifted covar/σ ratios."""
+    from cesium_spark.operators.seriesstats import channel_xcorr
+    s = derive_series(events_transcripts(spark, sf_dir))
+    out = channel_xcorr(s, *_CORR_CH, max_lag=_XCORR_LAG)
+    lag_cols = ([f"r_m{k}" for k in range(_XCORR_LAG, 0, -1)]
+                + ["r_0"] + [f"r_p{k}" for k in range(1, _XCORR_LAG + 1)])
+    return out.select(
+        "conv_id", F.col("n_pairs").cast("long").alias("n_pairs"),
+        *[_r(F.col(c)).alias(c) for c in lag_cols])
+
+
+def _xcorr_sql() -> str:
+    shifts = []
+    rs = []
+    for k in range(1, _XCORR_LAG + 1):
+        shifts.append(f"lead(yb, {k}) OVER w AS bp{k}")
+        shifts.append(f"lag(yb, {k}) OVER w AS bm{k}")
+    for name, col in ([(f"r_m{k}", f"bm{k}")
+                       for k in range(_XCORR_LAG, 0, -1)]
+                      + [("r_0", "yb")]
+                      + [(f"r_p{k}", f"bp{k}")
+                         for k in range(1, _XCORR_LAG + 1)]):
+        rs.append(
+            f"round(CASE WHEN stddev_pop(CASE WHEN {col} IS NOT NULL "
+            f"THEN ya END) * stddev_pop({col}) > 0 THEN "
+            f"covar_pop(ya, {col}) / (stddev_pop(CASE WHEN {col} IS NOT "
+            f"NULL THEN ya END) * stddev_pop({col})) END, 6) + 0.0 "
+            f"AS {name}")
+    return _SERIES_SQL + f"""
+, aligned AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN channel = '{_CORR_CH[0]}' THEN y END) AS ya,
+         max(CASE WHEN channel = '{_CORR_CH[1]}' THEN y END) AS yb
+  FROM series WHERE y IS NOT NULL
+  GROUP BY 1, 2
+  HAVING ya IS NOT NULL AND yb IS NOT NULL
+), l AS (
+  SELECT *, {', '.join(shifts)}
+  FROM aligned
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, count(*) AS n_pairs,
+       {', '.join(rs)}
+FROM l
+GROUP BY conv_id
+"""
+
+
 def q_doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing/MOSS candidate pairs via PLANTED duplicates (minhash
     pattern): identical text ⇒ identical fingerprint set ⇒ containment
@@ -3775,6 +3866,8 @@ QUERIES = {
     "emb_random_projection": q_emb_random_projection,
     "doc_winnowing_pairs": q_doc_winnowing_pairs,
     "ts_rolling_quantile": q_ts_rolling_quantile,
+    "ts_gauge_delta": q_ts_gauge_delta,
+    "ts_channel_xcorr": q_ts_channel_xcorr,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -3866,6 +3959,8 @@ ORACLE_SQL = {
     "emb_random_projection": _jl_sql(),
     "doc_winnowing_pairs": SQL_DOC_WINNOWING_PAIRS,
     "ts_rolling_quantile": SQL_TS_ROLLING_QUANTILE,
+    "ts_gauge_delta": SQL_TS_GAUGE_DELTA,
+    "ts_channel_xcorr": _xcorr_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

@@ -111,3 +111,47 @@ def time_weighted_avg(series: DataFrame, tier: str,
             .otherwise(F.col("__y_first")))
         .select("conv_id", "channel", "bucket", "twa", "span_s", "n")
     )
+
+
+def gauge_delta(series: DataFrame, tier: str) -> DataFrame:
+    """PromQL ``delta()`` for gauges: last − first value per (conv_id,
+    channel, tier bucket), plus idelta (the last adjacent difference in
+    the bucket) — the gauge twin of ``counter_rate`` (no reset
+    handling: a gauge moving down is signal, not a counter reset).
+
+    One hash exchange: the lag window and the bucket aggregation both
+    key on supersets of (conv_id, channel); first/last are
+    ``min_by``/``max_by`` over the (t, turn_idx) order struct —
+    deterministic under ties, map-side partial, exactly restatable as
+    SQL arg_min/arg_max. Single-point buckets emit delta = 0 and
+    idelta NULL (no adjacent pair observed — NULL means undefined,
+    never a fake 0; PromQL's extrapolating delta needs >= 2 points
+    too, divergence documented: we report the in-bucket observed
+    delta, not an extrapolation to bucket edges).
+    """
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}")
+    w = Window.partitionBy("conv_id", "channel").orderBy("t", "turn_idx")
+    prev = F.lag("y").over(w)
+    prev_ts = F.lag("ts").over(w)
+    ordk = F.struct(F.col("t"), F.col("turn_idx"))
+    return (
+        series
+        .withColumn("bucket", F.date_trunc(TIERS[tier], F.col("ts")))
+        # an adjacent pair only counts when BOTH its points are in this
+        # bucket — otherwise a single-point bucket would report a
+        # cross-boundary idelta it doesn't own
+        .withColumn("__adj", F.when(
+            F.date_trunc(TIERS[tier], prev_ts) == F.col("bucket"),
+            F.col("y") - prev))
+        .groupBy("conv_id", "channel", "bucket")
+        .agg(
+            (F.max_by("y", ordk) - F.min_by("y", ordk)).alias("delta"),
+            # last IN-BUCKET adjacent pair: rows without one get a NULL
+            # order key, which max_by ignores — so a trailing
+            # boundary-crossing point can't shadow an earlier real pair
+            F.max_by("__adj", F.when(F.col("__adj").isNotNull(), ordk))
+            .alias("idelta"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

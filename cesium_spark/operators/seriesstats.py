@@ -203,3 +203,58 @@ def classical_decompose(series: DataFrame, period: int) -> DataFrame:
                         F.col("y") - F.col("trend") - F.col("seasonal"))
             .select("conv_id", "channel", "turn_idx", "ts", "t", "y",
                     "slot", "trend", "seasonal", "resid"))
+
+
+def channel_xcorr(series: DataFrame, ch_a: str, ch_b: str,
+                  max_lag: int) -> DataFrame:
+    """Lagged cross-correlation per conversation: Pearson r of
+    (a_t, b_{t+k}) for turn lags k = −max_lag..max_lag — the lead/lag
+    question (`does token count LEAD latency by a turn?`) that the
+    zero-lag ``channel_corr`` can't answer. ``r_pk`` = corr(a_t,
+    b_{t+k}): a's present against b's FUTURE — high r_pk means a
+    LEADS b by k turns; symmetrically high ``r_mk`` = corr(a_t,
+    b_{t−k}) means b leads a.
+
+    Alignment is the same one-scan conditional aggregation as
+    ``channel_corr``; the shifted partners come from lead/lag windows
+    over the aligned turn order, and every lag's correlation reduces
+    in ONE aggregation pass (pair-restricted covar/σ per lag, NULL on
+    degenerate lags via try_divide — ANSI-safe). Three exchanges, all
+    shrinking: alignment (conv, turn) → shift window (conv) → the
+    final agg reuses the window's partitioning.
+    """
+    if ch_a == ch_b:
+        raise ValueError(f"channels must differ, got {ch_a!r} twice")
+    if not (1 <= max_lag <= 32):
+        raise ValueError(f"max_lag must be in [1, 32], got {max_lag}")
+    aligned = (
+        series
+        .where(F.col("channel").isin([ch_a, ch_b])
+               & F.col("y").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.when(F.col("channel") == ch_a, F.col("y")))
+             .alias("__ya"),
+             F.max(F.when(F.col("channel") == ch_b, F.col("y")))
+             .alias("__yb"))
+        .where(F.col("__ya").isNotNull() & F.col("__yb").isNotNull())
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    for k in range(1, max_lag + 1):
+        aligned = aligned.withColumn(f"__bp{k}", F.lead("__yb", k).over(w))
+        aligned = aligned.withColumn(f"__bm{k}", F.lag("__yb", k).over(w))
+
+    def _r_at(bcol: str):
+        paired_a = f"CASE WHEN {bcol} IS NOT NULL THEN __ya END"
+        return F.expr(
+            f"try_divide(covar_pop(__ya, {bcol}), "
+            f"stddev_pop({paired_a}) * stddev_pop({bcol}))")
+
+    cols = [_r_at(f"__bm{k}").alias(f"r_m{k}")
+            for k in range(max_lag, 0, -1)]
+    cols.append(F.expr(
+        "try_divide(covar_pop(__ya, __yb), "
+        "stddev_pop(__ya) * stddev_pop(__yb))").alias("r_0"))
+    cols += [_r_at(f"__bp{k}").alias(f"r_p{k}")
+             for k in range(1, max_lag + 1)]
+    return (aligned.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"), *cols))

@@ -309,3 +309,19 @@ def test_rolling_quantile_one_exchange(series):
     from cesium_spark.operators.intervals import rolling_quantile
     s = _shape(rolling_quantile(series, 0.95, 10))
     assert s["hash"] == 1 and s["bcast"] == 0 and not s["cartesian"]
+
+
+def test_gauge_delta_one_exchange(series):
+    from cesium_spark.operators.rates import gauge_delta
+    s = _shape(gauge_delta(series, "1h"))
+    assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_channel_xcorr_exchanges(series):
+    from pyspark.sql import functions as F
+    from cesium_spark.operators.seriesstats import channel_xcorr
+    two = series.union(series.withColumn("channel", F.lit("w")))
+    s = _shape(channel_xcorr(two, "v", "w", 2))
+    # alignment (conv, turn) -> shift window (conv) -> final agg reuses
+    # the window's partitioning: three shrinking exchanges, no join
+    assert s["hash"] <= 3 and s["bcast"] == 0 and not s["cartesian"]

@@ -233,3 +233,56 @@ def test_winnowing_pairs_df_cap_drops_boilerplate(spark):
     # the shared boilerplate suffix pairs everything without the cap
     assert len(uncapped) == 8 * 7 / 2
     assert len(capped) == 0
+
+
+# ---------------------------------------------------------------------------
+# gauge_delta / channel_xcorr
+# ---------------------------------------------------------------------------
+
+
+def test_gauge_delta_hand_computed(spark):
+    import datetime as dt
+    from cesium_spark.operators.rates import gauge_delta
+    rows = [
+        # bucket h0: y walks 10 -> 4 -> 7 (delta -3, idelta +3)
+        ("c", 0, dt.datetime(2024, 1, 1, 0, 0), 10.0),
+        ("c", 1, dt.datetime(2024, 1, 1, 0, 10), 4.0),
+        ("c", 2, dt.datetime(2024, 1, 1, 0, 50), 7.0),
+        # bucket h1: single point -> delta 0, idelta NULL (the adjacent
+        # pair crosses the bucket boundary and must NOT count)
+        ("c", 3, dt.datetime(2024, 1, 1, 1, 30), 9.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "y"])
+    pdf["channel"] = "v"
+    pdf["t"] = pdf["turn_idx"] * 60.0
+    df = spark.createDataFrame(
+        pdf[["conv_id", "channel", "turn_idx", "ts", "t", "y"]])
+    got = {r["bucket"].hour: r for r in gauge_delta(df, "1h").collect()}
+    assert got[0]["delta"] == -3.0 and got[0]["idelta"] == 3.0
+    assert got[0]["n"] == 3
+    assert got[1]["delta"] == 0.0 and got[1]["idelta"] is None
+    with pytest.raises(ValueError):
+        gauge_delta(df, "5m")
+
+
+def test_channel_xcorr_recovers_planted_lead(spark):
+    from cesium_spark.operators.seriesstats import channel_xcorr
+    rng = np.random.default_rng(8)
+    n = 300
+    b = rng.normal(size=n)
+    a = np.roll(b, 2)          # a_t = b_{t-2}  =>  b LEADS a by 2
+    a[:2] = rng.normal(size=2)
+    df = _two_channel_df(spark, a, b)
+    r = channel_xcorr(df, "a", "b", max_lag=3).collect()[0]
+    # a_t = b_{t-2}: b's PAST predicts a -> r_m2 = corr(a_t, b_{t-2})
+    # ~ 1 at the planted relation; all other lags ~ 0
+    assert r["r_m2"] == pytest.approx(1.0, abs=0.05)
+    for c in ("r_m3", "r_m1", "r_0", "r_p1", "r_p2", "r_p3"):
+        assert abs(r[c]) < 0.2, c
+    # numpy reference for one lag: pairwise-complete corr at k=+1
+    exp = np.corrcoef(a[:-1], b[1:])[0, 1]
+    assert r["r_p1"] == pytest.approx(exp, abs=1e-9)
+    with pytest.raises(ValueError):
+        channel_xcorr(df, "a", "a", 2)
+    with pytest.raises(ValueError):
+        channel_xcorr(df, "a", "b", 0)
