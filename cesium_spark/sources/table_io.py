@@ -75,6 +75,44 @@ class TableIO:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
+    def write_bucketed(self, df: DataFrame, name: str, buckets: int,
+                       bucket_cols: list[str],
+                       sort_cols: list[str] | None = None) -> None:
+        """Bucketed table for CO-LOCATED joins and aggregations: rows
+        are hash-clustered into ``buckets`` files per partition by
+        ``bucket_cols`` at write time, and the bucketing metadata is
+        registered in the session catalog (``saveAsTable`` — plain
+        ``.parquet()`` writes cannot carry bucket specs). Two tables
+        bucketed on the same keys and count join with ZERO shuffle
+        exchanges (SortMergeJoin reads co-located buckets; with
+        ``sort_cols`` even the sort is elided) — the standing trade:
+        pay the cluster-by once at ingest, every downstream
+        join/groupBy on the key rides free. Iceberg's equivalent is a
+        ``bucket(N, col)`` partition transform through this same seam.
+
+        Files land under ``self.path(name)`` (external table) so the
+        parquet stays owned by TableIO's root like every other table;
+        re-writes drop and re-register the catalog entry.
+        """
+        if not bucket_cols:
+            raise ValueError("bucket_cols must be non-empty")
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a previous run's files would otherwise collide with the
+        # fresh CTAS — bucketed overwrite is drop-and-recreate
+        shutil.rmtree(self.path(name), ignore_errors=True)
+        w = (df.write.format("parquet").mode("overwrite")
+             .option("path", self.path(name))
+             .bucketBy(int(buckets), *bucket_cols))
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(name)
+
+    def read_table(self, name: str) -> DataFrame:
+        """Catalog read — REQUIRED for bucketed tables: reading the
+        parquet path directly loses the bucket spec and the join
+        shuffles again."""
+        return self.spark.table(name)
+
     def merge_overwrite_partitions(self, df: DataFrame, name: str,
                                    partition_by: list[str]) -> None:
         """Idempotent per-partition MERGE: replaces exactly the
