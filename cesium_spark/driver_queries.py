@@ -537,16 +537,16 @@ def q_ts_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end without the oracle ever touching the files."""
     import os
     import shutil
+    import tempfile
 
     import duckdb
 
     from cesium_spark.sources.text_ingest import parse_headerfile, parse_ts_data
 
     _prep(spark)
-    outdir = os.path.join("/tmp/cesium_spark_csv",
-                          os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(outdir, ignore_errors=True)
-    os.makedirs(outdir)
+    # per-run unique scratch (round-4 s5 review): a fixed path +
+    # rmtree lets a concurrent driver delete a live run's files
+    outdir = tempfile.mkdtemp(prefix="cesium_spark_csv_")
     con = duckdb.connect()
     rows = con.sql(f"""
         SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS t, value AS y
@@ -631,14 +631,14 @@ def q_ts_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregate, which the DuckDB oracle computes directly from
     events."""
     import os
-    import shutil
+    import tempfile
 
     from cesium_spark.streaming import stateful
 
     _prep(spark)
-    base = os.path.join("/tmp/cesium_spark_stream_state",
-                        os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(base, ignore_errors=True)
+    # per-run unique scratch (round-4 s5 review): a fixed path +
+    # rmtree lets a concurrent driver delete a live run's files
+    base = tempfile.mkdtemp(prefix="cesium_spark_stream_state_")
     os.makedirs(f"{base}/src")
     s = _value_series(spark, sf_dir)
     for i in range(3):
@@ -687,7 +687,7 @@ def q_ts_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     delay; the 7000 s (non-round) delay keeps the cutoff off hour
     boundaries so the <=/< edge cannot bite."""
     import os
-    import shutil
+    import tempfile
 
     from cesium_spark.sources.table_io import TableIO
     from cesium_spark.streaming.window_delta import (
@@ -696,9 +696,9 @@ def q_ts_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _prep(spark)
-    base = os.path.join("/tmp/cesium_spark_stream",
-                        os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(base, ignore_errors=True)
+    # per-run unique scratch (round-4 s5 review): a fixed path +
+    # rmtree lets a concurrent driver delete a live run's files
+    base = tempfile.mkdtemp(prefix="cesium_spark_stream_")
     os.makedirs(f"{base}/src")
     s = _value_series(spark, sf_dir)
     s.coalesce(1).write.mode("append").parquet(f"{base}/src")
@@ -2144,14 +2144,14 @@ def q_ts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary rule (new session iff Δ > gap — Δ == gap merges, measured
     against Spark's operator) and the same cutoff."""
     import os
-    import shutil
+    import tempfile
 
     from cesium_spark.streaming.window_delta import stream_sessionize
 
     _prep(spark)
-    base = os.path.join("/tmp/cesium_spark_stream_sess",
-                        os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(base, ignore_errors=True)
+    # per-run unique scratch (round-4 s5 review): a fixed path +
+    # rmtree lets a concurrent driver delete a live run's files
+    base = tempfile.mkdtemp(prefix="cesium_spark_stream_sess_")
     os.makedirs(f"{base}/src")
     s = _value_series(spark, sf_dir)
     s.coalesce(1).write.mode("append").parquet(f"{base}/src")
