@@ -3723,6 +3723,42 @@ GROUP BY conv_id
 """
 
 
+_SCORE_W = (("mean", 0.03), ("std", -0.11), ("amplitude", 0.07))
+_SCORE_B = -1.5
+
+
+def q_ts_score_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring over the daily feature matrix — the inference
+    half of the cesium → sklearn workflow: logistic link over
+    (mean, std, amplitude) with offline-fit weights inlined as
+    literals. Pure projection on top of the rollup (no extra
+    exchange); full-value oracle replays the identical left-assoc
+    linear term and sigmoid."""
+    from cesium_spark.operators.rollup import moments_derived, rollup_moments
+    from cesium_spark.operators.scoring import score_linear
+    m = moments_derived(rollup_moments(_value_series(spark, sf_dir), "1d"))
+    out = score_linear(m, dict(_SCORE_W), _SCORE_B)
+    return out.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n_epochs").cast("long").alias("n_epochs"),
+        _r(F.col("score")).alias("score"))
+
+
+_SCORE_Z = (f"{_SCORE_B} + {_SCORE_W[0][1]} * avg(y) "
+            f"+ {_SCORE_W[1][1]} * sqrt(greatest(avg(y*y) - avg(y)*avg(y),"
+            f" 0)) + {_SCORE_W[2][1]} * ((max(y) - min(y)) / 2)")
+
+SQL_TS_SCORE_FEATURES = _VALUE_SERIES_SQL + f"""
+SELECT conv_id,
+       strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n_epochs,
+       round(1.0 / (1.0 + exp(-({_SCORE_Z}))), 6) + 0.0 AS score
+FROM series
+GROUP BY 1, 2
+"""
+
+
 def q_doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing/MOSS candidate pairs via PLANTED duplicates (minhash
     pattern): identical text ⇒ identical fingerprint set ⇒ containment
@@ -3868,6 +3904,7 @@ QUERIES = {
     "ts_rolling_quantile": q_ts_rolling_quantile,
     "ts_gauge_delta": q_ts_gauge_delta,
     "ts_channel_xcorr": q_ts_channel_xcorr,
+    "ts_score_features": q_ts_score_features,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -3961,6 +3998,7 @@ ORACLE_SQL = {
     "ts_rolling_quantile": SQL_TS_ROLLING_QUANTILE,
     "ts_gauge_delta": SQL_TS_GAUGE_DELTA,
     "ts_channel_xcorr": _xcorr_sql(),
+    "ts_score_features": SQL_TS_SCORE_FEATURES,
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

@@ -325,3 +325,13 @@ def test_channel_xcorr_exchanges(series):
     # alignment (conv, turn) -> shift window (conv) -> final agg reuses
     # the window's partitioning: three shrinking exchanges, no join
     assert s["hash"] <= 3 and s["bcast"] == 0 and not s["cartesian"]
+
+
+def test_score_linear_pure_projection(docs, spark):
+    import pandas as pd
+    from cesium_spark.operators.scoring import score_linear
+    df = spark.createDataFrame(pd.DataFrame(
+        {"f0": [1.0, 2.0], "f1": [0.5, 0.1]}))
+    s = _shape(score_linear(df, {"f0": 1.0, "f1": -1.0}))
+    assert s == {"hash": 0, "range": 0, "single": 0, "bcast": 0,
+                 "cartesian": False}

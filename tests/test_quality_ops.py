@@ -286,3 +286,40 @@ def test_channel_xcorr_recovers_planted_lead(spark):
         channel_xcorr(df, "a", "a", 2)
     with pytest.raises(ValueError):
         channel_xcorr(df, "a", "b", 0)
+
+
+# ---------------------------------------------------------------------------
+# score_linear
+# ---------------------------------------------------------------------------
+
+
+def test_score_linear_matches_sklearn_form(spark):
+    from cesium_spark.operators.scoring import score_linear
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(100, 3))
+    w = {"f0": 0.7, "f1": -1.2, "f2": 0.4}
+    b = 0.3
+    df = spark.createDataFrame(pd.DataFrame(
+        {"rid": range(100), "f0": X[:, 0], "f1": X[:, 1], "f2": X[:, 2]}))
+    got = {r["rid"]: r["score"]
+           for r in score_linear(df, w, b).collect()}
+    z = b + X @ np.array([0.7, -1.2, 0.4])
+    exp = 1.0 / (1.0 + np.exp(-z))
+    for i in range(100):
+        assert got[i] == pytest.approx(exp[i], abs=1e-12)
+    ident = score_linear(df, w, b, link="identity").collect()
+    for r in ident:
+        assert r["score"] == pytest.approx(z[r["rid"]], abs=1e-12)
+
+
+def test_score_linear_null_feature_scores_null(spark):
+    from cesium_spark.operators.scoring import score_linear
+    df = spark.createDataFrame(pd.DataFrame(
+        {"rid": [0, 1], "f0": [1.0, None]}))
+    got = {r["rid"]: r["score"]
+           for r in score_linear(df, {"f0": 2.0}).collect()}
+    assert got[0] is not None and got[1] is None
+    with pytest.raises(ValueError):
+        score_linear(df, {})
+    with pytest.raises(ValueError):
+        score_linear(df, {"f0": 1.0}, link="probit")
