@@ -3759,6 +3759,44 @@ GROUP BY 1, 2
 """
 
 
+def q_ts_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines transcript ingest roundtrip: the transcript table is
+    serialized to JSON lines with native to_json and parsed back with
+    from_json (PERMISSIVE) — plus one planted corrupt line, which must
+    surface as a quarantine row (NULL fields, is_malformed=true)
+    rather than killing the ingest. Pure projections, zero shuffles;
+    the oracle states the expected parse directly from events."""
+    from cesium_spark.sources.text_ingest import parse_json_turns
+    tr = events_transcripts(spark, sf_dir)
+    js = tr.select(F.to_json(F.struct(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts")).alias("value"))
+    bad = spark.createDataFrame([("{definitely not json",)], "value string")
+    out = parse_json_turns(js.unionByName(bad))
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.col("_malformed").isNotNull().alias("is_malformed"))
+
+
+SQL_TS_PARSE_JSON = f"""
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS role, props AS text,
+         CASE WHEN event_type = 'purchase' THEN 'checkout' END AS tool,
+         ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '{DUCK_TS_FMT}') AS ts, false AS is_malformed
+FROM t
+UNION ALL
+SELECT NULL, NULL, NULL, NULL, NULL, NULL, true
+"""
+
+
 def q_doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing/MOSS candidate pairs via PLANTED duplicates (minhash
     pattern): identical text ⇒ identical fingerprint set ⇒ containment
@@ -3905,6 +3943,7 @@ QUERIES = {
     "ts_gauge_delta": q_ts_gauge_delta,
     "ts_channel_xcorr": q_ts_channel_xcorr,
     "ts_score_features": q_ts_score_features,
+    "ts_parse_json": q_ts_parse_json,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -3999,6 +4038,7 @@ ORACLE_SQL = {
     "ts_gauge_delta": SQL_TS_GAUGE_DELTA,
     "ts_channel_xcorr": _xcorr_sql(),
     "ts_score_features": SQL_TS_SCORE_FEATURES,
+    "ts_parse_json": SQL_TS_PARSE_JSON,
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

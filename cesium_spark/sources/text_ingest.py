@@ -78,3 +78,42 @@ def parse_headerfile(spark: SparkSession, path: str,
     stem = F.regexp_extract(F.col(fname), r"([^/]+?)(\.[^./]*)?$", 1)
     rest = [c for c in hdr.columns if c != fname]
     return hdr.select(stem.alias("conv_id"), *rest)
+
+
+TURN_JSON_SCHEMA = ("conv_id string, turn_idx int, role string, "
+                    "text string, tool string, ts timestamp")
+
+
+def parse_json_turns(df, json_col: str = "value",
+                     mode: str = "PERMISSIVE"):
+    """JSON-lines transcript ingest — the interchange format agent
+    frameworks actually emit. ``from_json`` with the input_hint schema
+    (native, codegen — no Python in the parse path), exploded back to
+    the transcript columns plus ``_malformed`` carrying the raw line
+    when parsing failed (PERMISSIVE: corrupt lines surface as rows
+    with NULL fields and the original text for quarantine, instead of
+    killing a 10^12-turn ingest; mode='FAILFAST' opts into strictness).
+
+    Scale shape: a pure projection over whatever source produced the
+    string column (files, Kafka, a binary payload decode) — zero
+    shuffles, composes with the streaming sources unchanged.
+    """
+    from pyspark.sql import functions as F
+    if mode not in ("PERMISSIVE", "FAILFAST"):
+        raise ValueError(f"mode must be PERMISSIVE|FAILFAST, got {mode!r}")
+    parsed = F.from_json(F.col(json_col), TURN_JSON_SCHEMA,
+                         {"mode": mode})
+    out = df.withColumn("__p", parsed)
+    return out.select(
+        F.col("__p.conv_id").alias("conv_id"),
+        F.col("__p.turn_idx").alias("turn_idx"),
+        F.col("__p.role").alias("role"),
+        F.col("__p.text").alias("text"),
+        F.col("__p.tool").alias("tool"),
+        F.col("__p.ts").alias("ts"),
+        F.when(F.col("__p").isNull()
+               | (F.col("__p.conv_id").isNull()
+                  & F.col("__p.turn_idx").isNull()
+                  & F.col("__p.ts").isNull()),
+               F.col(json_col)).alias("_malformed"),
+    )

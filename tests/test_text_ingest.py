@@ -84,3 +84,38 @@ def test_ingest_feeds_rollup_and_meta(spark, csv_dir):
     assert row["weighted_average"] == pytest.approx(
         (5.0 * 100 + 6.0 * 25) / 125)
     assert row["label"] == "cepheid" and row["observatory"] == "north"
+
+
+# ---------------------------------------------------------------------------
+# parse_json_turns
+# ---------------------------------------------------------------------------
+
+
+def test_parse_json_turns_roundtrip_and_quarantine(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from cesium_spark.sources.text_ingest import (
+        TURN_JSON_SCHEMA,
+        parse_json_turns,
+    )
+    lines = [
+        '{"conv_id":"c1","turn_idx":0,"role":"user",'
+        '"text":"hi \\"there\\"","ts":"2024-01-01T00:00:00Z"}',
+        '{"conv_id":"c1","turn_idx":1,"role":"assistant",'
+        '"text":"hello","tool":"search","ts":"2024-01-01T00:00:05Z"}',
+        "{broken",
+        '{"unrelated": 1}',
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"value": lines}))
+    got = parse_json_turns(df).collect()
+    by_text = {r["text"]: r for r in got}
+    assert by_text['hi "there"']["turn_idx"] == 0
+    assert by_text["hello"]["tool"] == "search"
+    assert by_text["hello"]["ts"] is not None
+    # corrupt + schema-less lines quarantine with the raw payload
+    quarantined = [r for r in got if r["_malformed"] is not None]
+    assert {r["_malformed"] for r in quarantined} == \
+        {"{broken", '{"unrelated": 1}'}
+    with pytest.raises(ValueError):
+        parse_json_turns(df, mode="DROPMALFORMED")
+    assert "conv_id" in TURN_JSON_SCHEMA
