@@ -3759,6 +3759,80 @@ GROUP BY 1, 2
 """
 
 
+_CURATE_MIN_Q, _CURATE_MAX_DUP, _CURATE_MAX_TOP = 0.5, 0.34, 0.25
+
+
+def q_doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the operators composed the way a
+    training-data pipeline actually chains them: quality gate AND
+    not-contaminated AND repetition caps (undefined repetition =
+    REJECT — an empty doc must not slip through on a NULL), then the
+    content-addressed train/val/test assignment over the survivors.
+    Every gate compares the 6-dp-rounded value on BOTH engines so a
+    boundary doc can't flip. The oracle composes the same four
+    oracle bodies as subquery CTEs — one query certifying the whole
+    chain, not just its pieces."""
+    from cesium_spark.operators.dedup import contamination
+    from cesium_spark.operators.sampling import hash_split
+    from cesium_spark.operators.textstats import (
+        quality_score,
+        repetition_stats,
+    )
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % _CONTAM_MOD == 0)
+    pool = docs.where(F.col("doc_id") % _CONTAM_MOD != 0)
+    q = quality_score(pool).select(
+        "doc_id", _r(F.col("quality_score")).alias("q6"))
+    rep = repetition_stats(pool).select(
+        "doc_id", _r(F.col("dup_line_frac")).alias("dl6"),
+        _r(F.col("top_gram_frac")).alias("tg6"))
+    con = contamination(pool, ev, n=_CONTAM_N).select(
+        "doc_id", "contaminated")
+    kept = (q.join(rep, "doc_id").join(con, "doc_id")
+            .where((F.col("q6") >= _CURATE_MIN_Q)
+                   & ~F.col("contaminated")
+                   & F.col("dl6").isNotNull()
+                   & (F.col("dl6") <= _CURATE_MAX_DUP)
+                   & (F.coalesce(F.col("tg6"), F.lit(0.0))
+                      <= _CURATE_MAX_TOP)))
+    out = hash_split(kept, dict(_SPLIT_WEIGHTS), key="doc_id",
+                     salt=_SPLIT_SALT)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split",
+        F.col("q6").alias("quality"))
+
+
+def _curate_sql() -> str:
+    bucket = (f"(('0x' || substr(md5(cast(doc_id AS varchar) || "
+              f"'{_SPLIT_SALT}'), 1, 8))::BIGINT % 10000)")
+    names = [n for n, _ in _SPLIT_WEIGHTS]
+    cum, cases = 0.0, []
+    for nm, w in _SPLIT_WEIGHTS[:-1]:
+        cum += w
+        cases.append(f"WHEN {bucket} < {int(round(cum * 10000))} "
+                     f"THEN '{nm}'")
+    return f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({SQL_DOC_QUALITY}) t),
+rep AS (SELECT doc_id, dup_line_frac, top_gram_frac
+        FROM ({SQL_DOC_REPETITION}) t),
+con AS (SELECT doc_id, contaminated FROM ({SQL_DOC_CONTAMINATION}) t),
+kept AS (
+  SELECT q.doc_id, q.quality_score
+  FROM q JOIN rep ON q.doc_id = rep.doc_id
+         JOIN con ON q.doc_id = con.doc_id
+  WHERE q.quality_score >= {_CURATE_MIN_Q}
+    AND NOT con.contaminated
+    AND rep.dup_line_frac IS NOT NULL
+    AND rep.dup_line_frac <= {_CURATE_MAX_DUP}
+    AND coalesce(rep.top_gram_frac, 0.0) <= {_CURATE_MAX_TOP}
+)
+SELECT doc_id, CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split,
+       quality_score AS quality
+FROM kept
+"""
+
+
 def q_ts_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines transcript ingest roundtrip: the transcript table is
     serialized to JSON lines with native to_json and parsed back with
@@ -3944,6 +4018,7 @@ QUERIES = {
     "ts_channel_xcorr": q_ts_channel_xcorr,
     "ts_score_features": q_ts_score_features,
     "ts_parse_json": q_ts_parse_json,
+    "doc_curate": q_doc_curate,
     "ts_upsert_latest": q_ts_upsert_latest,
     "ts_twa_1h": q_ts_twa_1h,
     "ts_caggs_incremental": q_ts_caggs_incremental,
@@ -4039,6 +4114,7 @@ ORACLE_SQL = {
     "ts_channel_xcorr": _xcorr_sql(),
     "ts_score_features": SQL_TS_SCORE_FEATURES,
     "ts_parse_json": SQL_TS_PARSE_JSON,
+    "doc_curate": _curate_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,
     "ts_twa_1h": SQL_TS_TWA_1H,
     "ts_caggs_incremental": SQL_TS_CAGGS_INCREMENTAL,

@@ -323,3 +323,47 @@ def test_score_linear_null_feature_scores_null(spark):
         score_linear(df, {})
     with pytest.raises(ValueError):
         score_linear(df, {"f0": 1.0}, link="probit")
+
+
+# ---------------------------------------------------------------------------
+# curation composition (quality x repetition x contamination x split)
+# ---------------------------------------------------------------------------
+
+
+def test_curation_chain_gates_compose(spark):
+    """The operators compose the way q_doc_curate chains them: a clean
+    doc passes every gate, and each dirty doc is rejected by exactly
+    the gate built for it."""
+    from cesium_spark.operators.dedup import contamination
+    from cesium_spark.operators.sampling import hash_split
+    from cesium_spark.operators.textstats import (
+        quality_score,
+        repetition_stats,
+    )
+    clean = ("the data pipeline processed many records and wrote the "
+             "results to a table for the analysts on the team")
+    bench = ("question seventeen asks about the gradient of the loss "
+             "surface near a saddle point")
+    docs = _docs(spark, [
+        clean,                                        # 0: passes
+        "x",                                          # 1: low quality
+        ("spam spam spam spam spam spam spam spam spam spam "
+         "spam spam spam spam spam spam"),            # 2: repetition
+        # 3: quotes a benchmark 4-gram verbatim -> contaminated
+        clean + " see the gradient of the loss surface discussion",
+    ])
+    ev = _docs(spark, [bench], 100)
+    q = quality_score(docs).select("doc_id", "quality_score")
+    rep = repetition_stats(docs).select("doc_id", "top_gram_frac")
+    con = contamination(docs, ev, n=4).select("doc_id", "contaminated")
+    j = {r["doc_id"]: r for r in
+         q.join(rep, "doc_id").join(con, "doc_id").collect()}
+    assert j[0]["quality_score"] >= 0.5 and not j[0]["contaminated"]
+    assert j[0]["top_gram_frac"] < 0.25
+    assert j[1]["quality_score"] < 0.5
+    assert j[2]["top_gram_frac"] > 0.25
+    assert j[3]["contaminated"]
+    kept = docs.where(F.col("doc_id") == 0)
+    split = hash_split(kept, {"train": 0.8, "val": 0.2},
+                       key="doc_id", salt="s").collect()
+    assert len(split) == 1 and split[0]["split"] in ("train", "val")
