@@ -3949,6 +3949,54 @@ FROM d GROUP BY cw, date_diff('day', cw, wk) / 7
 _JL_DIM, _JL_OUT = 64, 16
 
 
+def q_ts_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule–Walker AR(1) fit per conversation over the value series:
+    φ̂ = Σ(yₜ−ȳ)(yₜ₋₁−ȳ)/Σ(yₜ−ȳ)², intercept ȳ(1−φ̂), innovation
+    variance (1−φ̂²)·var_pop, one-step forecast ȳ+φ̂(y_last−ȳ). One
+    window + one agg, ONE exchange; degenerate series (constant /
+    single-point) come back NULL via try_divide. Full-value oracle:
+    the estimator is restated term-for-term in DuckDB (same windows,
+    same max_by-on-unique-turn_idx last-value pick)."""
+    from cesium_spark.operators.seriesstats import ar1_fit
+    out = ar1_fit(_value_series(spark, sf_dir))
+    return out.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        _r(F.col("ybar")).alias("ybar"),
+        _r(F.col("phi")).alias("phi"),
+        _r(F.col("intercept")).alias("intercept"),
+        _r(F.col("sigma2")).alias("sigma2"),
+        _r(F.col("forecast")).alias("forecast"))
+
+
+SQL_TS_AR1 = f"""{_VALUE_SERIES_SQL}
+, l AS (
+  SELECT conv_id, turn_idx, y,
+         lag(y) OVER (PARTITION BY conv_id ORDER BY t, turn_idx)
+           AS prev,
+         avg(y) OVER (PARTITION BY conv_id) AS ybar
+  FROM series
+  WHERE y IS NOT NULL AND t IS NOT NULL
+),
+a AS (
+  SELECT conv_id, count(*) AS n, any_value(ybar) AS ybar,
+         sum(CASE WHEN prev IS NOT NULL
+                  THEN (y - ybar) * (prev - ybar) END) AS num,
+         sum((y - ybar) * (y - ybar)) AS den,
+         var_pop(y) AS v,
+         max_by(y, turn_idx) AS ylast
+  FROM l GROUP BY conv_id
+)
+SELECT conv_id, n, round(ybar, 6) + 0.0 AS ybar,
+       round(num / nullif(den, 0), 6) + 0.0 AS phi,
+       round(ybar * (1 - num / nullif(den, 0)), 6) + 0.0 AS intercept,
+       round((1 - (num / nullif(den, 0)) * (num / nullif(den, 0))) * v,
+             6) + 0.0 AS sigma2,
+       round(ybar + (num / nullif(den, 0)) * (ylast - ybar), 6) + 0.0
+         AS forecast
+FROM a
+"""
+
+
 def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→16 (seeded Achlioptas ±1 matrix,
     1/√16 = 0.25 exact): pure codegen projection, zero shuffles —
@@ -4017,6 +4065,7 @@ QUERIES = {
     "ts_gauge_delta": q_ts_gauge_delta,
     "ts_channel_xcorr": q_ts_channel_xcorr,
     "ts_score_features": q_ts_score_features,
+    "ts_ar1": q_ts_ar1,
     "ts_parse_json": q_ts_parse_json,
     "doc_curate": q_doc_curate,
     "ts_upsert_latest": q_ts_upsert_latest,
@@ -4113,6 +4162,7 @@ ORACLE_SQL = {
     "ts_gauge_delta": SQL_TS_GAUGE_DELTA,
     "ts_channel_xcorr": _xcorr_sql(),
     "ts_score_features": SQL_TS_SCORE_FEATURES,
+    "ts_ar1": SQL_TS_AR1,
     "ts_parse_json": SQL_TS_PARSE_JSON,
     "doc_curate": _curate_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,

@@ -258,3 +258,63 @@ def channel_xcorr(series: DataFrame, ch_a: str, ch_b: str,
              for k in range(1, max_lag + 1)]
     return (aligned.groupBy("conv_id")
             .agg(F.count(F.lit(1)).alias("n_pairs"), *cols))
+
+
+def ar1_fit(series: DataFrame) -> DataFrame:
+    """Yule–Walker AR(1) fit per (conv_id, channel): the cheapest
+    parametric memory model for a transcript series — "how sticky is
+    this conversation's latency?" — and the standard whitening step
+    before anomaly scoring (an AR(1) residual z-score fires on real
+    surprises instead of on autocorrelated drift).
+
+    Estimator (classic lag-1 Yule–Walker, spelled out so the oracle
+    can restate it term-for-term):
+
+        ȳ     = avg(y)                       (whole series)
+        φ̂     = Σ (yₜ−ȳ)(yₜ₋₁−ȳ) / Σ (yₜ−ȳ)²   (num over the n−1
+                                              adjacent pairs, den over
+                                              all n points — the
+                                              |φ̂|≤1-biased-but-stable
+                                              textbook form)
+        c     = ȳ·(1−φ̂)                      (process intercept)
+        σ²̂    = (1−φ̂²)·var_pop(y)            (innovation variance)
+        ŷ₊₁   = ȳ + φ̂·(y_last − ȳ)           (one-step forecast)
+
+    Degenerates come back NULL, never a fake number: a constant series
+    has zero denominator → φ̂ NULL via try_divide (ANSI mode would
+    otherwise throw DIVIDE_BY_ZERO and kill a 10^12-turn job on one
+    conversation that repeated itself); a 1-point series has no pairs
+    → NULL. y_last is picked by max_by over turn_idx — unique within a
+    series by construction, so the pick is deterministic under any
+    partitioning.
+
+    Plan: one ordered window (lag) + one unordered window (ȳ) + one
+    aggregation, all partitioned by the series key → ONE hash
+    exchange, no join, no UDF (plan-asserted in pytest).
+    """
+    w_part = Window.partitionBy("conv_id", "channel")
+    w_ord = w_part.orderBy("t", "turn_idx")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .withColumn("__prev", F.lag("y").over(w_ord))
+         .withColumn("__ybar", F.avg("y").over(w_part)))
+    dy = F.col("y") - F.col("__ybar")
+    dprev = F.col("__prev") - F.col("__ybar")
+    agg = (
+        s.groupBy("conv_id", "channel")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.first("__ybar").alias("ybar"),
+             F.sum(F.when(F.col("__prev").isNotNull(), dy * dprev))
+             .alias("__num"),
+             F.sum(dy * dy).alias("__den"),
+             F.var_pop("y").alias("__var"),
+             F.expr("max_by(y, turn_idx)").alias("__ylast"))
+    )
+    phi = F.expr("try_divide(__num, __den)")
+    return agg.select(
+        "conv_id", "channel", "n", "ybar",
+        phi.alias("phi"),
+        (F.col("ybar") * (F.lit(1.0) - phi)).alias("intercept"),
+        ((F.lit(1.0) - phi * phi) * F.col("__var")).alias("sigma2"),
+        (F.col("ybar") + phi * (F.col("__ylast") - F.col("ybar")))
+        .alias("forecast"))
