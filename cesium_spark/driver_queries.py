@@ -3997,6 +3997,95 @@ FROM a
 """
 
 
+def q_ts_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global first-order Markov transition matrix of the role
+    sequence (lead window + count agg + row-probability window —
+    three shrinking exchanges, no join). Counts integer-exact, p an
+    exact ratio of them; full-value oracle."""
+    from cesium_spark.operators.sequences import role_transitions
+    out = role_transitions(events_transcripts(spark, sf_dir))
+    return out.select(
+        "role", "next_role",
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.col("n_from").cast("long").alias("n_from"),
+        _r(F.col("p")).alias("p"))
+
+
+SQL_TS_ROLE_TRANSITIONS = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx, event_type AS role
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_role
+  FROM t
+)
+SELECT role, next_role, count(*) AS n_trans,
+       sum(count(*)) OVER (PARTITION BY role) AS n_from,
+       round(count(*) / (sum(count(*)) OVER (PARTITION BY role)), 6)
+         + 0.0 AS p
+FROM p WHERE role IS NOT NULL AND next_role IS NOT NULL
+GROUP BY role, next_role
+"""
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per conversation via the
+    single-fold engine path (ONE exchange, no K-level self-join). The
+    oracle computes the same semantics through the INDEPENDENT
+    textbook K-level min-chain (one CTE per step, strictly-after
+    join) — a semantic check, not a restatement."""
+    from cesium_spark.operators.sequences import funnel
+    out = funnel(events_transcripts(spark, sf_dir), list(_FUNNEL_STEPS))
+    return out.select(
+        "conv_id", F.col("depth").cast("int").alias("depth"),
+        *[F.col(f"step_{i}").cast("long").alias(f"step_{i}")
+          for i in range(1, len(_FUNNEL_STEPS) + 1)])
+
+
+SQL_TS_FUNNEL = f"""
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx, event_type AS role
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s1 AS (
+  SELECT conv_id,
+         min(CASE WHEN role = '{_FUNNEL_STEPS[0]}' THEN turn_idx END)
+           AS st
+  FROM t GROUP BY conv_id
+),
+s2 AS (
+  SELECT t.conv_id, min(t.turn_idx) AS st
+  FROM t JOIN s1 ON t.conv_id = s1.conv_id
+  WHERE t.role = '{_FUNNEL_STEPS[1]}' AND t.turn_idx > s1.st
+  GROUP BY t.conv_id
+),
+s3 AS (
+  SELECT t.conv_id, min(t.turn_idx) AS st
+  FROM t JOIN s2 ON t.conv_id = s2.conv_id
+  WHERE t.role = '{_FUNNEL_STEPS[2]}' AND t.turn_idx > s2.st
+  GROUP BY t.conv_id
+)
+SELECT c.conv_id,
+       cast(CASE WHEN s3.st IS NOT NULL THEN 3
+                 WHEN s2.st IS NOT NULL THEN 2
+                 WHEN s1.st IS NOT NULL THEN 1 ELSE 0 END AS int)
+         AS depth,
+       s1.st AS step_1, s2.st AS step_2, s3.st AS step_3
+FROM (SELECT DISTINCT conv_id FROM t) c
+LEFT JOIN s1 ON c.conv_id = s1.conv_id
+LEFT JOIN s2 ON c.conv_id = s2.conv_id
+LEFT JOIN s3 ON c.conv_id = s3.conv_id
+"""
+
+
 def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→16 (seeded Achlioptas ±1 matrix,
     1/√16 = 0.25 exact): pure codegen projection, zero shuffles —
@@ -4066,6 +4155,8 @@ QUERIES = {
     "ts_channel_xcorr": q_ts_channel_xcorr,
     "ts_score_features": q_ts_score_features,
     "ts_ar1": q_ts_ar1,
+    "ts_role_transitions": q_ts_role_transitions,
+    "ts_funnel": q_ts_funnel,
     "ts_parse_json": q_ts_parse_json,
     "doc_curate": q_doc_curate,
     "ts_upsert_latest": q_ts_upsert_latest,
@@ -4163,6 +4254,8 @@ ORACLE_SQL = {
     "ts_channel_xcorr": _xcorr_sql(),
     "ts_score_features": SQL_TS_SCORE_FEATURES,
     "ts_ar1": SQL_TS_AR1,
+    "ts_role_transitions": SQL_TS_ROLE_TRANSITIONS,
+    "ts_funnel": SQL_TS_FUNNEL,
     "ts_parse_json": SQL_TS_PARSE_JSON,
     "doc_curate": _curate_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,

@@ -1,0 +1,112 @@
+"""Turn-sequence analytics over the transcript shape (conv_id,
+turn_idx, role, …): the questions that treat a conversation as a
+SEQUENCE of discrete states rather than a numeric series — "what
+follows a tool call?", "how many sessions complete the
+view→click→purchase path?". No reference counterpart in cesium (its
+series are numeric); these are the transcript-native siblings of the
+cadence family (SURVEY.md §2.5) over the same one-scan input.
+
+Both operators are pure native expressions:
+
+- ``role_transitions``: first-order Markov transition matrix. One
+  ordered window (lead over the conversation) + one count aggregate +
+  one row-probability window — three SHRINKING exchanges (turns →
+  distinct (role, next_role) pairs → matrix rows), no join, no UDF.
+- ``funnel``: ordered-step conversion. The scale path is a SINGLE
+  fold: each conversation's (turn_idx, role) events are collected
+  once, sorted, and a native ``aggregate`` HOF advances a step
+  pointer over them in order — one hash exchange total, O(turns·K)
+  work, no K-level self-join (the textbook SQL formulation joins the
+  table back once per step; at 10^12 turns that is K shuffles of the
+  full table). The DuckDB oracle deliberately USES that independent
+  K-level min-chain formulation, so the comparison checks semantics,
+  not a restatement of the same fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Global first-order Markov transition matrix of the role
+    sequence: one row per observed (role, next_role) pair with the
+    transition count ``n_trans``, the total transitions leaving
+    ``role`` (``n_from``), and the row-stochastic probability ``p`` =
+    n_trans / n_from. Counts are integer-exact and p is an exact
+    ratio of them, so the output is bit-stable under any partitioning.
+
+    The last turn of each conversation has no successor and is
+    excluded (it is a row-count fact, not a transition); NULL roles
+    are excluded on either side — a NULL state would silently absorb
+    probability mass.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (transcripts
+             .select("conv_id", "turn_idx", "role")
+             .withColumn("next_role", F.lead("role").over(w))
+             .where(F.col("role").isNotNull()
+                    & F.col("next_role").isNotNull()))
+    counts = pairs.groupBy("role", "next_role").agg(
+        F.count(F.lit(1)).alias("n_trans"))
+    w_from = Window.partitionBy("role")
+    return counts.select(
+        "role", "next_role", "n_trans",
+        F.sum("n_trans").over(w_from).alias("n_from"),
+        (F.col("n_trans") / F.sum("n_trans").over(w_from)).alias("p"))
+
+
+def funnel(transcripts: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered-step funnel per conversation: the earliest turn at
+    which each step's role occurs STRICTLY AFTER the previous step's
+    matched turn (the classic first-occurrence conversion chain).
+    Returns one row per conversation: ``depth`` (how many steps
+    completed, 0..K) and ``step_1..step_K`` (the matched turn_idx,
+    NULL once the chain breaks).
+
+    Single-pass: collect each conversation's (turn_idx, role) pairs,
+    sort (turn_idx leads the struct, so struct ordering IS turn
+    order; turn_idx is unique within a conversation by construction),
+    and fold left with a (depth, matched-turns) accumulator — each
+    event either advances the pointer to the next wanted role or is
+    skipped. Exactly ONE hash exchange (the collect_list groupBy);
+    the fold is per-row native codegen, no UDF, no self-join. Repeated
+    roles match greedily at first opportunity, which is the standard
+    funnel semantics and what the K-level min-chain oracle computes.
+    """
+    k = len(steps)
+    if k < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {k}")
+    if any(s is None for s in steps):
+        raise ValueError("funnel steps must be non-null role values")
+    if len(set(steps)) != k:
+        # repeated step values are expressible but ambiguous to read
+        # back (step i and step j match the same role); refuse loudly
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    steps_arr = "array(" + ", ".join(
+        "'" + s.replace("'", "\\'") + "'" for s in steps) + ")"
+    fold = f"""
+      aggregate(
+        array_sort(collect_list(struct(turn_idx, role))),
+        struct(0 AS depth,
+               cast(array_repeat(null, {k}) AS array<long>) AS turns),
+        (acc, x) -> IF(acc.depth < {k}
+                       AND x.role = element_at({steps_arr}, acc.depth + 1),
+                       struct(acc.depth + 1 AS depth,
+                              transform(acc.turns,
+                                        (v, i) -> IF(i = acc.depth,
+                                                     cast(x.turn_idx AS long),
+                                                     v)) AS turns),
+                       acc))
+    """
+    agg = (transcripts
+           .select("conv_id", "turn_idx", "role")
+           .where(F.col("role").isNotNull())
+           .groupBy("conv_id")
+           .agg(F.expr(fold).alias("__f")))
+    return agg.select(
+        "conv_id",
+        F.col("__f.depth").alias("depth"),
+        *[F.col("__f.turns").getItem(i).alias(f"step_{i + 1}")
+          for i in range(k)])

@@ -96,3 +96,101 @@ def test_ar1_plan_one_exchange(spark):
          .split("== Initial Plan ==")[0])
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "Cartesian" not in p and "Join" not in p
+
+
+# ---------------------------------------------------------------------------
+# role_transitions / funnel
+# ---------------------------------------------------------------------------
+
+from cesium_spark.operators.sequences import funnel, role_transitions  # noqa: E402
+
+
+def _transcript(spark, seqs: dict):
+    rows = [(c, i, r) for c, roles in seqs.items()
+            for i, r in enumerate(roles)]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+
+
+def test_transitions_hand_counts(spark):
+    tr = _transcript(spark, {
+        "a": ["u", "b", "u", "b"],        # u→b ×2, b→u ×1
+        "b": ["u", "u", "b"],             # u→u ×1, u→b ×1
+    })
+    out = (role_transitions(tr).toPandas()
+           .set_index(["role", "next_role"]).sort_index())
+    assert out.loc[("u", "b"), "n_trans"] == 3
+    assert out.loc[("b", "u"), "n_trans"] == 1
+    assert out.loc[("u", "u"), "n_trans"] == 1
+    assert out.loc[("u", "b"), "n_from"] == 4
+    assert out.loc[("u", "b"), "p"] == pytest.approx(0.75)
+    # row-stochastic: probabilities out of each role sum to 1
+    sums = out.groupby("role")["p"].sum()
+    assert (abs(sums - 1.0) < 1e-12).all()
+
+
+def test_transitions_null_roles_excluded(spark):
+    tr = _transcript(spark, {"a": ["u", None, "b", "u"]})
+    out = role_transitions(tr).toPandas()
+    # NULL breaks the chain on both sides: u→NULL and NULL→b dropped
+    assert set(zip(out["role"], out["next_role"])) == {("b", "u")}
+
+
+def test_funnel_hand_cases(spark):
+    tr = _transcript(spark, {
+        "full": ["view", "x", "click", "purchase"],
+        "wrong_order": ["click", "view", "purchase"],
+        "greedy": ["view", "view", "click"],
+        "nothing": ["x", "y"],
+    })
+    out = (funnel(tr, ["view", "click", "purchase"]).toPandas()
+           .set_index("conv_id"))
+    assert out.loc["full", ["depth", "step_1", "step_2", "step_3"]].tolist() \
+        == [3, 0, 2, 3]
+    # strictly-after: the click at turn 0 precedes the view → only the
+    # view matches (purchase can't skip the unmatched click step)
+    r = out.loc["wrong_order"]
+    assert r["depth"] == 1 and r["step_1"] == 1
+    assert pd.isna(r["step_2"]) and pd.isna(r["step_3"])
+    assert out.loc["nothing", "depth"] == 0
+    assert pd.isna(out.loc["nothing", "step_1"])
+    g = out.loc["greedy"]
+    assert g["depth"] == 2 and g["step_1"] == 0 and g["step_2"] == 2
+
+
+def test_funnel_matches_scalar_reference(spark):
+    rng = np.random.default_rng(11)
+    roles = ["view", "click", "purchase", "x", "y"]
+    seqs = {f"c{i}": [roles[j] for j in rng.integers(0, 5, rng.integers(1, 30))]
+            for i in range(60)}
+    steps = ["view", "click", "purchase"]
+
+    def ref(seq):
+        depth, turns = 0, [None, None, None]
+        for i, r in enumerate(seq):
+            if depth < 3 and r == steps[depth]:
+                turns[depth] = i
+                depth += 1
+        return depth, turns
+
+    out = funnel(_transcript(spark, seqs), steps).toPandas() \
+        .set_index("conv_id")
+    for c, seq in seqs.items():
+        d, turns = ref(seq)
+        assert out.loc[c, "depth"] == d, c
+        for k in range(3):
+            got = out.loc[c, f"step_{k + 1}"]
+            assert (pd.isna(got) and turns[k] is None) or got == turns[k], c
+
+
+def test_funnel_validation_and_plan(spark):
+    tr = _transcript(spark, {"a": ["u", "b"]})
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        funnel(tr, ["u"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(tr, ["u", "u"])
+    df = funnel(tr, ["u", "b"])
+    df.collect()
+    p = (df._jdf.queryExecution().executedPlan().toString()
+         .split("== Initial Plan ==")[0])
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Join" not in p
