@@ -4086,6 +4086,56 @@ LEFT JOIN s3 ON c.conv_id = s3.conv_id
 """
 
 
+def q_doc_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram entropy + type/token + hapax diversity (two
+    shrinking two-phase aggregates, no join). Cancellation-free
+    H = log2(n) − Σc·log2(c)/n restated identically in the oracle;
+    zero-token docs keep a row (n_tokens=0, NULL entropy)."""
+    from cesium_spark.operators.textstats import lexical_stats
+    _prep(spark)
+    out = lexical_stats(_read(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        _r(F.col("entropy_bits")).alias("entropy_bits"),
+        _r(F.col("type_token_ratio")).alias("type_token_ratio"),
+        _r(F.col("hapax_frac")).alias("hapax_frac"))
+
+
+SQL_DOC_LEXICAL = r"""
+WITH tok AS (
+  SELECT doc_id, nullif(t, '') AS token
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(coalesce(text, '')),
+                                         '[ \t\n\r\f]+')) AS t
+        FROM documents)
+),
+c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+a AS (
+  SELECT doc_id,
+         cast(coalesce(sum(c) FILTER (WHERE token IS NOT NULL), 0)
+              AS bigint) AS n_tokens,
+         cast(count(*) FILTER (WHERE token IS NOT NULL) AS bigint)
+           AS n_types,
+         sum(CASE WHEN token IS NOT NULL AND c = 1 THEN 1 ELSE 0 END)
+           AS hapax,
+         sum(CASE WHEN token IS NOT NULL THEN c * log2(c) END) AS clog
+  FROM c GROUP BY 1)
+SELECT doc_id, n_tokens, n_types,
+       round(CASE WHEN n_tokens > 0
+                  THEN log2(n_tokens) - clog / n_tokens END, 6) + 0.0
+         AS entropy_bits,
+       round(CASE WHEN n_tokens > 0
+                  THEN n_types / cast(n_tokens AS double) END, 6) + 0.0
+         AS type_token_ratio,
+       round(CASE WHEN n_types > 0
+                  THEN hapax / cast(n_types AS double) END, 6) + 0.0
+         AS hapax_frac
+FROM a
+"""
+
+
 def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→16 (seeded Achlioptas ±1 matrix,
     1/√16 = 0.25 exact): pure codegen projection, zero shuffles —
@@ -4157,6 +4207,7 @@ QUERIES = {
     "ts_ar1": q_ts_ar1,
     "ts_role_transitions": q_ts_role_transitions,
     "ts_funnel": q_ts_funnel,
+    "doc_lexical": q_doc_lexical,
     "ts_parse_json": q_ts_parse_json,
     "doc_curate": q_doc_curate,
     "ts_upsert_latest": q_ts_upsert_latest,
@@ -4256,6 +4307,7 @@ ORACLE_SQL = {
     "ts_ar1": SQL_TS_AR1,
     "ts_role_transitions": SQL_TS_ROLE_TRANSITIONS,
     "ts_funnel": SQL_TS_FUNNEL,
+    "doc_lexical": SQL_DOC_LEXICAL,
     "ts_parse_json": SQL_TS_PARSE_JSON,
     "doc_curate": _curate_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,

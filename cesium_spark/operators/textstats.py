@@ -537,3 +537,56 @@ def winnowing_pairs(docs: DataFrame, id_col: str = "doc_id",
                         / F.least(F.col("sz_a"), F.col("sz_b")))
             .where(F.col("containment") >= threshold)
             .select("id_a", "id_b", "n_shared", "containment"))
+
+
+def lexical_stats(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document lexical diversity and unigram entropy — the
+    information-theoretic quality signals a curation pipeline reads
+    next to the Gopher repetition caps: ``entropy_bits`` (Shannon
+    entropy of the token distribution, low = degenerate/boilerplate),
+    ``type_token_ratio`` (vocabulary richness), ``hapax_frac``
+    (fraction of types occurring once — near 0 flags template text,
+    near 1 flags gibberish).
+
+    Entropy over token counts c with n = Σc, computed in the
+    cancellation-free form H = log2(n) − (Σ c·log2 c)/n, so a
+    single-token doc lands on exactly 0.0 and the oracle can restate
+    the identical expression.
+
+    Tokens are lowercased splits on the EXPLICIT class [ \\t\\n\\r\\f]
+    (Java \\s and RE2 \\s disagree on \\x0B — repo convention, see
+    _duck_shingles). Empty splits map to NULL instead of being
+    filtered, so a zero-token document keeps exactly one (doc, NULL)
+    row through both aggregates and reports n_tokens = 0 with NULL
+    entropy/ratios — it must not silently vanish from a quality gate
+    (the doc_curate precedent: an absent row reads as "passed").
+
+    Scale shape: explode → two-phase count on (doc, token) — the
+    shuffle carries each partition's distinct (doc, token) pairs, a
+    repeated-token whale collapses map-side — then a second shrinking
+    two-phase aggregate on doc. Two hash exchanges, no join, no UDF.
+    """
+    tok = F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[ \t\n\r\f]+")).alias("__t")
+    counts = (docs
+              .select(F.col(id_col), tok)
+              .select(id_col, F.nullif(F.col("__t"), F.lit("")).alias("token"))
+              .groupBy(id_col, "token")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    real = F.col("token").isNotNull()
+    c = F.col("__c")
+    agg = (counts.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(real, c)), F.lit(0)).alias("n_tokens"),
+        F.count(F.when(real, F.lit(1))).alias("n_types"),
+        F.sum(F.when(real & (c == 1), 1).otherwise(0)).alias("__hapax"),
+        F.sum(F.when(real, c.cast("double") * F.log2(c))).alias("__clog")))
+    n = F.col("n_tokens")
+    return agg.select(
+        id_col, "n_tokens", "n_types",
+        F.when(n > 0, F.log2(n) - F.col("__clog") / n)
+        .alias("entropy_bits"),
+        F.when(n > 0, F.col("n_types") / n).alias("type_token_ratio"),
+        F.when(F.col("n_types") > 0, F.col("__hapax") / F.col("n_types"))
+        .alias("hapax_frac"))

@@ -194,3 +194,71 @@ def test_funnel_validation_and_plan(spark):
          .split("== Initial Plan ==")[0])
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "Join" not in p
+
+
+# ---------------------------------------------------------------------------
+# lexical_stats
+# ---------------------------------------------------------------------------
+
+from cesium_spark.operators.textstats import lexical_stats  # noqa: E402
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def test_lexical_hand_values(spark):
+    out = (lexical_stats(_docs(spark, [
+        "a b a b",          # 2 types × 2 → H = 1 bit, ttr .5, hapax 0
+        "a a a a",          # degenerate → H = 0
+        "w x y z",          # uniform singletons → H = 2 bits, hapax 1
+        "tok",              # single token → H = 0 exactly
+    ])).toPandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "entropy_bits"] == pytest.approx(1.0, abs=1e-12)
+    assert out.loc[0, "type_token_ratio"] == 0.5
+    assert out.loc[0, "hapax_frac"] == 0.0
+    assert out.loc[1, "entropy_bits"] == pytest.approx(0.0, abs=1e-12)
+    assert out.loc[2, "entropy_bits"] == pytest.approx(2.0, abs=1e-12)
+    assert out.loc[2, "hapax_frac"] == 1.0
+    assert out.loc[3, "entropy_bits"] == 0.0  # exact, not ~0
+
+
+def test_lexical_empty_doc_keeps_row(spark):
+    out = (lexical_stats(_docs(spark, ["a b", "", None, "   "]))
+           .toPandas().set_index("doc_id").sort_index())
+    assert len(out) == 4  # nothing vanishes
+    for i in (1, 2, 3):
+        assert out.loc[i, "n_tokens"] == 0 and out.loc[i, "n_types"] == 0
+        assert pd.isna(out.loc[i, "entropy_bits"])
+        assert pd.isna(out.loc[i, "type_token_ratio"])
+        assert pd.isna(out.loc[i, "hapax_frac"])
+
+
+def test_lexical_matches_scipy_style_reference(spark):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 300)))
+             for _ in range(30)]
+    out = (lexical_stats(_docs(spark, texts)).toPandas()
+           .set_index("doc_id").sort_index())
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        vals, cnt = np.unique(toks, return_counts=True)
+        p = cnt / cnt.sum()
+        h = float(-(p * np.log2(p)).sum())
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "n_types"] == len(vals)
+        assert out.loc[i, "entropy_bits"] == pytest.approx(h, abs=1e-9)
+        assert out.loc[i, "hapax_frac"] == pytest.approx(
+            (cnt == 1).sum() / len(vals), abs=1e-12)
+
+
+def test_lexical_plan_two_exchanges_no_join(spark):
+    df = lexical_stats(_docs(spark, ["a b c", "b c d"]))
+    df.collect()
+    p = (df._jdf.queryExecution().executedPlan().toString()
+         .split("== Initial Plan ==")[0])
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+    assert "Join" not in p and "Cartesian" not in p
