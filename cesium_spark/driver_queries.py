@@ -4136,6 +4136,71 @@ FROM a
 """
 
 
+_DRIFT_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+_DRIFT_ALPHA = 0.5
+
+
+def q_ts_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI / KL / total-variation drift of the value distribution
+    between the pre- and post-2024-01-16 windows on a fixed bucket
+    grid with Laplace smoothing (two shrinking exchanges, no join;
+    absent buckets enter through the closed-form term, no spine
+    join). Full-value oracle restates the smoothed closed form."""
+    from cesium_spark.operators.seriesstats import drift_psi
+    out = drift_psi(_value_series(spark, sf_dir), _DRIFT_SPLIT,
+                    _DRIFT_EDGES, alpha=_DRIFT_ALPHA)
+    return out.select(
+        "channel", "n_ref", "n_cur",
+        _r(F.col("psi")).alias("psi"),
+        _r(F.col("kl")).alias("kl"),
+        _r(F.col("tvd")).alias("tvd"))
+
+
+def _drift_sql() -> str:
+    edges = _DRIFT_EDGES
+    nb = len(edges) + 1
+    ab = _DRIFT_ALPHA * nb
+    chain = "CASE " + " ".join(
+        f"WHEN y <= {e} THEN {i}" for i, e in enumerate(edges)) \
+        + f" ELSE {len(edges)} END"
+    p = f"((c_ref + {_DRIFT_ALPHA}) / (n_ref + {ab}))"
+    q = f"((c_cur + {_DRIFT_ALPHA}) / (n_cur + {ab}))"
+    p0 = f"({_DRIFT_ALPHA} / (n_ref + {ab}))"
+    q0 = f"({_DRIFT_ALPHA} / (n_cur + {ab}))"
+    return f"""{_VALUE_SERIES_SQL}
+, rows_ AS (
+  SELECT {chain} AS bucket,
+         CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END
+           AS cur
+  FROM series WHERE y IS NOT NULL AND ts IS NOT NULL
+),
+c AS (
+  SELECT bucket, sum(1 - cur) AS c_ref, sum(cur) AS c_cur
+  FROM rows_ GROUP BY 1
+),
+tot AS (
+  SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur,
+         count(*) AS present
+  FROM c
+)
+SELECT 'value' AS channel,
+       cast(n_ref AS bigint) AS n_ref, cast(n_cur AS bigint) AS n_cur,
+       round(sum(({p} - {q}) * ln({p} / {q}))
+             + ({nb} - any_value(present))
+               * any_value(({p0} - {q0}) * ln({p0} / {q0})), 6) + 0.0
+         AS psi,
+       round(sum({p} * ln({p} / {q}))
+             + ({nb} - any_value(present))
+               * any_value({p0} * ln({p0} / {q0})), 6) + 0.0 AS kl,
+       round((sum(abs({p} - {q}))
+              + ({nb} - any_value(present)) * any_value(abs({p0} - {q0})))
+             / 2.0, 6) + 0.0 AS tvd
+FROM c, tot
+GROUP BY n_ref, n_cur
+"""
+
+
 def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→16 (seeded Achlioptas ±1 matrix,
     1/√16 = 0.25 exact): pure codegen projection, zero shuffles —
@@ -4208,6 +4273,7 @@ QUERIES = {
     "ts_role_transitions": q_ts_role_transitions,
     "ts_funnel": q_ts_funnel,
     "doc_lexical": q_doc_lexical,
+    "ts_drift": q_ts_drift,
     "ts_parse_json": q_ts_parse_json,
     "doc_curate": q_doc_curate,
     "ts_upsert_latest": q_ts_upsert_latest,
@@ -4308,6 +4374,7 @@ ORACLE_SQL = {
     "ts_role_transitions": SQL_TS_ROLE_TRANSITIONS,
     "ts_funnel": SQL_TS_FUNNEL,
     "doc_lexical": SQL_DOC_LEXICAL,
+    "ts_drift": _drift_sql(),
     "ts_parse_json": SQL_TS_PARSE_JSON,
     "doc_curate": _curate_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,

@@ -318,3 +318,72 @@ def ar1_fit(series: DataFrame) -> DataFrame:
         ((F.lit(1.0) - phi * phi) * F.col("__var")).alias("sigma2"),
         (F.col("ybar") + phi * (F.col("__ylast") - F.col("ybar")))
         .alias("forecast"))
+
+
+def drift_psi(series: DataFrame, split_ts: str, edges: list[float],
+              alpha: float = 0.5) -> DataFrame:
+    """Population-drift scoring per channel between the reference
+    window (ts < split_ts) and the current window (ts >= split_ts) —
+    the "did the distribution move?" gate a training-data pipeline
+    runs before trusting a new ingest batch. Reports the Population
+    Stability Index Σ(pᵢ−qᵢ)·ln(pᵢ/qᵢ) (industry rule of thumb:
+    > 0.25 = major shift), KL(ref‖cur), and total-variation distance
+    ½Σ|pᵢ−qᵢ| over a FIXED bucket grid (histogram.bucket_expr le
+    semantics, so tier histograms and drift read the same buckets).
+
+    Additive (Laplace) smoothing with ``alpha`` keeps every term
+    finite: pᵢ = (cᵢ+α)/(n+αB) over B = len(edges)+1 buckets. Buckets
+    observed in NEITHER window still shift smoothed mass when the two
+    windows have different totals, so their closed-form contribution
+    (identical for every absent bucket) is added as
+    (B − buckets_present)·f(0,0) — no bucket-spine join, no driver
+    materialization, and the oracle restates the same closed form.
+
+    NULL y or NULL ts rows are dropped (no bucket / no side). An
+    empty reference window degrades to "cur vs uniform" (smoothing
+    mass only) rather than dividing by zero.
+
+    Scale shape: one scan → two-phase count on (channel, bucket)
+    [shuffle carries ≤ B rows per channel per partition] → per-channel
+    totals via window + final aggregate on the tiny bucket table. Two
+    shrinking hash exchanges, no join, no UDF.
+    """
+    from cesium_spark.operators.histogram import bucket_expr
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    nbuckets = len(edges) + 1
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("ts").isNotNull())
+         .withColumn("__b", bucket_expr("y", edges))
+         .withColumn("__cur",
+                     (F.col("ts") >= F.to_timestamp(F.lit(split_ts)))
+                     .cast("long")))
+    per_bucket = (s.groupBy("channel", "__b")
+                  .agg(F.sum(F.lit(1) - F.col("__cur")).alias("c_ref"),
+                       F.sum("__cur").alias("c_cur")))
+    w = Window.partitionBy("channel")
+    t = (per_bucket
+         .withColumn("n_ref", F.sum("c_ref").over(w))
+         .withColumn("n_cur", F.sum("c_cur").over(w)))
+
+    def _p(c, n):
+        return (c + F.lit(alpha)) / (n + F.lit(alpha * nbuckets))
+
+    p = _p(F.col("c_ref"), F.col("n_ref"))
+    q = _p(F.col("c_cur"), F.col("n_cur"))
+    p0 = _p(F.lit(0.0), F.col("n_ref"))  # absent-bucket closed form
+    q0 = _p(F.lit(0.0), F.col("n_cur"))
+    missing = F.lit(nbuckets) - F.count(F.lit(1))
+    return (t.groupBy("channel").agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        (F.sum((p - q) * F.log(p / q))
+         + missing * F.first((p0 - q0) * F.log(p0 / q0))).alias("psi"),
+        (F.sum(p * F.log(p / q))
+         + missing * F.first(p0 * F.log(p0 / q0))).alias("kl"),
+        ((F.sum(F.abs(p - q)) + missing * F.first(F.abs(p0 - q0)))
+         / F.lit(2.0)).alias("tvd"))
+        .select("channel",
+                F.col("n_ref").cast("long").alias("n_ref"),
+                F.col("n_cur").cast("long").alias("n_cur"),
+                "psi", "kl", "tvd"))

@@ -262,3 +262,85 @@ def test_lexical_plan_two_exchanges_no_join(spark):
          .split("== Initial Plan ==")[0])
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
     assert "Join" not in p and "Cartesian" not in p
+
+
+# ---------------------------------------------------------------------------
+# drift_psi
+# ---------------------------------------------------------------------------
+
+from cesium_spark.operators.seriesstats import drift_psi  # noqa: E402
+
+
+def _tseries(spark, ys_ref, ys_cur, channel="v"):
+    rows = []
+    for i, y in enumerate(ys_ref):
+        rows.append(("c", channel, i, dt.datetime(2024, 1, 1), 0.0, float(y)))
+    for i, y in enumerate(ys_cur):
+        rows.append(("c", channel, i, dt.datetime(2024, 2, 1), 0.0, float(y)))
+    return spark.createDataFrame(
+        rows, "conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double")
+
+
+def _drift_ref(ys_ref, ys_cur, edges, alpha):
+    nb = len(edges) + 1
+
+    def counts(ys):
+        c = np.zeros(nb)
+        for y in ys:
+            b = nb - 1
+            for i, e in enumerate(edges):
+                if y <= e:
+                    b = i
+                    break
+            c[b] += 1
+        return c
+
+    cr, cc = counts(ys_ref), counts(ys_cur)
+    p = (cr + alpha) / (cr.sum() + alpha * nb)
+    q = (cc + alpha) / (cc.sum() + alpha * nb)
+    return (float(((p - q) * np.log(p / q)).sum()),
+            float((p * np.log(p / q)).sum()),
+            float(np.abs(p - q).sum() / 2))
+
+
+def test_drift_matches_numpy_reference_with_absent_buckets(spark):
+    rng = np.random.default_rng(9)
+    edges = [2.0, 4.0, 6.0, 8.0]
+    # planted shift +3: several buckets absent on one side each
+    ys_ref = rng.normal(3, 1, 400)
+    ys_cur = rng.normal(6, 1, 300)
+    out = drift_psi(_tseries(spark, ys_ref, ys_cur),
+                    "2024-01-16 00:00:00", edges).toPandas().iloc[0]
+    psi, kl, tvd = _drift_ref(ys_ref, ys_cur, edges, 0.5)
+    assert out["psi"] == pytest.approx(psi, abs=1e-12)
+    assert out["kl"] == pytest.approx(kl, abs=1e-12)
+    assert out["tvd"] == pytest.approx(tvd, abs=1e-12)
+    assert out["n_ref"] == 400 and out["n_cur"] == 300
+    assert out["psi"] > 0.25  # the planted shift actually fires the alarm
+
+
+def test_drift_identical_windows_exact_zero(spark):
+    ys = list(range(20))
+    out = drift_psi(_tseries(spark, ys, ys), "2024-01-16 00:00:00",
+                    [5.0, 10.0, 15.0]).toPandas().iloc[0]
+    assert out["psi"] == 0.0 and out["kl"] == 0.0 and out["tvd"] == 0.0
+
+
+def test_drift_empty_reference_window_finite(spark):
+    out = drift_psi(_tseries(spark, [], [1.0, 2.0, 3.0]),
+                    "2024-01-16 00:00:00", [2.0]).toPandas().iloc[0]
+    assert out["n_ref"] == 0 and out["n_cur"] == 3
+    assert np.isfinite(out["psi"]) and np.isfinite(out["kl"])
+
+
+def test_drift_validation_and_plan(spark):
+    df_in = _tseries(spark, [1.0], [2.0])
+    with pytest.raises(ValueError, match="alpha"):
+        drift_psi(df_in, "2024-01-16 00:00:00", [2.0], alpha=0.0)
+    df = drift_psi(df_in, "2024-01-16 00:00:00", [2.0])
+    df.collect()
+    p = (df._jdf.queryExecution().executedPlan().toString()
+         .split("== Initial Plan ==")[0])
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+    assert "Join" not in p
