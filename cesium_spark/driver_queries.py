@@ -3474,6 +3474,80 @@ FROM series
 """
 
 
+_SJOIN_SPAN = "6 hours"
+
+
+def q_ts_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream event-time interval join: the turn stream joined
+    online to the purchase-alert stream of the same conversation
+    within (alert_ts, alert_ts + 6h] — both sides watermarked, the
+    range condition bounding BOTH state stores (the unbounded-state
+    OOM guard at 10^12 turns). Replayed via availableNow from per-run
+    scratch; oracle = the identical batch join in DuckDB."""
+    import os
+    import tempfile
+
+    from cesium_spark.streaming.window_delta import stream_interval_join
+
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="cesium_spark_stream_join_")
+    os.makedirs(f"{base}/turns")
+    os.makedirs(f"{base}/alerts")
+    ev = _read(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts", F.col("value").alias("y"))
+    alerts = (ev.where(F.col("event_type") == "purchase")
+              .select(F.col("user_id").cast("string").alias("conv_id"),
+                      F.col("event_id").cast("long").alias("alert_id"),
+                      F.col("ts").alias("alert_ts")))
+    turns.coalesce(1).write.mode("append").parquet(f"{base}/turns")
+    alerts.coalesce(1).write.mode("append").parquet(f"{base}/alerts")
+    t_stream = spark.readStream.schema(
+        "conv_id string, event_id long, ts timestamp, y double") \
+        .parquet(f"{base}/turns")
+    a_stream = spark.readStream.schema(
+        "conv_id string, alert_id long, alert_ts timestamp") \
+        .parquet(f"{base}/alerts")
+    out = stream_interval_join(t_stream, a_stream, span=_SJOIN_SPAN)
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", f"{base}/ckpt")
+         .format("parquet").option("path", f"{base}/out")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ts_stream_join: availableNow stream did not finish "
+            "within 300s")
+    got = spark.read.parquet(f"{base}/out")
+    return got.select(
+        "conv_id", "event_id", "alert_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.date_format("alert_ts", TS_FMT).alias("alert_ts"),
+        _r(F.col("y")).alias("y"))
+
+
+SQL_TS_STREAM_JOIN = f"""
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_id, ts, value AS y
+  FROM events
+),
+a AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_id AS alert_id,
+         ts AS alert_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT t.conv_id, t.event_id, a.alert_id,
+       strftime(t.ts, '{DUCK_TS_FMT}') AS ts,
+       strftime(a.alert_ts, '{DUCK_TS_FMT}') AS alert_ts,
+       round(t.y, 6) + 0.0 AS y
+FROM t JOIN a ON t.conv_id = a.conv_id
+  AND t.ts > a.alert_ts
+  AND t.ts <= a.alert_ts + INTERVAL 6 HOUR
+"""
+
+
 _DTW_TEMPLATE = (12.0, 40.0, 25.0, 60.0, 18.0, 75.0, 30.0, 50.0)
 _DTW_PLANT = "__tpl__"
 
@@ -4296,6 +4370,7 @@ QUERIES = {
     "ts_stream_moments": q_ts_stream_moments,
     "ts_stream_sessions": q_ts_stream_sessions,
     "ts_stream_stateful": q_ts_stream_stateful,
+    "ts_stream_join": q_ts_stream_join,
     "rel_tpch_q1": q_rel_tpch_q1,
     "rel_nation_revenue": q_rel_nation_revenue,
     "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -4397,6 +4472,7 @@ ORACLE_SQL = {
     "ts_stream_moments": SQL_TS_STREAM_MOMENTS,
     "ts_stream_sessions": SQL_TS_STREAM_SESSIONS,
     "ts_stream_stateful": SQL_TS_STREAM_STATEFUL,
+    "ts_stream_join": SQL_TS_STREAM_JOIN,
     "rel_tpch_q1": SQL_REL_TPCH_Q1,
     "rel_nation_revenue": SQL_REL_NATION_REVENUE,
     "rel_customers_without_orders": SQL_REL_ANTI,

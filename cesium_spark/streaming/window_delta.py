@@ -148,3 +148,42 @@ def stream_dedup(stream: DataFrame, keys, watermark_col: str = "ts",
         raise ValueError("keys must be non-empty")
     return (stream.withWatermark(watermark_col, delay)
             .dropDuplicatesWithinWatermark(ks))
+
+
+def stream_interval_join(turns: DataFrame, alerts: DataFrame,
+                         key: str = "conv_id",
+                         turn_ts: str = "ts",
+                         alert_ts: str = "alert_ts",
+                         span: str = "6 hours",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream–stream event-time interval join: pair every turn with
+    each alert of the SAME key it follows within ``span`` —
+    ``turn_ts ∈ (alert_ts, alert_ts + span]`` — with both sides
+    watermarked. The "what happened in the conversation right after
+    the tool call / incident?" correlation, computed online.
+
+    This is the canonical Structured Streaming stream–stream inner
+    join: the equi-key puts both streams through ONE co-partitioned
+    exchange pair, and the JOINT watermark + time-range condition is
+    what lets Spark compute a state-eviction bound for BOTH sides
+    (turn state held ≤ watermark; alert state ≤ watermark + span).
+    Without the range condition the state store grows with every key
+    ever seen — the unbounded-state OOM at 10^12 turns; with it,
+    state is O(in-flight window), which is the whole point of the
+    operator. Strict ``>`` on the lower edge keeps an alert's own
+    turn out of its follow-up set.
+
+    Works identically on batch DataFrames (the watermarks are no-ops
+    there), which is what the driver oracle compares against.
+    """
+    if key == turn_ts or key == alert_ts or turn_ts == alert_ts:
+        raise ValueError("key / turn_ts / alert_ts must be distinct")
+    t = turns.withWatermark(turn_ts, watermark)
+    a = (alerts.withColumnRenamed(key, "__akey")
+         .withWatermark(alert_ts, watermark))
+    cond = (
+        (F.col(key) == F.col("__akey"))
+        & (F.col(turn_ts) > F.col(alert_ts))
+        & (F.col(turn_ts)
+           <= F.col(alert_ts) + F.expr(f"INTERVAL {span}")))
+    return t.join(a, cond, "inner").drop("__akey")

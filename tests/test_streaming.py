@@ -4,6 +4,8 @@ across two availableNow passes sharing one checkpoint."""
 
 from __future__ import annotations
 
+import datetime as dt
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -427,3 +429,83 @@ def test_stream_sessionize_matches_batch_lag_gap(spark, tmp_path):
                  pd.Timestamp(r["session_end"]), r["n_events"])
                 for r in got.collect()}
     assert got_rows == set(exp_rows)
+
+
+# ---------------------------------------------------------------------------
+# stream–stream interval join
+# ---------------------------------------------------------------------------
+
+
+def _run_sjoin(spark, tmp_path, turns_rows, alert_rows, span="1 hour"):
+    import os
+
+    from cesium_spark.streaming.window_delta import stream_interval_join
+    base = str(tmp_path / "sjoin")
+    os.makedirs(f"{base}/t")
+    os.makedirs(f"{base}/a")
+    t_schema = "conv_id string, turn_idx int, ts timestamp"
+    a_schema = "conv_id string, alert_id int, alert_ts timestamp"
+    spark.createDataFrame(turns_rows, t_schema) \
+        .coalesce(1).write.mode("append").parquet(f"{base}/t")
+    spark.createDataFrame(alert_rows, a_schema) \
+        .coalesce(1).write.mode("append").parquet(f"{base}/a")
+    out = stream_interval_join(
+        spark.readStream.schema(t_schema).parquet(f"{base}/t"),
+        spark.readStream.schema(a_schema).parquet(f"{base}/a"),
+        span=span)
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", f"{base}/ckpt")
+         .format("parquet").option("path", f"{base}/out")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    return spark.read.parquet(f"{base}/out").toPandas()
+
+
+def test_stream_join_pairs_and_strict_lower_edge(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    turns = [("a", 0, m(0)), ("a", 1, m(10)), ("a", 2, m(59)),
+             ("a", 3, m(61)),            # outside 1h span
+             ("b", 0, m(5))]             # other conv: must not match
+    alerts = [("a", 100, m(0))]
+    got = _run_sjoin(spark, tmp_path, turns, alerts)
+    # strict >: the turn AT alert_ts (turn 0) is excluded; ≤ keeps m(59)
+    assert sorted(got["turn_idx"].tolist()) == [1, 2]
+    assert set(got["conv_id"]) == {"a"}
+
+
+def test_stream_join_equals_batch_join(spark, tmp_path):
+    rng = np.random.default_rng(13)
+    t0 = dt.datetime(2024, 1, 1)
+    turns = [(f"c{int(i % 5)}", int(i),
+              t0 + dt.timedelta(minutes=int(rng.integers(0, 600))))
+             for i in range(200)]
+    alerts = [(f"c{int(i % 5)}", int(i),
+               t0 + dt.timedelta(minutes=int(rng.integers(0, 600))))
+              for i in range(20)]
+    got = _run_sjoin(spark, tmp_path, turns, alerts, span="30 minutes")
+    tdf = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, ts timestamp")
+    adf = spark.createDataFrame(
+        alerts, "conv_id string, alert_id int, alert_ts timestamp")
+    exp = tdf.join(
+        adf, (tdf.conv_id == adf.conv_id)
+        & (tdf.ts > adf.alert_ts)
+        & (tdf.ts <= adf.alert_ts + F.expr("INTERVAL 30 minutes")),
+        "inner").select(tdf.conv_id, "turn_idx", "alert_id").toPandas()
+    key = ["conv_id", "turn_idx", "alert_id"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    exp_s = exp[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(exp_s)
+    assert len(got_s)  # non-trivial
+
+
+def test_stream_join_validation(spark, tmp_path):
+    from cesium_spark.streaming.window_delta import stream_interval_join
+    df = spark.createDataFrame([("a", dt.datetime(2024, 1, 1))],
+                               "conv_id string, ts timestamp")
+    with pytest.raises(ValueError, match="distinct"):
+        stream_interval_join(df, df, turn_ts="ts", alert_ts="ts")
