@@ -4210,6 +4210,47 @@ FROM a
 """
 
 
+_UNPIVOT_FEATS = ("mean", "std", "amplitude")
+
+
+def q_ts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_wide's inverse: melt the daily wide feature matrix back
+    to (feature, value) long shape via the native stack generator —
+    ZERO exchanges beyond the rollup's own aggregate (pure per-row
+    expansion in codegen). Values are rounded BEFORE the melt, so the
+    oracle is the rounded long shape directly (one SELECT per
+    feature, UNION ALL)."""
+    from cesium_spark.operators.rollup import unpivot_long
+    s = _value_series(spark, sf_dir)
+    m = moments_derived(rollup_moments(s, "1d"))
+    wide = m.select(
+        "conv_id", "channel", "tier",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        *[_r(F.col(f)).alias(f) for f in _UNPIVOT_FEATS])
+    return unpivot_long(wide, _UNPIVOT_FEATS)
+
+
+SQL_TS_UNPIVOT = _VALUE_SERIES_SQL + f"""
+, w AS (
+  SELECT conv_id, 'value' AS channel, '1d' AS tier,
+         strftime(date_trunc('day', ts), '{DUCK_TS_FMT}')
+           AS window_start,
+         round(avg(y), 6) + 0.0 AS mean,
+         round(sqrt(greatest(avg(y*y) - avg(y)*avg(y), 0)), 6) + 0.0
+           AS std,
+         round((max(y) - min(y)) / 2, 6) + 0.0 AS amplitude
+  FROM series GROUP BY 1, 2, 3, 4
+)
+SELECT conv_id, channel, tier, window_start, 'mean' AS feature,
+       mean AS value FROM w
+UNION ALL
+SELECT conv_id, channel, tier, window_start, 'std', std FROM w
+UNION ALL
+SELECT conv_id, channel, tier, window_start, 'amplitude', amplitude
+FROM w
+"""
+
+
 _DRIFT_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
 _DRIFT_SPLIT = "2024-01-16 00:00:00"
 _DRIFT_ALPHA = 0.5
@@ -4348,6 +4389,7 @@ QUERIES = {
     "ts_funnel": q_ts_funnel,
     "doc_lexical": q_doc_lexical,
     "ts_drift": q_ts_drift,
+    "ts_unpivot": q_ts_unpivot,
     "ts_parse_json": q_ts_parse_json,
     "doc_curate": q_doc_curate,
     "ts_upsert_latest": q_ts_upsert_latest,
@@ -4450,6 +4492,7 @@ ORACLE_SQL = {
     "ts_funnel": SQL_TS_FUNNEL,
     "doc_lexical": SQL_DOC_LEXICAL,
     "ts_drift": _drift_sql(),
+    "ts_unpivot": SQL_TS_UNPIVOT,
     "ts_parse_json": SQL_TS_PARSE_JSON,
     "doc_curate": _curate_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,

@@ -326,6 +326,37 @@ def pivot_wide(features_long: DataFrame, features: Iterable[str]) -> DataFrame:
     )
 
 
+def unpivot_long(wide: DataFrame, features: Iterable[str],
+                 key_cols: Iterable[str] = ("conv_id", "channel", "tier",
+                                            "window_start")) -> DataFrame:
+    """Melt the wide feature matrix back to the long (feature, value)
+    shape — the exact inverse of :func:`pivot_wide` over the same
+    feature list, via the native ``stack`` table generator: a pure
+    per-row expansion inside whole-stage codegen, ZERO exchanges (the
+    long→wide direction pays the pivot's hash aggregate; wide→long is
+    free). NULL cells are kept as explicit (feature, NULL) rows so
+    roundtripping preserves the degenerate-feature policy (a dropped
+    NULL row would silently re-read as "feature not computed").
+
+    Feature names pass through ``stack`` as single-quoted literals;
+    names are validated against quote injection rather than escaped
+    (a feature named ``a'b`` is a registry bug, not an input).
+    """
+    feats = list(features)
+    if not feats:
+        raise ValueError("unpivot_long needs at least one feature")
+    bad = [f for f in feats if "'" in f or "\n" in f]
+    if bad:
+        raise ValueError(f"feature names must not contain quotes: {bad}")
+    missing = [f for f in feats if f not in wide.columns]
+    if missing:
+        raise ValueError(f"features not in wide frame: {missing}")
+    pairs = ", ".join(f"'{f}', cast(`{f}` AS double)" for f in feats)
+    stack = F.expr(
+        f"stack({len(feats)}, {pairs}) AS (feature, value)")
+    return wide.select(*key_cols, stack)
+
+
 def with_meta(wide: DataFrame, meta: DataFrame,
               on: str = "conv_id") -> DataFrame:
     """cesium meta_features passthrough (``assemble_featureset(...,

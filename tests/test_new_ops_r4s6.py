@@ -344,3 +344,50 @@ def test_drift_validation_and_plan(spark):
          .split("== Initial Plan ==")[0])
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
     assert "Join" not in p
+
+
+# ---------------------------------------------------------------------------
+# unpivot_long
+# ---------------------------------------------------------------------------
+
+from cesium_spark.operators.rollup import pivot_wide, unpivot_long  # noqa: E402
+
+
+def test_unpivot_roundtrips_pivot_incl_nulls(spark):
+    long_rows = [
+        ("c1", "v", "1d", "2024-01-01", "mean", 1.5),
+        ("c1", "v", "1d", "2024-01-01", "std", 0.5),
+        ("c2", "v", "1d", "2024-01-01", "mean", 2.0),
+        ("c2", "v", "1d", "2024-01-01", "std", None),  # degenerate
+    ]
+    long_df = spark.createDataFrame(
+        long_rows, "conv_id string, channel string, tier string, "
+                   "window_start string, feature string, value double")
+    wide = pivot_wide(long_df, ["mean", "std"])
+    back = unpivot_long(wide, ["mean", "std"]).toPandas()
+    key = ["conv_id", "feature"]
+    back = back.sort_values(key).reset_index(drop=True)
+    # NULL std for c2 survives as an explicit row, not a dropped one
+    assert len(back) == 4
+    c2std = back[(back.conv_id == "c2") & (back.feature == "std")]
+    assert len(c2std) == 1 and pd.isna(c2std["value"].iloc[0])
+    c1 = back[back.conv_id == "c1"].set_index("feature")["value"]
+    assert c1["mean"] == 1.5 and c1["std"] == 0.5
+
+
+def test_unpivot_validation_and_zero_exchange_plan(spark):
+    wide = spark.createDataFrame(
+        [("c", "v", "1d", "w", 1.0)],
+        "conv_id string, channel string, tier string, "
+        "window_start string, mean double")
+    with pytest.raises(ValueError, match="at least one"):
+        unpivot_long(wide, [])
+    with pytest.raises(ValueError, match="not in wide"):
+        unpivot_long(wide, ["nope"])
+    with pytest.raises(ValueError, match="quotes"):
+        unpivot_long(wide, ["a'b"])
+    df = unpivot_long(wide, ["mean"])
+    df.collect()
+    p = (df._jdf.queryExecution().executedPlan().toString()
+         .split("== Initial Plan ==")[0])
+    assert "Exchange" not in p  # pure projection/generator
