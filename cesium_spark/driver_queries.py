@@ -4251,6 +4251,67 @@ FROM w
 """
 
 
+_LM_ALPHA = 0.5
+
+
+def q_doc_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality filter (in-sample add-α model):
+    per-doc cross-entropy and ppl through one smoothed closed form —
+    unseen histories degrade to exactly 1/V with no special-case
+    branch. Sub-2-token docs keep a NULL row. Full-value oracle
+    restates the LM training, smoothing, and scoring in SQL."""
+    from cesium_spark.operators.textstats import lm_perplexity
+    _prep(spark)
+    out = lm_perplexity(_read(spark, sf_dir, "documents"),
+                        alpha=_LM_ALPHA)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        _r(F.col("cross_entropy_bits")).alias("cross_entropy_bits"),
+        _r(F.col("ppl")).alias("ppl"))
+
+
+SQL_DOC_LM_PPL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[ \t\n\r\f]+'),
+                     x -> x != '') AS l
+  FROM documents
+),
+tt AS (SELECT unnest(l) AS w1 FROM d),
+uni AS (SELECT w1, count(*) AS c1 FROM tt GROUP BY 1),
+v AS (SELECT cast(count(*) AS double) AS V FROM uni),
+tb AS (SELECT unnest(list_zip(l[:-2], l[2:])) AS z FROM d),
+cnt AS (
+  SELECT z[1] AS w1, z[2] AS w2, count(*) AS c12
+  FROM tb GROUP BY 1, 2
+),
+db AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(l[:-2], l[2:])) AS z FROM d)
+),
+dm AS (
+  SELECT doc_id, w1, w2, count(*) AS m FROM db GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT doc_id, sum(m) AS n_bigrams,
+         sum(-m * log2((coalesce(c12, 0) + {_LM_ALPHA})
+                       / (coalesce(c1, 0) + {_LM_ALPHA} * V))) AS hsum
+  FROM dm
+  LEFT JOIN cnt USING (w1, w2)
+  LEFT JOIN uni USING (w1)
+  CROSS JOIN v
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       cast(coalesce(sc.n_bigrams, 0) AS bigint) AS n_bigrams,
+       round(sc.hsum / sc.n_bigrams, 6) + 0.0 AS cross_entropy_bits,
+       round(pow(2.0, sc.hsum / sc.n_bigrams), 6) + 0.0 AS ppl
+FROM d LEFT JOIN sc USING (doc_id)
+"""
+
+
 _DRIFT_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
 _DRIFT_SPLIT = "2024-01-16 00:00:00"
 _DRIFT_ALPHA = 0.5
@@ -4388,6 +4449,7 @@ QUERIES = {
     "ts_role_transitions": q_ts_role_transitions,
     "ts_funnel": q_ts_funnel,
     "doc_lexical": q_doc_lexical,
+    "doc_lm_ppl": q_doc_lm_ppl,
     "ts_drift": q_ts_drift,
     "ts_unpivot": q_ts_unpivot,
     "ts_parse_json": q_ts_parse_json,
@@ -4491,6 +4553,7 @@ ORACLE_SQL = {
     "ts_role_transitions": SQL_TS_ROLE_TRANSITIONS,
     "ts_funnel": SQL_TS_FUNNEL,
     "doc_lexical": SQL_DOC_LEXICAL,
+    "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,
     "ts_parse_json": SQL_TS_PARSE_JSON,

@@ -590,3 +590,81 @@ def lexical_stats(docs: DataFrame, id_col: str = "doc_id",
         F.when(n > 0, F.col("n_types") / n).alias("type_token_ratio"),
         F.when(F.col("n_types") > 0, F.col("__hapax") / F.col("n_types"))
         .alias("hapax_frac"))
+
+
+def lm_perplexity(docs: DataFrame, train_docs: DataFrame | None = None,
+                  alpha: float = 0.5, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Bigram language-model perplexity per document — the
+    CCNet/KenLM-style statistical quality filter: train an add-α
+    bigram LM on ``train_docs`` (default: the corpus itself,
+    in-sample — fine for relative ranking, stated here so nobody
+    mistakes it for held-out perplexity) and score every document's
+    cross-entropy ``H = Σ −log2 P(w₂|w₁) / n_bigrams`` and
+    ``ppl = 2^H``. Gibberish and boilerplate both surface: random
+    tokens score high ppl, a doc of one repeated phrase scores
+    abnormally low.
+
+    Smoothing is the single closed form
+    ``P = (c(w₁w₂)+α) / (c(w₁)+α·V)`` with V = train vocabulary
+    size; an unseen history (c(w₁)=0, c(w₁w₂)=0) degrades to exactly
+    1/V through the same formula — no special-case branch to diverge
+    from the oracle. Documents with fewer than 2 tokens keep their
+    row with NULL entropy/ppl via ``explode_outer`` + try_divide
+    (the doc_curate precedent: an absent row reads as "passed").
+
+    Scale shape (all native, no UDF): per-doc bigram multiplicities
+    first (the shuffle carries distinct (doc, w₁, w₂) triples — a
+    repeated-phrase whale collapses map-side), sort-merge join
+    against the bigram LM on (w₁,w₂) and the unigram LM on w₁ (LM
+    tables are vocabulary-sized, orders of magnitude smaller than
+    the corpus; Spark broadcasts them when they fit, SMJ otherwise —
+    both correct), V arrives as a broadcast 1-row cross join, then
+    one final per-doc aggregate.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    train = docs if train_docs is None else train_docs
+
+    def _toks(col):
+        arr = F.split(F.lower(F.coalesce(col, F.lit(""))),
+                      r"[ \t\n\r\f]+")
+        return F.filter(arr, lambda x: x != "")
+
+    def _bigrams(df):
+        arr = _toks(F.col(text_col))
+        n = F.size(arr)
+        pairs = F.arrays_zip(
+            F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+            F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("w2"))
+        return df.select(F.col(id_col),
+                         F.explode_outer(pairs).alias("__p")) \
+                 .select(id_col, F.col("__p.w1").alias("w1"),
+                         F.col("__p.w2").alias("w2"))
+
+    uni = (train.select(F.explode(_toks(F.col(text_col))).alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    bi = (_bigrams(train).where(F.col("w1").isNotNull())
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("V"))
+
+    doc_bi = (_bigrams(docs)
+              .groupBy(id_col, "w1", "w2")
+              .agg(F.count(F.when(F.col("w1").isNotNull(), 1))
+                   .alias("m")))
+    scored = (doc_bi
+              .join(bi, ["w1", "w2"], "left")
+              .join(uni, ["w1"], "left")
+              .crossJoin(F.broadcast(vocab)))
+    p = ((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("V")))
+    real = F.col("w1").isNotNull()
+    agg = (scored.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(real, F.col("m"))), F.lit(0))
+        .alias("n_bigrams"),
+        F.sum(F.when(real, -F.col("m") * F.log2(p))).alias("__h")))
+    h = F.expr("try_divide(__h, cast(n_bigrams AS double))")
+    return agg.select(
+        id_col, F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        h.alias("cross_entropy_bits"),
+        F.pow(F.lit(2.0), h).alias("ppl"))

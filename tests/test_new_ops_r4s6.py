@@ -391,3 +391,87 @@ def test_unpivot_validation_and_zero_exchange_plan(spark):
     p = (df._jdf.queryExecution().executedPlan().toString()
          .split("== Initial Plan ==")[0])
     assert "Exchange" not in p  # pure projection/generator
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity
+# ---------------------------------------------------------------------------
+
+from cesium_spark.operators.textstats import lm_perplexity  # noqa: E402
+
+
+def _lm_ref(train_texts, score_texts, alpha=0.5):
+    from collections import Counter
+    uni, bi = Counter(), Counter()
+    for t in train_texts:
+        toks = t.lower().split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    V = len(uni)
+    out = []
+    for t in score_texts:
+        toks = t.lower().split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            out.append((0, None, None))
+            continue
+        h = sum(-np.log2((bi.get(p, 0) + alpha)
+                         / (uni.get(p[0], 0) + alpha * V))
+                for p in pairs) / len(pairs)
+        out.append((len(pairs), h, 2.0 ** h))
+    return V, out
+
+
+def test_lm_ppl_matches_counter_reference(spark):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 120)))
+             for _ in range(40)]
+    out = (lm_perplexity(_docs(spark, texts)).toPandas()
+           .set_index("doc_id").sort_index())
+    _, ref = _lm_ref(texts, texts)
+    for i, (n, h, ppl) in enumerate(ref):
+        assert out.loc[i, "n_bigrams"] == n
+        assert out.loc[i, "cross_entropy_bits"] == pytest.approx(h, abs=1e-9)
+        assert out.loc[i, "ppl"] == pytest.approx(ppl, rel=1e-9)
+
+
+def test_lm_ppl_separate_train_corpus_and_unseen_history(spark):
+    train = ["a b a b a b"]
+    score = ["a b", "z z"]  # "z" never seen: P degrades to exactly 1/V
+    out = (lm_perplexity(_docs(spark, score),
+                         train_docs=_docs(spark, train))
+           .toPandas().set_index("doc_id").sort_index())
+    V = 2  # train vocab {a, b}
+    # seen bigram: P(b|a) = (3 + .5) / (3 + .5*2) = 3.5/4
+    assert out.loc[0, "cross_entropy_bits"] == pytest.approx(
+        -np.log2(3.5 / 4.0), abs=1e-12)
+    # unseen history: P = alpha/(alpha*V) = 1/V exactly
+    assert out.loc[1, "cross_entropy_bits"] == pytest.approx(
+        np.log2(V), abs=1e-12)
+
+
+def test_lm_ppl_short_docs_keep_null_row(spark):
+    out = (lm_perplexity(_docs(spark, ["a b c", "solo", "", None]))
+           .toPandas().set_index("doc_id").sort_index())
+    assert len(out) == 4
+    for i in (1, 2, 3):
+        assert out.loc[i, "n_bigrams"] == 0
+        assert pd.isna(out.loc[i, "cross_entropy_bits"])
+        assert pd.isna(out.loc[i, "ppl"])
+
+
+def test_lm_ppl_repetition_scores_lower_than_gibberish(spark):
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, size=100)) for _ in range(20)]
+    repeated = " ".join(["the cat sat"] * 40)
+    gibberish = " ".join(rng.choice(vocab, size=120))
+    out = (lm_perplexity(_docs(spark, base + [repeated, gibberish]))
+           .toPandas().set_index("doc_id"))
+    assert out.loc[20, "ppl"] < out.loc[21, "ppl"] / 10
+
+
+def test_lm_ppl_validation(spark):
+    with pytest.raises(ValueError, match="alpha"):
+        lm_perplexity(_docs(spark, ["a b"]), alpha=0.0)
