@@ -4251,6 +4251,50 @@ FROM w
 """
 
 
+_Z_LOS = [0.0, 1704067200.0]           # value ≥ 0, ts ≥ 2024-01-01
+_Z_HIS = [500.0, 1706745600.0]         # value < 500, ts < 2024-02-01
+_Z_BOX = {"value": (50.0, 120.0),
+          "sec": (1704844800.0, 1705276800.0)}  # Jan 10 .. Jan 15
+
+
+def q_ts_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout end-to-end: events written
+    partitionBy(Morton cell of (value, epoch-second)) with rows
+    Morton-sorted inside cells, then a rectangle query through the
+    cell IN-list + exact residual filter. The oracle is the PLAIN
+    full-scan filter — proving the pruned read returns exactly the
+    unpruned answer (pruning evidence itself is pytest scan-metric
+    asserted)."""
+    import tempfile
+
+    from cesium_spark.sources.layout import read_box, write_zordered
+
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="cesium_spark_zorder_")
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts", "value", F.col("ts").cast("double").alias("sec"))
+    write_zordered(ev, f"{base}/tbl", ["value", "sec"],
+                   _Z_LOS, _Z_HIS, cell_bits=3)
+    got = read_box(spark, f"{base}/tbl", _Z_BOX, ["value", "sec"],
+                   _Z_LOS, _Z_HIS, cell_bits=3)
+    return got.select(
+        "event_id", "conv_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        _r(F.col("value")).alias("value"))
+
+
+SQL_TS_ZORDER_BOX = f"""
+SELECT event_id, cast(user_id AS varchar) AS conv_id,
+       strftime(ts, '{DUCK_TS_FMT}') AS ts,
+       round(value, 6) + 0.0 AS value
+FROM events
+WHERE value BETWEEN {_Z_BOX['value'][0]} AND {_Z_BOX['value'][1]}
+  AND epoch(ts) BETWEEN {_Z_BOX['sec'][0]} AND {_Z_BOX['sec'][1]}
+"""
+
+
 _LM_ALPHA = 0.5
 
 
@@ -4452,6 +4496,7 @@ QUERIES = {
     "doc_lm_ppl": q_doc_lm_ppl,
     "ts_drift": q_ts_drift,
     "ts_unpivot": q_ts_unpivot,
+    "ts_zorder_box": q_ts_zorder_box,
     "ts_parse_json": q_ts_parse_json,
     "doc_curate": q_doc_curate,
     "ts_upsert_latest": q_ts_upsert_latest,
@@ -4556,6 +4601,7 @@ ORACLE_SQL = {
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,
+    "ts_zorder_box": SQL_TS_ZORDER_BOX,
     "ts_parse_json": SQL_TS_PARSE_JSON,
     "doc_curate": _curate_sql(),
     "ts_upsert_latest": SQL_TS_UPSERT_LATEST,

@@ -11,6 +11,7 @@ import re
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from cesium_spark.operators.seriesstats import ar1_fit
 
@@ -475,3 +476,95 @@ def test_lm_ppl_repetition_scores_lower_than_gibberish(spark):
 def test_lm_ppl_validation(spark):
     with pytest.raises(ValueError, match="alpha"):
         lm_perplexity(_docs(spark, ["a b"]), alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+from cesium_spark.sources.layout import (  # noqa: E402
+    cells_for_box,
+    read_box,
+    write_zordered,
+    zorder_cell,
+)
+
+
+@pytest.fixture(scope="module")
+def zdata(spark, tmp_path_factory):
+    rng = np.random.default_rng(31)
+    n = 20000
+    pdf = pd.DataFrame({
+        "row_id": np.arange(n),
+        "x": rng.uniform(0, 100, n),
+        "y": rng.uniform(0, 100, n)})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path_factory.mktemp("zorder") / "tbl")
+    write_zordered(df, path, ["x", "y"], [0.0, 0.0], [100.0, 100.0],
+                   cell_bits=3)
+    return df, path
+
+
+def test_zorder_box_equals_full_scan(spark, zdata):
+    df, path = zdata
+    rng = np.random.default_rng(37)
+    for _ in range(5):
+        lo = rng.uniform(0, 80, 2)
+        hi = lo + rng.uniform(1, 20, 2)
+        box = {"x": (float(lo[0]), float(hi[0])),
+               "y": (float(lo[1]), float(hi[1]))}
+        got = set(read_box(spark, path, box, ["x", "y"],
+                           [0.0, 0.0], [100.0, 100.0], cell_bits=3)
+                  .select("row_id").toPandas()["row_id"])
+        exp = set(df.where(
+            F.col("x").between(*box["x"]) & F.col("y").between(*box["y"]))
+            .select("row_id").toPandas()["row_id"])
+        assert got == exp and len(exp) > 0
+
+
+def test_zorder_prunes_partitions(spark, zdata):
+    _, path = zdata
+
+    def files_read(q):
+        q.collect()
+        ep = q._jdf.queryExecution().executedPlan()
+
+        def leaves(node):
+            ch = node.children()
+            nn = ch.size() if hasattr(ch, "size") else ch.length()
+            if nn == 0:
+                yield node
+            for i in range(nn):
+                yield from leaves(ch.apply(i))
+
+        scan = next(l for l in leaves(ep)
+                    if "Scan" in l.getClass().getSimpleName())
+        return scan.metrics().apply("numFiles").value()
+
+    total = len(spark.read.parquet(path).inputFiles())
+    # tight rectangle: prunes on BOTH dims at once
+    rect = read_box(spark, path, {"x": (10.0, 20.0), "y": (55.0, 65.0)},
+                    ["x", "y"], [0.0, 0.0], [100.0, 100.0], cell_bits=3)
+    assert files_read(rect) <= total / 3
+    # y-only band: a layout sorted on x alone cannot prune this AT ALL
+    band = read_box(spark, path, {"x": (0.0, 100.0), "y": (40.0, 50.0)},
+                    ["x", "y"], [0.0, 0.0], [100.0, 100.0], cell_bits=3)
+    assert files_read(band) < total
+
+
+def test_zorder_cells_and_validation(spark):
+    # cell enumeration covers the box with ±1 slack, stays in-grid
+    cells = cells_for_box({"x": (0.0, 1.0), "y": (0.0, 1.0)},
+                          ["x", "y"], [0.0, 0.0], [8.0, 8.0], cell_bits=3)
+    # box hits buckets {0,1} per dim; ±1 slack widens to {0,1,2}² = 9
+    assert 0 in cells and len(cells) == 9
+    assert all(0 <= c < 64 for c in cells)  # stays inside the 8×8 grid
+    with pytest.raises(ValueError, match=">= 2 dimensions"):
+        zorder_cell(["x"], [0.0], [1.0], 4)
+    with pytest.raises(ValueError, match="hi > lo"):
+        zorder_cell(["x", "y"], [0.0, 1.0], [1.0, 1.0], 4)
+    with pytest.raises(ValueError, match="cell_bits"):
+        zorder_cell(["x", "y"], [0.0, 0.0], [1.0, 1.0], 40)
+    with pytest.raises(ValueError, match="hi < lo"):
+        cells_for_box({"x": (2.0, 1.0), "y": (0.0, 1.0)},
+                      ["x", "y"], [0.0, 0.0], [8.0, 8.0], 3)
