@@ -4453,6 +4453,66 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_TFIDF_M = 5
+
+
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF top-m terms (smooth idf, sklearn form): the
+    keyword/document-vector primitive next to BM25. tfidf rounded to
+    6 dp BEFORE ranking so the rank-m boundary can't flip on engine
+    ulp drift in ln(); ties (tfidf DESC, term ASC). Zero-token docs
+    keep one NULL-term row. Full-value oracle restates tf, smooth
+    idf, the rounding-before-rank, and the tie-break verbatim."""
+    from cesium_spark.operators.textstats import tfidf_topm
+    _prep(spark)
+    out = tfidf_topm(_read(spark, sf_dir, "documents"), m=_TFIDF_M)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf_count").cast("long").alias("tf_count"),
+        F.col("doc_frequency").cast("long").alias("doc_frequency"),
+        _r0(F.col("tfidf")).alias("tfidf"),
+        F.col("rank").cast("int").alias("rank"))
+
+
+SQL_DOC_TFIDF = rf"""
+WITH tok AS (
+  SELECT doc_id, nullif(t, '') AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(coalesce(text, '')),
+                                         '[ \t\n\r\f]+')) AS t
+        FROM documents)
+),
+c AS (SELECT doc_id, term,
+             count(*) FILTER (WHERE term IS NOT NULL) AS tf_count
+      FROM tok GROUP BY 1, 2),
+n AS (SELECT doc_id, term, tf_count,
+             sum(tf_count) OVER (PARTITION BY doc_id) AS n_tok
+      FROM c),
+df AS (SELECT term, count(*) AS doc_frequency FROM c
+       WHERE term IS NOT NULL GROUP BY 1),
+nd AS (SELECT cast(count(*) AS double) AS ndocs FROM documents),
+scored AS (
+  SELECT n.doc_id, n.term, n.tf_count, df.doc_frequency,
+         CASE WHEN n.term IS NOT NULL THEN
+           round(tf_count / cast(n_tok AS double)
+                 * (ln((ndocs + 1.0)
+                       / (cast(doc_frequency AS double) + 1.0)) + 1.0),
+                 6)
+         END AS tfidf
+  FROM n LEFT JOIN df USING (term) CROSS JOIN nd
+  WHERE n.term IS NOT NULL OR n_tok = 0),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY tfidf DESC NULLS LAST, term ASC NULLS LAST) AS rank
+      FROM scored)
+SELECT doc_id, term, cast(tf_count AS bigint) AS tf_count,
+       cast(doc_frequency AS bigint) AS doc_frequency,
+       tfidf + 0.0 AS tfidf, cast(rank AS int) AS rank
+FROM r WHERE rank <= {_TFIDF_M}
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -4493,6 +4553,7 @@ QUERIES = {
     "ts_role_transitions": q_ts_role_transitions,
     "ts_funnel": q_ts_funnel,
     "doc_lexical": q_doc_lexical,
+    "doc_tfidf": q_doc_tfidf,
     "doc_lm_ppl": q_doc_lm_ppl,
     "ts_drift": q_ts_drift,
     "ts_unpivot": q_ts_unpivot,
@@ -4598,6 +4659,7 @@ ORACLE_SQL = {
     "ts_role_transitions": SQL_TS_ROLE_TRANSITIONS,
     "ts_funnel": SQL_TS_FUNNEL,
     "doc_lexical": SQL_DOC_LEXICAL,
+    "doc_tfidf": SQL_DOC_TFIDF,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

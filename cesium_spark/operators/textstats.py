@@ -668,3 +668,84 @@ def lm_perplexity(docs: DataFrame, train_docs: DataFrame | None = None,
         id_col, F.col("n_bigrams").cast("long").alias("n_bigrams"),
         h.alias("cross_entropy_bits"),
         F.pow(F.lit(2.0), h).alias("ppl"))
+
+def tfidf_topm(docs: DataFrame, m: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document TF-IDF top-m terms — the classic lexical document
+    vector (Salton & Buckley; sklearn's smooth-idf variant), the
+    relevance/keyword-extraction primitive a curation pipeline reads
+    next to BM25 (corpus-level relevance) and lexical_stats
+    (distribution shape). Output: one row per kept term —
+    ``(doc_id, term, tf_count, doc_frequency, tfidf, rank)`` with
+    rank ∈ [1, m], plus one ``(doc_id, NULL, 0, NULL, NULL, 1)`` row
+    for a zero-token document (the doc_curate precedent: a document
+    must not silently vanish from a quality view).
+
+    Definitions, restated verbatim in the SQL oracle:
+    tf = c(doc,term) / n_tokens(doc) (exact integer ratio — one
+    correctly-rounded IEEE division, bit-identical in any engine),
+    idf = ln((N+1)/(df+1)) + 1 (sklearn smooth idf: no term divides
+    by zero, unseen-df degrades smoothly), tfidf = tf · idf
+    **rounded to 6 dp BEFORE ranking** so the rank-m boundary cannot
+    flip on engine ulp drift in ln() (the DTW grid-snap precedent);
+    ties broken (tfidf DESC, term ASC) — fully deterministic.
+
+    Scale shape (all native, no UDF): explode → two-phase count on
+    (doc, term) — the shuffle carries distinct (doc, term) pairs, a
+    repeated-token whale collapses map-side; df is ONE more shrinking
+    two-phase aggregate over that table (input already distinct on
+    (doc, term), so count(*) per term IS document frequency — no
+    count-distinct shuffle); N rides a broadcast 1-row cross join
+    (lm_perplexity precedent); the term↔df join is vocabulary-sized
+    (broadcast when it fits, shuffle-hash/SMJ otherwise — both
+    correct); final rank is a row_number window partitioned by doc —
+    it sorts each doc's distinct terms, O(types·log types) per doc,
+    bounded by document length, never by corpus size.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    tok = F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[ \t\n\r\f]+")).alias("__t")
+    counts = (docs
+              .select(F.col(id_col), tok)
+              .select(id_col,
+                      F.nullif(F.col("__t"), F.lit("")).alias("term"))
+              .groupBy(id_col, "term")
+              .agg(F.count(F.when(F.col("term").isNotNull(), 1))
+                   .alias("tf_count")))
+    # every doc has >= 1 row in `counts` (empty text => one NULL-term
+    # row), so totals keyed on the doc keep zero-token docs alive
+    from pyspark.sql import Window
+    w_doc = Window.partitionBy(id_col)
+    counts = counts.withColumn(
+        "__n", F.sum("tf_count").over(w_doc))
+    df_tab = (counts.where(F.col("term").isNotNull())
+              .groupBy("term")
+              .agg(F.count(F.lit(1)).alias("doc_frequency")))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__ndocs"))
+    scored = (counts.join(df_tab, ["term"], "left")
+              .crossJoin(F.broadcast(n_docs)))
+    idf = F.log((F.col("__ndocs") + 1.0)
+                / (F.col("doc_frequency").cast("double") + 1.0)) + 1.0
+    tfidf = F.round(
+        F.col("tf_count").cast("double") / F.col("__n") * idf, 6)
+    scored = scored.withColumn("tfidf", F.when(
+        F.col("term").isNotNull(), tfidf))
+    # the NULL-term placeholder row survives ONLY for zero-token docs;
+    # a non-empty doc's trailing-separator artifact row must not pad
+    # its top-m list (it would rank after the real terms and leak in
+    # whenever the doc has < m distinct terms)
+    scored = scored.where(F.col("term").isNotNull() | (F.col("__n") == 0))
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc_nulls_last(), F.col("term").asc_nulls_last())
+    out = (scored
+           .withColumn("rank", F.row_number().over(w_rank))
+           .where(F.col("rank") <= m))
+    return out.select(
+        id_col,
+        "term",
+        F.col("tf_count").cast("long").alias("tf_count"),
+        F.col("doc_frequency").cast("long").alias("doc_frequency"),
+        F.col("tfidf"),
+        F.col("rank").cast("int").alias("rank"))
