@@ -4453,6 +4453,79 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_LOOP_THRESH = 0.8
+_LOOP_MAXLEN = 200
+
+
+def q_ts_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-loop detection: normalized Levenshtein similarity of each
+    turn to its predecessor, per-conversation loop-pair counts and the
+    longest consecutive near-duplicate run (gaps-and-islands). sim is
+    one exact-integer division — the threshold compare is
+    bit-identical in any engine, no grid snap. ONE hash exchange.
+    Full-value oracle restates cap, distance, flag, and islands."""
+    from cesium_spark.operators.sequences import turn_self_similarity
+    out = turn_self_similarity(events_transcripts(spark, sf_dir),
+                               threshold=_LOOP_THRESH,
+                               max_len=_LOOP_MAXLEN)
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_loop_pairs").cast("long").alias("n_loop_pairs"),
+        _r(F.col("loop_frac")).alias("loop_frac"),
+        F.col("max_loop_run").cast("long").alias("max_loop_run"))
+
+
+SQL_TS_LOOPS = f"""
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         substring(coalesce(props, ''), 1, {_LOOP_MAXLEN}) AS cur
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT conv_id, turn_idx, cur,
+         lag(cur) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t
+),
+f AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN greatest(length(prev), length(cur)) = 0 THEN TRUE
+              ELSE 1.0 - levenshtein(prev, cur)
+                   / cast(greatest(length(prev), length(cur)) AS double)
+                   >= {_LOOP_THRESH}
+         END AS loop_flag
+  FROM p
+),
+g AS (
+  SELECT conv_id, loop_flag,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, loop_flag
+                              ORDER BY turn_idx) AS grp
+  FROM f
+),
+runs AS (
+  SELECT conv_id, loop_flag, grp, count(*) AS run
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT conv_id,
+       cast(sum(run) AS bigint) AS n_turns,
+       cast(coalesce(sum(run) FILTER (WHERE loop_flag IS NOT NULL), 0)
+            AS bigint) AS n_pairs,
+       cast(coalesce(sum(run) FILTER (WHERE loop_flag), 0) AS bigint)
+         AS n_loop_pairs,
+       round(coalesce(sum(run) FILTER (WHERE loop_flag), 0)
+             / nullif(cast(coalesce(sum(run)
+                           FILTER (WHERE loop_flag IS NOT NULL), 0)
+                           AS double), 0), 6) + 0.0 AS loop_frac,
+       cast(coalesce(max(run) FILTER (WHERE loop_flag), 0) AS bigint)
+         AS max_loop_run
+FROM runs GROUP BY conv_id
+"""
+
+
 _TFIDF_M = 5
 
 
@@ -4552,6 +4625,7 @@ QUERIES = {
     "ts_ar1": q_ts_ar1,
     "ts_role_transitions": q_ts_role_transitions,
     "ts_funnel": q_ts_funnel,
+    "ts_loops": q_ts_loops,
     "doc_lexical": q_doc_lexical,
     "doc_tfidf": q_doc_tfidf,
     "doc_lm_ppl": q_doc_lm_ppl,
@@ -4660,6 +4734,7 @@ ORACLE_SQL = {
     "ts_funnel": SQL_TS_FUNNEL,
     "doc_lexical": SQL_DOC_LEXICAL,
     "doc_tfidf": SQL_DOC_TFIDF,
+    "ts_loops": SQL_TS_LOOPS,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -110,3 +110,70 @@ def funnel(transcripts: DataFrame, steps: list[str]) -> DataFrame:
         F.col("__f.depth").alias("depth"),
         *[F.col("__f.turns").getItem(i).alias(f"step_{i + 1}")
           for i in range(k)])
+
+def turn_self_similarity(transcripts: DataFrame, threshold: float = 0.8,
+                         max_len: int = 200) -> DataFrame:
+    """Agent-loop detection: per-conversation edit-distance
+    self-similarity of consecutive turns. An agent stuck in a loop
+    re-emits near-identical turns; the cheap, embedding-free signal is
+    the normalized Levenshtein similarity of each turn to its
+    predecessor — ``sim = 1 − lev(prev, cur) / max(len)`` — and the
+    longest run of consecutive near-duplicate pairs.
+
+    Output: one row per conversation (every conversation keeps a row,
+    including single-turn ones — the doc_curate precedent):
+    ``(conv_id, n_turns, n_pairs, n_loop_pairs, loop_frac,
+    max_loop_run)`` where a pair is a "loop pair" iff sim ≥ threshold.
+    sim is ONE correctly-rounded IEEE division of two exact integers
+    plus one subtraction, so the threshold compare is bit-identical in
+    any engine — no grid snap needed. Both-empty pairs define sim=1.0
+    (identical), not NULL.
+
+    Scale shape: texts are capped to ``max_len`` chars BEFORE the
+    distance — levenshtein is O(len_a · len_b) per pair JVM-side, and
+    one pathological 1 MB turn would otherwise own the stage (the
+    winnowing whale-token precedent); the cap is part of the operator
+    contract, restated in the oracle. Everything else is windows +
+    aggregates all partitioned by conv_id (or supersets of it), so the
+    whole operator — lag, run segmentation (gaps-and-islands:
+    row_number minus per-flag row_number), run counts, per-conv
+    summary — compiles to ONE hash exchange, no join, no UDF. NULL
+    text is treated as '' (turns must not vanish from pairing).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cap = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, max_len)
+    t = transcripts.select("conv_id", "turn_idx", cap.alias("__cur"))
+    t = t.withColumn("__prev", F.lag("__cur").over(w))
+    mx = F.greatest(F.length("__prev"), F.length("__cur"))
+    sim = F.when(F.col("__prev").isNull(), F.lit(None)).otherwise(
+        F.when(mx == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.levenshtein("__prev", "__cur") / mx))
+    t = t.withColumn(
+        "__loop", F.when(sim.isNull(), F.lit(None))
+                   .otherwise(sim >= F.lit(float(threshold))))
+    # gaps-and-islands on the loop flag; the first turn's NULL flag
+    # forms its own run, so single-turn conversations keep their row
+    rn = F.row_number().over(w)
+    rnf = F.row_number().over(
+        Window.partitionBy("conv_id", "__loop").orderBy("turn_idx"))
+    t = t.withColumn("__grp", rn - rnf)
+    runs = (t.groupBy("conv_id", "__loop", "__grp")
+            .agg(F.count(F.lit(1)).alias("__run")))
+    flag = F.col("__loop")
+    out = runs.groupBy("conv_id").agg(
+        F.sum("__run").cast("long").alias("n_turns"),
+        F.coalesce(F.sum(F.when(flag.isNotNull(), F.col("__run"))),
+                   F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.when(flag, F.col("__run"))), F.lit(0))
+        .cast("long").alias("n_loop_pairs"),
+        F.coalesce(F.max(F.when(flag, F.col("__run"))), F.lit(0))
+        .cast("long").alias("max_loop_run"))
+    return out.select(
+        "conv_id", "n_turns", "n_pairs", "n_loop_pairs",
+        F.expr("try_divide(cast(n_loop_pairs AS double), "
+               "cast(n_pairs AS double))").alias("loop_frac"),
+        "max_loop_run")

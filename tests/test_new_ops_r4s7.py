@@ -101,3 +101,116 @@ def test_tfidf_validates_m(spark):
     pdf = pd.DataFrame({"doc_id": [0], "text": ["x"]})
     with pytest.raises(ValueError, match="m must be"):
         tfidf_topm(spark.createDataFrame(pdf), m=0)
+
+
+# --- turn_self_similarity (agent-loop detection) ---------------------------
+
+import re as _re
+
+from cesium_spark.operators.sequences import turn_self_similarity
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def _ref_loops(convs: dict[str, list[str]], thr: float, cap: int):
+    rows = {}
+    for cid, texts in convs.items():
+        texts = [(t or "")[:cap] for t in texts]
+        flags = []
+        for prev, cur in zip(texts, texts[1:]):
+            mx = max(len(prev), len(cur))
+            sim = 1.0 if mx == 0 else 1.0 - _lev(prev, cur) / mx
+            flags.append(sim >= thr)
+        n_loop = sum(flags)
+        run = best = 0
+        for f in flags:
+            run = run + 1 if f else 0
+            best = max(best, run)
+        rows[cid] = (len(texts), len(flags), n_loop,
+                     (n_loop / len(flags)) if flags else None, best)
+    return rows
+
+
+def _loops_df(spark, convs):
+    recs = [(cid, i, t) for cid, ts in convs.items()
+            for i, t in enumerate(ts)]
+    pdf = pd.DataFrame(recs, columns=["conv_id", "turn_idx", "text"])
+    return spark.createDataFrame(pdf)
+
+
+def test_loops_matches_scalar_reference(spark):
+    rng = random.Random(11)
+    words = ["run tool", "run tool again", "done", "error retry",
+             "error retry", "totally different text here"]
+    convs = {f"c{i}": [rng.choice(words) for _ in
+                       range(rng.randint(1, 12))] for i in range(25)}
+    out = turn_self_similarity(_loops_df(spark, convs), 0.8, 200)
+    got = {r.conv_id: (r.n_turns, r.n_pairs, r.n_loop_pairs,
+                       r.loop_frac, r.max_loop_run)
+           for r in out.collect()}
+    ref = _ref_loops(convs, 0.8, 200)
+    assert set(got) == set(ref)
+    for cid in ref:
+        assert got[cid][:3] == ref[cid][:3], cid
+        if ref[cid][3] is None:
+            assert got[cid][3] is None
+        else:
+            assert got[cid][3] == pytest.approx(ref[cid][3], abs=1e-12)
+        assert got[cid][4] == ref[cid][4], cid
+
+
+def test_loops_planted_run_and_singleton(spark):
+    convs = {
+        "loopy": ["step A", "step A", "step A.", "step A", "other",
+                  "step A"],
+        "single": ["only turn"],
+        "empty_pair": ["", ""],
+    }
+    out = {r.conv_id: r for r in
+           turn_self_similarity(_loops_df(spark, convs), 0.8, 200)
+           .collect()}
+    # 5 pairs; pairs 1-3 near-identical (lev<=1 over len 6-7), pair
+    # 'step A'->'other' far, 'other'->'step A' far
+    assert out["loopy"].max_loop_run == 3
+    assert out["loopy"].n_loop_pairs == 3
+    # single-turn conversation keeps its row with zero pairs
+    assert (out["single"].n_turns, out["single"].n_pairs,
+            out["single"].loop_frac) == (1, 0, None)
+    # both-empty pair is defined as identical (sim = 1.0)
+    assert out["empty_pair"].n_loop_pairs == 1
+
+
+def test_loops_cap_bounds_distance(spark):
+    # identical 500-char prefixes, difference only past the cap:
+    # with max_len=100 the pair is a loop, uncapped it is not
+    base = "x" * 500
+    convs = {"c": [base + "AAAA", base + "BBBB"]}
+    capped = turn_self_similarity(_loops_df(spark, convs), 0.99, 100)
+    assert capped.collect()[0].n_loop_pairs == 1
+
+
+def test_loops_single_exchange_plan(spark):
+    convs = {"c": ["a", "b", "c"]}
+    df = turn_self_similarity(_loops_df(spark, convs), 0.8, 200)
+    df.collect()
+    p = (df._jdf.queryExecution().executedPlan().toString()
+         .split("== Initial Plan ==")[0])
+    assert len(_re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Cartesian" not in p
+
+
+def test_loops_validation(spark):
+    df = _loops_df(spark, {"c": ["a"]})
+    with pytest.raises(ValueError, match="threshold"):
+        turn_self_similarity(df, threshold=0.0)
+    with pytest.raises(ValueError, match="max_len"):
+        turn_self_similarity(df, max_len=0)
