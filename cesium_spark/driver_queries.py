@@ -4453,6 +4453,54 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_CMS_W = 256
+_CMS_D = 4
+
+
+def q_ts_cms_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch mergeable frequency tier: build per-(role, 1h)
+    d×w counter cells from the turn payloads, fold 1h→1d by
+    elementwise integer addition. The oracle rebuilds the DAILY grid
+    directly from raw with the same md5 hash arithmetic, so the
+    comparison certifies build AND fold==direct cell-for-cell
+    (integer exact — the sketch algebra, like the histogram tiers).
+    Point-estimate semantics (min over rows, ≥ truth) are pinned in
+    pytest."""
+    from cesium_spark.operators.sketches import cms_build, cms_fold
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("role"), "ts",
+        F.col("props").alias("item"))
+    fold = cms_fold(cms_build(ev, "1h", ["role"], "item",
+                              width=_CMS_W, depth=_CMS_D),
+                    "1d", ["role"])
+    return fold.select(
+        "role",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "tier",
+        F.col("d").cast("int").alias("d"),
+        F.col("col").cast("long").alias("col"),
+        F.col("cnt").cast("long").alias("cnt"))
+
+
+SQL_TS_CMS_FOLD = f"""
+WITH cells AS (
+  SELECT event_type AS role,
+         date_trunc('day', ts) AS w,
+         cast(ds.d AS int) AS d,
+         (('0x' || substr(md5(cast(ds.d AS varchar) || ':' || props),
+                          1, 8))::BIGINT % {_CMS_W}) AS col
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) ds
+  WHERE props IS NOT NULL
+)
+SELECT role, strftime(w, '{DUCK_TS_FMT}') AS window_start,
+       '1d' AS tier, d, cast(col AS bigint) AS col,
+       cast(count(*) AS bigint) AS cnt
+FROM cells GROUP BY role, w, d, col
+"""
+
+
 _LOOP_THRESH = 0.8
 _LOOP_MAXLEN = 200
 
@@ -4640,6 +4688,7 @@ QUERIES = {
     "ts_sax": q_ts_sax,
     "ts_ewma": q_ts_ewma,
     "ts_histogram_fold": q_ts_histogram_fold,
+    "ts_cms_fold": q_ts_cms_fold,
     "ts_histogram_quantile": q_ts_histogram_quantile,
     "ts_cad_probs": q_ts_cad_probs,
     "ts_cadence_stats": q_ts_cadence_stats,
@@ -4735,6 +4784,7 @@ ORACLE_SQL = {
     "doc_lexical": SQL_DOC_LEXICAL,
     "doc_tfidf": SQL_DOC_TFIDF,
     "ts_loops": SQL_TS_LOOPS,
+    "ts_cms_fold": SQL_TS_CMS_FOLD,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

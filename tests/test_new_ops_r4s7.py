@@ -214,3 +214,123 @@ def test_loops_validation(spark):
         turn_self_similarity(df, threshold=0.0)
     with pytest.raises(ValueError, match="max_len"):
         turn_self_similarity(df, max_len=0)
+
+
+# --- Count-Min Sketch tiers -------------------------------------------------
+
+from collections import Counter
+
+from cesium_spark.operators.sketches import (
+    cms_build, cms_estimate, cms_fold,
+)
+
+
+@pytest.fixture(scope="module")
+def cms_input(spark):
+    rng = random.Random(3)
+    # Zipf-ish: item i appears ~ 200/(i+1) times, two channels, 3 days
+    rows = []
+    for ch in ("a", "b"):
+        for i in range(40):
+            for _ in range(200 // (i + 1)):
+                day = rng.randint(1, 3)
+                hour = rng.randint(0, 23)
+                rows.append((ch, f"2024-01-0{day} {hour:02d}:30:00",
+                             f"item{i}"))
+    pdf = pd.DataFrame(rows, columns=["channel", "ts", "item"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def _exact_counts(pdf):
+    g = pdf.assign(day=pdf.ts.dt.floor("D"))
+    return Counter(zip(g.channel, g.day, g.item))
+
+
+def test_cms_estimate_never_underestimates(spark, cms_input):
+    df, pdf = cms_input
+    # narrow width => collisions guaranteed (>40 items, w=16)
+    sk = cms_build(df, "1d", ["channel"], "item", width=16, depth=3)
+    items = [f"item{i}" for i in range(40)]
+    est = cms_estimate(sk, items, ["channel"], width=16, depth=3)
+    exact = _exact_counts(pdf)
+    n_over = 0
+    for r in est.collect():
+        true = exact.get((r.channel, pd.Timestamp(r.window_start), r.item), 0)
+        assert r.est >= true, (r, true)
+        n_over += r.est > true
+    assert n_over > 0  # collisions actually happened at w=16
+
+
+def test_cms_exact_at_wide_width_and_error_bound(spark, cms_input):
+    df, pdf = cms_input
+    sk = cms_build(df, "1d", ["channel"], "item", width=4096, depth=4)
+    items = [f"item{i}" for i in range(40)] + ["never_seen"]
+    est = cms_estimate(sk, items, ["channel"], width=4096, depth=4)
+    exact = _exact_counts(pdf)
+    n_per_group = Counter()
+    for (ch, day, _), c in exact.items():
+        n_per_group[(ch, day)] += c
+    for r in est.collect():
+        true = exact.get((r.channel, pd.Timestamp(r.window_start), r.item), 0)
+        # CMS bound: err <= e/w * n with prob 1-(1/e)^d; at w=4096 and
+        # n<=~1300 per group, collisions are overwhelmingly unlikely
+        assert r.est == true, (r, true)
+        assert r.item != "never_seen" or r.est == 0
+
+
+def test_cms_fold_equals_direct(spark, cms_input):
+    df, _ = cms_input
+    fine = cms_build(df, "1h", ["channel"], "item", width=64, depth=4)
+    folded = cms_fold(fine, "1d", ["channel"])
+    direct = cms_build(df, "1d", ["channel"], "item", width=64, depth=4)
+    cols = ["channel", "window_start", "d", "col", "cnt"]
+    a = sorted(map(tuple, folded.select(*cols).collect()))
+    b = sorted(map(tuple, direct.select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_cms_fold_partition_invariant(spark, cms_input):
+    df, _ = cms_input
+    cols = ["channel", "window_start", "d", "col", "cnt"]
+    one = cms_build(df.coalesce(1), "1d", ["channel"], "item",
+                    width=64, depth=2)
+    eight = cms_build(df.repartition(8), "1d", ["channel"], "item",
+                      width=64, depth=2)
+    assert sorted(map(tuple, one.select(*cols).collect())) == \
+           sorted(map(tuple, eight.select(*cols).collect()))
+
+
+def test_cms_null_items_contribute_no_cell(spark):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"] * 3),
+                        "channel": ["a"] * 3,
+                        "item": ["x", None, None]})
+    sk = cms_build(spark.createDataFrame(pdf), "1d", ["channel"],
+                   "item", width=8, depth=2)
+    assert sk.agg({"cnt": "sum"}).collect()[0][0] == 2  # x under 2 rows
+
+
+def test_cms_build_single_exchange(spark, cms_input):
+    df, _ = cms_input
+    sk = cms_build(df, "1d", ["channel"], "item", width=64, depth=4)
+    sk.collect()
+    p = (sk._jdf.queryExecution().executedPlan().toString()
+         .split("== Initial Plan ==")[0])
+    assert len(_re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_cms_validation(spark, cms_input):
+    df, _ = cms_input
+    with pytest.raises(ValueError, match="width"):
+        cms_build(df, "1d", ["channel"], "item", width=1)
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(df, "1d", ["channel"], "item", depth=0)
+    with pytest.raises(ValueError, match="unknown tier"):
+        cms_build(df, "7m", ["channel"], "item")
+    sk = cms_build(df, "1d", ["channel"], "item")
+    with pytest.raises(ValueError, match="non-empty"):
+        cms_estimate(sk, [], ["channel"])
+    with pytest.raises(ValueError, match="non-NULL"):
+        cms_estimate(sk, ["x", None], ["channel"])
+    with pytest.raises(ValueError, match="fold"):
+        cms_fold(sk, "1m", ["channel"])
