@@ -4453,6 +4453,45 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 certification of the IVF ANN path against the exact
+    brute-force top-10 — the measurement every ANN deployment needs
+    BEFORE trusting the pruned path at 1e9 vectors (a composition
+    certificate like doc_curate: both legs are already oracle-gated
+    individually; this gates their agreement). Both legs run in Spark
+    (pruned IVF probe vs full-scan exact), intersect on vec_id, and
+    report n_hits/k. The oracle replays BOTH legs in DuckDB (trained
+    centroid literals + exact scan) and must land on the identical
+    recall — deterministic because the engine's check_ties margin
+    fails fast on any assignment/probe near-tie."""
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = [float(x) for x in q]
+    ivf = similarity.ivf_topk(
+        embs, qv, k=10, n_centroids=16, nprobe=4,
+        centroids=similarity.ivf_trained_centroids(),
+        check_ties=1e-9).select("vec_id")
+    exact = similarity.cosine_topk(embs, qv, k=10).select("vec_id")
+    return (ivf.join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).alias("__h"))
+            .select(F.lit(10).cast("int").alias("k"),
+                    F.lit(4).cast("int").alias("nprobe"),
+                    F.col("__h").cast("long").alias("n_hits"),
+                    _r0(F.round(F.col("__h") / F.lit(10.0), 6))
+                    .alias("recall")))
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+SELECT cast(10 AS int) AS k, cast(4 AS int) AS nprobe,
+       cast(count(*) AS bigint) AS n_hits,
+       round(count(*) / 10.0, 6) + 0.0 AS recall
+FROM ({_ivf_topk_sql()}) i
+JOIN ({SQL_EMB_COSINE_TOPK}) e USING (vec_id)
+"""
+
+
 _CMS_W = 256
 _CMS_D = 4
 
@@ -4733,6 +4772,7 @@ QUERIES = {
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "emb_lsh_topk": q_emb_lsh_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_ivf_recall": q_emb_ivf_recall,
     "doc_winnowing": q_doc_winnowing,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -4785,6 +4825,7 @@ ORACLE_SQL = {
     "doc_tfidf": SQL_DOC_TFIDF,
     "ts_loops": SQL_TS_LOOPS,
     "ts_cms_fold": SQL_TS_CMS_FOLD,
+    "emb_ivf_recall": _ivf_recall_sql(),
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -334,3 +334,40 @@ def test_cms_validation(spark, cms_input):
         cms_estimate(sk, ["x", None], ["channel"])
     with pytest.raises(ValueError, match="fold"):
         cms_fold(sk, "1m", ["channel"])
+
+
+# --- IVF recall certification ----------------------------------------------
+
+import numpy as np
+
+from cesium_spark.operators import similarity
+
+
+def _emb_df(spark, n=200, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pdf = pd.DataFrame({"vec_id": range(n),
+                        "embedding": [row.astype("float32").tolist()
+                                      for row in v]})
+    return spark.createDataFrame(pdf), [float(x) for x in v[0]]
+
+
+def _recall(spark, embs, q, nprobe, n_centroids=8, k=10, dim=16):
+    cents = similarity.ivf_centroids(dim, n_centroids)
+    ivf = set(r.vec_id for r in similarity.ivf_topk(
+        embs, q, k=k, n_centroids=n_centroids, nprobe=nprobe,
+        centroids=cents).collect())
+    exact = set(r.vec_id for r in
+                similarity.cosine_topk(embs, q, k=k).collect())
+    return len(ivf & exact) / k
+
+
+def test_ivf_recall_monotone_in_nprobe_and_exact_at_full(spark):
+    embs, q = _emb_df(spark)
+    r_full = _recall(spark, embs, q, nprobe=8)
+    # probing every list IS the exact scan: recall must be 1.0
+    assert r_full == 1.0
+    r2, r4 = _recall(spark, embs, q, nprobe=2), \
+        _recall(spark, embs, q, nprobe=4)
+    assert 0.0 <= r2 <= r4 <= r_full
