@@ -4453,6 +4453,46 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+def q_rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals from the event change log:
+    consecutive duplicate states merge, NULL is a real state
+    (null-safe change detection), half-open [valid_from, valid_to),
+    open current row. ONE hash exchange (two stacked windows + a
+    filter on the key). Full-value oracle restates the null-safe
+    lag-compare and lead-close verbatim."""
+    from cesium_spark.operators.compaction import scd2_intervals
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    out = scd2_intervals(ev, "user_id", "event_type", "ts",
+                         ["event_id"])
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("state"),
+        F.date_format("valid_from", TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT).alias("valid_to"),
+        F.col("version").cast("int").alias("version"),
+        "is_current")
+
+
+SQL_REL_SCD2 = f"""
+WITH o AS (
+  SELECT user_id, event_type AS state, ts,
+         (event_type IS DISTINCT FROM
+            lag(event_type) OVER w
+          OR row_number() OVER w = 1) AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (SELECT user_id, state, ts FROM o WHERE chg)
+SELECT user_id,
+       state,
+       strftime(ts, '{DUCK_TS_FMT}') AS valid_from,
+       strftime(lead(ts) OVER w2, '{DUCK_TS_FMT}') AS valid_to,
+       cast(row_number() OVER w2 AS int) AS version,
+       (lead(ts) OVER w2) IS NULL AS is_current
+FROM p WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
 def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 certification of the IVF ANN path against the exact
     brute-force top-10 — the measurement every ANN deployment needs
@@ -4703,6 +4743,7 @@ QUERIES = {
     "ts_dtw": q_ts_dtw,
     "ts_decompose": q_ts_decompose,
     "rel_retention_cohorts": q_rel_retention_cohorts,
+    "rel_scd2": q_rel_scd2,
     "emb_random_projection": q_emb_random_projection,
     "doc_winnowing_pairs": q_doc_winnowing_pairs,
     "ts_rolling_quantile": q_ts_rolling_quantile,
@@ -4826,6 +4867,7 @@ ORACLE_SQL = {
     "ts_loops": SQL_TS_LOOPS,
     "ts_cms_fold": SQL_TS_CMS_FOLD,
     "emb_ivf_recall": _ivf_recall_sql(),
+    "rel_scd2": SQL_REL_SCD2,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -36,7 +36,7 @@ accepting a partial order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,47 @@ def upsert_latest(df: DataFrame, keys: list[str],
     )
     return row.select(*keys,
                       *[F.col(f"__latest.{c}").alias(c) for c in payload])
+
+
+def scd2_intervals(df: DataFrame, key: str, state_col: str,
+                   ts_col: str = "ts",
+                   order_cols: list[str] | None = None) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change-event
+    log: collapse each key's event stream into validity intervals —
+    one row per CHANGE of ``state_col`` with ``(key, state,
+    valid_from, valid_to, version, is_current)``, half-open
+    ``[valid_from, valid_to)``, ``valid_to`` NULL on the open current
+    row. The warehouse primitive for as-of dimension joins (the asof
+    operator consumes exactly this shape) and the inverse of
+    state_agg's time-in-state totals.
+
+    Consecutive duplicate states merge into one interval (a re-emitted
+    unchanged status must not fragment history — re-delivered events
+    are the norm, see upsert_latest). A NULL state is a real state
+    (tracked as its own interval) — dimension systems must represent
+    'attribute became unknown', and lag()'s NULL can't be the change
+    sentinel anyway: change detection compares via null-safe equality.
+
+    Scale shape: two stacked windows (lag for change detection,
+    lead for interval close) + one filter, all partitioned by the key
+    — ONE hash exchange, no join, no self-union; ordering within a
+    key is (ts, *order_cols) so ties are deterministic when the
+    caller supplies a unique tiebreaker (do: event ids; ts alone ties
+    under same-timestamp redelivery).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = (~F.col(state_col).eqNullSafe(F.lag(state_col).over(w))
+               | (F.row_number().over(w) == 1))
+    pts = (df
+           .withColumn("__chg", changed)
+           .where(F.col("__chg"))
+           .drop("__chg"))
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (pts.select(
+        F.col(key),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"))
+        .withColumn("is_current", F.col("valid_to").isNull()))

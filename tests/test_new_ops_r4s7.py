@@ -371,3 +371,79 @@ def test_ivf_recall_monotone_in_nprobe_and_exact_at_full(spark):
     r2, r4 = _recall(spark, embs, q, nprobe=2), \
         _recall(spark, embs, q, nprobe=4)
     assert 0.0 <= r2 <= r4 <= r_full
+
+
+# --- SCD2 validity intervals -------------------------------------------------
+
+from cesium_spark.operators.compaction import scd2_intervals
+
+
+def test_scd2_intervals_hand_case(spark):
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1, 2, 2],
+        "event_id": [0, 1, 2, 3, 4, 0, 1],
+        "status": ["new", "new", "active", "active", "churned",
+                   "new", None],
+        "ts": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+             "2024-01-05", "2024-01-01", "2024-01-02"])})
+    out = scd2_intervals(spark.createDataFrame(pdf), "user_id",
+                         "status", "ts", ["event_id"])
+    rows = sorted(((r.user_id, r.state,
+                    str(r.valid_from.date()),
+                    str(r.valid_to.date()) if r.valid_to else None,
+                    r.version, r.is_current) for r in out.collect()),
+                  key=lambda t: (t[0], t[1] or ""))
+    assert rows == [
+        (1, "active", "2024-01-03", "2024-01-05", 2, False),
+        (1, "churned", "2024-01-05", None, 3, True),
+        (1, "new", "2024-01-01", "2024-01-03", 1, False),
+        (2, None, "2024-01-02", None, 2, True),
+        (2, "new", "2024-01-01", "2024-01-02", 1, False),
+    ]
+
+
+def test_scd2_intervals_tile_and_cover(spark):
+    # intervals per key must tile: valid_from(version v+1) ==
+    # valid_to(version v); exactly one current row per key; the first
+    # valid_from is the key's first event ts
+    rng = random.Random(13)
+    rows = []
+    for u in range(20):
+        t = pd.Timestamp("2024-01-01")
+        for i in range(rng.randint(1, 15)):
+            t += pd.Timedelta(minutes=rng.randint(1, 90))
+            rows.append((u, i, rng.choice(["a", "b", "c", None]), t))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "status",
+                                      "ts"])
+    out = scd2_intervals(spark.createDataFrame(pdf), "user_id",
+                         "status", "ts", ["event_id"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.user_id, []).append(r)
+    for u, rs in by_key.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].valid_to is None and rs[-1].is_current
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+            # a change row really changed state (NULL-safe)
+            assert a.state != b.state or (
+                a.state is None) != (b.state is None) or False
+        first_ts = pdf[pdf.user_id == u].ts.min()
+        assert rs[0].valid_from == first_ts
+
+
+def test_scd2_consecutive_duplicates_merge_and_single_exchange(spark):
+    pdf = pd.DataFrame({
+        "user_id": [1] * 5, "event_id": range(5),
+        "status": ["x"] * 5,
+        "ts": pd.date_range("2024-01-01", periods=5, freq="h")})
+    df = scd2_intervals(spark.createDataFrame(pdf), "user_id",
+                        "status", "ts", ["event_id"])
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].is_current
+    p = (df._jdf.queryExecution().executedPlan().toString()
+         .split("== Initial Plan ==")[0])
+    assert len(_re.findall(r"Exchange hashpartitioning", p)) == 1
