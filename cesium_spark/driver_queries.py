@@ -4453,6 +4453,74 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_BT_MIN_TRAIN = 3
+_BT_RTOL = 1e-9
+
+
+def q_ts_ar1_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step AR(1) backtest: per-prefix Yule–Walker
+    fit via cumulative-sum closed forms (O(n)/series, ONE exchange),
+    out-of-sample MAE/RMSE per conversation. Near-constant prefixes
+    are guarded by a scale-relative den > rtol·S2 test (the expanded
+    den cancels catastrophically there); the oracle restates every
+    closed form and the guard verbatim."""
+    from cesium_spark.operators.seriesstats import ar1_backtest
+    out = ar1_backtest(_value_series(spark, sf_dir),
+                       min_train=_BT_MIN_TRAIN, rel_tol=_BT_RTOL)
+    return out.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        _r(F.col("mae")).alias("mae"),
+        _r(F.col("rmse")).alias("rmse"))
+
+
+SQL_TS_AR1_BACKTEST = f"""{_VALUE_SERIES_SQL}
+, b1 AS (
+  SELECT conv_id, t, turn_idx, y,
+         lag(y) OVER (PARTITION BY conv_id ORDER BY t, turn_idx)
+           AS prev,
+         row_number() OVER (PARTITION BY conv_id ORDER BY t, turn_idx)
+           AS i
+  FROM series WHERE y IS NOT NULL AND t IS NOT NULL
+),
+b2 AS (
+  SELECT *,
+         sum(y) OVER wc AS s1,
+         sum(y * y) OVER wc AS s2,
+         sum(CASE WHEN prev IS NOT NULL THEN y * prev END) OVER wc
+           AS p,
+         first_value(y) OVER wc AS y1
+  FROM b1
+  WINDOW wc AS (PARTITION BY conv_id ORDER BY t, turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+b3 AS (
+  SELECT conv_id, t, turn_idx, y,
+         CASE WHEN i >= {_BT_MIN_TRAIN} THEN
+           s1 / i
+           + (CASE WHEN (s2 - i * (s1 / i) * (s1 / i))
+                        > {_BT_RTOL} * s2
+              THEN (p - (s1 / i) * (2 * s1 - y1 - y)
+                    + (i - 1) * (s1 / i) * (s1 / i))
+                   / (s2 - i * (s1 / i) * (s1 / i)) END)
+             * (y - s1 / i)
+         END AS f
+  FROM b2
+),
+b4 AS (
+  SELECT conv_id, y,
+         y - lag(f) OVER (PARTITION BY conv_id ORDER BY t, turn_idx)
+           AS err
+  FROM b3
+)
+SELECT conv_id, cast(count(*) AS bigint) AS n,
+       cast(count(err) AS bigint) AS n_pred,
+       round(avg(abs(err)), 6) + 0.0 AS mae,
+       round(sqrt(avg(err * err)), 6) + 0.0 AS rmse
+FROM b4 GROUP BY conv_id
+"""
+
+
 def q_rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 validity intervals from the event change log:
     consecutive duplicate states merge, NULL is a real state
@@ -4751,6 +4819,7 @@ QUERIES = {
     "ts_channel_xcorr": q_ts_channel_xcorr,
     "ts_score_features": q_ts_score_features,
     "ts_ar1": q_ts_ar1,
+    "ts_ar1_backtest": q_ts_ar1_backtest,
     "ts_role_transitions": q_ts_role_transitions,
     "ts_funnel": q_ts_funnel,
     "ts_loops": q_ts_loops,
@@ -4868,6 +4937,7 @@ ORACLE_SQL = {
     "ts_cms_fold": SQL_TS_CMS_FOLD,
     "emb_ivf_recall": _ivf_recall_sql(),
     "rel_scd2": SQL_REL_SCD2,
+    "ts_ar1_backtest": SQL_TS_AR1_BACKTEST,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

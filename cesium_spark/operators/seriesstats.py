@@ -387,3 +387,69 @@ def drift_psi(series: DataFrame, split_ts: str, edges: list[float],
                 F.col("n_ref").cast("long").alias("n_ref"),
                 F.col("n_cur").cast("long").alias("n_cur"),
                 "psi", "kl", "tvd"))
+
+def ar1_backtest(series: DataFrame, min_train: int = 3,
+                 rel_tol: float = 1e-9) -> DataFrame:
+    """Rolling-origin (expanding-window) one-step backtest of the
+    AR(1) Yule–Walker fit: at every position i ≥ ``min_train`` the
+    model is fit on the prefix y₁..yᵢ and forecasts y_{i+1}; the
+    per-series MAE/RMSE of those out-of-sample errors is the honest
+    forecast-quality number (ar1_fit's in-sample σ² is not) — the
+    backtesting loop every forecasting deployment runs, here as ONE
+    window pass instead of n model refits.
+
+    The per-prefix fit reuses ar1_fit's estimator through prefix
+    closed forms (all cumulative ROWS-frame sums, so the whole
+    backtest is O(n) per series):
+
+        S1ᵢ = Σy,  S2ᵢ = Σy²,  Pᵢ = Σ yₜ·yₜ₋₁   (cumulative)
+        ȳᵢ   = S1ᵢ/i
+        denᵢ = S2ᵢ − i·ȳᵢ²
+        numᵢ = Pᵢ − ȳᵢ·(2·S1ᵢ − y₁ − yᵢ) + (i−1)·ȳᵢ²
+        φᵢ   = numᵢ/denᵢ,   fᵢ = ȳᵢ + φᵢ·(yᵢ − ȳᵢ)
+        errᵢ₊₁ = yᵢ₊₁ − fᵢ
+
+    Degeneracy guard: the expanded den cancels catastrophically on a
+    (near-)constant prefix — unlike ar1_fit's centered den it lands on
+    a tiny FLOAT RESIDUAL, not exact 0, and φ through it is noise
+    amplified by 1/den. A prefix is therefore fit only when
+    ``denᵢ > rel_tol · S2ᵢ`` (scale-relative); failing prefixes yield
+    NULL forecasts whose errors are excluded from n_pred/MAE/RMSE —
+    stated in the oracle with the identical comparison.
+
+    Plan: lag + four cumulative window sums + one lag of the forecast
+    + one aggregate, every one partitioned by the series key → ONE
+    hash exchange, no join, no UDF, O(1) state per row.
+    """
+    if min_train < 2:
+        raise ValueError(f"min_train must be >= 2, got {min_train}")
+    key = ["conv_id", "channel"]
+    w_ord = Window.partitionBy(*key).orderBy("t", "turn_idx")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .withColumn("__prev", F.lag("y").over(w_ord))
+         .withColumn("__i", F.row_number().over(w_ord)))
+    y, prev, i = F.col("y"), F.col("__prev"), F.col("__i")
+    s = (s
+         .withColumn("__s1", F.sum(y).over(w_cum))
+         .withColumn("__s2", F.sum(y * y).over(w_cum))
+         .withColumn("__p", F.sum(F.when(prev.isNotNull(), y * prev))
+                     .over(w_cum))
+         .withColumn("__y1", F.first(y).over(w_cum)))
+    ybar = F.col("__s1") / i
+    den = F.col("__s2") - i * ybar * ybar
+    num = (F.col("__p") - ybar * (2 * F.col("__s1") - F.col("__y1") - y)
+           + (i - 1) * ybar * ybar)
+    phi = F.when(den > F.lit(rel_tol) * F.col("__s2"), num / den)
+    fc = F.when(i >= min_train, ybar + phi * (y - ybar))
+    s = s.withColumn("__f", fc)
+    err = y - F.lag("__f").over(w_ord)
+    s = s.withColumn("__err", err)
+    e = F.col("__err")
+    return (s.groupBy(*key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(e).cast("long").alias("n_pred"),
+        F.avg(F.abs(e)).alias("mae"),
+        F.sqrt(F.avg(e * e)).alias("rmse")))

@@ -447,3 +447,96 @@ def test_scd2_consecutive_duplicates_merge_and_single_exchange(spark):
     p = (df._jdf.queryExecution().executedPlan().toString()
          .split("== Initial Plan ==")[0])
     assert len(_re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+# --- AR(1) rolling-origin backtest -------------------------------------------
+
+from cesium_spark.operators.seriesstats import ar1_backtest
+
+
+def _series_df(spark, data):
+    rows = [(cid, "value", i, float(i), float(y))
+            for cid, ys in data.items() for i, y in enumerate(ys)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "channel", "turn_idx",
+                                      "t", "y"])
+    return spark.createDataFrame(pdf)
+
+
+def _ref_backtest(ys, min_train=3):
+    """Independent reference: per-prefix CENTERED Yule-Walker fit
+    (textbook form, not the engine's expanded closed forms)."""
+    errs = []
+    for i in range(min_train, len(ys)):
+        pre = np.asarray(ys[:i], dtype=float)
+        yb = pre.mean()
+        den = ((pre - yb) ** 2).sum()
+        if den <= 0:
+            continue
+        num = ((pre[1:] - yb) * (pre[:-1] - yb)).sum()
+        phi = num / den
+        f = yb + phi * (pre[-1] - yb)
+        errs.append(ys[i] - f)
+    errs = np.asarray(errs)
+    if not len(errs):
+        return 0, None, None
+    return len(errs), float(np.abs(errs).mean()), \
+        float(np.sqrt((errs ** 2).mean()))
+
+
+def test_ar1_backtest_matches_centered_reference(spark):
+    rng = np.random.default_rng(21)
+    data = {}
+    for c in range(12):
+        n = rng.integers(4, 40)
+        phi = rng.uniform(-0.8, 0.9)
+        y = [float(rng.normal())]
+        for _ in range(n - 1):
+            y.append(phi * y[-1] + float(rng.normal()))
+        data[f"c{c}"] = y
+    out = {r.conv_id: r for r in
+           ar1_backtest(_series_df(spark, data)).collect()}
+    for cid, ys in data.items():
+        n_pred, mae, rmse = _ref_backtest(ys)
+        r = out[cid]
+        assert r.n == len(ys) and r.n_pred == n_pred, cid
+        if mae is None:
+            assert r.mae is None
+        else:
+            assert r.mae == pytest.approx(mae, rel=1e-9)
+            assert r.rmse == pytest.approx(rmse, rel=1e-9)
+
+
+def test_ar1_backtest_recovers_planted_process(spark):
+    # strong AR(1): backtest RMSE should approach the innovation sigma,
+    # and beat the naive last-value-carry-forward baseline
+    # negative phi: carry-forward is ~2.2x sigma while the AR(1)
+    # one-step optimum is sigma — a margin the backtest must realize
+    rng = np.random.default_rng(4)
+    phi, sigma, n = -0.6, 0.1, 400
+    y = [0.0]
+    for _ in range(n - 1):
+        y.append(phi * y[-1] + sigma * float(rng.normal()))
+    out = ar1_backtest(_series_df(spark, {"c": y})).collect()[0]
+    assert out.rmse < 1.3 * sigma
+    naive = np.sqrt(np.mean(np.diff(np.asarray(y)[3:]) ** 2))
+    assert out.rmse < 0.75 * naive
+
+
+def test_ar1_backtest_constant_series_yields_no_predictions(spark):
+    out = ar1_backtest(_series_df(spark, {"c": [2.5] * 10})).collect()[0]
+    assert (out.n, out.n_pred, out.mae, out.rmse) == (10, 0, None, None)
+
+
+def test_ar1_backtest_short_series_and_validation(spark):
+    out = ar1_backtest(_series_df(spark, {"c": [1.0, 2.0]})).collect()[0]
+    assert out.n_pred == 0
+    with pytest.raises(ValueError, match="min_train"):
+        ar1_backtest(_series_df(spark, {"c": [1.0]}), min_train=1)
+
+
+def test_ar1_backtest_single_exchange(spark):
+    df = ar1_backtest(_series_df(spark, {"c": [1.0, 2.0, 1.5, 2.5]}))
+    df.collect()
+    p = (df._jdf.queryExecution().executedPlan().toString()
+         .split("== Initial Plan ==")[0])
+    assert len(_re.findall(r"Exchange hashpartitioning", p)) == 1
