@@ -4453,6 +4453,52 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_WS_K = 10
+_WS_SALT = "ws1"
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Espirakis weighted sample-without-replacement, k per
+    lang stratum, weight = n_chars, uniforms content-addressed from
+    md5(doc_id||salt) (exact dyadic (h+0.5)/2^32, never 0/1); ES key
+    ln(u)/w rounded to 6dp BEFORE ranking with doc_id tie-break so
+    the selected set is engine-stable. Full-value oracle replays the
+    hash, the key, the round-before-rank and the cut."""
+    from cesium_spark.operators.sampling import weighted_sample
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = weighted_sample(docs, k=_WS_K, weight_col="n_chars",
+                          strata_col="lang", key="doc_id",
+                          salt=_WS_SALT)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        _r0(F.col("es_key")).alias("es_key"),
+        F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+SQL_DOC_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln((('0x' || substr(md5(cast(doc_id AS varchar)
+                                       || '{_WS_SALT}'), 1, 8))::BIGINT
+                   + 0.5) / 4294967296.0)
+               / cast(n_chars AS double), 6) AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY es_key DESC, doc_id ASC)
+              AS sample_rank
+  FROM d)
+SELECT doc_id, lang, cast(n_chars AS bigint) AS n_chars,
+       es_key + 0.0 AS es_key, cast(sample_rank AS int) AS sample_rank
+FROM r WHERE sample_rank <= {_WS_K}
+"""
+
+
 _BT_MIN_TRAIN = 3
 _BT_RTOL = 1e-9
 
@@ -4801,6 +4847,7 @@ QUERIES = {
     "ts_heartbeat_1d": q_ts_heartbeat_1d,
     "ts_cusum": q_ts_cusum,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
     "ts_channel_corr": q_ts_channel_corr,
     "doc_contamination": q_doc_contamination,
@@ -4938,6 +4985,7 @@ ORACLE_SQL = {
     "emb_ivf_recall": _ivf_recall_sql(),
     "rel_scd2": SQL_REL_SCD2,
     "ts_ar1_backtest": SQL_TS_AR1_BACKTEST,
+    "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -115,3 +115,53 @@ def stratified_sample(df: DataFrame, strata_col: str,
         1, 8), 16, 10).cast("long") % F.lit(BUCKETS))
     return df.where(
         stratum_bucket < edge_map[F.col(strata_col).cast("string")])
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    strata_col: str | None = None,
+                    key: str = "doc_id", salt: str = "") -> DataFrame:
+    """Content-addressed weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006, algorithm A): each row draws a
+    deterministic uniform u from md5(key‖salt) and competes with the
+    key ``ln(u)/w`` — taking the k LARGEST per stratum is exactly a
+    weighted draw without replacement (u^(1/w) order, log-monotone).
+    This is `deterministic_sample`'s weighted sibling: quality-scored
+    corpus subsampling ("keep 1M docs, proportional to quality") needs
+    weights, and df.sample() can't do per-row weights OR reproduce
+    itself across runs.
+
+    Determinism: u = (int(md5[:8 hex]) + 0.5) / 2^32 — exact dyadic
+    arithmetic, never 0 or 1, bit-identical in any engine; the ES key
+    is rounded to 6 dp BEFORE ranking (the rank-boundary convention —
+    tfidf/DTW precedent) with ties broken by key ASC, so the selected
+    set is stable across engines, runs, partitionings, and (because u
+    is per-row) table growth only perturbs the boundary, never
+    re-deals survivors wholesale.
+
+    Rows with NULL or non-positive weight never compete (a weight of
+    0 must mean "never sampled", and ln(u)/w flips sign at w<0) —
+    they are filtered, not errored: one bad row must not kill a
+    10^12-row draw. NULL strata form their own stratum.
+
+    Scale shape: pure projection → per-stratum row_number window →
+    filter ≤ k. ONE hash exchange on the stratum (or a single-
+    partition window when unstratified — k-bounded output but a
+    global sort feed; for unstratified top-k at extreme scale prefer
+    orderBy+limit = TakeOrdered, documented trade-off).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))),
+        1, 8), 16, 10).cast("long").cast("double") + F.lit(0.5))
+        / F.lit(4294967296.0))
+    w = F.col(weight_col).cast("double")
+    es_key = F.round(F.log(u) / w, 6)
+    d = (df.where(w.isNotNull() & (w > 0))
+           .withColumn("es_key", es_key))
+    part = [strata_col] if strata_col else []
+    win = Window.partitionBy(*part).orderBy(
+        F.col("es_key").desc(), F.col(key).asc())
+    return (d.withColumn("sample_rank",
+                         F.row_number().over(win).cast("int"))
+            .where(F.col("sample_rank") <= k))

@@ -540,3 +540,55 @@ def test_ar1_backtest_single_exchange(spark):
     p = (df._jdf.queryExecution().executedPlan().toString()
          .split("== Initial Plan ==")[0])
     assert len(_re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+# --- Efraimidis-Spirakis weighted sampling -----------------------------------
+
+from cesium_spark.operators.sampling import weighted_sample
+
+
+def test_weighted_sample_first_pick_frequency_tracks_weights(spark):
+    # ES property: P(item drawn first) = w_i / sum(w). 400 independent
+    # draws (distinct salts), 4 items with weights 1,1,1,7.
+    pdf = pd.DataFrame({"doc_id": ["a", "b", "c", "d"],
+                        "w": [1.0, 1.0, 1.0, 7.0]})
+    df = spark.createDataFrame(pdf)
+    wins = Counter()
+    picked = []
+    for s in range(400):
+        picked.append(
+            weighted_sample(df, 1, "w", key="doc_id", salt=f"s{s}"))
+    from functools import reduce
+    allp = reduce(lambda a, b: a.unionAll(b), picked)
+    for r in allp.collect():
+        wins[r.doc_id] += 1
+    assert sum(wins.values()) == 400
+    assert 0.6 <= wins["d"] / 400 <= 0.8          # expect 0.7
+    for small in "abc":
+        assert 0.04 <= wins[small] / 400 <= 0.17  # expect 0.1
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    pdf = pd.DataFrame({"doc_id": range(100),
+                        "lang": ["en", "de"] * 50,
+                        "w": [float(i % 7 + 1) for i in range(100)]})
+    df = spark.createDataFrame(pdf)
+    sel = lambda d: sorted((r.doc_id, r.lang, r.sample_rank)
+                           for r in weighted_sample(
+                               d, 5, "w", "lang", salt="x").collect())
+    a, b = sel(df.coalesce(1)), sel(df.repartition(16))
+    assert a == b and len(a) == 10
+    # per-stratum: 5 each, ranks dense, no duplicates
+    langs = Counter(l for _, l, _ in a)
+    assert langs == {"en": 5, "de": 5}
+
+
+def test_weighted_sample_k_exceeds_population_and_bad_weights(spark):
+    pdf = pd.DataFrame({"doc_id": range(6),
+                        "w": [1.0, 2.0, None, 0.0, -3.0, 5.0]})
+    out = weighted_sample(spark.createDataFrame(pdf), 10, "w").collect()
+    # only the 3 positive-weight rows compete
+    assert sorted(r.doc_id for r in out) == [0, 1, 5]
+    assert sorted(r.sample_rank for r in out) == [1, 2, 3]
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(spark.createDataFrame(pdf), 0, "w")
