@@ -4453,6 +4453,42 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+def q_ts_calendar_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month retention tier by folding the DAILY moments
+    (1m→1d→1mo chain — months are irregular 28–31 d spans, exactly
+    what date_trunc handles; the fold never rescans raw turns). n and
+    min/max merge exactly; the folded Σy re-associates float sums
+    (~1e-16 relative drift, measured), and is the safe compare column:
+    sums of the 2-dp event values sit ~1e-12 from exact 0.01
+    multiples, never near a 6-dp round-half boundary — whereas
+    mean = Σy/n lands EXACTLY on .xxxxxx5 half-points where Spark
+    HALF_UP and DuckDB disagree (hit once at sf0.01). Oracle = direct
+    monthly aggregate over raw events."""
+    s = _value_series(spark, sf_dir)
+    folded = fold_moments(fold_moments(rollup_moments(s, "1m"), "1d"),
+                          "1mo")
+    return folded.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n_epochs"),
+        _r(F.col("y_min")).alias("y_min"),
+        _r(F.col("y_max")).alias("y_max"),
+        _r(F.col("y_sum")).alias("y_sum"))
+
+
+SQL_TS_CALENDAR_FOLD = f"""
+SELECT cast(user_id AS varchar) AS conv_id,
+       strftime(date_trunc('month', ts), '{DUCK_TS_FMT}')
+         AS window_start,
+       count(*) AS n_epochs,
+       round(min(value), 6) + 0.0 AS y_min,
+       round(max(value), 6) + 0.0 AS y_max,
+       round(sum(value), 6) + 0.0 AS y_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
 _WS_K = 10
 _WS_SALT = "ws1"
 
@@ -4832,6 +4868,7 @@ QUERIES = {
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
     "ts_rollup_1d_native": q_ts_rollup_1d_native,
     "ts_tier_fold": q_ts_tier_fold,
+    "ts_calendar_fold": q_ts_calendar_fold,
     "ts_hll_tier_fold": q_ts_hll_tier_fold,
     "ts_gapfill_1h": q_ts_gapfill_1h,
     "ts_gapfill_interp": q_ts_gapfill_interp,
@@ -4986,6 +5023,7 @@ ORACLE_SQL = {
     "rel_scd2": SQL_REL_SCD2,
     "ts_ar1_backtest": SQL_TS_AR1_BACKTEST,
     "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
+    "ts_calendar_fold": SQL_TS_CALENDAR_FOLD,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from cesium_spark.operators.rollup import TIERS
 
-_FOLD_TARGETS = {"1h": "hour", "1d": "day"}
+_FOLD_TARGETS = {"1h": "hour", "1d": "day", "1w": "week", "1mo": "month"}
 
 
 def fold_moments(fine_moments: DataFrame, target_tier: str) -> DataFrame:

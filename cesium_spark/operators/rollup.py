@@ -47,7 +47,12 @@ from cesium_spark.functions.registry import (
 )
 
 # tier name -> date_trunc unit; 'conv' = whole-conversation series
-TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day",
+         # calendar tiers: fold targets for long-horizon retention —
+         # irregular spans (weeks cross months, months vary 28-31 d),
+         # which is exactly what date_trunc handles; both Spark and
+         # DuckDB truncate weeks to ISO Monday
+         "1w": "week", "1mo": "month"}
 
 # windowed-tier group key = (conv, channel, floor(days/SPAN)): bounds a
 # whale conversation's group at SPAN days while amortizing per-group

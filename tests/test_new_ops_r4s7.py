@@ -592,3 +592,57 @@ def test_weighted_sample_k_exceeds_population_and_bad_weights(spark):
     assert sorted(r.sample_rank for r in out) == [1, 2, 3]
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample(spark.createDataFrame(pdf), 0, "w")
+
+
+# --- calendar tiers (week/month folds) ---------------------------------------
+
+from cesium_spark.operators.fold import fold_moments
+from cesium_spark.operators.rollup import rollup_moments
+
+
+def _moments_input(spark):
+    rng = np.random.default_rng(9)
+    n = 3000
+    ts = pd.Timestamp("2024-01-15") + pd.to_timedelta(
+        np.sort(rng.integers(0, 86400 * 60, n)), unit="s")
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i % 5}" for i in range(n)],
+        "channel": "value", "turn_idx": range(n), "ts": ts,
+        "t": ts.astype("int64") / 1e9,
+        "y": rng.normal(50, 10, n)})
+    return spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize("tier,unit", [("1w", "W-MON"), ("1mo", "MS")])
+def test_calendar_fold_counts_and_bounds_match_pandas(spark, tier, unit):
+    df = _moments_input(spark)
+    folded = fold_moments(fold_moments(rollup_moments(df, "1h"), "1d"),
+                          tier)
+    pdf = df.toPandas()
+    per = (pdf.assign(w=pdf.ts.dt.to_period(
+        {"1w": "W-SUN", "1mo": "M"}[tier]).dt.start_time)
+           .groupby(["conv_id", "w"])
+           .agg(n=("y", "size"), mn=("y", "min"), mx=("y", "max"),
+                sm=("y", "sum")))
+    got = {(r.conv_id, pd.Timestamp(r.window_start)):
+           (r.n, r.y_min, r.y_max, r.y_sum) for r in folded.collect()}
+    assert len(got) == len(per)
+    for (cid, w), row in per.iterrows():
+        g = got[(cid, w)]
+        assert g[0] == row.n
+        assert g[1] == row.mn and g[2] == row.mx
+        assert g[3] == pytest.approx(row.sm, rel=1e-12)
+
+
+def test_calendar_week_is_iso_monday(spark):
+    # 2024-01-15 is a Monday; points Sun 14th and Mon 15th must land
+    # in different ISO weeks
+    pdf = pd.DataFrame({
+        "conv_id": ["c", "c"], "channel": ["value"] * 2,
+        "turn_idx": [0, 1],
+        "ts": pd.to_datetime(["2024-01-14 23:00", "2024-01-15 01:00"]),
+        "t": [0.0, 1.0], "y": [1.0, 2.0]})
+    folded = fold_moments(rollup_moments(
+        spark.createDataFrame(pdf), "1d"), "1w")
+    weeks = sorted(str(r.window_start) for r in folded.collect())
+    assert weeks == ["2024-01-08 00:00:00", "2024-01-15 00:00:00"]
