@@ -4453,6 +4453,58 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_PMI_MIN = 5
+_PMI_K = 20
+
+
+def q_doc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI (Church & Hanks),
+    min_count-floored BEFORE the cut (PMI explodes on hapax pairs),
+    PMI rounded 6dp before ranking with (w1,w2) tie-break. Full-value
+    oracle restates tokenization, both count aggregates, the PMI
+    expression division-for-division, the floor, and the cut."""
+    from cesium_spark.operators.textstats import pmi_collocations
+    _prep(spark)
+    out = pmi_collocations(_read(spark, sf_dir, "documents"),
+                           min_count=_PMI_MIN, k=_PMI_K)
+    return out.select(
+        "w1", "w2",
+        F.col("c12").cast("long").alias("c12"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        _r0(F.col("pmi")).alias("pmi"),
+        F.col("rank").cast("int").alias("rank"))
+
+
+SQL_DOC_PMI = rf"""
+WITH d AS (
+  SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[ \t\n\r\f]+'),
+                     x -> x != '') AS l
+  FROM documents
+),
+tt AS (SELECT unnest(l) AS w FROM d),
+uni AS (SELECT w, count(*) AS c FROM tt GROUP BY 1),
+nn AS (SELECT cast(sum(c) AS double) AS N FROM uni),
+tb AS (SELECT unnest(list_zip(l[:-2], l[2:])) AS z FROM d),
+bi AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS c12
+       FROM tb GROUP BY 1, 2),
+bt AS (SELECT cast(sum(c12) AS double) AS B FROM bi),
+sc AS (
+  SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         round(log2((c12 / B) / ((u1.c / N) * (u2.c / N))), 6) AS pmi
+  FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+  CROSS JOIN nn CROSS JOIN bt
+  WHERE c12 >= {_PMI_MIN})
+SELECT w1, w2, cast(c12 AS bigint) AS c12, cast(c1 AS bigint) AS c1,
+       cast(c2 AS bigint) AS c2, pmi + 0.0 AS pmi,
+       cast(rank AS int) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+      FROM sc)
+WHERE rank <= {_PMI_K}
+"""
+
+
 def q_ts_calendar_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-month retention tier by folding the DAILY moments
     (1m→1d→1mo chain — months are irregular 28–31 d spans, exactly
@@ -4910,6 +4962,7 @@ QUERIES = {
     "doc_lexical": q_doc_lexical,
     "doc_tfidf": q_doc_tfidf,
     "doc_lm_ppl": q_doc_lm_ppl,
+    "doc_pmi": q_doc_pmi,
     "ts_drift": q_ts_drift,
     "ts_unpivot": q_ts_unpivot,
     "ts_zorder_box": q_ts_zorder_box,
@@ -5024,6 +5077,7 @@ ORACLE_SQL = {
     "ts_ar1_backtest": SQL_TS_AR1_BACKTEST,
     "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
     "ts_calendar_fold": SQL_TS_CALENDAR_FOLD,
+    "doc_pmi": SQL_DOC_PMI,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -749,3 +749,74 @@ def tfidf_topm(docs: DataFrame, m: int = 5, id_col: str = "doc_id",
         F.col("doc_frequency").cast("long").alias("doc_frequency"),
         F.col("tfidf"),
         F.col("rank").cast("int").alias("rank"))
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 20,
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-level collocation extraction: the k adjacent bigrams
+    with the highest pointwise mutual information — PMI =
+    log₂(p(w₁w₂) / (p(w₁)·p(w₂))) with p(w₁w₂) = c₁₂/B over bigram
+    occurrences and p(w) = c/N over token occurrences (Church &
+    Hanks 1990). The phrase-mining primitive next to vocab_topk (raw
+    frequency) and the bigram LM (sequence probability): high PMI =
+    "these tokens co-occur far above chance" — named entities, idioms,
+    mined phrases for tokenizer/vocab induction.
+
+    ``min_count`` floors c₁₂ first — PMI famously explodes on
+    hapax pairs (c₁₂=1 between two rare tokens maxes the statistic);
+    the floor is applied BEFORE the top-k so the cut is over
+    attested phrases only. PMI is rounded to 6 dp BEFORE ranking
+    (rank-boundary convention), ties broken (w₁ ASC, w₂ ASC).
+
+    Scale shape (lm_perplexity's plan family): bigram and unigram
+    counts are each ONE two-phase aggregate (the shuffles carry
+    distinct pairs/tokens per partition); the c₁/c₂ joins are
+    vocabulary-sized (broadcast when they fit); N and B ride ONE
+    broadcast 1-row cross join; the k cut is a TakeOrdered over the
+    min_count-floored phrase table.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _toks(col):
+        arr = F.split(F.lower(F.coalesce(col, F.lit(""))),
+                      r"[ \t\n\r\f]+")
+        return F.filter(arr, lambda x: x != "")
+
+    arr = _toks(F.col(text_col))
+    n = F.size(arr)
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("w2"))
+    bi = (docs.select(F.explode(pairs).alias("__p"))
+          .select(F.col("__p.w1").alias("w1"),
+                  F.col("__p.w2").alias("w2"))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    uni = (docs.select(F.explode(arr).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    tot = uni.agg(F.sum("c").cast("double").alias("N"))
+    btot = bi.agg(F.sum("c12").cast("double").alias("B"))
+    scored = (bi.where(F.col("c12") >= min_count)
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c1")), ["w1"])
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2")), ["w2"])
+              .crossJoin(F.broadcast(tot))
+              .crossJoin(F.broadcast(btot)))
+    pmi = F.round(F.log2(
+        (F.col("c12").cast("double") / F.col("B"))
+        / ((F.col("c1") / F.col("N")) * (F.col("c2") / F.col("N")))), 6)
+    out = (scored.withColumn("pmi", pmi)
+           .orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                    F.col("w2").asc())
+           .limit(k))
+    win = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                         F.col("w2").asc())
+    return out.withColumn(
+        "rank", F.row_number().over(win).cast("int")).select(
+        "w1", "w2",
+        F.col("c12").cast("long").alias("c12"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        "pmi", "rank")

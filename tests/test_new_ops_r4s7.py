@@ -646,3 +646,59 @@ def test_calendar_week_is_iso_monday(spark):
         spark.createDataFrame(pdf), "1d"), "1w")
     weeks = sorted(str(r.window_start) for r in folded.collect())
     assert weeks == ["2024-01-08 00:00:00", "2024-01-15 00:00:00"]
+
+
+# --- PMI collocations ---------------------------------------------------------
+
+from cesium_spark.operators.textstats import pmi_collocations
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+
+def test_pmi_matches_scalar_reference(spark):
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(5, 60)))
+             for _ in range(25)]
+    out = pmi_collocations(_docs_df(spark, texts), min_count=2, k=10)
+    # independent reference
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ws = t.lower().split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    N, B = sum(uni.values()), sum(bi.values())
+    ref = []
+    for (a, b), c12 in bi.items():
+        if c12 >= 2:
+            pmi = round(math.log2((c12 / B)
+                                  / ((uni[a] / N) * (uni[b] / N))), 6)
+            ref.append((a, b, c12, uni[a], uni[b], pmi))
+    ref.sort(key=lambda r: (-r[5], r[0], r[1]))
+    got = sorted(out.collect(), key=lambda r: r.rank)
+    assert len(got) == min(10, len(ref))
+    for g, r in zip(got, ref):
+        assert (g.w1, g.w2, g.c12, g.c1, g.c2) == r[:5]
+        assert g.pmi == pytest.approx(r[5], abs=1e-9)
+
+
+def test_pmi_planted_collocation_ranks_first_and_hapax_floored(spark):
+    filler = " ".join(f"f{i}" for i in range(30))
+    texts = [f"{filler} hong kong {filler}"] * 4 + \
+            [filler + " rare pair"]  # hapax bigram: must be floored out
+    out = pmi_collocations(_docs_df(spark, texts), min_count=3, k=5)
+    rows = out.collect()
+    top = [r for r in rows if r.rank == 1][0]
+    assert (top.w1, top.w2) == ("hong", "kong")
+    assert not any((r.w1, r.w2) == ("rare", "pair") for r in rows)
+
+
+def test_pmi_validation(spark):
+    df = _docs_df(spark, ["a b"])
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)
+    with pytest.raises(ValueError, match="k must"):
+        pmi_collocations(df, k=0)
