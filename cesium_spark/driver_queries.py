@@ -4453,6 +4453,43 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+def q_ts_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series rank normalization of the melted daily feature
+    matrix: pct_rank = percent_rank within each feature over the
+    6-dp-rounded values (ties share a rank — deterministic without a
+    tiebreak; rounding-before-rank makes the order engine-stable).
+    NULL feature cells keep their row with NULL pct_rank. Full-value
+    oracle restates melt + percent_rank with the same NULL split."""
+    from cesium_spark.operators.rollup import unpivot_long
+    from cesium_spark.operators.scoring import rank_normalize
+    s = _value_series(spark, sf_dir)
+    m = moments_derived(rollup_moments(s, "1d"))
+    wide = m.select(
+        "conv_id", "channel", "tier",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        *[_r(F.col(f)).alias(f) for f in _UNPIVOT_FEATS])
+    out = rank_normalize(unpivot_long(wide, _UNPIVOT_FEATS))
+    return out.select(
+        "conv_id", "channel", "tier", "window_start", "feature",
+        _r0(F.col("value")).alias("value"),
+        _r(F.col("pct_rank")).alias("pct_rank"))
+
+
+SQL_TS_RANK_NORMALIZE = (
+    "WITH lng AS (" + "\n".join(SQL_TS_UNPIVOT.splitlines()) + """
+)
+SELECT conv_id, channel, tier, window_start, feature,
+       value + 0.0 AS value,
+       round(percent_rank() OVER (PARTITION BY feature ORDER BY value),
+             6) + 0.0 AS pct_rank
+FROM lng WHERE value IS NOT NULL
+UNION ALL
+SELECT conv_id, channel, tier, window_start, feature,
+       value + 0.0 AS value, NULL AS pct_rank
+FROM lng WHERE value IS NULL
+""")
+
+
 _PMI_MIN = 5
 _PMI_K = 20
 
@@ -4965,6 +5002,7 @@ QUERIES = {
     "doc_pmi": q_doc_pmi,
     "ts_drift": q_ts_drift,
     "ts_unpivot": q_ts_unpivot,
+    "ts_rank_normalize": q_ts_rank_normalize,
     "ts_zorder_box": q_ts_zorder_box,
     "ts_parse_json": q_ts_parse_json,
     "doc_curate": q_doc_curate,
@@ -5078,6 +5116,7 @@ ORACLE_SQL = {
     "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
     "ts_calendar_fold": SQL_TS_CALENDAR_FOLD,
     "doc_pmi": SQL_DOC_PMI,
+    "ts_rank_normalize": SQL_TS_RANK_NORMALIZE,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,3 +41,37 @@ def score_linear(features: DataFrame, weights: Mapping[str, float],
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) \
         if link == "logistic" else z
     return features.withColumn("score", score)
+
+
+def rank_normalize(long_features: DataFrame,
+                   value_col: str = "value",
+                   feature_col: str = "feature") -> DataFrame:
+    """Cross-series rank normalization of a long feature table: adds
+    ``pct_rank`` = percent_rank of each row's value within its
+    feature — the distribution-free feature-prep step before
+    thresholding or model fitting (a heavy-tailed feature like
+    latency-amplitude becomes uniformly comparable to a bounded one
+    like tool_rate-mean). percent_rank = (rank−1)/(N−1) with ties
+    sharing a rank, so the output is deterministic WITHOUT a
+    tie-break column; a single-row feature gets 0.0.
+
+    NULL values (degenerate-feature policy rows) are excluded from
+    the ranking population — they would otherwise sort first and
+    both claim ranks and inflate N — and kept as pct_rank NULL rows
+    (the unpivot NULL-preservation contract: a curation gate must
+    see 'feature not computed', not lose the row).
+
+    Round ``value_col`` upstream of this operator if cross-engine
+    rank stability is required (ties on the rounded grid rank
+    identically everywhere; unrounded ulp drift can reorder).
+
+    Scale shape: one filter split + percent_rank window partitioned
+    by feature + unionByName — ONE hash exchange on the feature key;
+    rows = series × features, orders of magnitude below raw turns.
+    """
+    real = long_features.where(F.col(value_col).isNotNull())
+    nulls = (long_features.where(F.col(value_col).isNull())
+             .withColumn("pct_rank", F.lit(None).cast("double")))
+    w = Window.partitionBy(feature_col).orderBy(F.col(value_col))
+    ranked = real.withColumn("pct_rank", F.percent_rank().over(w))
+    return ranked.unionByName(nulls)

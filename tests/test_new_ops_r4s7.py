@@ -702,3 +702,40 @@ def test_pmi_validation(spark):
         pmi_collocations(df, min_count=0)
     with pytest.raises(ValueError, match="k must"):
         pmi_collocations(df, k=0)
+
+
+# --- rank normalization --------------------------------------------------------
+
+from cesium_spark.operators.scoring import rank_normalize
+
+
+def test_rank_normalize_matches_scipy_style_reference(spark):
+    rng = np.random.default_rng(2)
+    vals = {"f1": rng.normal(size=40).round(3),
+            "f2": rng.exponential(size=40).round(3)}
+    rows = [(i, f, float(v)) for f, vs in vals.items()
+            for i, v in enumerate(vs)]
+    pdf = pd.DataFrame(rows, columns=["row_id", "feature", "value"])
+    out = rank_normalize(spark.createDataFrame(pdf)).collect()
+    for f, vs in vals.items():
+        import numpy as _np
+        order = _np.sort(vs)
+        for r in [x for x in out if x.feature == f]:
+            rank = int(_np.searchsorted(order, r.value, side="left"))
+            exp = rank / (len(vs) - 1)
+            assert r.pct_rank == pytest.approx(exp, abs=1e-12), (f, r)
+
+
+def test_rank_normalize_nulls_and_ties_and_singleton(spark):
+    pdf = pd.DataFrame({
+        "row_id": range(6),
+        "feature": ["a"] * 5 + ["solo"],
+        "value": [1.0, 2.0, 2.0, 3.0, None, 9.9]})
+    out = {(r.feature, r.row_id): r.pct_rank
+           for r in rank_normalize(spark.createDataFrame(pdf)).collect()}
+    # ties share a rank; NULL row kept with NULL pct; n=4 real rows
+    assert out[("a", 0)] == 0.0
+    assert out[("a", 1)] == out[("a", 2)] == pytest.approx(1 / 3)
+    assert out[("a", 3)] == 1.0
+    assert out[("a", 4)] is None
+    assert out[("solo", 5)] == 0.0  # single-row feature
