@@ -4453,6 +4453,56 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+def q_ts_ks_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS goodness-of-fit of inter-arrival gaps vs the exponential
+    MLE (λ̂ = m/(t_last−t_first), telescoped): D⁺/D⁻ over the sorted
+    gaps, 95% asymptotic reject flag on the 6-dp-rounded margin. One
+    exchange. Full-value oracle restates λ̂, F, both one-sided sups
+    and the flag."""
+    from cesium_spark.operators.seriesstats import ks_exponential
+    out = ks_exponential(_value_series(spark, sf_dir))
+    return out.select(
+        "conv_id", F.col("n_gaps").cast("long").alias("n_gaps"),
+        _r(F.col("lambda_hat")).alias("lambda_hat"),
+        _r(F.col("ks")).alias("ks"),
+        "reject_95")
+
+
+SQL_TS_KS_EXP = f"""{_VALUE_SERIES_SQL}
+, gaps AS (
+  SELECT conv_id, turn_idx,
+         t - lag(t) OVER (PARTITION BY conv_id ORDER BY t, turn_idx)
+           AS dt
+  FROM series WHERE t IS NOT NULL
+),
+g AS (
+  SELECT conv_id, dt,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY dt, turn_idx) AS j,
+         count(*) OVER (PARTITION BY conv_id) AS m,
+         sum(dt) OVER (PARTITION BY conv_id) AS span
+  FROM gaps WHERE dt IS NOT NULL
+),
+a AS (
+  SELECT conv_id,
+         any_value(m) AS m,
+         any_value(cast(m AS double) / nullif(span, 0)) AS lam,
+         max(greatest(
+           cast(j AS double) / cast(m AS double)
+             - (1.0 - exp(-(cast(m AS double) / nullif(span, 0)) * dt)),
+           (1.0 - exp(-(cast(m AS double) / nullif(span, 0)) * dt))
+             - (cast(j AS double) - 1) / cast(m AS double))) AS ks
+  FROM g GROUP BY conv_id
+)
+SELECT conv_id, cast(m AS bigint) AS n_gaps,
+       round(CASE WHEN m >= 2 THEN lam END, 6) + 0.0 AS lambda_hat,
+       round(CASE WHEN m >= 2 THEN ks END, 6) + 0.0 AS ks,
+       CASE WHEN m >= 2 AND ks IS NOT NULL
+            THEN round(ks - 1.36 / sqrt(m), 6) > 0 END AS reject_95
+FROM a
+"""
+
+
 def q_ts_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series rank normalization of the melted daily feature
     matrix: pct_rank = percent_rank within each feature over the
@@ -5016,6 +5066,7 @@ QUERIES = {
     "ts_histogram_quantile": q_ts_histogram_quantile,
     "ts_cad_probs": q_ts_cad_probs,
     "ts_cadence_stats": q_ts_cadence_stats,
+    "ts_ks_exp": q_ts_ks_exp,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -5117,6 +5168,7 @@ ORACLE_SQL = {
     "ts_calendar_fold": SQL_TS_CALENDAR_FOLD,
     "doc_pmi": SQL_DOC_PMI,
     "ts_rank_normalize": SQL_TS_RANK_NORMALIZE,
+    "ts_ks_exp": SQL_TS_KS_EXP,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -453,3 +453,58 @@ def ar1_backtest(series: DataFrame, min_train: int = 3,
         F.count(e).cast("long").alias("n_pred"),
         F.avg(F.abs(e)).alias("mae"),
         F.sqrt(F.avg(e * e)).alias("rmse")))
+
+def ks_exponential(series: DataFrame) -> DataFrame:
+    """Per-series Kolmogorov–Smirnov test of the inter-arrival gaps
+    against the exponential fit — "is this conversation's cadence
+    Poisson, or does it burst?" The distribution-level cadence
+    statistic the reference's scalar cadence family (avg/med/std of
+    dt, cad_probs) cannot express: a bursty and a regular series can
+    share every moment yet have opposite KS distances.
+
+    Statistic: gaps dtᵢ = tᵢ − tᵢ₋₁; the exponential MLE telescopes,
+    λ̂ = m / (t_last − t_first) with m = n−1 gaps; against
+    F(x) = 1 − e^(−λ̂x) the two one-sided distances over the sorted
+    gaps dt₍ⱼ₎ are D⁺ = max(j/m − F), D⁻ = max(F − (j−1)/m),
+    KS = max(D⁺, D⁻). Ties need no special-casing: row_number ranks
+    tied gaps arbitrarily but the max over ALL rows includes the
+    extreme j of each tie run, which is where the sup is attained.
+    ``reject_95`` uses the asymptotic 95% band 1.36/√m on the
+    6-dp-rounded margin (boundary engine-stable).
+
+    Degenerates honest: < 2 gaps → NULL statistic; a zero-duration
+    series (all turns same t) has λ̂ undefined → NULL via try_divide.
+
+    Scale shape: one lag window (series order) + one rank window
+    (gap order) + one aggregate, all on the conv_id key → ONE hash
+    exchange, no join, no UDF.
+    """
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    s = (series
+         .where(F.col("t").isNotNull())
+         .withColumn("__dt", F.col("t") - F.lag("t").over(w_ord)))
+    gaps = s.where(F.col("__dt").isNotNull())
+    w_rank = Window.partitionBy("conv_id").orderBy("__dt", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    g = (gaps
+         .withColumn("__j", F.row_number().over(w_rank))
+         .withColumn("__m", F.count(F.lit(1)).over(w_all))
+         .withColumn("__span", F.sum("__dt").over(w_all)))
+    lam = F.expr("try_divide(cast(__m AS double), __span)")
+    fx = F.lit(1.0) - F.exp(-lam * F.col("__dt"))
+    j, m = F.col("__j").cast("double"), F.col("__m").cast("double")
+    dplus = j / m - fx
+    dminus = fx - (j - 1) / m
+    agg = (g.groupBy("conv_id").agg(
+        F.first("__m").cast("long").alias("n_gaps"),
+        F.first(lam).alias("lambda_hat"),
+        F.max(F.greatest(dplus, dminus)).alias("ks")))
+    margin = F.round(
+        F.col("ks") - F.lit(1.36) / F.sqrt(F.col("n_gaps")), 6)
+    return agg.select(
+        "conv_id", "n_gaps",
+        F.when(F.col("n_gaps") >= 2, F.col("lambda_hat"))
+        .alias("lambda_hat"),
+        F.when(F.col("n_gaps") >= 2, F.col("ks")).alias("ks"),
+        F.when((F.col("n_gaps") >= 2) & F.col("ks").isNotNull(),
+               margin > 0).alias("reject_95"))

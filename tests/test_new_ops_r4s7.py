@@ -739,3 +739,67 @@ def test_rank_normalize_nulls_and_ties_and_singleton(spark):
     assert out[("a", 3)] == 1.0
     assert out[("a", 4)] is None
     assert out[("solo", 5)] == 0.0  # single-row feature
+
+
+# --- KS exponential cadence test ----------------------------------------------
+
+from cesium_spark.operators.seriesstats import ks_exponential
+
+
+def _gap_series(spark, gaps_by_conv):
+    rows = []
+    for cid, gaps in gaps_by_conv.items():
+        t = 0.0
+        rows.append((cid, "value", 0, t, 0.0))
+        for i, g in enumerate(gaps, 1):
+            t += g
+            rows.append((cid, "value", i, t, 0.0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "channel", "turn_idx",
+                                      "t", "y"])
+    return spark.createDataFrame(pdf)
+
+
+def _ref_ks(gaps):
+    m = len(gaps)
+    lam = m / sum(gaps)
+    s = np.sort(np.asarray(gaps, dtype=float))
+    fx = 1 - np.exp(-lam * s)
+    j = np.arange(1, m + 1)
+    return lam, float(max((j / m - fx).max(), (fx - (j - 1) / m).max()))
+
+
+def test_ks_exp_matches_scalar_reference(spark):
+    rng = np.random.default_rng(31)
+    data = {f"c{i}": list(rng.exponential(5.0, rng.integers(3, 60)))
+            for i in range(15)}
+    out = {r.conv_id: r for r in
+           ks_exponential(_gap_series(spark, data)).collect()}
+    for cid, gaps in data.items():
+        lam, ks = _ref_ks(gaps)
+        r = out[cid]
+        assert r.n_gaps == len(gaps)
+        assert r.lambda_hat == pytest.approx(lam, rel=1e-12)
+        assert r.ks == pytest.approx(ks, rel=1e-9)
+
+
+def test_ks_exp_accepts_poisson_rejects_regular(spark):
+    rng = np.random.default_rng(8)
+    data = {"poisson": list(rng.exponential(2.0, 500)),
+            "metronome": [2.0] * 500}
+    out = {r.conv_id: r for r in
+           ks_exponential(_gap_series(spark, data)).collect()}
+    # exponential gaps: KS small, not rejected at 95%
+    assert out["poisson"].reject_95 is False
+    # constant gaps are maximally non-exponential: KS -> |e^-1 - ...|
+    # territory, far over the 1.36/sqrt(m)=0.061 band
+    assert out["metronome"].reject_95 is True
+    assert out["metronome"].ks > out["poisson"].ks
+
+
+def test_ks_exp_degenerates(spark):
+    out = {r.conv_id: r for r in ks_exponential(_gap_series(
+        spark, {"one_gap": [3.0], "zero_span": [0.0, 0.0]})).collect()}
+    r1 = out["one_gap"]
+    assert (r1.n_gaps, r1.ks, r1.reject_95) == (1, None, None)
+    rz = out["zero_span"]
+    assert rz.lambda_hat is None and rz.ks is None
