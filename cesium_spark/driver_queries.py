@@ -4453,6 +4453,57 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_BUDGET = 60.0
+
+
+def q_ts_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget overflow detection: first turn whose running
+    whitespace-token total strictly exceeds the budget, per
+    conversation. Running sums of integer token counts are exact in
+    double, so the crossing compare needs no grid. ONE exchange.
+    Full-value oracle restates tokenize, cumsum, and the filtered
+    aggregates."""
+    from cesium_spark.operators.sequences import budget_crossing
+    out = budget_crossing(events_transcripts(spark, sf_dir),
+                          budget=_BUDGET)
+    return out.select(
+        "conv_id", "n_turns",
+        _r(F.col("total_cost")).alias("total_cost"),
+        "crossed",
+        F.col("cross_turn_idx").cast("int").alias("cross_turn_idx"),
+        _r(F.col("cost_at_cross")).alias("cost_at_cross"))
+
+
+SQL_TS_BUDGET = f"""
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         props AS text
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT conv_id, turn_idx,
+         sum(cast(len(list_filter(
+               string_split_regex(lower(coalesce(text, '')),
+                                  '[ \t\n\r\f]+'),
+               x -> x != '')) AS double))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT conv_id,
+       cast(count(*) AS bigint) AS n_turns,
+       round(max(cum), 6) + 0.0 AS total_cost,
+       bool_or(cum > {_BUDGET}) AS crossed,
+       cast(min(CASE WHEN cum > {_BUDGET} THEN turn_idx END) AS int)
+         AS cross_turn_idx,
+       round(min(CASE WHEN cum > {_BUDGET} THEN cum END), 6) + 0.0
+         AS cost_at_cross
+FROM c GROUP BY conv_id
+"""
+
+
 def q_ts_ks_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS goodness-of-fit of inter-arrival gaps vs the exponential
     MLE (λ̂ = m/(t_last−t_first), telescoped): D⁺/D⁻ over the sorted
@@ -5046,6 +5097,7 @@ QUERIES = {
     "ts_role_transitions": q_ts_role_transitions,
     "ts_funnel": q_ts_funnel,
     "ts_loops": q_ts_loops,
+    "ts_budget": q_ts_budget,
     "doc_lexical": q_doc_lexical,
     "doc_tfidf": q_doc_tfidf,
     "doc_lm_ppl": q_doc_lm_ppl,
@@ -5169,6 +5221,7 @@ ORACLE_SQL = {
     "doc_pmi": SQL_DOC_PMI,
     "ts_rank_normalize": SQL_TS_RANK_NORMALIZE,
     "ts_ks_exp": SQL_TS_KS_EXP,
+    "ts_budget": SQL_TS_BUDGET,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -177,3 +177,52 @@ def turn_self_similarity(transcripts: DataFrame, threshold: float = 0.8,
         F.expr("try_divide(cast(n_loop_pairs AS double), "
                "cast(n_pairs AS double))").alias("loop_frac"),
         "max_loop_run")
+
+def budget_crossing(transcripts: DataFrame, budget: float,
+                    cost_col=None) -> DataFrame:
+    """Context-budget overflow detection: per conversation, the first
+    turn at which the RUNNING token total exceeds ``budget`` — where
+    an agent's context window would overflow, a serving bill would
+    trip an alert, or a packing pipeline must split (doc_pack's
+    greedy packer is the corpus-side twin; this is the online,
+    per-conversation view).
+
+    ``cost_col`` defaults to the whitespace token count of ``text``
+    (token_stats convention); pass any per-turn cost expression
+    (chars, estimated BPE tokens, dollars). Output: one row per
+    conversation — ``n_turns``, ``total_cost``, ``crossed`` (did it
+    ever exceed), ``cross_turn_idx`` (first overflowing turn, NULL if
+    never), ``cost_at_cross`` (running total INCLUDING that turn) —
+    computed as one cumulative-sum window + one filtered-min
+    aggregate, so
+    a 10^4-turn whale conversation costs one pass, not a per-budget
+    rescan. ONE hash exchange on conv_id.
+
+    Cost semantics: NULL text counts 0 (a missing turn body must not
+    NULL-poison the running sum and hide an overflow). The crossing
+    compare is strict >; budgets are doubles, running sums of integer
+    token counts are exact integers in double, so the compare is
+    engine-stable without a grid.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if cost_col is None:
+        arr = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                      r"[ \t\n\r\f]+")
+        cost_col = F.size(F.filter(arr, lambda x: x != ""))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = (transcripts
+         .withColumn("__cum", F.sum(cost_col.cast("double")).over(w)))
+    over = F.col("__cum") > F.lit(float(budget))
+    return (t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.max("__cum").alias("total_cost"),
+        F.max(over).alias("crossed"),
+        F.min(F.when(over, F.col("turn_idx"))).cast("int")
+        .alias("cross_turn_idx"),
+        # costs are non-negative by contract, so the running sum is
+        # non-decreasing and the first crossing's total IS the min
+        # over crossing rows — an order-free aggregate (no min_by tie
+        # semantics to replay)
+        F.min(F.when(over, F.col("__cum"))).alias("cost_at_cross")))

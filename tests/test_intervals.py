@@ -174,7 +174,7 @@ def test_heartbeat_bucket_attribution(spark):
     assert out[day0]["live_s"] == pytest.approx(60.0)
     assert out[day1]["live_s"] == pytest.approx(3600.0)  # tail heartbeat
     with pytest.raises(ValueError):
-        heartbeat_uptime(_series_df(spark, rows), "1w", 3600.0)
+        heartbeat_uptime(_series_df(spark, rows), "7m", 3600.0)
     with pytest.raises(ValueError):
         heartbeat_uptime(_series_df(spark, rows), "1d", 0.0)
 

@@ -803,3 +803,38 @@ def test_ks_exp_degenerates(spark):
     assert (r1.n_gaps, r1.ks, r1.reject_95) == (1, None, None)
     rz = out["zero_span"]
     assert rz.lambda_hat is None and rz.ks is None
+
+
+# --- budget crossing -----------------------------------------------------------
+
+from cesium_spark.operators.sequences import budget_crossing
+
+
+def test_budget_crossing_hand_case(spark):
+    convs = {
+        "c1": ["one two", "three four five", "six"],     # cum 2,5,6
+        "c2": ["a b c", "d"],                            # cum 3,4
+        "c3": [None, "", "x y z w v"],                   # cum 0,0,5
+    }
+    df = _loops_df(spark, convs)
+    out = {r.conv_id: r for r in
+           budget_crossing(df, budget=4.0).collect()}
+    r = out["c1"]
+    assert (r.n_turns, r.total_cost, r.crossed,
+            r.cross_turn_idx, r.cost_at_cross) == (3, 6.0, True, 1, 5.0)
+    assert out["c2"].crossed is False
+    assert out["c2"].cross_turn_idx is None
+    assert out["c2"].cost_at_cross is None
+    r3 = out["c3"]  # NULL/empty turns cost 0, crossing at turn 2
+    assert (r3.crossed, r3.cross_turn_idx, r3.cost_at_cross) == \
+        (True, 2, 5.0)
+
+
+def test_budget_crossing_strict_and_validation(spark):
+    df = _loops_df(spark, {"c": ["a b", "c d"]})  # cum 2, 4
+    out = budget_crossing(df, budget=4.0).collect()[0]
+    assert out.crossed is False  # strict >: exactly-at-budget is fine
+    out2 = budget_crossing(df, budget=3.9).collect()[0]
+    assert out2.crossed is True and out2.cross_turn_idx == 1
+    with pytest.raises(ValueError, match="budget"):
+        budget_crossing(df, budget=0)
