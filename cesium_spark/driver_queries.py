@@ -4453,6 +4453,65 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_FH_DIM = 8
+
+
+def q_doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick signed bag-of-words document vectors (dim=8):
+    integer-exact ±1 bucket sums from md5 bucket/sign hashes — the
+    no-vocabulary text→vector bridge into the embedding operators.
+    Zero-token docs keep the all-zero row. Full-value oracle replays
+    the md5 arithmetic per component."""
+    from cesium_spark.operators.textstats import feature_hash_vectors
+    _prep(spark)
+    out = feature_hash_vectors(_read(spark, sf_dir, "documents"),
+                               dim=_FH_DIM)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(f"h{b}").cast("long").alias(f"h{b}")
+          for b in range(_FH_DIM)],
+        _r(F.col("norm")).alias("norm"))
+
+
+def _hash_vectors_sql(dim: int = _FH_DIM) -> str:
+    comps = ",\n         ".join(
+        f"coalesce(sum(CASE WHEN b = {b} THEN sgn END), 0) AS h{b}"
+        for b in range(dim))
+    normsq = " + ".join(f"h{b} * h{b}" for b in range(dim))
+    hs = ", ".join(f"cast(h{b} AS bigint) AS h{b}" for b in range(dim))
+    return rf"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[ \t\n\r\f]+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) = 0
+                THEN [CAST(NULL AS VARCHAR)] ELSE toks END) AS tok
+  FROM l
+),
+s AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('b:' || tok), 1, 8))::BIGINT % {dim})
+           AS b,
+         CASE WHEN ('0x' || substr(md5('s:' || tok), 1, 1))::INT < 8
+              THEN 1 ELSE -1 END AS sgn
+  FROM tok
+),
+a AS (
+  SELECT doc_id,
+         {comps}
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, {hs},
+       round(sqrt(cast({normsq} AS double)), 6) + 0.0 AS norm
+FROM a
+"""
+
+
 _BUDGET = 60.0
 
 
@@ -5102,6 +5161,7 @@ QUERIES = {
     "doc_tfidf": q_doc_tfidf,
     "doc_lm_ppl": q_doc_lm_ppl,
     "doc_pmi": q_doc_pmi,
+    "doc_hash_vectors": q_doc_hash_vectors,
     "ts_drift": q_ts_drift,
     "ts_unpivot": q_ts_unpivot,
     "ts_rank_normalize": q_ts_rank_normalize,
@@ -5222,6 +5282,7 @@ ORACLE_SQL = {
     "ts_rank_normalize": SQL_TS_RANK_NORMALIZE,
     "ts_ks_exp": SQL_TS_KS_EXP,
     "ts_budget": SQL_TS_BUDGET,
+    "doc_hash_vectors": _hash_vectors_sql(),
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

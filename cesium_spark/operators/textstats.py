@@ -820,3 +820,50 @@ def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 20,
         F.col("c1").cast("long").alias("c1"),
         F.col("c2").cast("long").alias("c2"),
         "pmi", "rank")
+
+def feature_hash_vectors(docs: DataFrame, dim: int = 16,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Hashing-trick document vectors (Weinberger 2009 feature
+    hashing): each token adds ±1 to one of ``dim`` buckets —
+    bucket = md5('b:'‖tok) mod dim, sign = top bit of md5('s:'‖tok) —
+    giving every document a fixed-width signed bag-of-words vector
+    with NO vocabulary table, no training, and an unbiased inner
+    product (the signed hash cancels collision bias in expectation).
+    The bridge from the text table to the embedding operators: the
+    output columns feed cosine top-k / LSH / IVF machinery directly.
+
+    Components are INTEGER sums of ±1 — engine-exact, partitioning-
+    exact, no float drift anywhere except the reported L2 norm.
+    Zero-token documents keep their row as the all-zero vector with
+    norm 0.0 (explode_outer + coalesce — the doc_curate precedent).
+
+    Scale shape: ONE two-phase aggregate straight from the token
+    explode (each shuffle row carries the doc's ``dim`` partial
+    sums); no join, no pivot, no vocabulary state. md5 arithmetic is
+    the repo's content-addressed idiom — bit-identical in any engine,
+    so vectors are replayable in SQL.
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    arr = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                  r"[ \t\n\r\f]+")
+    arr = F.filter(arr, lambda x: x != "")
+    t = docs.select(F.col(id_col),
+                    F.explode_outer(arr).alias("__tok"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("b:"), F.col("__tok"))), 1, 8), 16, 10)
+        .cast("long") % F.lit(dim))
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("s:"), F.col("__tok"))),
+                           1, 1), 16, 10).cast("int") < 8,
+        F.lit(1)).otherwise(F.lit(-1))
+    t = t.select(id_col, bucket.alias("__b"), sign.alias("__s"))
+    comps = [F.coalesce(F.sum(F.when(F.col("__b") == b, F.col("__s"))),
+                        F.lit(0)).cast("long").alias(f"h{b}")
+             for b in range(dim)]
+    agg = t.groupBy(id_col).agg(*comps)
+    norm = F.sqrt(sum((F.col(f"h{b}") * F.col(f"h{b}")
+                       for b in range(dim)), F.lit(0).cast("long"))
+                  .cast("double"))
+    return agg.withColumn("norm", norm)

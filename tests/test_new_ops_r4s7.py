@@ -838,3 +838,59 @@ def test_budget_crossing_strict_and_validation(spark):
     assert out2.crossed is True and out2.cross_turn_idx == 1
     with pytest.raises(ValueError, match="budget"):
         budget_crossing(df, budget=0)
+
+
+# --- feature-hashing doc vectors -----------------------------------------------
+
+from cesium_spark.operators.textstats import feature_hash_vectors
+
+
+def test_hash_vectors_linear_and_exact(spark):
+    # v(doc A ++ doc B) = v(A) + v(B): the defining linearity of the
+    # hashing trick, and components are integer-exact
+    a, b = "spark rollup tier", "gap fill spark"
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2],
+                        "text": [a, b, a + " " + b]})
+    out = {r.doc_id: [r[f"h{i}"] for i in range(16)]
+           for r in feature_hash_vectors(
+               spark.createDataFrame(pdf), dim=16).collect()}
+    assert [x + y for x, y in zip(out[0], out[1])] == out[2]
+    assert all(isinstance(v, int) for v in out[0])
+
+
+def test_hash_vectors_empty_null_and_partition_invariance(spark):
+    pdf = pd.DataFrame({"doc_id": range(40),
+                        "text": [None, ""] + [f"tok{i} tok{i%3} x"
+                                              for i in range(38)]})
+    df = spark.createDataFrame(pdf)
+    one = sorted(map(tuple, feature_hash_vectors(
+        df.coalesce(1), dim=8).collect()))
+    many = sorted(map(tuple, feature_hash_vectors(
+        df.repartition(16), dim=8).collect()))
+    assert one == many and len(one) == 40
+    z = [r for r in one if r[0] in (0, 1)]
+    for r in z:  # all-zero rows kept, norm exactly 0.0
+        assert list(r[1:9]) == [0] * 8 and r[9] == 0.0
+
+
+def test_hash_vectors_inner_product_tracks_overlap(spark):
+    # shared tokens push the inner product up in expectation; two
+    # disjoint random docs should score below two near-identical ones
+    common = " ".join(f"c{i}" for i in range(30))
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [common + " extra1", common + " extra2",
+                 " ".join(f"z{i}" for i in range(31))]})
+    out = {r.doc_id: np.array([r[f"h{i}"] for i in range(32)])
+           for r in feature_hash_vectors(
+               spark.createDataFrame(pdf), dim=32).collect()}
+    sim_close = out[0] @ out[1]
+    sim_far = out[0] @ out[2]
+    assert sim_close > sim_far
+
+
+def test_hash_vectors_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0],
+                                             "text": ["x"]}))
+    with pytest.raises(ValueError, match="dim"):
+        feature_hash_vectors(df, dim=1)
