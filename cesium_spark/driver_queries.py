@@ -4453,6 +4453,40 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per 1h window over closed
+    conversation spans (max sessions in flight; peak attained at
+    start instants). Engine: bucketed containment self-join; oracle:
+    the INDEPENDENT naive correlated containment count — a semantic
+    check, not a restatement."""
+    from cesium_spark.operators.intervals import peak_concurrency
+    out = peak_concurrency(events_transcripts(spark, sf_dir),
+                           tier="1h")
+    return out.select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "n_starts", "peak_concurrency", "tier")
+
+
+SQL_TS_CONCURRENCY = f"""
+WITH spans AS (
+  SELECT user_id AS conv, min(ts) AS lo, max(ts) AS hi
+  FROM events GROUP BY 1
+),
+conc AS (
+  SELECT a.conv, a.lo,
+         (SELECT count(*) FROM spans b
+          WHERE b.lo <= a.lo AND a.lo <= b.hi) AS c
+  FROM spans a
+)
+SELECT strftime(date_trunc('hour', lo), '{DUCK_TS_FMT}')
+         AS window_start,
+       cast(count(*) AS bigint) AS n_starts,
+       cast(max(c) AS bigint) AS peak_concurrency,
+       '1h' AS tier
+FROM conc GROUP BY 1
+"""
+
+
 _FH_DIM = 8
 
 
@@ -5130,6 +5164,7 @@ QUERIES = {
     "ts_anomaly": q_ts_anomaly,
     "ts_rolling_1h": q_ts_rolling_1h,
     "ts_interval_join": q_ts_interval_join,
+    "ts_concurrency": q_ts_concurrency,
     "ts_heartbeat_1d": q_ts_heartbeat_1d,
     "ts_cusum": q_ts_cusum,
     "doc_stratified_sample": q_doc_stratified_sample,
@@ -5283,6 +5318,7 @@ ORACLE_SQL = {
     "ts_ks_exp": SQL_TS_KS_EXP,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
+    "ts_concurrency": SQL_TS_CONCURRENCY,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -346,3 +346,65 @@ def rolling_quantile(series: DataFrame, q: float,
         .groupBy("conv_id", "channel")
         .applyInPandas(_kernel, ROLLQ_SCHEMA)
     )
+
+def peak_concurrency(transcripts: DataFrame, tier: str = "1h",
+                     bucket_s: int = 86400,
+                     max_span_s: int | None = 90 * 86400) -> DataFrame:
+    """Sweep-line peak concurrency per tier window: how many
+    conversations are simultaneously open — the capacity/serving
+    metric (max sessions in flight) a naive per-window count of
+    *touching* conversations overstates and a count of *starting*
+    ones understates.
+
+    Sweep-line identity: with closed spans [first ts, last ts],
+    instantaneous concurrency only increases at a span START, so
+    every local maximum is attained at some start instant. The
+    concurrency AT each start = number of spans containing it — a
+    containment self-join, computed through the engine's bucketed
+    ``interval_join`` (equi-join on time buckets + exact refine;
+    never a BroadcastNestedLoopJoin). Per window this reports
+    ``n_starts`` and ``peak_concurrency`` = max over the window's
+    start instants; windows with no conversation start carry no row
+    (their concurrency is inherited from earlier starts and is
+    bounded by an earlier window's reported peak — the GLOBAL peak is
+    always reported exactly).
+
+    Closed-span containment rides the half-open interval_join by
+    shifting hi one microsecond (the timestamp resolution): lo ≤ t <
+    hi+1µs  ⟺  lo ≤ t ≤ hi. Zero-duration (single-turn)
+    conversations therefore count themselves — concurrency ≥ 1.
+
+    Scale: the span table is conversation-sized (one aggregate off
+    the scan); explode = span/bucket_s rows per span, guarded by
+    ``max_span_s``; the join is a hash equi-join on the bucket.
+    """
+    from cesium_spark.operators.rollup import TIERS
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}")
+    spans = (transcripts.groupBy("conv_id")
+             .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+             .withColumn("hi_x", F.expr(
+                 "hi + INTERVAL 1 MICROSECOND")))
+    # the point side is a SEPARATE aggregate over the input, not a
+    # projection of `spans` — a same-lineage self-join makes Spark's
+    # analyzer reject the containment predicate as ambiguous (both
+    # sides carry the same `lo` attribute id). Costs one extra scan
+    # of the (conversation-sized) aggregate input, buys an
+    # unambiguous plan.
+    points = (transcripts.groupBy("conv_id")
+              .agg(F.min("ts").alias("ts"))
+              .select(F.col("conv_id").alias("start_conv"), "ts"))
+    pairs = interval_join(points,
+                          spans.select("conv_id", "lo",
+                                       F.col("hi_x").alias("hi")),
+                          bucket_s=bucket_s, max_span_s=max_span_s,
+                          broadcast_intervals=False)
+    conc = (pairs.groupBy("start_conv", "ts")
+            .agg(F.count(F.lit(1)).alias("conc")))
+    return (conc
+            .withColumn("window_start",
+                        F.date_trunc(TIERS[tier], F.col("ts")))
+            .groupBy("window_start")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_starts"),
+                 F.max("conc").cast("long").alias("peak_concurrency"))
+            .withColumn("tier", F.lit(tier)))

@@ -894,3 +894,63 @@ def test_hash_vectors_validation(spark):
                                              "text": ["x"]}))
     with pytest.raises(ValueError, match="dim"):
         feature_hash_vectors(df, dim=1)
+
+
+# --- sweep-line peak concurrency -----------------------------------------------
+
+from cesium_spark.operators.intervals import peak_concurrency
+
+
+def _tr_df(spark, spans):
+    # spans: conv -> (start_s, end_s); two turns per conversation
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for cid, (a, b) in spans.items():
+        rows.append((cid, 0, base + pd.Timedelta(seconds=a)))
+        rows.append((cid, 1, base + pd.Timedelta(seconds=b)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    return spark.createDataFrame(pdf)
+
+
+def _ref_peak(spans, tier_s=3600):
+    out = {}
+    for cid, (a, _) in spans.items():
+        c = sum(1 for lo, hi in spans.values() if lo <= a <= hi)
+        w = (a // tier_s) * tier_s
+        n, p = out.get(w, (0, 0))
+        out[w] = (n + 1, max(p, c))
+    return out
+
+
+def test_concurrency_matches_brute_force(spark):
+    rng = random.Random(23)
+    spans = {f"c{i}": tuple(sorted((rng.uniform(0, 4 * 3600),
+                                    rng.uniform(0, 4 * 3600))))
+             for i in range(40)}
+    got = {int(pd.Timestamp(r.window_start).timestamp()
+               - pd.Timestamp("2024-01-01").timestamp()):
+           (r.n_starts, r.peak_concurrency)
+           for r in peak_concurrency(_tr_df(spark, spans),
+                                     bucket_s=1800).collect()}
+    assert got == _ref_peak(spans)
+
+
+def test_concurrency_edges(spark):
+    spans = {
+        "a": (0.0, 100.0),
+        "b": (100.0, 200.0),     # starts exactly as a ends: overlap
+        "c": (50.0, 50.0),       # zero-duration: counts itself
+        "d": (7200.0, 7300.0),   # lone conv in a later window
+    }
+    out = {str(r.window_start): (r.n_starts, r.peak_concurrency)
+           for r in peak_concurrency(_tr_df(spark, spans)).collect()}
+    # at b's start, a is still open (closed spans): concurrency 2;
+    # at c's start, a is open: 2
+    assert out["2024-01-01 00:00:00"] == (3, 2)
+    assert out["2024-01-01 02:00:00"] == (1, 1)
+
+
+def test_concurrency_validation(spark):
+    df = _tr_df(spark, {"a": (0.0, 1.0)})
+    with pytest.raises(ValueError, match="unknown tier"):
+        peak_concurrency(df, tier="5x")
