@@ -4453,6 +4453,75 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+def q_ts_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1h window / 15m hop) streaming aggregation
+    replayed via availableNow; append mode emits each of the 4
+    overlapping windows per event exactly once when the watermark
+    passes its end. Oracle rebuilds the hop-window set per event in
+    SQL (time_bucket grid, k = 0..3 back-hops, containment + the
+    same non-round finalization cutoff)."""
+    import os
+    import tempfile
+
+    from cesium_spark.sources.table_io import TableIO
+    from cesium_spark.streaming.window_delta import (
+        stream_sliding_moments,
+        stream_to_table,
+    )
+
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="cesium_spark_slide_")
+    os.makedirs(f"{base}/src")
+    s = _value_series(spark, sf_dir)
+    s.coalesce(1).write.mode("append").parquet(f"{base}/src")
+    schema = ("conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double, e double")
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src")
+    io = TableIO(spark, f"{base}/tables")
+    q = stream_to_table(
+        stream_sliding_moments(stream, "1 hour", "15 minutes",
+                               "7000 seconds"),
+        io, "stream_sliding", f"{base}/ckpt")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ts_stream_sliding: availableNow stream did not finish "
+            "within 300s")
+    out = io.read("stream_sliding")
+    return out.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        _r(F.col("y_min")).alias("y_min"),
+        _r(F.col("y_max")).alias("y_max"),
+        _r0(F.round(F.col("y_sum"), 4)).alias("y_sum"))
+
+
+SQL_TS_STREAM_SLIDING = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+e AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts, value
+  FROM events
+),
+w AS (
+  SELECT conv_id, value, ts,
+         time_bucket(INTERVAL 15 MINUTES, ts)
+           - k.k * (INTERVAL 15 MINUTES) AS ws
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+  WHERE time_bucket(INTERVAL 15 MINUTES, ts)
+          - k.k * (INTERVAL 15 MINUTES) + INTERVAL 1 HOUR > ts
+)
+SELECT conv_id, strftime(ws, '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n,
+       round(min(value), 6) + 0.0 AS y_min,
+       round(max(value), 6) + 0.0 AS y_max,
+       round(sum(value), 4) + 0.0 AS y_sum
+FROM w, mx
+GROUP BY conv_id, ws, mx.m
+HAVING ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 7000 SECONDS
+"""
+
+
 def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line peak concurrency per 1h window over closed
     conversation spans (max sessions in flight; peak attained at
@@ -5226,6 +5295,7 @@ QUERIES = {
     "ts_stream_sessions": q_ts_stream_sessions,
     "ts_stream_stateful": q_ts_stream_stateful,
     "ts_stream_join": q_ts_stream_join,
+    "ts_stream_sliding": q_ts_stream_sliding,
     "rel_tpch_q1": q_rel_tpch_q1,
     "rel_nation_revenue": q_rel_nation_revenue,
     "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -5319,6 +5389,7 @@ ORACLE_SQL = {
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,
+    "ts_stream_sliding": SQL_TS_STREAM_SLIDING,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -187,3 +187,34 @@ def stream_interval_join(turns: DataFrame, alerts: DataFrame,
         & (F.col(turn_ts)
            <= F.col(alert_ts) + F.expr(f"INTERVAL {span}")))
     return t.join(a, cond, "inner").drop("__akey")
+
+def stream_sliding_moments(series_stream: DataFrame,
+                           window: str = "1 hour",
+                           slide: str = "15 minutes",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Sliding (hopping) windowed streaming aggregation — the
+    continuously-refreshed trailing view a tumbling tier cannot give
+    (a 1h tumbling window answers "how was 14:00–15:00" only at
+    15:00; a 1h/15m hop answers "how was the last hour" every 15
+    minutes). Same mergeable moment columns and append/watermark
+    finalization contract as ``stream_rollup_moments``.
+
+    State/size contract, stated because it is the 100 TB trade-off:
+    each event belongs to window÷slide overlapping windows, so state
+    store rows and output cardinality multiply by that factor (4× at
+    1h/15m) versus tumbling — choose the hop as coarse as the
+    freshness requirement allows. The exchange is still the one hash
+    partition on (conv_id, window)."""
+    win = F.window("ts", window, slide)
+    return (
+        series_stream.withWatermark("ts", watermark)
+        .groupBy(F.col("conv_id"), win)
+        .agg(F.count("y").alias("n"),
+             F.min("y").alias("y_min"),
+             F.max("y").alias("y_max"),
+             F.sum("y").alias("y_sum"))
+        .select("conv_id",
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n", "y_min", "y_max", "y_sum")
+    )

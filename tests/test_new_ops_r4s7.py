@@ -954,3 +954,36 @@ def test_concurrency_validation(spark):
     df = _tr_df(spark, {"a": (0.0, 1.0)})
     with pytest.raises(ValueError, match="unknown tier"):
         peak_concurrency(df, tier="5x")
+
+
+# --- sliding-window streaming twin ----------------------------------------------
+
+from cesium_spark.streaming.window_delta import stream_sliding_moments
+
+
+def test_sliding_moments_batch_equivalence_and_overlap_factor(spark):
+    # the same frame works on a batch DF (watermark no-ops): each
+    # event must land in exactly window/slide = 4 hop windows
+    rng = np.random.default_rng(12)
+    n = 300
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 6 * 3600, n), unit="s")
+    pdf = pd.DataFrame({"conv_id": [f"c{i % 3}" for i in range(n)],
+                        "ts": ts, "y": rng.normal(size=n)})
+    out = stream_sliding_moments(spark.createDataFrame(pdf),
+                                 "1 hour", "15 minutes").collect()
+    assert sum(r.n for r in out) == 4 * n
+    # every window is slide-aligned and exactly 1h long
+    for r in out:
+        assert r.window_start.minute % 15 == 0
+        assert (r.window_end - r.window_start).total_seconds() == 3600
+    # containment: rebuild per-event membership and compare counts
+    ref = Counter()
+    for cid, t in zip(pdf.conv_id, pdf.ts):
+        base = t.floor("15min")
+        for k in range(4):
+            ws = base - pd.Timedelta(minutes=15 * k)
+            if t < ws + pd.Timedelta(hours=1):
+                ref[(cid, ws)] += 1
+    got = {(r.conv_id, pd.Timestamp(r.window_start)): r.n for r in out}
+    assert got == dict(ref)
