@@ -4453,6 +4453,65 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_MAHA_THR = 9.21  # chi2_2(0.99)
+
+
+def q_ts_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis anomaly scoring of (latency, tokens) per
+    conversation: d² under the conversation's own 2×2 covariance,
+    flag at χ²₂(0.99)=9.21 on the 6-dp-rounded value. Degenerate
+    (constant/collinear) conversations report NULL max_d2 honestly.
+    Full-value oracle restates alignment, stat windows, and the d²
+    expression verbatim."""
+    from cesium_spark.operators.seriesstats import mahalanobis2
+    s = derive_series(events_transcripts(spark, sf_dir))
+    out = mahalanobis2(s, *_CORR_CH, threshold=_MAHA_THR)
+    return out.select(
+        "conv_id",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("n_anomalies").cast("long").alias("n_anomalies"),
+        _r(F.col("max_d2")).alias("max_d2"))
+
+
+def _maha_sql() -> str:
+    return _SERIES_SQL + f"""
+, aligned AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN channel = '{_CORR_CH[0]}' THEN y END) AS ya,
+         max(CASE WHEN channel = '{_CORR_CH[1]}' THEN y END) AS yb
+  FROM series WHERE y IS NOT NULL
+  GROUP BY 1, 2
+),
+f AS (SELECT * FROM aligned WHERE ya IS NOT NULL AND yb IS NOT NULL),
+s AS (
+  SELECT conv_id, ya, yb,
+         avg(ya) OVER w AS ma, avg(yb) OVER w AS mb,
+         stddev_pop(ya) OVER w AS sa, stddev_pop(yb) OVER w AS sb,
+         covar_pop(ya, yb) OVER w AS cov
+  FROM f WINDOW w AS (PARTITION BY conv_id)
+),
+z AS (
+  SELECT conv_id,
+         (ya - ma) / nullif(sa, 0) AS za,
+         (yb - mb) / nullif(sb, 0) AS zb,
+         cov / nullif(sa * sb, 0) AS rho
+  FROM s
+),
+d AS (
+  SELECT conv_id,
+         (za * za - 2 * rho * za * zb + zb * zb)
+           / nullif(1 - rho * rho, 0) AS d2
+  FROM z
+)
+SELECT conv_id,
+       cast(count(*) AS bigint) AS n_points,
+       cast(coalesce(sum(CASE WHEN round(d2, 6) > {_MAHA_THR}
+                          THEN 1 END), 0) AS bigint) AS n_anomalies,
+       round(max(d2), 6) + 0.0 AS max_d2
+FROM d GROUP BY conv_id
+"""
+
+
 def q_ts_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (1h window / 15m hop) streaming aggregation
     replayed via availableNow; append mode emits each of the 4
@@ -5240,6 +5299,7 @@ QUERIES = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
     "ts_channel_corr": q_ts_channel_corr,
+    "ts_mahalanobis": q_ts_mahalanobis,
     "doc_contamination": q_doc_contamination,
     "doc_repetition": q_doc_repetition,
     "ts_hampel": q_ts_hampel,
@@ -5390,6 +5450,7 @@ ORACLE_SQL = {
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,
     "ts_stream_sliding": SQL_TS_STREAM_SLIDING,
+    "ts_mahalanobis": _maha_sql(),
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -508,3 +508,68 @@ def ks_exponential(series: DataFrame) -> DataFrame:
         F.when(F.col("n_gaps") >= 2, F.col("ks")).alias("ks"),
         F.when((F.col("n_gaps") >= 2) & F.col("ks").isNotNull(),
                margin > 0).alias("reject_95"))
+
+def mahalanobis2(series: DataFrame, ch_a: str, ch_b: str,
+                 threshold: float = 9.21) -> DataFrame:
+    """Bivariate Mahalanobis anomaly scoring per conversation: align
+    two channels on (conv_id, turn_idx) (channel_corr's conditional-
+    aggregation alignment — one scan, no join) and score every
+    aligned turn by d² = (zₐ² − 2ρzₐz_b + z_b²)/(1−ρ²), the squared
+    Mahalanobis distance under the conversation's own 2×2 covariance.
+    The genuinely MULTIVARIATE anomaly the per-channel z-scores miss:
+    a turn whose latency and tokens are each unremarkable but jointly
+    inconsistent (long latency with few tokens in a conversation
+    where they correlate) scores high.
+
+    Default threshold 9.21 = χ²₂(0.99): under bivariate normality d²
+    is chi-squared with 2 dof, so ~1% of in-distribution turns flag.
+    The flag compares ``round(d², 6) > threshold`` (grid convention,
+    engine-stable). Per-conversation output — ``n_points``,
+    ``n_anomalies``, ``max_d2`` — not per-point rows: the summary is
+    the gate input, and row counts stay series-sized.
+
+    Degenerates honest: a constant channel (σ = 0) or perfectly
+    collinear pair (|ρ| = 1 ⇒ singular covariance) yields NULL d²
+    via try_divide — those conversations report n_anomalies = 0 with
+    NULL max_d2 rather than fabricated distances.
+
+    Plan: alignment agg on (conv_id, turn_idx) → stat windows on
+    conv_id → final agg on conv_id: two shrinking hash exchanges
+    (alignment partials collapse channel rows map-side), no join, no
+    UDF.
+    """
+    if ch_a == ch_b:
+        raise ValueError(f"channels must differ, got {ch_a!r} twice")
+    aligned = (
+        series
+        .where(F.col("channel").isin([ch_a, ch_b])
+               & F.col("y").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.when(F.col("channel") == ch_a, F.col("y")))
+             .alias("__ya"),
+             F.max(F.when(F.col("channel") == ch_b, F.col("y")))
+             .alias("__yb"))
+        .where(F.col("__ya").isNotNull() & F.col("__yb").isNotNull())
+    )
+    w = Window.partitionBy("conv_id")
+    a = (aligned
+         .withColumn("__ma", F.avg("__ya").over(w))
+         .withColumn("__mb", F.avg("__yb").over(w))
+         .withColumn("__sa", F.stddev_pop("__ya").over(w))
+         .withColumn("__sb", F.stddev_pop("__yb").over(w))
+         .withColumn("__cov", F.covar_pop("__ya", "__yb").over(w)))
+    za = F.expr("try_divide(__ya - __ma, __sa)")
+    zb = F.expr("try_divide(__yb - __mb, __sb)")
+    rho = F.expr("try_divide(__cov, __sa * __sb)")
+    a = a.withColumn("__za", za).withColumn("__zb", zb) \
+         .withColumn("__rho", rho)
+    d2 = F.expr(
+        "try_divide(__za * __za - 2 * __rho * __za * __zb"
+        " + __zb * __zb, 1 - __rho * __rho)")
+    a = a.withColumn("__d2", d2)
+    flag = F.round(F.col("__d2"), 6) > F.lit(float(threshold))
+    return (a.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.coalesce(F.sum(F.when(flag, 1)), F.lit(0)).cast("long")
+        .alias("n_anomalies"),
+        F.max("__d2").alias("max_d2")))

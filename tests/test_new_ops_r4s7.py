@@ -987,3 +987,79 @@ def test_sliding_moments_batch_equivalence_and_overlap_factor(spark):
                 ref[(cid, ws)] += 1
     got = {(r.conv_id, pd.Timestamp(r.window_start)): r.n for r in out}
     assert got == dict(ref)
+
+
+# --- bivariate Mahalanobis anomaly ----------------------------------------------
+
+from cesium_spark.operators.seriesstats import mahalanobis2
+
+
+def _two_ch_df(spark, data):
+    # data: conv -> list[(ya, yb)]
+    rows = []
+    for cid, pts in data.items():
+        for i, (a, b) in enumerate(pts):
+            if a is not None:
+                rows.append((cid, "A", i, float(i), float(a)))
+            if b is not None:
+                rows.append((cid, "B", i, float(i), float(b)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "channel", "turn_idx",
+                                      "t", "y"])
+    return spark.createDataFrame(pdf)
+
+
+def _ref_maha(pts, thr=9.21):
+    xs = np.array([p for p in pts if None not in p], dtype=float)
+    n = len(xs)
+    ma, mb = xs.mean(axis=0)
+    sa, sb = xs.std(axis=0)
+    if sa == 0 or sb == 0:
+        return n, 0, None
+    rho = ((xs[:, 0] - ma) * (xs[:, 1] - mb)).mean() / (sa * sb)
+    if abs(rho) == 1:
+        return n, 0, None
+    za, zb = (xs[:, 0] - ma) / sa, (xs[:, 1] - mb) / sb
+    d2 = (za * za - 2 * rho * za * zb + zb * zb) / (1 - rho * rho)
+    return n, int((np.round(d2, 6) > thr).sum()), float(d2.max())
+
+
+def test_mahalanobis_matches_numpy_reference(spark):
+    rng = np.random.default_rng(6)
+    data = {}
+    for c in range(10):
+        n = rng.integers(5, 60)
+        a = rng.normal(10, 2, n)
+        b = 0.5 * a + rng.normal(0, 1, n)
+        data[f"c{c}"] = list(zip(a, b))
+    out = {r.conv_id: r for r in
+           mahalanobis2(_two_ch_df(spark, data), "A", "B").collect()}
+    for cid, pts in data.items():
+        n, na, mx = _ref_maha(pts)
+        r = out[cid]
+        assert (r.n_points, r.n_anomalies) == (n, na), cid
+        assert r.max_d2 == pytest.approx(mx, rel=1e-9)
+
+
+def test_mahalanobis_flags_joint_outlier_zscores_miss(spark):
+    # strong correlation; the planted point is ~1.4 sigma in each
+    # channel (unremarkable marginally) but violates the correlation
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, 300)
+    b = a + rng.normal(0, 0.05, 300)
+    pts = list(zip(a, b)) + [(1.4, -1.4)]
+    out = mahalanobis2(_two_ch_df(spark, {"c": pts}), "A", "B") \
+        .collect()[0]
+    assert out.n_anomalies >= 1
+    assert out.max_d2 > 100  # the joint outlier dominates
+
+
+def test_mahalanobis_degenerates_and_validation(spark):
+    data = {"const_b": [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)],
+            "collinear": [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)]}
+    out = {r.conv_id: r for r in
+           mahalanobis2(_two_ch_df(spark, data), "A", "B").collect()}
+    for cid in data:
+        assert out[cid].n_anomalies == 0
+        assert out[cid].max_d2 is None
+    with pytest.raises(ValueError, match="differ"):
+        mahalanobis2(_two_ch_df(spark, data), "A", "A")
