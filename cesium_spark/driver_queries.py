@@ -4453,6 +4453,87 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_KM_HORIZON = 172800.0  # 2 days
+
+
+def q_ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curves of conversation duration,
+    stratified by first role, right-censoring conversations still
+    active within 2 days of the dataset end. Running product via
+    exp(Σ ln(1−d/n)) with an explicit terminal-event branch (Spark
+    log(0)→NULL vs DuckDB ln(0)→throw — neither gives the −∞ the
+    algebra wants). Full-value oracle restates grain, risk sets, and
+    the log-sum verbatim."""
+    from cesium_spark.operators.survival import (
+        conversation_spans,
+        kaplan_meier,
+    )
+    spans = conversation_spans(events_transcripts(spark, sf_dir),
+                               censor_horizon_s=_KM_HORIZON)
+    out = kaplan_meier(spans, "duration", "event", "first_role")
+    return out.select(
+        "first_role",
+        _r(F.col("duration")).alias("duration"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events", "n_censored",
+        _r(F.col("survival")).alias("survival"))
+
+
+SQL_TS_SURVIVAL = f"""
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         event_type AS role, epoch(ts) AS sec
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per AS (
+  SELECT conv_id, max(sec) - min(sec) AS duration,
+         max(sec) AS last_s, arg_min(role, turn_idx) AS first_role
+  FROM t GROUP BY 1
+),
+mx AS (SELECT max(epoch(ts)) AS m FROM events),
+spans AS (
+  SELECT first_role, duration,
+         last_s <= m - {_KM_HORIZON} AS event
+  FROM per, mx
+),
+grain AS (
+  SELECT first_role, duration AS tt,
+         sum(CASE WHEN event THEN 1 ELSE 0 END) AS n_events,
+         sum(CASE WHEN NOT event THEN 1 ELSE 0 END) AS n_censored
+  FROM spans GROUP BY 1, 2
+),
+g AS (
+  SELECT first_role, tt, n_events, n_censored,
+         sum(n_events + n_censored) OVER (PARTITION BY first_role)
+           - sum(n_events + n_censored) OVER wc
+           + n_events + n_censored AS n_risk
+  FROM grain
+  WINDOW wc AS (PARTITION BY first_role ORDER BY tt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT *,
+         CASE WHEN max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                   OVER wc = 1 THEN 0.0
+              ELSE exp(sum(CASE WHEN n_events = n_risk THEN 0.0
+                           ELSE ln(1.0 - n_events
+                                   / cast(n_risk AS double)) END)
+                       OVER wc)
+         END AS survival
+  FROM g
+  WINDOW wc AS (PARTITION BY first_role ORDER BY tt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT first_role, round(tt, 6) + 0.0 AS duration,
+       cast(n_risk AS bigint) AS n_risk,
+       cast(n_events AS bigint) AS n_events,
+       cast(n_censored AS bigint) AS n_censored,
+       round(survival, 6) + 0.0 AS survival
+FROM s
+"""
+
+
 _MAHA_THR = 9.21  # chi2_2(0.99)
 
 
@@ -5300,6 +5381,7 @@ QUERIES = {
     "ts_state_agg": q_ts_state_agg,
     "ts_channel_corr": q_ts_channel_corr,
     "ts_mahalanobis": q_ts_mahalanobis,
+    "ts_survival": q_ts_survival,
     "doc_contamination": q_doc_contamination,
     "doc_repetition": q_doc_repetition,
     "ts_hampel": q_ts_hampel,
@@ -5451,6 +5533,7 @@ ORACLE_SQL = {
     "ts_concurrency": SQL_TS_CONCURRENCY,
     "ts_stream_sliding": SQL_TS_STREAM_SLIDING,
     "ts_mahalanobis": _maha_sql(),
+    "ts_survival": SQL_TS_SURVIVAL,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

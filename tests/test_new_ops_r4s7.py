@@ -1063,3 +1063,90 @@ def test_mahalanobis_degenerates_and_validation(spark):
         assert out[cid].max_d2 is None
     with pytest.raises(ValueError, match="differ"):
         mahalanobis2(_two_ch_df(spark, data), "A", "A")
+
+
+# --- Kaplan-Meier survival ------------------------------------------------------
+
+from cesium_spark.operators.survival import (
+    conversation_spans,
+    kaplan_meier,
+)
+
+
+def _km_ref(pairs):
+    """Independent product-limit reference over (duration, event)."""
+    times = sorted(set(t for t, _ in pairs))
+    out, s = {}, 1.0
+    for t in times:
+        n = sum(1 for u, _ in pairs if u >= t)
+        d = sum(1 for u, e in pairs if u == t and e)
+        c = sum(1 for u, e in pairs if u == t and not e)
+        if d:
+            s *= (1 - d / n)
+        out[t] = (n, d, c, s)
+    return out
+
+
+def _spans_df(spark, pairs, stratum="x"):
+    pdf = pd.DataFrame({
+        "duration": [p[0] for p in pairs],
+        "event": [p[1] for p in pairs],
+        "grp": stratum})
+    return spark.createDataFrame(pdf)
+
+
+def test_km_matches_product_limit_reference(spark):
+    rng = random.Random(19)
+    pairs = [(float(rng.randint(1, 30)), rng.random() < 0.7)
+             for _ in range(200)]
+    out = kaplan_meier(_spans_df(spark, pairs), strata_col="grp") \
+        .collect()
+    ref = _km_ref(pairs)
+    assert len(out) == len(ref)
+    for r in out:
+        n, d, c, s = ref[r.duration]
+        assert (r.n_risk, r.n_events, r.n_censored) == (n, d, c)
+        assert r.survival == pytest.approx(s, rel=1e-12)
+
+
+def test_km_censoring_shrinks_risk_without_dropping_curve(spark):
+    # classic textbook: censored subjects leave the risk set but don't
+    # step the curve; final event with d == n terminates at exactly 0
+    pairs = [(1.0, True), (2.0, False), (3.0, True), (3.0, True)]
+    out = {r.duration: r for r in
+           kaplan_meier(_spans_df(spark, pairs), strata_col="grp")
+           .collect()}
+    assert out[1.0].survival == pytest.approx(0.75)
+    assert out[2.0].survival == pytest.approx(0.75)  # censor: no step
+    assert out[2.0].n_censored == 1
+    assert out[3.0].n_risk == 2 and out[3.0].survival == 0.0
+
+
+def test_km_naive_mean_underestimates_what_km_sees(spark):
+    # all long conversations censored: naive mean of finished spans is
+    # 2.0, while KM at t=2 still shows 50% surviving
+    pairs = [(2.0, True)] * 5 + [(10.0, False)] * 5
+    out = {r.duration: r for r in
+           kaplan_meier(_spans_df(spark, pairs), strata_col="grp")
+           .collect()}
+    assert out[2.0].survival == pytest.approx(0.5)
+
+
+def test_km_validation_and_span_builder(spark):
+    with pytest.raises(ValueError, match="NULL/negative"):
+        kaplan_meier(_spans_df(spark, [(-1.0, True)]),
+                     strata_col="grp").collect()
+    # span builder: last-2-days convs censored
+    base = pd.Timestamp("2024-01-01")
+    rows = [("a", 0, "u", base), ("a", 1, "u", base + pd.Timedelta(days=1)),
+            ("b", 0, "v", base), ("b", 1, "v", base + pd.Timedelta(days=9)),
+            ("c", 0, "w", base + pd.Timedelta(days=9))]
+    tr = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "ts"]))
+    spans = {r.conv_id: r for r in
+             conversation_spans(tr, 172800.0).collect()}
+    assert spans["a"].event is True          # ended day 1, max day 9
+    assert spans["b"].event is False         # touches the horizon
+    assert spans["c"].duration == 0.0        # single-turn, censored
+    assert spans["c"].event is False
+    assert spans["a"].first_role == "u"
