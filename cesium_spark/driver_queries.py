@@ -4453,6 +4453,61 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCR / RMS / peak over the REAL WAV decode path: features
+    computed in integer sample space and divided last, so every value
+    is a deterministic function of exact int16 samples — the oracle
+    replays PCM extraction from the text bytes and must match to the
+    6-dp grid with zero drift."""
+    _prep(spark)
+    m = multimodal.attach_media(_read(spark, sf_dir, "documents"))
+    out = multimodal.audio_features(m)
+    return out.select(
+        "doc_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        _r(F.col("zcr")).alias("zcr"),
+        _r(F.col("rms")).alias("rms"),
+        _r(F.col("peak")).alias("peak"))
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH meta AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+aud AS (
+  SELECT doc_id, j,
+         ((CASE WHEN 2*j-1 <= n
+                THEN ord(text[CAST(2*j-1 AS INTEGER)]) ELSE 32 END)
+          + 256 * (CASE WHEN 2*j <= n
+                   THEN ord(text[CAST(2*j AS INTEGER)]) ELSE 32 END))
+           AS v,
+         (n + n % 2) // 2 AS L
+  FROM meta, LATERAL unnest(range(1, (n + n % 2) // 2 + 1)) AS u(j)
+),
+s AS (
+  SELECT doc_id, j, L,
+         ((v + 32768) % 65536) - 32768 AS i
+  FROM aud
+),
+z AS (
+  SELECT doc_id, L, i,
+         CASE WHEN (i >= 0) !=
+                   (lag(i >= 0) OVER (PARTITION BY doc_id ORDER BY j))
+              THEN 1 ELSE 0 END AS chg
+  FROM s
+)
+SELECT doc_id, cast(max(L) AS bigint) AS n_samples,
+       round(CASE WHEN max(L) >= 2
+                  THEN sum(chg) / cast(max(L) - 1 AS double) END, 6)
+         + 0.0 AS zcr,
+       round(sqrt(sum(i * i) / cast(max(L) AS double)) / 65536.0, 6)
+         + 0.0 AS rms,
+       round(max(abs(i)) / 65536.0, 6) + 0.0 AS peak
+FROM z GROUP BY doc_id
+"""
+
+
 _KM_HORIZON = 172800.0  # 2 days
 
 
@@ -5471,6 +5526,7 @@ QUERIES = {
     "doc_winnowing": q_doc_winnowing,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio": q_multimodal_audio,
     # whole-series model fits: invariant oracles since round 3 (exact
     # value checks live in pytest layer 2)
     "ts_lomb_scargle_conv": q_ts_lomb_scargle_conv,
@@ -5534,6 +5590,7 @@ ORACLE_SQL = {
     "ts_stream_sliding": SQL_TS_STREAM_SLIDING,
     "ts_mahalanobis": _maha_sql(),
     "ts_survival": SQL_TS_SURVIVAL,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

@@ -1150,3 +1150,43 @@ def test_km_validation_and_span_builder(spark):
     assert spans["c"].duration == 0.0        # single-turn, censored
     assert spans["c"].event is False
     assert spans["a"].first_role == "u"
+
+
+# --- audio features over real WAV decode ----------------------------------------
+
+from cesium_spark.operators import multimodal as mm
+
+
+def test_audio_features_known_signal(spark):
+    # build a doc whose WAV body is its text bytes: "\x00\x80" repeats
+    # decode to i16 samples alternating -32768-level patterns is hard
+    # to type as text, so use a plain ASCII doc and verify against a
+    # direct numpy recomputation of the SAME payload
+    pdf = pd.DataFrame({"doc_id": [1, 4], "text": ["abcdEFGH" * 5,
+                                                   "z"]})
+    m = mm.attach_media(spark.createDataFrame(pdf))
+    out = {r.doc_id: r for r in mm.audio_features(m).collect()}
+    payloads = {r.doc_id: bytes(r.media)
+                for r in m.collect() if r.media_type == "audio"}
+    for doc_id, payload in payloads.items():
+        s = mm.decode_media(payload).ravel()
+        i = (np.rint(s.astype(np.float64) * 65536.0)
+             .astype(np.int64) - 32768)
+        r = out[doc_id]
+        assert r.n_samples == i.size
+        assert r.rms == pytest.approx(
+            float(np.sqrt((i * i).sum() / i.size) / 65536.0), abs=0)
+        assert r.peak == float(np.abs(i).max() / 65536.0)
+        if i.size >= 2:
+            nn = i >= 0
+            assert r.zcr == (nn[1:] != nn[:-1]).sum() / (i.size - 1)
+
+
+def test_audio_features_single_sample_and_filter(spark):
+    # doc_id 4 -> audio; text "z" + pad to even -> exactly 1 sample
+    pdf = pd.DataFrame({"doc_id": [4, 3, 5], "text": ["z", "img", "vid"]})
+    m = mm.attach_media(spark.createDataFrame(pdf))
+    rows = mm.audio_features(m).collect()
+    # only the audio row survives the metadata filter
+    assert [r.doc_id for r in rows] == [4]
+    assert rows[0].n_samples == 1 and rows[0].zcr is None
