@@ -4453,6 +4453,47 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_ZIPF_RANKS = 100
+
+
+def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health check: OLS fit of ln(count) on ln(rank)
+    over the top-100 vocabulary (Zipf slope ≈ −1 on natural
+    language). Integer counts + token-ASC tie-break make the point
+    cloud engine-identical; regr_* compared on the 6-dp grid."""
+    from cesium_spark.operators.textstats import zipf_fit
+    _prep(spark)
+    out = zipf_fit(_read(spark, sf_dir, "documents"),
+                   max_rank=_ZIPF_RANKS)
+    return out.select(
+        "n_ranks", _r(F.col("slope")).alias("slope"),
+        _r(F.col("intercept")).alias("intercept"),
+        _r(F.col("r2")).alias("r2"))
+
+
+SQL_DOC_ZIPF = rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')),
+                              '[ \t\n\r\f]+'), x -> x != '')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC)
+               AS rank
+        FROM c ORDER BY cnt DESC, token ASC LIMIT {_ZIPF_RANKS})
+SELECT cast(count(*) AS bigint) AS n_ranks,
+       round(regr_slope(ln(cast(cnt AS double)),
+                        ln(cast(rank AS double))), 6) + 0.0 AS slope,
+       round(regr_intercept(ln(cast(cnt AS double)),
+                            ln(cast(rank AS double))), 6) + 0.0
+         AS intercept,
+       round(regr_r2(ln(cast(cnt AS double)),
+                     ln(cast(rank AS double))), 6) + 0.0 AS r2
+FROM top
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCR / RMS / peak over the REAL WAV decode path: features
     computed in integer sample space and divided last, so every value
@@ -5463,6 +5504,7 @@ QUERIES = {
     "doc_lm_ppl": q_doc_lm_ppl,
     "doc_pmi": q_doc_pmi,
     "doc_hash_vectors": q_doc_hash_vectors,
+    "doc_zipf": q_doc_zipf,
     "ts_drift": q_ts_drift,
     "ts_unpivot": q_ts_unpivot,
     "ts_rank_normalize": q_ts_rank_normalize,
@@ -5591,6 +5633,7 @@ ORACLE_SQL = {
     "ts_mahalanobis": _maha_sql(),
     "ts_survival": SQL_TS_SURVIVAL,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "doc_zipf": SQL_DOC_ZIPF,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

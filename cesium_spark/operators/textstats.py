@@ -867,3 +867,42 @@ def feature_hash_vectors(docs: DataFrame, dim: int = 16,
                        for b in range(dim)), F.lit(0).cast("long"))
                   .cast("double"))
     return agg.withColumn("norm", norm)
+
+def zipf_fit(docs: DataFrame, max_rank: int = 100,
+             text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(count) on
+    ln(rank) for the top ``max_rank`` tokens — slope ≈ −1 on natural
+    language; a flat slope flags template/duplicated corpora and a
+    cliff flags gibberish, so this is a one-row corpus health check
+    (the distributional companion to vocab_topk's raw list).
+
+    Deterministic: counts are integers and rank ties break token ASC,
+    so the top-max_rank set and the (ln rank, ln count) point cloud
+    are engine-identical; the regression aggregates (regr_slope /
+    regr_intercept / regr_r2) are the same covariance ratios in any
+    engine, compared on the standing 6-dp grid.
+
+    Scale shape: vocab_topk's one two-phase count (the shuffle
+    carries distinct tokens) → TakeOrdered max_rank cut → one tiny
+    regression aggregate over ≤ max_rank rows.
+    """
+    if max_rank < 3:
+        raise ValueError(f"max_rank must be >= 3, got {max_rank}")
+    exploded = (docs.select(
+        F.explode(F.split(F.lower(F.coalesce(F.col(text_col),
+                                             F.lit(""))),
+                          r"[ \t\n\r\f]+")).alias("token"))
+        .where(F.col("token") != ""))
+    counts = (exploded.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(max_rank)
+    win = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(win))
+    return (ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.expr("regr_slope(ln(cast(cnt AS double)), "
+               "ln(cast(rank AS double)))").alias("slope"),
+        F.expr("regr_intercept(ln(cast(cnt AS double)), "
+               "ln(cast(rank AS double)))").alias("intercept"),
+        F.expr("regr_r2(ln(cast(cnt AS double)), "
+               "ln(cast(rank AS double)))").alias("r2")))

@@ -1190,3 +1190,43 @@ def test_audio_features_single_sample_and_filter(spark):
     # only the audio row survives the metadata filter
     assert [r.doc_id for r in rows] == [4]
     assert rows[0].n_samples == 1 and rows[0].zcr is None
+
+
+# --- Zipf fit --------------------------------------------------------------------
+
+from cesium_spark.operators.textstats import zipf_fit
+
+
+def test_zipf_recovers_planted_exponent_and_flags_uniform(spark):
+    rng = np.random.default_rng(1)
+    words = [f"w{i}" for i in range(200)]
+    p = 1 / np.arange(1, 201.0)
+    p /= p.sum()
+    zipf_texts = [" ".join(rng.choice(words, p=p, size=100))
+                  for _ in range(60)]
+    flat_texts = [" ".join(rng.choice(words, size=100))
+                  for _ in range(60)]
+    mk = lambda ts: spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(ts)), "text": ts}))
+    z = zipf_fit(mk(zipf_texts), 50).collect()[0]
+    f = zipf_fit(mk(flat_texts), 50).collect()[0]
+    assert z.slope == pytest.approx(-1.0, abs=0.15)
+    assert z.r2 > 0.95
+    assert abs(f.slope) < 0.3  # uniform corpus: near-flat
+    assert z.n_ranks == f.n_ranks == 50
+
+
+def test_zipf_matches_numpy_ols(spark):
+    texts = ["a a a a b b b c c d"] * 3
+    out = zipf_fit(spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(3), "text": texts})),
+        max_rank=10).collect()[0]
+    cnt = np.array([12, 9, 6, 3], dtype=float)
+    x, y = np.log(np.arange(1, 5.0)), np.log(cnt)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert out.n_ranks == 4
+    assert out.slope == pytest.approx(slope, rel=1e-9)
+    assert out.intercept == pytest.approx(intercept, rel=1e-9)
+    with pytest.raises(ValueError, match="max_rank"):
+        zipf_fit(spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": ["x"]})), 2)
