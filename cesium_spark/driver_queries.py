@@ -4453,6 +4453,67 @@ def _jl_sql() -> str:
             f"FROM embeddings)\nSELECT vec_id,\n       {cols}\nFROM e")
 
 
+_BURST_GAP = 14400.0
+_BURST_MIN_RUN = 2
+
+
+def q_ts_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst extraction: maximal runs of ≥ 2 consecutive inter-turn
+    gaps ≤ 4 h per conversation (rapid-fire segments the cadence
+    moments blur away). Gaps are exact double differences and the
+    threshold compare is one exact comparison — no grid; islands are
+    integer arithmetic. ONE exchange. Full-value oracle restates the
+    islands verbatim."""
+    from cesium_spark.operators.sequences import burst_intervals
+    out = burst_intervals(_value_series(spark, sf_dir),
+                          gap_thresh_s=_BURST_GAP,
+                          min_run=_BURST_MIN_RUN)
+    return out.select(
+        "conv_id",
+        F.col("start_turn_idx").cast("int").alias("start_turn_idx"),
+        F.col("end_turn_idx").cast("int").alias("end_turn_idx"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        _r(F.col("t_start")).alias("t_start"),
+        _r(F.col("t_end")).alias("t_end"),
+        _r(F.col("duration_s")).alias("duration_s"))
+
+
+SQL_TS_BURSTS = f"""{_VALUE_SERIES_SQL}
+, p AS (
+  SELECT conv_id, turn_idx, t,
+         lag(t) OVER w AS pt, lag(turn_idx) OVER w AS pi
+  FROM series WHERE t IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+),
+f AS (
+  SELECT conv_id, turn_idx, t, pt, pi,
+         CASE WHEN pt IS NULL THEN NULL
+              ELSE (t - pt) <= {_BURST_GAP} END AS hot
+  FROM p
+),
+g AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id ORDER BY t, turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, hot
+                              ORDER BY t, turn_idx) AS grp
+  FROM f
+),
+b AS (
+  SELECT conv_id,
+         cast(min(pi) AS int) AS start_turn_idx,
+         cast(max(turn_idx) AS int) AS end_turn_idx,
+         cast(count(*) + 1 AS bigint) AS n_turns,
+         min(pt) AS t_start, max(t) AS t_end
+  FROM g WHERE hot GROUP BY conv_id, grp
+)
+SELECT conv_id, start_turn_idx, end_turn_idx, n_turns,
+       round(t_start, 6) + 0.0 AS t_start,
+       round(t_end, 6) + 0.0 AS t_end,
+       round(t_end - t_start, 6) + 0.0 AS duration_s
+FROM b WHERE n_turns >= {_BURST_MIN_RUN + 1}
+"""
+
+
 _ZIPF_RANKS = 100
 
 
@@ -5499,6 +5560,7 @@ QUERIES = {
     "ts_funnel": q_ts_funnel,
     "ts_loops": q_ts_loops,
     "ts_budget": q_ts_budget,
+    "ts_bursts": q_ts_bursts,
     "doc_lexical": q_doc_lexical,
     "doc_tfidf": q_doc_tfidf,
     "doc_lm_ppl": q_doc_lm_ppl,
@@ -5634,6 +5696,7 @@ ORACLE_SQL = {
     "ts_survival": SQL_TS_SURVIVAL,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "doc_zipf": SQL_DOC_ZIPF,
+    "ts_bursts": SQL_TS_BURSTS,
     "doc_lm_ppl": SQL_DOC_LM_PPL,
     "ts_drift": _drift_sql(),
     "ts_unpivot": SQL_TS_UNPIVOT,

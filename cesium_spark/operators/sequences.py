@@ -226,3 +226,55 @@ def budget_crossing(transcripts: DataFrame, budget: float,
         # over crossing rows — an order-free aggregate (no min_by tie
         # semantics to replay)
         F.min(F.when(over, F.col("__cum"))).alias("cost_at_cross")))
+
+def burst_intervals(series: DataFrame, gap_thresh_s: float,
+                    min_run: int = 2) -> DataFrame:
+    """Burst extraction over a conversation's cadence: maximal runs of
+    consecutive inter-turn gaps ≤ ``gap_thresh_s`` with at least
+    ``min_run`` such pairs — the "rapid-fire exchange" segments
+    (retry storms, tool-call loops, human flurries) that cadence
+    MOMENTS blur away: a conversation can have unremarkable mean gap
+    yet contain a 50-turn burst. One output row per burst:
+    ``(conv_id, start_turn_idx, end_turn_idx, n_turns, t_start,
+    t_end, duration_s)`` where n_turns counts turns (pairs + 1).
+
+    Same gaps-and-islands machinery as the loop detector
+    (row_number minus per-flag row_number on the hot-pair flag), and
+    the same determinism argument: gaps are exact double differences
+    and the threshold compare is a single exact comparison — no grid,
+    no tie-break needed; island grouping is integer arithmetic.
+
+    Plan: lag window + islands windows + one aggregate, all
+    partitioned by conv_id → ONE hash exchange, no join, no UDF.
+    Bursts are a filter over island aggregates, so output is
+    burst-count-sized, not turn-sized.
+    """
+    if gap_thresh_s <= 0:
+        raise ValueError(
+            f"gap_thresh_s must be > 0, got {gap_thresh_s}")
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    w = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    s = (series
+         .where(F.col("t").isNotNull())
+         .withColumn("__pt", F.lag("t").over(w))
+         .withColumn("__pi", F.lag("turn_idx").over(w)))
+    hot = F.when(F.col("__pt").isNull(), F.lit(None)).otherwise(
+        (F.col("t") - F.col("__pt")) <= F.lit(float(gap_thresh_s)))
+    s = s.withColumn("__hot", hot)
+    rn = F.row_number().over(w)
+    rnf = F.row_number().over(
+        Window.partitionBy("conv_id", "__hot").orderBy("t", "turn_idx"))
+    s = s.withColumn("__grp", rn - rnf)
+    bursts = (s.where(F.col("__hot"))
+              .groupBy("conv_id", "__grp")
+              .agg(F.min("__pi").cast("int").alias("start_turn_idx"),
+                   F.max("turn_idx").cast("int").alias("end_turn_idx"),
+                   (F.count(F.lit(1)) + 1).cast("long").alias("n_turns"),
+                   F.min("__pt").alias("t_start"),
+                   F.max("t").alias("t_end")))
+    return (bursts.where(F.col("n_turns") >= min_run + 1)
+            .select("conv_id", "start_turn_idx", "end_turn_idx",
+                    "n_turns", "t_start", "t_end",
+                    (F.col("t_end") - F.col("t_start"))
+                    .alias("duration_s")))

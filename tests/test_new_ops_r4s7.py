@@ -1230,3 +1230,71 @@ def test_zipf_matches_numpy_ols(spark):
     with pytest.raises(ValueError, match="max_rank"):
         zipf_fit(spark.createDataFrame(
             pd.DataFrame({"doc_id": [0], "text": ["x"]})), 2)
+
+
+# --- burst intervals --------------------------------------------------------------
+
+from cesium_spark.operators.sequences import burst_intervals
+
+
+def _burst_series(spark, times_by_conv):
+    rows = [(cid, i, float(t), 0.0)
+            for cid, ts in times_by_conv.items()
+            for i, t in enumerate(ts)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "t", "y"])
+    return spark.createDataFrame(pdf)
+
+
+def _ref_bursts(times, thresh, min_run):
+    out, run = [], []
+    for i in range(1, len(times)):
+        if times[i] - times[i - 1] <= thresh:
+            run.append(i)
+        else:
+            if len(run) >= min_run:
+                out.append((run[0] - 1, run[-1], len(run) + 1,
+                            times[run[0] - 1], times[run[-1]]))
+            run = []
+    if len(run) >= min_run:
+        out.append((run[0] - 1, run[-1], len(run) + 1,
+                    times[run[0] - 1], times[run[-1]]))
+    return out
+
+
+def test_bursts_match_scalar_reference(spark):
+    rng = random.Random(29)
+    data = {}
+    for c in range(20):
+        t, ts = 0.0, []
+        for _ in range(rng.randint(2, 50)):
+            t += rng.choice([5.0, 8.0, 2000.0])
+            ts.append(t)
+        data[f"c{c}"] = ts
+    got = {}
+    for r in burst_intervals(_burst_series(spark, data),
+                             gap_thresh_s=10.0, min_run=2).collect():
+        got.setdefault(r.conv_id, []).append(
+            (r.start_turn_idx, r.end_turn_idx, r.n_turns,
+             r.t_start, r.t_end))
+    for cid, ts in data.items():
+        ref = _ref_bursts(ts, 10.0, 2)
+        assert sorted(got.get(cid, [])) == sorted(ref), cid
+
+
+def test_bursts_hand_case_and_validation(spark):
+    # gaps: 5,5,100,5,5,5,100 -> bursts at turns [0..2] and [3..6]
+    ts = [0, 5, 10, 110, 115, 120, 125, 225]
+    out = sorted((r.start_turn_idx, r.end_turn_idx, r.n_turns,
+                  r.duration_s)
+                 for r in burst_intervals(
+                     _burst_series(spark, {"c": ts}), 10.0, 2)
+                 .collect())
+    assert out == [(0, 2, 3, 10.0), (3, 6, 4, 15.0)]
+    # min_run=3 drops the first burst (only 2 hot pairs)
+    out3 = [(r.start_turn_idx, r.end_turn_idx) for r in burst_intervals(
+        _burst_series(spark, {"c": ts}), 10.0, 3).collect()]
+    assert out3 == [(3, 6)]
+    with pytest.raises(ValueError, match="gap_thresh"):
+        burst_intervals(_burst_series(spark, {"c": ts}), 0.0)
+    with pytest.raises(ValueError, match="min_run"):
+        burst_intervals(_burst_series(spark, {"c": ts}), 1.0, 0)
