@@ -150,23 +150,37 @@ def pipeline_body(spark, input_path: str, out_root: str) -> None:
     # all three tiers (rollup_features_multi): at 10^12 turns, one
     # exchange of the turn stream instead of three.
     jobs = [
-        lambda: (rollup_features_multi(series, ("1m", "1h", "1d"),
-                                       BENCH_FEATS)
-                 .write.mode("overwrite").partitionBy("tier")
-                 .parquet(f"{out_root}/features")),
+        ("tiers", lambda: (rollup_features_multi(series, ("1m", "1h", "1d"),
+                                                 BENCH_FEATS)
+                           .write.mode("overwrite").partitionBy("tier")
+                           .parquet(f"{out_root}/features"))),
         # conv-tier Lomb–Scargle over the latency channel (the
         # north_star's "LS periodogram peaks over turn-latency series")
-        lambda: rollup_features(series.where(F.col("channel") == "latency"),
-                                "conv", LS_FEATS)
-        .write.mode("overwrite").parquet(f"{out_root}/features_conv_ls"),
-        lambda: _noop(rollup_moments(series, "1h")),
-        lambda: encode_chunks(series).write.mode("overwrite")
-        .parquet(f"{out_root}/chunks"),
+        ("ls", lambda: rollup_features(
+            series.where(F.col("channel") == "latency"), "conv", LS_FEATS)
+            .write.mode("overwrite").parquet(f"{out_root}/features_conv_ls")),
+        ("moments", lambda: _noop(rollup_moments(series, "1h"))),
+        ("codec", lambda: encode_chunks(series).write.mode("overwrite")
+            .parquet(f"{out_root}/chunks")),
     ]
+    t0 = time.monotonic()
+
+    def _run(name, fn):
+        # One scheduler pool per concurrent job (thread-local property,
+        # a no-op under the default FIFO mode). A FAIR A/B was measured
+        # and REJECTED — see _phase_a_worker for the numbers; the pool
+        # tags are kept because they cost nothing and make per-job
+        # attribution in the UI/event log unambiguous either way.
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"bench_{name}")
+        fn()
+        return round(time.monotonic() - t0, 2)
+
     with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-        futures = [ex.submit(j) for j in jobs]
-        for f in futures:
-            f.result()
+        futures = {n: ex.submit(_run, n, fn) for n, fn in jobs}
+        done_at = {n: f.result() for n, f in futures.items()}
+    if os.environ.get("CESIUM_BENCH_JOBTIMES"):
+        print(f"# jobtimes {json.dumps(done_at)}", file=sys.stderr)
 
 
 def table_checksum(spark, path: str) -> int:
@@ -192,9 +206,23 @@ def _phase_a_worker(master: str, input_path: str, out: str,
     # goes to tmpfs, not heap) and bounds worst-case pre-touch wall when
     # the host is fully drained (~25 MB/s fresh-page rate → ~3 min).
     os.environ["CESIUM_SPARK_DRIVER_MEM"] = "4g"
+    # Scheduler mode for the four concurrent pipeline jobs. FAIR (one
+    # on-demand pool each) was hypothesized to fix the LS fit
+    # serializing behind the wide multi-tier job's waves under FIFO —
+    # measured back-to-back at 8 cores on the same input it LOSES:
+    # FIFO mix wall 33.0 s (tiers done 27.2, ls 29.9) vs FAIR 50.2 s
+    # (ls improves to 21.9 but tiers balloons to 43.9). Round-robin
+    # slot sharing starves the wide job, and the wide job — not LS —
+    # is the true critical path; per-section isolation runs (see
+    # tools/probe_scaling.py) show every section scales 0.90+ alone,
+    # so the FIFO mix's backfill already packs slots near-optimally.
+    # Negative result kept on a knob: CESIUM_BENCH_SCHED=FAIR re-runs
+    # the A/B; default stays FIFO.
+    sched = os.environ.get("CESIUM_BENCH_SCHED", "FIFO")
     spark = _session(master, local_dir=os.path.dirname(out),
                      extra_conf={"spark.driver.extraJavaOptions":
-                                 "-Xms4g -XX:+AlwaysPreTouch"})
+                                 "-Xms4g -XX:+AlwaysPreTouch",
+                                 "spark.scheduler.mode": sched})
     # Untimed warmup: run the FULL pipeline body once on a tiny slice
     # (150 convs, ~1% of the timed input). This spins up the Python
     # worker pool (pandas/pyarrow/numpy imports), query codegen for all
