@@ -5512,6 +5512,138 @@ FROM r WHERE rank <= {_TFIDF_M}
 """
 
 
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value oracle for the perceptual image hashes (aHash +
+    dHash) over the REAL decode: both hashes are pure integer
+    arithmetic on the pooled byte sums (cross-multiplied thresholds —
+    see multimodal.image_phash), so DuckDB replays pooling, both bit
+    predicates, and the two's-complement bit assembly exactly. Images
+    use their parsed raster, videos their first frame — both are the
+    content bytes space-padded to w·h, the multimodal_resize replay."""
+    _prep(spark)
+    media = multimodal.attach_media(_read(spark, sf_dir, "documents"))
+    return multimodal.image_phash(
+        media.where(F.col("media_type") != "audio"))
+
+
+def _phash_cte(corpus: str = "documents") -> str:
+    """DuckDB CTE chain computing (doc_id, ahash, dhash) from a
+    relation ``corpus(doc_id, text)`` — the exact integer replay of
+    multimodal.image_phash over attach_media's containers: raster =
+    text bytes space-padded to w·h (ASCII ⇒ byte = ord), 8×8 / 8×9
+    area pooling by the (i·R//h, j·C//w) map, aHash bit = cell sum ·
+    (h·w) > total · cell count, dHash bit = right-cell vs left-cell
+    cross-multiplication, bit k = r·8+c assembled into a SIGNED bigint
+    (bit 63 = the two's-complement sign term)."""
+    bit = ("CASE WHEN {k} = 63 THEN (-9223372036854775807 - 1) "
+           "ELSE (CAST(1 AS BIGINT) << CAST({k} AS INTEGER)) END")
+    return f"""meta AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + (length(text) % 48) AS w,
+         16 + ((length(text) * 7) % 48) AS h
+  FROM {corpus}
+  WHERE (doc_id % 3) != 1  -- audio rows have no raster
+),
+pix AS (
+  SELECT doc_id, w, h, i,
+         CASE WHEN i <= n THEN ord(text[CAST(i AS INTEGER)]) ELSE 32 END AS b
+  FROM meta, LATERAL unnest(range(1, w * h + 1)) AS u(i)
+),
+tot AS (SELECT doc_id, sum(b) AS total, max(w * h) AS wh
+        FROM pix GROUP BY 1),
+a8 AS (
+  SELECT doc_id, (((i - 1) // w) * 8) // h AS r,
+         (((i - 1) % w) * 8) // w AS c,
+         sum(b) AS s, count(*) AS cnt
+  FROM pix GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT a8.doc_id,
+         CAST(sum(CASE WHEN s * wh > total * cnt
+                  THEN {bit.format(k='r * 8 + c')} ELSE 0 END)
+              AS BIGINT) AS ahash
+  FROM a8 JOIN tot USING (doc_id) GROUP BY 1
+),
+d9 AS (
+  SELECT doc_id, (((i - 1) // w) * 8) // h AS r,
+         (((i - 1) % w) * 9) // w AS c,
+         sum(b) AS s, count(*) AS cnt
+  FROM pix GROUP BY 1, 2, 3
+),
+db AS (
+  SELECT l.doc_id,
+         CAST(sum(CASE WHEN rt.s * l.cnt > l.s * rt.cnt
+                  THEN {bit.format(k='l.r * 8 + l.c')} ELSE 0 END)
+              AS BIGINT) AS dhash
+  FROM d9 l JOIN d9 rt
+    ON l.doc_id = rt.doc_id AND l.r = rt.r AND rt.c = l.c + 1
+  GROUP BY 1
+),
+ph AS (SELECT doc_id, ahash, dhash FROM ab JOIN db USING (doc_id))"""
+
+
+SQL_MULTIMODAL_PHASH = f"""
+WITH {_phash_cte()}
+SELECT doc_id, ahash, dhash FROM ph
+"""
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidate pairs: hamming-banded blocking
+    (dedup.simhash_band_pairs — 4×16-bit bands, exact bit_count
+    re-score, hamming ≤ 3) over the dHash column, on a corpus with
+    PLANTED near-dups: every 30th doc (an image: doc_id % 3 = 0)
+    re-attached under doc_id+300000 with its first character mutated
+    to 'Z'. One changed pixel changes one pooling cell, which flips at
+    most its two gradient comparisons → dhash hamming ≤ 2, inside the
+    banding recall guarantee, so every plant MUST surface. Unlike
+    doc_simhash_pairs (xxhash64 signatures, pinned-recall oracle),
+    the phash pipeline is integer-exact end-to-end, so this oracle is
+    FULL-VALUE: DuckDB replays signature, banding, equi-join, and
+    hamming cut, certifying organic pairs and plants alike."""
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.where(F.col("doc_id") % 30 == 0)
+               .select((F.col("doc_id") + 300000).alias("doc_id"),
+                       F.concat(F.lit("Z"), F.expr("substring(text, 2)"))
+                       .alias("text")))
+    media = multimodal.attach_media(docs.unionByName(planted))
+    sig = multimodal.image_phash(media.where(F.col("media_type") != "audio"))
+    pairs = dedup.simhash_band_pairs(sig, id_col="doc_id", sig_col="dhash",
+                                     bands=4, max_hamming=3)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("long").alias("hamming"),
+                        F.col("n_shared_bands").cast("long")
+                        .alias("n_shared_bands"))
+
+
+SQL_MULTIMODAL_PHASH_PAIRS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, 'Z' || substring(text, 2)
+  FROM documents WHERE doc_id % 30 = 0
+),
+{_phash_cte('corpus')},
+band AS (
+  SELECT doc_id, dhash, b, (dhash >> CAST(b * 16 AS INTEGER)) & 65535 AS bv
+  FROM ph, LATERAL unnest([0, 1, 2, 3]) AS t(b)
+),
+j AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         bit_count(xor(a.dhash, b2.dhash)) AS hamming
+  FROM band a JOIN band b2
+    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+),
+g AS (
+  SELECT id_a, id_b, CAST(min(hamming) AS BIGINT) AS hamming,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM j GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming, n_shared_bands FROM g WHERE hamming <= 3
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -5631,6 +5763,8 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_phash": q_multimodal_phash,
+    "multimodal_phash_pairs": q_multimodal_phash_pairs,
     # whole-series model fits: invariant oracles since round 3 (exact
     # value checks live in pytest layer 2)
     "ts_lomb_scargle_conv": q_ts_lomb_scargle_conv,
@@ -5695,6 +5829,8 @@ ORACLE_SQL = {
     "ts_mahalanobis": _maha_sql(),
     "ts_survival": SQL_TS_SURVIVAL,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "multimodal_phash": SQL_MULTIMODAL_PHASH,
+    "multimodal_phash_pairs": SQL_MULTIMODAL_PHASH_PAIRS,
     "doc_zipf": SQL_DOC_ZIPF,
     "ts_bursts": SQL_TS_BURSTS,
     "doc_lm_ppl": SQL_DOC_LM_PPL,

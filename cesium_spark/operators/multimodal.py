@@ -392,3 +392,93 @@ def audio_features(media: DataFrame) -> DataFrame:
     return (media.where(F.col("media_type") == "audio")
             .select("doc_id", "media")
             .mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA))
+
+
+PHASH_SCHEMA = "doc_id long, ahash long, dhash long"
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual 64-bit image hashes (aHash + dHash) over the REAL
+    decode — the image twin of the text ``simhash``: a compact
+    signature whose hamming distance tracks visual similarity, feeding
+    the same hamming-banded near-dup machinery
+    (``dedup.simhash_band_pairs`` consumes the ``dhash`` column
+    unchanged). Images use their parsed raster, videos their FIRST
+    frame (the ``resize_media`` convention); audio rows must be
+    filtered out upstream by metadata (raises otherwise — no silent
+    skip).
+
+    Exactness contract (what makes the SQL replay bit-for-bit): both
+    hashes are computed ENTIRELY in integer space — area-pool byte sums
+    per cell (source pixel (i, j) → cell (i·R//h, j·C//w), the resize
+    mapping) and cross-multiplied threshold comparisons — so every bit
+    is one exact integer predicate with no float anywhere:
+
+    - aHash bit (r, c) = [S_rc · (h·w) > total · n_rc] over an 8×8
+      pooling: cell mean strictly above the GLOBAL pixel mean. The
+      classic aHash thresholds on the unweighted mean of the 64 cell
+      means; with non-multiple-of-8 dims the cells have unequal areas
+      and that mean is a float with engine-dependent summation order,
+      so this engine defines the threshold as the pixel-weighted mean
+      (= the global mean — identical to the classic one on aligned
+      dims, exactly replayable on all of them).
+    - dHash bit (r, c) = [S_{r,c+1} · n_{r,c} > S_{r,c} · n_{r,c+1}]
+      over an 8×9 pooling: right cell mean strictly brighter than its
+      left neighbor (row-wise gradient sign).
+
+    Bit k = r·8 + c is set as 1<<k; the word is stored as a SIGNED
+    two's-complement bigint (bit 63 → sign, the simhash convention) so
+    native ``bit_count(a ^ b)`` is the hamming distance. Requires
+    h ≥ 8 and w ≥ 9 (refused loudly: a pooling cell with zero source
+    pixels has no mean). Arrow-batched mapInPandas, zero shuffle —
+    a pure per-row kernel over the scan at 10^9 images."""
+    R, C = 8, 9  # aHash grid is R×R; dHash pools R×C, emits R×(C−1)
+
+    def _pack(bits: np.ndarray) -> int:
+        u = int((bits.astype(np.uint64)
+                 << np.arange(bits.size, dtype=np.uint64))
+                .sum(dtype=np.uint64))
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                arr = decode_media(bytes(payload))
+                if arr.ndim == 3 and arr.shape[-1] != 3:
+                    arr = arr[0]          # video: first frame
+                if arr.ndim != 2:
+                    raise ValueError(
+                        "image_phash: item decodes to a "
+                        f"{arr.ndim}-d sample array, not a 2-d raster "
+                        "(audio rows must be filtered out upstream)")
+                h, w = arr.shape
+                if h < R or w < C:
+                    raise ValueError(
+                        f"image_phash: item is {h}x{w}, needs at least "
+                        f"{R}x{C} so every pooling cell has a pixel")
+                # b/256 decode is exact → *256 recovers integer bytes
+                g = np.rint(arr.astype(np.float64) * 256.0).astype(np.int64)
+                rmap = (np.arange(h, dtype=np.int64) * R) // h
+                c8 = (np.arange(w, dtype=np.int64) * R) // w
+                c9 = (np.arange(w, dtype=np.int64) * C) // w
+                gv = g.ravel()
+
+                t8 = (rmap[:, None] * R + c8[None, :]).ravel()
+                s8 = np.rint(np.bincount(t8, weights=gv, minlength=R * R)
+                             ).astype(np.int64)
+                n8 = np.bincount(t8, minlength=R * R)
+                abits = s8 * (h * w) > int(gv.sum()) * n8
+
+                t9 = (rmap[:, None] * C + c9[None, :]).ravel()
+                s9 = np.rint(np.bincount(t9, weights=gv, minlength=R * C)
+                             ).astype(np.int64).reshape(R, C)
+                n9 = np.bincount(t9, minlength=R * C).reshape(R, C)
+                dbits = (s9[:, 1:] * n9[:, :-1]
+                         > s9[:, :-1] * n9[:, 1:]).ravel()
+
+                rows.append((doc_id, _pack(abits), _pack(dbits)))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash", "dhash"])
+
+    return (media.select("doc_id", "media")
+            .mapInPandas(kernel, schema=PHASH_SCHEMA))
