@@ -5644,6 +5644,129 @@ SELECT id_a, id_b, hamming, n_shared_bands FROM g WHERE hamming <= 3
 """
 
 
+def q_ts_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs-up-and-down test per conversation: R, n,
+    E[R] = (2n+1)/3 and z — the distribution-free trend/oscillation
+    detector. Differences and sign compares are exact (no grid before
+    the final rounding); R and n are integers, so z is one closed
+    form of two exact integers. ONE hash exchange. Full-value oracle
+    restates the IGNORE-NULLS previous-sign construction verbatim."""
+    from cesium_spark.operators.seriesstats import runs_test
+    out = runs_test(_value_series(spark, sf_dir))
+    return out.select(
+        "conv_id", "n_moves", "n_runs",
+        _r(F.col("expected_runs")).alias("expected_runs"),
+        _r(F.col("z")).alias("z"),
+        "reject_95")
+
+
+SQL_TS_RUNS = f"""{_VALUE_SERIES_SQL}
+, d AS (
+  SELECT conv_id, turn_idx, t, y - lag(y) OVER w AS dd
+  FROM series WHERE t IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+),
+s AS (
+  SELECT conv_id, turn_idx, t,
+         CASE WHEN dd > 0 THEN 1 WHEN dd < 0 THEN -1 END AS sgn
+  FROM d
+),
+p AS (
+  SELECT conv_id, sgn,
+         last_value(sgn IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY t, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM s
+),
+a AS (
+  SELECT conv_id,
+         count(sgn) AS n_moves,
+         sum(CASE WHEN sgn IS NOT NULL AND prev IS NOT NULL
+                  AND sgn != prev THEN 1 ELSE 0 END) AS nchg
+  FROM p GROUP BY conv_id
+)
+SELECT conv_id,
+       cast(n_moves AS bigint) AS n_moves,
+       CASE WHEN n_moves > 0 THEN cast(nchg + 1 AS bigint) END AS n_runs,
+       CASE WHEN n_moves >= 2
+            THEN round((2.0 * n_moves + 1.0) / 3.0, 6) + 0.0
+       END AS expected_runs,
+       CASE WHEN n_moves >= 2
+            THEN round((cast(nchg + 1 AS double)
+                        - (2.0 * n_moves + 1.0) / 3.0)
+                       / sqrt((16.0 * n_moves - 13.0) / 90.0), 6) + 0.0
+       END AS z,
+       CASE WHEN n_moves >= 2
+            THEN round(abs((cast(nchg + 1 AS double)
+                            - (2.0 * n_moves + 1.0) / 3.0)
+                           / sqrt((16.0 * n_moves - 13.0) / 90.0))
+                       - 1.96, 6) > 0
+       END AS reject_95
+FROM a
+"""
+
+
+def q_ts_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandt–Pompe permutation entropy (m = 3) per conversation: the
+    ordinal-pattern complexity measure, invariant to monotone
+    rescaling. Pattern codes are exact integer functions of exact
+    double compares (stable-argsort tie rule); entropy uses the
+    cancellation-free log2 form on integer counts. TWO shrinking
+    exchanges. Full-value oracle restates ranks and entropy."""
+    from cesium_spark.operators.seriesstats import permutation_entropy
+    out = permutation_entropy(_value_series(spark, sf_dir))
+    return out.select(
+        "conv_id", "n_windows", "n_patterns",
+        _r(F.col("h_bits")).alias("h_bits"),
+        _r(F.col("h_norm")).alias("h_norm"))
+
+
+SQL_TS_PERM_ENTROPY = f"""{_VALUE_SERIES_SQL}
+, t3 AS (
+  SELECT conv_id, y AS y0,
+         lead(y, 1) OVER w AS y1,
+         lead(y, 2) OVER w AS y2
+  FROM series WHERE t IS NOT NULL AND y IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+),
+code AS (
+  SELECT conv_id,
+         ((CASE WHEN y1 < y0 THEN 1 ELSE 0 END)
+          + (CASE WHEN y2 < y0 THEN 1 ELSE 0 END)) * 9
+         + ((CASE WHEN y0 < y1 THEN 1 ELSE 0 END)
+            + (CASE WHEN y2 < y1 THEN 1 ELSE 0 END)
+            + (CASE WHEN y0 = y1 THEN 1 ELSE 0 END)) * 3
+         + ((CASE WHEN y0 < y2 THEN 1 ELSE 0 END)
+            + (CASE WHEN y1 < y2 THEN 1 ELSE 0 END)
+            + (CASE WHEN y0 = y2 THEN 1 ELSE 0 END)
+            + (CASE WHEN y1 = y2 THEN 1 ELSE 0 END)) AS pattern
+  FROM t3 WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+),
+c AS (
+  SELECT conv_id, pattern, count(*) AS cnt
+  FROM code GROUP BY conv_id, pattern
+),
+a AS (
+  SELECT conv_id,
+         sum(cnt) AS n_windows,
+         count(*) AS n_patterns,
+         sum(cast(cnt AS double) * log2(cast(cnt AS double))) AS sclc
+  FROM c GROUP BY conv_id
+)
+SELECT conv_id,
+       cast(n_windows AS bigint) AS n_windows,
+       cast(n_patterns AS int) AS n_patterns,
+       round((cast(n_windows AS double)
+              * log2(cast(n_windows AS double)) - sclc)
+             / cast(n_windows AS double), 6) + 0.0 AS h_bits,
+       round((cast(n_windows AS double)
+              * log2(cast(n_windows AS double)) - sclc)
+             / cast(n_windows AS double) / log2(6.0), 6) + 0.0
+         AS h_norm
+FROM a
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -5716,6 +5839,8 @@ QUERIES = {
     "ts_cad_probs": q_ts_cad_probs,
     "ts_cadence_stats": q_ts_cadence_stats,
     "ts_ks_exp": q_ts_ks_exp,
+    "ts_runs": q_ts_runs,
+    "ts_perm_entropy": q_ts_perm_entropy,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -5822,6 +5947,8 @@ ORACLE_SQL = {
     "doc_pmi": SQL_DOC_PMI,
     "ts_rank_normalize": SQL_TS_RANK_NORMALIZE,
     "ts_ks_exp": SQL_TS_KS_EXP,
+    "ts_runs": SQL_TS_RUNS,
+    "ts_perm_entropy": SQL_TS_PERM_ENTROPY,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

@@ -573,3 +573,138 @@ def mahalanobis2(series: DataFrame, ch_a: str, ch_b: str,
         F.coalesce(F.sum(F.when(flag, 1)), F.lit(0)).cast("long")
         .alias("n_anomalies"),
         F.max("__d2").alias("max_d2")))
+
+
+def runs_test(series: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs-up-and-down randomness test per series:
+    are consecutive moves independent, or does the series trend /
+    oscillate? The sign pattern of FIRST DIFFERENCES is summarized as
+    the number of runs R (maximal blocks of same-direction moves); a
+    trending series has far fewer runs than chance, a mean-reverting
+    saw far more. Complements ``ks_exponential`` (cadence
+    distribution) and ``acf`` (linear memory) with a distribution-free
+    SIGN statistic no moment family expresses.
+
+    Semantics (classic runs-up-and-down, Knuth TAOCP §3.3.2 form):
+    moves are sign(yᵢ − yᵢ₋₁); ZERO differences carry no direction
+    and are dropped (the standard tie treatment — a tie is neither up
+    nor down); n = retained moves, R = 1 + (number of adjacent
+    RETAINED sign changes). Under randomness E[R] = (2n+1)/3,
+    Var[R] = (16n−13)/90 (the n-moves form of the classical
+    (2N−1)/3, (16N−29)/90 with N = n+1 observations), and
+    z = (R − E[R])/√Var[R] is asymptotically standard normal.
+    ``reject_95`` compares the 6-dp-rounded |z| margin against 1.96
+    (grid convention, engine-stable boundary).
+
+    Determinism: differences are exact double subtractions and every
+    sign compare is exact — no grid anywhere before the final
+    report; R and n are integers, so z is one closed-form expression
+    of two exact integers, bit-identical in any engine.
+
+    "Adjacent retained" is computed WITHOUT filtering (so every
+    conversation keeps its row even when all moves tie): the previous
+    retained sign is ``last(sign) IGNORE NULLS`` over the preceding
+    frame, which skips over zero-difference rows in place.
+
+    Scale shape: two windows (lag + last-ignore-nulls, same key and
+    order) + one aggregate, all on conv_id → ONE hash exchange, no
+    join, no UDF. Degenerates: n = 0 → NULL R (no moves at all);
+    n < 2 → NULL z / reject (a single move has no adjacency).
+    """
+    w = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    d = (series
+         .where(F.col("t").isNotNull())
+         .withColumn("__d", F.col("y") - F.lag("y").over(w)))
+    sgn = (F.when(F.col("__d") > 0, F.lit(1))
+           .when(F.col("__d") < 0, F.lit(-1)))  # NULL: tie or edge
+    prev = F.last(sgn, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    chg = F.when(sgn.isNotNull() & prev.isNotNull() & (sgn != prev),
+                 F.lit(1)).otherwise(F.lit(0))
+    agg = (d.select("conv_id", sgn.alias("__sgn"), chg.alias("__chg"))
+           .groupBy("conv_id")
+           .agg(F.count("__sgn").alias("n_moves"),
+                F.sum("__chg").alias("__nchg")))
+    n = F.col("n_moves").cast("double")
+    r = (F.col("__nchg") + 1).cast("double")
+    mu = (F.lit(2.0) * n + F.lit(1.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * n - F.lit(13.0)) / F.lit(90.0)
+    z = (r - mu) / F.sqrt(var)
+    margin = F.round(F.abs(z) - F.lit(1.96), 6)
+    return agg.select(
+        "conv_id",
+        F.col("n_moves").cast("long").alias("n_moves"),
+        F.when(F.col("n_moves") > 0, F.col("__nchg") + 1)
+        .cast("long").alias("n_runs"),
+        F.when(F.col("n_moves") >= 2, mu).alias("expected_runs"),
+        F.when(F.col("n_moves") >= 2, z).alias("z"),
+        F.when(F.col("n_moves") >= 2, margin > 0).alias("reject_95"))
+
+
+def permutation_entropy(series: DataFrame) -> DataFrame:
+    """Bandt–Pompe permutation entropy (order m = 3) per series: the
+    Shannon entropy of the ORDINAL PATTERN distribution of
+    consecutive value triples — the standard model-free complexity
+    measure (Bandt & Pompe 2002). A monotone ramp uses 1 of the 6
+    patterns (H = 0), white noise uses all 6 uniformly (H_norm → 1);
+    the statistic is invariant to any monotone rescaling of y, which
+    no moment or ACF feature is.
+
+    Pattern encoding: for each window (y₀,y₁,y₂) the rank of element
+    i is ``#{j : yⱼ < yᵢ} + #{j : yⱼ = yᵢ and j < i}`` — exactly the
+    stable-argsort tie rule of the original paper (earlier index
+    wins). Every comparison is an exact double compare, so the
+    pattern code (r₀·9 + r₁·3 + r₂, a base-3 injection of the
+    permutation) is engine-identical with no grid.
+
+    Entropy uses the exact-cancellation form H = (n·log2(n) −
+    Σc·log2(c))/n — with ONE pattern the two terms are the SAME
+    rounded double (c = n), so a deterministic series lands on
+    exactly 0.0 (the doc_lexical form log2(n) − Σ/n does NOT: the
+    division by a non-power-of-two n rounds the second term one ulp
+    away — found live); ``h_norm`` divides by log2(6), the m = 3
+    maximum. Incomplete triples at the series tail contribute
+    nothing; a conversation with < 3 turns has no window at all and
+    drops out (ks_exponential's n_gaps≥1 precedent).
+
+    Scale shape: two lead windows (same key/order) + one (conv,
+    pattern) count + one per-conv aggregate → the shuffle carries
+    distinct (conv, pattern) pairs (≤ 6 per conversation, however
+    long) — TWO shrinking hash exchanges, no join, no UDF.
+    """
+    w = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    t3 = (series
+          .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+          .select("conv_id", F.col("y").alias("__y0"),
+                  F.lead("y", 1).over(w).alias("__y1"),
+                  F.lead("y", 2).over(w).alias("__y2"))
+          .where(F.col("__y1").isNotNull() & F.col("__y2").isNotNull()))
+    y0, y1, y2 = F.col("__y0"), F.col("__y1"), F.col("__y2")
+
+    def _lt(a, b):  # 1 if a < b else 0, as int
+        return F.when(a < b, F.lit(1)).otherwise(F.lit(0))
+
+    # rank with stable ties: strictly-smaller anywhere + equal-earlier
+    r0 = _lt(y1, y0) + _lt(y2, y0)
+    r1 = (_lt(y0, y1) + _lt(y2, y1)
+          + F.when(y0 == y1, F.lit(1)).otherwise(F.lit(0)))
+    r2 = (_lt(y0, y2) + _lt(y1, y2)
+          + F.when(y0 == y2, F.lit(1)).otherwise(F.lit(0))
+          + F.when(y1 == y2, F.lit(1)).otherwise(F.lit(0)))
+    code = r0 * 9 + r1 * 3 + r2
+    counts = (t3.select("conv_id", code.alias("pattern"))
+              .groupBy("conv_id", "pattern")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    c = F.col("__c").cast("double")
+    agg = counts.groupBy("conv_id").agg(
+        F.sum("__c").alias("n_windows"),
+        F.count(F.lit(1)).alias("n_patterns"),
+        F.sum(c * F.log2(c)).alias("__sclc"))
+    nw = F.col("n_windows").cast("double")
+    h = (nw * F.log2(nw) - F.col("__sclc")) / nw
+    return agg.select(
+        "conv_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_patterns").cast("int").alias("n_patterns"),
+        h.alias("h_bits"),
+        (h / F.log2(F.lit(6.0))).alias("h_norm"))
