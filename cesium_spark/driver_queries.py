@@ -5767,6 +5767,135 @@ FROM a
 """
 
 
+def q_ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint per conversation: K = max|Uₖ| over all
+    split points via the O(n) midrank identity, earliest-k tiebreak,
+    asymptotic p, and the mean shift from the SAME time-ordered
+    cumulative sum. Uₖ and K are exact bigints (2·midrank is an
+    integer), so the argmax cannot flip between engines; ONE hash
+    exchange. Full-value oracle replays midranks, cumulants, and the
+    row_number argmax verbatim."""
+    from cesium_spark.operators.seriesstats import pettitt
+    out = pettitt(_value_series(spark, sf_dir))
+    return out.select(
+        "conv_id", "n", "k_change",
+        _r(F.col("t_change")).alias("t_change"),
+        "K",
+        _r(F.col("p_approx")).alias("p_approx"),
+        _r(F.col("delta_mean")).alias("delta_mean"))
+
+
+SQL_TS_PETTITT = f"""{_VALUE_SERIES_SQL}
+, r AS (
+  SELECT conv_id, turn_idx, t, y,
+         2 * rank() OVER (PARTITION BY conv_id ORDER BY y)
+         + count(*) OVER (PARTITION BY conv_id ORDER BY y
+                          RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+         - 1 AS r2
+  FROM series WHERE t IS NOT NULL AND y IS NOT NULL
+),
+c0 AS (
+  SELECT conv_id, t, turn_idx,
+         row_number() OVER wo AS k,
+         count(*) OVER wa AS n,
+         sum(r2) OVER wc AS s2,
+         sum(y) OVER wc AS sy
+  FROM r
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY t, turn_idx),
+         wc AS (PARTITION BY conv_id ORDER BY t, turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY conv_id ORDER BY t, turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+c AS (
+  SELECT *, last_value(sy) OVER (
+           PARTITION BY conv_id ORDER BY t, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS sy_tot
+  FROM c0
+),
+u AS (
+  SELECT conv_id, t, k, n, sy, sy_tot,
+         abs(s2 - k * (n + 1)) AS absu,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY abs(s2 - k * (n + 1)) DESC,
+                                     k ASC) AS rn
+  FROM c WHERE k < n
+)
+SELECT conv_id,
+       cast(n AS bigint) AS n,
+       cast(k AS bigint) AS k_change,
+       round(t, 6) + 0.0 AS t_change,
+       cast(absu AS bigint) AS K,
+       round(least(1.0, 2.0 * exp(-6.0 * cast(absu AS double)
+                                  * cast(absu AS double)
+                                  / (cast(n AS double) * n * n
+                                     + cast(n AS double) * n))),
+             6) + 0.0 AS p_approx,
+       round((sy_tot - sy) / (cast(n AS double) - k)
+             - sy / cast(k AS double), 6) + 0.0 AS delta_mean
+FROM u WHERE rn = 1
+"""
+
+
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per conversation (max_points=64):
+    median of pairwise slopes after deterministic systematic thinning,
+    intercept through the coordinate medians. Thinning is integer
+    row-number arithmetic, each slope one exact double expression, and
+    the median the interpolation both engines share (percentile ↔
+    quantile_cont, ts_quantiles_1d precedent). Bounded self-equi-join
+    on conv_id — no cartesian. Full-value oracle replays thinning,
+    pairing, and both medians verbatim."""
+    from cesium_spark.operators.seriesstats import theil_sen
+    out = theil_sen(_value_series(spark, sf_dir), max_points=64)
+    return out.select(
+        "conv_id", "n", "n_used", "capped", "n_pairs",
+        _r(F.col("slope"), 9).alias("slope"),
+        _r(F.col("intercept")).alias("intercept"))
+
+
+SQL_TS_THEIL_SEN = f"""{_VALUE_SERIES_SQL}
+, b AS (
+  SELECT conv_id, t, y,
+         row_number() OVER wo AS k,
+         count(*) OVER wa AS n
+  FROM series WHERE t IS NOT NULL AND y IS NOT NULL
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY t, turn_idx),
+         wa AS (PARTITION BY conv_id ORDER BY t, turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+kept AS (
+  SELECT * FROM b
+  WHERE (k - 1) % ceil(cast(n AS double) / 64.0) = 0
+),
+med AS (
+  SELECT conv_id, max(n) AS n, count(*) AS n_used,
+         quantile_cont(t, 0.5) AS med_t,
+         quantile_cont(y, 0.5) AS med_y
+  FROM kept GROUP BY conv_id
+),
+sl AS (
+  SELECT a.conv_id,
+         count(*) AS n_pairs,
+         quantile_cont((b2.y - a.y) / (b2.t - a.t), 0.5) AS slope
+  FROM kept a JOIN kept b2
+    ON a.conv_id = b2.conv_id AND b2.k > a.k AND b2.t > a.t
+  GROUP BY a.conv_id
+)
+SELECT m.conv_id,
+       cast(m.n AS bigint) AS n,
+       cast(m.n_used AS bigint) AS n_used,
+       m.n > 64 AS capped,
+       cast(coalesce(s.n_pairs, 0) AS bigint) AS n_pairs,
+       round(s.slope, 9) + 0.0 AS slope,
+       round(m.med_y - s.slope * m.med_t, 6) + 0.0 AS intercept
+FROM med m LEFT JOIN sl s ON m.conv_id = s.conv_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -5841,6 +5970,8 @@ QUERIES = {
     "ts_ks_exp": q_ts_ks_exp,
     "ts_runs": q_ts_runs,
     "ts_perm_entropy": q_ts_perm_entropy,
+    "ts_pettitt": q_ts_pettitt,
+    "ts_theil_sen": q_ts_theil_sen,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -5949,6 +6080,8 @@ ORACLE_SQL = {
     "ts_ks_exp": SQL_TS_KS_EXP,
     "ts_runs": SQL_TS_RUNS,
     "ts_perm_entropy": SQL_TS_PERM_ENTROPY,
+    "ts_pettitt": SQL_TS_PETTITT,
+    "ts_theil_sen": SQL_TS_THEIL_SEN,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

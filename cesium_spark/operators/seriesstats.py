@@ -708,3 +708,153 @@ def permutation_entropy(series: DataFrame) -> DataFrame:
         F.col("n_patterns").cast("int").alias("n_patterns"),
         h.alias("h_bits"),
         (h / F.log2(F.lit(6.0))).alias("h_norm"))
+
+
+def pettitt(series: DataFrame) -> DataFrame:
+    """Pettitt (1979) rank-based changepoint test per series: the
+    distribution-free single-shift detector — where, if anywhere, did
+    the LEVEL of the series change? CUSUM (``cusum``) needs a known
+    in-control mean and threshold; Pettitt needs nothing: it maximizes
+    the Mann–Whitney statistic over every split point, so a latency
+    regression mid-conversation surfaces with a p-value and a location
+    without any tuning.
+
+    Statistic (midrank form): with midranks rᵢ over y (average of the
+    tied min/max ranks), Uₖ = 2·Σᵢ≤ₖ rᵢ − k(n+1) equals the double sum
+    Σᵢ≤ₖ Σⱼ>ₖ sign(yᵢ − yⱼ) — ties contribute 0 via the midrank,
+    which is why the O(n) rank identity holds (pinned against the
+    O(n²) brute force in pytest). K = max ₖ₌₁..ₙ₋₁ |Uₖ|; the asymptotic
+    p-value is min(1, 2·exp(−6K²/(n³+n²))) (Pettitt's approximation).
+
+    Exactness: 2rᵢ = 2·rank + (ties−1) is an INTEGER (bigint), so
+    every Uₖ and K is exact integer arithmetic — the argmax cannot
+    flip between engines; ties on |Uₖ| break to the EARLIEST k.
+    The p-value and the mean shift are one closed form of exact
+    integers / an order-identical cumulative double sum.
+
+    Output: one row per conv with n, k_change (1-based count of
+    pre-change rows), t_change (t of the last pre-change row), K
+    (max |U|), p_approx, and delta_mean (mean after − mean before,
+    from the SAME cumulative sum, so both engines add in time order).
+    Conversations with n < 2 have no admissible split and drop out
+    (``permutation_entropy`` precedent).
+
+    Scale shape: value-rank windows (rank + a RANGE(0,0) tie count,
+    both partitioned on conv_id ONLY — the tie count deliberately
+    avoids a (conv_id, y) partition key, which would add a second
+    exchange), time-cumulative windows on the same key, one
+    row_number argmax filter → ONE hash exchange, no join, no UDF.
+    """
+    wv = Window.partitionBy("conv_id").orderBy("y")
+    # count of rows tied with this one: RANGE frame (0,0) on the value
+    # ordering keeps the partition key conv_id (no extra exchange)
+    wties = wv.rangeBetween(0, 0)
+    wo = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = wo.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    base = (series
+            .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+            .select("conv_id", "turn_idx", "t", "y",
+                    # 2*midrank as exact bigint
+                    (F.lit(2) * F.rank().over(wv)
+                     + F.count(F.lit(1)).over(wties) - F.lit(1))
+                    .cast("long").alias("__r2")))
+    stat = (
+        base
+        .withColumn("__k", F.row_number().over(wo).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn("__s2", F.sum("__r2").over(wcum))
+        .withColumn("__sy", F.sum("y").over(wcum))
+        .withColumn("__sy_tot", F.last("__sy").over(wall)))
+    u = F.col("__s2") - F.col("__k") * (F.col("n") + 1)
+    cand = (stat
+            .where(F.col("__k") < F.col("n"))  # split leaves both sides
+            .withColumn("__absu", F.abs(u))
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy("conv_id")
+                .orderBy(F.col("__absu").desc(), F.col("__k").asc())))
+            .where(F.col("__rn") == 1))
+    k = F.col("__k").cast("double")
+    n = F.col("n").cast("double")
+    kk = F.col("__absu").cast("double")
+    p = F.least(F.lit(1.0),
+                F.lit(2.0) * F.exp(F.lit(-6.0) * kk * kk
+                                   / (n * n * n + n * n)))
+    delta = ((F.col("__sy_tot") - F.col("__sy")) / (n - k)
+             - F.col("__sy") / k)
+    return cand.select(
+        "conv_id", "n",
+        F.col("__k").alias("k_change"),
+        F.col("t").alias("t_change"),
+        F.col("__absu").alias("K"),
+        p.alias("p_approx"),
+        delta.alias("delta_mean"))
+
+
+def theil_sen(series: DataFrame, max_points: int = 128) -> DataFrame:
+    """Theil–Sen robust trend per series: slope = median of all
+    pairwise slopes (yⱼ−yᵢ)/(tⱼ−tᵢ), intercept = median(y) −
+    slope·median(t) — the classic outlier-proof trend line (breakdown
+    point ~29%, vs 0% for OLS: ONE spiked turn can swing ``regr_slope``
+    arbitrarily; pytest plants exactly that).
+
+    The estimator is inherently O(n²) pairs. At transcript scale that
+    is bounded the same way ``all_times_nhist`` is: series longer than
+    ``max_points`` are DETERMINISTICALLY thinned first — every s-th
+    point in time order with stride s = ⌈n/max_points⌉ (systematic
+    sampling preserves the trend structure; ``capped`` flags thinned
+    rows so downstream knows the estimate is over a subsample).
+    Pairs with tᵢ = tⱼ carry no slope information and are dropped
+    (strict tⱼ > tᵢ).
+
+    Exactness: thinning is integer row-number arithmetic; each pair
+    slope is one exact double expression; the median is the linear
+    interpolation both engines define identically (``percentile`` ↔
+    ``quantile_cont``, the ts_quantiles_1d precedent). Conversations
+    with no admissible pair keep their row with NULL slope.
+
+    Scale shape: one window pass (conv_id) → thin → self-equi-join on
+    conv_id (≤ max_points² pairs per conv, bounded by construction) →
+    one aggregate on conv_id → one-row-per-conv join of two tiny
+    aggregates. Every exchange is on conv_id; no cartesian, no UDF.
+    """
+    if not (2 <= max_points <= 4096):
+        raise ValueError(f"max_points must be in [2, 4096], got "
+                         f"{max_points}")
+    wo = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    wall = wo.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    base = (series
+            .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+            .withColumn("__k", F.row_number().over(wo).cast("long"))
+            .withColumn("__n", F.count(F.lit(1)).over(wall)
+                        .cast("long")))
+    stride = F.ceil(F.col("__n") / F.lit(float(max_points)))
+    kept = base.where(((F.col("__k") - 1) % stride) == 0)
+    med = kept.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_used"),
+        F.percentile("t", F.lit(0.5)).alias("__med_t"),
+        F.percentile("y", F.lit(0.5)).alias("__med_y"))
+    a = kept.select("conv_id", F.col("__k").alias("__ka"),
+                    F.col("t").alias("__ta"), F.col("y").alias("__ya"))
+    b = kept.select("conv_id", F.col("__k").alias("__kb"),
+                    F.col("t").alias("__tb"), F.col("y").alias("__yb"))
+    pairs = (a.join(b, "conv_id")
+             .where((F.col("__kb") > F.col("__ka"))
+                    & (F.col("__tb") > F.col("__ta"))))
+    slope_expr = ((F.col("__yb") - F.col("__ya"))
+                  / (F.col("__tb") - F.col("__ta")))
+    slopes = pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(slope_expr, F.lit(0.5)).alias("slope"))
+    out = med.join(slopes, "conv_id", "left")
+    return out.select(
+        "conv_id", "n", "n_used",
+        (F.col("n") > F.lit(max_points)).alias("capped"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+        .alias("n_pairs"),
+        F.col("slope"),
+        (F.col("__med_y") - F.col("slope") * F.col("__med_t"))
+        .alias("intercept"))

@@ -1,0 +1,175 @@
+"""Round-4 session-10 operators: Pettitt rank changepoint test and
+Theil–Sen robust trend."""
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cesium_spark.operators.seriesstats import pettitt, theil_sen
+
+
+def _val_series(spark, data):
+    """data: conv -> list[y] (t = index) or conv -> (ts, ys)."""
+    rows = []
+    for cid, vals in data.items():
+        if isinstance(vals, tuple):
+            ts, ys = vals
+        else:
+            ts, ys = [float(i) for i in range(len(vals))], vals
+        for i, (t, y) in enumerate(zip(ts, ys)):
+            rows.append((cid, "value", i, float(t), y))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "channel", "turn_idx",
+                                      "t", "y"])
+    return spark.createDataFrame(pdf)
+
+
+# --- pettitt ---------------------------------------------------------------
+
+def _ref_pettitt(vals):
+    """O(n²) sign double-sum brute force — the DEFINITION, not the
+    rank identity the engine uses."""
+    v = np.asarray(vals, dtype=float)
+    n = len(v)
+    best = None
+    for k in range(1, n):
+        u = int(sum(np.sign(v[i] - v[j])
+                    for i in range(k) for j in range(k, n)))
+        if best is None or abs(u) > best[0]:
+            best = (abs(u), k)
+    big_k, k = best
+    p = min(1.0, 2.0 * math.exp(-6.0 * big_k * big_k / (n ** 3 + n ** 2)))
+    dm = float(v[k:].mean() - v[:k].mean())
+    return n, k, big_k, p, dm
+
+
+def test_pettitt_matches_brute_force(spark):
+    rng = np.random.default_rng(42)
+    data = {}
+    for i in range(15):
+        m = int(rng.integers(2, 60))
+        v = rng.normal(0, 1, m)
+        if i % 2 == 0 and m > 6:
+            v[m // 2:] += 3.0          # planted level shift
+        if i % 3 == 0 and m > 4:
+            v[1] = v[0]
+            v[3] = v[2]                # planted ties
+        data[f"c{i}"] = list(v)
+    out = {r.conv_id: r for r in pettitt(_val_series(spark, data)).collect()}
+    for cid, vals in data.items():
+        n, k, big_k, p, dm = _ref_pettitt(vals)
+        g = out[cid]
+        assert (g.n, g.k_change, g.K) == (n, k, big_k), cid
+        assert g.p_approx == pytest.approx(p, abs=1e-12), cid
+        assert g.delta_mean == pytest.approx(dm, abs=1e-9), cid
+
+
+def test_pettitt_detects_planted_shift(spark):
+    rng = np.random.default_rng(7)
+    v = list(rng.normal(0, 0.1, 40)) + list(rng.normal(5, 0.1, 60))
+    out = pettitt(_val_series(spark, {"a": v})).collect()[0]
+    assert out.k_change == 40
+    assert out.p_approx < 1e-6
+    assert out.delta_mean == pytest.approx(5.0, abs=0.1)
+    # a pure-noise series should NOT reject at any sane level
+    noise = pettitt(_val_series(
+        spark, {"n": list(rng.normal(0, 1, 100))})).collect()[0]
+    assert noise.p_approx > 0.01
+
+
+def test_pettitt_constant_series_k_zero(spark):
+    out = pettitt(_val_series(spark, {"c": [2.0] * 20})).collect()[0]
+    assert out.K == 0 and out.p_approx == 1.0
+    assert out.k_change == 1  # earliest-k tiebreak over all-zero U
+
+
+def test_pettitt_short_series_drop(spark):
+    got = pettitt(_val_series(spark, {"one": [1.0],
+                                      "two": [1.0, 5.0]})).collect()
+    by = {r.conv_id: r for r in got}
+    assert "one" not in by            # no admissible split
+    assert by["two"].k_change == 1 and by["two"].K == 1
+
+
+def test_pettitt_one_exchange_plan(spark):
+    df = pettitt(_val_series(spark, {"a": [1.0, 3.0, 2.0]}))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+# --- theil-sen ---------------------------------------------------------------
+
+def _ref_theil_sen(ts, ys):
+    sl = [(ys[j] - ys[i]) / (ts[j] - ts[i])
+          for i in range(len(ts)) for j in range(i + 1, len(ts))
+          if ts[j] > ts[i]]
+    if not sl:
+        return None, None, 0
+    s = float(np.median(sl))
+    return s, float(np.median(ys)) - s * float(np.median(ts)), len(sl)
+
+
+def test_theil_sen_matches_reference_uncapped(spark):
+    rng = np.random.default_rng(11)
+    data = {}
+    for i in range(10):
+        m = int(rng.integers(2, 50))
+        t = np.sort(rng.uniform(0, 100, m))
+        y = 0.7 * t + rng.normal(0, 1, m)
+        if i == 1 and m > 2:
+            t[1] = t[0]                # duplicate timestamp pair dropped
+        data[f"c{i}"] = (list(t), list(y))
+    out = {r.conv_id: r for r in
+           theil_sen(_val_series(spark, data), max_points=128).collect()}
+    for cid, (ts, ys) in data.items():
+        s, b, npairs = _ref_theil_sen(ts, ys)
+        g = out[cid]
+        assert g.capped is False and g.n_pairs == npairs, cid
+        if s is None:
+            assert g.slope is None
+        else:
+            assert g.slope == pytest.approx(s, rel=1e-12), cid
+            assert g.intercept == pytest.approx(b, rel=1e-9), cid
+
+
+def test_theil_sen_outlier_robust_where_ols_breaks(spark):
+    rng = np.random.default_rng(5)
+    t = np.arange(60.0)
+    y = 2.0 * t + rng.normal(0, 0.5, 60)
+    y[10] = 1e7                        # single spiked turn
+    out = theil_sen(_val_series(spark, {"a": (list(t), list(y))}),
+                    max_points=128).collect()[0]
+    assert out.slope == pytest.approx(2.0, abs=0.05)
+    ols = np.polyfit(t, y, 1)[0]       # OLS is destroyed by the spike
+    assert abs(ols - 2.0) > 100
+
+
+def test_theil_sen_thinning_cap(spark):
+    rng = np.random.default_rng(9)
+    m = 300
+    t = np.arange(float(m))
+    y = -1.5 * t + rng.normal(0, 1, m)
+    out = theil_sen(_val_series(spark, {"a": (list(t), list(y))}),
+                    max_points=64).collect()[0]
+    assert out.capped is True and out.n == m
+    assert out.n_used <= 64
+    assert out.n_pairs == out.n_used * (out.n_used - 1) // 2
+    assert out.slope == pytest.approx(-1.5, abs=0.05)
+    # thinning is deterministic: stride arithmetic, same result again
+    out2 = theil_sen(_val_series(spark, {"a": (list(t), list(y))}),
+                     max_points=64).collect()[0]
+    assert out2.slope == out.slope and out2.n_used == out.n_used
+
+
+def test_theil_sen_all_equal_times_null_slope(spark):
+    out = theil_sen(_val_series(
+        spark, {"a": ([3.0, 3.0, 3.0], [1.0, 2.0, 5.0])})).collect()[0]
+    assert out.n_pairs == 0 and out.slope is None and out.intercept is None
+
+
+def test_theil_sen_validation(spark):
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen(_val_series(spark, {"a": [1.0, 2.0]}), max_points=1)
