@@ -5896,6 +5896,130 @@ FROM med m LEFT JOIN sl s ON m.conv_id = s.conv_id
 """
 
 
+def _pq_cb() -> list:
+    from cesium_spark.operators._pq_trained import TRAINED_CODEBOOKS
+    return TRAINED_CODEBOOKS
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the whole corpus under the frozen trained
+    codebooks (m=8, ksub=16): per-subspace nearest-codeword indices +
+    the packed 32-bit-in-bigint code. Every codeword distance is the
+    same fixed-order exact double expression in both engines and
+    argmin is first-match, so the codes admit a FULL-VALUE oracle (the
+    numpy-BLAS IVF assignment cannot; stated in pq.py). Zero shuffle:
+    the encoding is one projection over the scan."""
+    from cesium_spark.operators import pq
+    embs = _read(spark, sf_dir, "embeddings")
+    out = pq.pq_encode(embs, _pq_cb())
+    return out.select("vec_id", *[f"code_{i}" for i in range(8)],
+                      "pq_code")
+
+
+def _pq_sql_parts() -> tuple[str, str]:
+    """Shared oracle snippets: (element CTE 'e', code CTE chain
+    'dl, codes') replaying pq.pq_code_cols verbatim — same term
+    order, same first-match argmin, same packing."""
+    import numpy as np
+    cb = np.asarray(_pq_cb(), dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    e_cols = ",\n         ".join(
+        f"cast(embedding[{j + 1}] AS double) AS e{j + 1}"
+        for j in range(m * dsub))
+    e_cte = (f"e AS (\n  SELECT vec_id,\n         {e_cols}\n"
+             f"  FROM embeddings WHERE embedding IS NOT NULL\n)")
+    dl_cols = []
+    for i in range(m):
+        dists = []
+        for kk in range(ksub):
+            terms = " + ".join(
+                f"(e{i * dsub + j + 1} - {float(cb[i, kk, j])!r}) * "
+                f"(e{i * dsub + j + 1} - {float(cb[i, kk, j])!r})"
+                for j in range(dsub))
+            dists.append(terms)
+        dl_cols.append("[" + ",\n          ".join(dists)
+                       + f"] AS dl_{i}")
+    dl_cte = ("dl AS (\n  SELECT vec_id,\n         "
+              + ",\n         ".join(dl_cols) + "\n  FROM e\n)")
+    code_exprs = ",\n         ".join(
+        f"cast(list_position(dl_{i}, list_min(dl_{i})) - 1 AS int) "
+        f"AS code_{i}" for i in range(m))
+    pack = " + ".join(f"cast(code_{i} AS bigint) * {1 << (4 * i)}"
+                      for i in range(m))
+    codes_cte = (f"codes AS (\n  SELECT vec_id,\n         {code_exprs}"
+                 f"\n  FROM dl\n),\npacked AS (\n  SELECT *, {pack} "
+                 f"AS pq_code FROM codes\n)")
+    return e_cte, dl_cte + ",\n" + codes_cte
+
+
+def _pq_codes_sql() -> str:
+    e_cte, codes = _pq_sql_parts()
+    cols = ", ".join(f"code_{i}" for i in range(8))
+    return (f"WITH {e_cte},\n{codes}\n"
+            f"SELECT vec_id, {cols}, pq_code FROM packed")
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 around the vec_id=0 query under the frozen PQ
+    codebooks: per-subspace lookup tables + TakeOrdered, then an exact
+    squared-distance re-score of only the winners. LUT entries and the
+    ADC sum are the same fixed-order arithmetic in both engines (the
+    LUT is built from the query vector with sequential accumulation,
+    replayed term-by-term in SQL), so adc, the ranking, and exact_sq
+    are all full-value comparable."""
+    from cesium_spark.operators import pq
+    embs = _read(spark, sf_dir, "embeddings")
+    qrow = embs.where(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in qrow[0]]
+    out = pq.pq_adc_topk(embs, q, _pq_cb(), k=10)
+    return out.select("vec_id", "pq_code",
+                      _r(F.col("adc")).alias("adc"),
+                      _r(F.col("exact_sq")).alias("exact_sq"))
+
+
+def _pq_topk_sql() -> str:
+    import numpy as np
+    cb = np.asarray(_pq_cb(), dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    e_cte, codes = _pq_sql_parts()
+    lut_cols = []
+    for i in range(m):
+        entries = []
+        for kk in range(ksub):
+            terms = " + ".join(
+                f"(qe{i * dsub + j + 1} - {float(cb[i, kk, j])!r}) * "
+                f"(qe{i * dsub + j + 1} - {float(cb[i, kk, j])!r})"
+                for j in range(dsub))
+            entries.append(terms)
+        lut_cols.append("[" + ",\n          ".join(entries)
+                        + f"] AS lut_{i}")
+    q_cols = ",\n         ".join(
+        f"cast(embedding[{j + 1}] AS double) AS qe{j + 1}"
+        for j in range(m * dsub))
+    q_cte = (f"q AS (\n  SELECT {q_cols}\n  FROM embeddings "
+             f"WHERE vec_id = 0\n),\nlut AS (\n  SELECT "
+             + ",\n         ".join(lut_cols) + "\n  FROM q\n)")
+    adc = " + ".join(f"lut_{i}[code_{i} + 1]" for i in range(m))
+    exact = " + ".join(
+        f"(e{j + 1} - qe{j + 1}) * (e{j + 1} - qe{j + 1})"
+        for j in range(m * dsub))
+    return f"""WITH {e_cte},
+{codes},
+{q_cte},
+adc AS (
+  SELECT p.vec_id, p.pq_code, {adc} AS adc
+  FROM packed p CROSS JOIN lut
+),
+top AS (
+  SELECT * FROM adc ORDER BY adc, vec_id LIMIT 10
+)
+SELECT t.vec_id, t.pq_code,
+       round(t.adc, 6) + 0.0 AS adc,
+       round({exact}, 6) + 0.0 AS exact_sq
+FROM top t JOIN e ON t.vec_id = e.vec_id CROSS JOIN q
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -5972,6 +6096,8 @@ QUERIES = {
     "ts_perm_entropy": q_ts_perm_entropy,
     "ts_pettitt": q_ts_pettitt,
     "ts_theil_sen": q_ts_theil_sen,
+    "emb_pq_codes": q_emb_pq_codes,
+    "emb_pq_topk": q_emb_pq_topk,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6082,6 +6208,8 @@ ORACLE_SQL = {
     "ts_perm_entropy": SQL_TS_PERM_ENTROPY,
     "ts_pettitt": SQL_TS_PETTITT,
     "ts_theil_sen": SQL_TS_THEIL_SEN,
+    "emb_pq_codes": _pq_codes_sql(),
+    "emb_pq_topk": _pq_topk_sql(),
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,
