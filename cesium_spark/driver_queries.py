@@ -6020,6 +6020,77 @@ FROM top t JOIN e ON t.vec_id = e.vec_id CROSS JOIN q
 """
 
 
+def q_doc_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection over a deterministically corrupted
+    copy of the corpus (the synthetic documents are clean, so the
+    query plants the three real failure modes in-query: doc_id%7==0
+    gets every 'e' double-encoded to 'Ã©', %7==1 gets a U+FFFD pair a
+    failed decoder left behind, %7==2 gets cp1252 smart-quote damage
+    'â€™' for every 't', %7==3 gets a C1 control byte; the rest stay
+    clean). Counts are integer regexp arithmetic over literal char
+    classes (Java/RE2 parity probed); the oracle replays corruption
+    and detection with chr()-built literals."""
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    mod = F.col("doc_id") % 7
+    corrupted = docs.select(
+        "doc_id",
+        F.when(mod == 0, F.replace(t, F.lit("e"),
+                                   F.lit("Ã©")))
+        .when(mod == 1, F.concat(t, F.lit("��")))
+        .when(mod == 2, F.replace(t, F.lit("t"),
+                                  F.lit("â€™")))
+        .when(mod == 3, F.concat(t, F.lit("\x85")))
+        .otherwise(t).alias("text"))
+    out = textstats.mojibake_stats(corrupted)
+    return out.select(
+        "doc_id", "n_chars", "n_replacement", "n_double_utf8", "n_c1",
+        _r(F.col("mojibake_per_kchar")).alias("mojibake_per_kchar"),
+        "is_damaged")
+
+
+SQL_DOC_MOJIBAKE = r"""
+WITH c AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0
+             THEN replace(text, 'e', chr(195) || chr(169))
+           WHEN doc_id % 7 = 1
+             THEN text || chr(65533) || chr(65533)
+           WHEN doc_id % 7 = 2
+             THEN replace(text, 't', chr(226) || chr(8364) || chr(8217))
+           WHEN doc_id % 7 = 3 THEN text || chr(133)
+           ELSE text
+         END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         cast(length(text) AS bigint) AS n_chars,
+         cast(len(regexp_extract_all(text, '\x{fffd}', 0)) AS bigint)
+           AS n_replacement,
+         cast(len(regexp_extract_all(text, '\x{c3}[\x{80}-\x{ff}]', 0))
+              + len(regexp_extract_all(text, '\x{e2}\x{20ac}', 0))
+              AS bigint) AS n_double_utf8,
+         cast(len(regexp_extract_all(text, '[\x{80}-\x{9f}]', 0))
+              AS bigint) AS n_c1
+  FROM c
+)
+SELECT doc_id, n_chars, n_replacement, n_double_utf8, n_c1,
+       CASE WHEN n_chars > 0 THEN
+         round(1000.0 * cast(3 * n_replacement + n_double_utf8 + n_c1
+                             AS double)
+               / cast(n_chars AS double), 6) + 0.0
+       END AS mojibake_per_kchar,
+       CASE WHEN n_chars > 0 THEN
+         1000.0 * cast(3 * n_replacement + n_double_utf8 + n_c1
+                       AS double) / cast(n_chars AS double) > 1.0
+       END AS is_damaged
+FROM s
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6098,6 +6169,7 @@ QUERIES = {
     "ts_theil_sen": q_ts_theil_sen,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
+    "doc_mojibake": q_doc_mojibake,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6210,6 +6282,7 @@ ORACLE_SQL = {
     "ts_theil_sen": SQL_TS_THEIL_SEN,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),
+    "doc_mojibake": SQL_DOC_MOJIBAKE,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,
