@@ -6091,6 +6091,43 @@ FROM s
 """
 
 
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-corpus health: n/mean/var_pop/min/max
+    + collapsed flag per dim (64 rows). Map-side partials collapse
+    the shuffle to dim-sized rows. Moments are order-dependent at
+    1e-15 so both sides land on the 6-dp grid; the collapsed compare
+    runs on the ROUNDED variance so the boundary is engine-stable."""
+    from cesium_spark.operators.similarity import embedding_dim_stats
+    embs = _read(spark, sf_dir, "embeddings")
+    out = embedding_dim_stats(embs)
+    return out.select(
+        "dim", "n_vecs",
+        _r(F.col("mean")).alias("mean"),
+        _r(F.col("variance")).alias("variance"),
+        _r(F.col("min_val")).alias("min_val"),
+        _r(F.col("max_val")).alias("max_val"),
+        (_r(F.col("variance")) < F.lit(1e-6)).alias("collapsed"))
+
+
+SQL_EMB_DIM_STATS = """
+WITH x AS (
+  SELECT u.val, u.pos
+  FROM embeddings e,
+       LATERAL (SELECT cast(unnest(e.embedding) AS double) AS val,
+                       generate_subscripts(e.embedding, 1) AS pos) u
+  WHERE e.embedding IS NOT NULL
+)
+SELECT cast(pos AS int) AS dim,
+       cast(count(*) AS bigint) AS n_vecs,
+       round(avg(val), 6) + 0.0 AS mean,
+       round(var_pop(val), 6) + 0.0 AS variance,
+       round(min(val), 6) + 0.0 AS min_val,
+       round(max(val), 6) + 0.0 AS max_val,
+       round(var_pop(val), 6) + 0.0 < 1e-6 AS collapsed
+FROM x GROUP BY pos
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6170,6 +6207,7 @@ QUERIES = {
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
     "doc_mojibake": q_doc_mojibake,
+    "emb_dim_stats": q_emb_dim_stats,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6283,6 +6321,7 @@ ORACLE_SQL = {
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),
     "doc_mojibake": SQL_DOC_MOJIBAKE,
+    "emb_dim_stats": SQL_EMB_DIM_STATS,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

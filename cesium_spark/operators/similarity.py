@@ -306,3 +306,44 @@ def random_projection(embs: DataFrame, dim: int, out_dim: int,
             F.lit(0.0), lambda acc, x: acc + x)
         cols.append((dot * F.lit(scale)).alias(f"p{j}"))
     return embs.select(F.col(id_col), *cols)
+
+
+def embedding_dim_stats(embs: DataFrame, collapsed_var: float = 1e-6,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus health of an embedding column: n, mean,
+    population variance, min/max, and a ``collapsed`` flag (variance
+    below ``collapsed_var``) — the diagnostic that catches dead or
+    saturated dimensions (a truncated export, an all-zero tail after a
+    model change, anisotropic collapse) BEFORE they silently break
+    every cosine downstream: a collapsed dimension contributes nothing
+    to any distance, and a dominant one swamps the rest.
+
+    Scale shape: posexplode → groupBy(dim). The map-side partial
+    aggregation collapses every scan partition to (dim) rows before
+    the exchange, so the shuffle carries dim × n_partitions tiny rows
+    — NOT the corpus; the output is dim rows regardless of corpus
+    size. NULL vectors are dropped up front; dims are reported
+    1-based (the SQL subscript convention).
+
+    Float note: mean/var_pop are order-dependent at the 1e-15 level
+    (partition-order summation); consumers should compare on a grid
+    (the driver query rounds at 6 dp), unlike the integer-exact
+    operators in this family.
+    """
+    exploded = (embs
+                .where(F.col(vec_col).isNotNull())
+                .select(F.posexplode(
+                    F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")))
+                    .alias("pos", "val")))
+    agg = exploded.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("val").alias("mean"),
+        F.var_pop("val").alias("variance"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"))
+    return agg.select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "mean", "variance", "min_val", "max_val",
+        (F.col("variance") < F.lit(collapsed_var)).alias("collapsed"))

@@ -144,3 +144,42 @@ def test_frozen_artifact_pin(spark):
     recon = np.concatenate([cb[i][codes[:, i]] for i in range(8)], axis=1)
     mse = ((X - recon) ** 2).sum(axis=1).mean()
     assert mse < 0.75 * (X ** 2).sum(axis=1).mean()
+
+
+# --- embedding_dim_stats (embedding-corpus health) ---------------------------
+
+def test_dim_stats_detects_collapsed_dim(spark):
+    from cesium_spark.operators.similarity import embedding_dim_stats
+    rng = np.random.default_rng(2)
+    X = rng.normal(0, 1, (60, 8))
+    X[:, 3] = 0.25            # dead dimension (constant)
+    out = {r.dim: r for r in
+           embedding_dim_stats(_embs(spark, X)).collect()}
+    assert len(out) == 8
+    assert out[4].collapsed is True and out[4].variance == 0.0
+    assert out[4].mean == pytest.approx(0.25, abs=1e-6)
+    for d in (1, 2, 5):
+        assert out[d].collapsed is False
+        ref = X[:, d - 1].astype(np.float32).astype(np.float64)
+        assert out[d].mean == pytest.approx(ref.mean(), abs=1e-9)
+        assert out[d].variance == pytest.approx(ref.var(), rel=1e-9)
+        assert out[d].n_vecs == 60
+
+
+def test_dim_stats_null_vectors_dropped(spark):
+    from cesium_spark.operators.similarity import embedding_dim_stats
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 2.0], None, [3.0, 4.0]]}))
+    out = {r.dim: r for r in embedding_dim_stats(df).collect()}
+    assert out[1].n_vecs == 2 and out[1].min_val == 1.0
+    assert out[2].max_val == 4.0
+
+
+def test_dim_stats_shuffle_carries_dims_not_corpus(spark):
+    from cesium_spark.operators.similarity import embedding_dim_stats
+    rng = np.random.default_rng(1)
+    df = embedding_dim_stats(_embs(spark, rng.normal(0, 1, (40, 4))))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial aggregate BEFORE the exchange (map-side combine)
+    assert plan.index("HashAggregate") < plan.index("Exchange"), plan
