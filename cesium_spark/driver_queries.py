@@ -6128,6 +6128,79 @@ FROM x GROUP BY pos
 """
 
 
+def q_ts_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment under the driver gate: the
+    value series replays through readStream (availableNow), each event
+    is broadcast-joined to its STATIC customer dimension row (user_id
+    = c_custkey — stateless, no state store), and a watermarked 1h
+    window counts per market segment finalize in append mode. Same
+    non-round 7000 s cutoff as ts_stream_moments so the <=/< edge
+    cannot bite. The oracle replays join + window + cutoff in batch
+    SQL; sums are 4-dp (order-dependent), counts exact."""
+    import os
+    import tempfile
+
+    from cesium_spark.sources.table_io import TableIO
+    from cesium_spark.streaming.window_delta import (
+        stream_enriched_counts,
+    )
+
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="cesium_spark_enrich_")
+    os.makedirs(f"{base}/src")
+    s = _value_series(spark, sf_dir).withColumn(
+        "user_id", F.col("conv_id").cast("bigint"))
+    s.coalesce(1).write.mode("append").parquet(f"{base}/src")
+    schema = ("conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double, e double, "
+              "user_id bigint")
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src")
+    dim = (_read(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   "c_mktsegment"))
+    out_stream = stream_enriched_counts(
+        stream, dim, on="user_id", attr="c_mktsegment",
+        tier="1h", watermark="7000 seconds")
+    io = TableIO(spark, f"{base}/tables")
+    q = (out_stream.writeStream.outputMode("append")
+         .option("checkpointLocation", f"{base}/ckpt")
+         .format("parquet").option("path", io.path("stream_enrich"))
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ts_stream_enrich: availableNow stream did not finish "
+            "within 300s")
+    out = io.read("stream_enrich")
+    return out.select(
+        "c_mktsegment",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        _r0(F.round(F.col("y_sum"), 4)).alias("y_sum"),
+        _r(F.col("y_min")).alias("y_min"),
+        _r(F.col("y_max")).alias("y_max"))
+
+
+SQL_TS_STREAM_ENRICH = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+e AS (
+  SELECT c.c_mktsegment,
+         date_trunc('hour', ev.ts) AS ws,
+         ev.value
+  FROM events ev JOIN customer c ON ev.user_id = c.c_custkey
+)
+SELECT c_mktsegment,
+       strftime(ws, '{DUCK_TS_FMT}') AS window_start,
+       count(*) AS n,
+       round(sum(value), 4) + 0.0 AS y_sum,
+       round(min(value), 6) + 0.0 AS y_min,
+       round(max(value), 6) + 0.0 AS y_max
+FROM e, mx
+GROUP BY c_mktsegment, ws, mx.m
+HAVING ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 7000 SECONDS
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6208,6 +6281,7 @@ QUERIES = {
     "emb_pq_topk": q_emb_pq_topk,
     "doc_mojibake": q_doc_mojibake,
     "emb_dim_stats": q_emb_dim_stats,
+    "ts_stream_enrich": q_ts_stream_enrich,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6322,6 +6396,7 @@ ORACLE_SQL = {
     "emb_pq_topk": _pq_topk_sql(),
     "doc_mojibake": SQL_DOC_MOJIBAKE,
     "emb_dim_stats": SQL_EMB_DIM_STATS,
+    "ts_stream_enrich": SQL_TS_STREAM_ENRICH,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

@@ -218,3 +218,53 @@ def stream_sliding_moments(series_stream: DataFrame,
                 F.col("window.end").alias("window_end"),
                 "n", "y_min", "y_max", "y_sum")
     )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         on: list[str] | str,
+                         broadcast: bool = True) -> DataFrame:
+    """Stream-static equi-join: enrich every streaming event with its
+    static dimension row — the third join shape next to stream-stream
+    (:func:`stream_interval_join`) and batch broadcast joins. The join
+    is STATELESS: Spark re-plans the static side per micro-batch, no
+    state store, no watermark needed for the join itself (only a
+    downstream windowed agg needs one), and late data cannot change a
+    dimension match. ``broadcast=True`` (the default, and the right
+    call for any dimension that fits in executor memory) hash-joins
+    map-side in every micro-batch — zero shuffle added to the stream;
+    at 100 TB/day the alternative (shuffling the stream on the join
+    key per micro-batch) is strictly worse for any dim under ~1 GB.
+
+    Inner join: events with no dimension row are DROPPED — use an
+    explicit outer join upstream if unmatched events must survive
+    (dropping silently inside an enrichment operator would be a data
+    loss foot-gun, so the semantics are stated here).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on=keys, how="inner")
+
+
+def stream_enriched_counts(stream: DataFrame, dim: DataFrame,
+                           on: str, attr: str,
+                           tier: str = "1h",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Windowed per-dimension-attribute rollup of an enriched stream:
+    broadcast-enrich, then count/sum per (attr, window) under the
+    usual append-mode watermark finalization. The aggregation keys
+    shrink the stream to |attr| × windows rows — the state store
+    holds attribute-level, not conversation-level, state."""
+    if tier not in _TIER_DURATION:
+        raise ValueError(f"unknown tier {tier!r}; expected one of "
+                         f"{list(_TIER_DURATION)}")
+    enriched = stream_static_enrich(stream, dim, on)
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.col(attr), F.window("ts", _TIER_DURATION[tier]))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("y").alias("y_sum"),
+             F.min("y").alias("y_min"),
+             F.max("y").alias("y_max"))
+        .select(F.col(attr),
+                F.col("window.start").alias("window_start"),
+                "n", "y_sum", "y_min", "y_max"))

@@ -509,3 +509,58 @@ def test_stream_join_validation(spark, tmp_path):
                                "conv_id string, ts timestamp")
     with pytest.raises(ValueError, match="distinct"):
         stream_interval_join(df, df, turn_ts="ts", alert_ts="ts")
+
+
+def test_stream_static_enrich_equals_batch_and_broadcasts(spark, tmp_path):
+    """Enriched windowed counts from the stream equal the batch
+    groupBy over join; the static side is a BroadcastExchange (no
+    stream-side shuffle added by the join); unmatched events drop."""
+    from cesium_spark.streaming.window_delta import (
+        stream_enriched_counts,
+        stream_static_enrich,
+    )
+
+    pdf = _series_pdf(0, 300)
+    pdf["user_id"] = (np.arange(300) % 7).astype(np.int64)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(pd.DataFrame({
+        "user_id": np.arange(5, dtype=np.int64),   # ids 5,6 unmatched
+        "segment": ["s%d" % (i % 2) for i in range(5)]}))
+
+    stream = spark.readStream.schema(
+        SERIES_SCHEMA + ", user_id bigint").parquet(src)
+    q = (stream_enriched_counts(stream, dim, on="user_id",
+                                attr="segment", tier="1h",
+                                watermark="1 hour")
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .format("parquet").option("path", str(tmp_path / "out"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = (spark.read.parquet(str(tmp_path / "out"))
+           .orderBy("segment", "window_start").toPandas())
+
+    batch = spark.createDataFrame(pdf)
+    cutoff = pdf.ts.max() - pd.Timedelta(hours=1)
+    exp = (batch.join(dim, "user_id")
+           .groupBy("segment", F.window("ts", "1 hour"))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("y_sum"),
+                F.min("y").alias("y_min"), F.max("y").alias("y_max"))
+           .select("segment", F.col("window.start").alias("window_start"),
+                   "n", "y_sum", "y_min", "y_max")
+           .where(F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+                  <= F.lit(cutoff))
+           .orderBy("segment", "window_start").toPandas())
+    assert len(got) == len(exp) > 0
+    assert (got.n.to_numpy() == exp.n.to_numpy()).all()
+    assert np.allclose(got.y_sum.to_numpy(), exp.y_sum.to_numpy(),
+                       atol=1e-12)
+    # unmatched user_ids (5, 6) contributed nothing: the enrich drops
+    # them (inner-join semantics, stated in the docstring)
+    enriched = stream_static_enrich(batch, dim, "user_id")
+    assert enriched.count() == int((pdf.user_id < 5).sum())
+
+    # plan shape: the static side broadcasts
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
