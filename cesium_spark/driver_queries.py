@@ -6201,6 +6201,87 @@ HAVING ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 7000 SECONDS
 """
 
 
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate line removal over a corpus with
+    planted template lines (doc_id%3==0 gains a two-line footer,
+    %3==1 a header; %97==0 gains a RARE line that must survive the
+    min_docs=20 threshold). Matching on trimmed lines, reconstruction
+    in original order, all-boilerplate docs keep an empty-text row.
+    Exact string/integer work end-to-end — the oracle full-value
+    compares the reconstructed text itself."""
+    from cesium_spark.operators.dedup import line_dedup
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 3
+    planted = docs.select(
+        "doc_id",
+        F.when(mod == 0, F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter!"
+                  "\nAll rights reserved.")))
+        .when(mod == 1, F.concat(
+            F.lit("All rights reserved.\n"), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    planted = planted.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0,
+               F.concat(F.col("text"), F.lit("\nrare footer line")))
+        .otherwise(F.col("text")).alias("text"))
+    out = line_dedup(planted, min_docs=20)
+    return out.select("doc_id", "n_lines", "n_removed", "text_clean")
+
+
+SQL_DOC_LINE_DEDUP = """
+WITH p0 AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN text || chr(10)
+                || 'Subscribe to our newsletter!' || chr(10)
+                || 'All rights reserved.'
+           WHEN doc_id % 3 = 1
+             THEN 'All rights reserved.' || chr(10) || text
+           ELSE text
+         END AS text
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0
+              THEN text || chr(10) || 'rare footer line'
+              ELSE text END AS text
+  FROM p0
+),
+l AS (
+  SELECT doc_id, u.line, u.pos
+  FROM p,
+       LATERAL (SELECT unnest(string_split(p.text, chr(10))) AS line,
+                       generate_subscripts(
+                         string_split(p.text, chr(10)), 1) AS pos) u
+),
+hot AS (
+  SELECT trim(line) AS key
+  FROM l WHERE trim(line) != ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20
+),
+kept AS (
+  SELECT * FROM l
+  WHERE trim(line) NOT IN (SELECT key FROM hot)
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id,
+       cast(len(string_split(p.text, chr(10))) AS bigint) AS n_lines,
+       cast(len(string_split(p.text, chr(10)))
+            - coalesce(r.n_kept, 0) AS bigint) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6282,6 +6363,7 @@ QUERIES = {
     "doc_mojibake": q_doc_mojibake,
     "emb_dim_stats": q_emb_dim_stats,
     "ts_stream_enrich": q_ts_stream_enrich,
+    "doc_line_dedup": q_doc_line_dedup,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6397,6 +6479,7 @@ ORACLE_SQL = {
     "doc_mojibake": SQL_DOC_MOJIBAKE,
     "emb_dim_stats": SQL_EMB_DIM_STATS,
     "ts_stream_enrich": SQL_TS_STREAM_ENRICH,
+    "doc_line_dedup": SQL_DOC_LINE_DEDUP,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

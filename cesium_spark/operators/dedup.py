@@ -708,3 +708,70 @@ def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 4,
         F.size("__doc_sh").cast("long").alias("n_shingles"),
         n_hits.cast("long").alias("n_hits"),
         (n_hits > 0).alias("contaminated"))
+
+
+def line_dedup(docs: DataFrame, min_docs: int = 50,
+               id_col: str = "doc_id", text_col: str = "text",
+               broadcast_hot: bool = True) -> DataFrame:
+    """Boilerplate LINE removal — the CCNet/C4-style cleaning pass
+    that document-level dedup cannot express: a footer ("All rights
+    reserved."), a cookie banner, or a template header repeated across
+    thousands of otherwise-unique pages survives MinHash/SimHash
+    untouched and poisons the corpus anyway. A line whose TRIMMED form
+    appears in ≥ ``min_docs`` DISTINCT documents is boilerplate;
+    every occurrence is removed and each document's remaining lines
+    are rejoined in their original order.
+
+    Semantics (each stated because a different choice changes output):
+    lines split on LF exactly (trailing empties kept by both engines);
+    matching is on the trimmed line but reconstruction keeps the
+    ORIGINAL untrimmed text; empty/whitespace-only lines are never
+    boilerplate (they'd always cross the threshold and removing them
+    destroys paragraph structure); a document whose every line is
+    boilerplate keeps its row with ``text_clean = ''`` — silently
+    dropping it would skew any downstream count.
+
+    Scale shape: posexplode(lines) → one distinct-doc count whose
+    shuffle carries DISTINCT trimmed lines (map-side partials), →
+    hot set (bounded by the threshold definition: boilerplate is, by
+    construction, few distinct strings) broadcast LEFT ANTI against
+    the exploded lines (``broadcast_hot=False`` falls back to a
+    shuffle anti-join if a pathological corpus makes the hot set
+    big), → one groupBy(doc) rebuild ordered by line position. No
+    cartesian, no UDF; everything is exact string/integer work, so
+    the driver runs a full-value oracle on the reconstructed text.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__pos", "__line"))
+    norm = F.trim(F.col("__line"))
+    hot = (lines
+           .where(norm != "")
+           .groupBy(norm.alias("__key"))
+           .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+           .where(F.col("__df") >= F.lit(min_docs))
+           .select("__key"))
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = lines.join(hot, norm == F.col("__key"), "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("__n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(
+                                F.struct("__pos", "__line"))),
+                            lambda s: s["__line"]),
+                        "\n").alias("text_clean")))
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long")
+        .alias("n_lines"))
+    out = base.join(rebuilt, id_col, "left")
+    return out.select(
+        F.col(id_col), F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long").alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"))
