@@ -6282,6 +6282,72 @@ FROM p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
 """
 
 
+def q_ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif/discord mining per conversation (k=4 words over
+    per-point letters at fixed breakpoints 15/35/70): the recurring
+    shape and the oddest subsequence, with deterministic tiebreaks
+    (word asc, earliest position). Letters come from 6-dp-gridded
+    compares; counts/positions are integers — the ranking cannot flip
+    between engines. ONE hash exchange. Full-value oracle replays
+    letters, lead-built words, counts, and both rankings verbatim."""
+    from cesium_spark.operators.downsample import sax_motifs
+    out = sax_motifs(_value_series(spark, sf_dir), k=4,
+                     breakpoints=[15.0, 35.0, 70.0], alphabet="abcd")
+    return out.select(
+        "conv_id", "n_words", "motif_word", "motif_count", "motif_pos",
+        "discord_word", "discord_count", "discord_pos")
+
+
+SQL_TS_SAX_MOTIFS = f"""{_VALUE_SERIES_SQL}
+, lt AS (
+  SELECT conv_id, t, turn_idx,
+         substr('abcd',
+                len(list_filter([CAST(15.0 AS double),
+                                 CAST(35.0 AS double),
+                                 CAST(70.0 AS double)],
+                                b -> b < round(y, 6))) + 1, 1) AS c,
+         row_number() OVER wo - 1 AS pos
+  FROM series WHERE y IS NOT NULL AND t IS NOT NULL
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+),
+w AS (
+  SELECT conv_id, pos,
+         c || lead(c, 1) OVER wo || lead(c, 2) OVER wo
+           || lead(c, 3) OVER wo AS word
+  FROM lt
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+),
+stats AS (
+  SELECT conv_id, word, count(*) AS cnt, min(pos) AS first_pos
+  FROM w WHERE word IS NOT NULL
+  GROUP BY conv_id, word
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY cnt DESC, word ASC) AS rm,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY cnt ASC, word ASC) AS rd,
+         sum(cnt) OVER (PARTITION BY conv_id) AS tot
+  FROM stats
+)
+SELECT conv_id,
+       cast(max(tot) AS bigint) AS n_words,
+       max(CASE WHEN rm = 1 THEN word END) AS motif_word,
+       cast(max(CASE WHEN rm = 1 THEN cnt END) AS bigint)
+         AS motif_count,
+       cast(max(CASE WHEN rm = 1 THEN first_pos END) AS bigint)
+         AS motif_pos,
+       max(CASE WHEN rd = 1 THEN word END) AS discord_word,
+       cast(max(CASE WHEN rd = 1 THEN cnt END) AS bigint)
+         AS discord_count,
+       cast(max(CASE WHEN rd = 1 THEN first_pos END) AS bigint)
+         AS discord_pos
+FROM ranked WHERE rm = 1 OR rd = 1
+GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6364,6 +6430,7 @@ QUERIES = {
     "emb_dim_stats": q_emb_dim_stats,
     "ts_stream_enrich": q_ts_stream_enrich,
     "doc_line_dedup": q_doc_line_dedup,
+    "ts_sax_motifs": q_ts_sax_motifs,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6480,6 +6547,7 @@ ORACLE_SQL = {
     "emb_dim_stats": SQL_EMB_DIM_STATS,
     "ts_stream_enrich": SQL_TS_STREAM_ENRICH,
     "doc_line_dedup": SQL_DOC_LINE_DEDUP,
+    "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

@@ -196,3 +196,85 @@ def sax_symbolize(series: DataFrame, w: int, breakpoints: list[float],
             F.max("__n").alias("n_points"),
         )
     )
+
+
+def sax_motifs(series: DataFrame, k: int = 4,
+               breakpoints: list[float] | None = None,
+               alphabet: str = "abcdefghijklmnop") -> DataFrame:
+    """SAX motif/discord mining (Lin–Keogh–Patel "Finding Motifs in
+    Time Series" + the HOT-SAX discord heuristic): symbolize every
+    POINT against ``breakpoints`` (the same quantize rule as
+    :func:`sax_symbolize`: letter = #{bp < round(y, 6)}, rounding
+    before the compare so the boundary is engine-stable), slide a
+    ``k``-letter word over consecutive points, and per series report
+    the MOTIF (most frequent word = the recurring shape: a retry
+    loop's latency signature, a daily rhythm) and the DISCORD (least
+    frequent word = the oddest subsequence). Ties break
+    deterministically: by word ascending, positions to the EARLIEST
+    occurrence — counts and positions are integers, letters come from
+    gridded compares, so the ranking cannot flip between engines.
+
+    Per-point symbolization (not PAA segments) keeps the word stream
+    defined for every position; use :func:`sax_symbolize` when one
+    word per series is wanted instead. Series with fewer than ``k``
+    points have no complete word and drop out (permutation_entropy
+    precedent).
+
+    Plan shape: ONE hash exchange — the lead-window word builder
+    partitions on (conv_id, channel); the word count keys on a
+    superset, and both ranking windows and the final fold key on
+    (conv_id, channel) again, so every downstream exchange is elided.
+    No join, no UDF.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if breakpoints is None:
+        breakpoints = [-1.0, 0.0, 1.0]
+    if list(breakpoints) != sorted(set(breakpoints)):
+        raise ValueError("breakpoints must be strictly increasing")
+    if len(breakpoints) + 1 > len(alphabet):
+        raise ValueError(f"alphabet too short: need "
+                         f"{len(breakpoints) + 1} letters")
+    if not alphabet.isalnum():
+        raise ValueError("alphabet must be alphanumeric")
+    pw = Window.partitionBy("conv_id", "channel")
+    wo = pw.orderBy("t", "turn_idx")
+    bps = ", ".join(f"CAST({float(b)!r} AS DOUBLE)" for b in breakpoints)
+    letter = F.expr(
+        f"substr('{alphabet}', size(filter(array({bps}), "
+        f"b -> b < round(y, 6))) + 1, 1)")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", "channel", "t", "turn_idx",
+                 letter.alias("__c"))
+         .withColumn("__pos", F.row_number().over(wo) - 1))
+    word = F.concat(F.col("__c"),
+                    *[F.lead("__c", i).over(wo) for i in range(1, k)])
+    words = (s.withColumn("word", word)
+             .where(F.col("word").isNotNull())
+             .select("conv_id", "channel", "word", "__pos"))
+    stats = (words.groupBy("conv_id", "channel", "word")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.min("__pos").alias("first_pos")))
+    rn_m = F.row_number().over(
+        pw.orderBy(F.col("cnt").desc(), F.col("word").asc()))
+    rn_d = F.row_number().over(
+        pw.orderBy(F.col("cnt").asc(), F.col("word").asc()))
+    total = F.sum("cnt").over(pw)
+    ranked = (stats
+              .withColumn("__rm", rn_m)
+              .withColumn("__rd", rn_d)
+              .withColumn("__tot", total)
+              .where((F.col("__rm") == 1) | (F.col("__rd") == 1)))
+    pick = lambda rc, c: F.max(F.when(F.col(rc) == 1, F.col(c)))  # noqa: E731
+    return (ranked.groupBy("conv_id", "channel")
+            .agg(F.max("__tot").cast("long").alias("n_words"),
+                 pick("__rm", "word").alias("motif_word"),
+                 pick("__rm", "cnt").cast("long").alias("motif_count"),
+                 pick("__rm", "first_pos").cast("long")
+                 .alias("motif_pos"),
+                 pick("__rd", "word").alias("discord_word"),
+                 pick("__rd", "cnt").cast("long")
+                 .alias("discord_count"),
+                 pick("__rd", "first_pos").cast("long")
+                 .alias("discord_pos")))

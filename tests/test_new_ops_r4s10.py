@@ -173,3 +173,66 @@ def test_theil_sen_all_equal_times_null_slope(spark):
 def test_theil_sen_validation(spark):
     with pytest.raises(ValueError, match="max_points"):
         theil_sen(_val_series(spark, {"a": [1.0, 2.0]}), max_points=1)
+
+
+# --- sax motifs / discords ----------------------------------------------------
+
+def _ref_motifs(vals, k=4, bps=(-1.0, 0.0, 1.0), alpha="abcdefghijklmnop"):
+    from collections import Counter
+    letters = [alpha[sum(1 for b in bps if b < round(v, 6))]
+               for v in vals]
+    words = ["".join(letters[i:i + k])
+             for i in range(len(letters) - k + 1)]
+    if not words:
+        return None
+    c = Counter(words)
+    first = {}
+    for i, w in enumerate(words):
+        first.setdefault(w, i)
+    motif = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    disc = min(c.items(), key=lambda kv: (kv[1], kv[0]))
+    return (len(words), motif[0], motif[1], first[motif[0]],
+            disc[0], disc[1], first[disc[0]])
+
+
+def test_sax_motifs_matches_scalar_reference(spark):
+    from cesium_spark.operators.downsample import sax_motifs
+    rng = np.random.default_rng(17)
+    data = {f"c{i}": list(rng.normal(0, 1.2, int(rng.integers(2, 120))))
+            for i in range(15)}
+    data["motify"] = ([0.5, -0.5, 1.5, -1.5] * 10) + [0.1, 2.0, -2.0]
+    out = {r.conv_id: r for r in
+           sax_motifs(_val_series(spark, data)).collect()}
+    for cid, vals in data.items():
+        r = _ref_motifs(vals)
+        if r is None:
+            assert cid not in out   # < k points: no word
+            continue
+        g = out[cid]
+        assert (g.n_words, g.motif_word, g.motif_count, g.motif_pos,
+                g.discord_word, g.discord_count, g.discord_pos) == r, cid
+    # the planted repeating shape IS the motif, found in the first cycle
+    assert out["motify"].motif_count == 10
+    assert out["motify"].motif_pos <= 3
+
+
+def test_sax_motifs_tiebreaks_and_plan(spark):
+    import re
+    from cesium_spark.operators.downsample import sax_motifs
+    # two words occur once each: both rankings must pick the
+    # LEXICOGRAPHICALLY smaller word deterministically
+    df = sax_motifs(_val_series(spark, {"a": [-2.0, -2.0, -2.0, -2.0,
+                                              2.0, 2.0, 2.0, 2.0]}),
+                    k=4)
+    # plan BEFORE execution: the AQE executed-plan string after an
+    # action prints Final AND Initial sections, double-counting
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    row = df.collect()[0]
+    assert row.n_words == 5
+    # letters a,a,a,a,d,d,d,d -> words aaaa, aaad, aadd, addd, dddd
+    # (one each): tie on count=1 -> lexicographically smallest both ways
+    assert row.motif_word == "aaaa" and row.discord_word == "aaaa"
+
+    with pytest.raises(ValueError, match="k must be"):
+        sax_motifs(_val_series(spark, {"a": [1.0]}), k=1)
