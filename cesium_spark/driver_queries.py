@@ -6348,6 +6348,60 @@ GROUP BY conv_id
 """
 
 
+def q_rel_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): customer ⋈ orders ⋈ lineitem with
+    segment + date filters, revenue = Σ extprice·(1−disc) per order,
+    top 10 by (revenue desc, orderdate, orderkey). The fact-side
+    filters (o_orderdate < D, l_shipdate > D) reach the scans as
+    pushed predicates; the filtered customer side broadcasts so the
+    two joins add no fact-table shuffle; revenue terms are 2-dp-exact
+    inputs so the per-order sum is replayed on the 4-dp grid, and the
+    deterministic tiebreak keys make the LIMIT engine-stable."""
+    _prep(spark)
+    c = (_read(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = (_read(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"))
+    li = (_read(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit("1998-01-01").cast("date"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    out = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(li, o.o_orderkey == li.l_orderkey)
+           .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.sum(rev).alias("revenue"))
+           .orderBy(F.desc("revenue"), F.col("o_orderdate"),
+                    F.col("o_orderkey"))
+           .limit(10))
+    return out.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+        _r(F.round(F.col("revenue"), 4)).alias("revenue"))
+
+
+SQL_REL_TPCH_Q3 = """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       round(round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4),
+             6) + 0.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-01-01'
+  AND l.l_shipdate > DATE '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY sum(l.l_extendedprice * (1.0 - l.l_discount)) DESC,
+         o.o_orderdate, o.o_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6431,6 +6485,7 @@ QUERIES = {
     "ts_stream_enrich": q_ts_stream_enrich,
     "doc_line_dedup": q_doc_line_dedup,
     "ts_sax_motifs": q_ts_sax_motifs,
+    "rel_tpch_q3": q_rel_tpch_q3,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6548,6 +6603,7 @@ ORACLE_SQL = {
     "ts_stream_enrich": SQL_TS_STREAM_ENRICH,
     "doc_line_dedup": SQL_DOC_LINE_DEDUP,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
+    "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,
