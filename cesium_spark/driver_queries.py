@@ -5663,7 +5663,7 @@ def q_ts_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TS_RUNS = f"""{_VALUE_SERIES_SQL}
 , d AS (
   SELECT conv_id, turn_idx, t, y - lag(y) OVER w AS dd
-  FROM series WHERE t IS NOT NULL
+  FROM series WHERE t IS NOT NULL AND y IS NOT NULL
   WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
 ),
 s AS (
@@ -5869,7 +5869,7 @@ SQL_TS_THEIL_SEN = f"""{_VALUE_SERIES_SQL}
 ),
 kept AS (
   SELECT * FROM b
-  WHERE (k - 1) % ceil(cast(n AS double) / 64.0) = 0
+  WHERE k = 1 OR ((k - 1) * 64) // n > ((k - 2) * 64) // n
 ),
 med AS (
   SELECT conv_id, max(n) AS n, count(*) AS n_used,
@@ -5911,9 +5911,22 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the encoding is one projection over the scan."""
     from cesium_spark.operators import pq
     embs = _read(spark, sf_dir, "embeddings")
-    out = pq.pq_encode(embs, _pq_cb())
-    return out.select("vec_id", *[f"code_{i}" for i in range(8)],
+    cb = _pq_cb()
+    out = pq.pq_encode(embs, cb)
+    return out.select("vec_id", *[f"code_{i}" for i in range(len(cb))],
                       "pq_code")
+
+
+def _pq_dist_sql(prefix: str, cb, i: int) -> list[str]:
+    """ksub squared-distance term chains for subspace i against
+    columns ``{prefix}{j}`` — ONE generator for both the codes oracle
+    and the LUT oracle, because the term order and literal formatting
+    are load-bearing for the exactness contract."""
+    m, ksub, dsub = cb.shape
+    return [" + ".join(
+        f"({prefix}{i * dsub + j + 1} - {float(cb[i, kk, j])!r}) * "
+        f"({prefix}{i * dsub + j + 1} - {float(cb[i, kk, j])!r})"
+        for j in range(dsub)) for kk in range(ksub)]
 
 
 def _pq_sql_parts() -> tuple[str, str]:
@@ -5930,13 +5943,7 @@ def _pq_sql_parts() -> tuple[str, str]:
              f"  FROM embeddings WHERE embedding IS NOT NULL\n)")
     dl_cols = []
     for i in range(m):
-        dists = []
-        for kk in range(ksub):
-            terms = " + ".join(
-                f"(e{i * dsub + j + 1} - {float(cb[i, kk, j])!r}) * "
-                f"(e{i * dsub + j + 1} - {float(cb[i, kk, j])!r})"
-                for j in range(dsub))
-            dists.append(terms)
+        dists = _pq_dist_sql("e", cb, i)
         dl_cols.append("[" + ",\n          ".join(dists)
                        + f"] AS dl_{i}")
     dl_cte = ("dl AS (\n  SELECT vec_id,\n         "
@@ -5944,7 +5951,9 @@ def _pq_sql_parts() -> tuple[str, str]:
     code_exprs = ",\n         ".join(
         f"cast(list_position(dl_{i}, list_min(dl_{i})) - 1 AS int) "
         f"AS code_{i}" for i in range(m))
-    pack = " + ".join(f"cast(code_{i} AS bigint) * {1 << (4 * i)}"
+    # same packing stride as pq_encode: bits = ceil(log2(ksub))
+    bits = int(ksub - 1).bit_length()
+    pack = " + ".join(f"cast(code_{i} AS bigint) * {1 << (bits * i)}"
                       for i in range(m))
     codes_cte = (f"codes AS (\n  SELECT vec_id,\n         {code_exprs}"
                  f"\n  FROM dl\n),\npacked AS (\n  SELECT *, {pack} "
@@ -5954,7 +5963,7 @@ def _pq_sql_parts() -> tuple[str, str]:
 
 def _pq_codes_sql() -> str:
     e_cte, codes = _pq_sql_parts()
-    cols = ", ".join(f"code_{i}" for i in range(8))
+    cols = ", ".join(f"code_{i}" for i in range(len(_pq_cb())))
     return (f"WITH {e_cte},\n{codes}\n"
             f"SELECT vec_id, {cols}, pq_code FROM packed")
 
@@ -5984,13 +5993,7 @@ def _pq_topk_sql() -> str:
     e_cte, codes = _pq_sql_parts()
     lut_cols = []
     for i in range(m):
-        entries = []
-        for kk in range(ksub):
-            terms = " + ".join(
-                f"(qe{i * dsub + j + 1} - {float(cb[i, kk, j])!r}) * "
-                f"(qe{i * dsub + j + 1} - {float(cb[i, kk, j])!r})"
-                for j in range(dsub))
-            entries.append(terms)
+        entries = _pq_dist_sql("qe", cb, i)
         lut_cols.append("[" + ",\n          ".join(entries)
                         + f"] AS lut_{i}")
     q_cols = ",\n         ".join(

@@ -132,6 +132,29 @@ def lttb_downsample(series: DataFrame, threshold: int) -> DataFrame:
     )
 
 
+def _sax_check(breakpoints, alphabet: str) -> None:
+    """Shared SAX parameter validation (symbolize + motifs)."""
+    if list(breakpoints) != sorted(set(breakpoints)):
+        raise ValueError("breakpoints must be strictly increasing")
+    if len(breakpoints) + 1 > len(alphabet):
+        raise ValueError(f"alphabet too short: need "
+                         f"{len(breakpoints) + 1} letters")
+    if not alphabet.isalnum():
+        raise ValueError("alphabet must be alphanumeric")
+
+
+def _sax_letter(val_sql: str, breakpoints, alphabet: str) -> str:
+    """THE quantize rule, in one place: letter = alphabet[#{bp <
+    round(val, 6)}]. Both SAX operators and their oracles depend on
+    this exact formatting (6-dp round before the compare makes the
+    boundary engine-stable); a change here must change everywhere, so
+    it lives nowhere else. ``val_sql`` is already-rounded for the PAA
+    path (round of a rounded value is the identity)."""
+    bps = ", ".join(f"CAST({float(b)!r} AS DOUBLE)" for b in breakpoints)
+    return (f"substring('{alphabet}', size(filter(array({bps}), "
+            f"b -> b < round({val_sql}, 6))) + 1, 1)")
+
+
 def sax_symbolize(series: DataFrame, w: int, breakpoints: list[float],
                   alphabet: str = "abcdefghijklmnop") -> DataFrame:
     """SAX symbolization (Lin, Keogh, Lonardi, Chiu — "A Symbolic
@@ -161,13 +184,7 @@ def sax_symbolize(series: DataFrame, w: int, breakpoints: list[float],
     """
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
-    if list(breakpoints) != sorted(set(breakpoints)):
-        raise ValueError("breakpoints must be strictly increasing")
-    if len(breakpoints) + 1 > len(alphabet):
-        raise ValueError(f"alphabet too short: need "
-                         f"{len(breakpoints) + 1} letters")
-    if not alphabet.isalnum():
-        raise ValueError("alphabet must be alphanumeric")
+    _sax_check(breakpoints, alphabet)
     pw = Window.partitionBy("conv_id", "channel")
     s = (series
          .where(F.col("y").isNotNull() & F.col("t").isNotNull())
@@ -175,16 +192,13 @@ def sax_symbolize(series: DataFrame, w: int, breakpoints: list[float],
          .withColumn("__r", F.row_number().over(
              pw.orderBy("t", "turn_idx")) - 1)
          .withColumn("__n", F.count(F.lit(1)).over(pw)))
-    bps = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in breakpoints)
     paa = (
         s.withColumn("seg", F.expr(f"(__r * {int(w)}) DIV __n"))
         .groupBy("conv_id", "channel", "seg")
         .agg((F.round(F.avg("y"), 6) + F.lit(0.0)).alias("paa"),
              F.max("__n").alias("__n"))
-        .withColumn("__idx",
-                    F.expr(f"size(filter(array({bps}), b -> b < paa))"))
         .withColumn("letter",
-                    F.expr(f"substring('{alphabet}', __idx + 1, 1)"))
+                    F.expr(_sax_letter("paa", breakpoints, alphabet)))
     )
     return (
         paa.groupBy("conv_id", "channel")
@@ -230,19 +244,10 @@ def sax_motifs(series: DataFrame, k: int = 4,
         raise ValueError(f"k must be >= 2, got {k}")
     if breakpoints is None:
         breakpoints = [-1.0, 0.0, 1.0]
-    if list(breakpoints) != sorted(set(breakpoints)):
-        raise ValueError("breakpoints must be strictly increasing")
-    if len(breakpoints) + 1 > len(alphabet):
-        raise ValueError(f"alphabet too short: need "
-                         f"{len(breakpoints) + 1} letters")
-    if not alphabet.isalnum():
-        raise ValueError("alphabet must be alphanumeric")
+    _sax_check(breakpoints, alphabet)
     pw = Window.partitionBy("conv_id", "channel")
     wo = pw.orderBy("t", "turn_idx")
-    bps = ", ".join(f"CAST({float(b)!r} AS DOUBLE)" for b in breakpoints)
-    letter = F.expr(
-        f"substr('{alphabet}', size(filter(array({bps}), "
-        f"b -> b < round(y, 6))) + 1, 1)")
+    letter = F.expr(_sax_letter("y", breakpoints, alphabet))
     s = (series
          .where(F.col("y").isNotNull() & F.col("t").isNotNull())
          .select("conv_id", "channel", "t", "turn_idx",

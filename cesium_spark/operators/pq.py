@@ -178,7 +178,11 @@ def pq_train(embs: DataFrame, dim: int, m: int = 8, ksub: int = 16,
     seeds = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
     cb = np.stack([seeds[:, i * dsub:(i + 1) * dsub] for i in range(m)])
     for _ in range(n_iter):
-        coded = v.select(F.col(vec_col), *pq_code_cols(cb, vec_col))
+        # persist: the m per-subspace update jobs below would otherwise
+        # each re-run the full m·ksub·dsub-term encode projection (and
+        # re-pay its driver-side expression analysis) — found in review
+        coded = (v.select(F.col(vec_col), *pq_code_cols(cb, vec_col))
+                 .persist())
         new = cb.copy()
         for i in range(m):
             comps = [
@@ -192,5 +196,6 @@ def pq_train(embs: DataFrame, dim: int, m: int = 8, ksub: int = 16,
                 kk = r[f"code_{i}"]
                 for j in range(dsub):
                     new[i, kk, j] = float(r[f"s{j}"] / r["n"])
+        coded.unpersist()
         cb = new
     return cb

@@ -606,6 +606,11 @@ def runs_test(series: DataFrame) -> DataFrame:
     retained sign is ``last(sign) IGNORE NULLS`` over the preceding
     frame, which skips over zero-difference rows in place.
 
+    NULL y rows are dropped up front (the family convention —
+    pettitt/permutation_entropy/theil_sen all do the same), so the
+    test runs over the OBSERVED values: y=[1, NULL, 2, 3] is two
+    up-moves, not one move with two NULL-poisoned neighbors.
+
     Scale shape: two windows (lag + last-ignore-nulls, same key and
     order) + one aggregate, all on conv_id → ONE hash exchange, no
     join, no UDF. Degenerates: n = 0 → NULL R (no moves at all);
@@ -613,7 +618,7 @@ def runs_test(series: DataFrame) -> DataFrame:
     """
     w = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
     d = (series
-         .where(F.col("t").isNotNull())
+         .where(F.col("t").isNotNull() & F.col("y").isNotNull())
          .withColumn("__d", F.col("y") - F.lag("y").over(w)))
     sgn = (F.when(F.col("__d") > 0, F.lit(1))
            .when(F.col("__d") < 0, F.lit(-1)))  # NULL: tie or edge
@@ -801,12 +806,16 @@ def theil_sen(series: DataFrame, max_points: int = 128) -> DataFrame:
 
     The estimator is inherently O(n²) pairs. At transcript scale that
     is bounded the same way ``all_times_nhist`` is: series longer than
-    ``max_points`` are DETERMINISTICALLY thinned first — every s-th
-    point in time order with stride s = ⌈n/max_points⌉ (systematic
-    sampling preserves the trend structure; ``capped`` flags thinned
-    rows so downstream knows the estimate is over a subsample).
-    Pairs with tᵢ = tⱼ carry no slope information and are dropped
-    (strict tⱼ > tᵢ).
+    ``max_points`` are DETERMINISTICALLY thinned first — the first
+    point of each of ``max_points`` equal-count rank slots (keep row
+    k iff ⌊(k−1)·m/n⌋ > ⌊(k−2)·m/n⌋, the sax_symbolize segment rule),
+    which uses the FULL point budget for every n (a ⌈n/m⌉ stride
+    would keep as few as m/2+1 points for n just above the cap,
+    discontinuously doubling the estimator's variance — found in
+    review). Systematic sampling preserves the trend structure;
+    ``capped`` flags thinned rows so downstream knows the estimate is
+    over a subsample. Pairs with tᵢ = tⱼ carry no slope information
+    and are dropped (strict tⱼ > tᵢ).
 
     Exactness: thinning is integer row-number arithmetic; each pair
     slope is one exact double expression; the median is the linear
@@ -830,8 +839,10 @@ def theil_sen(series: DataFrame, max_points: int = 128) -> DataFrame:
             .withColumn("__k", F.row_number().over(wo).cast("long"))
             .withColumn("__n", F.count(F.lit(1)).over(wall)
                         .cast("long")))
-    stride = F.ceil(F.col("__n") / F.lit(float(max_points)))
-    kept = base.where(((F.col("__k") - 1) % stride) == 0)
+    m = int(max_points)
+    slot = F.expr(f"((__k - 1) * {m}) DIV __n")
+    prev_slot = F.expr(f"((__k - 2) * {m}) DIV __n")
+    kept = base.where((F.col("__k") == 1) | (slot > prev_slot))
     med = kept.groupBy("conv_id").agg(
         F.max("__n").alias("n"),
         F.count(F.lit(1)).alias("n_used"),

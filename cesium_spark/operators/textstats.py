@@ -923,10 +923,17 @@ def mojibake_stats(docs: DataFrame, per_kchar_threshold: float = 1.0,
       U+0080–U+00FF (the signature of UTF-8 bytes decoded as
       Latin-1: 'é' becomes 'Ã©') plus the digraph U+00E2 U+20AC
       ('â€', the same failure through cp1252 punctuation: a right
-      quote becomes 'â€™'). The two patterns share no match, so the
-      sum is well-defined.
+      quote becomes 'â€™').
     * ``n_c1`` — C1 control characters U+0080–U+009F: unmapped
       cp1252 high bytes that survived a Latin-1 decode.
+
+    The signals can OVERLAP on adversarial byte soup ('Ã' + 'â€'
+    counts the shared 'â' in two digraphs; 'Ã' + a C1 char lands in
+    both n_double_utf8 and n_c1) — a single damage site may then add
+    2 instead of 1 to the weighted score. That is acceptable for a
+    damage SCORE (overlapping signatures mean the text is damaged
+    with certainty); the per-signal counts are each individually
+    exact for their own pattern.
 
     ``mojibake_per_kchar`` = 1000·(3·repl + double + c1)/n_chars (the
     replacement char weighted 3x: it is certain damage, the digraphs

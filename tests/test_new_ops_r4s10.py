@@ -155,13 +155,25 @@ def test_theil_sen_thinning_cap(spark):
     out = theil_sen(_val_series(spark, {"a": (list(t), list(y))}),
                     max_points=64).collect()[0]
     assert out.capped is True and out.n == m
-    assert out.n_used <= 64
+    assert out.n_used == 64      # slot thinning uses the FULL budget
     assert out.n_pairs == out.n_used * (out.n_used - 1) // 2
     assert out.slope == pytest.approx(-1.5, abs=0.05)
     # thinning is deterministic: stride arithmetic, same result again
     out2 = theil_sen(_val_series(spark, {"a": (list(t), list(y))}),
                      max_points=64).collect()[0]
     assert out2.slope == out.slope and out2.n_used == out.n_used
+
+
+def test_theil_sen_thinning_keeps_full_budget_just_above_cap(spark):
+    # n = max_points + 1 must still use max_points points (the old
+    # ceil-stride rule collapsed to ~half the budget here)
+    rng = np.random.default_rng(14)
+    for m in (65, 129):
+        t = np.arange(float(m))
+        y = 0.3 * t + rng.normal(0, 0.1, m)
+        out = theil_sen(_val_series(spark, {"a": (list(t), list(y))}),
+                        max_points=64).collect()[0]
+        assert out.n_used == 64, m
 
 
 def test_theil_sen_all_equal_times_null_slope(spark):
