@@ -6405,6 +6405,45 @@ LIMIT 10
 """
 
 
+def q_ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation correlation search: top-20 most positively
+    co-moving conversation pairs on the daily-mean grid (>= 10 shared
+    days). Grid values are rounded BEFORE the correlation and the
+    ranking orders by the ROUNDED r with id tiebreaks, so both the
+    values and the top-k boundary are engine-stable. Exact mode
+    (day-aligned self-join) — the quadratic-per-day caveat and the
+    scale path are stated in the operator docstring."""
+    from cesium_spark.operators.seriesstats import cross_series_corr
+    return cross_series_corr(_value_series(spark, sf_dir),
+                             min_overlap=10, top_k=20)
+
+
+SQL_TS_CORR_PAIRS = f"""{_VALUE_SERIES_SQL}
+, g AS (
+  SELECT conv_id, date_trunc('day', ts) AS day,
+         round(avg(y), 6) + 0.0 AS gv
+  FROM series WHERE y IS NOT NULL AND ts IS NOT NULL
+  GROUP BY conv_id, date_trunc('day', ts)
+),
+p AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+         count(*) AS n_days,
+         CASE WHEN stddev_pop(a.gv) * stddev_pop(b.gv) > 0
+              THEN covar_pop(a.gv, b.gv)
+                   / (stddev_pop(a.gv) * stddev_pop(b.gv))
+         END AS r
+  FROM g a JOIN g b ON a.day = b.day AND a.conv_id < b.conv_id
+  GROUP BY a.conv_id, b.conv_id
+)
+SELECT conv_a, conv_b, cast(n_days AS bigint) AS n_days,
+       round(r, 6) + 0.0 AS r
+FROM p
+WHERE n_days >= 10 AND r IS NOT NULL
+ORDER BY round(r, 6) + 0.0 DESC, conv_a, conv_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6489,6 +6528,7 @@ QUERIES = {
     "doc_line_dedup": q_doc_line_dedup,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
+    "ts_corr_pairs": q_ts_corr_pairs,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6607,6 +6647,7 @@ ORACLE_SQL = {
     "doc_line_dedup": SQL_DOC_LINE_DEDUP,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
+    "ts_corr_pairs": SQL_TS_CORR_PAIRS,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

@@ -869,3 +869,59 @@ def theil_sen(series: DataFrame, max_points: int = 128) -> DataFrame:
         F.col("slope"),
         (F.col("__med_y") - F.col("slope") * F.col("__med_t"))
         .alias("intercept"))
+
+
+def cross_series_corr(series: DataFrame, min_overlap: int = 10,
+                      top_k: int = 20) -> DataFrame:
+    """Correlation SEARCH across conversations: which pairs of series
+    co-move? Each conversation is reduced to its daily-mean grid, the
+    grids are aligned on the day, and Pearson r over the shared days
+    ranks the most positively co-moving pairs — the monitoring
+    question ("what else moved when this moved") that per-series
+    features and within-conversation ``channel_corr`` cannot answer.
+
+    Determinism: grid values are ROUNDED (6 dp, −0.0 normalized)
+    before the correlation, so both engines correlate identical
+    inputs; the ranking orders by the ROUNDED r with (conv_a, conv_b)
+    tiebreaks, so the top-k boundary cannot flip on summation-order
+    ulps. Degenerate pairs (a constant series) are NULL via try_divide
+    and excluded from the ranking; pairs sharing fewer than
+    ``min_overlap`` days are excluded (r over 3 points is noise).
+
+    Scale caveat (stated like exact cosine pairs): candidate
+    generation is the day-aligned self-join — QUADRATIC in the number
+    of series co-active per day. This is the exact/verification mode;
+    at 10^6+ concurrent series the scale path prunes candidates first
+    (sketch/bucket the grids, or restrict to a watchlist) and feeds
+    the survivors through this same aggregation. The join shuffles on
+    the day key; the pair aggregation shrinks to one row per pair.
+    """
+    if min_overlap < 3:
+        raise ValueError(f"min_overlap must be >= 3, got {min_overlap}")
+    if not (1 <= top_k <= 10_000):
+        raise ValueError(f"top_k must be in [1, 10000], got {top_k}")
+    grid = (series
+            .where(F.col("y").isNotNull() & F.col("ts").isNotNull())
+            .groupBy("conv_id", F.date_trunc("DAY", F.col("ts"))
+                     .alias("__day"))
+            .agg((F.round(F.avg("y"), 6) + F.lit(0.0)).alias("__g")))
+    a = grid.select(F.col("conv_id").alias("conv_a"), "__day",
+                    F.col("__g").alias("__ga"))
+    b = grid.select(F.col("conv_id").alias("conv_b"), "__day",
+                    F.col("__g").alias("__gb"))
+    pairs = a.join(b, "__day").where(F.col("conv_a") < F.col("conv_b"))
+    agg = (pairs.groupBy("conv_a", "conv_b")
+           .agg(F.count(F.lit(1)).alias("n_days"),
+                F.expr("try_divide(covar_pop(__ga, __gb), "
+                       "stddev_pop(__ga) * stddev_pop(__gb))")
+                .alias("__r")))
+    r6 = F.round(F.col("__r"), 6) + F.lit(0.0)
+    ranked = (agg
+              .where((F.col("n_days") >= F.lit(min_overlap))
+                     & F.col("__r").isNotNull())
+              .select("conv_a", "conv_b",
+                      F.col("n_days").cast("long").alias("n_days"),
+                      r6.alias("r"))
+              .orderBy(F.desc("r"), "conv_a", "conv_b")
+              .limit(top_k))
+    return ranked

@@ -248,3 +248,57 @@ def test_sax_motifs_tiebreaks_and_plan(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         sax_motifs(_val_series(spark, {"a": [1.0]}), k=1)
+
+
+# --- cross-series correlation search ----------------------------------------
+
+def _ts_series(spark, data, start="2024-01-01"):
+    """conv -> list of per-DAY values (one point per day)."""
+    base = pd.Timestamp(start)
+    rows = []
+    for cid, vals in data.items():
+        for i, y in enumerate(vals):
+            rows.append((cid, "value", i, base + pd.Timedelta(days=i),
+                         float(i), y))
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["conv_id", "channel", "turn_idx", "ts", "t", "y"]))
+
+
+def test_corr_pairs_finds_planted_pair(spark):
+    from cesium_spark.operators.seriesstats import cross_series_corr
+    rng = np.random.default_rng(23)
+    base = list(rng.normal(0, 1, 40))
+    data = {
+        "x1": base,
+        "x2": [2.0 * v + 1.0 for v in base],          # r = +1 with x1
+        "x3": [-v for v in base],                      # r = -1 with x1
+        "n1": list(rng.normal(0, 1, 40)),
+        "n2": list(rng.normal(0, 1, 40)),
+        "const": [5.0] * 40,                           # degenerate
+    }
+    out = cross_series_corr(_ts_series(spark, data),
+                            min_overlap=10, top_k=5).collect()
+    top = out[0]
+    assert (top.conv_a, top.conv_b) == ("x1", "x2")
+    assert top.r == 1.0 and top.n_days == 40
+    names = {(r.conv_a, r.conv_b) for r in out}
+    assert not any("const" in p for pair in names for p in pair)
+
+
+def test_corr_pairs_min_overlap_excludes_short(spark):
+    from cesium_spark.operators.seriesstats import cross_series_corr
+    rng = np.random.default_rng(2)
+    data = {"a": list(rng.normal(0, 1, 8)),
+            "b": list(rng.normal(0, 1, 8))}   # only 8 shared days
+    out = cross_series_corr(_ts_series(spark, data),
+                            min_overlap=10).collect()
+    assert out == []
+
+
+def test_corr_pairs_validation(spark):
+    from cesium_spark.operators.seriesstats import cross_series_corr
+    df = _ts_series(spark, {"a": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="min_overlap"):
+        cross_series_corr(df, min_overlap=2)
+    with pytest.raises(ValueError, match="top_k"):
+        cross_series_corr(df, top_k=0)
