@@ -6444,6 +6444,59 @@ LIMIT 20
 """
 
 
+def q_ts_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark advisor over a deterministically delayed replay: the
+    synthetic events arrive in perfect order, so the query plants the
+    streaming late-data scenario (every event_id % 11 == 0 event
+    arrives as if 4 h delayed in transit) and measures the event-time
+    lateness the arrival order then exhibits — n_late, late_frac,
+    max (the zero-loss watermark) and p95 lateness per conversation.
+    Lateness values are exact double subtractions; the quantile is
+    the shared interpolation. ONE hash exchange."""
+    from cesium_spark.streaming.window_delta import disorder_stats
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    s = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        sec.alias("t"),
+        (sec + F.when(F.col("event_id") % 11 == 0, F.lit(14400.0))
+         .otherwise(F.lit(0.0))).alias("arrival"))
+    out = disorder_stats(s, arrival_col="arrival")
+    return out.select(
+        "conv_id", "n", "n_late",
+        _r(F.col("max_late_s")).alias("max_late_s"),
+        _r(F.col("p95_late_s")).alias("p95_late_s"),
+        _r(F.col("late_frac")).alias("late_frac"))
+
+
+SQL_TS_DISORDER = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         epoch(ts) AS t,
+         epoch(ts) + CASE WHEN event_id % 11 = 0
+                          THEN 14400.0 ELSE 0.0 END AS arrival
+  FROM events WHERE ts IS NOT NULL
+),
+l AS (
+  SELECT conv_id,
+         max(t) OVER (PARTITION BY conv_id ORDER BY arrival, t
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - t AS late
+  FROM s
+)
+SELECT conv_id,
+       cast(count(*) AS bigint) AS n,
+       cast(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS bigint)
+         AS n_late,
+       round(max(late), 6) + 0.0 AS max_late_s,
+       round(quantile_cont(late, 0.95), 6) + 0.0 AS p95_late_s,
+       round(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
+             / cast(count(*) AS double), 6) + 0.0 AS late_frac
+FROM l GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6529,6 +6582,7 @@ QUERIES = {
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "ts_corr_pairs": q_ts_corr_pairs,
+    "ts_disorder": q_ts_disorder,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6648,6 +6702,7 @@ ORACLE_SQL = {
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,
+    "ts_disorder": SQL_TS_DISORDER,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

@@ -32,7 +32,7 @@ twin: bit-for-bit feature values require whole-window recomputation
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cesium_spark.operators.rollup import TIERS
@@ -268,3 +268,46 @@ def stream_enriched_counts(stream: DataFrame, dim: DataFrame,
         .select(F.col(attr),
                 F.col("window.start").alias("window_start"),
                 "n", "y_sum", "y_min", "y_max"))
+
+
+def disorder_stats(series: DataFrame, arrival_col: str,
+                   event_time_col: str = "t",
+                   key_col: str = "conv_id") -> DataFrame:
+    """Watermark advisor: measure the out-of-orderness a stream
+    actually has, per key — the number every ``withWatermark`` call
+    in this module should be derived FROM, not guessed. An event's
+    lateness is (max event time already ARRIVED) − (its own event
+    time): order rows by ``arrival_col`` (ingest order), take the
+    running max of event time, subtract. A watermark shorter than the
+    observed p-max lateness silently DROPS those rows from every
+    windowed aggregate; one longer than needed holds state and delays
+    finalization — this operator turns that trade-off into measured
+    quantiles instead of folklore.
+
+    Returns per key: n, n_late (arrived after a later-timestamped
+    event), late_frac, max_late_s (the zero-loss watermark),
+    p95_late_s (the bounded-loss candidate). Lateness values are
+    exact double subtractions; the quantile is the shared
+    interpolation (ts_quantiles_1d precedent). Keys in perfect order
+    report all-zero — an honest measurement, not a degenerate drop.
+
+    Scale shape: one ordered window (running max) + one aggregate on
+    the same key → ONE hash exchange, no join, no UDF.
+    """
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(arrival_col), F.col(event_time_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    late = (F.max(event_time_col).over(w) - F.col(event_time_col))
+    s = series.where(F.col(event_time_col).isNotNull()
+                     & F.col(arrival_col).isNotNull())
+    return (s.select(key_col, late.alias("__late"))
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.when(F.col("__late") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_late"),
+                 F.max("__late").alias("max_late_s"),
+                 F.percentile("__late", F.lit(0.95))
+                 .alias("p95_late_s"))
+            .withColumn("late_frac",
+                        F.col("n_late").cast("double")
+                        / F.col("n").cast("double")))

@@ -564,3 +564,35 @@ def test_stream_static_enrich_equals_batch_and_broadcasts(spark, tmp_path):
     # plan shape: the static side broadcasts
     plan = enriched._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_disorder_stats_measures_planted_lateness(spark):
+    """A hand-built arrival permutation yields exactly computable
+    lateness; in-order keys report all-zero."""
+    import re
+
+    from cesium_spark.streaming.window_delta import disorder_stats
+
+    rows = []
+    # key 'o': event times 0,10,20,30 arrive in order -> zero late
+    for i, t in enumerate([0.0, 10.0, 20.0, 30.0]):
+        rows.append(("o", t, float(i)))
+    # key 'd': event time 10 arrives LAST (after 20 and 30):
+    # lateness of that row = 30 - 10 = 20; others 0
+    arrivals = {0.0: 0, 20.0: 1, 30.0: 2, 10.0: 3}
+    for t, a in arrivals.items():
+        rows.append(("d", t, float(a)))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["conv_id", "t", "arrival"]))
+    out = {r.conv_id: r for r in
+           disorder_stats(df, arrival_col="arrival").collect()}
+    o = out["o"]
+    assert (o.n, o.n_late, o.max_late_s, o.late_frac) == (4, 0, 0.0, 0.0)
+    d = out["d"]
+    assert (d.n, d.n_late, d.max_late_s) == (4, 1, 20.0)
+    assert d.late_frac == 0.25
+    # the measured max IS the zero-loss watermark: a stream with this
+    # delay and watermark >= 20s drops nothing
+    plan = disorder_stats(df, "arrival")._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
