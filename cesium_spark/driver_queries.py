@@ -6497,6 +6497,96 @@ FROM l GROUP BY conv_id
 """
 
 
+_HW_A, _HW_B, _HW_G, _HW_P = 0.5, 0.25, 0.25, 6
+
+
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive triple smoothing (alpha=0.5, beta=0.25,
+    gamma=0.25 — all dyadic; period 6): the seasonal completion of
+    ts_holt. The oracle restates the l/b/s recurrences verbatim in a
+    recursive CTE that carries the 6 live seasonal values as a
+    rotating LIST; the init means use list_sum, probed live to be the
+    same sequential in-order fold as the kernel's loop, so the whole
+    stream is bit-replayable (floor-snap on both sides, holt
+    precedent). Series shorter than 2 periods drop out."""
+    from cesium_spark.operators.smoothing import holt_winters
+    out = holt_winters(_value_series(spark, sf_dir),
+                       _HW_A, _HW_B, _HW_G, _HW_P)
+
+    def r6(c):
+        return F.floor(F.col(c) * 1e6 + 0.5) / 1e6 + F.lit(0.0)
+
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        _r(F.col("y")).alias("y"),
+        r6("level").alias("level"), r6("trend").alias("trend"),
+        r6("seasonal").alias("seasonal"),
+        r6("forecast").alias("forecast"),
+        r6("residual").alias("residual"))
+
+
+def _hw_sql() -> str:
+    a, b, g, p = _HW_A, _HW_B, _HW_G, _HW_P
+    # the level update expression, inlined everywhere l_i is needed
+    li = f"({a} * (s2.y - r.s[1]) + (1.0 - {a}) * (r.l + r.b))"
+    return (
+        _VALUE_SERIES_SQL.replace("WITH series", "WITH RECURSIVE series", 1)
+        + f"""
+, base AS (
+  SELECT conv_id, count(*) AS n,
+         list(y ORDER BY t, turn_idx) AS ys
+  FROM series GROUP BY conv_id
+),
+ini AS (
+  SELECT conv_id, n, ys,
+         list_sum(ys[1:{p}]) / {p} AS m1,
+         list_sum(ys[{p + 1}:{2 * p}]) / {p} AS m2
+  FROM base WHERE n >= {2 * p}
+),
+rec AS (
+  SELECT conv_id, {p - 1} AS i,
+         floor(m1 * 1e6 + 0.5) / 1e6 AS l,
+         floor((m2 - m1) / {p} * 1e6 + 0.5) / 1e6 AS b,
+         list_transform(ys[1:{p}],
+                        v -> floor((v - m1) * 1e6 + 0.5) / 1e6) AS s,
+         CAST(NULL AS DOUBLE) AS f,
+         CAST(NULL AS DOUBLE) AS si
+  FROM ini
+  UNION ALL
+  SELECT r.conv_id, r.i + 1,
+         {li},
+         {b} * ({li} - r.l) + (1.0 - {b}) * r.b,
+         list_concat(r.s[2:],
+                     [{g} * (s2.y - {li}) + (1.0 - {g}) * r.s[1]]),
+         r.l + r.b + r.s[1],
+         {g} * (s2.y - {li}) + (1.0 - {g}) * r.s[1]
+  FROM rec r JOIN series s2
+    ON s2.conv_id = r.conv_id AND s2.turn_idx = r.i + 1
+)
+SELECT s.conv_id, cast(s.turn_idx AS bigint) AS turn_idx,
+       round(s.y, 6) + 0.0 AS y,
+       floor(r.l * 1e6 + 0.5) / 1e6 + 0.0 AS level,
+       floor(r.b * 1e6 + 0.5) / 1e6 + 0.0 AS trend,
+       floor(r.si * 1e6 + 0.5) / 1e6 + 0.0 AS seasonal,
+       floor(r.f * 1e6 + 0.5) / 1e6 + 0.0 AS forecast,
+       floor((s.y - r.f) * 1e6 + 0.5) / 1e6 + 0.0 AS residual
+FROM rec r JOIN series s USING (conv_id)
+WHERE s.turn_idx = r.i AND r.i >= {p}
+UNION ALL
+SELECT i.conv_id, cast(s.turn_idx AS bigint), round(s.y, 6) + 0.0,
+       CASE WHEN s.turn_idx = {p - 1}
+            THEN floor(i.m1 * 1e6 + 0.5) / 1e6 + 0.0 END,
+       CASE WHEN s.turn_idx = {p - 1}
+            THEN floor((i.m2 - i.m1) / {p} * 1e6 + 0.5) / 1e6 + 0.0
+       END,
+       floor(floor((s.y - i.m1) * 1e6 + 0.5) / 1e6 * 1e6 + 0.5) / 1e6
+         + 0.0,
+       NULL, NULL
+FROM ini i JOIN series s USING (conv_id)
+WHERE s.turn_idx < {p}
+""")
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6583,6 +6673,7 @@ QUERIES = {
     "rel_tpch_q3": q_rel_tpch_q3,
     "ts_corr_pairs": q_ts_corr_pairs,
     "ts_disorder": q_ts_disorder,
+    "ts_holt_winters": q_ts_holt_winters,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6703,6 +6794,7 @@ ORACLE_SQL = {
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,
     "ts_disorder": SQL_TS_DISORDER,
+    "ts_holt_winters": _hw_sql(),
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

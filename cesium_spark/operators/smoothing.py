@@ -233,3 +233,119 @@ def holt_linear(series: DataFrame, alpha: float, beta: float,
         .groupBy("conv_id", "channel")
         .applyInPandas(_kernel, HOLT_SCHEMA)
     )
+
+
+HW_SCHEMA = ("conv_id string, channel string, turn_idx long, "
+             "t double, y double, level double, trend double, "
+             "seasonal double, forecast double, residual double")
+
+
+def holt_winters(series: DataFrame, alpha: float, beta: float,
+                 gamma: float, period: int,
+                 allow_non_dyadic: bool = False) -> DataFrame:
+    """Holt–Winters ADDITIVE triple exponential smoothing per
+    (conv_id, channel) — the seasonal completion of
+    :func:`holt_linear` (level + trend + a ``period``-slot seasonal
+    state; Hyndman & Athanasopoulos §8.3, additive form):
+
+        sᵢ read  = seasonal state from i − period
+        lᵢ = α·(yᵢ − sᵢ₋ₚ) + (1−α)·(lᵢ₋₁ + bᵢ₋₁)
+        bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁
+        sᵢ = γ·(yᵢ − lᵢ) + (1−γ)·sᵢ₋ₚ
+
+    with the classical first-season initialization — l = mean of the
+    first period, b = (second-season mean − first-season mean)/period,
+    sᵢ = yᵢ − l for the first period — and one-step forecasts
+    fᵢ = lᵢ₋₁ + bᵢ₋₁ + sᵢ₋ₚ from i = period on (NULL during the
+    init season; residual = y − f is the seasonal-aware drift alarm).
+    Series shorter than 2·period cannot initialize the trend and drop
+    out (an honest refusal beats a garbage fit over half a season).
+
+    Determinism / oracle story (holt_linear precedent, one extension):
+    the recursion is the same fixed expression tree in the kernel and
+    in the recursive-CTE oracle, which carries the ``period`` live
+    seasonal values as a rotating LIST in the recursion state. The
+    INIT means are order-dependent float sums, so they are ROUNDED to
+    the 6-dp grid before the recursion starts — both engines then
+    recur from identical state with identical arithmetic. Dyadic
+    α/β/γ required unless ``allow_non_dyadic=True``.
+
+    Scale shape: one hash exchange into ``applyInPandas``, O(n) per
+    series; parallelism across series (sequential-by-definition
+    precedent stated on holt_linear).
+    """
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not (0.0 < v < 1.0):
+            raise ValueError(f"{name} must be in (0, 1), got {v}")
+        if not allow_non_dyadic and not _is_dyadic(v):
+            raise ValueError(
+                f"{name}={v} is not dyadic — the bit-exact oracle "
+                "guarantee does not hold; pass allow_non_dyadic=True "
+                "to proceed anyway")
+    if not (2 <= period <= 1000):
+        raise ValueError(f"period must be in [2, 1000], got {period}")
+    import numpy as np
+
+    p = int(period)
+
+    def _g6(x: float) -> float:
+        # the 6-dp grid both engines share (floor(x*1e6+0.5)/1e6,
+        # the driver's round convention for non-negative-biased vals)
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(["t", "turn_idx"], kind="stable")
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        n = len(y)
+        level = np.full(n, np.nan)
+        trend = np.full(n, np.nan)
+        seas = np.full(n, np.nan)
+        fcst = np.full(n, np.nan)
+        if n >= 2 * p:
+            # ordered (index-order) accumulation, rounded to the grid
+            m1 = 0.0
+            for v in y[:p]:
+                m1 += v
+            m1 /= p
+            m2 = 0.0
+            for v in y[p:2 * p]:
+                m2 += v
+            m2 /= p
+            l_prev = _g6(m1)
+            b_prev = _g6((m2 - m1) / p)
+            s = [_g6(y[i] - m1) for i in range(p)]
+            for i in range(p):
+                seas[i] = s[i]
+            level[p - 1] = l_prev
+            trend[p - 1] = b_prev
+            for i in range(p, n):
+                # fixed expression tree — restated verbatim in the
+                # recursive-CTE oracle; do not refactor the arithmetic
+                s_old = s[0]
+                f = l_prev + b_prev + s_old
+                li = alpha * (y[i] - s_old) \
+                    + (1.0 - alpha) * (l_prev + b_prev)
+                bi = beta * (li - l_prev) + (1.0 - beta) * b_prev
+                si = gamma * (y[i] - li) + (1.0 - gamma) * s_old
+                fcst[i] = f
+                level[i] = li
+                trend[i] = bi
+                seas[i] = si
+                s = s[1:] + [si]
+                l_prev, b_prev = li, bi
+        pdf["level"] = level
+        pdf["trend"] = trend
+        pdf["seasonal"] = seas
+        pdf["forecast"] = fcst
+        pdf["residual"] = pdf["y"] - pdf["forecast"]
+        if n < 2 * p:
+            return pdf.head(0)   # cannot initialize: honest drop
+        return pdf
+
+    return (
+        series
+        .select("conv_id", "channel", "turn_idx", "t", "y")
+        .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+        .groupBy("conv_id", "channel")
+        .applyInPandas(_kernel, HW_SCHEMA)
+    )

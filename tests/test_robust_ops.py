@@ -348,3 +348,113 @@ def test_random_projection_matches_numpy_and_preserves_distance(spark):
     assert abs(float(np.median(ratio)) - 1.0) < 0.15
     with pytest.raises(ValueError):
         random_projection(df, dim, dim)
+
+
+# --- holt-winters additive seasonal ------------------------------------------
+
+def _hw_ref(y, a, b, g, p):
+    import numpy as np
+    n = len(y)
+    if n < 2 * p:
+        return None
+
+    def g6(x):
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    out = {"level": [None] * n, "trend": [None] * n,
+           "seas": [None] * n, "f": [None] * n}
+    m1 = 0.0
+    for v in y[:p]:
+        m1 += v
+    m1 /= p
+    m2 = 0.0
+    for v in y[p:2 * p]:
+        m2 += v
+    m2 /= p
+    l, bb = g6(m1), g6((m2 - m1) / p)
+    s = [g6(y[i] - m1) for i in range(p)]
+    for i in range(p):
+        out["seas"][i] = s[i]
+    out["level"][p - 1] = l
+    out["trend"][p - 1] = bb
+    for i in range(p, n):
+        so = s[0]
+        out["f"][i] = l + bb + so
+        li = a * (y[i] - so) + (1.0 - a) * (l + bb)
+        bi = b * (li - l) + (1.0 - b) * bb
+        si = g * (y[i] - li) + (1.0 - g) * so
+        out["level"][i], out["trend"][i], out["seas"][i] = li, bi, si
+        s = s[1:] + [si]
+        l, bb = li, bi
+    return out
+
+
+def test_holt_winters_bit_exact_vs_scalar_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    from cesium_spark.operators.smoothing import holt_winters
+    rng = np.random.default_rng(9)
+    p = 6
+    season = np.array([3.0, -1.0, 0.5, -2.0, 1.5, -2.0])
+    data = {}
+    for c in range(4):
+        m = int(rng.integers(2 * p, 90))
+        t = np.arange(m, dtype=float)
+        data[f"c{c}"] = list(0.2 * t + season[np.arange(m) % p]
+                             + rng.normal(0, 0.05, m))
+    data["short"] = list(np.arange(5.0))
+    rows = [(c, "value", i, float(i), float(v))
+            for c, vs in data.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["conv_id", "channel", "turn_idx", "t", "y"]))
+    out = holt_winters(df, 0.5, 0.25, 0.25, p).toPandas()
+    assert "short" not in set(out.conv_id)   # < 2 periods: honest drop
+    for c, vs in data.items():
+        if c == "short":
+            continue
+        ref = _hw_ref(vs, 0.5, 0.25, 0.25, p)
+        sub = out[out.conv_id == c].sort_values("turn_idx")
+        for i, row in enumerate(sub.itertuples()):
+            for col, key in (("level", "level"), ("trend", "trend"),
+                             ("seasonal", "seas"), ("forecast", "f")):
+                gv, rv = getattr(row, col), ref[key][i]
+                if rv is None:
+                    assert np.isnan(gv), (c, i, col)
+                else:
+                    assert gv == rv, (c, i, col)   # BIT-exact
+
+
+def test_holt_winters_beats_holt_on_seasonal_signal(spark):
+    """The seasonal component is worth having: on a clean
+    trend+seasonal signal the HW one-step residuals are far smaller
+    than plain Holt's (which must chase the season as trend error)."""
+    import numpy as np
+    import pandas as pd
+
+    from cesium_spark.operators.smoothing import holt_linear, holt_winters
+    p = 6
+    season = np.array([5.0, -3.0, 1.0, -4.0, 4.0, -3.0])
+    m = 120
+    y = 0.1 * np.arange(m) + season[np.arange(m) % p]
+    rows = [("a", "value", i, float(i), float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["conv_id", "channel", "turn_idx", "t", "y"]))
+    hw = holt_winters(df, 0.5, 0.25, 0.25, p).toPandas()
+    h = holt_linear(df, 0.5, 0.25).toPandas()
+    tail = lambda d: d[d.turn_idx > 4 * p].residual.abs().median()  # noqa: E731
+    assert tail(hw) < 0.25 * tail(h)
+
+
+def test_holt_winters_validation(spark):
+    import pandas as pd
+
+    from cesium_spark.operators.smoothing import holt_winters
+    df = spark.createDataFrame(pd.DataFrame(
+        [("a", "value", 0, 0.0, 1.0)],
+        columns=["conv_id", "channel", "turn_idx", "t", "y"]))
+    import pytest
+    with pytest.raises(ValueError, match="gamma"):
+        holt_winters(df, 0.5, 0.25, 0.3, 6)      # non-dyadic gamma
+    with pytest.raises(ValueError, match="period"):
+        holt_winters(df, 0.5, 0.25, 0.25, 1)
