@@ -6587,6 +6587,72 @@ WHERE s.turn_idx < {p}
 """)
 
 
+def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS: the multimodal_phash_pairs candidate
+    pipeline (planted mutated rasters included) fed through the same
+    iterative min-label connected components that finishes the text
+    dedup family — the composition that turns pairwise hamming hits
+    into the actual dedup unit (keep one image per cluster). Every
+    stage is integer-exact, so the oracle is FULL-VALUE end-to-end:
+    DuckDB replays signature, banding, hamming cut, AND the
+    components via the recursive min-reachable-label CTE; singleton
+    images keep their own id."""
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.where(F.col("doc_id") % 30 == 0)
+               .select((F.col("doc_id") + 300000).alias("doc_id"),
+                       F.concat(F.lit("Z"), F.expr("substring(text, 2)"))
+                       .alias("text")))
+    media = multimodal.attach_media(docs.unionByName(planted))
+    sig = multimodal.image_phash(media.where(F.col("media_type") != "audio"))
+    pairs = dedup.simhash_band_pairs(sig, id_col="doc_id", sig_col="dhash",
+                                     bands=4, max_hamming=3)
+    comp = dedup.connected_components(pairs)
+    lab = (sig.select("doc_id")
+           .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("component", F.col("doc_id"))
+                   .alias("cluster_id")))
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (lab.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    F.col("cluster_size").cast("long")
+                    .alias("cluster_size")))
+
+
+def _phash_clusters_sql() -> str:
+    final = ("SELECT id_a, id_b, hamming, n_shared_bands FROM g "
+             "WHERE hamming <= 3")
+    base = SQL_MULTIMODAL_PHASH_PAIRS
+    assert final in base
+    head = base.rsplit(final, 1)[0].rstrip().rstrip(")")
+    head = head + ")"  # close the g CTE we just trimmed back to
+    head = head.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    return head + """,
+pairs AS (SELECT id_a, id_b FROM g WHERE hamming <= 3),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT p.doc_id, coalesce(c.component, p.doc_id) AS cluster_id
+  FROM ph p LEFT JOIN comp c ON c.node = p.doc_id
+),
+csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT l.doc_id, l.cluster_id,
+       cast(c.cluster_size AS bigint) AS cluster_size
+FROM lab l JOIN csz c USING (cluster_id)
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6674,6 +6740,7 @@ QUERIES = {
     "ts_corr_pairs": q_ts_corr_pairs,
     "ts_disorder": q_ts_disorder,
     "ts_holt_winters": q_ts_holt_winters,
+    "multimodal_phash_clusters": q_multimodal_phash_clusters,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6795,6 +6862,7 @@ ORACLE_SQL = {
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,
     "ts_disorder": SQL_TS_DISORDER,
     "ts_holt_winters": _hw_sql(),
+    "multimodal_phash_clusters": _phash_clusters_sql(),
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,
