@@ -6653,6 +6653,57 @@ FROM lab l JOIN csz c USING (cluster_id)
 """
 
 
+def q_emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus-geometry health: cosine distribution over
+    deterministic (rank + 37) mod n pairs — mean near 0 = isotropic,
+    near 1 = collapsed cone where every ANN threshold degrades.
+    Pairing is exact integer arithmetic; cosines are the shared
+    aggregate/zip_with arithmetic on the 6-dp grid."""
+    from cesium_spark.operators.similarity import embedding_anisotropy
+    embs = _read(spark, sf_dir, "embeddings")
+    out = embedding_anisotropy(embs, stride=37)
+    return out.select(
+        "n_pairs", "n_dropped",
+        _r(F.col("cos_mean")).alias("cos_mean"),
+        _r(F.col("cos_std")).alias("cos_std"),
+        _r(F.col("cos_p05")).alias("cos_p05"),
+        _r(F.col("cos_p50")).alias("cos_p50"),
+        _r(F.col("cos_p95")).alias("cos_p95"))
+
+
+SQL_EMB_ANISOTROPY = """
+WITH v AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+good AS (
+  SELECT vec_id, v, nrm,
+         row_number() OVER (ORDER BY vec_id) - 1 AS r
+  FROM v WHERE nrm > 0
+),
+n AS (SELECT count(*) AS cnt FROM good),
+p AS (
+  SELECT list_sum(list_transform(list_zip(a.v, b.v),
+                                 s -> s[1] * s[2]))
+           / (a.nrm * b.nrm) AS c
+  FROM good a JOIN good b
+    ON (a.r + 37) % (SELECT cnt FROM n) = b.r
+)
+SELECT cast(count(*) AS bigint) AS n_pairs,
+       cast((SELECT count(*) FROM v WHERE nrm <= 0) AS bigint)
+         AS n_dropped,
+       round(avg(c), 6) + 0.0 AS cos_mean,
+       round(stddev_pop(c), 6) + 0.0 AS cos_std,
+       round(quantile_cont(c, 0.05), 6) + 0.0 AS cos_p05,
+       round(quantile_cont(c, 0.5), 6) + 0.0 AS cos_p50,
+       round(quantile_cont(c, 0.95), 6) + 0.0 AS cos_p95
+FROM p
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6741,6 +6792,7 @@ QUERIES = {
     "ts_disorder": q_ts_disorder,
     "ts_holt_winters": q_ts_holt_winters,
     "multimodal_phash_clusters": q_multimodal_phash_clusters,
+    "emb_anisotropy": q_emb_anisotropy,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6863,6 +6915,7 @@ ORACLE_SQL = {
     "ts_disorder": SQL_TS_DISORDER,
     "ts_holt_winters": _hw_sql(),
     "multimodal_phash_clusters": _phash_clusters_sql(),
+    "emb_anisotropy": SQL_EMB_ANISOTROPY,
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

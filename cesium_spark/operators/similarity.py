@@ -347,3 +347,70 @@ def embedding_dim_stats(embs: DataFrame, collapsed_var: float = 1e-6,
         F.col("n_vecs").cast("long").alias("n_vecs"),
         "mean", "variance", "min_val", "max_val",
         (F.col("variance") < F.lit(collapsed_var)).alias("collapsed"))
+
+
+def embedding_anisotropy(embs: DataFrame, stride: int = 37,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Corpus-geometry health in one row: the distribution of cosine
+    similarity between DETERMINISTICALLY paired vectors — the
+    anisotropy measure (Ethayarajh 2019: contextual embeddings often
+    collapse into a narrow cone; mean random-pair cosine ≈ 0 for a
+    healthy isotropic corpus, → 1 for a collapsed one, where every
+    ANN structure and every cosine threshold silently degrades).
+
+    Pairing is content-free and replayable: vector i pairs with the
+    vector whose rank is (rank + stride) mod n in vec_id order — one
+    equi-join on the computed partner rank (no sampling RNG, no
+    cartesian; exactly n pairs). ``stride`` must not divide n evenly
+    into short cycles that re-pair neighbors; any moderate co-prime
+    stride measures the same statistic.
+
+    Outputs: n_pairs, cos_mean, cos_std (population), cos_p05/p50/p95
+    (shared interpolation), all on the caller's grid downstream.
+    Zero-norm vectors are excluded loudly in the count (n_dropped) —
+    a zero vector has no direction and NULL-poisons a mean silently.
+
+    Scale shape: one global rank (an unpartitioned window — fine for
+    the DIAGNOSTIC corpus sizes this runs on; at 10^9+ vectors run it
+    on a hash sample, the statistic needs ~10^5 pairs, not the corpus
+    — the kmeans_train sampling note), one self-equi-join on the
+    partner rank, one one-row aggregate. No UDF; dot/norms are native
+    aggregate/zip_with exprs (cosine_topk precedent).
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    from pyspark.sql import Window
+    v = (embs.where(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("__id"),
+                 _as_double(vec_col).alias("__v")))
+    norm = F.sqrt(F.aggregate("__v", F.lit(0.0), lambda s, x: s + x * x))
+    v = v.withColumn("__norm", norm)
+    n_dropped = v.where(F.col("__norm") <= 0)
+    good = v.where(F.col("__norm") > 0)
+    w = Window.orderBy("__id")
+    ranked = good.withColumn("__r", F.row_number().over(w) - 1)
+    cnt = ranked.count()
+    if cnt < 2:
+        raise ValueError(f"embedding_anisotropy: need >= 2 non-zero "
+                         f"vectors, got {cnt}")
+    a = ranked.select(F.col("__r").alias("__ra"),
+                      F.col("__v").alias("__va"),
+                      F.col("__norm").alias("__na"))
+    b = ranked.select(F.col("__r").alias("__rb"),
+                      F.col("__v").alias("__vb"),
+                      F.col("__norm").alias("__nb"))
+    pairs = a.join(b, (F.col("__ra") + F.lit(stride)) % F.lit(cnt)
+                   == F.col("__rb"))
+    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda s, x: s + x)
+    cos = dot / (F.col("__na") * F.col("__nb"))
+    agg = pairs.select(cos.alias("__c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.avg("__c").alias("cos_mean"),
+        F.stddev_pop("__c").alias("cos_std"),
+        F.percentile("__c", F.lit(0.05)).alias("cos_p05"),
+        F.percentile("__c", F.lit(0.5)).alias("cos_p50"),
+        F.percentile("__c", F.lit(0.95)).alias("cos_p95"))
+    nd = n_dropped.count()
+    return agg.withColumn("n_dropped", F.lit(nd).cast("long"))

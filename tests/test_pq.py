@@ -183,3 +183,32 @@ def test_dim_stats_shuffle_carries_dims_not_corpus(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # partial aggregate BEFORE the exchange (map-side combine)
     assert plan.index("HashAggregate") < plan.index("Exchange"), plan
+
+
+# --- embedding anisotropy -----------------------------------------------------
+
+def test_anisotropy_separates_isotropic_from_collapsed(spark):
+    from cesium_spark.operators.similarity import embedding_anisotropy
+    rng = np.random.default_rng(7)
+    iso = embedding_anisotropy(
+        _embs(spark, rng.normal(0, 1, (200, 16))), stride=37).collect()[0]
+    assert abs(iso.cos_mean) < 0.15 and iso.n_pairs == 200
+    base = rng.normal(0, 1, 16)
+    collapsed = base[None, :] + rng.normal(0, 0.05, (200, 16))
+    col = embedding_anisotropy(
+        _embs(spark, collapsed), stride=37).collect()[0]
+    assert col.cos_mean > 0.95
+    assert col.cos_p05 > 0.9   # the whole distribution is a cone
+
+
+def test_anisotropy_drops_zero_vectors_and_validates(spark):
+    from cesium_spark.operators.similarity import embedding_anisotropy
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, (30, 8))
+    X[4] = 0.0                 # zero-norm: no direction
+    out = embedding_anisotropy(_embs(spark, X), stride=7).collect()[0]
+    assert out.n_dropped == 1 and out.n_pairs == 29
+    with pytest.raises(ValueError, match="stride"):
+        embedding_anisotropy(_embs(spark, X), stride=0)
+    with pytest.raises(ValueError, match="need >= 2"):
+        embedding_anisotropy(_embs(spark, np.zeros((3, 8))))
