@@ -6704,6 +6704,50 @@ FROM p
 """
 
 
+def q_ts_forecast_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE / RMSE / MASE per conversation over the Holt one-step
+    forecasts — the scale-free benchmark that says whether the
+    smoother beats the naive last-value forecast (MASE < 1). The
+    engine scores the 6-dp-GRIDDED forecasts (the same floor-snap the
+    holt oracle emits), so both engines score identical inputs; error
+    means land on the 6-dp grid; constant series report NULL MASE via
+    try_divide. The oracle wraps the full recursive holt CTE as a
+    derived table and restates the scoring verbatim."""
+    from cesium_spark.operators.smoothing import (
+        forecast_scores,
+        holt_linear,
+    )
+    raw = holt_linear(_value_series(spark, sf_dir), _HOLT_A, _HOLT_B)
+    gridded = raw.withColumn(
+        "forecast", F.floor(F.col("forecast") * 1e6 + 0.5) / 1e6)
+    out = forecast_scores(gridded)
+    return out.select(
+        "conv_id", "n_scored",
+        _r(F.col("mae")).alias("mae"),
+        _r(F.col("rmse")).alias("rmse"),
+        _r(F.col("mase")).alias("mase"))
+
+
+def _forecast_score_sql() -> str:
+    return f"""
+WITH h AS ({SQL_TS_HOLT}),
+l AS (
+  SELECT conv_id, turn_idx, y, forecast,
+         abs(y - lag(y) OVER (PARTITION BY conv_id
+                              ORDER BY turn_idx)) AS nv,
+         CASE WHEN forecast IS NOT NULL THEN y - forecast END AS e
+  FROM h
+)
+SELECT conv_id,
+       cast(count(forecast) AS bigint) AS n_scored,
+       round(avg(abs(e)), 6) + 0.0 AS mae,
+       round(sqrt(avg(e * e)), 6) + 0.0 AS rmse,
+       round(CASE WHEN avg(nv) > 0 THEN avg(abs(e)) / avg(nv) END, 6)
+         + 0.0 AS mase
+FROM l GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -6793,6 +6837,7 @@ QUERIES = {
     "ts_holt_winters": q_ts_holt_winters,
     "multimodal_phash_clusters": q_multimodal_phash_clusters,
     "emb_anisotropy": q_emb_anisotropy,
+    "ts_forecast_score": q_ts_forecast_score,
     "ts_max_slope": q_ts_max_slope,
     "ts_percent_beyond_1_std": q_ts_percent_beyond_1_std,
     "ts_sessionize": q_ts_sessionize,
@@ -6916,6 +6961,7 @@ ORACLE_SQL = {
     "ts_holt_winters": _hw_sql(),
     "multimodal_phash_clusters": _phash_clusters_sql(),
     "emb_anisotropy": SQL_EMB_ANISOTROPY,
+    "ts_forecast_score": _forecast_score_sql(),
     "ts_budget": SQL_TS_BUDGET,
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,

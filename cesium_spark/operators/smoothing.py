@@ -27,7 +27,7 @@ ValueError unless ``allow_non_dyadic=True``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 EWMA_SCHEMA = ("conv_id string, channel string, turn_idx long, "
@@ -349,3 +349,39 @@ def holt_winters(series: DataFrame, alpha: float, beta: float,
         .groupBy("conv_id", "channel")
         .applyInPandas(_kernel, HW_SCHEMA)
     )
+
+
+def forecast_scores(scored: DataFrame,
+                    forecast_col: str = "forecast") -> DataFrame:
+    """Forecast-accuracy scoring per series over ANY operator output
+    carrying (conv_id, turn_idx, y, forecast) — holt_linear,
+    holt_winters, ar1 backtests: MAE, RMSE, and MASE (Hyndman &
+    Koehler 2006), the scale-free benchmark ratio mae /
+    mean|yᵢ − yᵢ₋₁| — MASE < 1 beats the naive last-value forecast,
+    the bar every production forecaster must clear and the number
+    that makes models comparable across series with different units.
+
+    Rows with NULL forecast (warm-up) are excluded from the error
+    means but their y still participates in the naive scaling (the
+    standard in-sample definition). Constant series have naive MAE 0
+    → NULL MASE via try_divide, never an infinity. A row count
+    ``n_scored`` = 0 (nothing forecastable) keeps NULL errors.
+
+    Scale shape: one lag window + one aggregate on the same conv_id
+    key → ONE hash exchange, no join, no UDF.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    f = F.col(forecast_col)
+    err = F.when(f.isNotNull(), F.col("y") - f)
+    naive = F.abs(F.col("y") - F.lag("y").over(w))
+    base = scored.select("conv_id", "turn_idx", "y", f.alias("__f"),
+                         err.alias("__e"), naive.alias("__nv"))
+    return (base.groupBy("conv_id")
+            .agg(F.count("__f").cast("long").alias("n_scored"),
+                 F.avg(F.abs(F.col("__e"))).alias("mae"),
+                 F.sqrt(F.avg(F.col("__e") * F.col("__e")))
+                 .alias("rmse"),
+                 F.avg("__nv").alias("__naive_mae"))
+            .select("conv_id", "n_scored", "mae", "rmse",
+                    F.expr("try_divide(mae, __naive_mae)")
+                    .alias("mase")))

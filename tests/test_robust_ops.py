@@ -458,3 +458,33 @@ def test_holt_winters_validation(spark):
         holt_winters(df, 0.5, 0.25, 0.3, 6)      # non-dyadic gamma
     with pytest.raises(ValueError, match="period"):
         holt_winters(df, 0.5, 0.25, 0.25, 1)
+
+
+def test_forecast_scores_semantics(spark):
+    """MASE anchors: a perfect forecast scores 0; the naive last-value
+    forecast scores exactly 1; a constant series has no naive scale
+    and reports NULL, never infinity."""
+    import numpy as np
+    import pandas as pd
+
+    from cesium_spark.operators.smoothing import forecast_scores
+    rng = np.random.default_rng(31)
+    y = rng.normal(0, 1, 50)
+    rows = []
+    for i in range(50):
+        f_perfect = float(y[i]) if i >= 2 else None
+        f_naive = float(y[i - 1]) if i >= 1 else None
+        rows.append(("perfect", i, float(y[i]), f_perfect))
+        rows.append(("naive", i, float(y[i]), f_naive))
+        rows.append(("const", i, 3.0, 3.0 if i >= 1 else None))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "y", "forecast"]))
+    out = {r.conv_id: r for r in forecast_scores(df).collect()}
+    p = out["perfect"]
+    assert p.n_scored == 48 and p.mae == 0.0 and p.mase == 0.0
+    nv = out["naive"]
+    # naive forecast's MAE == the naive scaling by construction... up
+    # to the one extra lag row the scale includes; allow tight band
+    assert nv.mase == pytest.approx(1.0, abs=1e-12)
+    c = out["const"]
+    assert c.mae == 0.0 and c.mase is None   # 0/0: undefined, not 0
