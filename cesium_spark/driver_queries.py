@@ -6285,6 +6285,71 @@ FROM p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
 """
 
 
+def q_doc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram coverage (Lee et al. 2022 exact-substring
+    dedup at n-gram granularity): per doc, the fraction of its distinct
+    5-grams that occur in >= 2 documents. Every doc_id%5==0 doc gains a
+    shared 12-token boilerplate paragraph (8 guaranteed-duplicated
+    5-grams), so the is_dup flag at threshold 0.1 separates planted
+    boilerplate carriers from the natural background. Counts are exact
+    integers keyed by md5-prefix grams; dup_frac is one exact integer
+    division — full-value oracle."""
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    plant = ("privacy policy terms of service cookie "
+             "notice applies to this web site")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" " + plant)))
+        .otherwise(F.col("text")).alias("text"))
+    out = dedup.ngram_coverage(planted, n=5, min_df=2, dup_threshold=0.1)
+    return out.select("doc_id", "n_grams", "n_dup",
+                      _r(F.col("dup_frac")).alias("dup_frac"), "is_dup")
+
+
+SQL_DOC_NGRAM_COVERAGE = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' privacy policy terms of service cookie'
+                   || ' notice applies to this web site'
+              ELSE text END AS text
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM p
+),
+grams AS (
+  SELECT doc_id, substr(md5(g), 1, 16) AS gk
+  FROM (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+    FROM tk, LATERAL (
+      SELECT unnest(generate_series(1, len(t) - 4)) AS i) u
+    WHERE len(t) >= 5
+  )
+),
+dfreq AS (SELECT gk, count(*) AS df FROM grams GROUP BY 1),
+per AS (
+  SELECT g.doc_id,
+         cast(count(*) AS bigint) AS n_grams,
+         cast(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS bigint)
+           AS n_dup
+  FROM grams g JOIN dfreq d USING (gk) GROUP BY 1
+)
+SELECT p.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.n_dup, 0) AS n_dup,
+       round(cast(per.n_dup AS double) / cast(per.n_grams AS double), 6)
+         + 0.0 AS dup_frac,
+       coalesce(cast(per.n_dup AS double) / cast(per.n_grams AS double),
+                0.0) >= 0.1 AS is_dup
+FROM p LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX motif/discord mining per conversation (k=4 words over
     per-point letters at fixed breakpoints 15/35/70): the recurring
@@ -6830,6 +6895,7 @@ QUERIES = {
     "emb_dim_stats": q_emb_dim_stats,
     "ts_stream_enrich": q_ts_stream_enrich,
     "doc_line_dedup": q_doc_line_dedup,
+    "doc_ngram_coverage": q_doc_ngram_coverage,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "ts_corr_pairs": q_ts_corr_pairs,
@@ -6954,6 +7020,7 @@ ORACLE_SQL = {
     "emb_dim_stats": SQL_EMB_DIM_STATS,
     "ts_stream_enrich": SQL_TS_STREAM_ENRICH,
     "doc_line_dedup": SQL_DOC_LINE_DEDUP,
+    "doc_ngram_coverage": SQL_DOC_NGRAM_COVERAGE,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,

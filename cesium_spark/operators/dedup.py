@@ -350,6 +350,69 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def ngram_coverage(docs: DataFrame, n: int = 13, min_df: int = 2,
+                   dup_threshold: float = 0.5, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Duplicated-n-gram coverage per document — the n-gram-granularity
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; they
+    use suffix arrays at 50-token granularity — a suffix array is a
+    single-machine structure, so the distributed restatement is: a
+    document's duplication level = the fraction of its DISTINCT word
+    n-grams that occur in at least ``min_df`` documents corpus-wide).
+
+    Output: (id, n_grams, n_dup, dup_frac, is_dup) — ``n_grams`` =
+    distinct n-grams in the doc (0 for docs shorter than n tokens,
+    dup_frac NULL there), ``is_dup`` = dup_frac ≥ dup_threshold.
+
+    Scale shape (10^9 docs): shingles are keyed by the first 16 hex
+    chars of md5 (64 bits) so the two shuffles carry fixed-width keys,
+    never gram strings; the df aggregate combines map-side (each doc
+    contributes a gram once — ``_shingles`` is distinct-per-doc — so
+    df is a plain count); the join back is co-partitioned on the same
+    key, and boilerplate mega-grams (df ~ 10^9 hot keys) are exactly
+    what AQE skew-join splitting handles — unlike the rejected
+    window-function formulation (count over partition by gram), which
+    funnels each hot gram through ONE sort partition with no partial
+    aggregation. Hash collisions (2⁻⁶⁴ per gram pair) can only merge
+    two grams' df counts and are identically reproduced by any oracle
+    that replays the same md5 keying.
+
+    Determinism: counts are exact integers; dup_frac is ONE division of
+    exact integers (IEEE-exact, engine-independent); the flag compares
+    that exact quotient — full-value SQL-restatable end to end.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (df=1 is 'unique'), got {min_df}")
+    if not (0.0 < dup_threshold <= 1.0):
+        raise ValueError(f"dup_threshold must be in (0,1], got {dup_threshold}")
+    grams = (docs
+             .select(F.col(id_col),
+                     F.explode(_shingles(text_col, n)).alias("g"))
+             .select(id_col, F.substring(F.md5("g"), 1, 16).alias("gk")))
+    dfreq = grams.groupBy("gk").agg(F.count("*").alias("df"))
+    per_doc = (grams.join(dfreq, "gk")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0))
+                    .alias("n_dup")))
+    frac = F.when(F.col("n_grams") > 0,
+                  F.col("n_dup").cast("double")
+                  / F.col("n_grams").cast("double"))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("n_dup", F.lit(0)).cast("long")
+                    .alias("n_dup"))
+            .select(id_col, "n_grams", "n_dup",
+                    frac.alias("dup_frac"),
+                    (F.coalesce(frac, F.lit(0.0)) >= F.lit(dup_threshold))
+                    .alias("is_dup")))
+
+
 def _cosine_on_pairs(pairs: DataFrame, v: DataFrame, id_col: str,
                      threshold: float) -> DataFrame:
     """Exact cosine for candidate (id_a, id_b) pairs: two id-equi joins
