@@ -6285,6 +6285,153 @@ FROM p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
 """
 
 
+def _ddsketch_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value series with zero/negative stores exercised: every 13th
+    turn pinned to exact 0.0 (zero store), every 17th sign-flipped
+    (negative store; |v| unchanged, so the log bucket is identical)."""
+    s = _value_series(spark, sf_dir)
+    return s.withColumn(
+        "y",
+        F.when(F.col("turn_idx") % 13 == 0, F.lit(0.0))
+        .when(F.col("turn_idx") % 17 == 0, -F.col("y"))
+        .otherwise(F.col("y")))
+
+
+_DDSKETCH_PLANT_SQL = """
+planted AS (
+  SELECT conv_id, ts,
+         CASE WHEN turn_idx % 13 = 0 THEN 0.0
+              WHEN turn_idx % 17 = 0 THEN -y
+              ELSE y END AS y
+  FROM series
+)
+"""
+
+# ln(gamma) for alpha = 0.02, computed once and inlined on BOTH sides
+# so the only engine-side log is ln(|y|) (boundary-margin-guarded)
+_DD_ALPHA = 0.02
+_DD_GAMMA = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
+import math as _math  # noqa: E402
+
+_DD_LNG = _math.log(_DD_GAMMA)
+_DD_CELL_SQL = f"""
+  CASE WHEN y = 0 THEN 0 WHEN y > 0 THEN 1 ELSE -1 END AS store,
+  CASE WHEN y = 0 THEN 0
+       ELSE cast(ceil(ln(abs(y)) / {_DD_LNG!r}) AS int) END AS bkt
+"""
+
+
+def q_ts_ddsketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch retention tiers (Masson 2019 relative-error quantile
+    sketch): hourly log-bucket cells per conv FOLDED to daily by
+    integer addition. Same contract as the histogram/CMS tiers: the
+    fold is exact int arithmetic over identical bucket boundaries
+    (alpha frozen), so folded cells must EQUAL the daily cells the
+    oracle computes directly from raw — full-value, bit-stable at any
+    parallelism. Zero and negative stores are planted via turn_idx
+    mods; the in-plan boundary-margin guard (1e-9) proves no value
+    sits where engine ln() ulps could flip a ceil."""
+    from cesium_spark.operators.ddsketch import ddsketch_build, ddsketch_fold
+    hourly = ddsketch_build(_ddsketch_planted(spark, sf_dir), "1h",
+                            ["conv_id"], "y", alpha=_DD_ALPHA)
+    daily = ddsketch_fold(hourly, "1d", ["conv_id"])
+    return daily.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("store").cast("int").alias("store"),
+        F.col("bkt").cast("int").alias("bkt"),
+        F.col("cnt").cast("long").alias("cnt"))
+
+
+SQL_TS_DDSKETCH_FOLD = f"""{_VALUE_SERIES_SQL.rstrip()},
+{_DDSKETCH_PLANT_SQL}
+SELECT conv_id,
+       strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS window_start,
+       {_DD_CELL_SQL},
+       count(*) AS cnt
+FROM planted
+WHERE y IS NOT NULL
+GROUP BY ALL
+"""
+
+
+def q_ts_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 estimates from the FOLDED daily DDSketch — the payoff of
+    the relative-error tier: |est − true| ≤ α·|true| at every quantile
+    regardless of value range (pytest-pinned). Deterministic: integer
+    counts + γ-literals through one fixed expression tree (one pow per
+    bucket; cross-engine pow parity for this frozen γ pinned in pytest
+    over the full plausible bucket range), rounded at the contract
+    boundary."""
+    from cesium_spark.operators.ddsketch import (
+        ddsketch_build,
+        ddsketch_fold,
+        ddsketch_quantile,
+    )
+    hourly = ddsketch_build(_ddsketch_planted(spark, sf_dir), "1h",
+                            ["conv_id"], "y", alpha=_DD_ALPHA)
+    daily = ddsketch_fold(hourly, "1d", ["conv_id"])
+    out = ddsketch_quantile(daily, ["conv_id"], [0.5, 0.95], _DD_ALPHA,
+                            ["p50_est", "p95_est"])
+    return out.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        _r(F.col("p50_est")).alias("p50_est"),
+        _r(F.col("p95_est")).alias("p95_est"))
+
+
+def _dd_mid_list_sql(bkt_bound: int = 700) -> str:
+    """DuckDB list literal of the SAME midpoint table the Spark plan
+    uses (ddsketch.midpoint_literals) — repr roundtrips doubles, so
+    both engines index bit-identical values."""
+    from cesium_spark.operators.ddsketch import midpoint_literals
+    mids = midpoint_literals(_DD_ALPHA, bkt_bound)
+    return "[" + ", ".join(repr(m) for m in mids) + "]"
+
+
+SQL_TS_DDSKETCH_QUANTILE = f"""{_VALUE_SERIES_SQL.rstrip()},
+{_DDSKETCH_PLANT_SQL},
+cells AS (
+  SELECT conv_id,
+         date_trunc('day', ts) AS window_start,
+         {_DD_CELL_SQL},
+         count(*) AS cnt
+  FROM planted
+  WHERE y IS NOT NULL
+  GROUP BY ALL
+),
+r AS (
+  SELECT conv_id, window_start, store, bkt, cnt,
+         sum(cnt) OVER (PARTITION BY conv_id, window_start
+                        ORDER BY store,
+                                 CASE WHEN store = -1 THEN -bkt
+                                      ELSE bkt END
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY conv_id, window_start) AS total,
+         CASE WHEN store = 0 THEN 0.0
+              ELSE CAST(store AS DOUBLE)
+                   * ({_dd_mid_list_sql()}[bkt + 701]) END AS est
+  FROM cells
+)
+SELECT conv_id,
+       strftime(window_start, '{DUCK_TS_FMT}') AS window_start,
+       max(total) AS n,
+       round(max(CASE WHEN CAST(cum AS DOUBLE)
+                           >= 0.5 * CAST(total AS DOUBLE)
+                      AND CAST(cum - cnt AS DOUBLE)
+                          < 0.5 * CAST(total AS DOUBLE)
+                      THEN est END), 6) + 0.0 AS p50_est,
+       round(max(CASE WHEN CAST(cum AS DOUBLE)
+                           >= 0.95 * CAST(total AS DOUBLE)
+                      AND CAST(cum - cnt AS DOUBLE)
+                          < 0.95 * CAST(total AS DOUBLE)
+                      THEN est END), 6) + 0.0 AS p95_est
+FROM r
+GROUP BY conv_id, window_start
+"""
+
+
 def q_doc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-n-gram coverage (Lee et al. 2022 exact-substring
     dedup at n-gram granularity): per doc, the fraction of its distinct
@@ -6896,6 +7043,8 @@ QUERIES = {
     "ts_stream_enrich": q_ts_stream_enrich,
     "doc_line_dedup": q_doc_line_dedup,
     "doc_ngram_coverage": q_doc_ngram_coverage,
+    "ts_ddsketch_fold": q_ts_ddsketch_fold,
+    "ts_ddsketch_quantile": q_ts_ddsketch_quantile,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "ts_corr_pairs": q_ts_corr_pairs,
@@ -7021,6 +7170,8 @@ ORACLE_SQL = {
     "ts_stream_enrich": SQL_TS_STREAM_ENRICH,
     "doc_line_dedup": SQL_DOC_LINE_DEDUP,
     "doc_ngram_coverage": SQL_DOC_NGRAM_COVERAGE,
+    "ts_ddsketch_fold": SQL_TS_DDSKETCH_FOLD,
+    "ts_ddsketch_quantile": SQL_TS_DDSKETCH_QUANTILE,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,

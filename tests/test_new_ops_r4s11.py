@@ -1,8 +1,12 @@
 """Session-11 operators: duplicated-n-gram coverage (Lee et al. 2022
-exact-substring dedup at n-gram granularity)."""
+exact-substring dedup at n-gram granularity) and DDSketch
+relative-error quantile tiers (Masson 2019)."""
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -67,3 +71,131 @@ def test_ngram_coverage_no_cartesian_and_bounded_shuffles(cov_docs):
     # is hash partitioning on a fixed-width key, never a sort of the
     # corpus on a global key
     assert len(re.findall(r"Exchange rangepartitioning", p)) == 0
+
+
+# --- DDSketch ---------------------------------------------------------------
+
+ALPHA = 0.05
+
+
+@pytest.fixture(scope="module")
+def dd_series(spark):
+    ts = pd.date_range("2024-01-01", periods=300, freq="11min")
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.lognormal(2.0, 2.0, 300), 2)  # 4+ decades
+    vals[::29] = 0.0
+    vals[1::31] = -vals[1::31]
+    vals[5] = np.nan
+    return spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["a"] * 150 + ["b"] * 150, "ts": ts, "y": vals})), vals, ts
+
+
+def test_ddsketch_fold_equals_direct(dd_series):
+    from cesium_spark.operators.ddsketch import ddsketch_build, ddsketch_fold
+    df, _, _ = dd_series
+    folded = ddsketch_fold(
+        ddsketch_build(df, "1h", ["conv_id"], "y", alpha=ALPHA),
+        "1d", ["conv_id"])
+    direct = ddsketch_build(df, "1d", ["conv_id"], "y", alpha=ALPHA)
+    cols = ["conv_id", "window_start", "store", "bkt", "cnt"]
+    a = sorted(map(tuple, folded.select(*cols).collect()))
+    b = sorted(map(tuple, direct.select(*cols).collect()))
+    assert a == b and len(a) > 50  # cell-exact merge, real bucket spread
+
+
+def test_ddsketch_midpoint_relative_error_bound(dd_series):
+    """The paper's guarantee: the bucket midpoint is within α·|v| of
+    every value v the bucket covers — checked per raw value."""
+    from cesium_spark.operators.ddsketch import gamma_of, midpoint_literals
+    _, vals, _ = dd_series
+    g = gamma_of(ALPHA)
+    mids = midpoint_literals(ALPHA)
+    for v in vals:
+        if not np.isfinite(v) or v == 0:
+            continue
+        k = math.ceil(math.log(abs(v)) / math.log(g))
+        est = math.copysign(mids[k + 700], v)
+        assert abs(est - v) <= ALPHA * abs(v) + 1e-12
+
+
+def test_ddsketch_quantile_within_alpha_of_exact(dd_series):
+    from cesium_spark.operators.ddsketch import (
+        ddsketch_build, ddsketch_fold, ddsketch_quantile)
+    df, vals, ts = dd_series
+    daily = ddsketch_fold(
+        ddsketch_build(df, "1h", ["conv_id"], "y", alpha=ALPHA),
+        "1d", ["conv_id"])
+    out = ddsketch_quantile(daily, ["conv_id"], [0.5, 0.9], ALPHA,
+                            ["p50", "p90"]).toPandas()
+    assert len(out) > 0
+    conv = np.array(["a"] * 150 + ["b"] * 150)
+    day = ts.floor("D")
+    for _, r in out.iterrows():
+        m = (conv == r["conv_id"]) & (day == r["window_start"])
+        sub = np.sort(vals[m][np.isfinite(vals[m])])
+        n = len(sub)
+        assert r["n"] == n
+        for q, est in [(0.5, r["p50"]), (0.9, r["p90"])]:
+            true = sub[math.ceil(q * n) - 1]
+            if true == 0:
+                assert est == 0.0
+            else:
+                assert abs(est - true) <= ALPHA * abs(true) + 1e-12
+
+
+def test_ddsketch_boundary_guard_raises(spark):
+    """A value whose log-index sits inside the margin of an integer
+    (where engine ln ulps could flip the ceil) must fail loudly."""
+    from cesium_spark.operators.ddsketch import ddsketch_build, gamma_of
+    g = gamma_of(ALPHA)
+    knife = g ** 5 * (1.0 + 1e-11)
+    df = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["a"], "ts": pd.to_datetime(["2024-01-01"]),
+        "y": [knife]}))
+    with pytest.raises(Exception, match="bucket boundary"):
+        ddsketch_build(df, "1h", ["conv_id"], "y", alpha=ALPHA).collect()
+    # exact hit (v=1 -> ln 1 = 0.0 in every IEEE libm) is allowed
+    ok = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["a"], "ts": pd.to_datetime(["2024-01-01"]),
+        "y": [1.0]}))
+    row = ddsketch_build(ok, "1h", ["conv_id"], "y", alpha=ALPHA).collect()
+    assert row[0]["bkt"] == 0 and row[0]["store"] == 1
+
+
+def test_ddsketch_quantile_bkt_out_of_range_raises(spark):
+    from cesium_spark.operators.ddsketch import (
+        ddsketch_build, ddsketch_quantile)
+    df = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["a"], "ts": pd.to_datetime(["2024-01-01"]),
+        "y": [123.45]}))
+    sk = ddsketch_build(df, "1h", ["conv_id"], "y", alpha=ALPHA)
+    with pytest.raises(Exception, match="bkt beyond"):
+        ddsketch_quantile(sk, ["conv_id"], 0.5, ALPHA,
+                          bkt_bound=10).collect()
+
+
+def test_ddsketch_validation(spark):
+    from cesium_spark.operators.ddsketch import (
+        ddsketch_build, ddsketch_fold, gamma_of)
+    df = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["a"], "ts": pd.to_datetime(["2024-01-01"]),
+        "y": [1.0]}))
+    with pytest.raises(ValueError, match="alpha"):
+        gamma_of(0.5)
+    with pytest.raises(ValueError, match="unknown tier"):
+        ddsketch_build(df, "5s", ["conv_id"], "y")
+    with pytest.raises(ValueError, match="can only fold"):
+        ddsketch_fold(df, "1m", ["conv_id"])
+
+
+def test_ddsketch_build_one_exchange(dd_series):
+    import re
+    from cesium_spark.operators.ddsketch import ddsketch_build
+    df, _, _ = dd_series
+    sk = ddsketch_build(df, "1h", ["conv_id"], "y", alpha=ALPHA)
+    # pre-execution plan: the AQE executed-plan string after an action
+    # prints Final AND Initial sections and double-counts exchanges
+    p = sk._jdf.queryExecution().executedPlan().toString()
+    # one two-phase count: bucket assignment is pure codegen per row
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Cartesian" not in p
