@@ -6497,6 +6497,79 @@ FROM p LEFT JOIN per USING (doc_id)
 """
 
 
+def q_doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea-Tarau 2004): 5 PageRank
+    rounds over the directed token-bigram graph of the documents
+    corpus, dangling tokens self-looped, every incoming sum a sorted
+    sequential fold — bit-identical cross-engine (the oracle unrolls
+    the 5 rounds as CTE stages with list_sum(list(... ORDER BY src)),
+    the probed in-order fold). rank_rel = n·rank (1.0 = uniform) keeps
+    6-dp rounding meaningful at any vocabulary size."""
+    from cesium_spark.operators.graphrank import textrank
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = textrank(docs, damping=0.85, iterations=5,
+                   checkpoint_mode="local")
+    return out.select(
+        "token", _r(F.col("rank"), 9).alias("rank"),
+        _r(F.col("rank_rel")).alias("rank_rel"))
+
+
+def _textrank_oracle_sql(k: int = 5, d: float = 0.85) -> str:
+    """Unrolled k-stage PageRank CTE, generated from the same
+    parameters the Spark query uses so the two cannot drift."""
+    stages = []
+    for i in range(1, k + 1):
+        stages.append(f"""pr{i} AS (
+  SELECT v.v,
+         ((1.0 - {d!r}) / nn.nd) + {d!r} * coalesce(s.s, 0.0) AS x
+  FROM verts v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS v,
+           list_sum(list((CAST(e.w AS DOUBLE)
+                          / CAST(e.outdeg AS DOUBLE)) * p.x
+                         ORDER BY e.src)) AS s
+    FROM ej e JOIN pr{i - 1} p ON e.src = p.v
+    GROUP BY e.dst) s ON v.v = s.v
+)""")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, u.t AS tok, u.pos
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS tt
+        FROM documents) dd,
+  LATERAL (SELECT unnest(tt) AS t,
+                  generate_subscripts(tt, 1) AS pos) u
+),
+edges0 AS (
+  SELECT a.tok AS src, b.tok AS dst, count(*) AS w
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+verts AS (SELECT src AS v FROM edges0 UNION SELECT dst FROM edges0),
+loops AS (
+  SELECT v AS src, v AS dst, cast(1 AS bigint) AS w FROM verts
+  WHERE v NOT IN (SELECT src FROM edges0)
+),
+edges AS (SELECT src, dst, cast(w AS bigint) AS w FROM edges0
+          UNION ALL SELECT * FROM loops),
+od AS (SELECT src, cast(sum(w) AS bigint) AS outdeg
+       FROM edges GROUP BY 1),
+ej AS (SELECT e.src, e.dst, e.w, o.outdeg
+       FROM edges e JOIN od o USING (src)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM verts),
+pr0 AS (SELECT v, 1.0 / nn.nd AS x FROM verts CROSS JOIN nn),
+{",".join(stages)}
+SELECT v AS token,
+       round(x, 9) + 0.0 AS rank,
+       round(x * nn.nd, 6) + 0.0 AS rank_rel
+FROM pr{k} CROSS JOIN nn
+"""
+
+
+SQL_DOC_TEXTRANK = _textrank_oracle_sql(5, 0.85)
+
+
 def q_ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX motif/discord mining per conversation (k=4 words over
     per-point letters at fixed breakpoints 15/35/70): the recurring
@@ -7045,6 +7118,7 @@ QUERIES = {
     "doc_ngram_coverage": q_doc_ngram_coverage,
     "ts_ddsketch_fold": q_ts_ddsketch_fold,
     "ts_ddsketch_quantile": q_ts_ddsketch_quantile,
+    "doc_textrank": q_doc_textrank,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "ts_corr_pairs": q_ts_corr_pairs,
@@ -7172,6 +7246,7 @@ ORACLE_SQL = {
     "doc_ngram_coverage": SQL_DOC_NGRAM_COVERAGE,
     "ts_ddsketch_fold": SQL_TS_DDSKETCH_FOLD,
     "ts_ddsketch_quantile": SQL_TS_DDSKETCH_QUANTILE,
+    "doc_textrank": SQL_DOC_TEXTRANK,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,

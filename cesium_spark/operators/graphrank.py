@@ -1,0 +1,144 @@
+"""TextRank keyword scoring — PageRank over the corpus token-adjacency
+graph (Mihalcea & Tarau, "TextRank: Bringing Order into Text", EMNLP
+2004; Page et al. 1999 for the rank recurrence). The second member of
+the iterative-fixed-point family next to connected components
+(dedup.py): k rounds of x' = (1−d)/n + d·Σ_in (w/outdeg)·x over a
+graph whose EDGE AGGREGATION is the big-data part (10^12 turns of text
+collapse into a vocabulary-sized weighted graph) and whose iteration
+is joins + grouped folds with O(1) plan size per round.
+
+Variant pinned down where choices change output: edges are DIRECTED
+adjacent-token bigrams with occurrence-count weights (classic TextRank
+uses an undirected co-occurrence window; the directed bigram variant
+reuses the corpus's collocation structure and keeps the oracle exactly
+restatable); dangling vertices (appearing only as a bigram's second
+token) get a SELF-LOOP instead of global mass redistribution — the
+standard dangling fix needs a corpus-wide float sum every round (an
+ordering hazard and an extra all-reduce); the self-loop keeps rank
+mass conserved with purely LOCAL arithmetic. Rank mass sums to 1.
+
+Determinism contract (bit-exact cross-engine, the holt/connected-
+components standard): every per-vertex incoming sum is a SORTED
+SEQUENTIAL FOLD — sort_array(collect_list(struct(src, contrib)))
+folded left-to-right with a 0.0 initial — which DuckDB reproduces as
+list_sum(list(contrib ORDER BY src)) (probed: both are in-order
+sequential folds, bit-identical on adversarial mixed-magnitude data).
+Each contribution is one fixed expression tree ((w/outdeg)·x) over
+exact integers and the previous round's deterministic x, so k rounds
+are bit-identical in any engine and at ANY parallelism. The native
+commutative sum() would be faster but order-nondeterministic in the
+last ulps; at production scale swap it in only if downstream tolerates
+ulp jitter (the fold costs one array materialization per vertex,
+bounded by in-degree).
+
+Scale: per round, one shuffle to join ranks into the (static,
+pre-aggregated) edge list on src and one to group contributions by
+dst — 2 hash exchanges × k, plan size O(1) per round via the shared
+``_make_truncator`` lineage knob ('table' = reliable checkpoints that
+survive executor loss — the 100 TB setting; 'none' keeps the lazy
+5-round plan for oracle-scale runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cesium_spark.operators.dedup import _make_truncator, _tokens
+
+
+def token_edges(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Directed adjacent-bigram edges (src, dst, w) aggregated over the
+    whole corpus — the map-side-combinable reduction that turns 10^12
+    tokens into a vocabulary² -bounded (in practice Zipf-sparse) graph.
+    One hash exchange; no distinct-per-doc (weights count occurrences,
+    unlike the dedup shingles)."""
+    toks = _tokens(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("src"),
+                           F.element_at(toks, i + 1).alias("dst")))
+    pairs = F.when(F.size(toks) < 2,
+                   F.array().cast("array<struct<src:string,dst:string>>")
+                   ).otherwise(pairs)
+    return (docs
+            .select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.src").alias("src"),
+                     F.col("p.dst").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("w")))
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             iterations: int = 5, checkpoint_mode: str = "none",
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """k PageRank rounds over (src, dst, w) edges → (v, x). See module
+    docstring for the dangling/self-loop and determinism contract.
+    ``checkpoint_mode``: 'none' (lazy chained plan — fine for small k
+    and the oracle), 'local'/'table' via the connected-components
+    truncator (per-round lineage cut; 'table' survives executor loss)."""
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
+    trunc = (None if checkpoint_mode == "none"
+             else _make_truncator(spark, checkpoint_mode, checkpoint_dir))
+
+    verts = (edges.select(F.col("src").alias("v"))
+             .union(edges.select(F.col("dst").alias("v")))
+             .distinct())
+    srcs = edges.select(F.col("src").alias("v")).distinct()
+    loops = (verts.join(srcs, "v", "left_anti")
+             .select(F.col("v").alias("src"), F.col("v").alias("dst"),
+                     F.lit(1).cast("long").alias("w")))
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w")) \
+             .unionByName(loops)
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    e = e.join(outdeg, "src")
+
+    n = verts.count()  # one bounded driver action (a count, not rows)
+    if n == 0:
+        raise ValueError("pagerank: empty graph")
+    base = (1.0 - damping) / n
+    x = verts.select("v", F.lit(1.0 / n).alias("x"))
+    if trunc is not None:
+        # edges are re-joined every round: materialize ONCE (the
+        # connected-components lesson — lineage must not re-run the
+        # edge aggregation per round)
+        e = trunc(e, "pr_edges", 0)
+    for it in range(iterations):
+        contrib = (e.join(x.withColumnRenamed("v", "src"), "src")
+                   .select("dst", "src",
+                           ((F.col("w").cast("double")
+                             / F.col("outdeg").cast("double"))
+                            * F.col("x")).alias("c")))
+        s = (contrib.groupBy("dst")
+             .agg(F.aggregate(
+                 F.sort_array(F.collect_list(F.struct("src", "c"))),
+                 F.lit(0.0), lambda acc, r: acc + r["c"]).alias("s")))
+        x = (verts.join(s.withColumnRenamed("dst", "v"), "v", "left")
+             .select("v", (F.lit(base)
+                           + F.lit(damping)
+                           * F.coalesce("s", F.lit(0.0))).alias("x")))
+        if trunc is not None:
+            x = trunc(x, "pr_ranks", it + 1)
+    return x
+
+
+def textrank(docs: DataFrame, damping: float = 0.85,
+             iterations: int = 5, id_col: str = "doc_id",
+             text_col: str = "text", **kw) -> DataFrame:
+    """Corpus keyword scores: (token, rank, rank_rel) where rank_rel =
+    n·rank (1.0 = the uniform baseline, >1 = central vocabulary) —
+    scale-free, so a 6-dp contract rounding stays meaningful at any
+    vocabulary size (raw ranks are O(1/n) and would round to 0)."""
+    e = token_edges(docs, id_col, text_col)
+    x = pagerank(e, damping, iterations, **kw)
+    # n·x with the SAME n the iteration used: recompute the count via
+    # a window-free broadcast of the 1-row total (engine-side, exact)
+    tot = x.groupBy().agg(F.count(F.lit(1)).alias("n_verts"))
+    return (x.crossJoin(F.broadcast(tot))
+            .select(F.col("v").alias("token"), F.col("x").alias("rank"),
+                    (F.col("x") * F.col("n_verts").cast("double"))
+                    .alias("rank_rel")))

@@ -199,3 +199,102 @@ def test_ddsketch_build_one_exchange(dd_series):
     # one two-phase count: bucket assignment is pure codegen per row
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "Cartesian" not in p
+
+
+# --- TextRank / PageRank ----------------------------------------------------
+
+def _ref_pagerank(edges, d=0.85, k=5):
+    """Scalar reference replicating the operator's exact arithmetic:
+    self-loops for dangling vertices, sorted sequential folds."""
+    verts = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    srcs = {s for s, _, _ in edges}
+    e = list(edges) + [(v, v, 1) for v in verts if v not in srcs]
+    outdeg = {}
+    for s, _, w in e:
+        outdeg[s] = outdeg.get(s, 0) + w
+    n = len(verts)
+    base = (1.0 - d) / n
+    x = {v: 1.0 / n for v in verts}
+    for _ in range(k):
+        inc = {}
+        for s, t, w in e:
+            inc.setdefault(t, []).append(
+                (s, (float(w) / float(outdeg[s])) * x[s]))
+        nx = {}
+        for v in verts:
+            acc = 0.0
+            for _, c in sorted(inc.get(v, [])):
+                acc = acc + c
+            nx[v] = base + d * acc
+        x = nx
+    return x
+
+
+@pytest.fixture(scope="module")
+def pr_edges(spark):
+    edges = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1),
+             ("d", "a", 5), ("a", "e", 1)]  # e is dangling
+    return spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst", "w"])), edges
+
+
+def test_pagerank_bit_exact_vs_scalar_reference(pr_edges):
+    from cesium_spark.operators.graphrank import pagerank
+    sdf, edges = pr_edges
+    got = {r["v"]: r["x"] for r in pagerank(sdf, iterations=5).collect()}
+    exp = _ref_pagerank(edges)
+    assert got == exp  # BIT equality, not approx
+    assert abs(sum(got.values()) - 1.0) < 1e-12  # mass conserved
+
+
+def test_pagerank_partition_independent(pr_edges):
+    from cesium_spark.operators.graphrank import pagerank
+    sdf, _ = pr_edges
+    a = {r["v"]: r["x"] for r in pagerank(sdf, iterations=4).collect()}
+    b = {r["v"]: r["x"]
+         for r in pagerank(sdf.repartition(7), iterations=4).collect()}
+    assert a == b
+
+
+def test_pagerank_ring_is_uniform(spark):
+    from cesium_spark.operators.graphrank import pagerank
+    ring = spark.createDataFrame(pd.DataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        columns=["src", "dst", "w"]))
+    got = [r["x"] for r in pagerank(ring, iterations=6).collect()]
+    for x in got:
+        assert abs(x - 1.0 / 3.0) < 1e-15
+
+
+def test_pagerank_dangling_self_loop_keeps_mass(spark):
+    from cesium_spark.operators.graphrank import pagerank
+    # b has no out-edge: without the self-loop its inflow would leak
+    chain = spark.createDataFrame(pd.DataFrame(
+        [("a", "b", 1)], columns=["src", "dst", "w"]))
+    got = {r["v"]: r["x"] for r in pagerank(chain, iterations=8).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert got["b"] > got["a"]  # sink accumulates
+
+
+def test_pagerank_validation(pr_edges):
+    from cesium_spark.operators.graphrank import pagerank
+    sdf, _ = pr_edges
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(sdf, damping=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(sdf, iterations=0)
+
+
+def test_token_edges_counts_and_plan(spark):
+    import re
+    from cesium_spark.operators.graphrank import token_edges
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["x y x y", "x y", "solo"]}))
+    e = token_edges(docs)
+    # pre-execution plan (post-action AQE strings double-count)
+    p = e._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    rows = {(r["src"], r["dst"]): r["w"] for r in e.collect()}
+    # occurrence-counted (not distinct-per-doc); single-token docs drop
+    assert rows == {("x", "y"): 3, ("y", "x"): 1}
