@@ -1617,6 +1617,91 @@ FROM x ORDER BY dot / (na * nb) DESC, vec_id LIMIT {k}
 """
 
 
+def q_emb_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN through the trained IVF index: top-10
+    among vectors with label=7 AND vec_id%4==0 (a ~3% predicate that
+    empties the nearest lists, forcing the probe set to WIDEN past the
+    requested nprobe=4 to the shortest dot-ordered centroid prefix
+    holding >= k filtered candidates). Pre-filter composes with
+    list_id pruning; widening arithmetic is exact integer counts; the
+    oracle replays filter, assignment, per-list counts, the cut, and
+    the re-score — full-value, n_probed pinned as a column.
+    check_ties=1e-9 asserts EVERY adjacent centroid-dot gap (the cut
+    index is data-dependent), measured >= 4e-4 at all SFs."""
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    pred = (F.col("label") == 7) & (F.col("vec_id") % 4 == 0)
+    out = similarity.ivf_topk_filtered(
+        embs, [float(x) for x in q], pred, k=10, n_centroids=16, nprobe=4,
+        centroids=similarity.ivf_trained_centroids(), check_ties=1e-9)
+    return out.select("vec_id", _r0(F.round("cosine", 5)).alias("cosine"),
+                      F.col("n_probed").cast("int").alias("n_probed"))
+
+
+def _ivf_filtered_sql(dim: int = 64, n_centroids: int = 16,
+                      nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB replay of ivf_topk_filtered: same centroid literals as
+    the engine, same pre-filter, same shortest-prefix widening rule
+    (rn >= nprobe AND running matched count >= k; all lists if the
+    filtered corpus holds < k matches)."""
+    cents = similarity.ivf_trained_centroids()
+    assert cents.shape == (n_centroids, dim)
+    rows = ", ".join(
+        "(" + str(j) + ", [" +
+        ", ".join(repr(float(cents[j, i])) for i in range(dim)) + "])"
+        for j in range(n_centroids))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE label = 7 AND vec_id % 4 = 0),
+c AS (SELECT * FROM (VALUES {rows}) AS t(cid, cv)),
+d AS (SELECT e.vec_id, e.v, c.cid, list_dot_product(e.v, c.cv) AS dot
+      FROM e CROSS JOIN c),
+assign AS (
+  SELECT vec_id, v, cid FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+),
+q AS (SELECT v AS qv FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings) WHERE vec_id = 0),
+ordered AS (
+  SELECT c.cid,
+         row_number() OVER (
+           ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid) AS rn
+  FROM c CROSS JOIN q
+),
+cnts AS (SELECT cid, count(*) AS m FROM assign GROUP BY 1),
+cum AS (
+  SELECT o.rn, o.cid,
+         sum(coalesce(cn.m, 0)) OVER (ORDER BY o.rn) AS cm
+  FROM ordered o LEFT JOIN cnts cn USING (cid)
+),
+cut AS (SELECT min(rn) AS r FROM cum WHERE rn >= {nprobe} AND cm >= {k}),
+probes AS (
+  SELECT cid FROM cum CROSS JOIN cut
+  WHERE rn <= coalesce(cut.r, {n_centroids})
+),
+np_ AS (SELECT cast(count(*) AS int) AS n_probed FROM probes),
+cand AS (
+  SELECT a.vec_id, a.v, q.qv
+  FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+),
+x AS (
+  SELECT vec_id,
+         list_sum(list_transform(list_zip(v, qv), s -> s[1] * s[2])) AS dot,
+         sqrt(list_sum(list_transform(v, a -> a * a))) AS na,
+         sqrt(list_sum(list_transform(qv, a2 -> a2 * a2))) AS nb
+  FROM cand
+)
+SELECT vec_id, round(dot / (na * nb), 5) + 0.0 AS cosine, np_.n_probed
+FROM x CROSS JOIN np_
+ORDER BY dot / (na * nb) DESC, vec_id LIMIT {k}
+"""
+
+
+SQL_EMB_IVF_FILTERED = _ivf_filtered_sql()
+
+
 def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing driver oracle via two deterministic invariants per doc
     (the hash values themselves are not SQL-expressible): (a) count
@@ -7119,6 +7204,7 @@ QUERIES = {
     "ts_ddsketch_fold": q_ts_ddsketch_fold,
     "ts_ddsketch_quantile": q_ts_ddsketch_quantile,
     "doc_textrank": q_doc_textrank,
+    "emb_ivf_filtered": q_emb_ivf_filtered,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "ts_corr_pairs": q_ts_corr_pairs,
@@ -7247,6 +7333,7 @@ ORACLE_SQL = {
     "ts_ddsketch_fold": SQL_TS_DDSKETCH_FOLD,
     "ts_ddsketch_quantile": SQL_TS_DDSKETCH_QUANTILE,
     "doc_textrank": SQL_DOC_TEXTRANK,
+    "emb_ivf_filtered": SQL_EMB_IVF_FILTERED,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,

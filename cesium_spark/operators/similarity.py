@@ -242,6 +242,72 @@ def ivf_topk(embs: DataFrame, query: list[float], k: int = 10,
     return cosine_topk(cands, list(q), k, id_col, vec_col)
 
 
+def ivf_topk_filtered(embs: DataFrame, query: list[float], pred,
+                      k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      centroids: np.ndarray | None = None,
+                      check_ties: float | None = None) -> DataFrame:
+    """Metadata-FILTERED ANN (the FAISS IDSelector / vector-DB payload-
+    filter composition): top-k among vectors satisfying ``pred`` (a
+    boolean Column), probed through the IVF index.
+
+    Design choices that matter at 10^9 vectors:
+
+    - PRE-filter, not post-filter: ``pred`` is applied to the corpus
+      BEFORE assignment/probing, so it reaches the parquet scan as a
+      pushed filter and composes with list_id partition pruning. A
+      post-filter of an unfiltered top-k silently returns fewer than k
+      (or biased) results whenever the predicate is selective — the
+      classic filtered-search bug.
+    - PROBE WIDENING instead of a fixed nprobe: a selective predicate
+      empties the nearest lists, so the probe set is the shortest
+      dot-ordered PREFIX of centroids whose filtered-candidate count
+      reaches k (never less than the requested nprobe — recall floor);
+      if the whole filtered corpus holds < k matches, every list is
+      probed and all matches return. The per-list matched counts come
+      from ONE aggregation over the filtered corpus (n_centroids rows
+      collected — a bounded driver probe, the ivf_topk precedent), not
+      from repeated count-and-retry scans.
+    - Deterministic: the cut position is integer arithmetic over exact
+      counts; with ``check_ties`` set, EVERY adjacent centroid-dot gap
+      in the probe ordering is margin-asserted (the cut index is
+      data-dependent, so one boundary assertion is not enough).
+
+    Returns (id, cosine, n_probed) — n_probed exposes the widening so
+    callers (and the contract oracle) can pin it.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    cmat = (np.asarray(centroids, dtype=np.float64)
+            if centroids is not None else ivf_centroids(q.size, n_centroids))
+    dots = cmat @ q
+    order = np.lexsort((np.arange(len(cmat)), -dots))
+    if check_ties is not None and len(cmat) > 1:
+        gaps = dots[order[:-1]] - dots[order[1:]]
+        scale = np.maximum(1.0, np.abs(dots[order[:-1]]))
+        if (gaps < check_ties * scale).any():
+            raise ValueError(
+                "ivf_topk_filtered: adjacent centroid dots within the "
+                "tie margin — the data-dependent probe cut is replay-"
+                "order sensitive; retrain or lower the margin knowingly")
+    filtered = embs.where(pred)
+    a = ivf_assign(filtered, q.size, n_centroids, id_col, vec_col,
+                   centroids=centroids, check_ties=check_ties)
+    per_list = {int(r["list_id"]): int(r["c"])
+                for r in a.groupBy("list_id")
+                .agg(F.count(F.lit(1)).alias("c")).collect()}
+    cut = len(order)
+    cum = 0
+    for pos, cid in enumerate(order, start=1):
+        cum += per_list.get(int(cid), 0)
+        if pos >= nprobe and cum >= k:
+            cut = pos
+            break
+    probes = [int(i) for i in order[:cut]]
+    cands = a.where(F.col("list_id").isin(probes))
+    out = cosine_topk(cands, list(q), k, id_col, vec_col)
+    return out.withColumn("n_probed", F.lit(len(probes)))
+
+
 def lsh_bucketed_topk(embs: DataFrame, query: list[float], k: int = 10,
                       n_planes: int = 16, id_col: str = "vec_id",
                       vec_col: str = "embedding",

@@ -298,3 +298,65 @@ def test_token_edges_counts_and_plan(spark):
     rows = {(r["src"], r["dst"]): r["w"] for r in e.collect()}
     # occurrence-counted (not distinct-per-doc); single-token docs drop
     assert rows == {("x", "y"): 3, ("y", "x"): 1}
+
+
+# --- Filtered ANN (IVF + metadata predicate) --------------------------------
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ann_corpus(spark):
+    rng = np.random.default_rng(5)
+    n, dim = 400, 16
+    m = rng.standard_normal((n, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    pdf = pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [row.astype(np.float32).tolist() for row in m],
+        "label": [i % 10 for i in range(n)]})
+    return spark.createDataFrame(pdf), m
+
+
+def test_ivf_filtered_widens_and_fills_k(ann_corpus):
+    from cesium_spark.operators.similarity import ivf_topk_filtered
+    df, m = ann_corpus
+    q = list(map(float, m[0]))
+    out = ivf_topk_filtered(df, q, F.col("label") == 3, k=10,
+                            n_centroids=16, nprobe=2).toPandas()
+    assert len(out) == 10                      # filled despite filter
+    assert (out.vec_id % 10 == 3).all()        # pre-filter respected
+    assert out.n_probed.iloc[0] >= 2
+
+
+def test_ivf_filtered_fewer_matches_probes_everything(ann_corpus):
+    from cesium_spark.operators.similarity import ivf_topk_filtered
+    df, m = ann_corpus
+    q = list(map(float, m[0]))
+    pred = (F.col("label") == 3) & (F.col("vec_id") < 60)  # 6 matches
+    out = ivf_topk_filtered(df, q, pred, k=10,
+                            n_centroids=16, nprobe=2).toPandas()
+    assert len(out) == 6                       # all matches, honestly < k
+    assert out.n_probed.iloc[0] == 16          # every list probed
+
+
+def test_ivf_filtered_degenerate_probe_equals_exact(ann_corpus):
+    from cesium_spark.operators.similarity import (
+        cosine_topk, ivf_topk_filtered)
+    df, m = ann_corpus
+    q = list(map(float, m[7]))
+    got = ivf_topk_filtered(df, q, F.col("label") == 5, k=8,
+                            n_centroids=4, nprobe=4).toPandas()
+    exp = cosine_topk(df.where(F.col("label") == 5), q, k=8).toPandas()
+    assert got.vec_id.tolist() == exp.vec_id.tolist()
+    assert got.cosine.tolist() == exp.cosine.tolist()
+
+
+def test_ivf_filtered_tie_margin_raises(ann_corpus, spark):
+    from cesium_spark.operators.similarity import ivf_topk_filtered
+    df, m = ann_corpus
+    q = list(map(float, m[0]))
+    cents = np.stack([m[1], m[1], m[2]])  # two identical centroids: tie
+    with pytest.raises(ValueError, match="tie margin"):
+        ivf_topk_filtered(df, q, F.col("label") == 3, k=5,
+                          centroids=cents, check_ties=1e-9)
