@@ -4695,6 +4695,80 @@ FROM z GROUP BY doc_id
 """
 
 
+def q_multimodal_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the REAL Y4M decode path: per video,
+    adjacent-frame sum-of-absolute-byte-differences with the cut
+    predicate 1000·mad > 2000·(w·h) (mean diff > 2 bytes/px) — pure
+    integer arithmetic end to end, so the oracle replays frame bytes
+    from the source text (truncate/pad-with-0x20, the audio-oracle
+    idiom), every transition MAD, the cut set, first_cut, and the one
+    terminal mean division — full-value. Natural data exercises both
+    branches: word-boundary frames differ by tens of bytes/px, padded
+    tail frames are identical (MAD 0)."""
+    _prep(spark)
+    m = multimodal.attach_media(_read(spark, sf_dir, "documents"))
+    out = multimodal.scene_cuts(
+        m.where(F.col("media_type") == "video"), thr_milli=2000)
+    mean_mad = (F.col("sum_mad").cast("double")
+                / (F.col("px_per_frame")
+                   * F.col("n_transitions")).cast("double"))
+    return out.select(
+        "doc_id", "n_frames", "n_transitions", "n_cuts", "first_cut",
+        "max_mad",
+        _r(F.when(F.col("n_transitions") > 0, mean_mad))
+        .alias("mean_mad"))
+
+
+SQL_MULTIMODAL_SCENECUT = """
+WITH meta AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + (length(text) % 48) AS w,
+         16 + ((length(text) * 7) % 48) AS h,
+         1 + (length(text) % 30) AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+px AS (
+  SELECT doc_id, w * h AS wh, f.f,
+         abs(
+           (CASE WHEN f.f * w * h + i.i <= n
+                 THEN ord(text[CAST(f.f * w * h + i.i AS INTEGER)])
+                 ELSE 32 END)
+           - (CASE WHEN (f.f - 1) * w * h + i.i <= n
+                   THEN ord(text[CAST((f.f - 1) * w * h + i.i
+                                      AS INTEGER)])
+                   ELSE 32 END)) AS d
+  FROM meta,
+       LATERAL unnest(range(1, nf)) AS f(f),
+       LATERAL unnest(range(1, w * h + 1)) AS i(i)
+),
+tr AS (
+  SELECT doc_id, wh, f, sum(d) AS mad
+  FROM px GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT doc_id, max(wh) AS wh,
+         cast(count(*) AS int) AS n_transitions,
+         cast(sum(CASE WHEN 1000 * mad > 2000 * wh
+                       THEN 1 ELSE 0 END) AS int) AS n_cuts,
+         cast(min(CASE WHEN 1000 * mad > 2000 * wh THEN f END)
+              AS int) AS first_cut,
+         cast(max(mad) AS bigint) AS max_mad,
+         cast(sum(mad) AS bigint) AS sum_mad
+  FROM tr GROUP BY 1
+)
+SELECT m.doc_id,
+       cast(m.nf AS int) AS n_frames,
+       coalesce(a.n_transitions, 0) AS n_transitions,
+       coalesce(a.n_cuts, 0) AS n_cuts,
+       a.first_cut,
+       a.max_mad,
+       round(cast(a.sum_mad AS double)
+             / cast(a.wh * a.n_transitions AS double), 6) + 0.0
+         AS mean_mad
+FROM meta m LEFT JOIN agg a USING (doc_id)
+"""
+
+
 _KM_HORIZON = 172800.0  # 2 days
 
 
@@ -7261,6 +7335,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_phash": q_multimodal_phash,
+    "multimodal_scenecut": q_multimodal_scenecut,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
     # whole-series model fits: invariant oracles since round 3 (exact
     # value checks live in pytest layer 2)
@@ -7350,6 +7425,7 @@ ORACLE_SQL = {
     "ts_survival": SQL_TS_SURVIVAL,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "multimodal_phash": SQL_MULTIMODAL_PHASH,
+    "multimodal_scenecut": SQL_MULTIMODAL_SCENECUT,
     "multimodal_phash_pairs": SQL_MULTIMODAL_PHASH_PAIRS,
     "doc_zipf": SQL_DOC_ZIPF,
     "ts_bursts": SQL_TS_BURSTS,

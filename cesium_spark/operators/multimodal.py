@@ -397,6 +397,67 @@ def audio_features(media: DataFrame) -> DataFrame:
 PHASH_SCHEMA = "doc_id long, ahash long, dhash long"
 
 
+def scene_cuts(media: DataFrame, thr_milli: int = 2000) -> DataFrame:
+    """Video scene-cut (shot-boundary) detection over the REAL Y4M
+    decode — the classic pixel-domain pairwise-frame comparison
+    (Zhang/Kankanhalli/Smoliar 1993's difference metric): for each
+    adjacent frame pair, the sum of absolute byte differences (the
+    frame MAD numerator); a transition f (1-based, frames f−1 → f)
+    is a CUT when its mean abs diff exceeds ``thr_milli``/1000 bytes
+    per pixel. The boundary predicate is pure integer arithmetic —
+    ``1000·mad > thr_milli·(w·h)`` — so the cut set is exactly
+    engine-replayable (no float threshold anywhere; the b/256 float32
+    decode is inverted exactly by ·256, the phash precedent).
+
+    Output per video: (doc_id, n_frames, n_transitions, n_cuts,
+    first_cut, max_mad, sum_mad, px_per_frame) — all integers
+    (first_cut NULL when no cut, max/sum NULL for single-frame
+    videos); callers derive the float mean-MAD as ONE terminal
+    division (sum_mad / (px·transitions)), keeping the contract's
+    rounding on a deterministic quotient of exact integers.
+
+    Non-video rows raise (no silent skip — filter upstream by
+    metadata). Arrow-batched mapInPandas over a pre-UDF-projected
+    (doc_id, media) scan: a pure per-row kernel, zero shuffle — at
+    10^9 clips the plan is one scan, and the per-row work is the
+    decode plus one vectorized diff over the frame stack."""
+    if thr_milli < 0:
+        raise ValueError(f"thr_milli must be >= 0, got {thr_milli}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                arr = decode_media(bytes(payload))
+                if arr.ndim != 3 or arr.shape[-1] == 3:
+                    # (h, w, 3) is a COLOR IMAGE (P6), not a 3-frame
+                    # stack — shape alone is ambiguous, so refuse both
+                    raise ValueError(
+                        "scene_cuts: item decodes to shape "
+                        f"{arr.shape}, not a (frames, h, w) mono "
+                        "stack (filter non-video rows upstream)")
+                nf, h, w = arr.shape
+                wh = h * w
+                g = np.rint(arr.astype(np.float64) * 256.0).astype(np.int64)
+                if nf < 2:
+                    rows.append((doc_id, nf, 0, 0, None, None, None, wh))
+                    continue
+                mads = np.abs(g[1:] - g[:-1]).sum(axis=(1, 2))
+                cuts = 1000 * mads > thr_milli * wh
+                first = (int(np.flatnonzero(cuts)[0]) + 1
+                         if cuts.any() else None)
+                rows.append((doc_id, nf, nf - 1, int(cuts.sum()), first,
+                             int(mads.max()), int(mads.sum()), wh))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "n_transitions", "n_cuts",
+                "first_cut", "max_mad", "sum_mad", "px_per_frame"])
+
+    return media.select("doc_id", "media").mapInPandas(
+        kernel,
+        "doc_id long, n_frames int, n_transitions int, n_cuts int, "
+        "first_cut int, max_mad long, sum_mad long, px_per_frame long")
+
+
 def image_phash(media: DataFrame) -> DataFrame:
     """Perceptual 64-bit image hashes (aHash + dHash) over the REAL
     decode — the image twin of the text ``simhash``: a compact

@@ -360,3 +360,61 @@ def test_ivf_filtered_tie_margin_raises(ann_corpus, spark):
     with pytest.raises(ValueError, match="tie margin"):
         ivf_topk_filtered(df, q, F.col("label") == 3, k=5,
                           centroids=cents, check_ties=1e-9)
+
+
+# --- Video scene cuts --------------------------------------------------------
+
+def _y4m(frames):
+    h, w = len(frames[0]), len(frames[0][0])
+    buf = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+    for f in frames:
+        buf += b"FRAME\n" + bytes(b for row in f for b in row)
+    return buf
+
+
+def test_scene_cuts_hand_example(spark):
+    from cesium_spark.operators.multimodal import scene_cuts
+    # 2x2 frames: f0 all 10; f1 all 10 (mad 0); f2 all 20 (mad 40);
+    # f3 one pixel 21 (mad 1)
+    frames = [[[10, 10], [10, 10]], [[10, 10], [10, 10]],
+              [[20, 20], [20, 20]], [[20, 20], [20, 21]]]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "media": [_y4m(frames)]}))
+    # thr 5000 = mean diff > 5 bytes/px -> only transition 2 (mad 40,
+    # mean 10) cuts
+    r = scene_cuts(df, thr_milli=5000).collect()[0]
+    assert (r["n_frames"], r["n_transitions"], r["n_cuts"]) == (4, 3, 1)
+    assert r["first_cut"] == 2
+    assert r["max_mad"] == 40 and r["sum_mad"] == 41
+    assert r["px_per_frame"] == 4
+
+
+def test_scene_cuts_threshold_is_strict(spark):
+    from cesium_spark.operators.multimodal import scene_cuts
+    # mad = 4 over 4 px = exactly 1.0 byte/px; thr 1000 -> 1000*4 ==
+    # 1000*4, strict > means NOT a cut
+    frames = [[[10, 10], [10, 10]], [[11, 11], [11, 11]]]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "media": [_y4m(frames)]}))
+    assert scene_cuts(df, thr_milli=1000).collect()[0]["n_cuts"] == 0
+    assert scene_cuts(df, thr_milli=999).collect()[0]["n_cuts"] == 1
+
+
+def test_scene_cuts_single_frame_and_validation(spark):
+    from cesium_spark.operators.multimodal import scene_cuts
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "media": [_y4m([[[5, 5], [5, 5]]])]}))
+    r = scene_cuts(df).collect()[0]
+    assert (r["n_transitions"], r["n_cuts"]) == (0, 0)
+    assert r["first_cut"] is None and r["max_mad"] is None
+    with pytest.raises(ValueError, match="thr_milli"):
+        scene_cuts(df, thr_milli=-1)
+
+
+def test_scene_cuts_refuses_non_video(spark):
+    from cesium_spark.operators.multimodal import scene_cuts
+    pgm = b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "media": [pgm]}))
+    with pytest.raises(Exception, match="mono stack"):
+        scene_cuts(df).collect()
