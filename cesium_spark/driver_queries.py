@@ -4769,6 +4769,101 @@ FROM meta m LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_ts_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS by exact sufficient statistics (scoring.
+    ols_fit2): fit total text chars per conversation on (n_turns,
+    n_tool_calls) — one pass, 9 integer Gram sums, native 3×3 Cramer
+    solve over the single aggregated row. Every sum is exact int64, so
+    betas/R² are one fixed double tree over identical integers in both
+    engines — full-value oracle restating the tree verbatim."""
+    from cesium_spark.operators.scoring import ols_fit2
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    feats = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("long").alias("n_tools"),
+                  F.sum(F.length("props")).cast("long").alias("chars")))
+    out = ols_fit2(feats, "chars", "n_turns", "n_tools")
+    return out.select("n", _r(F.col("b0")).alias("b0"),
+                      _r(F.col("b1")).alias("b1"),
+                      _r(F.col("b2")).alias("b2"),
+                      _r(F.col("r2")).alias("r2"))
+
+
+SQL_TS_LINEAR_PROBE = """
+WITH feats AS (
+  SELECT user_id,
+         cast(count(*) AS bigint) AS x1,
+         cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS bigint) AS x2,
+         cast(sum(length(props)) AS bigint) AS y
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(sum(x1) AS bigint) AS sx1,
+         cast(sum(x2) AS bigint) AS sx2,
+         cast(sum(x1 * x1) AS bigint) AS sx11,
+         cast(sum(x1 * x2) AS bigint) AS sx12,
+         cast(sum(x2 * x2) AS bigint) AS sx22,
+         cast(sum(y) AS bigint) AS sy,
+         cast(sum(x1 * y) AS bigint) AS sx1y,
+         cast(sum(x2 * y) AS bigint) AS sx2y,
+         cast(sum(y * y) AS bigint) AS syy
+  FROM feats
+),
+gd AS (
+  SELECT n,
+         cast(n AS double) AS nd, cast(sx1 AS double) AS sx1,
+         cast(sx2 AS double) AS sx2, cast(sx11 AS double) AS sx11,
+         cast(sx12 AS double) AS sx12, cast(sx22 AS double) AS sx22,
+         cast(sy AS double) AS sy, cast(sx1y AS double) AS sx1y,
+         cast(sx2y AS double) AS sx2y, cast(syy AS double) AS syy
+  FROM g
+),
+dets AS (
+  SELECT *,
+         nd * (sx11 * sx22 - sx12 * sx12)
+           - sx1 * (sx1 * sx22 - sx12 * sx2)
+           + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+         sy * (sx11 * sx22 - sx12 * sx12)
+           - sx1 * (sx1y * sx22 - sx12 * sx2y)
+           + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det0,
+         nd * (sx1y * sx22 - sx12 * sx2y)
+           - sy * (sx1 * sx22 - sx12 * sx2)
+           + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+         nd * (sx11 * sx2y - sx1y * sx12)
+           - sx1 * (sx1 * sx2y - sx1y * sx2)
+           + sy * (sx1 * sx12 - sx11 * sx2) AS det2
+  FROM gd
+),
+beta AS (
+  SELECT *,
+         CASE WHEN det <> 0.0 THEN det0 / det END AS b0,
+         CASE WHEN det <> 0.0 THEN det1 / det END AS b1,
+         CASE WHEN det <> 0.0 THEN det2 / det END AS b2
+  FROM dets
+),
+fit AS (
+  SELECT n, b0, b1, b2,
+         syy - 2.0 * (b0 * sy + b1 * sx1y + b2 * sx2y)
+             + (b0 * b0 * nd + b1 * b1 * sx11 + b2 * b2 * sx22
+                + 2.0 * (b0 * b1 * sx1 + b0 * b2 * sx2
+                         + b1 * b2 * sx12)) AS sse,
+         syy - sy * sy / nd AS tss
+  FROM beta
+)
+SELECT n,
+       round(b0, 6) + 0.0 AS b0,
+       round(b1, 6) + 0.0 AS b1,
+       round(b2, 6) + 0.0 AS b2,
+       round(CASE WHEN tss <> 0.0 THEN 1.0 - sse / tss END, 6) + 0.0
+         AS r2
+FROM fit
+"""
+
+
 _KM_HORIZON = 172800.0  # 2 days
 
 
@@ -7279,6 +7374,7 @@ QUERIES = {
     "ts_ddsketch_quantile": q_ts_ddsketch_quantile,
     "doc_textrank": q_doc_textrank,
     "emb_ivf_filtered": q_emb_ivf_filtered,
+    "ts_linear_probe": q_ts_linear_probe,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "ts_corr_pairs": q_ts_corr_pairs,
@@ -7409,6 +7505,7 @@ ORACLE_SQL = {
     "ts_ddsketch_quantile": SQL_TS_DDSKETCH_QUANTILE,
     "doc_textrank": SQL_DOC_TEXTRANK,
     "emb_ivf_filtered": SQL_EMB_IVF_FILTERED,
+    "ts_linear_probe": SQL_TS_LINEAR_PROBE,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,

@@ -43,6 +43,88 @@ def score_linear(features: DataFrame, weights: Mapping[str, float],
     return features.withColumn("score", score)
 
 
+def ols_fit2(df: DataFrame, y_col: str, x1_col: str,
+             x2_col: str) -> DataFrame:
+    """Closed-form distributed OLS with two regressors + intercept —
+    the TRAINING side of the linear probe (score_linear is inference):
+    y ≈ b0 + b1·x1 + b2·x2 fit by normal equations over SUFFICIENT
+    STATISTICS. This is the canonical 10^12-row fitting pattern: ONE
+    pass aggregates the 9 Gram/moment sums (map-side partials, a
+    single-row SinglePartition exchange — constant state however many
+    rows), and the 3×3 Cramer solve runs as native column expressions
+    over that one row — no collect, no driver math, no iteration.
+
+    Exactness contract: inputs must be INTEGER columns (validated) so
+    every aggregated sum is exact int64 arithmetic — bit-stable at any
+    parallelism and summation order, with Spark's ANSI mode raising
+    loudly on int64 overflow rather than wrapping (at ~10^18-scale
+    Gram entries, re-fit on a sample or pre-scale the features —
+    silent float drift is NOT an acceptable fallback). The solve and
+    the R² are then one fixed double expression tree over those exact
+    integers, exactly restatable in SQL. A singular Gram matrix
+    (collinear regressors, det = 0 exactly) yields NULL betas/r2, not
+    an error: collinearity is a data property, overflow is a bug.
+
+    Output (one row): n, b0, b1, b2, r2.
+    """
+    for c in (y_col, x1_col, x2_col):
+        t = dict(df.dtypes).get(c)
+        if t not in ("int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"ols_fit2: column {c!r} has type {t}; the exact-"
+                "sufficient-statistics contract needs integer inputs "
+                "(pre-grid floats to integers explicitly)")
+    y = F.col(y_col).cast("long")
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    g = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"), F.sum(x2).alias("sx2"),
+        F.sum(x1 * x1).alias("sx11"), F.sum(x1 * x2).alias("sx12"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(y).alias("sy"), F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"), F.sum(y * y).alias("syy"))
+
+    def d(c):  # exact-int sums enter the solve as doubles, once
+        return F.col(c).cast("double")
+
+    n, sx1, sx2 = d("n"), d("sx1"), d("sx2")
+    sx11, sx12, sx22 = d("sx11"), d("sx12"), d("sx22")
+    sy, sx1y, sx2y, syy = d("sy"), d("sx1y"), d("sx2y"), d("syy")
+
+    def det3(a, b, c, p, q, r, u, v, w):
+        return (a * (q * w - r * v) - b * (p * w - r * u)
+                + c * (p * v - q * u))
+
+    det = det3(n, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    det0 = det3(sy, sx1, sx2, sx1y, sx11, sx12, sx2y, sx12, sx22)
+    det1 = det3(n, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22)
+    det2 = det3(n, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y)
+    ok = det != F.lit(0.0)
+    b0 = F.when(ok, det0 / det)
+    b1 = F.when(ok, det1 / det)
+    b2 = F.when(ok, det2 / det)
+    sol = g.select(
+        F.col("n").cast("long").alias("n"),
+        b0.alias("b0"), b1.alias("b1"), b2.alias("b2"),
+        syy.alias("_syy"), sy.alias("_sy"), n.alias("_n"),
+        sx1y.alias("_sx1y"), sx2y.alias("_sx2y"),
+        sx1.alias("_sx1"), sx2.alias("_sx2"),
+        sx11.alias("_sx11"), sx12.alias("_sx12"), sx22.alias("_sx22"))
+    B0, B1, B2 = F.col("b0"), F.col("b1"), F.col("b2")
+    sse = (F.col("_syy")
+           - 2.0 * (B0 * F.col("_sy") + B1 * F.col("_sx1y")
+                    + B2 * F.col("_sx2y"))
+           + (B0 * B0 * F.col("_n") + B1 * B1 * F.col("_sx11")
+              + B2 * B2 * F.col("_sx22")
+              + 2.0 * (B0 * B1 * F.col("_sx1")
+                       + B0 * B2 * F.col("_sx2")
+                       + B1 * B2 * F.col("_sx12"))))
+    tss = F.col("_syy") - F.col("_sy") * F.col("_sy") / F.col("_n")
+    r2 = F.when(tss != F.lit(0.0), F.lit(1.0) - sse / tss)
+    return sol.select("n", "b0", "b1", "b2", r2.alias("r2"))
+
+
 def rank_normalize(long_features: DataFrame,
                    value_col: str = "value",
                    feature_col: str = "feature") -> DataFrame:

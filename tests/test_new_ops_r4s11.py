@@ -418,3 +418,69 @@ def test_scene_cuts_refuses_non_video(spark):
         "doc_id": [1], "media": [pgm]}))
     with pytest.raises(Exception, match="mono stack"):
         scene_cuts(df).collect()
+
+
+# --- OLS by exact sufficient statistics --------------------------------------
+
+def test_ols_fit2_recovers_planted_coefficients(spark):
+    from cesium_spark.operators.scoring import ols_fit2
+    rng = np.random.default_rng(2)
+    x1 = rng.integers(1, 50, 300)
+    x2 = rng.integers(0, 20, 300)
+    y = 7 + 3 * x1 + 11 * x2          # exact linear integer relation
+    df = spark.createDataFrame(pd.DataFrame({
+        "y": y, "x1": x1, "x2": x2}))
+    r = ols_fit2(df, "y", "x1", "x2").collect()[0]
+    assert r["n"] == 300
+    assert abs(r["b0"] - 7) < 1e-9 and abs(r["b1"] - 3) < 1e-9
+    assert abs(r["b2"] - 11) < 1e-9
+    assert abs(r["r2"] - 1.0) < 1e-12   # exact fit
+
+
+def test_ols_fit2_matches_numpy_lstsq_on_noisy_data(spark):
+    from cesium_spark.operators.scoring import ols_fit2
+    rng = np.random.default_rng(9)
+    x1 = rng.integers(1, 100, 500)
+    x2 = rng.integers(1, 60, 500)
+    y = (5 + 2 * x1 - 3 * x2
+         + rng.integers(-40, 41, 500))  # integer noise
+    df = spark.createDataFrame(pd.DataFrame({
+        "y": y, "x1": x1, "x2": x2}))
+    r = ols_fit2(df, "y", "x1", "x2").collect()[0]
+    X = np.column_stack([np.ones(500), x1, x2]).astype(float)
+    beta, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+    assert abs(r["b0"] - beta[0]) < 1e-6
+    assert abs(r["b1"] - beta[1]) < 1e-8
+    assert abs(r["b2"] - beta[2]) < 1e-8
+    pred = X @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(r["r2"] - r2) < 1e-9
+
+
+def test_ols_fit2_collinear_gives_null_not_garbage(spark):
+    from cesium_spark.operators.scoring import ols_fit2
+    df = spark.createDataFrame(pd.DataFrame({
+        "y": [1, 2, 3, 4], "x1": [1, 2, 3, 4], "x2": [2, 4, 6, 8]}))
+    r = ols_fit2(df, "y", "x1", "x2").collect()[0]
+    assert r["b0"] is None and r["b1"] is None and r["b2"] is None
+    assert r["r2"] is None
+
+
+def test_ols_fit2_rejects_float_inputs(spark):
+    from cesium_spark.operators.scoring import ols_fit2
+    df = spark.createDataFrame(pd.DataFrame({
+        "y": [1.0, 2.0], "x1": [1, 2], "x2": [3, 4]}))
+    with pytest.raises(ValueError, match="integer inputs"):
+        ols_fit2(df, "y", "x1", "x2")
+
+
+def test_ols_fit2_one_exchange(spark):
+    import re
+    from cesium_spark.operators.scoring import ols_fit2
+    df = spark.createDataFrame(pd.DataFrame({
+        "y": [1, 2, 3], "x1": [1, 2, 4], "x2": [3, 1, 4]}))
+    out = ols_fit2(df, "y", "x1", "x2")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # one two-phase global aggregate (partials -> SinglePartition)
+    assert len(re.findall(r"Exchange SinglePartition", p)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 0
