@@ -4864,6 +4864,68 @@ FROM fit
 """
 
 
+def q_ts_tool_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (A-Priori pair order) over (user, day)
+    session baskets of event kinds: which activities co-fire within a
+    user-day, with support / confidence / lift. Counts are exact
+    integers (distinct presence per basket), the rule cut is an
+    integer min_pair_count, and each measure is one fixed division —
+    full-value oracle."""
+    from cesium_spark.operators.assoc import association_rules
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type").alias("item"))
+    out = association_rules(baskets, ["user_id", "day"], "item",
+                            min_pair_count=5)
+    return out.select(
+        "antecedent", "consequent", "n_ant", "n_cons", "n_both",
+        "n_baskets", _r(F.col("support")).alias("support"),
+        _r(F.col("confidence")).alias("confidence"),
+        _r(F.col("lift")).alias("lift"))
+
+
+SQL_TS_TOOL_ASSOC = """
+WITH b AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+         event_type AS item
+  FROM events WHERE event_type IS NOT NULL
+),
+tot AS (SELECT count(*) AS n_baskets
+        FROM (SELECT DISTINCT user_id, day FROM b)),
+marg AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+pairs AS (
+  SELECT l.item AS ia, r.item AS ib, count(*) AS n_both
+  FROM b l JOIN b r ON l.user_id = r.user_id AND l.day = r.day
+  WHERE l.item < r.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+),
+directed AS (
+  SELECT ia AS antecedent, ib AS consequent, n_both FROM pairs
+  UNION ALL
+  SELECT ib, ia, n_both FROM pairs
+)
+SELECT d.antecedent, d.consequent,
+       cast(ma.n_item AS bigint) AS n_ant,
+       cast(mc.n_item AS bigint) AS n_cons,
+       cast(d.n_both AS bigint) AS n_both,
+       cast(tot.n_baskets AS bigint) AS n_baskets,
+       round(cast(d.n_both AS double)
+             / cast(tot.n_baskets AS double), 6) + 0.0 AS support,
+       round(cast(d.n_both AS double)
+             / cast(ma.n_item AS double), 6) + 0.0 AS confidence,
+       round((cast(d.n_both AS double) * cast(tot.n_baskets AS double))
+             / (cast(ma.n_item AS double) * cast(mc.n_item AS double)),
+             6) + 0.0 AS lift
+FROM directed d
+JOIN marg ma ON ma.item = d.antecedent
+JOIN marg mc ON mc.item = d.consequent
+CROSS JOIN tot
+"""
+
+
 _KM_HORIZON = 172800.0  # 2 days
 
 
@@ -7375,6 +7437,7 @@ QUERIES = {
     "doc_textrank": q_doc_textrank,
     "emb_ivf_filtered": q_emb_ivf_filtered,
     "ts_linear_probe": q_ts_linear_probe,
+    "ts_tool_assoc": q_ts_tool_assoc,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "ts_corr_pairs": q_ts_corr_pairs,
@@ -7506,6 +7569,7 @@ ORACLE_SQL = {
     "doc_textrank": SQL_DOC_TEXTRANK,
     "emb_ivf_filtered": SQL_EMB_IVF_FILTERED,
     "ts_linear_probe": SQL_TS_LINEAR_PROBE,
+    "ts_tool_assoc": SQL_TS_TOOL_ASSOC,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,

@@ -484,3 +484,53 @@ def test_ols_fit2_one_exchange(spark):
     # one two-phase global aggregate (partials -> SinglePartition)
     assert len(re.findall(r"Exchange SinglePartition", p)) == 1
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 0
+
+
+# --- Association rules --------------------------------------------------------
+
+def test_association_rules_hand_example(spark):
+    from cesium_spark.operators.assoc import association_rules
+    # baskets: 1:{a,b}, 2:{a,b}, 3:{a}, 4:{b,c}, 5:{c}
+    rows = [(1, "a"), (1, "b"), (1, "b"),  # repeat = presence
+            (2, "a"), (2, "b"), (3, "a"), (4, "b"), (4, "c"), (5, "c"),
+            (6, None)]                      # all-NULL basket: not in N
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["bk", "item"]))
+    out = {(r["antecedent"], r["consequent"]): r for r in
+           association_rules(df, ["bk"], "item").collect()}
+    ab = out[("a", "b")]
+    assert (ab["n_ant"], ab["n_cons"], ab["n_both"],
+            ab["n_baskets"]) == (3, 3, 2, 5)
+    assert ab["support"] == 2 / 5 and ab["confidence"] == 2 / 3
+    assert ab["lift"] == (2 * 5) / (3 * 3)
+    ba = out[("b", "a")]
+    assert ba["confidence"] == 2 / 3  # symmetric marginals here
+    bc = out[("b", "c")]
+    assert bc["n_both"] == 1 and bc["confidence"] == 1 / 3
+    assert ("a", "c") not in out      # never co-occur
+    assert len(out) == 4              # 2 undirected pairs x 2
+
+
+def test_association_rules_min_count_and_validation(spark):
+    from cesium_spark.operators.assoc import association_rules
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "b"), (3, "c")]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["bk", "item"]))
+    out = association_rules(df, ["bk"], "item", min_pair_count=2)
+    got = {(r["antecedent"], r["consequent"]) for r in out.collect()}
+    assert got == {("a", "b"), ("b", "a")}  # b-c pair (count 1) cut
+    with pytest.raises(ValueError, match="min_pair_count"):
+        association_rules(df, ["bk"], "item", min_pair_count=0)
+    with pytest.raises(ValueError, match="basket_cols"):
+        association_rules(df, [], "item")
+
+
+def test_association_rules_independence_lift_one(spark):
+    from cesium_spark.operators.assoc import association_rules
+    # a and b in every basket: perfectly co-occurring -> lift = 1
+    rows = [(i, t) for i in range(10) for t in ("a", "b")]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["bk", "item"]))
+    r = association_rules(df, ["bk"], "item").collect()[0]
+    assert r["lift"] == 1.0 and r["confidence"] == 1.0
+    assert r["support"] == 1.0
