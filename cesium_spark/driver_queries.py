@@ -125,6 +125,21 @@ WITH series AS (
 """
 
 
+# ln(gamma) for alpha = 0.02, computed once and inlined on BOTH sides
+# so the only engine-side log is ln(|y|) (boundary-margin-guarded);
+# shared by the batch DDSketch queries and the streaming twin
+_DD_ALPHA = 0.02
+_DD_GAMMA = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
+import math as _math  # noqa: E402
+
+_DD_LNG = _math.log(_DD_GAMMA)
+_DD_CELL_SQL = f"""
+  CASE WHEN y = 0 THEN 0 WHEN y > 0 THEN 1 ELSE -1 END AS store,
+  CASE WHEN y = 0 THEN 0
+       ELSE cast(ceil(ln(abs(y)) / {_DD_LNG!r}) AS int) END AS bkt
+"""
+
+
 def _value_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events value column as a single-channel series (engine shape)."""
     _prep(spark)
@@ -739,6 +754,66 @@ SELECT conv_id, strftime(ws, '{DUCK_TS_FMT}') AS window_start,
        round(sum(value), 4) + 0.0 AS y_sum
 FROM w, mx
 GROUP BY conv_id, ws, mx.m
+HAVING ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 7000 SECONDS
+"""
+
+
+def q_ts_stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DDSketch tier under the driver gate: the value series
+    replayed through readStream, hourly log-bucket cells finalized by
+    the watermark (streaming/window_delta.stream_ddsketch_cells) —
+    bounded-state continuous quantile tiers, emitting the SAME integer
+    cells as the batch build. Oracle computes the cells directly with
+    the identical 7000 s cutoff; the match is integer-exact."""
+    import os
+    import tempfile
+
+    from cesium_spark.sources.table_io import TableIO
+    from cesium_spark.streaming.window_delta import (
+        stream_ddsketch_cells,
+        stream_to_table,
+    )
+
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="cesium_spark_streamdd_")
+    os.makedirs(f"{base}/src")
+    s = _value_series(spark, sf_dir)
+    s.coalesce(1).write.mode("append").parquet(f"{base}/src")
+    schema = ("conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double, e double")
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src")
+    io = TableIO(spark, f"{base}/tables")
+    q = stream_to_table(
+        stream_ddsketch_cells(stream, "1h", "7000 seconds",
+                              alpha=_DD_ALPHA),
+        io, "stream_ddsketch", f"{base}/ckpt")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ts_stream_ddsketch: availableNow stream did not finish "
+            "within 300s")
+    out = io.read("stream_ddsketch")
+    return out.select(
+        "conv_id",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("store").cast("int").alias("store"),
+        F.col("bkt").cast("int").alias("bkt"),
+        F.col("cnt").cast("long").alias("cnt"))
+
+
+SQL_TS_STREAM_DDSKETCH = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+w AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         date_trunc('hour', ts) AS ws, value AS y
+  FROM events
+)
+SELECT conv_id, strftime(ws, '{DUCK_TS_FMT}') AS window_start,
+       {_DD_CELL_SQL},
+       count(*) AS cnt
+FROM w, mx
+WHERE y IS NOT NULL
+GROUP BY conv_id, ws, store, bkt, mx.m
 HAVING ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 7000 SECONDS
 """
 
@@ -6623,20 +6698,6 @@ planted AS (
 )
 """
 
-# ln(gamma) for alpha = 0.02, computed once and inlined on BOTH sides
-# so the only engine-side log is ln(|y|) (boundary-margin-guarded)
-_DD_ALPHA = 0.02
-_DD_GAMMA = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
-import math as _math  # noqa: E402
-
-_DD_LNG = _math.log(_DD_GAMMA)
-_DD_CELL_SQL = f"""
-  CASE WHEN y = 0 THEN 0 WHEN y > 0 THEN 1 ELSE -1 END AS store,
-  CASE WHEN y = 0 THEN 0
-       ELSE cast(ceil(ln(abs(y)) / {_DD_LNG!r}) AS int) END AS bkt
-"""
-
-
 def q_ts_ddsketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch retention tiers (Masson 2019 relative-error quantile
     sketch): hourly log-bucket cells per conv FOLDED to daily by
@@ -7438,6 +7499,7 @@ QUERIES = {
     "emb_ivf_filtered": q_emb_ivf_filtered,
     "ts_linear_probe": q_ts_linear_probe,
     "ts_tool_assoc": q_ts_tool_assoc,
+    "ts_stream_ddsketch": q_ts_stream_ddsketch,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "ts_corr_pairs": q_ts_corr_pairs,
@@ -7570,6 +7632,7 @@ ORACLE_SQL = {
     "emb_ivf_filtered": SQL_EMB_IVF_FILTERED,
     "ts_linear_probe": SQL_TS_LINEAR_PROBE,
     "ts_tool_assoc": SQL_TS_TOOL_ASSOC,
+    "ts_stream_ddsketch": SQL_TS_STREAM_DDSKETCH,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,

@@ -71,6 +71,40 @@ def stream_rollup_moments(series_stream: DataFrame, tier: str = "1m",
     )
 
 
+def stream_ddsketch_cells(series_stream: DataFrame, tier: str = "1h",
+                          watermark: str = "2 hours", alpha: float = 0.02,
+                          value_col: str = "y") -> DataFrame:
+    """Streaming twin of ``ddsketch.ddsketch_build``: watermarked
+    per-window DDSketch cells over a readStream series — CONTINUOUS
+    quantile tiers with BOUNDED state. This is the capability gap the
+    sketch exists for in streaming: an exact quantile needs all raw
+    values per window held in state, and percentile_approx cannot emit
+    under append mode at all; a DDSketch window's state is one integer
+    counter per occupied log-bucket (≤ a few hundred per key at
+    α = 0.02 across the double range), finalized and appended once the
+    watermark passes — and the emitted cells are the SAME cells the
+    batch build produces (integer-exact, the fold contract), so
+    downstream fold/quantile code is shared verbatim. The per-row
+    bucket assignment (including the ln boundary-margin guard) is the
+    batch expression, a pure projection before the windowed count."""
+    from cesium_spark.operators.ddsketch import _checked_bucket
+    if tier not in _TIER_DURATION:
+        raise ValueError(f"unknown streaming tier {tier!r}; "
+                         f"expected one of {list(_TIER_DURATION)}")
+    store, bkt = _checked_bucket(value_col, alpha, 1e-9)
+    win = F.window("ts", _TIER_DURATION[tier])
+    return (
+        series_stream.where(F.col(value_col).isNotNull())
+        .select("conv_id", "ts", store.alias("store"), bkt.alias("bkt"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.col("conv_id"), win, F.col("store"), F.col("bkt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("conv_id", F.col("window.start").alias("window_start"),
+                "store", "bkt", "cnt")
+        .withColumn("tier", F.lit(tier))
+    )
+
+
 def stream_to_table(moments_stream: DataFrame, io: TableIO, name: str,
                     checkpoint: str, trigger_available_now: bool = True):
     """Materialize finalized windows into a ``window_date``-partitioned

@@ -534,3 +534,49 @@ def test_association_rules_independence_lift_one(spark):
     r = association_rules(df, ["bk"], "item").collect()[0]
     assert r["lift"] == 1.0 and r["confidence"] == 1.0
     assert r["support"] == 1.0
+
+
+# --- Streaming DDSketch tier --------------------------------------------------
+
+def test_stream_ddsketch_cells_equal_batch(spark, tmp_path):
+    import pyspark.sql.functions as SF
+    from cesium_spark.operators.ddsketch import ddsketch_build
+    from cesium_spark.sources.table_io import TableIO
+    from cesium_spark.streaming.window_delta import (
+        stream_ddsketch_cells, stream_to_table)
+    n = 300
+    ts = (pd.Timestamp("2024-01-01")
+          + pd.to_timedelta(np.arange(n) * 97, "s"))
+    rng = np.random.default_rng(4)
+    vals = np.round(rng.lognormal(1.0, 1.5, n), 2)
+    vals[::41] = 0.0
+    pdf = pd.DataFrame({
+        "conv_id": ["c%d" % (i % 3) for i in range(n)],
+        "channel": "value", "turn_idx": np.arange(n, dtype=np.int32),
+        "ts": ts, "t": np.arange(n, dtype=np.float64),
+        "y": vals, "e": 1e-4})
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(pdf).write.mode("append").parquet(src)
+    schema = ("conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double, e double")
+    stream = spark.readStream.schema(schema).parquet(src)
+    io = TableIO(spark, str(tmp_path / "tables"))
+    q = stream_to_table(
+        stream_ddsketch_cells(stream, "1h", "0 seconds", alpha=0.05),
+        io, "sdd", ckpt)
+    assert q.awaitTermination(120)
+    cols = ["conv_id", "window_start", "store", "bkt", "cnt"]
+    # the window containing max(ts) has end > watermark even at a 0 s
+    # delay, so availableNow's final flush never emits it — compare on
+    # the fully-finalized horizon only
+    horizon = ts.max().floor("h")
+    got = sorted(map(tuple, io.read("sdd")
+                     .where(SF.col("window_start") < SF.lit(horizon))
+                     .select(*cols).collect()))
+    exp = sorted(map(tuple,
+                     ddsketch_build(spark.createDataFrame(pdf), "1h",
+                                    ["conv_id"], "y", alpha=0.05)
+                     .where(SF.col("window_start") < SF.lit(horizon))
+                     .select(*cols).collect()))
+    # streaming cells == batch cells, integer-exact
+    assert got == exp and len(got) > 20
