@@ -7067,6 +7067,81 @@ LIMIT 10
 """
 
 
+def q_rel_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table star join —
+    region gates nation, nation gates BOTH customer and supplier, the
+    customer-order-lineitem-supplier chain closes on c_nationkey =
+    s_nationkey, revenue per nation. Plan: the dimension chain
+    (region→nation→supplier/customer) is all broadcasts, so the only
+    shuffle is the orders⋈lineitem fact join (AQE free to pick SMJ at
+    scale) plus the final small aggregate. Unlike Q3's few-terms-per-
+    order sums, the per-NATION revenue aggregates thousands of float
+    products — order-dependent at the ulp level — so revenue is summed
+    in EXACT FIXED-POINT: each 2-dp factor is scaled to an integer
+    (round(x·100)), the product is an exact int64 in 1e-4 units,
+    the sum is exact at any parallelism, and ONE terminal division
+    restores currency. Bit-stable by construction, not by rounding."""
+    _prep(spark)
+    r = (_read(spark, sf_dir, "region")
+         .where(F.col("r_name") == "ASIA").select("r_regionkey"))
+    n = (_read(spark, sf_dir, "nation")
+         .join(F.broadcast(r),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey", "n_name"))
+    s = (_read(spark, sf_dir, "supplier")
+         .join(F.broadcast(n),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_nationkey", "n_name"))
+    c = (_read(spark, sf_dir, "customer")
+         .join(F.broadcast(n.select("n_nationkey")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", "c_nationkey"))
+    o = (_read(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate")
+                 >= F.lit("1996-01-01").cast("date"))
+                & (F.col("o_orderdate")
+                   < F.lit("1997-01-01").cast("date")))
+         .select("o_orderkey", "o_custkey"))
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+         * F.round((F.lit(1.0) - F.col("l_discount")) * 100.0, 0)
+         .cast("long")).alias("rev_i"))
+    out = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(F.broadcast(s),
+                 (F.col("l_suppkey") == F.col("s_suppkey"))
+                 & (F.col("c_nationkey") == F.col("s_nationkey")))
+           .groupBy("n_name")
+           .agg(F.sum("rev_i").alias("rev_i")))
+    return (out.select(
+        "n_name",
+        _r0(F.round(F.col("rev_i").cast("double") / 10000.0, 4))
+        .alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name"))
+
+
+SQL_REL_TPCH_Q5 = """
+SELECT n.n_name,
+       round(cast(sum(cast(round(l.l_extendedprice * 100.0) AS bigint)
+                      * cast(round((1.0 - l.l_discount) * 100.0)
+                             AS bigint)) AS double) / 10000.0, 4)
+         + 0.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+
 def q_ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-conversation correlation search: top-20 most positively
     co-moving conversation pairs on the daily-mean grid (>= 10 shared
@@ -7502,6 +7577,7 @@ QUERIES = {
     "ts_stream_ddsketch": q_ts_stream_ddsketch,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
+    "rel_tpch_q5": q_rel_tpch_q5,
     "ts_corr_pairs": q_ts_corr_pairs,
     "ts_disorder": q_ts_disorder,
     "ts_holt_winters": q_ts_holt_winters,
@@ -7635,6 +7711,7 @@ ORACLE_SQL = {
     "ts_stream_ddsketch": SQL_TS_STREAM_DDSKETCH,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
+    "rel_tpch_q5": SQL_REL_TPCH_Q5,
     "ts_corr_pairs": SQL_TS_CORR_PAIRS,
     "ts_disorder": SQL_TS_DISORDER,
     "ts_holt_winters": _hw_sql(),

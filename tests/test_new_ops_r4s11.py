@@ -580,3 +580,39 @@ def test_stream_ddsketch_cells_equal_batch(spark, tmp_path):
                      .select(*cols).collect()))
     # streaming cells == batch cells, integer-exact
     assert got == exp and len(got) > 20
+
+
+# --- TPC-H Q5 ----------------------------------------------------------------
+
+def test_tpch_q5_plan_broadcasts_dims_and_pushes_filters(spark):
+    import re
+    from cesium_spark import driver_queries as dq
+    out = dq.q_rel_tpch_q5(spark, "/root/testdata/sf0.001")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in p
+    # dimension chain rides broadcasts; date filter reaches the scan
+    assert len(re.findall(r"BroadcastExchange", p)) >= 3
+    assert "PushedFilters" in p and "1996-01-01" in p
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    # fixed-point revenue equals the float formulation to float noise
+    import duckdb
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier",
+              "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'/root/testdata/sf0.001/{t}.parquet'")
+    exp = dict(con.sql("""
+        SELECT n_name, sum(l_extendedprice * (1.0 - l_discount))
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name""").fetchall())
+    for r in rows:
+        assert abs(r["revenue"] - exp[r["n_name"]]) < 1e-4
