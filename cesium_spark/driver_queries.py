@@ -3581,6 +3581,84 @@ FROM series s JOIN base ON s.conv_id = base.conv_id AND base.n = 1
 """)
 
 
+_CROSTON_A = 0.25
+
+
+def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecasting (alpha=0.25, dyadic):
+    the value series made genuinely intermittent (demand only on every
+    5th turn, 80% exact zeros — the regime where Holt/EWMA chase zeros
+    and under-forecast spikes). Separate size/interval smoothing
+    updated only on demands, SBA bias correction, NULL forecasts until
+    the first demand initializes state. Bit-replay contract: the
+    oracle restates the z/p recurrences verbatim as a recursive CTE
+    with the integer inter-demand counter carried through the
+    recursion; floor-snap on both sides (holt precedent)."""
+    from cesium_spark.operators.smoothing import croston
+    s = _value_series(spark, sf_dir)
+    planted = s.withColumn(
+        "y", F.when(F.col("turn_idx") % 5 == 0, F.col("y"))
+        .otherwise(F.lit(0.0)))
+    out = croston(planted, alpha=_CROSTON_A)
+
+    def r6(c):
+        return F.floor(F.col(c) * 1e6 + 0.5) / 1e6 + F.lit(0.0)
+
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        _r(F.col("t")).alias("t"), _r(F.col("y")).alias("y"),
+        "is_demand", r6("level").alias("level"),
+        r6("interval").alias("interval"),
+        r6("forecast").alias("forecast"),
+        r6("forecast_sba").alias("forecast_sba"))
+
+
+SQL_TS_CROSTON = (
+    _VALUE_SERIES_SQL.replace("WITH series", "WITH RECURSIVE series", 1)
+    + f"""
+, rows_ AS (
+  SELECT conv_id, turn_idx, t,
+         CASE WHEN turn_idx % 5 = 0 THEN y ELSE 0.0 END AS y
+  FROM series
+), rec AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN y > 0 THEN y END AS z,
+         -- CAST matters: a bare 1.0 literal would type the whole
+         -- recursive column DECIMAL(2,1), silently rounding every
+         -- recursive double update to one decimal place
+         CASE WHEN y > 0 THEN CAST(1.0 AS DOUBLE) END AS p,
+         CASE WHEN y > 0 THEN 0 ELSE 1 END AS q,
+         CAST(NULL AS DOUBLE) AS f
+  FROM rows_ WHERE turn_idx = 0
+  UNION ALL
+  SELECT r.conv_id, r.turn_idx + 1,
+         CASE WHEN s2.y > 0 THEN
+             CASE WHEN r.z IS NULL THEN s2.y
+                  ELSE {_CROSTON_A!r} * s2.y
+                       + (1.0 - {_CROSTON_A!r}) * r.z END
+             ELSE r.z END,
+         CASE WHEN s2.y > 0 THEN
+             CASE WHEN r.z IS NULL THEN CAST(r.q + 1 AS DOUBLE)
+                  ELSE {_CROSTON_A!r} * CAST(r.q + 1 AS DOUBLE)
+                       + (1.0 - {_CROSTON_A!r}) * r.p END
+             ELSE r.p END,
+         CASE WHEN s2.y > 0 THEN 0 ELSE r.q + 1 END,
+         r.z / r.p
+  FROM rec r JOIN rows_ s2
+    ON s2.conv_id = r.conv_id AND s2.turn_idx = r.turn_idx + 1
+)
+SELECT s.conv_id, s.turn_idx, round(s.t, 6) + 0.0 AS t,
+       round(s.y, 6) + 0.0 AS y,
+       s.y > 0 AS is_demand,
+       floor(r.z * 1e6 + 0.5) / 1e6 + 0.0 AS level,
+       floor(r.p * 1e6 + 0.5) / 1e6 + 0.0 AS interval,
+       floor(r.f * 1e6 + 0.5) / 1e6 + 0.0 AS forecast,
+       floor(({1.0 - _CROSTON_A / 2.0!r} * r.f) * 1e6 + 0.5) / 1e6
+         + 0.0 AS forecast_sba
+FROM rec r JOIN rows_ s USING (conv_id, turn_idx)
+""")
+
+
 _DEDUP_PLANT_MOD = 7
 
 
@@ -7575,6 +7653,7 @@ QUERIES = {
     "ts_linear_probe": q_ts_linear_probe,
     "ts_tool_assoc": q_ts_tool_assoc,
     "ts_stream_ddsketch": q_ts_stream_ddsketch,
+    "ts_croston": q_ts_croston,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "rel_tpch_q5": q_rel_tpch_q5,
@@ -7709,6 +7788,7 @@ ORACLE_SQL = {
     "ts_linear_probe": SQL_TS_LINEAR_PROBE,
     "ts_tool_assoc": SQL_TS_TOOL_ASSOC,
     "ts_stream_ddsketch": SQL_TS_STREAM_DDSKETCH,
+    "ts_croston": SQL_TS_CROSTON,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "rel_tpch_q5": SQL_REL_TPCH_Q5,

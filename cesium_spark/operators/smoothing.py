@@ -351,6 +351,95 @@ def holt_winters(series: DataFrame, alpha: float, beta: float,
     )
 
 
+CROSTON_SCHEMA = ("conv_id string, channel string, turn_idx long, "
+                  "t double, y double, is_demand boolean, "
+                  "level double, interval double, forecast double, "
+                  "forecast_sba double")
+
+
+def croston(series: DataFrame, alpha: float = 0.25,
+            allow_non_dyadic: bool = False) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand — the
+    forecaster for series that are mostly zeros (tool invocations,
+    error events, purchases per period), where Holt/EWMA chase the
+    zeros down and systematically under-forecast the spikes. Croston
+    smooths two separate streams, updated ONLY when demand occurs:
+
+        z  = α·y  + (1−α)·z   (demand SIZE when y > 0)
+        p  = α·q  + (1−α)·p   (inter-demand INTERVAL, q = periods
+                               since the previous demand)
+
+    with ``forecast``ᵢ = zᵢ₋₁/pᵢ₋₁ (demand per period, one step ahead;
+    NULL until the first demand initializes the state with z = y,
+    p = periods from series start) and ``forecast_sba`` =
+    (1 − α/2)·z/p — the Syntetos–Boylan (2001) correction for
+    Croston's positive bias. Negative demand is refused loudly
+    (demand is a count/size; a negative value upstream is a bug).
+
+    Same execution/determinism contract as holt_linear: one hash
+    exchange into a per-series applyInPandas kernel, sequential by
+    definition; for dyadic α every update is a fixed IEEE expression
+    tree (q is an exact integer), so the stream is bit-replayable by
+    a recursive CTE restating the recurrences verbatim.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if not allow_non_dyadic and not _is_dyadic(alpha):
+        raise ValueError(
+            f"alpha={alpha} is not dyadic — the bit-exact oracle "
+            "guarantee does not hold; pass allow_non_dyadic=True "
+            "to proceed anyway")
+    import numpy as np
+    sba_c = 1.0 - alpha / 2.0
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(["t", "turn_idx"], kind="stable")
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        if (y < 0).any():
+            raise ValueError(
+                "croston: negative demand encountered — demand must "
+                "be a non-negative size/count")
+        n = len(y)
+        lvl = np.full(n, np.nan)
+        itv = np.full(n, np.nan)
+        fcst = np.full(n, np.nan)
+        z = p = None
+        q = 0
+        for i in range(n):
+            if z is not None:
+                fcst[i] = z / p  # state BEFORE seeing y[i]
+            qc = q + 1
+            if y[i] > 0:
+                if z is None:
+                    z = y[i]
+                    p = float(qc)
+                else:
+                    # fixed expression trees — restated verbatim in
+                    # the recursive-CTE oracle; do not refactor
+                    z = alpha * y[i] + (1.0 - alpha) * z
+                    p = alpha * float(qc) + (1.0 - alpha) * p
+                q = 0
+            else:
+                q = qc
+            if z is not None:
+                lvl[i] = z
+                itv[i] = p
+        pdf["is_demand"] = y > 0
+        pdf["level"] = lvl
+        pdf["interval"] = itv
+        pdf["forecast"] = fcst
+        pdf["forecast_sba"] = sba_c * fcst
+        return pdf
+
+    return (
+        series
+        .select("conv_id", "channel", "turn_idx", "t", "y")
+        .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+        .groupBy("conv_id", "channel")
+        .applyInPandas(_kernel, CROSTON_SCHEMA)
+    )
+
+
 def forecast_scores(scored: DataFrame,
                     forecast_col: str = "forecast") -> DataFrame:
     """Forecast-accuracy scoring per series over ANY operator output
