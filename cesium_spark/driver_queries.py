@@ -3581,6 +3581,50 @@ FROM series s JOIN base ON s.conv_id = base.conv_id AND base.n = 1
 """)
 
 
+def q_doc_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-novelty drift over the event text stream: per day,
+    the fraction of that day's distinct tokens seen for the first time
+    corpus-wide, plus the cumulative vocabulary — the freshness
+    monitor (a crawl that stops discovering, or a new domain suddenly
+    ingested, moves new_frac before any quality score does). Exact
+    integer counts + one division; full-value oracle."""
+    from cesium_spark.operators.textstats import vocab_novelty
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events").select("ts", "props")
+    out = vocab_novelty(ev, time_col="ts", text_col="props", tier="day")
+    return out.select(
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        "n_tokens", "n_new", _r(F.col("new_frac")).alias("new_frac"),
+        "vocab_cum")
+
+
+SQL_DOC_VOCAB_NOVELTY = f"""
+WITH bt AS (
+  SELECT DISTINCT date_trunc('day', ts) AS bucket,
+         unnest(string_split_regex(trim(lower(props)), '\\s+')) AS token
+  FROM events
+),
+bt2 AS (SELECT * FROM bt WHERE token != ''),
+first_ AS (SELECT token, min(bucket) AS fb FROM bt2 GROUP BY 1),
+per AS (
+  SELECT b.bucket,
+         cast(count(*) AS bigint) AS n_tokens,
+         cast(sum(CASE WHEN f.fb = b.bucket THEN 1 ELSE 0 END)
+              AS bigint) AS n_new
+  FROM bt2 b JOIN first_ f USING (token)
+  GROUP BY 1
+)
+SELECT strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
+       n_tokens, n_new,
+       round(cast(n_new AS double) / cast(n_tokens AS double), 6)
+         + 0.0 AS new_frac,
+       cast(sum(n_new) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS bigint)
+         AS vocab_cum
+FROM per
+"""
+
+
 _CROSTON_A = 0.25
 
 
@@ -7654,6 +7698,7 @@ QUERIES = {
     "ts_tool_assoc": q_ts_tool_assoc,
     "ts_stream_ddsketch": q_ts_stream_ddsketch,
     "ts_croston": q_ts_croston,
+    "doc_vocab_novelty": q_doc_vocab_novelty,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "rel_tpch_q5": q_rel_tpch_q5,
@@ -7789,6 +7834,7 @@ ORACLE_SQL = {
     "ts_tool_assoc": SQL_TS_TOOL_ASSOC,
     "ts_stream_ddsketch": SQL_TS_STREAM_DDSKETCH,
     "ts_croston": SQL_TS_CROSTON,
+    "doc_vocab_novelty": SQL_DOC_VOCAB_NOVELTY,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "rel_tpch_q5": SQL_REL_TPCH_Q5,

@@ -81,8 +81,51 @@ def vocab_topk(docs: DataFrame, k: int, id_col: str = "doc_id",
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+def vocab_novelty(stream: DataFrame, time_col: str = "ts",
+                  text_col: str = "text",
+                  tier: str = "day") -> DataFrame:
+    """Vocabulary-novelty drift: per time bucket, how much of the
+    bucket's distinct vocabulary is seen for the FIRST time — the
+    corpus-freshness monitor next to the value-distribution drift op
+    (PSI/KL watch the numbers; this watches the words). A crawl that
+    stops discovering (new_frac → 0) or a pipeline suddenly ingesting
+    a new domain/language (new_frac spike) shows up here before any
+    quality score moves.
+
+    Output per bucket: (bucket, n_tokens, n_new, new_frac,
+    vocab_cum) — n_tokens = distinct tokens in the bucket, n_new =
+    tokens whose GLOBAL first-seen bucket is this one, vocab_cum =
+    cumulative distinct vocabulary through this bucket (an exact
+    running sum of n_new: buckets partition first-sightings). The
+    first bucket is honestly all-new (new_frac = 1.0).
+
+    Scale shape: distinct (bucket, token) collapses map-side (Zipf
+    head pre-reduced per partition); first-seen = one min(bucket) per
+    token over that table; the join back is token-co-partitioned; the
+    per-bucket fold and the tiny running-sum window touch only
+    bucket-cardinality rows. Counts exact integers; new_frac one
+    division — full-value SQL-restatable."""
+    bt = (stream
+          .select(F.date_trunc(tier, F.col(time_col)).alias("bucket"),
+                  F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                    r"\s+")).alias("token"))
+          .where(F.col("token") != "")
+          .distinct())
+    first = bt.groupBy("token").agg(F.min("bucket").alias("first_bucket"))
+    per = (bt.join(first, "token")
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(F.when(F.col("first_bucket") == F.col("bucket"), 1)
+                      .otherwise(0)).alias("n_new")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per.select(
+        "bucket",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_new").cast("long").alias("n_new"),
+        (F.col("n_new").cast("double")
+         / F.col("n_tokens").cast("double")).alias("new_frac"),
+        F.sum("n_new").over(w).cast("long").alias("vocab_cum"))
     """(id, n_tokens, punct_ratio, stopword_ratio, upper_ratio, score):
     a deterministic composite quality heuristic (length / punctuation /
     stopword coverage), the usual pre-training filter family."""

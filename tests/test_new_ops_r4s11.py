@@ -701,3 +701,44 @@ def test_croston_no_demand_and_validation(spark):
         croston(_croston_df(spark, [1.0]), alpha=1.0)
     with pytest.raises(Exception, match="negative demand"):
         croston(_croston_df(spark, [1.0, -2.0]), alpha=0.25).collect()
+
+
+# --- Vocabulary novelty drift ---------------------------------------------------
+
+def test_vocab_novelty_hand_example(spark):
+    from cesium_spark.operators.textstats import vocab_novelty
+    rows = [
+        ("2024-01-01 10:00:00", "a b a"),     # day1: {a, b} all new
+        ("2024-01-01 11:00:00", "b c"),       # day1: +c -> 3 new of 3
+        ("2024-01-02 10:00:00", "a d"),       # day2: d new, a seen
+        ("2024-01-03 10:00:00", "a b"),       # day3: nothing new
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "text"])
+        .assign(ts=lambda d: pd.to_datetime(d.ts)))
+    out = {str(r["bucket"].date()): r for r in
+           vocab_novelty(df).collect()}
+    d1 = out["2024-01-01"]
+    assert (d1["n_tokens"], d1["n_new"], d1["vocab_cum"]) == (3, 3, 3)
+    assert d1["new_frac"] == 1.0
+    d2 = out["2024-01-02"]
+    assert (d2["n_tokens"], d2["n_new"], d2["vocab_cum"]) == (2, 1, 4)
+    assert d2["new_frac"] == 0.5
+    d3 = out["2024-01-03"]
+    assert (d3["n_tokens"], d3["n_new"], d3["vocab_cum"]) == (2, 0, 4)
+    assert d3["new_frac"] == 0.0
+
+
+def test_vocab_novelty_detects_new_domain_spike(spark):
+    from cesium_spark.operators.textstats import vocab_novelty
+    base = [("2024-01-%02d 09:00:00" % d, "alpha beta gamma delta")
+            for d in range(1, 8)]
+    spike = [("2024-01-08 09:00:00",
+              "votre recherche contient des nouveaux mots")]
+    df = spark.createDataFrame(
+        pd.DataFrame(base + spike, columns=["ts", "text"])
+        .assign(ts=lambda d: pd.to_datetime(d.ts)))
+    got = {str(r["bucket"].date()): r["new_frac"]
+           for r in vocab_novelty(df).collect()}
+    assert got["2024-01-07"] == 0.0       # steady state: no discovery
+    assert got["2024-01-08"] == 1.0       # new-language ingest spikes
