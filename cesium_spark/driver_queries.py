@@ -3625,6 +3625,62 @@ FROM per
 """
 
 
+def q_ts_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC (Mann–Whitney, tie-averaged ranks,
+    doubled-rank integer carry): a partially-informative planted score
+    (value + 30 on purchase events) against the purchase label —
+    genuinely overlapping classes with real tie groups (2-dp value
+    grid). All-integer until one terminal division; full-value
+    oracle restates the distinct-score rank table verbatim."""
+    from cesium_spark.operators.scoring import auc_score
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("value")
+         + F.when(F.col("event_type") == "purchase", F.lit(30.0))
+         .otherwise(F.lit(0.0))).alias("score"),
+        (F.col("event_type") == "purchase").alias("label"))
+    out = auc_score(scored, "score", "label")
+    return out.select("n", "n_pos", "n_neg",
+                      _r(F.col("auc")).alias("auc"))
+
+
+SQL_TS_AUC = """
+WITH s AS (
+  SELECT value + CASE WHEN event_type = 'purchase'
+                      THEN 30.0 ELSE 0.0 END AS s,
+         event_type = 'purchase' AS lab
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (
+  SELECT s, count(*) AS cnt,
+         sum(CASE WHEN lab THEN 1 ELSE 0 END) AS pos
+  FROM s GROUP BY 1
+),
+r AS (
+  SELECT *,
+         cast(2 * coalesce(sum(cnt) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS bigint) AS r2
+  FROM g
+),
+tot AS (
+  SELECT cast(sum(cnt) AS bigint) AS n,
+         cast(sum(pos) AS bigint) AS n_pos,
+         cast(sum(pos * r2) AS bigint) AS r2_pos
+  FROM r
+)
+SELECT n, n_pos, n - n_pos AS n_neg,
+       round(CASE WHEN n_pos > 0 AND n > n_pos THEN
+         (cast(r2_pos AS double)
+          - cast(n_pos AS double) * (cast(n_pos AS double) + 1.0))
+         / (2.0 * cast(n_pos AS double)
+            * cast(n - n_pos AS double)) END, 6) + 0.0 AS auc
+FROM tot
+"""
+
+
 _CROSTON_A = 0.25
 
 
@@ -7699,6 +7755,7 @@ QUERIES = {
     "ts_stream_ddsketch": q_ts_stream_ddsketch,
     "ts_croston": q_ts_croston,
     "doc_vocab_novelty": q_doc_vocab_novelty,
+    "ts_auc": q_ts_auc,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "rel_tpch_q5": q_rel_tpch_q5,
@@ -7835,6 +7892,7 @@ ORACLE_SQL = {
     "ts_stream_ddsketch": SQL_TS_STREAM_DDSKETCH,
     "ts_croston": SQL_TS_CROSTON,
     "doc_vocab_novelty": SQL_DOC_VOCAB_NOVELTY,
+    "ts_auc": SQL_TS_AUC,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "rel_tpch_q5": SQL_REL_TPCH_Q5,

@@ -43,6 +43,64 @@ def score_linear(features: DataFrame, weights: Mapping[str, float],
     return features.withColumn("score", score)
 
 
+def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact distributed ROC-AUC via the Mann–Whitney rank-sum
+    identity — the model-eval half of the probe workflow (fit with
+    ols_fit2 / offline sklearn, score with score_linear, EVALUATE
+    here) at 10^12-row scale, where collecting scores to the driver is
+    not an option and sampled AUC adds variance nobody budgets for.
+
+        AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻),   R⁺ = Σ rank(score⁺)
+
+    with ties given their AVERAGE rank (the exact tie-corrected
+    estimator — identical to sklearn's roc_auc_score). All arithmetic
+    is INTEGER until one terminal division: ranks are computed per
+    DISTINCT score (group counts + a cumulative window over the
+    distinct-score table), the average rank is carried DOUBLED
+    (2·cum_before + cnt + 1 — always an exact integer, dodging the
+    half-integer), and the rank sum is an exact int64 — so the AUC is
+    bit-stable at any parallelism and exactly SQL-restatable.
+
+    Scale shape: one hash aggregate to distinct scores (the corpus
+    shuffle carries one row per distinct score — gridded/quantized
+    scores collapse massively), one ordered window over that distinct
+    table, one single-row fold. Rows with NULL score or NULL label
+    cannot be ranked and are dropped, REPORTED via n vs the caller's
+    count. Degenerate labels (no positives or no negatives) yield
+    NULL, not garbage.
+
+    Output (one row): n, n_pos, n_neg, auc.
+    """
+    s = (df.where(F.col(score_col).isNotNull()
+                  & F.col(label_col).isNotNull())
+         .select(F.col(score_col).alias("s"),
+                 F.col(label_col).cast("boolean").alias("lab")))
+    g = s.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("lab"), 1).otherwise(0)).alias("pos"))
+    w = Window.orderBy("s")
+    cum_before = (F.coalesce(
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)))
+    # doubled average rank of a tie group: 2·cum_before + cnt + 1
+    ranked = g.withColumn(
+        "r2", (F.lit(2) * cum_before + F.col("cnt") + F.lit(1))
+        .cast("long"))
+    tot = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("pos") * F.col("r2")).cast("long").alias("r2_pos"))
+    npos = F.col("n_pos").cast("double")
+    nneg = (F.col("n") - F.col("n_pos")).cast("double")
+    auc = ((F.col("r2_pos").cast("double")
+            - npos * (npos + F.lit(1.0)))
+           / (F.lit(2.0) * npos * nneg))
+    return tot.select(
+        "n", "n_pos", (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.when((F.col("n_pos") > 0) & (F.col("n") > F.col("n_pos")),
+               auc).alias("auc"))
+
+
 def ols_fit2(df: DataFrame, y_col: str, x1_col: str,
              x2_col: str) -> DataFrame:
     """Closed-form distributed OLS with two regressors + intercept —

@@ -742,3 +742,61 @@ def test_vocab_novelty_detects_new_domain_spike(spark):
            for r in vocab_novelty(df).collect()}
     assert got["2024-01-07"] == 0.0       # steady state: no discovery
     assert got["2024-01-08"] == 1.0       # new-language ingest spikes
+
+
+# --- Exact distributed AUC -----------------------------------------------------
+
+def _auc_df(spark, scores, labels):
+    return spark.createDataFrame(pd.DataFrame({
+        "score": scores, "label": labels}))
+
+
+def test_auc_matches_tie_corrected_reference(spark):
+    from cesium_spark.operators.scoring import auc_score
+    rng = np.random.default_rng(14)
+    labels = rng.random(400) < 0.3
+    # gridded scores -> heavy ties; positives shifted
+    scores = np.round(rng.normal(0, 1, 400) + labels * 0.8, 1)
+    r = auc_score(_auc_df(spark, scores, labels),
+                  "score", "label").collect()[0]
+    # scipy-free exact reference: tie-averaged rank sum
+    order = np.argsort(scores, kind="stable")
+    s_sorted = scores[order]
+    ranks = np.empty(len(scores))
+    i = 0
+    while i < len(s_sorted):
+        j = i
+        while j < len(s_sorted) and s_sorted[j] == s_sorted[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based average rank
+        i = j
+    npos = labels.sum()
+    nneg = len(labels) - npos
+    exp = (ranks[labels].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert r["n"] == 400 and r["n_pos"] == npos
+    assert abs(r["auc"] - exp) < 1e-12
+
+
+def test_auc_anchors_and_degenerate(spark):
+    from cesium_spark.operators.scoring import auc_score
+    # perfect separation -> 1.0; inverted -> 0.0; all-tied -> 0.5
+    perfect = auc_score(_auc_df(spark, [1., 2., 3., 4.],
+                                [False, False, True, True]),
+                        "score", "label").collect()[0]
+    assert perfect["auc"] == 1.0
+    inv = auc_score(_auc_df(spark, [4., 3., 2., 1.],
+                            [False, False, True, True]),
+                    "score", "label").collect()[0]
+    assert inv["auc"] == 0.0
+    tied = auc_score(_auc_df(spark, [7., 7., 7., 7.],
+                             [False, True, False, True]),
+                     "score", "label").collect()[0]
+    assert tied["auc"] == 0.5
+    degen = auc_score(_auc_df(spark, [1., 2.], [True, True]),
+                      "score", "label").collect()[0]
+    assert degen["auc"] is None  # no negatives: undefined, not fake
+    # NULL scores dropped and visible via n
+    withnull = auc_score(
+        _auc_df(spark, [1.0, None, 3.0], [False, True, True]),
+        "score", "label").collect()[0]
+    assert withnull["n"] == 2
