@@ -3681,6 +3681,136 @@ FROM tot
 """
 
 
+def q_ts_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance over the event values: digit
+    extraction never touches floats (grid contract → exact integer →
+    first char of its decimal rendering), counts are exact, and the χ²
+    is an ORDERED cumulative fold in digit order (9 non-negative
+    terms; total = max of the cumulative) so even the 9-term float sum
+    is sequence-pinned. Full-value oracle."""
+    from cesium_spark.operators.datastats import benford_test
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    out = benford_test(ev, "value", scale=100)
+    return out.select("digit", "n_obs",
+                      _r(F.col("frac_obs")).alias("frac_obs"),
+                      _r(F.col("p_benford")).alias("p_benford"),
+                      _r(F.col("chi2_total")).alias("chi2_total"))
+
+
+def _benford_sql() -> str:
+    from cesium_spark.operators.datastats import BENFORD_P
+    plist = ", ".join(f"({d}, {BENFORD_P[d - 1]!r})" for d in range(1, 10))
+    return f"""
+WITH cents AS (
+  SELECT cast(round(value * 100.0) AS bigint) AS c
+  FROM events WHERE value IS NOT NULL
+),
+cnt AS (
+  SELECT cast(substr(cast(abs(c) AS varchar), 1, 1) AS int) AS digit,
+         count(*) AS n_obs
+  FROM cents WHERE c != 0 GROUP BY 1
+),
+p AS (SELECT * FROM (VALUES {plist}) AS t(digit, p_benford)),
+full_ AS (
+  SELECT p.digit, cast(coalesce(cnt.n_obs, 0) AS bigint) AS n_obs,
+         p.p_benford
+  FROM p LEFT JOIN cnt USING (digit)
+),
+tot AS (SELECT sum(n_obs) AS n FROM full_),
+contrib AS (
+  SELECT f.digit, f.n_obs, f.p_benford,
+         cast(f.n_obs AS double) / cast(t.n AS double) AS frac_obs,
+         (cast(f.n_obs AS double)
+            - cast(t.n AS double) * f.p_benford)
+         * (cast(f.n_obs AS double)
+            - cast(t.n AS double) * f.p_benford)
+         / (cast(t.n AS double) * f.p_benford) AS ctr
+  FROM full_ f CROSS JOIN tot t
+),
+cum AS (
+  SELECT *, sum(ctr) OVER (ORDER BY digit
+                           ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM contrib
+)
+SELECT digit, n_obs,
+       round(frac_obs, 6) + 0.0 AS frac_obs,
+       round(p_benford, 6) + 0.0 AS p_benford,
+       round(max(cumc) OVER (), 6) + 0.0 AS chi2_total
+FROM cum
+"""
+
+
+SQL_TS_BENFORD = _benford_sql()
+
+
+def q_ts_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test, the A/B experimentation primitive:
+    purchase events get a planted +5.00 treatment lift so the test has
+    real signal; sufficient statistics are exact integer grid units
+    (ANSI overflow contract), every derived float one fixed tree —
+    full-value oracle restates mean/variance/t/dof verbatim."""
+    from cesium_spark.operators.datastats import welch_ttest
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    planted = ev.select(
+        (F.col("value")
+         + F.when(F.col("event_type") == "purchase", F.lit(5.0))
+         .otherwise(F.lit(0.0))).alias("value"),
+        (F.col("event_type") == "purchase").alias("treated"))
+    out = welch_ttest(planted, "value", "treated", scale=100)
+    return out.select("n_a", "n_b",
+                      _r(F.col("mean_a")).alias("mean_a"),
+                      _r(F.col("mean_b")).alias("mean_b"),
+                      _r(F.col("t_stat")).alias("t_stat"),
+                      _r(F.col("dof")).alias("dof"))
+
+
+SQL_TS_WELCH_AB = """
+WITH s AS (
+  SELECT cast(round((value + CASE WHEN event_type = 'purchase'
+                                  THEN 5.0 ELSE 0.0 END) * 100.0)
+              AS bigint) AS x,
+         event_type = 'purchase' AS g
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+agg AS (
+  SELECT cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS bigint) AS n_a,
+         cast(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS bigint) AS n_b,
+         cast(sum(CASE WHEN g THEN x ELSE 0 END) AS bigint) AS s_a,
+         cast(sum(CASE WHEN NOT g THEN x ELSE 0 END) AS bigint) AS s_b,
+         cast(sum(CASE WHEN g THEN x * x ELSE 0 END) AS bigint) AS q_a,
+         cast(sum(CASE WHEN NOT g THEN x * x ELSE 0 END) AS bigint)
+           AS q_b
+  FROM s
+),
+d AS (
+  SELECT n_a, n_b,
+         cast(n_a AS double) AS nad, cast(n_b AS double) AS nbd,
+         cast(s_a AS double) / cast(n_a AS double) AS ma,
+         cast(s_b AS double) / cast(n_b AS double) AS mb,
+         (cast(q_a AS double) - cast(s_a AS double)
+            * cast(s_a AS double) / cast(n_a AS double))
+           / (cast(n_a AS double) - 1.0) AS va,
+         (cast(q_b AS double) - cast(s_b AS double)
+            * cast(s_b AS double) / cast(n_b AS double))
+           / (cast(n_b AS double) - 1.0) AS vb
+  FROM agg
+),
+e AS (SELECT *, va / nad + vb / nbd AS se2 FROM d)
+SELECT n_a, n_b,
+       round(ma / 100.0, 6) + 0.0 AS mean_a,
+       round(mb / 100.0, 6) + 0.0 AS mean_b,
+       round(CASE WHEN se2 > 0 THEN (ma - mb) / sqrt(se2) END, 6)
+         + 0.0 AS t_stat,
+       round(CASE WHEN se2 > 0 THEN
+         se2 * se2 / ((va / nad) * (va / nad) / (nad - 1.0)
+                      + (vb / nbd) * (vb / nbd) / (nbd - 1.0)) END, 6)
+         + 0.0 AS dof
+FROM e
+"""
+
+
 _CROSTON_A = 0.25
 
 
@@ -7756,6 +7886,8 @@ QUERIES = {
     "ts_croston": q_ts_croston,
     "doc_vocab_novelty": q_doc_vocab_novelty,
     "ts_auc": q_ts_auc,
+    "ts_benford": q_ts_benford,
+    "ts_welch_ab": q_ts_welch_ab,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "rel_tpch_q5": q_rel_tpch_q5,
@@ -7893,6 +8025,8 @@ ORACLE_SQL = {
     "ts_croston": SQL_TS_CROSTON,
     "doc_vocab_novelty": SQL_DOC_VOCAB_NOVELTY,
     "ts_auc": SQL_TS_AUC,
+    "ts_benford": SQL_TS_BENFORD,
+    "ts_welch_ab": SQL_TS_WELCH_AB,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "rel_tpch_q5": SQL_REL_TPCH_Q5,

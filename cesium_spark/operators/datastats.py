@@ -1,0 +1,149 @@
+"""Table-level statistical tests: Benford first-digit conformance
+(data-quality / fraud screening — Benford 1938, Nigrini 2012's audit
+use) and Welch's two-sample t-test (the A/B experimentation primitive
+— Welch 1947). Both are engineered on the exact-integer-sufficient-
+statistics pattern (the ols_fit2/auc_score house rule): the distributed
+pass aggregates exact integers; every float is one fixed expression
+tree over those integers and shared literals, so results are bit-stable
+at any parallelism and exactly SQL-restatable.
+
+Grid contract: inputs are values on a 1/scale grid (2-dp currency →
+scale=100). Each operator carries an IN-PLAN guard that fails loudly if
+a value is further than 1e-6 from its grid point — silently rounding
+off-grid values would fabricate digits/moments.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BENFORD_P = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def _grid_int(value_col: str, scale: int, op: str):
+    v = F.col(value_col)
+    scaled = v * F.lit(float(scale))
+    snapped = F.round(scaled, 0)
+    guard = F.assert_true(
+        F.abs(scaled - snapped) < F.lit(1e-6),
+        F.concat(F.lit(f"{op}: value off the 1/{scale} grid "
+                       "(exact-integer contract); value="),
+                 v.cast("string")))
+    return F.when(guard.isNull(), snapped.cast("long"))
+
+
+def benford_test(df: DataFrame, value_col: str,
+                 scale: int = 100) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law, with the
+    χ² statistic. Returns 9 rows: (digit, n_obs, frac_obs, p_benford,
+    chi2_total) — chi2_total = Σ_d (obs_d − n·p_d)²/(n·p_d) repeated
+    per row so the full picture is one result set. Digits absent from
+    the data still appear (n_obs = 0) — their χ² contribution n·p_d is
+    real and omitting the row would understate the statistic.
+
+    Digit extraction never touches floats: the grid contract converts
+    each value to an exact integer (|v|·scale), and the first digit is
+    the first character of that INTEGER's decimal rendering — no
+    log10, no float printing, no engine-dependent boundary anywhere.
+    Zeros have no significant digit and are excluded (counted out via
+    n vs the caller's row count). ONE hash aggregate over 9 keys.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    cents = _grid_int(value_col, scale, "benford_test")
+    digit = F.substring(F.abs(cents).cast("string"), 1, 1).cast("int")
+    counts = (df.where(F.col(value_col).isNotNull())
+              .select(cents.alias("c"), digit.alias("digit"))
+              .where(F.col("c") != 0)
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).alias("n_obs")))
+    spark = df.sparkSession
+    probs = spark.createDataFrame(
+        [(d, BENFORD_P[d - 1]) for d in range(1, 10)],
+        "digit int, p_benford double")
+    full = (F.broadcast(probs)
+            .join(counts, "digit", "left")
+            .select("digit",
+                    F.coalesce("n_obs", F.lit(0)).cast("long")
+                    .alias("n_obs"), "p_benford"))
+    w = Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    n = F.sum("n_obs").over(w).cast("double")  # integer sum: order-free
+    exp = n * F.col("p_benford")
+    obs = F.col("n_obs").cast("double")
+    contrib = (obs - exp) * (obs - exp) / exp
+    # the 9-term float χ² is summed as an ORDERED cumulative fold in
+    # digit order (contributions are non-negative, so the total is the
+    # max of the cumulative) — even this tiny sum is sequence-pinned
+    # rather than left to aggregation order
+    w_cum = (Window.orderBy("digit")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.orderBy("digit")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    staged = full.select(
+        "digit", "n_obs",
+        (obs / n).alias("frac_obs"), "p_benford",
+        F.sum(contrib).over(w_cum).alias("_cum"))
+    return staged.select(
+        "digit", "n_obs", "frac_obs", "p_benford",
+        F.max("_cum").over(w_all).alias("chi2_total"))
+
+
+def welch_ttest(df: DataFrame, value_col: str, group_col: str,
+                scale: int = 100) -> DataFrame:
+    """Welch's unequal-variance two-sample t over a BOOLEAN group
+    column: one pass of exact integer sufficient statistics (n, Σx,
+    Σx² in grid units per group — map-side partials, single-row
+    exchange), then mean / sample variance / t / Welch–Satterthwaite
+    dof as fixed double trees. Σx² of 10^12 grid units can overflow
+    int64 — ANSI mode raises loudly (the ols_fit2 contract: overflow
+    is a bug, not a silent float fallback; pre-scale or sample).
+    Output (one row): n_a, n_b, mean_a, mean_b, t_stat, dof — means in
+    ORIGINAL units; groups under 2 rows or with zero pooled variance
+    yield NULL t (undefined, never ±inf)."""
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    x = _grid_int(value_col, scale, "welch_ttest")
+    g = F.col(group_col).cast("boolean")
+    agg = (df.where(F.col(value_col).isNotNull() & g.isNotNull())
+           .select(x.alias("x"), g.alias("g"))
+           .agg(
+               F.sum(F.when(F.col("g"), 1).otherwise(0)).cast("long")
+               .alias("n_a"),
+               F.sum(F.when(~F.col("g"), 1).otherwise(0)).cast("long")
+               .alias("n_b"),
+               F.sum(F.when(F.col("g"), F.col("x")).otherwise(0))
+               .cast("long").alias("s_a"),
+               F.sum(F.when(~F.col("g"), F.col("x")).otherwise(0))
+               .cast("long").alias("s_b"),
+               F.sum(F.when(F.col("g"), F.col("x") * F.col("x"))
+                     .otherwise(0)).cast("long").alias("q_a"),
+               F.sum(F.when(~F.col("g"), F.col("x") * F.col("x"))
+                     .otherwise(0)).cast("long").alias("q_b")))
+
+    def stats(n, s, q):
+        nd = F.col(n).cast("double")
+        sd = F.col(s).cast("double")
+        qd = F.col(q).cast("double")
+        mean = sd / nd
+        var = F.when(F.col(n) >= 2,
+                     (qd - sd * sd / nd) / (nd - F.lit(1.0)))
+        return nd, mean, var
+
+    na, ma, va = stats("n_a", "s_a", "q_a")
+    nb, mb, vb = stats("n_b", "s_b", "q_b")
+    se2 = va / na + vb / nb
+    t = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
+    dof = F.when(se2 > 0,
+                 se2 * se2
+                 / ((va / na) * (va / na) / (na - F.lit(1.0))
+                    + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))))
+    inv = F.lit(float(scale))
+    return agg.select(
+        "n_a", "n_b",
+        (ma / inv).alias("mean_a"), (mb / inv).alias("mean_b"),
+        t.alias("t_stat"), dof.alias("dof"))

@@ -126,6 +126,10 @@ def vocab_novelty(stream: DataFrame, time_col: str = "ts",
         (F.col("n_new").cast("double")
          / F.col("n_tokens").cast("double")).alias("new_frac"),
         F.sum("n_new").over(w).cast("long").alias("vocab_cum"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
     """(id, n_tokens, punct_ratio, stopword_ratio, upper_ratio, score):
     a deterministic composite quality heuristic (length / punctuation /
     stopword coverage), the usual pre-training filter family."""

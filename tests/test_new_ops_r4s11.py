@@ -800,3 +800,72 @@ def test_auc_anchors_and_degenerate(spark):
         _auc_df(spark, [1.0, None, 3.0], [False, True, True]),
         "score", "label").collect()[0]
     assert withnull["n"] == 2
+
+
+# --- Benford + Welch -----------------------------------------------------------
+
+def test_benford_hand_counts_and_chi2(spark):
+    from cesium_spark.operators.datastats import BENFORD_P, benford_test
+    vals = [1.23, 19.99, 0.15, 2.50, 0.01, 31.41, 0.0, None]
+    df = spark.createDataFrame(pd.DataFrame({"value": vals}))
+    rows = {r["digit"]: r for r in
+            benford_test(df, "value").collect()}
+    # digits: 123->1, 1999->1, 15->1, 250->2, 1->1, 3141->3; 0/None out
+    assert rows[1]["n_obs"] == 4 and rows[2]["n_obs"] == 1
+    assert rows[3]["n_obs"] == 1 and rows[9]["n_obs"] == 0
+    assert len(rows) == 9
+    n = 6
+    chi2 = sum((rows[d]["n_obs"] - n * BENFORD_P[d - 1]) ** 2
+               / (n * BENFORD_P[d - 1]) for d in range(1, 10))
+    assert abs(rows[5]["chi2_total"] - chi2) < 1e-9
+
+
+def test_benford_detects_benford_vs_uniform(spark):
+    from cesium_spark.operators.datastats import benford_test
+    rng = np.random.default_rng(3)
+    # log-uniform over 4 decades IS Benford; uniform is not
+    benf = np.round(10 ** rng.uniform(-1, 3, 4000), 2)
+    unif = np.round(rng.uniform(1, 10, 4000), 2)
+    c_b = benford_test(spark.createDataFrame(
+        pd.DataFrame({"value": benf})), "value") \
+        .collect()[0]["chi2_total"]
+    c_u = benford_test(spark.createDataFrame(
+        pd.DataFrame({"value": unif})), "value") \
+        .collect()[0]["chi2_total"]
+    assert c_b < 20 < 500 < c_u  # chi2(8df) 99.9% crit ~ 26
+
+
+def test_benford_off_grid_raises(spark):
+    from cesium_spark.operators.datastats import benford_test
+    df = spark.createDataFrame(pd.DataFrame({"value": [1.234]}))
+    with pytest.raises(Exception, match="off the 1/100 grid"):
+        benford_test(df, "value").collect()
+
+
+def test_welch_matches_scipy_formula(spark):
+    from cesium_spark.operators.datastats import welch_ttest
+    rng = np.random.default_rng(8)
+    a = np.round(rng.normal(10, 2, 120), 2)
+    b = np.round(rng.normal(9, 3, 200), 2)
+    df = spark.createDataFrame(pd.DataFrame({
+        "value": np.concatenate([a, b]),
+        "g": [True] * 120 + [False] * 200}))
+    r = welch_ttest(df, "value", "g").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / 120 + vb / 200
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    dof = se2 ** 2 / ((va / 120) ** 2 / 119 + (vb / 200) ** 2 / 199)
+    assert (r["n_a"], r["n_b"]) == (120, 200)
+    assert abs(r["mean_a"] - a.mean()) < 1e-9
+    assert abs(r["t_stat"] - t) < 1e-9
+    assert abs(r["dof"] - dof) < 1e-6
+
+
+def test_welch_degenerate_null(spark):
+    from cesium_spark.operators.datastats import welch_ttest
+    # constant values in both groups: zero variance -> NULL t, not inf
+    df = spark.createDataFrame(pd.DataFrame({
+        "value": [5.0, 5.0, 5.0, 5.0],
+        "g": [True, True, False, False]}))
+    r = welch_ttest(df, "value", "g").collect()[0]
+    assert r["t_stat"] is None and r["dof"] is None
