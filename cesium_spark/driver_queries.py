@@ -3811,6 +3811,64 @@ FROM e
 """
 
 
+def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    (undirected) token-bigram graph — the ordered node-iterator
+    scheme: each triangle a<b<c found exactly once via two equi-joins.
+    Exact integers, one terminal division; full-value oracle."""
+    from cesium_spark.operators.graphrank import (
+        token_edges,
+        triangle_stats,
+    )
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = triangle_stats(token_edges(docs))
+    return out.select("n_nodes", "n_edges", "n_triangles", "n_wedges",
+                      _r(F.col("global_cc")).alias("global_cc"))
+
+
+SQL_DOC_TRIANGLES = """
+WITH tok AS (
+  SELECT doc_id, u.t AS tok, u.pos
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS tt
+        FROM documents) dd,
+  LATERAL (SELECT unnest(tt) AS t,
+                  generate_subscripts(tt, 1) AS pos) u
+),
+bigr AS (
+  SELECT a.tok AS src, b.tok AS dst
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM bigr WHERE src != dst
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+),
+base AS (
+  SELECT cast(count(*) AS bigint) AS n_nodes,
+         cast(sum(deg) / 2 AS bigint) AS n_edges,
+         cast(sum(deg * (deg - 1) / 2) AS bigint) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges,
+       cast(tri.n_triangles AS bigint) AS n_triangles, n_wedges,
+       round(CASE WHEN n_wedges > 0 THEN
+         3.0 * cast(tri.n_triangles AS double)
+         / cast(n_wedges AS double) END, 6) + 0.0 AS global_cc
+FROM base CROSS JOIN tri
+"""
+
+
 _CROSTON_A = 0.25
 
 
@@ -7888,6 +7946,7 @@ QUERIES = {
     "ts_auc": q_ts_auc,
     "ts_benford": q_ts_benford,
     "ts_welch_ab": q_ts_welch_ab,
+    "doc_triangles": q_doc_triangles,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "rel_tpch_q5": q_rel_tpch_q5,
@@ -8027,6 +8086,7 @@ ORACLE_SQL = {
     "ts_auc": SQL_TS_AUC,
     "ts_benford": SQL_TS_BENFORD,
     "ts_welch_ab": SQL_TS_WELCH_AB,
+    "doc_triangles": SQL_DOC_TRIANGLES,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "rel_tpch_q5": SQL_REL_TPCH_Q5,

@@ -126,6 +126,53 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return x
 
 
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Triangle count and global clustering coefficient — the third
+    graph primitive next to connected components (dedup clusters) and
+    PageRank (TextRank): how CLIQUISH is the graph. Output (one row):
+    n_nodes, n_edges, n_triangles, n_wedges, global_cc with
+    global_cc = 3·triangles / wedges (the transitivity ratio; wedges =
+    Σ_v deg(v)·(deg(v)−1)/2 counts open two-paths).
+
+    Counting shape (the compact-forward / ordered node-iterator
+    scheme, Schank & Wagner 2005): direct every undirected edge
+    low→high ONCE, so a triangle a<b<c is found exactly once as the
+    wedge (a,b)+(b,c) closed by (a,c) — two equi-joins, no
+    post-division by 6, no cartesian. Both joins key on a vertex; a
+    celebrity hub of degree d contributes d² wedge rows, which is the
+    algorithm's true cost — at social-graph scale that skew is
+    AQE-splittable, and the ordered orientation already halves every
+    hub's out-degree versus the naive direction. All counts are exact
+    integers; global_cc is one terminal division.
+    """
+    und = (edges
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+           .join(e3, (F.col("e1.a") == F.col("e3.a"))
+                 & (F.col("e2.b") == F.col("e3.b")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    deg = (und.select(F.col("a").alias("v"))
+           .unionAll(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("deg") / F.lit(2)).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / F.lit(2))
+        .cast("long").alias("n_wedges"))
+    out = base.crossJoin(F.broadcast(tri))
+    cc = F.when(F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"))
+    return out.select("n_nodes", "n_edges",
+                      F.col("n_triangles").cast("long")
+                      .alias("n_triangles"),
+                      "n_wedges", cc.alias("global_cc"))
+
+
 def textrank(docs: DataFrame, damping: float = 0.85,
              iterations: int = 5, id_col: str = "doc_id",
              text_col: str = "text", **kw) -> DataFrame:

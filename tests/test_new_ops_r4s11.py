@@ -869,3 +869,39 @@ def test_welch_degenerate_null(spark):
         "g": [True, True, False, False]}))
     r = welch_ttest(df, "value", "g").collect()[0]
     assert r["t_stat"] is None and r["dof"] is None
+
+
+# --- Triangle counting -----------------------------------------------------------
+
+def test_triangle_stats_hand_graphs(spark):
+    from cesium_spark.operators.graphrank import triangle_stats
+
+    def stats(edges):
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst"]))
+        return triangle_stats(df).collect()[0]
+
+    # K4: 4 triangles, 12 wedges, cc = 1
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    r = stats(k4)
+    assert (r["n_nodes"], r["n_edges"]) == (4, 6)
+    assert r["n_triangles"] == 4 and r["n_wedges"] == 12
+    assert r["global_cc"] == 1.0
+    # path a-b-c: 1 wedge, 0 triangles
+    r = stats([("a", "b"), ("b", "c")])
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 1
+    assert r["global_cc"] == 0.0
+    # direction/duplicates/self-loops collapse: same triangle once
+    messy = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+             ("a", "c"), ("a", "a")]
+    r = stats(messy)
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+    assert r["global_cc"] == 1.0
+
+
+def test_triangle_stats_no_wedges_null_cc(spark):
+    from cesium_spark.operators.graphrank import triangle_stats
+    df = spark.createDataFrame(
+        pd.DataFrame([("a", "b")], columns=["src", "dst"]))
+    r = triangle_stats(df).collect()[0]
+    assert r["n_wedges"] == 0 and r["global_cc"] is None
