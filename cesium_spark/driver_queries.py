@@ -6596,6 +6596,67 @@ FROM u WHERE rn = 1
 """
 
 
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per conversation: S, tie
+    counts, and the 18·var(S) numerator are exact integers from an
+    O(n·log²n) in-kernel inversion count (no pair shuffle); z and τ_b
+    are fixed double trees over those integers. The oracle replays S
+    by the literal pair definition — a within-conversation self-join
+    DuckDB can afford at test scale — so a single off-by-one in the
+    inversion identity S = T − U − 2·inv would hash-mismatch."""
+    from cesium_spark.operators.seriesstats import mann_kendall
+    out = mann_kendall(_value_series(spark, sf_dir))
+    return out.select(
+        "conv_id", "n", "s_stat", "tied_pairs", "var18",
+        _r(F.col("z")).alias("z"),
+        _r(F.col("tau_b"), 9).alias("tau_b"))
+
+
+SQL_TS_MANN_KENDALL = f"""{_VALUE_SERIES_SQL}
+, pairs AS (
+  SELECT a.conv_id,
+         sum(CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat,
+         sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS tied_pairs
+  FROM series a
+  JOIN series b ON a.conv_id = b.conv_id AND b.turn_idx > a.turn_idx
+  WHERE a.y IS NOT NULL AND b.y IS NOT NULL
+        AND a.t IS NOT NULL AND b.t IS NOT NULL
+  GROUP BY 1
+),
+ties AS (
+  SELECT conv_id, sum(c * (c - 1) * (2 * c + 5)) AS tie_term,
+         sum(c) AS n
+  FROM (SELECT conv_id, y, count(*) AS c FROM series
+        WHERE y IS NOT NULL AND t IS NOT NULL GROUP BY 1, 2)
+  GROUP BY 1
+),
+mk AS (
+  SELECT p.conv_id, t.n,
+         cast(p.s_stat AS bigint) AS s_stat,
+         cast(p.tied_pairs AS bigint) AS tied_pairs,
+         cast(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term
+              AS bigint) AS var18
+  FROM pairs p JOIN ties t USING (conv_id)
+  WHERE t.n >= 2
+)
+SELECT conv_id, n, s_stat, tied_pairs, var18,
+       round(CASE WHEN var18 = 0 THEN NULL
+                  WHEN s_stat > 0 THEN (cast(s_stat AS double) - 1)
+                       / sqrt(cast(var18 AS double) / 18.0)
+                  WHEN s_stat < 0 THEN (cast(s_stat AS double) + 1)
+                       / sqrt(cast(var18 AS double) / 18.0)
+                  ELSE 0.0 END, 6) + 0.0 AS z,
+       round(CASE WHEN ((n * (n - 1)) / 2 - cast(tied_pairs AS double))
+                       * ((n * (n - 1)) / 2) > 0 THEN
+                  cast(s_stat AS double)
+                  / sqrt(((n * (n - 1)) / 2
+                          - cast(tied_pairs AS double))
+                         * ((n * (n - 1)) / 2)) END, 9) + 0.0 AS tau_b
+FROM mk
+"""
+
+
 def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend per conversation (max_points=64):
     median of pairwise slopes after deterministic systematic thinning,
@@ -7926,6 +7987,7 @@ QUERIES = {
     "ts_runs": q_ts_runs,
     "ts_perm_entropy": q_ts_perm_entropy,
     "ts_pettitt": q_ts_pettitt,
+    "ts_mann_kendall": q_ts_mann_kendall,
     "ts_theil_sen": q_ts_theil_sen,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
@@ -8066,6 +8128,7 @@ ORACLE_SQL = {
     "ts_runs": SQL_TS_RUNS,
     "ts_perm_entropy": SQL_TS_PERM_ENTROPY,
     "ts_pettitt": SQL_TS_PETTITT,
+    "ts_mann_kendall": SQL_TS_MANN_KENDALL,
     "ts_theil_sen": SQL_TS_THEIL_SEN,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),

@@ -925,3 +925,91 @@ def cross_series_corr(series: DataFrame, min_overlap: int = 10,
               .orderBy(F.desc("r"), "conv_a", "conv_b")
               .limit(top_k))
     return ranked
+
+
+MK_SCHEMA = ("conv_id string, n long, s_stat long, tied_pairs long, "
+             "var18 long")
+
+
+def mann_kendall(series: DataFrame) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per series (Mann 1945,
+    Kendall 1975) — the distribution-free "is it drifting?" question
+    that ``theil_sen`` answers with a slope and Pettitt answers for a
+    single SHIFT. S = Σ_{i<j} sign(yⱼ − yᵢ) over time order counts
+    concordant-minus-discordant pairs; the tie-corrected normal
+    approximation z = (S ∓ 1)/sqrt(var(S)) with
+
+        18·var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)
+
+    (t_g = value-tie group sizes) is the standard screen, and
+    Kendall's τ_b = S/sqrt((T−U)·T) (T = n(n−1)/2 total pairs, U =
+    tied pairs; the time axis is the strict turn sequence, so its tie
+    term is zero by construction) is the effect size.
+
+    Exactness: the kernel emits INTEGERS ONLY — S via an O(n·log²n)
+    bottom-up mergesort inversion count (S = T − U − 2·inversions,
+    pinned against the O(n²) brute force in pytest; counting, not
+    float math, so no summation-order question exists), U and the
+    18·var numerator from np.unique tie counts, all as Python ints
+    before the int64 cast so no intermediate overflows silently.
+    z and τ_b are fixed double expression trees over those integers,
+    restated verbatim in SQL; all-tied series (var18 = 0) yield NULL
+    z/τ rather than ±inf.
+
+    Scale shape: ONE hash exchange into a per-series applyInPandas
+    kernel (the holt/croston contract) — no pair join, no O(n²)
+    shuffle; a million-turn conversation costs n·log²n vectorized
+    searchsorted work inside one task. The SQL oracle replays S by
+    the literal pair definition (self-join, fine at test scale).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(["t", "turn_idx"], kind="stable")
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        n = len(y)
+        # strict inversions (i<j, y_i > y_j): bottom-up mergesort with
+        # vectorized cross-run counting via searchsorted
+        a = y.copy()
+        inv = 0
+        width = 1
+        while width < n:
+            for lo in range(0, n - width, 2 * width):
+                mid = lo + width
+                hi = min(lo + 2 * width, n)
+                left = a[lo:mid]
+                inv += int((mid - lo
+                            - np.searchsorted(left, a[mid:hi],
+                                              side="right")).sum())
+                a[lo:hi] = np.sort(a[lo:hi], kind="mergesort")
+            width *= 2
+        _, counts = np.unique(y, return_counts=True)
+        cnt = [int(c) for c in counts]
+        total = n * (n - 1) // 2
+        tied = sum(c * (c - 1) // 2 for c in cnt)
+        s = total - tied - 2 * inv
+        var18 = (n * (n - 1) * (2 * n + 5)
+                 - sum(c * (c - 1) * (2 * c + 5) for c in cnt))
+        return pd.DataFrame({
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "n": [n], "s_stat": [s], "tied_pairs": [tied],
+            "var18": [var18]})
+
+    base = (series
+            .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+            .select("conv_id", "turn_idx", "t", "y")
+            .groupBy("conv_id")
+            .applyInPandas(_kernel, MK_SCHEMA)
+            .where(F.col("n") >= 2))
+    s = F.col("s_stat").cast("double")
+    v = F.col("var18").cast("double")
+    z = (F.when(F.col("var18") == 0, F.lit(None).cast("double"))
+         .when(F.col("s_stat") > 0, (s - 1) / F.sqrt(v / F.lit(18.0)))
+         .when(F.col("s_stat") < 0, (s + 1) / F.sqrt(v / F.lit(18.0)))
+         .otherwise(F.lit(0.0)))
+    total = (F.col("n") * (F.col("n") - 1) / F.lit(2)).cast("double")
+    untied = total - F.col("tied_pairs").cast("double")
+    tau = F.when(untied * total > 0, s / F.sqrt(untied * total))
+    return base.select("conv_id", "n", "s_stat", "tied_pairs", "var18",
+                       z.alias("z"), tau.alias("tau_b"))

@@ -905,3 +905,62 @@ def test_triangle_stats_no_wedges_null_cc(spark):
         pd.DataFrame([("a", "b")], columns=["src", "dst"]))
     r = triangle_stats(df).collect()[0]
     assert r["n_wedges"] == 0 and r["global_cc"] is None
+
+
+# --- Mann-Kendall ----------------------------------------------------------------
+
+def _mk_brute(y):
+    import numpy as np
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    s = sum(int(np.sign(y[j] - y[i]))
+            for i in range(n) for j in range(i + 1, n))
+    tied = sum(int(y[i] == y[j])
+               for i in range(n) for j in range(i + 1, n))
+    _, c = np.unique(y, return_counts=True)
+    var18 = (n * (n - 1) * (2 * n + 5)
+             - sum(int(k) * (int(k) - 1) * (2 * int(k) + 5) for k in c))
+    return s, tied, var18
+
+
+def _mk_df(spark, y):
+    rows = [("c", i, float(i), float(v)) for i, v in enumerate(y)]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, t double, y double")
+
+
+def test_mann_kendall_vs_bruteforce(spark):
+    import numpy as np
+    from cesium_spark.operators.seriesstats import mann_kendall
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        # heavy ties: values drawn from a small integer alphabet
+        y = rng.integers(0, 5, size=int(rng.integers(2, 60))).tolist()
+        s, tied, var18 = _mk_brute(y)
+        r = mann_kendall(_mk_df(spark, y)).collect()[0]
+        assert (r["s_stat"], r["tied_pairs"], r["var18"]) == \
+            (s, tied, var18), f"trial {trial}: {y}"
+
+
+def test_mann_kendall_monotone_and_z(spark):
+    import math
+    from cesium_spark.operators.seriesstats import mann_kendall
+    # strictly increasing: S = n(n-1)/2, tau_b = 1
+    r = mann_kendall(_mk_df(spark, list(range(10)))).collect()[0]
+    assert r["s_stat"] == 45 and r["tau_b"] == 1.0
+    var18 = 10 * 9 * 25
+    assert r["var18"] == var18
+    assert abs(r["z"] - (45 - 1) / math.sqrt(var18 / 18.0)) < 1e-12
+    # strictly decreasing mirrors
+    r = mann_kendall(_mk_df(spark, list(range(10, 0, -1)))).collect()[0]
+    assert r["s_stat"] == -45 and r["tau_b"] == -1.0
+
+
+def test_mann_kendall_degenerate(spark):
+    from cesium_spark.operators.seriesstats import mann_kendall
+    # all tied: var18 = 0 -> z NULL, tau NULL, S = 0
+    r = mann_kendall(_mk_df(spark, [3.0] * 8)).collect()[0]
+    assert r["s_stat"] == 0 and r["var18"] == 0
+    assert r["z"] is None and r["tau_b"] is None
+    # n = 1 drops out
+    assert mann_kendall(_mk_df(spark, [1.0])).count() == 0
