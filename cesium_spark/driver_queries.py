@@ -3869,6 +3869,76 @@ FROM base CROSS JOIN tri
 """
 
 
+def q_doc_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence of (lang x source) over the
+    documents corpus — dense cells (absent combos included), exact
+    integer counts/marginals, double-tree expected/contrib, ordered
+    (a,b) cumulative chi-square fold, Cramér's V. Full-value oracle
+    restates every tree verbatim."""
+    from cesium_spark.operators.datastats import chi2_independence
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = chi2_independence(docs, "lang", "source")
+    return out.select(
+        "a", "b", "n_obs",
+        _r(F.col("expected")).alias("expected"),
+        _r(F.col("contrib")).alias("contrib"),
+        _r(F.col("chi2_total")).alias("chi2_total"),
+        "dof", "n",
+        _r(F.col("cramers_v")).alias("cramers_v"))
+
+
+SQL_DOC_CHI2_LANG_SOURCE = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, count(*) AS n_obs
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+rows_ AS (SELECT a, sum(n_obs) AS row_tot FROM cells GROUP BY 1),
+cols_ AS (SELECT b, sum(n_obs) AS col_tot FROM cells GROUP BY 1),
+dense AS (
+  SELECT r.a, c.b, r.row_tot, c.col_tot,
+         coalesce(x.n_obs, 0) AS n_obs
+  FROM rows_ r CROSS JOIN cols_ c
+  LEFT JOIN cells x ON x.a = r.a AND x.b = c.b
+),
+f AS (
+  SELECT a, b, n_obs,
+         cast(row_tot AS double) * cast(col_tot AS double)
+           / cast(sum(n_obs) OVER () AS double) AS expected,
+         sum(n_obs) OVER () AS n_tot,
+         (SELECT count(*) FROM rows_) AS r_card,
+         (SELECT count(*) FROM cols_) AS c_card
+  FROM dense
+),
+g AS (
+  SELECT a, b, n_obs, expected, n_tot, r_card, c_card,
+         (cast(n_obs AS double) - expected)
+           * (cast(n_obs AS double) - expected) / expected AS contrib
+  FROM f
+),
+h AS (
+  SELECT *, max(cum) OVER () AS chi2_total FROM (
+    SELECT *, sum(contrib) OVER (ORDER BY a, b
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+    FROM g)
+)
+SELECT a, b, cast(n_obs AS bigint) AS n_obs,
+       round(expected, 6) + 0.0 AS expected,
+       round(contrib, 6) + 0.0 AS contrib,
+       round(chi2_total, 6) + 0.0 AS chi2_total,
+       cast((r_card - 1) * (c_card - 1) AS bigint) AS dof,
+       cast(n_tot AS bigint) AS n,
+       round(CASE WHEN (r_card - 1) * (c_card - 1) > 0 THEN
+         sqrt(chi2_total / (cast(n_tot AS double)
+              * least(cast(r_card - 1 AS double),
+                      cast(c_card - 1 AS double)))) END, 6) + 0.0
+         AS cramers_v
+FROM h
+"""
+
+
 _CROSTON_A = 0.25
 
 
@@ -8009,6 +8079,7 @@ QUERIES = {
     "ts_benford": q_ts_benford,
     "ts_welch_ab": q_ts_welch_ab,
     "doc_triangles": q_doc_triangles,
+    "doc_chi2_lang_source": q_doc_chi2_lang_source,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "rel_tpch_q5": q_rel_tpch_q5,
@@ -8150,6 +8221,7 @@ ORACLE_SQL = {
     "ts_benford": SQL_TS_BENFORD,
     "ts_welch_ab": SQL_TS_WELCH_AB,
     "doc_triangles": SQL_DOC_TRIANGLES,
+    "doc_chi2_lang_source": SQL_DOC_CHI2_LANG_SOURCE,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "rel_tpch_q5": SQL_REL_TPCH_Q5,

@@ -147,3 +147,77 @@ def welch_ttest(df: DataFrame, value_col: str, group_col: str,
         "n_a", "n_b",
         (ma / inv).alias("mean_a"), (mb / inv).alias("mean_b"),
         t.alias("t_stat"), dof.alias("dof"))
+
+
+def chi2_independence(df: DataFrame, col_a: str,
+                      col_b: str) -> DataFrame:
+    """Pearson χ² test of independence over the (col_a × col_b)
+    contingency table — the categorical-association screen next to
+    Welch (numeric A/B) and Benford (digit conformance): is the
+    language mix independent of the source, the error rate of the
+    segment? Output: one row per DENSE cell (absent combinations
+    included — their expected count is real and omitting them would
+    understate χ², the Benford rule) with observed, expected, the
+    cell's χ² contribution, and the table-level chi2_total / dof /
+    cramers_v repeated per row so one result set carries the whole
+    picture.
+
+    Exactness: observed counts and marginals are exact integers from
+    ONE hash aggregate over the (a, b) cells; expected =
+    row_tot·col_tot/N and each contribution are fixed double trees
+    (marginals multiplied as DOUBLES — at 10^10-row marginals an
+    int64 product would overflow); the cross-cell χ² sum is an
+    ORDERED cumulative fold in (a, b) order (non-negative terms, so
+    the total is the last cumulant — the Benford contract), never a
+    parallel float sum. Cramér's V = sqrt(χ²/(N·min(r−1,c−1)))
+    normalizes to [0,1]; 1×c or r×1 tables (dof = 0) yield NULL V
+    and a 0 χ² by construction.
+
+    Scale shape: the corpus-sized work is the single groupBy(a, b)
+    hash aggregate (map-side partial); everything after runs on the
+    r×c CELL table — marginals, the dense cross join (small × small,
+    broadcast), and the global-window folds are all bounded by the
+    category cardinalities, which a contingency test assumes are
+    small. No second scan of the input.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (df.where(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("a"), b.alias("b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    rows = cells.groupBy("a").agg(F.sum("n_obs").alias("row_tot"))
+    cols = cells.groupBy("b").agg(F.sum("n_obs").alias("col_tot"))
+    dense = (rows.crossJoin(F.broadcast(cols))
+             .join(cells, ["a", "b"], "left")
+             .select("a", "b", "row_tot", "col_tot",
+                     F.coalesce("n_obs", F.lit(0)).cast("long")
+                     .alias("n_obs")))
+    wall = (Window.orderBy("a", "b")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    wcum = (Window.orderBy("a", "b")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    n = F.sum("n_obs").over(wall).cast("double")  # integer sum
+    r_card = F.size(F.collect_set("a").over(wall)).cast("long")
+    c_card = F.size(F.collect_set("b").over(wall)).cast("long")
+    expected = (F.col("row_tot").cast("double")
+                * F.col("col_tot").cast("double") / n)
+    o = F.col("n_obs").cast("double")
+    contrib = (o - expected) * (o - expected) / expected
+    out = (dense
+           .withColumn("expected", expected)
+           .withColumn("contrib", contrib)
+           .withColumn("__cum", F.sum("contrib").over(wcum))
+           .withColumn("chi2_total", F.last("__cum").over(wall))
+           .withColumn("__r", r_card)
+           .withColumn("__c", c_card)
+           .withColumn("dof", (F.col("__r") - 1) * (F.col("__c") - 1))
+           .withColumn("n", F.sum("n_obs").over(wall).cast("long")))
+    r1 = (F.col("__r") - 1).cast("double")
+    c1 = (F.col("__c") - 1).cast("double")
+    v = F.when(F.col("dof") > 0,
+               F.sqrt(F.col("chi2_total")
+                      / (F.col("n").cast("double")
+                         * F.least(r1, c1))))
+    return out.select("a", "b", "n_obs", "expected", "contrib",
+                      "chi2_total", "dof", "n",
+                      v.alias("cramers_v"))

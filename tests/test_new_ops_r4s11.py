@@ -964,3 +964,44 @@ def test_mann_kendall_degenerate(spark):
     assert r["z"] is None and r["tau_b"] is None
     # n = 1 drops out
     assert mann_kendall(_mk_df(spark, [1.0])).count() == 0
+
+
+# --- Chi-square independence ------------------------------------------------------
+
+def test_chi2_independence_hand(spark):
+    from cesium_spark.operators.datastats import chi2_independence
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": ["x"] * 30 + ["y"] * 30,
+        "b": ["p"] * 25 + ["q"] * 5 + ["p"] * 10 + ["q"] * 20}))
+    r = chi2_independence(df, "a", "b").toPandas().sort_values(["a", "b"])
+    # classic 2x2: chi2 = 60*(25*20-5*10)^2/(30*30*35*25)
+    chi2 = 60 * (25 * 20 - 5 * 10) ** 2 / (30 * 30 * 35 * 25)
+    assert abs(r["chi2_total"].iloc[0] - chi2) < 1e-9
+    assert (r["dof"] == 1).all() and (r["n"] == 60).all()
+    assert abs(r["cramers_v"].iloc[0] - (chi2 / 60) ** 0.5) < 1e-12
+    assert list(r["n_obs"]) == [25, 5, 10, 20]
+    assert abs(r["expected"].iloc[0] - 30 * 35 / 60) < 1e-12
+
+
+def test_chi2_independence_dense_zero_cells(spark):
+    from cesium_spark.operators.datastats import chi2_independence
+    # (y, q) never occurs -> must still appear with n_obs = 0 and a
+    # real chi2 contribution
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": ["x", "x", "y"], "b": ["p", "q", "p"]}))
+    r = chi2_independence(df, "a", "b").toPandas()
+    assert len(r) == 4
+    zero = r[(r["a"] == "y") & (r["b"] == "q")]
+    assert len(zero) == 1 and zero["n_obs"].iloc[0] == 0
+    assert zero["expected"].iloc[0] > 0
+    assert zero["contrib"].iloc[0] > 0
+
+
+def test_chi2_independence_degenerate_1xc(spark):
+    from cesium_spark.operators.datastats import chi2_independence
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": ["x", "x", "x"], "b": ["p", "q", "p"]}))
+    r = chi2_independence(df, "a", "b").toPandas()
+    assert (r["dof"] == 0).all()
+    assert (r["chi2_total"] == 0.0).all()
+    assert r["cramers_v"].isna().all()
