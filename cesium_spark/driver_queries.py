@@ -3869,6 +3869,67 @@ FROM base CROSS JOIN tri
 """
 
 
+def q_doc_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 highest-degree token-bigram-graph nodes with exact
+    triangle participation and local clustering coefficient — the
+    per-node refinement of doc_triangles. deg/n_tri exact integers,
+    cc one terminal division; deterministic (deg DESC, v ASC) rank."""
+    from cesium_spark.operators.graphrank import (
+        local_clustering,
+        token_edges,
+    )
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = local_clustering(token_edges(docs), top_k=50)
+    return out.select("v", "deg", "n_tri",
+                      _r(F.col("local_cc")).alias("local_cc"))
+
+
+SQL_DOC_LOCAL_CLUSTERING = """
+WITH tok AS (
+  SELECT doc_id, u.t AS tok, u.pos
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS tt
+        FROM documents) dd,
+  LATERAL (SELECT unnest(tt) AS t,
+                  generate_subscripts(tt, 1) AS pos) u
+),
+bigr AS (
+  SELECT a.tok AS src, b.tok AS dst
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM bigr WHERE src != dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+tri_v AS (
+  SELECT v, count(*) AS n_tri FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY 1
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+)
+SELECT d.v, cast(d.deg AS bigint) AS deg,
+       cast(coalesce(t.n_tri, 0) AS bigint) AS n_tri,
+       round(CASE WHEN d.deg >= 2 THEN
+         2.0 * cast(coalesce(t.n_tri, 0) AS double)
+         / (cast(d.deg AS double) * (cast(d.deg AS double) - 1))
+       END, 6) + 0.0 AS local_cc
+FROM deg d LEFT JOIN tri_v t USING (v)
+ORDER BY d.deg DESC, d.v ASC
+LIMIT 50
+"""
+
+
 def q_doc_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence of (lang x source) over the
     documents corpus — dense cells (absent combos included), exact
@@ -8080,6 +8141,7 @@ QUERIES = {
     "ts_welch_ab": q_ts_welch_ab,
     "doc_triangles": q_doc_triangles,
     "doc_chi2_lang_source": q_doc_chi2_lang_source,
+    "doc_local_clustering": q_doc_local_clustering,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "rel_tpch_q5": q_rel_tpch_q5,
@@ -8222,6 +8284,7 @@ ORACLE_SQL = {
     "ts_welch_ab": SQL_TS_WELCH_AB,
     "doc_triangles": SQL_DOC_TRIANGLES,
     "doc_chi2_lang_source": SQL_DOC_CHI2_LANG_SOURCE,
+    "doc_local_clustering": SQL_DOC_LOCAL_CLUSTERING,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "rel_tpch_q5": SQL_REL_TPCH_Q5,

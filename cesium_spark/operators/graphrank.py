@@ -189,3 +189,56 @@ def textrank(docs: DataFrame, damping: float = 0.85,
             .select(F.col("v").alias("token"), F.col("x").alias("rank"),
                     (F.col("x") * F.col("n_verts").cast("double"))
                     .alias("rank_rel")))
+
+
+def local_clustering(edges: DataFrame, top_k: int = 50) -> DataFrame:
+    """Per-node local clustering coefficient for the top_k
+    highest-degree nodes: cc_v = 2·tri_v / (deg_v·(deg_v−1)) — do a
+    hub's neighbours know each other? The per-node refinement of
+    ``triangle_stats``' one global ratio: the nodes where local cc
+    diverges from the global transitivity are exactly the bridges
+    (low cc, high degree) and cliques (cc → 1) a corpus-graph audit
+    wants named.
+
+    Counting: the SAME ordered a<b<c two-equi-join enumeration as
+    ``triangle_stats`` (each triangle found exactly once), then each
+    triangle row fans out to its 3 member nodes via a literal-array
+    explode — tri_v is an exact integer hash aggregate, deg_v an
+    exact integer from the deduped undirected edge list, cc one
+    terminal division (NULL for deg < 2, never 0/0). Ranking is
+    deterministic: deg DESC, node ASC.
+
+    Scale shape: two vertex-keyed equi-joins (hub-skew rows are the
+    algorithm's true cost, AQE-splittable) + explode + two hash
+    aggregates + a global top-k sort-limit over the NODE set — no
+    cartesian, nothing driver-side.
+    """
+    und = (edges
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+           .join(e3, (F.col("e1.a") == F.col("e3.a"))
+                 & (F.col("e2.b") == F.col("e3.b")))
+           .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                   F.col("e2.b").alias("z")))
+    tri_v = (tri
+             .select(F.explode(F.array("x", "y", "z")).alias("v"))
+             .groupBy("v")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_tri")))
+    deg = (und.select(F.col("a").alias("v"))
+           .unionAll(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    joined = deg.join(tri_v, "v", "left").select(
+        "v", "deg",
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"))
+    d = F.col("deg").cast("double")
+    cc = F.when(F.col("deg") >= 2,
+                F.lit(2.0) * F.col("n_tri").cast("double")
+                / (d * (d - 1)))
+    return (joined
+            .select("v", "deg", "n_tri", cc.alias("local_cc"))
+            .orderBy(F.desc("deg"), F.asc("v"))
+            .limit(top_k))

@@ -1005,3 +1005,37 @@ def test_chi2_independence_degenerate_1xc(spark):
     assert (r["dof"] == 0).all()
     assert (r["chi2_total"] == 0.0).all()
     assert r["cramers_v"].isna().all()
+
+
+# --- Local clustering coefficient -------------------------------------------------
+
+def test_local_clustering_hand_graphs(spark):
+    from cesium_spark.operators.graphrank import local_clustering
+
+    def run(edges, k=50):
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst"]))
+        return {r["v"]: r for r in local_clustering(df, k).collect()}
+
+    # K4: every node deg 3, in 3 triangles, cc = 1
+    r = run([(a, b) for a in "abcd" for b in "abcd" if a < b])
+    assert all(r[v]["deg"] == 3 and r[v]["n_tri"] == 3
+               and r[v]["local_cc"] == 1.0 for v in "abcd")
+    # star: center deg 3 cc 0; leaves deg 1 cc NULL
+    r = run([("c0", "l1"), ("c0", "l2"), ("c0", "l3")])
+    assert r["c0"]["local_cc"] == 0.0 and r["c0"]["n_tri"] == 0
+    assert r["l1"]["local_cc"] is None
+    # triangle + pendant off 'a': a has deg 3, 1 triangle, cc = 1/3
+    r = run([("a", "b"), ("b", "c"), ("c", "a"), ("a", "p")])
+    assert r["a"]["n_tri"] == 1 and abs(r["a"]["local_cc"] - 1 / 3) < 1e-12
+    assert r["b"]["local_cc"] == 1.0
+
+
+def test_local_clustering_topk_rank(spark):
+    from cesium_spark.operators.graphrank import local_clustering
+    edges = [("h", x) for x in "abcde"] + [("a", "b")]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]))
+    rows = local_clustering(df, top_k=3).collect()
+    # h (deg 5) first, then a, b (deg 2 each, node-asc tiebreak)
+    assert [r["v"] for r in rows] == ["h", "a", "b"]
