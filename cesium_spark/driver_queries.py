@@ -3930,6 +3930,124 @@ LIMIT 50
 """
 
 
+def q_ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lag-1 nested-model F-test, pooled across
+    conversations: does the PREVIOUS turn's spend (grid cents) help
+    predict this turn's token count beyond the token count's own lag?
+    A planted +3-token bump after >5.00-spend turns gives x2 real
+    incremental signal. Lag alignment never crosses a conversation
+    boundary; all sufficient statistics are exact int64; both SSEs,
+    b2, and F are fixed double trees restated verbatim in SQL."""
+    from cesium_spark.operators.scoring import ols_granger
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    lagged = ev.select(
+        tok.alias("tok"),
+        F.lag(tok).over(w).alias("tok_prev"),
+        F.lag(cents).over(w).alias("cents_prev"))
+    aligned = (lagged
+               .where(F.col("tok").isNotNull()
+                      & F.col("tok_prev").isNotNull()
+                      & F.col("cents_prev").isNotNull())
+               .select(
+                   (F.col("tok")
+                    + F.when(F.col("cents_prev") > 500, F.lit(3))
+                    .otherwise(F.lit(0))).cast("long").alias("y"),
+                   F.col("tok_prev").cast("long").alias("x1"),
+                   F.col("cents_prev").alias("x2")))
+    out = ols_granger(aligned, "y", "x1", "x2")
+    return out.select(
+        "n",
+        _r(F.col("b2"), 9).alias("b2"),
+        _r(F.col("sse_r")).alias("sse_r"),
+        _r(F.col("sse_u")).alias("sse_u"),
+        _r(F.col("f_stat")).alias("f_stat"))
+
+
+SQL_TS_GRANGER_LAG1 = """
+WITH t AS (
+  SELECT len(string_split_regex(trim(props), '\\s+')) AS tok,
+         lag(len(string_split_regex(trim(props), '\\s+')))
+           OVER w AS tok_prev,
+         lag(cast(round(value * 100) AS bigint)) OVER w AS cents_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+al AS (
+  SELECT cast(tok + CASE WHEN cents_prev > 500 THEN 3 ELSE 0 END
+              AS bigint) AS y,
+         cast(tok_prev AS bigint) AS x1, cents_prev AS x2
+  FROM t
+  WHERE tok IS NOT NULL AND tok_prev IS NOT NULL
+        AND cents_prev IS NOT NULL
+),
+g AS (
+  SELECT count(*) AS n_int,
+         sum(x1) AS isx1, sum(x2) AS isx2,
+         sum(x1 * x1) AS isx11, sum(x1 * x2) AS isx12,
+         sum(x2 * x2) AS isx22,
+         sum(y) AS isy, sum(x1 * y) AS isx1y,
+         sum(x2 * y) AS isx2y, sum(y * y) AS isyy
+  FROM al
+),
+s AS (
+  SELECT n_int,
+         cast(n_int AS double) AS n,
+         cast(isx1 AS double) AS sx1, cast(isx2 AS double) AS sx2,
+         cast(isx11 AS double) AS sx11, cast(isx12 AS double) AS sx12,
+         cast(isx22 AS double) AS sx22,
+         cast(isy AS double) AS sy, cast(isx1y AS double) AS sx1y,
+         cast(isx2y AS double) AS sx2y, cast(isyy AS double) AS syy
+  FROM g
+),
+dets AS (
+  SELECT *,
+    n * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2)
+      + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+    sy * (sx11 * sx22 - sx12 * sx12)
+      - sx1 * (sx1y * sx22 - sx12 * sx2y)
+      + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det0,
+    n * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2)
+      + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+    n * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2)
+      + sy * (sx1 * sx12 - sx11 * sx2) AS det2,
+    n * sx11 - sx1 * sx1 AS det_r
+  FROM s
+),
+beta AS (
+  SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+         (n * sx1y - sx1 * sy) / det_r AS b1r
+  FROM dets
+),
+beta2 AS (
+  SELECT *, (sy - b1r * sx1) / n AS b0r FROM beta
+),
+sse AS (
+  SELECT *,
+    greatest(0.0, syy - 2.0 * (b0 * sy + b1 * sx1y + b2 * sx2y)
+      + (b0 * b0 * n + b1 * b1 * sx11 + b2 * b2 * sx22
+         + 2.0 * (b0 * b1 * sx1 + b0 * b2 * sx2
+                  + b1 * b2 * sx12))) AS sse_u,
+    greatest(0.0, syy - 2.0 * (b0r * sy + b1r * sx1y)
+      + (b0r * b0r * n + b1r * b1r * sx11
+         + 2.0 * b0r * b1r * sx1)) AS sse_r
+  FROM beta2
+)
+SELECT cast(n_int AS bigint) AS n,
+       round(CASE WHEN det != 0 THEN b2 END, 9) + 0.0 AS b2,
+       round(CASE WHEN det_r != 0 THEN sse_r END, 6) + 0.0 AS sse_r,
+       round(CASE WHEN det != 0 THEN sse_u END, 6) + 0.0 AS sse_u,
+       round(CASE WHEN det != 0 AND det_r != 0 AND n_int > 3
+                       AND sse_u > 0 THEN
+             (sse_r - sse_u) / (sse_u / (n - 3.0)) END, 6) + 0.0
+         AS f_stat
+FROM sse
+"""
+
+
 def q_doc_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence of (lang x source) over the
     documents corpus — dense cells (absent combos included), exact
@@ -8119,6 +8237,7 @@ QUERIES = {
     "ts_perm_entropy": q_ts_perm_entropy,
     "ts_pettitt": q_ts_pettitt,
     "ts_mann_kendall": q_ts_mann_kendall,
+    "ts_granger_lag1": q_ts_granger_lag1,
     "ts_theil_sen": q_ts_theil_sen,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
@@ -8262,6 +8381,7 @@ ORACLE_SQL = {
     "ts_perm_entropy": SQL_TS_PERM_ENTROPY,
     "ts_pettitt": SQL_TS_PETTITT,
     "ts_mann_kendall": SQL_TS_MANN_KENDALL,
+    "ts_granger_lag1": SQL_TS_GRANGER_LAG1,
     "ts_theil_sen": SQL_TS_THEIL_SEN,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),

@@ -215,3 +215,94 @@ def rank_normalize(long_features: DataFrame,
     w = Window.partitionBy(feature_col).orderBy(F.col(value_col))
     ranked = real.withColumn("pct_rank", F.percent_rank().over(w))
     return ranked.unionByName(nulls)
+
+
+def ols_granger(df: DataFrame, y_col: str, x1_col: str,
+                x2_col: str) -> DataFrame:
+    """Granger-style nested-model F-test: does x2 add predictive power
+    for y BEYOND x1? Fits the restricted model y ~ b0 + b1·x1 and the
+    unrestricted y ~ b0 + b1·x1 + b2·x2 from the SAME single
+    sufficient-statistics pass (the ols_fit2 contract: one aggregate
+    of 10 exact-int64 Gram/moment sums, ANSI overflow raises), then
+
+        F = (SSE_r − SSE_u) / (SSE_u / (n − 3))
+
+    with 1 numerator dof — the classic lag-causality screen when the
+    caller aligns x1 = lag(y) and x2 = lag(driver) per series
+    (Granger 1969 at lag order 1). Everything after the one aggregate
+    is a fixed double expression tree over exact integers: the 3×3
+    Cramer solve for the unrestricted SSE, the 2×2 closed form for
+    the restricted SSE, one F ratio — no collect, no iteration,
+    bit-stable at any parallelism and exactly SQL-restatable.
+
+    Degenerate policy: singular unrestricted Gram (collinear x2),
+    zero-variance x1, n ≤ 3, or SSE_u ≤ 0 (exact fit — F undefined)
+    all yield NULL f_stat, never ±inf; SSEs clamp tiny negative
+    cancellation residue at 0 via greatest(·, 0) on BOTH engines.
+
+    Output (one row): n, b2 (the tested coefficient), sse_r, sse_u,
+    f_stat.
+    """
+    for c in (y_col, x1_col, x2_col):
+        t = dict(df.dtypes).get(c)
+        if t not in ("int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"ols_granger: column {c!r} has type {t}; the exact-"
+                "sufficient-statistics contract needs integer inputs "
+                "(pre-grid floats to integers explicitly)")
+    y = F.col(y_col).cast("long")
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    g = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"), F.sum(x2).alias("sx2"),
+        F.sum(x1 * x1).alias("sx11"), F.sum(x1 * x2).alias("sx12"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(y).alias("sy"), F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"), F.sum(y * y).alias("syy"))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    n, sx1, sx2 = d("n"), d("sx1"), d("sx2")
+    sx11, sx12, sx22 = d("sx11"), d("sx12"), d("sx22")
+    sy, sx1y, sx2y, syy = d("sy"), d("sx1y"), d("sx2y"), d("syy")
+
+    def det3(a, b, c, p, q, r, u, v, w):
+        return (a * (q * w - r * v) - b * (p * w - r * u)
+                + c * (p * v - q * u))
+
+    det = det3(n, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    okU = det != F.lit(0.0)
+    # every / lives INSIDE a when(ok, ...) branch: ANSI mode raises on
+    # float-div-by-zero and CaseWhen branch laziness is the only guard
+    # Spark guarantees (the ols_fit2 pattern) — a bare det0/det would
+    # raise while evaluating the f_stat condition on singular input
+    b0 = F.when(okU, det3(sy, sx1, sx2,
+                          sx1y, sx11, sx12, sx2y, sx12, sx22) / det)
+    b1 = F.when(okU, det3(n, sy, sx2,
+                          sx1, sx1y, sx12, sx2, sx2y, sx22) / det)
+    b2 = F.when(okU, det3(n, sx1, sy,
+                          sx1, sx11, sx1y, sx2, sx12, sx2y) / det)
+    sse_u = F.greatest(
+        F.lit(0.0),
+        syy
+        - 2.0 * (b0 * sy + b1 * sx1y + b2 * sx2y)
+        + (b0 * b0 * n + b1 * b1 * sx11 + b2 * b2 * sx22
+           + 2.0 * (b0 * b1 * sx1 + b0 * b2 * sx2 + b1 * b2 * sx12)))
+    det_r = n * sx11 - sx1 * sx1
+    okR = det_r != F.lit(0.0)
+    b1r = F.when(okR, (n * sx1y - sx1 * sy) / det_r)
+    b0r = F.when(okR, (sy - b1r * sx1) / n)  # okR ⇒ n ≥ 1
+    sse_r = F.greatest(
+        F.lit(0.0),
+        syy - 2.0 * (b0r * sy + b1r * sx1y)
+        + (b0r * b0r * n + b1r * b1r * sx11 + 2.0 * b0r * b1r * sx1))
+    f = F.when(okU & okR & (F.col("n") > 3) & (sse_u > 0),
+               (sse_r - sse_u) / (sse_u / (n - F.lit(3.0))))
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(okU, b2).alias("b2"),
+        F.when(okR, sse_r).alias("sse_r"),
+        F.when(okU, sse_u).alias("sse_u"),
+        f.alias("f_stat"))

@@ -1039,3 +1039,75 @@ def test_local_clustering_topk_rank(spark):
     rows = local_clustering(df, top_k=3).collect()
     # h (deg 5) first, then a, b (deg 2 each, node-asc tiebreak)
     assert [r["v"] for r in rows] == ["h", "a", "b"]
+
+
+# --- Granger nested-model F-test ---------------------------------------------------
+
+def test_ols_granger_matches_numpy_lstsq(spark):
+    import numpy as np
+    from cesium_spark.operators.scoring import ols_granger
+    rng = np.random.default_rng(7)
+    n = 200
+    x1 = rng.integers(0, 50, n)
+    x2 = rng.integers(0, 50, n)
+    y = (3 + 2 * x1 + x2 + rng.integers(-4, 5, n)).astype("int64")
+    df = spark.createDataFrame(pd.DataFrame(
+        {"y": y, "x1": x1.astype("int64"), "x2": x2.astype("int64")}))
+    r = ols_granger(df, "y", "x1", "x2").collect()[0]
+    # restricted / unrestricted SSEs via numpy normal-equation solves
+    Xu = np.column_stack([np.ones(n), x1, x2]).astype(float)
+    Xr = np.column_stack([np.ones(n), x1]).astype(float)
+    bu, *_ = np.linalg.lstsq(Xu, y.astype(float), rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, y.astype(float), rcond=None)
+    sse_u = float(((y - Xu @ bu) ** 2).sum())
+    sse_r = float(((y - Xr @ br) ** 2).sum())
+    f = (sse_r - sse_u) / (sse_u / (n - 3))
+    assert r["n"] == n
+    assert abs(r["b2"] - bu[2]) < 1e-6
+    assert abs(r["sse_u"] - sse_u) < 1e-4 * max(1, sse_u)
+    assert abs(r["sse_r"] - sse_r) < 1e-4 * max(1, sse_r)
+    assert abs(r["f_stat"] - f) < 1e-4 * max(1, f)
+    assert r["f_stat"] > 100  # x2 genuinely adds signal here
+
+
+def test_ols_granger_useless_x2_small_f(spark):
+    import numpy as np
+    from cesium_spark.operators.scoring import ols_granger
+    rng = np.random.default_rng(11)
+    n = 400
+    x1 = rng.integers(0, 50, n)
+    x2 = rng.integers(0, 50, n)          # independent of y
+    y = (5 + 3 * x1 + rng.integers(-3, 4, n)).astype("int64")
+    df = spark.createDataFrame(pd.DataFrame(
+        {"y": y, "x1": x1.astype("int64"), "x2": x2.astype("int64")}))
+    r = ols_granger(df, "y", "x1", "x2").collect()[0]
+    assert r["f_stat"] is not None and r["f_stat"] < 5.0
+
+
+def test_ols_granger_degenerates(spark):
+    from cesium_spark.operators.scoring import ols_granger
+    # collinear x2 = 2*x1 -> singular unrestricted Gram -> NULL b2/f
+    df = spark.createDataFrame(pd.DataFrame(
+        {"y": [1, 2, 3, 4, 5], "x1": [1, 2, 3, 4, 5],
+         "x2": [2, 4, 6, 8, 10]}))
+    r = ols_granger(df, "y", "x1", "x2").collect()[0]
+    assert r["b2"] is None and r["f_stat"] is None
+    assert r["sse_r"] is not None          # restricted fit still fine
+    # exact unrestricted fit (sse_u = 0) -> F undefined, NULL not inf
+    df2 = spark.createDataFrame(pd.DataFrame(
+        {"y": [3, 5, 8, 10, 13], "x1": [1, 2, 3, 4, 5],
+         "x2": [0, 0, 1, 0, 1]}))
+    r2 = ols_granger(df2, "y", "x1", "x2").collect()[0]
+    if r2["sse_u"] == 0.0:
+        assert r2["f_stat"] is None
+    # n <= 3 -> NULL f
+    df3 = spark.createDataFrame(pd.DataFrame(
+        {"y": [1, 2, 7], "x1": [1, 3, 4], "x2": [2, 1, 9]}))
+    r3 = ols_granger(df3, "y", "x1", "x2").collect()[0]
+    assert r3["f_stat"] is None
+    # float input rejected
+    df4 = spark.createDataFrame(pd.DataFrame(
+        {"y": [1.0, 2.0], "x1": [1, 2], "x2": [3, 4]}))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="integer inputs"):
+        ols_granger(df4, "y", "x1", "x2")
