@@ -8161,6 +8161,114 @@ FROM l GROUP BY conv_id
 """
 
 
+_GRAPH_UND_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, u.t AS tok, u.pos
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS tt
+        FROM documents) dd,
+  LATERAL (SELECT unnest(tt) AS t,
+                  generate_subscripts(tt, 1) AS pos) u
+),
+bigr AS (
+  SELECT a.tok AS src, b.tok AS dst
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM bigr WHERE src != dst
+)"""
+
+
+def q_doc_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances from the seed token 'join'
+    over the undirected token-bigram graph — level-synchronous
+    frontier expansion, exact integer hops, raises rather than
+    returning a truncated distance ball. Oracle: hop-capped recursive
+    CTE + min(hop) (the same distances as long as the cap exceeds the
+    seed's eccentricity — both sides use 20)."""
+    from cesium_spark.operators.graphrank import bfs_hops, token_edges
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = bfs_hops(token_edges(docs), "join", max_hops=20)
+    return out.select("v", F.col("hop").cast("long").alias("hop"))
+
+
+SQL_DOC_GRAPH_BFS = _GRAPH_UND_SQL + """,
+sym AS (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+),
+walk AS (
+  SELECT 'join' AS v, 0 AS hop
+  UNION
+  SELECT s.b, w.hop + 1 FROM walk w JOIN sym s ON s.a = w.v
+  WHERE w.hop < 20
+)
+SELECT v, cast(min(hop) AS bigint) AS hop FROM walk GROUP BY v
+"""
+
+
+def q_doc_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the token-bigram graph:
+    Pearson r of (deg_src, deg_dst) over both orientations of every
+    undirected edge. Exact int64 sufficient statistics, one fixed
+    double tree, NULL on zero variance; full-value oracle."""
+    from cesium_spark.operators.graphrank import (
+        degree_assortativity,
+        token_edges,
+    )
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = degree_assortativity(token_edges(docs))
+    return out.select("n_nodes", "n_edges",
+                      _r(F.col("assortativity")).alias("assortativity"))
+
+
+SQL_DOC_ASSORTATIVITY = _GRAPH_UND_SQL + """,
+deg AS (
+  SELECT v, cast(count(*) AS bigint) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+),
+sym AS (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+),
+pairs AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM sym JOIN deg da ON da.v = sym.a JOIN deg db ON db.v = sym.b
+),
+g AS (
+  SELECT count(*) AS n_int,
+         sum(dx) AS isx, sum(dy) AS isy,
+         sum(dx * dx) AS isxx, sum(dy * dy) AS isyy,
+         sum(dx * dy) AS isxy
+  FROM pairs
+),
+s AS (
+  SELECT n_int,
+         cast(n_int AS double) AS n,
+         cast(isx AS double) AS sx, cast(isy AS double) AS sy,
+         cast(isxx AS double) AS sxx, cast(isyy AS double) AS syy,
+         cast(isxy AS double) AS sxy
+  FROM g
+),
+v AS (
+  SELECT n_int,
+         n * sxy - sx * sy AS cov,
+         n * sxx - sx * sx AS vx,
+         n * syy - sy * sy AS vy
+  FROM s
+)
+SELECT (SELECT cast(count(DISTINCT v) AS bigint) FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b FROM und))
+         AS n_nodes,
+       cast(n_int / 2 AS bigint) AS n_edges,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN cov / sqrt(vx * vy) END, 6) + 0.0
+         AS assortativity
+FROM v
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8261,6 +8369,8 @@ QUERIES = {
     "doc_triangles": q_doc_triangles,
     "doc_chi2_lang_source": q_doc_chi2_lang_source,
     "doc_local_clustering": q_doc_local_clustering,
+    "doc_graph_bfs": q_doc_graph_bfs,
+    "doc_assortativity": q_doc_assortativity,
     "ts_sax_motifs": q_ts_sax_motifs,
     "rel_tpch_q3": q_rel_tpch_q3,
     "rel_tpch_q5": q_rel_tpch_q5,
@@ -8405,6 +8515,8 @@ ORACLE_SQL = {
     "doc_triangles": SQL_DOC_TRIANGLES,
     "doc_chi2_lang_source": SQL_DOC_CHI2_LANG_SOURCE,
     "doc_local_clustering": SQL_DOC_LOCAL_CLUSTERING,
+    "doc_graph_bfs": SQL_DOC_GRAPH_BFS,
+    "doc_assortativity": SQL_DOC_ASSORTATIVITY,
     "ts_sax_motifs": SQL_TS_SAX_MOTIFS,
     "rel_tpch_q3": SQL_REL_TPCH_Q3,
     "rel_tpch_q5": SQL_REL_TPCH_Q5,

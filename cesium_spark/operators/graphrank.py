@@ -242,3 +242,139 @@ def local_clustering(edges: DataFrame, top_k: int = 50) -> DataFrame:
             .select("v", "deg", "n_tri", cc.alias("local_cc"))
             .orderBy(F.desc("deg"), F.asc("v"))
             .limit(top_k))
+
+
+def bfs_hops(edges: DataFrame, source: str, max_hops: int = 20,
+             checkpoint_mode: str = "none",
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """Single-source BFS hop distances over the undirected graph —
+    the fourth member of the iterative-fixed-point family (connected
+    components name WHICH cluster, PageRank names HOW central, BFS
+    names HOW FAR): (v, hop) for every vertex reachable from
+    ``source``, hop = unweighted shortest-path length.
+
+    Level-synchronous frontier expansion: round k joins the hop-k
+    frontier into the (symmetrized, deduped, materialized-once) edge
+    list and anti-joins the visited set — every vertex is labeled the
+    FIRST time it is seen, which for unit weights IS its shortest
+    distance, so the result is exact and deterministic with no float
+    anywhere. Two vertex-keyed hash exchanges per round, O(diameter)
+    rounds, O(1) plan size via the shared ``_make_truncator`` knob
+    ('table' = reliable checkpoints surviving executor loss — the
+    100 TB setting). The per-round empty-frontier probe is a bounded
+    driver count (the connected-components convergence pattern), and
+    a frontier still alive at ``max_hops`` RAISES instead of silently
+    returning a truncated ball — partial distances are wrong answers,
+    not approximations.
+
+    Scale: frontier rows ≤ vertex set, edges scanned once per round
+    from the materialized table; a hub of degree d fans out d
+    candidate rows in the round that reaches it (AQE-splittable skew,
+    the triangle_stats cost model). Exactly restatable in SQL as a
+    hop-capped recursive CTE + min(hop) group-by.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    spark = edges.sparkSession
+    trunc = (None if checkpoint_mode == "none"
+             else _make_truncator(spark, checkpoint_mode, checkpoint_dir))
+    und = (edges
+           .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .unionAll(edges
+                     .select(F.col("dst").alias("a"),
+                             F.col("src").alias("b"))
+                     .where(F.col("a") != F.col("b")))
+           .distinct())
+    if trunc is not None:
+        und = trunc(und, "bfs_edges", 0)
+    frontier = (spark.createDataFrame([(source,)], "v string")
+                .select("v", F.lit(0).cast("int").alias("hop")))
+    visited = frontier
+    for k in range(1, max_hops + 1):
+        nxt = (und.join(frontier.withColumnRenamed("v", "a")
+                        .select("a"), "a")
+               .select(F.col("b").alias("v")).distinct()
+               .join(visited.select("v"), "v", "left_anti")
+               .select("v", F.lit(k).cast("int").alias("hop")))
+        if trunc is not None:
+            nxt = trunc(nxt, "bfs_frontier", k)
+        else:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            return visited
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    # vertices AT hop max_hops are legal; one final probe proves no
+    # vertex sits beyond it (otherwise the ball would be truncated)
+    leftover = (und.join(frontier.withColumnRenamed("v", "a")
+                         .select("a"), "a")
+                .select(F.col("b").alias("v")).distinct()
+                .join(visited.select("v"), "v", "left_anti"))
+    if leftover.isEmpty():
+        return visited
+    raise RuntimeError(
+        f"bfs_hops: unvisited vertices remain beyond {max_hops} hops; "
+        "raise max_hops (a silently truncated distance ball would be "
+        "a wrong answer, not an approximation)")
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman, "Assortative mixing
+    in networks", PRL 2002): the Pearson correlation of the degrees at
+    the two ends of every undirected edge — positive = hubs link to
+    hubs (social cores), negative = hubs link to leaves (star /
+    hub-and-spoke, the typical token-graph shape). The one-number
+    mixing summary next to triangle_stats' cliquishness.
+
+    Computation on the house exact-integer-sufficient-statistics
+    contract: degrees are exact ints from the deduped undirected edge
+    list; each edge contributes BOTH orientations (the standard
+    symmetric estimator), so the 2m (x=deg_src, y=deg_dst) pairs have
+    symmetric marginals; n, Σx, Σy, Σx², Σy², Σxy aggregate as exact
+    int64 (ANSI overflow raises — at 10^10 edges × 10^6-degree hubs
+    pre-scale or sample, silent drift is not a fallback) and r is one
+    fixed double tree, NULL (never 0/0) when either variance is zero
+    (regular graphs ARE degree-constant).
+
+    Scale shape: dedupe + degree aggregate + two broadcast-joinable
+    vertex-keyed joins of the (v, deg) table into the edge list + ONE
+    single-row aggregate — no cartesian, nothing driver-side.
+    Output (one row): n_nodes, n_edges, assortativity.
+    """
+    und = (edges
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("v"))
+           .unionAll(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    both = (und.select("a", "b")
+            .unionAll(und.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b"))))
+    pairs = (both
+             .join(deg.select(F.col("v").alias("a"),
+                              F.col("deg").alias("dx")), "a")
+             .join(deg.select(F.col("v").alias("b"),
+                              F.col("deg").alias("dy")), "b"))
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"))
+    nodes = deg.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    n, sx, sy = d("n"), d("sx"), d("sy")
+    cov = n * d("sxy") - sx * sy
+    vx = n * d("sxx") - sx * sx
+    vy = n * d("syy") - sy * sy
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return (g.crossJoin(F.broadcast(nodes))
+            .select(F.col("n_nodes").cast("long").alias("n_nodes"),
+                    (F.col("n") / F.lit(2)).cast("long").alias("n_edges"),
+                    r.alias("assortativity")))
