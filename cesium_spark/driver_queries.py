@@ -8269,6 +8269,85 @@ FROM v
 """
 
 
+def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test (q=4) per conversation over the
+    integer tokens-per-turn series: A (1-step) and C (overlapping
+    4-step) centered-increment sum-of-squares numerators are exact
+    int64 window+aggregate sums — (dₖ − D/n)² × n² stays integer — and
+    VR / z are fixed double trees over those integers, restated
+    verbatim in SQL (lag windows + one grouped aggregate on DuckDB).
+    Constant series and n ≤ q come back NULL, never ±inf."""
+    from cesium_spark.operators.seriesstats import variance_ratio
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = variance_ratio(series, q=4)
+    return out.select(
+        "conv_id", "n_points", "drift", "a_num", "c_num",
+        _r(F.col("vr")).alias("vr"),
+        _r(F.col("z")).alias("z"))
+
+
+SQL_TS_VARIANCE_RATIO = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT conv_id, y,
+         lag(y, 1) OVER w2 AS y1,
+         lag(y, 4) OVER w2 AS yq,
+         count(*) OVER (PARTITION BY conv_id) AS cnt,
+         first_value(y) OVER w2 AS y0,
+         last_value(y) OVER (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING
+             AND UNBOUNDED FOLLOWING) AS ylast
+  FROM s
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT conv_id,
+         max(cnt - 1) AS n_inc,
+         max(ylast - y0) AS drift,
+         sum(CASE WHEN y1 IS NOT NULL THEN
+             ((cnt - 1) * (y - y1) - (ylast - y0))
+             * ((cnt - 1) * (y - y1) - (ylast - y0)) END) AS a_num,
+         sum(CASE WHEN yq IS NOT NULL THEN
+             ((cnt - 1) * (y - yq) - 4 * (ylast - y0))
+             * ((cnt - 1) * (y - yq) - 4 * (ylast - y0)) END) AS c_num
+  FROM l GROUP BY 1
+)
+SELECT conv_id,
+       cast(n_inc + 1 AS bigint) AS n_points,
+       cast(drift AS bigint) AS drift,
+       cast(a_num AS bigint) AS a_num,
+       cast(c_num AS bigint) AS c_num,
+       round(CASE WHEN n_inc > 4 AND a_num > 0 THEN
+             cast(c_num AS double) * (cast(n_inc AS double) - 1.0)
+             / (cast(a_num AS double)
+                * (4.0 * (cast(n_inc AS double) - 4.0 + 1.0)
+                   * (1.0 - 4.0 / cast(n_inc AS double)))) END, 6)
+         + 0.0 AS vr,
+       round(CASE WHEN n_inc > 4 AND a_num > 0 THEN
+             (cast(c_num AS double) * (cast(n_inc AS double) - 1.0)
+              / (cast(a_num AS double)
+                 * (4.0 * (cast(n_inc AS double) - 4.0 + 1.0)
+                    * (1.0 - 4.0 / cast(n_inc AS double)))) - 1.0)
+             / sqrt((2.0 * 7.0 * 3.0 / 12.0)
+                    / cast(n_inc AS double)) END, 6) + 0.0 AS z
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8347,6 +8426,7 @@ QUERIES = {
     "ts_mann_kendall": q_ts_mann_kendall,
     "ts_granger_lag1": q_ts_granger_lag1,
     "ts_theil_sen": q_ts_theil_sen,
+    "ts_variance_ratio": q_ts_variance_ratio,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
     "doc_mojibake": q_doc_mojibake,
@@ -8493,6 +8573,7 @@ ORACLE_SQL = {
     "ts_mann_kendall": SQL_TS_MANN_KENDALL,
     "ts_granger_lag1": SQL_TS_GRANGER_LAG1,
     "ts_theil_sen": SQL_TS_THEIL_SEN,
+    "ts_variance_ratio": SQL_TS_VARIANCE_RATIO,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),
     "doc_mojibake": SQL_DOC_MOJIBAKE,

@@ -1013,3 +1013,99 @@ def mann_kendall(series: DataFrame) -> DataFrame:
     tau = F.when(untied * total > 0, s / F.sqrt(untied * total))
     return base.select("conv_id", "n", "s_stat", "tied_pairs", "var18",
                        z.alias("z"), tau.alias("tau_b"))
+
+
+def variance_ratio(series: DataFrame, q: int = 4) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test per conversation (Lo &
+    MacKinlay 1988, "Stock Market Prices Do Not Follow Random Walks")
+    — the random-walk screen completing the memory triple next to
+    ``ar1_fit`` (how sticky?) and ``mann_kendall`` (is it drifting?):
+    if a series is a random walk, the variance of q-step increments is
+    exactly q times the variance of 1-step increments, so
+
+        VR(q) = σ̂²_c(q) / σ̂²_a            (overlapping estimator)
+
+    sits at 1; VR < 1 flags mean reversion, VR > 1 momentum.  With
+    integer levels y₀..y_{N−1} (n = N−1 increments, D = y_{N−1} − y₀,
+    μ̂ = D/n) both variance estimators reduce to exact int64 sufficient
+    statistics because (d_k − D/n)² = (n·d_k − D)²/n²:
+
+        A = Σ_{k=1..n}   (n·(y_k − y_{k−1}) − D)²      (1-step)
+        C = Σ_{k=q..n}   (n·(y_k − y_{k−q}) − q·D)²    (q-step,
+                                                        overlapping)
+        VR = C·(n−1) / (A·m),  m = q·(n−q+1)·(1 − q/n)  (Lo–MacKinlay
+                                                         bias-adjusted
+                                                         denominator;
+                                                         the n² cancels)
+        z  = (VR − 1) / sqrt(2(2q−1)(q−1) / (3·q·n))    (homoskedastic
+                                                         asymptotic)
+
+    Exactness contract (the ols_fit2 rule): inputs MUST be integer —
+    float inputs raise, pre-grid them explicitly — so A, C, D, n are
+    exact int64 hash-aggregate sums (ANSI overflow raises: |n·d| must
+    stay under ~3e9 at million-turn conversations, documented not
+    silently wrapped) and VR / z are fixed double expression trees
+    over those integers, restated verbatim in SQL.  A constant series
+    (A = 0) and n ≤ q both yield NULL VR/z, never ±inf or 0/0; every
+    division sits INSIDE a when() branch because CaseWhen branch
+    laziness is the only div-by-zero guard ANSI Spark honors.
+
+    Plan: one ordered lag window + one hash aggregate, both keyed by
+    conv_id → ONE exchange, no join, no UDF, no pair blowup; the
+    overlapping q-increments come from lag(y, q) over the same window.
+    """
+    if not isinstance(q, int) or q < 2:
+        raise ValueError(f"variance_ratio: q must be an int >= 2, got {q!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"variance_ratio: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer levels "
+            "(pre-grid floats to integers explicitly)")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select(
+             "conv_id",
+             y.alias("__y"),
+             F.lag(y, 1).over(w_ord).alias("__y1"),
+             F.lag(y, q).over(w_ord).alias("__yq"),
+             F.count(F.lit(1)).over(w_all).alias("__cnt"),
+             (F.first(y).over(w_ord)).alias("__y0"),
+             F.max(F.struct(F.col("t"), F.col("turn_idx"),
+                            y.alias("v"))).over(w_all)
+             .getField("v").alias("__ylast")))
+    # n = increments = N-1; D = y_last - y_0 (both exact int64)
+    n_i = F.col("__cnt") - F.lit(1)
+    d_i = F.col("__ylast") - F.col("__y0")
+    agg = (
+        s.groupBy("conv_id")
+        .agg(F.max(n_i).alias("n_inc"),
+             F.max(d_i).alias("drift"),
+             F.sum(F.when(
+                 F.col("__y1").isNotNull(),
+                 (n_i * (F.col("__y") - F.col("__y1")) - d_i)
+                 * (n_i * (F.col("__y") - F.col("__y1")) - d_i)))
+             .alias("a_num"),
+             F.sum(F.when(
+                 F.col("__yq").isNotNull(),
+                 (n_i * (F.col("__y") - F.col("__yq")) - F.lit(q) * d_i)
+                 * (n_i * (F.col("__y") - F.col("__yq")) - F.lit(q) * d_i)))
+             .alias("c_num")))
+    n = F.col("n_inc").cast("double")
+    a = F.col("a_num").cast("double")
+    c = F.col("c_num").cast("double")
+    m = F.lit(float(q)) * (n - F.lit(float(q)) + F.lit(1.0)) \
+        * (F.lit(1.0) - F.lit(float(q)) / n)
+    ok = (F.col("n_inc") > q) & (F.col("a_num") > 0)
+    vr = F.when(ok, c * (n - F.lit(1.0)) / (a * m))
+    phi = F.lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q))
+    z = F.when(ok, (c * (n - F.lit(1.0)) / (a * m) - F.lit(1.0))
+               / F.sqrt(phi / n))
+    return agg.select(
+        "conv_id",
+        (F.col("n_inc") + F.lit(1)).alias("n_points"),
+        "drift", "a_num", "c_num",
+        vr.alias("vr"), z.alias("z"))

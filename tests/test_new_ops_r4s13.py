@@ -1,0 +1,80 @@
+"""Session-13 operators: variance ratio, Hurst, PACF, Adamic-Adar,
+SemDeDup, relational wideners."""
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _series(spark, ys):
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(ys),
+        "turn_idx": np.arange(len(ys), dtype=np.int32),
+        "t": np.arange(len(ys), dtype=np.float64),
+        "y": np.asarray(ys, dtype=np.int64)})
+    return spark.createDataFrame(pdf)
+
+
+def _vr_ref(y, q):
+    """Literal Lo–MacKinlay 1988 formulas, float path."""
+    y = np.asarray(y, dtype=float)
+    n = len(y) - 1
+    mu = (y[-1] - y[0]) / n
+    d = np.diff(y)
+    a = np.sum((d - mu) ** 2) / (n - 1)
+    c_incr = y[q:] - y[:-q]
+    m = q * (n - q + 1) * (1 - q / n)
+    c = np.sum((c_incr - q * mu) ** 2) / m
+    vr = c / a
+    z = (vr - 1) / np.sqrt(2 * (2 * q - 1) * (q - 1) / (3 * q) / n)
+    return vr, z
+
+
+# --- variance ratio ----------------------------------------------------------------
+
+def test_vr_matches_literal_formula(spark):
+    from cesium_spark.operators.seriesstats import variance_ratio
+    rng = np.random.RandomState(7)
+    y = np.cumsum(rng.randint(-3, 4, size=60)) + 100
+    row = variance_ratio(_series(spark, y), q=4).collect()[0]
+    vr, z = _vr_ref(y, 4)
+    assert row["n_points"] == 60
+    assert row["drift"] == int(y[-1] - y[0])
+    assert abs(row["vr"] - vr) < 1e-9
+    assert abs(row["z"] - z) < 1e-9
+
+
+def test_vr_momentum_vs_mean_reversion(spark):
+    from cesium_spark.operators.seriesstats import variance_ratio
+    trend = np.arange(0, 40) ** 2 // 7          # accelerating -> momentum
+    alt = np.tile([5, 9], 30)                   # flip-flop -> mean reversion
+    r_t = variance_ratio(_series(spark, trend), q=4).collect()[0]
+    r_a = variance_ratio(_series(spark, alt), q=4).collect()[0]
+    assert r_t["vr"] > 1.0
+    assert r_a["vr"] < 1.0 and r_a["z"] < 0
+
+
+def test_vr_degenerates_null(spark):
+    from cesium_spark.operators.seriesstats import variance_ratio
+    const = variance_ratio(_series(spark, [7] * 20), q=4).collect()[0]
+    assert const["vr"] is None and const["z"] is None
+    short = variance_ratio(_series(spark, [1, 5, 2, 9]), q=4).collect()[0]
+    assert short["vr"] is None            # n_inc = 3 <= q
+
+
+def test_vr_rejects_floats_and_bad_q(spark):
+    from cesium_spark.operators.seriesstats import variance_ratio
+    pdf = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0],
+                        "t": [0.0], "y": [1.5]})
+    with pytest.raises(ValueError, match="integer"):
+        variance_ratio(spark.createDataFrame(pdf), q=4)
+    with pytest.raises(ValueError, match="q must be"):
+        variance_ratio(_series(spark, [1, 2, 3]), q=1)
+
+
+def test_vr_single_exchange_plan(spark):
+    from cesium_spark.operators.seriesstats import variance_ratio
+    plan = variance_ratio(
+        _series(spark, list(range(30))), q=4
+    )._jdf.queryExecution().executedPlan().toString()
+    # window + aggregate share the conv_id partitioning: one shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
