@@ -8348,6 +8348,93 @@ FROM g
 """
 
 
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis over the integer
+    tokens-per-turn series: per-block R/S = integer-range / sqrt of an
+    integer (numⱼ = w·cumⱼ − j·S and s2 = w·Q − S² are exact
+    block-local int64), block averages fold in block order, and H is
+    the fixed-weight slope Σ cᵢ·ln(avg_rsᵢ) over the literal w grid
+    {8,16,32,64} — the cᵢ are the SAME Python float literals inlined
+    on both sides.  The oracle replays blocks, windows, fold, and
+    slope verbatim in DuckDB."""
+    from cesium_spark.operators.seriesstats import hurst_rs
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = hurst_rs(series, windows=(8, 16, 32, 64))
+    return out.select(
+        "conv_id", "n_points",
+        *[_r(F.col(f"rs_{ww}")).alias(f"rs_{ww}") for ww in (8, 16, 32, 64)],
+        _r(F.col("hurst")).alias("hurst"))
+
+
+SQL_TS_HURST = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS rk,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ex AS (
+  SELECT conv_id, n, w, rk // w AS block, rk % w + 1 AS j, y
+  FROM s CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w) g
+  WHERE rk // w < n // w
+),
+wb AS (
+  SELECT conv_id, n, w, block, j,
+         w * sum(y) OVER (PARTITION BY conv_id, w, block ORDER BY j)
+           - j * sum(y) OVER (PARTITION BY conv_id, w, block) AS num,
+         sum(y) OVER (PARTITION BY conv_id, w, block) AS sb,
+         sum(y * y) OVER (PARTITION BY conv_id, w, block) AS qb
+  FROM ex
+),
+blk AS (
+  SELECT conv_id, max(n) AS n, w, block,
+         max(num) - min(num) AS rng,
+         max(w * qb - sb * sb) AS s2
+  FROM wb GROUP BY conv_id, w, block
+),
+fold AS (
+  SELECT conv_id, n, w, block,
+         sum(CASE WHEN s2 > 0 THEN
+             cast(rng AS double) / sqrt(cast(s2 AS double)) END)
+           OVER (PARTITION BY conv_id, w ORDER BY block) AS cum_rs,
+         CASE WHEN s2 > 0 THEN 1 END AS valid
+  FROM blk
+),
+perw AS (
+  SELECT conv_id, max(n) AS n, w,
+         max(cum_rs) AS tot, count(valid) AS k
+  FROM fold GROUP BY conv_id, w
+),
+wide AS (
+  SELECT conv_id, max(n) AS n_points,
+         max(CASE WHEN w = 8 THEN CASE WHEN k > 0 THEN tot / k END END) AS rs_8,
+         max(CASE WHEN w = 16 THEN CASE WHEN k > 0 THEN tot / k END END) AS rs_16,
+         max(CASE WHEN w = 32 THEN CASE WHEN k > 0 THEN tot / k END END) AS rs_32,
+         max(CASE WHEN w = 64 THEN CASE WHEN k > 0 THEN tot / k END END) AS rs_64
+  FROM perw GROUP BY conv_id
+)
+SELECT conv_id,
+       cast(n_points AS bigint) AS n_points,
+       round(rs_8, 6) + 0.0 AS rs_8,
+       round(rs_16, 6) + 0.0 AS rs_16,
+       round(rs_32, 6) + 0.0 AS rs_32,
+       round(rs_64, 6) + 0.0 AS rs_64,
+       round(CASE WHEN rs_8 IS NOT NULL AND rs_16 IS NOT NULL AND rs_32 IS NOT NULL AND rs_64 IS NOT NULL THEN
+             (-0.432808512266689) * ln(rs_8) + (-0.14426950408889622) * ln(rs_16) + (0.14426950408889658) * ln(rs_32) + (0.43280851226668915) * ln(rs_64) END, 6) + 0.0 AS hurst
+FROM wide
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8427,6 +8514,7 @@ QUERIES = {
     "ts_granger_lag1": q_ts_granger_lag1,
     "ts_theil_sen": q_ts_theil_sen,
     "ts_variance_ratio": q_ts_variance_ratio,
+    "ts_hurst": q_ts_hurst,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
     "doc_mojibake": q_doc_mojibake,
@@ -8574,6 +8662,7 @@ ORACLE_SQL = {
     "ts_granger_lag1": SQL_TS_GRANGER_LAG1,
     "ts_theil_sen": SQL_TS_THEIL_SEN,
     "ts_variance_ratio": SQL_TS_VARIANCE_RATIO,
+    "ts_hurst": SQL_TS_HURST,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),
     "doc_mojibake": SQL_DOC_MOJIBAKE,

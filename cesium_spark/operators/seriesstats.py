@@ -1109,3 +1109,123 @@ def variance_ratio(series: DataFrame, q: int = 4) -> DataFrame:
         (F.col("n_inc") + F.lit(1)).alias("n_points"),
         "drift", "a_num", "c_num",
         vr.alias("vr"), z.alias("z"))
+
+
+def hurst_rs(series: DataFrame,
+             windows: tuple = (8, 16, 32, 64)) -> DataFrame:
+    """Hurst exponent per conversation by classical rescaled-range
+    analysis (Hurst 1951; Mandelbrot & Wallis 1969) — the long-memory
+    screen completing the memory family: ``ar1_fit`` measures lag-1
+    stickiness, ``variance_ratio`` tests the random-walk null at one
+    horizon, H summarizes scaling across ALL horizons (H ≈ 0.5 random
+    walk, → 1 trending/persistent, → 0 mean-reverting).
+
+    For each window size w, the time-ordered series splits into
+    ⌊n/w⌋ FULL blocks (trailing remainder dropped — the textbook
+    protocol); per block with values v₁..v_w, S = Σv, Q = Σv²,
+    cumⱼ = Σ_{i≤j} vᵢ, the cumulative deviation Zⱼ = cumⱼ − j·S/w
+    scaled by w is the exact integer
+
+        numⱼ = w·cumⱼ − j·S,
+
+    so R/S = (max num − min num) / sqrt(w·Q − S²): integer range over
+    the square root of an integer — BOTH block statistics are exact
+    int64 (block-local, so bounded by w·max|y|² — no overflow risk at
+    any series length; the integer-input contract of variance_ratio
+    applies and floats raise).  Zero-variance blocks are excluded (the
+    standard practice — their R/S is 0/0); per (conv, w) the block
+    R/S values average via an ORDERED cumulative fold in block order
+    (never a parallel float sum), and H is the closed-form OLS slope
+    of ln(avg R/S) on ln(w) — with the w grid FIXED, the slope is
+    Σ cᵢ·ln(avg_rsᵢ) for precomputed literal weights cᵢ =
+    (ln wᵢ − mean ln w)/Σ(ln wⱼ − mean ln w)², a fixed
+    left-associated 4-term tree restated verbatim in SQL.  H is NULL
+    unless EVERY window level has ≥1 valid block (n ≥ max(w) and not
+    everywhere-constant) — a partial grid would silently bias the
+    slope.
+
+    Plan: explode over the literal w grid (rows ×|w|), then three
+    shrinking exchanges — (conv,w,block) window+aggregate on 4n rows,
+    (conv,w) ordered fold on n/8 block rows, final per-conv pivot on
+    |w| rows — no UDF, no join, no pair blowup anywhere.
+    """
+    ws = tuple(int(w) for w in windows)
+    if len(ws) < 2 or any(w < 2 for w in ws) or len(set(ws)) != len(ws):
+        raise ValueError(f"hurst_rs: need >=2 distinct window sizes >= 2, "
+                         f"got {windows!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"hurst_rs: column 'y' has type {t}; the exact-sufficient-"
+            "statistics contract needs integer levels "
+            "(pre-grid floats to integers explicitly)")
+    import math
+    lw = [math.log(w) for w in ws]
+    mlw = sum(lw) / len(lw)
+    dev = [x - mlw for x in lw]
+    den = sum(d * d for d in dev)
+    coef = [d / den for d in dev]          # Σcᵢ·ln(rsᵢ) = slope
+
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    base = (series
+            .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+            .select("conv_id",
+                    (F.row_number().over(w_ord) - 1).alias("rank"),
+                    F.col("y").cast("long").alias("y"),
+                    F.count(F.lit(1)).over(w_all).alias("n")))
+    ex = (base
+          .select("conv_id", "rank", "y", "n",
+                  F.explode(F.array(*[F.lit(w) for w in ws])).alias("w"))
+          .withColumn("block", F.expr("rank div w"))
+          .withColumn("j", F.expr("rank % w + 1"))
+          .where(F.col("block") < F.expr("n div w")))
+    wb = Window.partitionBy("conv_id", "w", "block")
+    wbo = wb.orderBy("j")
+    num = (F.col("w") * F.sum("y").over(wbo)
+           - F.col("j") * F.sum("y").over(wb))
+    stats = (ex
+             .select("conv_id", "n", "w", "block",
+                     num.alias("num"),
+                     F.sum("y").over(wb).alias("sb"),
+                     F.sum(F.col("y") * F.col("y")).over(wb).alias("qb"))
+             .groupBy("conv_id", "w", "block")
+             .agg(F.first("n").alias("n"),
+                  (F.max("num") - F.min("num")).alias("rng"),
+                  (F.first("w") * F.first("qb")
+                   - F.first("sb") * F.first("sb")).alias("s2")))
+    rs_b = F.when(F.col("s2") > 0,
+                  F.col("rng").cast("double")
+                  / F.sqrt(F.col("s2").cast("double")))
+    wcw = Window.partitionBy("conv_id", "w").orderBy("block")
+    folded = (stats
+              .select("conv_id", "n", "w", "block",
+                      F.sum(rs_b).over(wcw).alias("cum_rs"),
+                      rs_b.alias("rs_b"))
+              .groupBy("conv_id", "w")
+              .agg(F.first("n").alias("n"),
+                   # rs_b >= 0, so the ordered cumulative sum is
+                   # nondecreasing and max == the full fold total;
+                   # max's NULL semantics are identical on both
+                   # engines (max_by/arg_max edge rules are not)
+                   F.max("cum_rs").alias("tot_rs"),
+                   F.count("rs_b").alias("k_valid")))
+    avg_rs = F.when(F.col("k_valid") > 0,
+                    F.col("tot_rs") / F.col("k_valid").cast("double"))
+    per_w = folded.select("conv_id", "n", "w", avg_rs.alias("avg_rs"))
+    pivots = [F.max(F.when(F.col("w") == w, F.col("avg_rs")))
+              .alias(f"rs_{w}") for w in ws]
+    wide = (per_w.groupBy("conv_id")
+            .agg(F.first("n").alias("n_points"), *pivots))
+    all_ok = None
+    for w in ws:
+        c = F.col(f"rs_{w}").isNotNull()
+        all_ok = c if all_ok is None else (all_ok & c)
+    slope = None
+    for cf, w in zip(coef, ws):
+        term = F.lit(cf) * F.log(F.col(f"rs_{w}"))
+        slope = term if slope is None else (slope + term)
+    return wide.select(
+        "conv_id", "n_points",
+        *[F.col(f"rs_{w}") for w in ws],
+        F.when(all_ok, slope).alias("hurst"))

@@ -78,3 +78,76 @@ def test_vr_single_exchange_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # window + aggregate share the conv_id partitioning: one shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- Hurst R/S ---------------------------------------------------------------------
+
+def _hurst_ref(y, windows=(8, 16, 32, 64)):
+    """Literal textbook R/S replay in float numpy."""
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    avgs = []
+    for w in windows:
+        k = n // w
+        rs = []
+        for b in range(k):
+            v = y[b * w:(b + 1) * w]
+            if v.std() == 0:
+                continue
+            z = np.cumsum(v - v.mean())
+            rs.append((z.max() - z.min()) / v.std())
+        avgs.append(np.mean(rs) if rs else np.nan)
+    if np.any(np.isnan(avgs)):
+        return avgs, None
+    lw = np.log(windows)
+    g = np.log(avgs)
+    h = np.sum((lw - lw.mean()) * (g - g.mean())) / np.sum(
+        (lw - lw.mean()) ** 2)
+    return avgs, h
+
+
+def test_hurst_matches_literal_replay(spark):
+    from cesium_spark.operators.seriesstats import hurst_rs
+    rng = np.random.RandomState(11)
+    y = np.cumsum(rng.randint(-5, 6, size=200)) + 50
+    row = hurst_rs(_series(spark, y)).collect()[0]
+    avgs, h = _hurst_ref(y)
+    for w, a in zip((8, 16, 32, 64), avgs):
+        assert abs(row[f"rs_{w}"] - a) < 1e-9
+    assert abs(row["hurst"] - h) < 1e-9
+    # R/S H is strongly upward-biased at small n (Anis-Lloyd): a short
+    # random walk lands well above 0.5 — just pin the sane range
+    assert 0.3 < row["hurst"] < 1.1
+
+
+def test_hurst_anchors(spark):
+    from cesium_spark.operators.seriesstats import hurst_rs
+    ramp = np.arange(256)                     # pure trend -> H near 1
+    alt = np.tile([3, 8], 128)                # flip-flop -> H near 0
+    h_ramp = hurst_rs(_series(spark, ramp)).collect()[0]["hurst"]
+    h_alt = hurst_rs(_series(spark, alt)).collect()[0]["hurst"]
+    assert h_ramp > 0.9
+    assert h_alt < 0.15
+
+
+def test_hurst_partial_grid_null(spark):
+    from cesium_spark.operators.seriesstats import hurst_rs
+    # 40 points: full blocks exist for w=8,16,32 but not 64 -> H NULL,
+    # the per-w columns that exist still real
+    y = np.cumsum(np.ones(40, dtype=int))
+    row = hurst_rs(_series(spark, y)).collect()[0]
+    assert row["hurst"] is None
+    assert row["rs_8"] is not None and row["rs_64"] is None
+    # constant series: every block zero-variance -> all NULL
+    row = hurst_rs(_series(spark, [4] * 256)).collect()[0]
+    assert row["hurst"] is None and row["rs_8"] is None
+
+
+def test_hurst_rejects_floats_and_bad_grid(spark):
+    from cesium_spark.operators.seriesstats import hurst_rs
+    pdf = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0],
+                        "t": [0.0], "y": [1.5]})
+    with pytest.raises(ValueError, match="integer"):
+        hurst_rs(spark.createDataFrame(pdf))
+    with pytest.raises(ValueError, match="window sizes"):
+        hurst_rs(_series(spark, [1, 2, 3]), windows=(8,))
