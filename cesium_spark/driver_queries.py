@@ -8435,6 +8435,95 @@ FROM wide
 """
 
 
+def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF at lags 1-3 per conversation over the integer tokens-per-
+    turn series: exact int64 centered-product ACF numerators (one lag
+    window + one aggregate), one division per r_k, and the unrolled
+    Durbin-Levinson closed forms as fixed double trees restated
+    verbatim in SQL. Constant / too-short / |r1|=1 series come back
+    NULL, never inf."""
+    from cesium_spark.operators.seriesstats import pacf3
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = pacf3(series)
+    return out.select(
+        "conv_id", "n",
+        _r(F.col("r1"), 9).alias("r1"),
+        _r(F.col("r2"), 9).alias("r2"),
+        _r(F.col("r3"), 9).alias("r3"),
+        _r(F.col("pacf1"), 9).alias("pacf1"),
+        _r(F.col("pacf2"), 9).alias("pacf2"),
+        _r(F.col("pacf3"), 9).alias("pacf3"))
+
+
+SQL_TS_PACF = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT conv_id, y,
+         lag(y, 1) OVER w2 AS l1,
+         lag(y, 2) OVER w2 AS l2,
+         lag(y, 3) OVER w2 AS l3,
+         sum(y) OVER (PARTITION BY conv_id) AS sy,
+         count(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM s
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT conv_id, max(cnt) AS n,
+         sum((cnt * y - sy) * (cnt * y - sy)) AS n0,
+         sum(CASE WHEN l1 IS NOT NULL THEN
+             (cnt * y - sy) * (cnt * l1 - sy) END) AS n1,
+         sum(CASE WHEN l2 IS NOT NULL THEN
+             (cnt * y - sy) * (cnt * l2 - sy) END) AS n2,
+         sum(CASE WHEN l3 IS NOT NULL THEN
+             (cnt * y - sy) * (cnt * l3 - sy) END) AS n3
+  FROM l GROUP BY 1
+),
+r AS (
+  SELECT conv_id, n,
+         CASE WHEN n0 > 0 THEN
+           cast(n1 AS double) / cast(n0 AS double) END AS r1,
+         CASE WHEN n0 > 0 THEN
+           cast(n2 AS double) / cast(n0 AS double) END AS r2,
+         CASE WHEN n0 > 0 THEN
+           cast(n3 AS double) / cast(n0 AS double) END AS r3
+  FROM g
+),
+p2 AS (
+  SELECT *,
+         CASE WHEN 1.0 - r1 * r1 <> 0 THEN
+           (r2 - r1 * r1) / (1.0 - r1 * r1) END AS pacf2
+  FROM r
+),
+p3 AS (
+  SELECT *, r1 - pacf2 * r1 AS p21 FROM p2
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       round(r1, 9) + 0.0 AS r1,
+       round(r2, 9) + 0.0 AS r2,
+       round(r3, 9) + 0.0 AS r3,
+       round(r1, 9) + 0.0 AS pacf1,
+       round(pacf2, 9) + 0.0 AS pacf2,
+       round(CASE WHEN 1.0 - p21 * r1 - pacf2 * r2 <> 0 THEN
+             (r3 - p21 * r2 - pacf2 * r1)
+             / (1.0 - p21 * r1 - pacf2 * r2) END, 9) + 0.0 AS pacf3
+FROM p3
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8515,6 +8604,7 @@ QUERIES = {
     "ts_theil_sen": q_ts_theil_sen,
     "ts_variance_ratio": q_ts_variance_ratio,
     "ts_hurst": q_ts_hurst,
+    "ts_pacf": q_ts_pacf,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
     "doc_mojibake": q_doc_mojibake,
@@ -8663,6 +8753,7 @@ ORACLE_SQL = {
     "ts_theil_sen": SQL_TS_THEIL_SEN,
     "ts_variance_ratio": SQL_TS_VARIANCE_RATIO,
     "ts_hurst": SQL_TS_HURST,
+    "ts_pacf": SQL_TS_PACF,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),
     "doc_mojibake": SQL_DOC_MOJIBAKE,

@@ -1229,3 +1229,90 @@ def hurst_rs(series: DataFrame,
         "conv_id", "n_points",
         *[F.col(f"rs_{w}") for w in ws],
         F.when(all_ok, slope).alias("hurst"))
+
+
+def pacf3(series: DataFrame) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 per conversation via the
+    Durbin–Levinson recursion unrolled to closed form — the AR-order
+    identification screen next to ``acf`` (which mixes direct and
+    indirect correlation) and ``ar1_fit`` (which assumes order 1
+    outright): φ_kk is the correlation at lag k AFTER removing the
+    shorter-lag linear dependence, so an AR(p) series shows φ_kk ≈ 0
+    for k > p — the textbook "which p?" plot, here as columns.
+
+    Sample ACF on integer levels is exact: with S = Σy, n = count,
+    (y_t − S/n)(y_{t+k} − S/n)·n² = (n·y_t − S)(n·y_{t+k} − S), so
+
+        N_k = Σ_{t>k} (n·y_t − S)(n·y_{t−k} − S)     (exact int64)
+        r_k = N_k / N_0                               (one division)
+
+    and the Durbin–Levinson closed forms are fixed double trees over
+    r₁..r₃, restated verbatim in SQL:
+
+        φ₁₁ = r₁
+        φ₂₂ = (r₂ − r₁²) / (1 − r₁²)
+        φ₂₁ = r₁ − φ₂₂·r₁
+        φ₃₃ = (r₃ − φ₂₁·r₂ − φ₂₂·r₁)
+              / (1 − φ₂₁·r₁ − φ₂₂·r₂)
+
+    Integer contract (the variance_ratio rule): float inputs raise;
+    ANSI overflow raises rather than wrapping — |n·y| must stay under
+    ~3e9 and Σ(n·y−S)² under int64, which holds for token-scale values
+    up to million-turn conversations.  Degenerates are NULL, never
+    ±inf: constant series (N₀ = 0), |r₁| = 1 (zero φ₂₂ denominator),
+    singular φ₃₃ denominator, and series too short for a lag (no
+    pairs → N_k NULL propagates).  Every division sits inside its
+    when() branch (ANSI CaseWhen laziness is the only guard).
+
+    Plan: three lag windows + two unordered windows + ONE hash
+    aggregate, all keyed by conv_id → one exchange, no UDF, no join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"pacf3: column 'y' has type {t}; the exact-sufficient-"
+            "statistics contract needs integer levels "
+            "(pre-grid floats to integers explicitly)")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 F.lag(y, 1).over(w_ord).alias("__l1"),
+                 F.lag(y, 2).over(w_ord).alias("__l2"),
+                 F.lag(y, 3).over(w_ord).alias("__l3"),
+                 F.sum(y).over(w_all).alias("__s"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    dev = F.col("__n") * F.col("__y") - F.col("__s")
+
+    def _num(lagc):
+        lagdev = F.col("__n") * F.col(lagc) - F.col("__s")
+        return F.sum(F.when(F.col(lagc).isNotNull(), dev * lagdev))
+
+    agg = (s.groupBy("conv_id")
+           .agg(F.max("__n").alias("n"),
+                F.sum(dev * dev).alias("n0"),
+                _num("__l1").alias("n1"),
+                _num("__l2").alias("n2"),
+                _num("__l3").alias("n3")))
+    nz = F.col("n0") > 0
+    r1 = F.when(nz, F.col("n1").cast("double") / F.col("n0").cast("double"))
+    r2 = F.when(nz, F.col("n2").cast("double") / F.col("n0").cast("double"))
+    r3 = F.when(nz, F.col("n3").cast("double") / F.col("n0").cast("double"))
+    step1 = agg.select("conv_id", "n",
+                       r1.alias("r1"), r2.alias("r2"), r3.alias("r3"))
+    d22 = F.lit(1.0) - F.col("r1") * F.col("r1")
+    p22 = F.when(d22 != 0,
+                 (F.col("r2") - F.col("r1") * F.col("r1")) / d22)
+    step2 = step1.select("*", p22.alias("pacf2"))
+    p21 = F.col("r1") - F.col("pacf2") * F.col("r1")
+    step3 = step2.select("*", p21.alias("__p21"))
+    d33 = (F.lit(1.0) - F.col("__p21") * F.col("r1")
+           - F.col("pacf2") * F.col("r2"))
+    p33 = F.when(d33 != 0,
+                 (F.col("r3") - F.col("__p21") * F.col("r2")
+                  - F.col("pacf2") * F.col("r1")) / d33)
+    return step3.select(
+        "conv_id", "n", "r1", "r2", "r3",
+        F.col("r1").alias("pacf1"), "pacf2", p33.alias("pacf3"))

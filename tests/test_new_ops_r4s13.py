@@ -151,3 +151,66 @@ def test_hurst_rejects_floats_and_bad_grid(spark):
         hurst_rs(spark.createDataFrame(pdf))
     with pytest.raises(ValueError, match="window sizes"):
         hurst_rs(_series(spark, [1, 2, 3]), windows=(8,))
+
+
+# --- PACF (Durbin-Levinson, lags 1-3) ---------------------------------------------
+
+def _pacf_ref(y):
+    """Literal DL replay: sample ACF then the unrolled recursion."""
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    dev = y - y.mean()
+    n0 = np.sum(dev * dev)
+    r = [np.sum(dev[k:] * dev[:-k]) / n0 for k in (1, 2, 3)]
+    r1, r2, r3 = r
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 - p22 * r1
+    p33 = ((r3 - p21 * r2 - p22 * r1)
+           / (1 - p21 * r1 - p22 * r2))
+    return r1, r2, r3, p22, p33
+
+
+def test_pacf_matches_literal_replay(spark):
+    from cesium_spark.operators.seriesstats import pacf3
+    rng = np.random.RandomState(3)
+    # AR(1)-ish integer series with phi ~ 0.7
+    y = [50]
+    for _ in range(300):
+        y.append(int(round(0.7 * y[-1] + 15 + rng.randint(-8, 9))))
+    row = pacf3(_series(spark, y)).collect()[0]
+    r1, r2, r3, p22, p33 = _pacf_ref(y)
+    assert abs(row["r1"] - r1) < 1e-9 and abs(row["r3"] - r3) < 1e-9
+    assert abs(row["pacf1"] - r1) < 1e-9
+    assert abs(row["pacf2"] - p22) < 1e-9
+    assert abs(row["pacf3"] - p33) < 1e-9
+    # AR(1): pacf cuts off after lag 1
+    assert abs(row["pacf1"]) > 0.4
+    assert abs(row["pacf2"]) < 0.25 and abs(row["pacf3"]) < 0.25
+
+
+def test_pacf_degenerates(spark):
+    from cesium_spark.operators.seriesstats import pacf3
+    const = pacf3(_series(spark, [5] * 30)).collect()[0]
+    assert const["r1"] is None and const["pacf3"] is None
+    # perfectly alternating: r1 near -1 but short ramp: |r1|=1 exactly
+    # on a 2-point series -> zero pacf2 denominator -> NULL
+    two = pacf3(_series(spark, [1, 2])).collect()[0]
+    assert two["pacf2"] is None
+    short = pacf3(_series(spark, [4, 9, 2])).collect()[0]
+    assert short["r3"] is None and short["pacf3"] is None
+
+
+def test_pacf_rejects_floats(spark):
+    from cesium_spark.operators.seriesstats import pacf3
+    pdf = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0],
+                        "t": [0.0], "y": [1.5]})
+    with pytest.raises(ValueError, match="integer"):
+        pacf3(spark.createDataFrame(pdf))
+
+
+def test_pacf_single_exchange_plan(spark):
+    from cesium_spark.operators.seriesstats import pacf3
+    plan = pacf3(
+        _series(spark, list(range(30)))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
