@@ -8524,6 +8524,74 @@ FROM p3
 """
 
 
+def q_doc_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 Adamic-Adar missing-link predictions over the token
+    bigram graph: non-edge pairs scored by sum of 1/ln(deg) over
+    common neighbors (ordered w-fold, never a parallel float sum),
+    existing edges anti-joined away, cut ordered by (round(aa,6)
+    DESC, u, v) so rounding absorbs ln() ulps and the pair key breaks
+    ties exactly. Oracle replays adjacency, degrees, wedge join,
+    fold, anti-join, and the cut verbatim in DuckDB."""
+    from cesium_spark.operators.graphrank import adamic_adar, token_edges
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = adamic_adar(token_edges(docs), top_k=50)
+    return out.select("u", "v", "n_common", _r(F.col("aa")).alias("aa"))
+
+
+SQL_DOC_ADAMIC_ADAR = """
+WITH tok AS (
+  SELECT doc_id, u.t AS tok, u.pos
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS tt
+        FROM documents) dd,
+  LATERAL (SELECT unnest(tt) AS t,
+                  generate_subscripts(tt, 1) AS pos) u
+),
+bigr AS (
+  SELECT a.tok AS src, b.tok AS dst
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM bigr WHERE src != dst
+),
+adj AS (
+  SELECT a AS v, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS v, a AS nbr FROM und
+),
+deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+wed AS (
+  SELECT a1.nbr AS u, a1.v AS w, a2.nbr AS z
+  FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.nbr < a2.nbr
+),
+wd AS (
+  SELECT wed.u, wed.z, wed.w, 1.0 / ln(deg.deg) AS inv
+  FROM wed JOIN deg ON wed.w = deg.v
+),
+fold AS (
+  SELECT u, z,
+         sum(inv) OVER (PARTITION BY u, z ORDER BY w) AS cum
+  FROM wd
+),
+pairs AS (
+  SELECT u, z, max(cum) AS aa, count(*) AS n_common
+  FROM fold GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.u, p.z, p.aa, p.n_common
+  FROM pairs p
+  ANTI JOIN und ON p.u = und.a AND p.z = und.b
+)
+SELECT u, z AS v, cast(n_common AS bigint) AS n_common,
+       round(aa, 6) + 0.0 AS aa
+FROM cand
+ORDER BY round(aa, 6) DESC, u, z
+LIMIT 50
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8605,6 +8673,7 @@ QUERIES = {
     "ts_variance_ratio": q_ts_variance_ratio,
     "ts_hurst": q_ts_hurst,
     "ts_pacf": q_ts_pacf,
+    "doc_adamic_adar": q_doc_adamic_adar,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
     "doc_mojibake": q_doc_mojibake,
@@ -8754,6 +8823,7 @@ ORACLE_SQL = {
     "ts_variance_ratio": SQL_TS_VARIANCE_RATIO,
     "ts_hurst": SQL_TS_HURST,
     "ts_pacf": SQL_TS_PACF,
+    "doc_adamic_adar": SQL_DOC_ADAMIC_ADAR,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),
     "doc_mojibake": SQL_DOC_MOJIBAKE,

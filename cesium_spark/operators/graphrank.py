@@ -41,7 +41,7 @@ survive executor loss — the 100 TB setting; 'none' keeps the lazy
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cesium_spark.operators.dedup import _make_truncator, _tokens
@@ -378,3 +378,70 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             .select(F.col("n_nodes").cast("long").alias("n_nodes"),
                     (F.col("n") / F.lit(2)).cast("long").alias("n_edges"),
                     r.alias("assortativity")))
+
+
+def adamic_adar(edges: DataFrame, top_k: int = 50) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003, "Friends and
+    neighbors on the Web") over the undirected graph: for each
+    NON-edge pair (u, v) with at least one common neighbor,
+
+        AA(u, v) = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w)),
+
+    the classic "which links are missing?" score — a shared rare
+    neighbor (low degree) is stronger evidence than a shared hub.
+    The missing-link question is the graph-family complement of
+    bfs_hops (how far?) and local_clustering (how cliquish?).
+
+    Determinism contract: the common-neighbor terms 1/ln(deg(w)) fold
+    in w order via an ordered cumulative window (max of the
+    nondecreasing running sum — positive terms, the hurst_rs trick),
+    never a parallel float sum; deg(w) ≥ 2 always (w is adjacent to
+    both u and v, u ≠ v), so ln is never 0 and no division guard is
+    needed — by construction, not by luck.  The top-k cut orders by
+    (round(aa, 6) DESC, u, v): rounding absorbs cross-engine ln()
+    ulps, the pair key breaks ties exactly, so the boundary cannot
+    flip between engines.
+
+    Shape: direction/multiplicity/self-loops collapse first (the
+    triangle_stats normalization); candidate pairs come from ONE
+    vertex-keyed self-equi-join of the symmetric adjacency (u < v
+    dedupes orientations), degree attaches by a second vertex-keyed
+    join, existing edges drop via anti-join AFTER the pair-level
+    aggregation (wedge rows shrink to pairs before the anti-join
+    touches them).  No cartesian anywhere; a hub of degree d costs d²
+    wedge rows — the algorithm's true cost, AQE-splittable, same
+    skew story as triangle_stats.
+    """
+    if top_k < 1:
+        raise ValueError(f"adamic_adar: top_k must be >= 1, got {top_k}")
+    und = (edges
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    adj = (und.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("v"),
+                                F.col("a").alias("nbr"))))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    a1 = adj.select(F.col("nbr").alias("u"), F.col("v").alias("w"))
+    a2 = adj.select(F.col("v").alias("w"), F.col("nbr").alias("z"))
+    wed = (a1.join(a2, "w")
+           .where(F.col("u") < F.col("z"))
+           .join(deg.select(F.col("v").alias("w"), "deg"), "w"))
+    inv = F.lit(1.0) / F.log(F.col("deg").cast("double"))
+    wcw = Window.partitionBy("u", "z").orderBy("w")
+    folded = (wed
+              .select("u", "z", F.sum(inv).over(wcw).alias("cum"))
+              .groupBy("u", "z")
+              .agg(F.max("cum").alias("aa"),
+                   F.count(F.lit(1)).alias("n_common")))
+    cand = folded.join(
+        und,
+        (folded["u"] == und["a"]) & (folded["z"] == und["b"]),
+        "left_anti")
+    return (cand
+            .orderBy(F.round(F.col("aa"), 6).desc(),
+                     F.col("u"), F.col("z"))
+            .limit(int(top_k))
+            .select(F.col("u"), F.col("z").alias("v"),
+                    "n_common", F.col("aa")))

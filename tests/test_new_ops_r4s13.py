@@ -214,3 +214,58 @@ def test_pacf_single_exchange_plan(spark):
         _series(spark, list(range(30)))
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- Adamic-Adar -------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["src", "dst"]))
+
+
+def test_aa_path_and_values(spark):
+    from cesium_spark.operators.graphrank import adamic_adar
+    # path a-b-c: only candidate (a,c) via b, deg(b)=2
+    r = adamic_adar(_edges(spark, [("a", "b"), ("b", "c")])).collect()
+    assert len(r) == 1
+    assert (r[0]["u"], r[0]["v"], r[0]["n_common"]) == ("a", "c", 1)
+    assert abs(r[0]["aa"] - 1 / np.log(2)) < 1e-12
+
+
+def test_aa_excludes_existing_edges_and_matches_ref(spark):
+    from cesium_spark.operators.graphrank import adamic_adar
+    # K4 minus edge (c,d): every pair with a common neighbor except
+    # existing edges -> only (c,d) survives, via common nbrs a and b
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    r = adamic_adar(_edges(spark, pairs)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["u"], row["v"], row["n_common"]) == ("c", "d", 2)
+    # deg(a)=deg(b)=3
+    assert abs(row["aa"] - 2 / np.log(3)) < 1e-12
+
+
+def test_aa_direction_and_multiplicity_blind(spark):
+    from cesium_spark.operators.graphrank import adamic_adar
+    r1 = adamic_adar(_edges(spark, [("a", "b"), ("b", "c")])).collect()
+    r2 = adamic_adar(_edges(spark, [("b", "a"), ("b", "a"), ("c", "b"),
+                                    ("a", "a")])).collect()
+    assert [(x["u"], x["v"], x["aa"]) for x in r1] == \
+           [(x["u"], x["v"], x["aa"]) for x in r2]
+
+
+def test_aa_rare_neighbor_beats_hub_and_topk(spark):
+    from cesium_spark.operators.graphrank import adamic_adar
+    # star hub h connects x1..x4 (common nbr = hub, deg 4);
+    # private bridge p connects only (x1,x2): rare evidence wins
+    pairs = [("h", f"x{i}") for i in range(1, 5)]
+    pairs += [("p", "x1"), ("p", "x2")]
+    out = adamic_adar(_edges(spark, pairs), top_k=3).collect()
+    # (h,p) share TWO rare deg-2 neighbors -> 2/ln2; (x1,x2) share the
+    # hub (deg 4) and p (deg 2) -> 1/ln4 + 1/ln2; the rest share only
+    # the hub -> 1/ln4. Rare-neighbor evidence dominates.
+    assert [(x["u"], x["v"]) for x in out] == \
+        [("h", "p"), ("x1", "x2"), ("x1", "x3")]
+    assert abs(out[0]["aa"] - 2 / np.log(2)) < 1e-12
+    assert out[1]["n_common"] == 2
+    assert abs(out[1]["aa"] - (1 / np.log(4) + 1 / np.log(2))) < 1e-12
