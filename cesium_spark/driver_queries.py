@@ -8592,6 +8592,77 @@ LIMIT 50
 """
 
 
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with the frozen TRAINED
+    k-means centroids: assignment (check_ties=1e-9 kills argmax
+    near-tie flakiness by construction), within-cluster pair cosine,
+    and the keep-the-outlier verdict all replayed verbatim in DuckDB
+    with the centroids inlined as literals. Threshold 0.45 sits
+    5.5e-4 away from the nearest pair cosine at sf0.01 — no boundary
+    flip is possible."""
+    _prep(spark)
+    from cesium_spark.operators.dedup import semdedup
+    embs = _read(spark, sf_dir, "embeddings")
+    out = semdedup(embs, dim=64, threshold=0.45, n_centroids=16,
+                   centroids=similarity.ivf_trained_centroids(),
+                   check_ties=1e-9)
+    return out.select(
+        "vec_id", "list_id",
+        _r(F.col("cent_cos")).alias("cent_cos"), "kept")
+
+
+def _semdedup_sql(dim: int = 64, n_centroids: int = 16,
+                  thr: float = 0.45) -> str:
+    """DuckDB replay of semdedup over the frozen trained centroids:
+    argmax assignment with the np.argmax tie rule (dot DESC, cid ASC
+    - engine check_ties margin guarantees no near-tie divergence),
+    centroid cosine, within-cluster pairs, pair-loser removal."""
+    cents = similarity.ivf_trained_centroids()
+    assert cents.shape == (n_centroids, dim)
+    rows = ", ".join(
+        "(" + str(j) + ", [" +
+        ", ".join(repr(float(cents[j, i])) for i in range(dim)) + "])"
+        for j in range(n_centroids))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+c AS (SELECT * FROM (VALUES {rows}) AS t(cid, cv)),
+d AS (SELECT e.vec_id, e.v, c.cid, c.cv,
+             list_dot_product(e.v, c.cv) AS dot
+      FROM e CROSS JOIN c),
+assign AS (
+  SELECT vec_id, v, cid, cv FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dot DESC, cid) = 1
+),
+n AS (
+  SELECT vec_id, cid, v,
+         sqrt(list_sum(list_transform(v, a -> a * a))) AS norm,
+         list_sum(list_transform(list_zip(v, cv), s -> s[1] * s[2]))
+           / sqrt(list_sum(list_transform(v, a -> a * a))) AS cent_cos
+  FROM assign
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.cent_cos AS ca, b.cent_cos AS cb,
+         list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+           / (a.norm * b.norm) AS cosine
+  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+dup AS (SELECT * FROM p WHERE cosine >= {thr!r}),
+rem AS (
+  SELECT DISTINCT CASE WHEN ca > cb THEN id_a
+                       WHEN cb > ca THEN id_b
+                       ELSE greatest(id_a, id_b) END AS vec_id
+  FROM dup
+)
+SELECT n.vec_id, cast(n.cid AS int) AS list_id,
+       round(n.cent_cos, 6) + 0.0 AS cent_cos,
+       rem.vec_id IS NULL AS kept
+FROM n LEFT JOIN rem ON n.vec_id = rem.vec_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8674,6 +8745,7 @@ QUERIES = {
     "ts_hurst": q_ts_hurst,
     "ts_pacf": q_ts_pacf,
     "doc_adamic_adar": q_doc_adamic_adar,
+    "emb_semdedup": q_emb_semdedup,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
     "doc_mojibake": q_doc_mojibake,
@@ -8824,6 +8896,7 @@ ORACLE_SQL = {
     "ts_hurst": SQL_TS_HURST,
     "ts_pacf": SQL_TS_PACF,
     "doc_adamic_adar": SQL_DOC_ADAMIC_ADAR,
+    "emb_semdedup": _semdedup_sql(),
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),
     "doc_mojibake": SQL_DOC_MOJIBAKE,

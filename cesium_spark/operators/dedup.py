@@ -838,3 +838,87 @@ def line_dedup(docs: DataFrame, min_docs: int = 50,
         (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
         .cast("long").alias("n_removed"),
         F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"))
+
+
+def semdedup(embs: DataFrame, dim: int = 64, threshold: float = 0.45,
+             n_centroids: int = 16, centroids=None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             check_ties: float | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    near-duplicate REMOVAL — cluster the corpus with a coarse k-means,
+    compare pairs only WITHIN a cluster, and inside every
+    above-threshold duplicate pair keep the member with the LOWER
+    cosine to its centroid (the paper's keep-the-outlier rule: the
+    example nearer the cluster center carries less marginal
+    information).  This is the semantic tier of the dedup family —
+    exact (md5) → MinHash/SimHash (lexical) → SemDeDup (meaning).
+
+    Output, one row per non-null input vector: (id, list_id,
+    cent_cos, kept) — ``kept`` is False iff the vector LOSES at least
+    one within-cluster pair with cosine ≥ threshold (loser = higher
+    centroid-cosine; exact tie = higher id, so the verdict is
+    deterministic under any partitioning).  In a fully-connected
+    duplicate group this keeps exactly the (cent_cos, id)-minimal
+    member — the paper's one-per-group policy; on chains it is
+    strictly more aggressive than transitive grouping (every pair
+    loser goes), which is the documented, deterministic choice.
+
+    Scale shape — the whole point of the paper: clustering makes the
+    pair join TRACTABLE.  Assignment is the ivf_assign broadcast-
+    constant matmul (one scan, zero shuffle, check_ties guards
+    summation-order argmax flips); the self-join keys on list_id, so
+    a corpus of 10^9 vectors in k balanced clusters costs Σ(n/k)²
+    pairs instead of n² — list-size skew is visible in ``list_id``
+    counts and AQE-splittable.  Centroid lookup is a literal
+    array-of-arrays ``element_at`` (no join); cent_cos and pair
+    cosine are native zip_with/aggregate left-folds (the
+    embedding_cosine_pairs contract — no UDF in the scoring path, and
+    the fold order is exactly restatable in SQL).  Centroids must be
+    unit-norm (asserted) so cent_cos needs no centroid-norm division.
+    """
+    from .similarity import ivf_assign, ivf_centroids
+
+    if centroids is None:
+        cmat = ivf_centroids(dim, n_centroids)
+    else:
+        cmat = np.asarray(centroids, dtype=np.float64)
+    norms = np.sqrt((cmat * cmat).sum(axis=1))
+    if not np.allclose(norms, 1.0, atol=1e-9):
+        raise ValueError("semdedup: centroids must be unit-norm")
+    v = embs.where(F.col(vec_col).isNotNull())
+    assigned = ivf_assign(v, dim, n_centroids, id_col=id_col,
+                          vec_col=vec_col, centroids=cmat,
+                          check_ties=check_ties)
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]) for row in cmat])
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvec = F.element_at(cent_lit, F.col("list_id") + 1)
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x))
+    cdot = F.aggregate(F.zip_with(vd, cvec, lambda a, b: a * b),
+                       F.lit(0.0), lambda s, x: s + x)
+    base = assigned.select(
+        F.col(id_col), F.col("list_id"),
+        vd.alias("__v"), norm.alias("__norm"),
+        (cdot / norm).alias("cent_cos"))
+    a = base.alias("a")
+    b = base.alias("b")
+    pdot = F.aggregate(F.zip_with("a.__v", "b.__v", lambda x, y: x * y),
+                       F.lit(0.0), lambda s, x: s + x)
+    pairs = (a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.cent_cos").alias("ca"),
+                     F.col("b.cent_cos").alias("cb"),
+                     (pdot / (F.col("a.__norm") * F.col("b.__norm")))
+                     .alias("cosine"))
+             .where(F.col("cosine") >= F.lit(float(threshold))))
+    loser = (F.when(F.col("ca") > F.col("cb"), F.col("id_a"))
+             .when(F.col("cb") > F.col("ca"), F.col("id_b"))
+             .otherwise(F.greatest("id_a", "id_b")))
+    removed = (pairs.select(loser.alias(id_col)).distinct()
+               .withColumn("__rm", F.lit(True)))
+    return (base.join(removed, id_col, "left")
+            .select(F.col(id_col), "list_id", "cent_cos",
+                    F.col("__rm").isNull().alias("kept")))

@@ -269,3 +269,67 @@ def test_aa_rare_neighbor_beats_hub_and_topk(spark):
     assert abs(out[0]["aa"] - 2 / np.log(2)) < 1e-12
     assert out[1]["n_common"] == 2
     assert abs(out[1]["aa"] - (1 / np.log(4) + 1 / np.log(2))) < 1e-12
+
+
+# --- SemDeDup ----------------------------------------------------------------------
+
+def _embs(spark, vecs):
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [np.asarray(v, dtype=np.float64) for v in vecs]})
+    return spark.createDataFrame(pdf)
+
+
+_C2 = np.array([[1.0, 0.0], [0.0, 1.0]])
+
+
+def test_semdedup_keeps_the_outlier(spark):
+    from cesium_spark.operators.dedup import semdedup
+    # both near centroid 0; cosine(a,b) ~ 0.995 >= 0.9; a IS the
+    # centroid direction (cent_cos 1.0) -> a removed, b (outlier) kept
+    out = semdedup(_embs(spark, [[1.0, 0.0], [0.99, 0.1]]),
+                   dim=2, threshold=0.9, n_centroids=2, centroids=_C2)
+    r = {x["vec_id"]: x for x in out.collect()}
+    assert r[0]["list_id"] == 0 and r[1]["list_id"] == 0
+    assert not r[0]["kept"] and r[1]["kept"]
+    assert abs(r[0]["cent_cos"] - 1.0) < 1e-12
+    assert r[1]["cent_cos"] < 1.0
+
+
+def test_semdedup_cluster_blocking(spark):
+    from cesium_spark.operators.dedup import semdedup
+    # near-identical pair split across clusters: NEVER compared ->
+    # both kept (the clustering is the approximation, by design)
+    out = semdedup(_embs(spark, [[0.72, 0.70], [0.70, 0.72]]),
+                   dim=2, threshold=0.9, n_centroids=2, centroids=_C2)
+    r = {x["vec_id"]: x for x in out.collect()}
+    assert r[0]["list_id"] == 0 and r[1]["list_id"] == 1
+    assert r[0]["kept"] and r[1]["kept"]
+
+
+def test_semdedup_group_keeps_one(spark):
+    from cesium_spark.operators.dedup import semdedup
+    # fully-connected trio near centroid 0 at distinct centroid
+    # cosines: only the (cent_cos)-minimal member survives
+    out = semdedup(_embs(spark, [[1.0, 0.0], [0.995, 0.1], [0.99, 0.15]]),
+                   dim=2, threshold=0.95, n_centroids=2, centroids=_C2)
+    r = {x["vec_id"]: x["kept"] for x in out.collect()}
+    assert r == {0: False, 1: False, 2: True}
+
+
+def test_semdedup_below_threshold_all_kept_and_nulls_dropped(spark):
+    from cesium_spark.operators.dedup import semdedup
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [np.array([1.0, 0.0]), np.array([0.8, 0.6]), None]})
+    out = semdedup(spark.createDataFrame(pdf), dim=2, threshold=0.99,
+                   n_centroids=2, centroids=_C2).collect()
+    assert len(out) == 2                      # null vector dropped
+    assert all(x["kept"] for x in out)        # cos(a,b)=0.8 < 0.99
+
+
+def test_semdedup_rejects_non_unit_centroids(spark):
+    from cesium_spark.operators.dedup import semdedup
+    with pytest.raises(ValueError, match="unit-norm"):
+        semdedup(_embs(spark, [[1.0, 0.0]]), dim=2, n_centroids=2,
+                 centroids=np.array([[2.0, 0.0], [0.0, 1.0]]))
