@@ -8663,6 +8663,110 @@ FROM n LEFT JOIN rem ON n.vec_id = rem.vec_id
 """
 
 
+def q_rel_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-filter-aggregate — no join at all, so the WHOLE query is one
+    parquet scan whose three predicates (shipdate year, discount band,
+    quantity cap) push down to the reader, plus a partial+final
+    1-row aggregate. Revenue Σ ep·disc uses the Q5 exact-fixed-point
+    contract: both 2-dp factors gridded to integers (the discount
+    band filter runs on the SAME grid — integer between, no float
+    boundary), product exact int64 in 1e-4 units, ONE terminal
+    division — bit-stable at any parallelism, restated verbatim in
+    SQL."""
+    _prep(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    disc_i = F.round(F.col("l_discount") * 100.0, 0).cast("long")
+    rev_i = (F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+             * disc_i)
+    out = (li.where((F.col("l_shipdate")
+                     >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate")
+                       < F.lit("1997-01-01").cast("timestamp"))
+                    & disc_i.between(5, 7)
+                    & (F.col("l_quantity") < 24))
+           .agg(F.sum(rev_i).alias("rev_i"),
+                F.count(F.lit(1)).alias("n_items")))
+    return out.select(
+        _r0(F.round(F.col("rev_i").cast("double") / 10000.0, 4))
+        .alias("revenue"),
+        "n_items")
+
+
+SQL_REL_TPCH_Q6 = """
+SELECT round(sum(cast(round(l_extendedprice * 100.0) AS bigint)
+                 * cast(round(l_discount * 100.0) AS bigint))
+             / 10000.0, 4) + 0.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+  AND l_shipdate < timestamp '1997-01-01 00:00:00'
+  AND cast(round(l_discount * 100.0) AS bigint) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_rel_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): lineitem ⋈ part with a
+    conditional aggregate — promo revenue share for one ship-month.
+    part is the broadcast side (dimension), so the only exchange is
+    the final 1-row aggregate; both the PROMO-gated and total revenue
+    sums ride the exact-fixed-point integer contract (ep·(1−disc)
+    gridded to 1e-4 units), and the share is ONE terminal division of
+    two exact integers — no float sum anywhere, restated verbatim in
+    SQL."""
+    _prep(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    pt = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_i = (F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+             * F.round((F.lit(1.0) - F.col("l_discount")) * 100.0, 0)
+             .cast("long"))
+    out = (li.where((F.col("l_shipdate")
+                     >= F.lit("1996-09-01").cast("timestamp"))
+                    & (F.col("l_shipdate")
+                       < F.lit("1996-10-01").cast("timestamp")))
+           .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+           .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev_i)
+                      .otherwise(F.lit(0))).alias("promo_i"),
+                F.sum(rev_i).alias("total_i"),
+                F.count(F.lit(1)).alias("n_items")))
+    share = F.when(F.col("total_i") > 0,
+                   F.lit(100.0) * F.col("promo_i").cast("double")
+                   / F.col("total_i").cast("double"))
+    return out.select(
+        _r(share).alias("promo_share"),
+        _r0(F.round(F.col("promo_i").cast("double") / 10000.0, 4))
+        .alias("promo_revenue"),
+        _r0(F.round(F.col("total_i").cast("double") / 10000.0, 4))
+        .alias("total_revenue"),
+        "n_items")
+
+
+SQL_REL_TPCH_Q14 = """
+WITH j AS (
+  SELECT cast(round(l_extendedprice * 100.0) AS bigint)
+           * cast(round((1.0 - l_discount) * 100.0) AS bigint) AS rev_i,
+         p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= timestamp '1996-09-01 00:00:00'
+    AND l.l_shipdate < timestamp '1996-10-01 00:00:00'
+),
+g AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev_i ELSE 0 END) AS promo_i,
+         sum(rev_i) AS total_i,
+         count(*) AS n_items
+  FROM j
+)
+SELECT round(CASE WHEN total_i > 0 THEN
+             100.0 * cast(promo_i AS double) / cast(total_i AS double)
+             END, 6) + 0.0 AS promo_share,
+       round(cast(promo_i AS double) / 10000.0, 4) + 0.0 AS promo_revenue,
+       round(cast(total_i AS double) / 10000.0, 4) + 0.0 AS total_revenue,
+       n_items
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8746,6 +8850,8 @@ QUERIES = {
     "ts_pacf": q_ts_pacf,
     "doc_adamic_adar": q_doc_adamic_adar,
     "emb_semdedup": q_emb_semdedup,
+    "rel_tpch_q6": q_rel_tpch_q6,
+    "rel_tpch_q14": q_rel_tpch_q14,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
     "doc_mojibake": q_doc_mojibake,
@@ -8897,6 +9003,8 @@ ORACLE_SQL = {
     "ts_pacf": SQL_TS_PACF,
     "doc_adamic_adar": SQL_DOC_ADAMIC_ADAR,
     "emb_semdedup": _semdedup_sql(),
+    "rel_tpch_q6": SQL_REL_TPCH_Q6,
+    "rel_tpch_q14": SQL_REL_TPCH_Q14,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),
     "doc_mojibake": SQL_DOC_MOJIBAKE,

@@ -333,3 +333,30 @@ def test_semdedup_rejects_non_unit_centroids(spark):
     with pytest.raises(ValueError, match="unit-norm"):
         semdedup(_embs(spark, [[1.0, 0.0]]), dim=2, n_centroids=2,
                  centroids=np.array([[2.0, 0.0], [0.0, 1.0]]))
+
+
+# --- TPC-H Q6 / Q14 plan shapes ----------------------------------------------------
+
+def test_q6_pushdown_and_no_join(spark):
+    from cesium_spark.driver_queries import q_rel_tpch_q6
+    df = q_rel_tpch_q6(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the scan-filter-agg query: quantity/shipdate predicates reach
+    # the parquet reader, and there is no join of any kind
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:400]
+    assert "Join" not in plan
+    row = df.collect()[0]
+    assert row["n_items"] > 0 and row["revenue"] > 0
+
+
+def test_q14_broadcasts_part(spark):
+    from cesium_spark.driver_queries import q_rel_tpch_q14
+    df = q_rel_tpch_q14(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    row = df.collect()[0]
+    assert 0 <= row["promo_share"] <= 100
+    assert abs(row["total_revenue"] - row["promo_revenue"]
+               * (100 / row["promo_share"])) / row["total_revenue"] < 1e-6
