@@ -8767,6 +8767,66 @@ FROM g
 """
 
 
+def q_ts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Spearman rank correlation of latency vs
+    tokens (aligned on turn_idx, pairwise-complete): 2-average-rank
+    integers via rank window + tie-count window, exact int64 Pearson
+    sufficient statistics over them, one fixed double tree. The
+    oracle replays ranks, tie counts, and the tree verbatim."""
+    from cesium_spark.operators.seriesstats import spearman_channels
+    out = spearman_channels(
+        derive_series(events_transcripts(spark, sf_dir)), *_CORR_CH)
+    return out.select(
+        "conv_id", F.col("n_pairs").cast("long").alias("n_pairs"),
+        _r(F.col("rho"), 9).alias("rho"))
+
+
+SQL_TS_SPEARMAN = _SERIES_SQL + f"""
+, aligned AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN channel = '{_CORR_CH[0]}' THEN y END) AS ya,
+         max(CASE WHEN channel = '{_CORR_CH[1]}' THEN y END) AS yb
+  FROM series WHERE y IS NOT NULL
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT conv_id, ya, yb FROM aligned
+  WHERE ya IS NOT NULL AND yb IS NOT NULL
+),
+ranked AS (
+  SELECT conv_id,
+         cast(2 * rank() OVER (PARTITION BY conv_id ORDER BY ya)
+              + count(*) OVER (PARTITION BY conv_id, ya) - 1
+              AS bigint) AS ra,
+         cast(2 * rank() OVER (PARTITION BY conv_id ORDER BY yb)
+              + count(*) OVER (PARTITION BY conv_id, yb) - 1
+              AS bigint) AS rb
+  FROM pairs
+),
+g AS (
+  SELECT conv_id, count(*) AS n_pairs,
+         sum(ra) AS sx, sum(rb) AS sy,
+         sum(ra * ra) AS sxx, sum(rb * rb) AS syy,
+         sum(ra * rb) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT conv_id, cast(n_pairs AS bigint) AS n_pairs,
+       round(CASE WHEN n_pairs >= 2
+                   AND cast(n_pairs AS double) * sxx
+                       - cast(sx AS double) * sx > 0
+                   AND cast(n_pairs AS double) * syy
+                       - cast(sy AS double) * sy > 0 THEN
+             (cast(n_pairs AS double) * sxy
+              - cast(sx AS double) * cast(sy AS double))
+             / sqrt((cast(n_pairs AS double) * cast(sxx AS double)
+                     - cast(sx AS double) * cast(sx AS double))
+                    * (cast(n_pairs AS double) * cast(syy AS double)
+                       - cast(sy AS double) * cast(sy AS double)))
+             END, 9) + 0.0 AS rho
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8851,6 +8911,7 @@ QUERIES = {
     "doc_adamic_adar": q_doc_adamic_adar,
     "emb_semdedup": q_emb_semdedup,
     "rel_tpch_q6": q_rel_tpch_q6,
+    "ts_spearman": q_ts_spearman,
     "rel_tpch_q14": q_rel_tpch_q14,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
@@ -9004,6 +9065,7 @@ ORACLE_SQL = {
     "doc_adamic_adar": SQL_DOC_ADAMIC_ADAR,
     "emb_semdedup": _semdedup_sql(),
     "rel_tpch_q6": SQL_REL_TPCH_Q6,
+    "ts_spearman": SQL_TS_SPEARMAN,
     "rel_tpch_q14": SQL_REL_TPCH_Q14,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),

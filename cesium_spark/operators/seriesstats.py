@@ -1316,3 +1316,79 @@ def pacf3(series: DataFrame) -> DataFrame:
     return step3.select(
         "conv_id", "n", "r1", "r2", "r3",
         F.col("r1").alias("pacf1"), "pacf2", p33.alias("pacf3"))
+
+
+def spearman_channels(series: DataFrame, ch_a: str,
+                      ch_b: str) -> DataFrame:
+    """Cross-channel SPEARMAN rank correlation per conversation — the
+    monotone-association twin of ``channel_corr``'s Pearson r: rank
+    both channels within the paired sample and correlate the ranks,
+    so one whale turn cannot dominate the statistic and any monotone
+    (not just linear) coupling shows as |ρ| → 1.
+
+    Exactness — the whole statistic reduces to exact int64: with
+    average ranks for ties, 2·rank_avg = 2·rank() + (ties − 1) is an
+    INTEGER (rank() = ANSI sparse rank, ties = the value's multiplicity
+    in the conversation), and Pearson over (2·rank_a, 2·rank_b) equals
+    Pearson over the average ranks (the factor 2 cancels), so n, Σx,
+    Σy, Σx², Σy², Σxy are exact int64 hash-aggregate sums and ρ is the
+    one fixed double tree
+
+        ρ = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²̲)·(n·Σy² − Σy²̲)),
+
+    restated verbatim in SQL.  Either channel constant over the pairs
+    (zero variance) → NULL, never 0/0; < 2 pairs → NULL.  Rank sums
+    are O(n²) in magnitude: int64-safe up to ~10^4.5-million-pair
+    conversations, far past any real transcript (ANSI raises, not
+    wraps, beyond).
+
+    Plan: the channel_corr single-scan conditional-aggregation
+    alignment (no self-join), then two rank windows + two tie-count
+    windows + one aggregate, ALL keyed by conv_id → two exchanges
+    total ((conv,turn) alignment, then conv windows+agg), both
+    shrinking.
+    """
+    if ch_a == ch_b:
+        raise ValueError(f"channels must differ, got {ch_a!r} twice")
+    aligned = (
+        series
+        .where(F.col("channel").isin([ch_a, ch_b])
+               & F.col("y").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.when(F.col("channel") == ch_a, F.col("y")))
+             .alias("__ya"),
+             F.max(F.when(F.col("channel") == ch_b, F.col("y")))
+             .alias("__yb"))
+        .where(F.col("__ya").isNotNull() & F.col("__yb").isNotNull())
+    )
+    wa = Window.partitionBy("conv_id").orderBy("__ya")
+    wb = Window.partitionBy("conv_id").orderBy("__yb")
+    ca = Window.partitionBy("conv_id", "__ya")
+    cb = Window.partitionBy("conv_id", "__yb")
+    # 2 * average rank = 2*rank + multiplicity - 1: exact integers
+    ranked = aligned.select(
+        "conv_id",
+        (F.lit(2) * F.rank().over(wa)
+         + F.count(F.lit(1)).over(ca) - F.lit(1))
+        .cast("long").alias("__ra"),
+        (F.lit(2) * F.rank().over(wb)
+         + F.count(F.lit(1)).over(cb) - F.lit(1))
+        .cast("long").alias("__rb"))
+    x, y = F.col("__ra"), F.col("__rb")
+    g = ranked.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    n, sx, sy = d("n_pairs"), d("sx"), d("sy")
+    sxx, syy, sxy = d("sxx"), d("syy"), d("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    rho = F.when((F.col("n_pairs") >= 2)
+                 & (vx > 0) & (vy > 0),
+                 (n * sxy - sx * sy) / F.sqrt(vx * vy))
+    return g.select("conv_id", "n_pairs", rho.alias("rho"))

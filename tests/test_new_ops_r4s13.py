@@ -360,3 +360,71 @@ def test_q14_broadcasts_part(spark):
     assert 0 <= row["promo_share"] <= 100
     assert abs(row["total_revenue"] - row["promo_revenue"]
                * (100 / row["promo_share"])) / row["total_revenue"] < 1e-6
+
+
+# --- Spearman channel correlation --------------------------------------------------
+
+def _two_ch(spark, ya, yb):
+    rows = []
+    for i, v in enumerate(ya):
+        rows.append(("c", "a", i, float(i), float(v)))
+    for i, v in enumerate(yb):
+        rows.append(("c", "b", i, float(i), float(v)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "channel", "turn_idx",
+                                      "t", "y"])
+    return spark.createDataFrame(pdf)
+
+
+def test_spearman_matches_scipy_style_ref(spark):
+    from cesium_spark.operators.seriesstats import spearman_channels
+    rng = np.random.RandomState(5)
+    ya = rng.randint(0, 20, 60).astype(float)       # heavy ties
+    yb = (0.5 * ya + rng.randint(0, 10, 60)).astype(float)
+    row = spearman_channels(_two_ch(spark, ya, yb), "a", "b").collect()[0]
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j - 1) / 2 + 1
+            i = j
+        return ranks
+
+    ra, rb = avg_ranks(ya), avg_ranks(yb)
+    ref = np.corrcoef(ra, rb)[0, 1]
+    assert row["n_pairs"] == 60
+    assert abs(row["rho"] - ref) < 1e-12
+
+
+def test_spearman_monotone_and_degenerate(spark):
+    from cesium_spark.operators.seriesstats import spearman_channels
+    # any monotone map -> rho exactly 1 (Pearson there would be < 1)
+    ya = np.arange(1, 21).astype(float)
+    yb = np.exp(ya / 5)
+    row = spearman_channels(_two_ch(spark, ya, yb), "a", "b").collect()[0]
+    assert abs(row["rho"] - 1.0) < 1e-12
+    # constant channel -> NULL
+    row = spearman_channels(
+        _two_ch(spark, ya, np.ones(20)), "a", "b").collect()[0]
+    assert row["rho"] is None
+    with pytest.raises(ValueError, match="differ"):
+        spearman_channels(_two_ch(spark, ya, yb), "a", "a")
+
+
+def test_spearman_pairwise_complete(spark):
+    from cesium_spark.operators.seriesstats import spearman_channels
+    # channel b missing at turns 0-1: only the overlap is ranked
+    rows = [("c", "a", i, float(i), float(v))
+            for i, v in enumerate([9, 8, 1, 2, 3, 4])]
+    rows += [("c", "b", i, float(i), float(v))
+             for i, v in [(2, 10), (3, 20), (4, 30), (5, 40)]]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "channel", "turn_idx",
+                                      "t", "y"])
+    row = spearman_channels(spark.createDataFrame(pdf), "a", "b").collect()[0]
+    assert row["n_pairs"] == 4
+    assert abs(row["rho"] - 1.0) < 1e-12   # 1,2,3,4 vs 10,20,30,40
