@@ -8827,6 +8827,78 @@ FROM g
 """
 
 
+def q_ts_dialogue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation dialogue structure over the canonical
+    transcript shape: turn counts, role switches (gaps-and-islands
+    runs), longest streak, tool traffic, token totals, and the
+    deterministic majority role (turns DESC, role ASC). All integers
+    + ONE terminal division; oracle replays the windows verbatim."""
+    from cesium_spark.operators.derive import dialogue_stats
+    out = dialogue_stats(events_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "n_turns", "n_roles", "n_switches", "longest_run",
+        _r(F.col("switch_rate"), 9).alias("switch_rate"),
+        "tool_turns", "tok_total", "top_role", "top_role_turns")
+
+
+SQL_TS_DIALOGUE = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         event_type AS role, props AS text,
+         CASE WHEN event_type = 'purchase' THEN 'checkout' END AS tool
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+b AS (
+  SELECT conv_id, turn_idx, role, tool,
+         len(string_split_regex(trim(text), '\\s+')) AS tok,
+         CASE WHEN lag(role) OVER w2 IS NOT NULL
+               AND role <> lag(role) OVER w2 THEN 1 ELSE 0 END AS sw
+  FROM t
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+r AS (
+  SELECT *, sum(sw) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM b
+),
+rl AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY conv_id, run) AS run_len,
+         count(*) OVER (PARTITION BY conv_id, role) AS role_cnt
+  FROM r
+),
+g AS (
+  SELECT conv_id, count(*) AS n_turns,
+         count(DISTINCT role) AS n_roles,
+         sum(sw) AS n_switches, max(run_len) AS longest_run,
+         count(tool) AS tool_turns, sum(tok) AS tok_total,
+         max(role_cnt) AS top_role_turns
+  FROM rl GROUP BY 1
+),
+tr AS (
+  SELECT conv_id, role AS top_role
+  FROM (SELECT conv_id, role, count(*) AS c FROM t GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY conv_id
+                             ORDER BY c DESC, role) = 1
+)
+SELECT g.conv_id,
+       cast(n_turns AS bigint) AS n_turns,
+       cast(n_roles AS bigint) AS n_roles,
+       cast(n_switches AS bigint) AS n_switches,
+       cast(longest_run AS bigint) AS longest_run,
+       round(CASE WHEN n_turns > 1 THEN
+             cast(n_switches AS double)
+             / cast(n_turns - 1 AS double) END, 9) + 0.0 AS switch_rate,
+       cast(tool_turns AS bigint) AS tool_turns,
+       cast(tok_total AS bigint) AS tok_total,
+       tr.top_role,
+       cast(top_role_turns AS bigint) AS top_role_turns
+FROM g JOIN tr USING (conv_id)
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8912,6 +8984,7 @@ QUERIES = {
     "emb_semdedup": q_emb_semdedup,
     "rel_tpch_q6": q_rel_tpch_q6,
     "ts_spearman": q_ts_spearman,
+    "ts_dialogue": q_ts_dialogue,
     "rel_tpch_q14": q_rel_tpch_q14,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
@@ -9066,6 +9139,7 @@ ORACLE_SQL = {
     "emb_semdedup": _semdedup_sql(),
     "rel_tpch_q6": SQL_REL_TPCH_Q6,
     "ts_spearman": SQL_TS_SPEARMAN,
+    "ts_dialogue": SQL_TS_DIALOGUE,
     "rel_tpch_q14": SQL_REL_TPCH_Q14,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),

@@ -64,3 +64,70 @@ def derive_series(transcripts: DataFrame,
         .select("conv_id", "channel", "turn_idx", "ts", "t", "y", "e")
     )
     return out
+
+
+def dialogue_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation turn-taking structure over the canonical
+    transcript shape (conv_id, turn_idx, role, text, tool, ts) — the
+    dialogue-level profile the per-channel series can't see: does the
+    conversation alternate or monologue, who dominates, how much of
+    it is tool traffic.  One row per conversation:
+
+        n_turns, n_roles, n_switches   — exact integer counts
+        longest_run                    — longest same-role streak
+        switch_rate                    — n_switches/(n_turns−1),
+                                         NULL for 1-turn convs
+        tool_turns                     — turns with a non-null tool
+        tok_total                      — whitespace tokens, summed
+        top_role, top_role_turns       — majority role, deterministic
+                                         tie rule (turns DESC, role
+                                         ASC — the min_by struct
+                                         trick, engine-identical)
+
+    Everything is integers plus ONE terminal division; no float sum
+    exists anywhere, so the SQL replay is exact by construction.
+
+    Plan: runs are the classic gaps-and-islands window pair (switch
+    flag via lag, run id via ordered cumulative sum, run length via a
+    count window over (conv, run)) — all these windows AND the final
+    aggregate key on conv_id or supersets of it, so hashpartitioning
+    (conv_id) satisfies every distribution: ONE exchange total,
+    no join, no UDF (plan-asserted in pytest).
+    """
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    switch = F.when(
+        F.lag("role").over(w_ord).isNotNull()
+        & (F.col("role") != F.lag("role").over(w_ord)), F.lit(1)) \
+        .otherwise(F.lit(0))
+    base = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("__tok"),
+        switch.alias("__sw"))
+    base = base.withColumn(
+        "__run", F.sum("__sw").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+    base = base.withColumn(
+        "__run_len",
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id", "__run")))
+    base = base.withColumn(
+        "__role_cnt",
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id", "role")))
+    g = base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.sum("__sw").alias("n_switches"),
+        F.max("__run_len").alias("longest_run"),
+        F.count("tool").alias("tool_turns"),
+        F.sum("__tok").alias("tok_total"),
+        F.expr("min_by(role, struct(-__role_cnt, role))")
+        .alias("top_role"),
+        F.max("__role_cnt").alias("top_role_turns"))
+    rate = F.when(
+        F.col("n_turns") > 1,
+        F.col("n_switches").cast("double")
+        / (F.col("n_turns") - F.lit(1)).cast("double"))
+    return g.select(
+        "conv_id", "n_turns", "n_roles", "n_switches", "longest_run",
+        rate.alias("switch_rate"), "tool_turns",
+        F.col("tok_total").cast("long").alias("tok_total"),
+        "top_role", "top_role_turns")

@@ -428,3 +428,58 @@ def test_spearman_pairwise_complete(spark):
     row = spearman_channels(spark.createDataFrame(pdf), "a", "b").collect()[0]
     assert row["n_pairs"] == 4
     assert abs(row["rho"] - 1.0) < 1e-12   # 1,2,3,4 vs 10,20,30,40
+
+
+# --- dialogue stats ----------------------------------------------------------------
+
+def _tr(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    return spark.createDataFrame(pdf)
+
+
+def test_dialogue_stats_basic(spark):
+    from cesium_spark.operators.derive import dialogue_stats
+    rows = [
+        ("c1", 0, "user", "hi there", None, 0),
+        ("c1", 1, "assistant", "hello how are you", None, 10),
+        ("c1", 2, "assistant", "anything else", "search", 20),
+        ("c1", 3, "user", "no", None, 30),
+        ("c2", 0, "user", "solo", None, 0),
+    ]
+    r = {x["conv_id"]: x for x in
+         dialogue_stats(_tr(spark, rows)).collect()}
+    c1 = r["c1"]
+    assert c1["n_turns"] == 4 and c1["n_roles"] == 2
+    assert c1["n_switches"] == 2            # u->a, a->u
+    assert c1["longest_run"] == 2           # assistant twice
+    assert abs(c1["switch_rate"] - 2 / 3) < 1e-15
+    assert c1["tool_turns"] == 1
+    assert c1["tok_total"] == 2 + 4 + 2 + 1
+    assert c1["top_role"] == "assistant" or c1["top_role_turns"] == 2
+    # tie at 2-2: deterministic rule -> lexicographically smaller role
+    assert c1["top_role"] == "assistant"
+    c2 = r["c2"]
+    assert c2["n_turns"] == 1 and c2["switch_rate"] is None
+    assert c2["longest_run"] == 1 and c2["n_switches"] == 0
+
+
+def test_dialogue_stats_monologue_and_alternation(spark):
+    from cesium_spark.operators.derive import dialogue_stats
+    mono = [("m", i, "user", "x", None, i) for i in range(5)]
+    alt = [("a", i, ["u", "v"][i % 2], "x", None, i) for i in range(6)]
+    r = {x["conv_id"]: x for x in
+         dialogue_stats(_tr(spark, mono + alt)).collect()}
+    assert r["m"]["n_switches"] == 0 and r["m"]["longest_run"] == 5
+    assert r["m"]["switch_rate"] == 0.0
+    assert r["a"]["n_switches"] == 5 and r["a"]["longest_run"] == 1
+    assert r["a"]["switch_rate"] == 1.0
+
+
+def test_dialogue_stats_single_exchange_plan(spark):
+    from cesium_spark.operators.derive import dialogue_stats
+    rows = [("c", i, "u", "x y", None, i) for i in range(10)]
+    plan = dialogue_stats(
+        _tr(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
