@@ -8899,6 +8899,83 @@ FROM g JOIN tr USING (conv_id)
 """
 
 
+def q_ts_role_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information profile of the corpus role chain: marginal and
+    conditional (Markov) entropy of the next role, their difference
+    (mutual information — how much the previous role predicts the
+    next), and conditional perplexity. Exact integer cell counts; the
+    two entropy folds run in ORDERED (role, next_role) sequence on
+    the r x r cell table; oracle replays cells, folds, and the
+    fixed trees verbatim."""
+    from cesium_spark.operators.sequences import transition_entropy
+    out = transition_entropy(events_transcripts(spark, sf_dir))
+    return out.select(
+        "n_transitions", F.col("n_states").cast("long").alias("n_states"),
+        _r(F.col("h_next"), 9).alias("h_next"),
+        _r(F.col("h_cond"), 9).alias("h_cond"),
+        _r(F.col("mi"), 9).alias("mi"),
+        _r(F.col("perplexity"), 9).alias("perplexity"))
+
+
+SQL_TS_ROLE_ENTROPY = """
+WITH tr AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         event_type AS role
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT role, lead(role) OVER w2 AS next_role
+  FROM tr
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+pf AS (
+  SELECT role, next_role FROM p
+  WHERE role IS NOT NULL AND next_role IS NOT NULL
+),
+cells AS (
+  SELECT role, next_role, count(*) AS n FROM pf GROUP BY 1, 2
+),
+e AS (
+  SELECT role, next_role, n,
+         sum(n) OVER () AS t,
+         sum(n) OVER (PARTITION BY role) AS n_from,
+         sum(n) OVER (PARTITION BY next_role) AS n_next,
+         row_number() OVER (PARTITION BY next_role ORDER BY role) AS rn
+  FROM cells
+),
+f AS (
+  SELECT t,
+         sum((cast(n AS double) / cast(t AS double))
+             * ln(cast(n_from AS double) / cast(n AS double)))
+           OVER wo AS cum_cond,
+         sum(CASE WHEN rn = 1 THEN
+             (cast(n_next AS double) / cast(t AS double))
+             * ln(cast(t AS double) / cast(n_next AS double))
+             ELSE 0.0 END) OVER wo AS cum_marg
+  FROM e
+  WINDOW wo AS (ORDER BY role, next_role)
+),
+g AS (
+  SELECT max(t) AS n_transitions, max(cum_cond) AS h_cond,
+         max(cum_marg) AS h_next
+  FROM f
+),
+s AS (
+  SELECT count(DISTINCT x) AS n_states FROM (
+    SELECT role AS x FROM pf UNION ALL SELECT next_role FROM pf)
+)
+SELECT cast(g.n_transitions AS bigint) AS n_transitions,
+       cast(s.n_states AS bigint) AS n_states,
+       round(g.h_next, 9) + 0.0 AS h_next,
+       round(g.h_cond, 9) + 0.0 AS h_cond,
+       round(g.h_next - g.h_cond, 9) + 0.0 AS mi,
+       round(exp(g.h_cond), 9) + 0.0 AS perplexity
+FROM g, s
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -8985,6 +9062,7 @@ QUERIES = {
     "rel_tpch_q6": q_rel_tpch_q6,
     "ts_spearman": q_ts_spearman,
     "ts_dialogue": q_ts_dialogue,
+    "ts_role_entropy": q_ts_role_entropy,
     "rel_tpch_q14": q_rel_tpch_q14,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
@@ -9140,6 +9218,7 @@ ORACLE_SQL = {
     "rel_tpch_q6": SQL_REL_TPCH_Q6,
     "ts_spearman": SQL_TS_SPEARMAN,
     "ts_dialogue": SQL_TS_DIALOGUE,
+    "ts_role_entropy": SQL_TS_ROLE_ENTROPY,
     "rel_tpch_q14": SQL_REL_TPCH_Q14,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),

@@ -278,3 +278,80 @@ def burst_intervals(series: DataFrame, gap_thresh_s: float,
                     "n_turns", "t_start", "t_end",
                     (F.col("t_end") - F.col("t_start"))
                     .alias("duration_s")))
+
+
+def transition_entropy(transcripts: DataFrame) -> DataFrame:
+    """Information profile of the role chain — ONE corpus row
+    quantifying how predictable the dialogue grammar is:
+
+        h_next     = H(next)        marginal entropy of the next role
+        h_cond     = H(next|cur)    conditional (Markov) entropy
+        mi         = I(cur; next) = h_next − h_cond   — how many nats
+                     the previous role buys you about the next one
+        perplexity = exp(h_cond)    effective branching factor
+
+    plus n_transitions / n_states.  A strict monologue corpus gives
+    h_cond = 0 (perplexity 1); perfect two-role alternation gives
+    h_next = ln 2 but h_cond = 0 and mi = ln 2 — the signature the
+    transition-matrix rows show only implicitly.
+
+    Exactness: every probability is a ratio of exact int64 counts
+    from ``role_transitions``-style aggregation (lead window per
+    conversation — transitions never cross a conversation boundary —
+    then ONE (role, next_role) hash aggregate).  The two entropy sums
+    fold over the r×r cell table in ORDERED (role, next_role) /
+    (next_role) sequence — max of a nondecreasing running sum of the
+    non-negative terms (cnt/T)·ln(cnt_c/cnt), never a parallel float
+    sum — and mi is one subtraction of the two folded doubles.
+    Everything past the transition aggregate runs on cell-cardinality
+    rows (the chi2_independence contract): the global-window folds
+    are bounded by r², not the corpus.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (transcripts
+             .select("conv_id", "turn_idx", "role")
+             .withColumn("next_role", F.lead("role").over(w))
+             .where(F.col("role").isNotNull()
+                    & F.col("next_role").isNotNull()))
+    cells = pairs.groupBy("role", "next_role").agg(
+        F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    w_from = Window.partitionBy("role")
+    w_next = Window.partitionBy("next_role")
+    enriched = cells.select(
+        "role", "next_role", "n",
+        F.sum("n").over(w_all).alias("t"),
+        F.sum("n").over(w_from).alias("n_from"),
+        F.sum("n").over(w_next).alias("n_next"))
+    nd = F.col("n").cast("double")
+    td = F.col("t").cast("double")
+    cond_term = (nd / td) * F.log(F.col("n_from").cast("double") / nd)
+    # marginal term counted once per next_role: only on its first
+    # (role, next_role) cell in order
+    first_of_next = F.row_number().over(
+        Window.partitionBy("next_role").orderBy("role")) == 1
+    marg_term = F.when(
+        first_of_next,
+        (F.col("n_next").cast("double") / td)
+        * F.log(td / F.col("n_next").cast("double"))).otherwise(F.lit(0.0))
+    w_ord = w_all.orderBy("role", "next_role")
+    folded = enriched.select(
+        "t",
+        F.sum(cond_term).over(w_ord).alias("__cum_cond"),
+        F.sum(marg_term).over(w_ord).alias("__cum_marg"),
+        F.count(F.lit(1)).over(w_all).alias("__n_cells"))
+    g = folded.groupBy().agg(
+        F.max("t").alias("n_transitions"),
+        F.max("__cum_cond").alias("h_cond"),
+        F.max("__cum_marg").alias("h_next"),
+        F.max("__n_cells").alias("__n_cells"))
+    states = (pairs.select(F.col("role").alias("s"))
+              .unionAll(pairs.select(F.col("next_role").alias("s")))
+              .agg(F.countDistinct("s").alias("n_states")))
+    out = g.crossJoin(F.broadcast(states))
+    return out.select(
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        "n_states",
+        "h_next", "h_cond",
+        (F.col("h_next") - F.col("h_cond")).alias("mi"),
+        F.exp(F.col("h_cond")).alias("perplexity"))

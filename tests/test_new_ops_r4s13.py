@@ -483,3 +483,70 @@ def test_dialogue_stats_single_exchange_plan(spark):
     plan = dialogue_stats(
         _tr(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- transition entropy ------------------------------------------------------------
+
+def _roles(spark, convs):
+    rows = []
+    for cid, seq in convs.items():
+        for i, role in enumerate(seq):
+            rows.append((cid, i, role, "x", None, i))
+    return _tr(spark, rows)
+
+
+def test_transition_entropy_anchors(spark):
+    from cesium_spark.operators.sequences import transition_entropy
+    # monologue: one state, perfectly predictable
+    r = transition_entropy(
+        _roles(spark, {"m": ["u"] * 10})).collect()[0]
+    assert r["n_states"] == 1 and r["n_transitions"] == 9
+    assert r["h_next"] == 0.0 and r["h_cond"] == 0.0
+    assert r["mi"] == 0.0 and r["perplexity"] == 1.0
+    # perfect alternation: next role is 50/50 marginally but fully
+    # determined by the current one
+    # odd length so the (u,v) and (v,u) transition counts tie at 8/8
+    r = transition_entropy(
+        _roles(spark, {"a": ["u", "v"] * 8 + ["u"]})).collect()[0]
+    assert abs(r["h_next"] - np.log(2)) < 1e-12
+    assert r["h_cond"] == 0.0
+    assert abs(r["mi"] - np.log(2)) < 1e-12
+    assert r["perplexity"] == 1.0
+
+
+def test_transition_entropy_matches_numpy_replay(spark):
+    from cesium_spark.operators.sequences import transition_entropy
+    rng = np.random.RandomState(9)
+    convs = {f"c{k}": [("u", "v", "w")[i] for i in
+                       rng.randint(0, 3, 30)] for k in range(5)}
+    r = transition_entropy(_roles(spark, convs)).collect()[0]
+    from collections import Counter
+    cells = Counter()
+    for seq in convs.values():
+        for a, b in zip(seq, seq[1:]):
+            cells[(a, b)] += 1
+    t = sum(cells.values())
+    nfrom = Counter()
+    nnext = Counter()
+    for (a, b), c in cells.items():
+        nfrom[a] += c
+        nnext[b] += c
+    h_cond = sum((c / t) * np.log(nfrom[a] / c)
+                 for (a, b), c in sorted(cells.items()))
+    h_next = sum((c / t) * np.log(t / c) for _, c in sorted(nnext.items()))
+    assert r["n_transitions"] == t
+    assert abs(r["h_cond"] - h_cond) < 1e-12
+    assert abs(r["h_next"] - h_next) < 1e-12
+    assert abs(r["mi"] - (h_next - h_cond)) < 1e-12
+    assert r["mi"] >= -1e-12          # MI is non-negative
+
+
+def test_transition_entropy_no_cross_conversation_leak(spark):
+    from cesium_spark.operators.sequences import transition_entropy
+    # two monologue convs in different roles: NO u->v transition may
+    # appear even though v follows u in global row order
+    r = transition_entropy(
+        _roles(spark, {"c1": ["u"] * 4, "c2": ["v"] * 4})).collect()[0]
+    assert r["n_transitions"] == 6
+    assert r["h_cond"] == 0.0          # each role only follows itself
+    assert abs(r["mi"] - r["h_next"]) < 1e-12
