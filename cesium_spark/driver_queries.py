@@ -8976,6 +8976,68 @@ FROM g, s
 """
 
 
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page CUSUM drift alarms per conversation over the integer
+    tokens-per-turn series (target=5, slack=1, h=20): the recursion
+    collapses to running-sum-minus-running-min, so every statistic is
+    an exact int64 window expression replayed verbatim in SQL."""
+    from cesium_spark.operators.seriesstats import cusum
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = cusum(series, target=5, slack=1, h=20)
+    return out.select("conv_id", "n", "s_up_max", "s_dn_max",
+                      "crossed_up", "crossed_dn", "first_up", "first_dn")
+
+
+SQL_TS_CUSUM = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+  SELECT conv_id, turn_idx,
+         sum(y - 5 - 1) OVER wr AS av,
+         sum(5 - 1 - y) OVER wr AS bv
+  FROM s
+  WINDOW wr AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING)
+),
+c AS (
+  SELECT conv_id, turn_idx,
+         av - least(min(av) OVER wr, 0) AS su,
+         bv - least(min(bv) OVER wr, 0) AS sd
+  FROM a
+  WINDOW wr AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING)
+),
+g AS (
+  SELECT conv_id, count(*) AS n,
+         max(su) AS s_up_max, max(sd) AS s_dn_max,
+         min(CASE WHEN su > 20 THEN turn_idx END) AS first_up,
+         min(CASE WHEN sd > 20 THEN turn_idx END) AS first_dn
+  FROM c GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(s_up_max AS bigint) AS s_up_max,
+       cast(s_dn_max AS bigint) AS s_dn_max,
+       s_up_max > 20 AS crossed_up,
+       s_dn_max > 20 AS crossed_dn,
+       cast(first_up AS int) AS first_up,
+       cast(first_dn AS int) AS first_dn
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9063,6 +9125,7 @@ QUERIES = {
     "ts_spearman": q_ts_spearman,
     "ts_dialogue": q_ts_dialogue,
     "ts_role_entropy": q_ts_role_entropy,
+    "ts_cusum": q_ts_cusum,
     "rel_tpch_q14": q_rel_tpch_q14,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
@@ -9219,6 +9282,7 @@ ORACLE_SQL = {
     "ts_spearman": SQL_TS_SPEARMAN,
     "ts_dialogue": SQL_TS_DIALOGUE,
     "ts_role_entropy": SQL_TS_ROLE_ENTROPY,
+    "ts_cusum": SQL_TS_CUSUM,
     "rel_tpch_q14": SQL_REL_TPCH_Q14,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),

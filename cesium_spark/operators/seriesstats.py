@@ -1392,3 +1392,88 @@ def spearman_channels(series: DataFrame, ch_a: str,
                  & (vx > 0) & (vy > 0),
                  (n * sxy - sx * sy) / F.sqrt(vx * vy))
     return g.select("conv_id", "n_pairs", rho.alias("rho"))
+
+
+def cusum(series: DataFrame, target: int, slack: int = 0,
+          h: int | None = None) -> DataFrame:
+    """Page's CUSUM control statistic per conversation (Page 1954) —
+    the SEQUENTIAL drift alarm completing the change-detection pair
+    with ``pettitt`` (retrospective single-shift locator): how far has
+    the series run above/below its in-control ``target``, with
+    ``slack`` absorbing innocuous wobble and ``h`` the alarm fence.
+
+    The textbook recursion S⁺_k = max(0, S⁺_{k−1} + y_k − target −
+    slack) needs no recursion at all: with the prefix sums
+    A_k = Σ_{i≤k}(y_i − target − slack),
+
+        S⁺_k = A_k − min_{0≤j≤k} A_j        (and symmetrically
+        S⁻_k = B_k − min B_j,  B_k = Σ(target − slack − y_i)),
+
+    i.e. a running sum minus a running min — two ordered windows,
+    entirely native, and on the house integer contract EVERY quantity
+    is exact int64 (target/slack/h are integer GRID parameters by
+    signature; float inputs raise; the implicit A_0 = 0 enters as a
+    least(min, 0)).  No reset-after-alarm: the operator reports the
+    UNRESET statistic's maxima and first crossings (the common
+    monitoring readout); a reset variant is a different, stateful
+    operator and deliberately out of scope here.
+
+    Output per conversation: n, s_up_max, s_dn_max (exact ints),
+    crossed_up / crossed_dn (NULL when h is None), first_up /
+    first_dn — the first turn_idx whose statistic exceeds h, NULL if
+    never.
+
+    Plan: two prefix windows + one hash aggregate, all keyed by
+    conv_id → ONE exchange, no UDF, no join (plan-asserted).
+    """
+    for name, v in (("target", target), ("slack", slack)):
+        if not isinstance(v, int):
+            raise ValueError(f"cusum: {name} must be an int (pre-grid "
+                             f"floats explicitly), got {v!r}")
+    if h is not None and (not isinstance(h, int) or h <= 0):
+        raise ValueError(f"cusum: h must be a positive int, got {h!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"cusum: column 'y' has type {t}; the exact-sufficient-"
+            "statistics contract needs integer levels")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    y = F.col("y").cast("long")
+    up_inc = y - F.lit(target) - F.lit(slack)
+    dn_inc = F.lit(target) - F.lit(slack) - y
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", "turn_idx", "t",
+                 F.sum(up_inc).over(w_run).alias("__a"),
+                 F.sum(dn_inc).over(w_run).alias("__b")))
+    # S_k = A_k - min(0, min_{j<=k} A_j): the implicit A_0 = 0 start
+    s = s.select(
+        "conv_id", "turn_idx",
+        (F.col("__a")
+         - F.least(F.min("__a").over(w_run), F.lit(0))).alias("__su"),
+        (F.col("__b")
+         - F.least(F.min("__b").over(w_run), F.lit(0))).alias("__sd"))
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.max("__su").alias("s_up_max"),
+            F.max("__sd").alias("s_dn_max")]
+    if h is not None:
+        aggs += [
+            F.min(F.when(F.col("__su") > h, F.col("turn_idx")))
+            .alias("first_up"),
+            F.min(F.when(F.col("__sd") > h, F.col("turn_idx")))
+            .alias("first_dn")]
+    g = s.groupBy("conv_id").agg(*aggs)
+    if h is None:
+        return g.select(
+            "conv_id", "n", "s_up_max", "s_dn_max",
+            F.lit(None).cast("boolean").alias("crossed_up"),
+            F.lit(None).cast("boolean").alias("crossed_dn"),
+            F.lit(None).cast("int").alias("first_up"),
+            F.lit(None).cast("int").alias("first_dn"))
+    return g.select(
+        "conv_id", "n", "s_up_max", "s_dn_max",
+        (F.col("s_up_max") > h).alias("crossed_up"),
+        (F.col("s_dn_max") > h).alias("crossed_dn"),
+        F.col("first_up").cast("int").alias("first_up"),
+        F.col("first_dn").cast("int").alias("first_dn"))

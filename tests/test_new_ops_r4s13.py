@@ -550,3 +550,70 @@ def test_transition_entropy_no_cross_conversation_leak(spark):
     assert r["n_transitions"] == 6
     assert r["h_cond"] == 0.0          # each role only follows itself
     assert abs(r["mi"] - r["h_next"]) < 1e-12
+
+
+# --- CUSUM -------------------------------------------------------------------------
+
+def _cusum_ref(y, target, slack, h):
+    """Literal Page recursion."""
+    su = sd = 0
+    su_max = sd_max = 0
+    first_up = first_dn = None
+    for i, v in enumerate(y):
+        su = max(0, su + v - target - slack)
+        sd = max(0, sd + target - slack - v)
+        su_max, sd_max = max(su_max, su), max(sd_max, sd)
+        if first_up is None and su > h:
+            first_up = i
+        if first_dn is None and sd > h:
+            first_dn = i
+    return su_max, sd_max, first_up, first_dn
+
+
+def test_cusum_matches_page_recursion(spark):
+    from cesium_spark.operators.seriesstats import cusum
+    rng = np.random.RandomState(21)
+    y = list(rng.randint(3, 8, 40)) + list(rng.randint(7, 12, 40))
+    row = cusum(_series(spark, y), target=5, slack=1, h=15).collect()[0]
+    su, sd, fu, fd = _cusum_ref(y, 5, 1, 15)
+    assert (row["s_up_max"], row["s_dn_max"]) == (su, sd)
+    assert row["first_up"] == fu and row["first_dn"] == fd
+    assert row["crossed_up"] and fu is not None
+
+
+def test_cusum_in_control_never_alarms(spark):
+    from cesium_spark.operators.seriesstats import cusum
+    y = [5, 6, 4, 5, 5, 6, 4] * 10        # hugs the target
+    row = cusum(_series(spark, y), target=5, slack=1, h=5).collect()[0]
+    assert row["s_up_max"] == 0 and row["s_dn_max"] == 0
+    assert not row["crossed_up"] and not row["crossed_dn"]
+    assert row["first_up"] is None and row["first_dn"] is None
+
+
+def test_cusum_downward_shift_and_no_h(spark):
+    from cesium_spark.operators.seriesstats import cusum
+    y = [10] * 20 + [2] * 20
+    row = cusum(_series(spark, y), target=10, slack=0, h=30).collect()[0]
+    assert row["s_dn_max"] == 8 * 20 and row["s_up_max"] == 0
+    assert row["first_dn"] == 20 + 30 // 8  # ceil-ish: S > 30 at turn 23
+    row = cusum(_series(spark, y), target=10).collect()[0]
+    assert row["crossed_up"] is None and row["first_dn"] is None
+
+
+def test_cusum_validation(spark):
+    from cesium_spark.operators.seriesstats import cusum
+    with pytest.raises(ValueError, match="target must be an int"):
+        cusum(_series(spark, [1, 2]), target=1.5)
+    with pytest.raises(ValueError, match="h must be"):
+        cusum(_series(spark, [1, 2]), target=1, h=0)
+    pdf = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0],
+                        "t": [0.0], "y": [1.5]})
+    with pytest.raises(ValueError, match="integer"):
+        cusum(spark.createDataFrame(pdf), target=1)
+
+
+def test_cusum_single_exchange_plan(spark):
+    from cesium_spark.operators.seriesstats import cusum
+    plan = cusum(_series(spark, list(range(30))), target=3, h=9
+                 )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
