@@ -9038,6 +9038,53 @@ FROM g
 """
 
 
+def q_ts_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of tokens-per-turn within each
+    conversation: exact int64 rank-formula numerator and denominator,
+    ONE terminal division, tie order provably irrelevant. Oracle
+    replays rank and sums verbatim."""
+    from cesium_spark.operators.seriesstats import gini_concentration
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        tok.cast("long").alias("y"))
+    out = gini_concentration(series)
+    return out.select("conv_id", "n", "total",
+                      _r(F.col("gini"), 9).alias("gini"))
+
+
+SQL_TS_GINI = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT conv_id, y,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY y, turn_idx) AS i
+  FROM s
+),
+g AS (
+  SELECT conv_id, count(*) AS n, sum(y) AS total,
+         sum(2 * i * y) AS wsum
+  FROM r GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(total AS bigint) AS total,
+       round(CASE WHEN total > 0 THEN
+             cast(wsum - (n + 1) * total AS double)
+             / cast(n * total AS double) END, 9) + 0.0 AS gini
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9059,6 +9106,7 @@ QUERIES = {
     "ts_concurrency": q_ts_concurrency,
     "ts_heartbeat_1d": q_ts_heartbeat_1d,
     "ts_cusum": q_ts_cusum,
+    "ts_gini": q_ts_gini,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9235,6 +9283,7 @@ ORACLE_SQL = {
     "ts_interval_join": SQL_TS_INTERVAL_JOIN,
     "ts_heartbeat_1d": SQL_TS_HEARTBEAT_1D,
     "ts_cusum": SQL_TS_CUSUM,
+    "ts_gini": SQL_TS_GINI,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

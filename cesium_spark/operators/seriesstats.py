@@ -1477,3 +1477,55 @@ def cusum(series: DataFrame, target: int, slack: int = 0,
         (F.col("s_dn_max") > h).alias("crossed_dn"),
         F.col("first_up").cast("int").alias("first_up"),
         F.col("first_dn").cast("int").alias("first_dn"))
+
+
+def gini_concentration(series: DataFrame) -> DataFrame:
+    """Gini coefficient of the per-turn value distribution within each
+    conversation — the concentration question ("is the content packed
+    into a few whale turns or spread evenly?") that mean/std cannot
+    answer: G = 0 perfectly even, → 1 one turn carries everything.
+
+    Computed by the rank formulation over the value-sorted series,
+
+        G = Σᵢ (2·i − n − 1)·y_(i) / (n · Σy),
+
+    which is EXACT on the integer contract: with i = row_number over
+    (y, turn_idx) order, the numerator and n·Σy are exact int64 —
+    and tie order cannot matter because the weights of a tied group
+    sum to a fixed total regardless of who gets which position (the
+    group's positions are fixed as a set).  Requires non-negative
+    values (validated in-plan: a negative y raises via an ANSI
+    assertion expression, because Gini over mixed signs is undefined
+    and a silent wrong number is worse than a failed job).  All-zero
+    series → NULL (0/0); n = 1 → G = 0 exactly.
+
+    Plan: one rank window + one hash aggregate, both keyed by conv_id
+    → ONE exchange, no UDF, no join (plan-asserted).
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"gini_concentration: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id").orderBy("y", "turn_idx")
+    y = F.col("y").cast("long")
+    checked = F.when(
+        y < 0,
+        F.expr("raise_error('gini_concentration: negative value — "
+               "Gini over mixed signs is undefined')").cast("long")
+    ).otherwise(y)
+    s = (series
+         .where(F.col("y").isNotNull())
+         .select("conv_id", checked.alias("__y"),
+                 F.row_number().over(w_ord).alias("__i")))
+    g = s.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("total"),
+        F.sum((F.lit(2) * F.col("__i")) * F.col("__y")).alias("__wsum"))
+    num = (F.col("__wsum")
+           - (F.col("n") + F.lit(1)) * F.col("total")).cast("double")
+    den = (F.col("n") * F.col("total")).cast("double")
+    gini = F.when(F.col("total") > 0, num / den)
+    return g.select("conv_id", "n",
+                    F.col("total").cast("long").alias("total"),
+                    gini.alias("gini"))

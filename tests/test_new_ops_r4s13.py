@@ -617,3 +617,50 @@ def test_cusum_single_exchange_plan(spark):
     plan = cusum(_series(spark, list(range(30))), target=3, h=9
                  )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- Gini concentration ------------------------------------------------------------
+
+def _gini_ref(y):
+    y = np.sort(np.asarray(y, dtype=float))
+    n = len(y)
+    i = np.arange(1, n + 1)
+    return np.sum((2 * i - n - 1) * y) / (n * y.sum())
+
+
+def test_gini_matches_ref_and_anchors(spark):
+    from cesium_spark.operators.seriesstats import gini_concentration
+    rng = np.random.RandomState(13)
+    y = rng.randint(0, 50, 80)
+    row = gini_concentration(_series(spark, y)).collect()[0]
+    assert row["n"] == 80 and row["total"] == int(y.sum())
+    assert abs(row["gini"] - _gini_ref(y)) < 1e-12
+    # perfectly even -> 0; one whale turn -> (n-1)/n
+    even = gini_concentration(_series(spark, [7] * 10)).collect()[0]
+    assert even["gini"] == 0.0
+    whale = gini_concentration(
+        _series(spark, [0] * 9 + [100])).collect()[0]
+    assert abs(whale["gini"] - 0.9) < 1e-12
+
+
+def test_gini_degenerates_and_validation(spark):
+    from cesium_spark.operators.seriesstats import gini_concentration
+    allz = gini_concentration(_series(spark, [0] * 5)).collect()[0]
+    assert allz["gini"] is None
+    one = gini_concentration(_series(spark, [42])).collect()[0]
+    assert one["gini"] == 0.0
+    import pyspark.errors
+    with pytest.raises(Exception, match="negative value"):
+        gini_concentration(_series(spark, [3, -1, 4])).collect()
+    pdf = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0],
+                        "t": [0.0], "y": [1.5]})
+    with pytest.raises(ValueError, match="integer"):
+        gini_concentration(spark.createDataFrame(pdf))
+
+
+def test_gini_single_exchange_plan(spark):
+    from cesium_spark.operators.seriesstats import gini_concentration
+    plan = gini_concentration(
+        _series(spark, list(range(20)))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
