@@ -9085,6 +9085,86 @@ FROM g
 """
 
 
+def q_ts_hac_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West HAC standard error of the per-conversation token
+    mean (Bartlett L=3, dyadic weights 3/4 1/2 1/4 exactly
+    representable on both engines): exact int64 autocovariance
+    numerators (the pacf3 aggregate), fixed double trees, when-based
+    clamp (greatest() skips NULLs — a too-short series must surface
+    NULL, never an understated 0 error bar)."""
+    from cesium_spark.operators.seriesstats import hac_mean_se
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = hac_mean_se(series, max_lag=3)
+    return out.select(
+        "conv_id", "n",
+        _r(F.col("mean"), 9).alias("mean"),
+        _r(F.col("se_iid"), 9).alias("se_iid"),
+        _r(F.col("se_hac"), 9).alias("se_hac"),
+        _r(F.col("inflation"), 9).alias("inflation"))
+
+
+SQL_TS_HAC_SE = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT conv_id, y,
+         lag(y, 1) OVER w2 AS l1,
+         lag(y, 2) OVER w2 AS l2,
+         lag(y, 3) OVER w2 AS l3,
+         sum(y) OVER (PARTITION BY conv_id) AS sy,
+         count(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM s
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT conv_id, max(cnt) AS n, max(sy) AS sy,
+         sum((cnt * y - sy) * (cnt * y - sy)) AS n0,
+         sum(CASE WHEN l1 IS NOT NULL THEN
+             (cnt * y - sy) * (cnt * l1 - sy) END) AS n1,
+         sum(CASE WHEN l2 IS NOT NULL THEN
+             (cnt * y - sy) * (cnt * l2 - sy) END) AS n2,
+         sum(CASE WHEN l3 IS NOT NULL THEN
+             (cnt * y - sy) * (cnt * l3 - sy) END) AS n3
+  FROM l GROUP BY 1
+),
+e AS (
+  SELECT conv_id, n, sy, n0, n1, n2, n3,
+         cast(n0 AS double)
+           + 2.0 * (0.75 * cast(n1 AS double)
+                    + 0.5 * cast(n2 AS double)
+                    + 0.25 * cast(n3 AS double)) AS lrv_num,
+         cast(n AS double) * cast(n AS double) AS nn
+  FROM g
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       round(cast(sy AS double) / cast(n AS double), 9) + 0.0 AS mean,
+       round(CASE WHEN n0 > 0 THEN
+             sqrt(cast(n0 AS double)) / nn END, 9) + 0.0 AS se_iid,
+       round(CASE WHEN n0 > 0 AND n1 IS NOT NULL AND n2 IS NOT NULL
+                   AND n3 IS NOT NULL THEN
+             sqrt(CASE WHEN lrv_num < 0 THEN 0.0 ELSE lrv_num END)
+             / nn END, 9) + 0.0 AS se_hac,
+       round(CASE WHEN n0 > 0 AND n1 IS NOT NULL AND n2 IS NOT NULL
+                   AND n3 IS NOT NULL THEN
+             sqrt(CASE WHEN lrv_num < 0 THEN 0.0 ELSE lrv_num END
+                  / cast(n0 AS double)) END, 9) + 0.0 AS inflation
+FROM e
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9107,6 +9187,7 @@ QUERIES = {
     "ts_heartbeat_1d": q_ts_heartbeat_1d,
     "ts_cusum": q_ts_cusum,
     "ts_gini": q_ts_gini,
+    "ts_hac_se": q_ts_hac_se,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9284,6 +9365,7 @@ ORACLE_SQL = {
     "ts_heartbeat_1d": SQL_TS_HEARTBEAT_1D,
     "ts_cusum": SQL_TS_CUSUM,
     "ts_gini": SQL_TS_GINI,
+    "ts_hac_se": SQL_TS_HAC_SE,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

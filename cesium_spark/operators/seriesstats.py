@@ -1529,3 +1529,90 @@ def gini_concentration(series: DataFrame) -> DataFrame:
     return g.select("conv_id", "n",
                     F.col("total").cast("long").alias("total"),
                     gini.alias("gini"))
+
+
+def hac_mean_se(series: DataFrame, max_lag: int = 3) -> DataFrame:
+    """Newey–West HAC standard error of the conversation mean (Newey &
+    West 1987, Bartlett kernel, lag window L=``max_lag``) — the honest
+    error bar: a sticky series (ar1_fit φ > 0) makes the naive
+    se = σ/√n overconfident by the factor this operator reports as
+    ``inflation``.  The long-run variance
+
+        lrv = γ̂₀ + 2·Σ_{l=1..L} (1 − l/(L+1))·γ̂_l
+
+    is PSD by the Bartlett weights, and on the integer contract every
+    autocovariance reduces to the exact int64 numerators of pacf3:
+    N_l = Σ(n·y_t − S)(n·y_{t−l} − S), γ̂_l = N_l/n³.  So
+
+        se_iid    = sqrt(N₀)/n²
+        se_hac    = sqrt(greatest(N₀ + 2·Σ w_l·N_l, 0)) / n²
+        inflation = se_hac / se_iid                    (NULL if N₀=0)
+
+    — fixed double trees over exact integers (the Bartlett weights
+    for the default L=3 are the dyadic 3/4, 1/2, 1/4: exactly
+    representable literals on both engines); the greatest(…, 0) clamp
+    absorbs the ≤1-ulp float cancellation a mathematically-zero lrv
+    can leave (the ols_granger SSE clamp precedent).  Constant series
+    → NULL se ratios; series shorter than a lag simply contribute
+    NULL N_l which the tree treats as missing → NULL se_hac (an
+    UNDERSTATED error bar is the one thing this operator must never
+    emit).
+
+    Plan: identical to pacf3 — L lag windows + two unordered windows
+    + ONE conv-keyed hash aggregate, one exchange, no UDF.
+    """
+    if not isinstance(max_lag, int) or not (1 <= max_lag <= 8):
+        raise ValueError(f"hac_mean_se: max_lag must be an int in "
+                         f"[1, 8], got {max_lag!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"hac_mean_se: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer levels")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    cols = [F.lag(y, l).over(w_ord).alias(f"__l{l}")
+            for l in range(1, max_lag + 1)]
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", y.alias("__y"), *cols,
+                 F.sum(y).over(w_all).alias("__s"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    dev = F.col("__n") * F.col("__y") - F.col("__s")
+
+    def _num(l):
+        lagdev = F.col("__n") * F.col(f"__l{l}") - F.col("__s")
+        return F.sum(F.when(F.col(f"__l{l}").isNotNull(), dev * lagdev))
+
+    agg = (s.groupBy("conv_id")
+           .agg(F.max("__n").alias("n"),
+                F.max("__s").alias("__sum"),
+                F.sum(dev * dev).alias("n0"),
+                *[_num(l).alias(f"n{l}") for l in range(1, max_lag + 1)]))
+    nd = F.col("n").cast("double")
+    mean = F.col("__sum").cast("double") / nd
+    wsum = None
+    for l in range(1, max_lag + 1):
+        term = F.lit(1.0 - l / (max_lag + 1.0)) \
+            * F.col(f"n{l}").cast("double")
+        wsum = term if wsum is None else (wsum + term)
+    lrv_num = F.col("n0").cast("double") + F.lit(2.0) * wsum
+    # clamp via when, NOT greatest: greatest() SKIPS nulls, which would
+    # turn a too-short-series NULL into a silent se_hac of 0 — the
+    # understated error bar this operator must never emit
+    lrv_pos = F.when(lrv_num < 0, F.lit(0.0)).otherwise(lrv_num)
+    all_lags = None
+    for l in range(1, max_lag + 1):
+        c = F.col(f"n{l}").isNotNull()
+        all_lags = c if all_lags is None else (all_lags & c)
+    n2 = nd * nd
+    se_iid = F.when(F.col("n0") > 0,
+                    F.sqrt(F.col("n0").cast("double")) / n2)
+    se_hac = F.when((F.col("n0") > 0) & all_lags,
+                    F.sqrt(lrv_pos) / n2)
+    infl = F.when((F.col("n0") > 0) & all_lags,
+                  F.sqrt(lrv_pos / F.col("n0").cast("double")))
+    return agg.select("conv_id", "n", mean.alias("mean"),
+                      se_iid.alias("se_iid"), se_hac.alias("se_hac"),
+                      infl.alias("inflation"))

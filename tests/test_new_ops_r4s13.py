@@ -664,3 +664,54 @@ def test_gini_single_exchange_plan(spark):
         _series(spark, list(range(20)))
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- Newey-West HAC se -------------------------------------------------------------
+
+def _hac_ref(y, L=3):
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    d = y - y.mean()
+    g0 = np.sum(d * d) / n
+    lrv = g0
+    for l in range(1, L + 1):
+        gl = np.sum(d[l:] * d[:-l]) / n
+        lrv += 2 * (1 - l / (L + 1)) * gl
+    return np.sqrt(g0 / n), np.sqrt(max(lrv, 0) / n)
+
+
+def test_hac_matches_ref_and_inflates_on_sticky(spark):
+    from cesium_spark.operators.seriesstats import hac_mean_se
+    rng = np.random.RandomState(17)
+    # AR(1)-ish sticky integer series: HAC must inflate vs iid
+    y = [20]
+    for _ in range(400):
+        y.append(int(round(0.8 * y[-1] + 4 + rng.randint(-3, 4))))
+    row = hac_mean_se(_series(spark, y)).collect()[0]
+    se_iid, se_hac = _hac_ref(y)
+    assert abs(row["se_iid"] - se_iid) < 1e-12
+    assert abs(row["se_hac"] - se_hac) < 1e-12
+    assert row["inflation"] > 1.2
+    assert abs(row["mean"] - np.mean(y)) < 1e-9
+
+
+def test_hac_iid_stays_near_one_and_alternation_deflates(spark):
+    from cesium_spark.operators.seriesstats import hac_mean_se
+    rng = np.random.RandomState(19)
+    iid = rng.randint(0, 100, 500)
+    row = hac_mean_se(_series(spark, iid)).collect()[0]
+    assert 0.8 < row["inflation"] < 1.2
+    alt = np.tile([2, 8], 100)     # negative autocorr: HAC DEflates
+    row = hac_mean_se(_series(spark, alt)).collect()[0]
+    assert row["inflation"] < 0.6
+
+
+def test_hac_degenerates(spark):
+    from cesium_spark.operators.seriesstats import hac_mean_se
+    const = hac_mean_se(_series(spark, [5] * 30)).collect()[0]
+    assert const["se_iid"] is None and const["inflation"] is None
+    # 2-point series: lag-3 covariance has no pairs -> NULL propagates
+    short = hac_mean_se(_series(spark, [1, 9])).collect()[0]
+    assert short["se_hac"] is None
+    with pytest.raises(ValueError, match="max_lag"):
+        hac_mean_se(_series(spark, [1, 2]), max_lag=0)
