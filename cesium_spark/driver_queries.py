@@ -9165,6 +9165,78 @@ FROM e
 """
 
 
+def q_rel_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter — customer⋈nation are
+    broadcast dimensions, orders date-filtered, the lineitem join is
+    the one fact shuffle, and the top-20 cut orders by the EXACT
+    int64 fixed-point revenue (rev_i DESC, c_custkey) so the
+    boundary cannot flip between engines; the division to currency
+    happens after the cut."""
+    _prep(spark)
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (_read(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate")
+                 >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate")
+                   < F.lit("1997-04-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    li = (_read(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  (F.round(F.col("l_extendedprice") * 100.0, 0)
+                   .cast("long")
+                   * F.round((F.lit(1.0) - F.col("l_discount")) * 100.0, 0)
+                   .cast("long")).alias("rev_i")))
+    out = (o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+           .agg(F.sum("rev_i").alias("rev_i"),
+                F.count(F.lit(1)).alias("n_items"))
+           .orderBy(F.desc("rev_i"), "c_custkey")
+           .limit(20))
+    return out.select(
+        "c_custkey", "c_name",
+        _r0(F.round(F.col("rev_i").cast("double") / 10000.0, 4))
+        .alias("revenue"),
+        _r0(F.round(F.col("c_acctbal"), 2)).alias("c_acctbal"),
+        "n_name", "n_items")
+
+
+SQL_REL_TPCH_Q10 = """
+WITH li AS (
+  SELECT l_orderkey,
+         cast(round(l_extendedprice * 100.0) AS bigint)
+           * cast(round((1.0 - l_discount) * 100.0) AS bigint) AS rev_i
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+j AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, li.rev_i
+  FROM orders o
+  JOIN li ON o.o_orderkey = li.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= timestamp '1997-01-01 00:00:00'
+    AND o.o_orderdate < timestamp '1997-04-01 00:00:00'
+),
+g AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         sum(rev_i) AS rev_i, count(*) AS n_items
+  FROM j GROUP BY 1, 2, 3, 4
+  ORDER BY rev_i DESC, c_custkey LIMIT 20
+)
+SELECT c_custkey, c_name,
+       round(cast(rev_i AS double) / 10000.0, 4) + 0.0 AS revenue,
+       round(c_acctbal, 2) + 0.0 AS c_acctbal,
+       n_name, n_items
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9188,6 +9260,7 @@ QUERIES = {
     "ts_cusum": q_ts_cusum,
     "ts_gini": q_ts_gini,
     "ts_hac_se": q_ts_hac_se,
+    "rel_tpch_q10": q_rel_tpch_q10,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9366,6 +9439,7 @@ ORACLE_SQL = {
     "ts_cusum": SQL_TS_CUSUM,
     "ts_gini": SQL_TS_GINI,
     "ts_hac_se": SQL_TS_HAC_SE,
+    "rel_tpch_q10": SQL_REL_TPCH_Q10,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

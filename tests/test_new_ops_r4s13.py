@@ -715,3 +715,16 @@ def test_hac_degenerates(spark):
     assert short["se_hac"] is None
     with pytest.raises(ValueError, match="max_lag"):
         hac_mean_se(_series(spark, [1, 2]), max_lag=0)
+
+
+def test_q10_plan_shape(spark):
+    from cesium_spark.driver_queries import q_rel_tpch_q10
+    df = q_rel_tpch_q10(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2   # customer + nation
+    assert "l_returnflag" in plan.split("PushedFilters:")[1][:600] \
+        if "PushedFilters:" in plan else True
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
