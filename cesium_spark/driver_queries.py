@@ -9237,6 +9237,75 @@ FROM g
 """
 
 
+def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (k=5 from an exact top-20 relevance
+    pool, lambda=0.7): the greedy selection unrolls to k-1 lazy
+    DataFrame steps on the engine and to k-1 generated CTE steps in
+    the oracle — anti-join selected, max-sim penalty over pool x
+    selected (bounded by signature), argmax by (score DESC, id).
+    Both engines fold the same doubles in the same order, so the
+    argmax compares identical floats."""
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = similarity.mmr_topk(embs, [float(x) for x in q],
+                              k=5, pool=20, lam=0.7)
+    return out.select(
+        "pick", "vec_id",
+        _r0(F.round("rel", 6)).alias("rel"),
+        _r0(F.round("mmr_score", 6)).alias("mmr_score"))
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """DuckDB replay of mmr_topk: the greedy loop generated as
+    unrolled CTE steps (pick_i / sel_i), each with the NOT IN
+    anti-join, the correlated max-sim penalty over sel_{i-1}, and
+    the (score DESC, id) argmax."""
+    mu = 1.0 - lam
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+q AS (SELECT v AS qv,
+             sqrt(list_sum(list_transform(v, a -> a * a))) AS qn
+      FROM e WHERE vec_id = 0),
+pool AS (
+  SELECT e.vec_id, e.v,
+         sqrt(list_sum(list_transform(e.v, a -> a * a))) AS n,
+         list_sum(list_transform(list_zip(e.v, q.qv),
+                                 s -> s[1] * s[2]))
+           / (sqrt(list_sum(list_transform(e.v, a -> a * a))) * q.qn)
+           AS rel
+  FROM e CROSS JOIN q
+  ORDER BY rel DESC, e.vec_id LIMIT {pool}
+),
+sel1 AS (
+  SELECT vec_id, v, n, rel, 1 AS pick,
+         cast(NULL AS double) AS mmr_score
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+)"""]
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        parts.append(f""",
+pick{i} AS (
+  SELECT p.vec_id, p.v, p.n, p.rel, {i} AS pick,
+         {lam!r} * p.rel - {mu!r} * (
+           SELECT max(list_sum(list_transform(list_zip(p.v, s.v),
+                                              x -> x[1] * x[2]))
+                      / (p.n * s.n))
+           FROM {prev} s) AS mmr_score
+  FROM pool p
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY mmr_score DESC, p.vec_id LIMIT 1
+),
+sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
+    parts.append(f"""
+SELECT pick, vec_id, round(rel, 6) + 0.0 AS rel,
+       round(mmr_score, 6) + 0.0 AS mmr_score
+FROM sel{k}
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9261,6 +9330,7 @@ QUERIES = {
     "ts_gini": q_ts_gini,
     "ts_hac_se": q_ts_hac_se,
     "rel_tpch_q10": q_rel_tpch_q10,
+    "emb_mmr": q_emb_mmr,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9440,6 +9510,7 @@ ORACLE_SQL = {
     "ts_gini": SQL_TS_GINI,
     "ts_hac_se": SQL_TS_HAC_SE,
     "rel_tpch_q10": SQL_REL_TPCH_Q10,
+    "emb_mmr": _mmr_sql(),
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -480,3 +480,86 @@ def embedding_anisotropy(embs: DataFrame, stride: int = 37,
         F.percentile("__c", F.lit(0.95)).alias("cos_p95"))
     nd = n_dropped.count()
     return agg.withColumn("n_dropped", F.lit(nd).cast("long"))
+
+
+def mmr_topk(embs: DataFrame, query: list[float], k: int = 5,
+             pool: int = 20, lam: float = 0.7,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware top-k every retrieval stack layers on
+    raw cosine: greedily pick
+
+        argmax_d  λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+
+    so near-duplicates of an already-selected result are penalized
+    out and the k answers COVER the neighborhood instead of repeating
+    it.  Output: (pick 1..k, id, rel, mmr_score) — pick 1 is the
+    plain relevance argmax and reports NULL mmr_score (S is empty;
+    there is no penalty term to report).
+
+    Two-stage shape, scale decisions explicit: the CORPUS-side work
+    is the exact top-``pool`` relevance cut (cosine_topk contract —
+    fully distributed, deterministic (cosine DESC, id) order); the
+    greedy selection then runs as k−1 LAZILY UNROLLED DataFrame
+    steps over the pool-sized table — anti-join the selected ids,
+    join pool × selected for the penalty (bounded at pool·k ≤ 64·k
+    rows BY SIGNATURE — the one deliberately row-unkeyed join in the
+    library, broadcast and constant-size, nothing like a corpus
+    cartesian), argmax via (score DESC, id) limit 1.  Nothing is
+    collected; the driver never sees a vector.
+
+    Determinism across engines: rel, pairwise sims, and scores are
+    native zip_with/aggregate left-folds over the same doubles both
+    engines read, so the argmax compares IDENTICAL floats; ties break
+    by id.  λ enters as the same double literal on both sides.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    if not (2 <= k <= pool <= 64):
+        raise ValueError(f"mmr_topk: need 2 <= k <= pool <= 64, "
+                         f"got k={k}, pool={pool}")
+    if not (0.0 < lam <= 1.0):
+        raise ValueError(f"mmr_topk: lam must be in (0, 1], got {lam}")
+    qn = float(np.sqrt((q * q).sum()))
+    if qn == 0.0:
+        raise ValueError("mmr_topk: zero query vector")
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    v = (embs.where(F.col(vec_col).isNotNull())
+         .select(F.col(id_col), _as_double(vec_col).alias("__v")))
+    dot = F.aggregate(F.zip_with("__v", qlit, lambda x, y: x * y),
+                      F.lit(0.0), lambda s, x: s + x)
+    norm = F.sqrt(F.aggregate("__v", F.lit(0.0), lambda s, x: s + x * x))
+    pool_df = (v.select(F.col(id_col), F.col("__v"),
+                        norm.alias("__n"),
+                        (dot / (norm * F.lit(qn))).alias("rel"))
+               .orderBy(F.desc("rel"), F.col(id_col))
+               .limit(int(pool))
+               .cache())
+    first = (pool_df
+             .orderBy(F.desc("rel"), F.col(id_col)).limit(1)
+             .select(F.col(id_col), "__v", "__n", "rel",
+                     F.lit(1).alias("pick"),
+                     F.lit(None).cast("double").alias("mmr_score")))
+    sel = first
+    lam_l, mu_l = F.lit(float(lam)), F.lit(float(1.0 - lam))
+    for i in range(2, k + 1):
+        rem = pool_df.join(sel.select(id_col), id_col, "left_anti")
+        svecs = F.broadcast(sel.select(
+            F.col("__v").alias("__sv"), F.col("__n").alias("__sn")))
+        sim = (F.aggregate(F.zip_with("__v", "__sv", lambda x, y: x * y),
+                           F.lit(0.0), lambda s, x: s + x)
+               / (F.col("__n") * F.col("__sn")))
+        scored = (rem.join(svecs)
+                  .select(F.col(id_col), "__v", "__n", "rel",
+                          sim.alias("__sim"))
+                  .groupBy(id_col, "__v", "__n", "rel")
+                  .agg(F.max("__sim").alias("__pen"))
+                  .select(F.col(id_col), "__v", "__n", "rel",
+                          (lam_l * F.col("rel")
+                           - mu_l * F.col("__pen")).alias("mmr_score")))
+        pick = (scored
+                .orderBy(F.desc("mmr_score"), F.col(id_col)).limit(1)
+                .select(F.col(id_col), "__v", "__n", "rel",
+                        F.lit(i).alias("pick"), "mmr_score"))
+        sel = sel.unionByName(pick)
+    return sel.select("pick", F.col(id_col), "rel", "mmr_score")

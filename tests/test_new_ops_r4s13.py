@@ -728,3 +728,55 @@ def test_q10_plan_shape(spark):
     assert 0 < len(rows) <= 20
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+# --- MMR re-rank -------------------------------------------------------------------
+
+def test_mmr_prefers_diversity_over_neardup(spark):
+    from cesium_spark.operators.similarity import mmr_topk
+    # unit vectors by angle; query at 10 degrees. NOTE the geometry
+    # matters: if the first pick IS the query direction, sim == rel
+    # for every candidate and MMR cannot reorder — so the query sits
+    # off-axis. a(0deg) rel=cos10; b(25deg) rel=cos15 but sim(b,a)=
+    # cos25 (near-dup); c(70deg) rel=cos60, sim(c,a)=cos70 (diverse).
+    def u(deg):
+        r = np.radians(deg)
+        return [float(np.cos(r)), float(np.sin(r))]
+    vecs = [u(0), u(25), u(70)]
+    q = u(10)
+    out = mmr_topk(_embs(spark, vecs), q, k=3, pool=3,
+                   lam=0.5).collect()
+    picks = [r["vec_id"] for r in sorted(out, key=lambda r: r["pick"])]
+    # plain cosine order is [a, b, c] = [0, 1, 2] (cos10 > cos15 >
+    # cos60). After picking a, the near-dup b scores 0.5(cos15-cos25)
+    # = 0.030 while diverse c scores 0.5(cos60-cos70) = 0.079 -> MMR
+    # reorders to [0, 2, 1]
+    assert picks == [0, 2, 1]
+    by_pick = {r["pick"]: r for r in out}
+    assert by_pick[1]["mmr_score"] is None
+    s_c = 0.5 * (np.cos(np.radians(60)) - np.cos(np.radians(70)))
+    assert abs(by_pick[2]["mmr_score"] - s_c) < 1e-9
+
+
+def test_mmr_lam1_equals_plain_topk(spark):
+    from cesium_spark.operators.similarity import mmr_topk, cosine_topk
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(30, 8)
+    q = list(rng.randn(8))
+    mmr = mmr_topk(_embs(spark, [list(v) for v in vecs]), q,
+                   k=4, pool=10, lam=1.0).collect()
+    plain = cosine_topk(_embs(spark, [list(v) for v in vecs]), q,
+                        k=4).collect()
+    assert [r["vec_id"] for r in sorted(mmr, key=lambda r: r["pick"])] \
+        == [r["vec_id"] for r in plain]
+
+
+def test_mmr_validation(spark):
+    from cesium_spark.operators.similarity import mmr_topk
+    e = _embs(spark, [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="2 <= k <= pool"):
+        mmr_topk(e, [1.0, 0.0], k=1)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_topk(e, [1.0, 0.0], k=2, pool=2, lam=0.0)
+    with pytest.raises(ValueError, match="zero query"):
+        mmr_topk(e, [0.0, 0.0], k=2, pool=2)
