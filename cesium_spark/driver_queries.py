@@ -9306,6 +9306,88 @@ FROM sel{k}
     return "".join(parts)
 
 
+def q_ts_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-half vs second-half two-sample KS per conversation over
+    the integer tokens-per-turn series: exact int64 ECDF-difference
+    numerator via a RANGE-framed cumulative count (ties absorbed like
+    the ECDF definition), one division, fixed trees for lambda and
+    the one-term Kolmogorov p bound. Oracle replays split, frames,
+    and trees verbatim."""
+    from cesium_spark.operators.seriesstats import ks_two_sample
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = ks_two_sample(series)
+    return out.select(
+        "conv_id", "n", "n1", "n2", "d_num",
+        _r(F.col("d"), 9).alias("d"),
+        _r(F.col("lambda"), 9).alias("lambda"),
+        _r(F.col("p_bound"), 9).alias("p_bound"))
+
+
+SQL_TS_KS_TWO_SAMPLE = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS rk,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+h AS (
+  SELECT conv_id, y, cnt, cnt // 2 AS n1,
+         CASE WHEN rk >= cnt // 2 THEN 1 ELSE 0 END AS hh
+  FROM s
+),
+c AS (
+  SELECT conv_id, cnt, n1,
+         sum(1 - hh) OVER wv AS c1,
+         sum(hh) OVER wv AS c2
+  FROM h
+  WINDOW wv AS (PARTITION BY conv_id ORDER BY y
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+g AS (
+  SELECT conv_id, max(cnt) AS n, max(n1) AS n1,
+         max(abs(c1 * (cnt - n1) - c2 * n1)) AS d_num
+  FROM c GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(n1 AS bigint) AS n1,
+       cast(n - n1 AS bigint) AS n2,
+       cast(d_num AS bigint) AS d_num,
+       round(CASE WHEN n1 > 0 THEN
+             cast(d_num AS double)
+             / (cast(n1 AS double) * cast(n - n1 AS double)) END, 9)
+         + 0.0 AS d,
+       round(CASE WHEN n1 > 0 THEN
+             (cast(d_num AS double)
+              / (cast(n1 AS double) * cast(n - n1 AS double)))
+             * sqrt(cast(n1 AS double) * cast(n - n1 AS double)
+                    / (cast(n1 AS double) + cast(n - n1 AS double)))
+             END, 9) + 0.0 AS "lambda",
+       round(CASE WHEN n1 > 0 THEN
+             least(1.0, 2.0 * exp(-2.0
+               * ((cast(d_num AS double)
+                   / (cast(n1 AS double) * cast(n - n1 AS double)))
+                  * sqrt(cast(n1 AS double) * cast(n - n1 AS double)
+                         / (cast(n1 AS double) + cast(n - n1 AS double))))
+               * ((cast(d_num AS double)
+                   / (cast(n1 AS double) * cast(n - n1 AS double)))
+                  * sqrt(cast(n1 AS double) * cast(n - n1 AS double)
+                         / (cast(n1 AS double)
+                            + cast(n - n1 AS double))))))
+             END, 9) + 0.0 AS p_bound
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9331,6 +9413,7 @@ QUERIES = {
     "ts_hac_se": q_ts_hac_se,
     "rel_tpch_q10": q_rel_tpch_q10,
     "emb_mmr": q_emb_mmr,
+    "ts_ks_two_sample": q_ts_ks_two_sample,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9511,6 +9594,7 @@ ORACLE_SQL = {
     "ts_hac_se": SQL_TS_HAC_SE,
     "rel_tpch_q10": SQL_REL_TPCH_Q10,
     "emb_mmr": _mmr_sql(),
+    "ts_ks_two_sample": SQL_TS_KS_TWO_SAMPLE,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -1616,3 +1616,76 @@ def hac_mean_se(series: DataFrame, max_lag: int = 3) -> DataFrame:
     return agg.select("conv_id", "n", mean.alias("mean"),
                       se_iid.alias("se_iid"), se_hac.alias("se_hac"),
                       infl.alias("inflation"))
+
+
+def ks_two_sample(series: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the FIRST and
+    SECOND half of each conversation — the distribution-shape change
+    detector completing the drift row: cusum alarms on the mean,
+    pettitt locates one shift, this asks whether the whole
+    DISTRIBUTION of values changed mid-conversation (variance blowup,
+    new mode, censoring — things a mean test cannot see).
+
+    Exactness: with halves split at n div 2 in time order, the KS
+    statistic's numerator is exact int64 —
+
+        D = max_v |c₁(v)·n₂ − c₂(v)·n₁| / (n₁·n₂)
+
+    where c_i(v) counts sample-i values ≤ v via a RANGE-framed
+    cumulative count over the value order (the RANGE frame absorbs
+    ties exactly like the ECDF definition; every row of a tied group
+    carries the same counts, so max over rows = max over distinct
+    values).  D is ONE terminal division; λ = D·√(n₁n₂/(n₁+n₂)) and
+    the one-term Kolmogorov bound p ≈ min(1, 2·e^(−2λ²)) are fixed
+    double trees — p is the standard large-sample upper bound,
+    documented as such, NOT the full series expansion.  n < 2 →
+    NULL everything (a half is empty).
+
+    Plan: one time-order window (rank), one value-order RANGE window
+    (ECDF counts), one hash aggregate — all keyed by conv_id, ONE
+    exchange, no UDF, no join (plan-asserted).
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"ks_two_sample: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 (F.row_number().over(w_ord) - 1).alias("__rk"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    n1 = F.expr("__n div 2")
+    s = s.select("conv_id", "__y", "__n", n1.alias("__n1"),
+                 (F.col("__rk") >= n1).cast("long").alias("__h"))
+    w_val = (Window.partitionBy("conv_id").orderBy("__y")
+             .rangeBetween(Window.unboundedPreceding, 0))
+    s = s.select(
+        "conv_id", "__n", "__n1",
+        (F.sum(F.lit(1) - F.col("__h")).over(w_val)).alias("__c1"),
+        (F.sum("__h").over(w_val)).alias("__c2"))
+    n2 = F.col("__n") - F.col("__n1")
+    diff = F.abs(F.col("__c1") * n2 - F.col("__c2") * F.col("__n1"))
+    g = (s.groupBy("conv_id")
+         .agg(F.max("__n").alias("n"),
+              F.max("__n1").alias("n1"),
+              F.max(diff).alias("d_num")))
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    ok = F.col("n1") > 0
+    d = F.when(ok, F.col("d_num").cast("double") / (n1d * n2d))
+    lam = F.when(ok, (F.col("d_num").cast("double") / (n1d * n2d))
+                 * F.sqrt(n1d * n2d / (n1d + n2d)))
+    lam2 = (F.col("d_num").cast("double") / (n1d * n2d)) \
+        * F.sqrt(n1d * n2d / (n1d + n2d))
+    p = F.when(ok, F.least(F.lit(1.0),
+                           F.lit(2.0) * F.exp(F.lit(-2.0) * lam2 * lam2)))
+    return g.select(
+        "conv_id", "n",
+        F.col("n1").cast("long").alias("n1"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n2"),
+        F.col("d_num").cast("long").alias("d_num"),
+        d.alias("d"), lam.alias("lambda"), p.alias("p_bound"))

@@ -780,3 +780,55 @@ def test_mmr_validation(spark):
         mmr_topk(e, [1.0, 0.0], k=2, pool=2, lam=0.0)
     with pytest.raises(ValueError, match="zero query"):
         mmr_topk(e, [0.0, 0.0], k=2, pool=2)
+
+
+# --- two-sample KS -----------------------------------------------------------------
+
+def _ks_ref(y):
+    y = np.asarray(y)
+    n = len(y)
+    n1 = n // 2
+    a, b = y[:n1], y[n1:]
+    vals = np.unique(y)
+    c1 = np.array([(a <= v).sum() for v in vals])
+    c2 = np.array([(b <= v).sum() for v in vals])
+    dnum = np.max(np.abs(c1 * len(b) - c2 * n1))
+    d = dnum / (n1 * len(b))
+    lam = d * np.sqrt(n1 * len(b) / (n1 + len(b)))
+    return dnum, d, lam, min(1.0, 2 * np.exp(-2 * lam * lam))
+
+
+def test_ks2_matches_ref(spark):
+    from cesium_spark.operators.seriesstats import ks_two_sample
+    rng = np.random.RandomState(29)
+    y = list(rng.randint(0, 30, 41)) + list(rng.randint(10, 60, 40))
+    y = np.array(y)
+    row = ks_two_sample(_series(spark, y)).collect()[0]
+    dnum, d, lam, p = _ks_ref(y)
+    assert row["n1"] == 40 and row["n2"] == 41
+    assert row["d_num"] == dnum
+    assert abs(row["d"] - d) < 1e-12
+    assert abs(row["lambda"] - lam) < 1e-12
+    assert abs(row["p_bound"] - p) < 1e-12
+    assert row["p_bound"] < 0.05         # the shift is real
+
+
+def test_ks2_same_distribution_high_p(spark):
+    from cesium_spark.operators.seriesstats import ks_two_sample
+    y = np.tile([3, 7, 11, 5], 30)       # identical halves
+    row = ks_two_sample(_series(spark, y)).collect()[0]
+    assert row["d"] == 0.0 and row["p_bound"] == 1.0
+    # heavy ties + shift still detected exactly
+    y2 = [5] * 40 + [6] * 40
+    row = ks_two_sample(_series(spark, y2)).collect()[0]
+    assert row["d"] == 1.0               # disjoint supports
+
+
+def test_ks2_degenerate_and_plan(spark):
+    from cesium_spark.operators.seriesstats import ks_two_sample
+    one = ks_two_sample(_series(spark, [9])).collect()[0]
+    assert one["d"] is None and one["p_bound"] is None
+    plan = ks_two_sample(
+        _series(spark, list(range(20)))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
