@@ -9388,6 +9388,82 @@ FROM g
 """
 
 
+def q_ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B and memory M per conversation over
+    whole-second-gridded inter-turn gaps: B = (sqrt(nQ - S^2) - S) /
+    (sqrt(nQ - S^2) + S) over exact int64 sums (n cancels), M the
+    exact-int six-sum Pearson over consecutive-gap pairs. Oracle
+    replays grid, lead pairing, and trees verbatim."""
+    from cesium_spark.operators.seriesstats import burstiness
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    gap = F.round(sec - F.lag(sec).over(w), 0).cast("long")
+    series = (ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        gap.alias("y"))
+        .where(F.col("y").isNotNull()))
+    out = burstiness(series)
+    return out.select(
+        "conv_id", "n_gaps",
+        _r(F.col("mean_gap"), 6).alias("mean_gap"),
+        _r(F.col("b"), 9).alias("b"),
+        _r(F.col("m"), 9).alias("m"))
+
+
+SQL_TS_BURSTINESS = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(round(epoch(ts) - lag(epoch(ts)) OVER w, 0) AS bigint) AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT conv_id, g,
+         lead(g) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gn
+  FROM s WHERE g IS NOT NULL
+),
+a AS (
+  SELECT conv_id, count(*) AS n,
+         sum(g) AS s1, sum(g * g) AS q1,
+         sum(CASE WHEN gn IS NOT NULL THEN g END) AS sx,
+         sum(CASE WHEN gn IS NOT NULL THEN gn END) AS sy,
+         sum(CASE WHEN gn IS NOT NULL THEN g * g END) AS sxx,
+         sum(CASE WHEN gn IS NOT NULL THEN gn * gn END) AS syy,
+         sum(CASE WHEN gn IS NOT NULL THEN g * gn END) AS sxy
+  FROM l GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n_gaps,
+       round(CASE WHEN n > 0 THEN
+             cast(s1 AS double) / cast(n AS double) END, 6)
+         + 0.0 AS mean_gap,
+       round(CASE WHEN n >= 2 AND (q1 > 0 OR s1 > 0) THEN
+             (sqrt(cast(n AS double) * cast(q1 AS double)
+                   - cast(s1 AS double) * cast(s1 AS double))
+              - cast(s1 AS double))
+             / (sqrt(cast(n AS double) * cast(q1 AS double)
+                     - cast(s1 AS double) * cast(s1 AS double))
+                + cast(s1 AS double)) END, 9) + 0.0 AS b,
+       round(CASE WHEN n >= 3
+                   AND cast(n - 1 AS double) * sxx
+                       - cast(sx AS double) * sx > 0
+                   AND cast(n - 1 AS double) * syy
+                       - cast(sy AS double) * sy > 0 THEN
+             (cast(n - 1 AS double) * cast(sxy AS double)
+              - cast(sx AS double) * cast(sy AS double))
+             / sqrt((cast(n - 1 AS double) * cast(sxx AS double)
+                     - cast(sx AS double) * cast(sx AS double))
+                    * (cast(n - 1 AS double) * cast(syy AS double)
+                       - cast(sy AS double) * cast(sy AS double)))
+             END, 9) + 0.0 AS m
+FROM a
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9414,6 +9490,7 @@ QUERIES = {
     "rel_tpch_q10": q_rel_tpch_q10,
     "emb_mmr": q_emb_mmr,
     "ts_ks_two_sample": q_ts_ks_two_sample,
+    "ts_burstiness": q_ts_burstiness,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9595,6 +9672,7 @@ ORACLE_SQL = {
     "rel_tpch_q10": SQL_REL_TPCH_Q10,
     "emb_mmr": _mmr_sql(),
     "ts_ks_two_sample": SQL_TS_KS_TWO_SAMPLE,
+    "ts_burstiness": SQL_TS_BURSTINESS,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -1689,3 +1689,73 @@ def ks_two_sample(series: DataFrame) -> DataFrame:
         (F.col("n") - F.col("n1")).cast("long").alias("n2"),
         F.col("d_num").cast("long").alias("d_num"),
         d.alias("d"), lam.alias("lambda"), p.alias("p_bound"))
+
+
+def burstiness(series: DataFrame) -> DataFrame:
+    """Goh–Barabási burstiness and memory of an inter-event-gap
+    series (Goh & Barabási 2008, "Burstiness and memory in complex
+    systems") — the two-number cadence fingerprint: B ∈ [−1, 1]
+    classifies the gap DISTRIBUTION (−1 metronome, 0 Poisson, → 1
+    bursty), M the correlation of CONSECUTIVE gaps (do long gaps
+    follow long gaps).  Input y = the integer-gridded gaps (the
+    caller pre-grids, e.g. round() to whole seconds — the variance_
+    ratio float-reject contract; second-gridding also keeps Σg² in
+    int64 up to ~10⁶ gaps of ~10⁵ s, ANSI raises beyond).
+
+        B = (σ − μ)/(σ + μ) = (sqrt(n·Q − S²) − S)
+                              / (sqrt(n·Q − S²) + S)   (n cancels!)
+        M = Pearson r over the (gᵢ, gᵢ₊₁) pairs with the
+            Goh–Barabási convention: means/stds of the FIRST n−1 and
+            LAST n−1 gaps separately (the exact-int64 six-sum tree).
+
+    Degenerates NULL, never ±inf: all-zero gaps (σ + μ = 0), constant
+    gaps (σ = 0 makes M's denominator 0 — B is exactly −1 there,
+    which IS the metronome answer), < 2 gaps for B, < 3 for M.
+    Negative gaps raise in-plan (a gap series with time running
+    backwards is corrupt input, not a statistic).
+
+    Plan: one lead window + one hash aggregate, conv-keyed → ONE
+    exchange, no UDF, no join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"burstiness: column 'y' has type {t}; pre-grid gaps to "
+            "integers explicitly (e.g. whole seconds)")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    y = F.col("y").cast("long")
+    checked = F.when(
+        y < 0,
+        F.expr("raise_error('burstiness: negative gap — time runs "
+               "backwards in the input')").cast("long")).otherwise(y)
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", checked.alias("__g"),
+                 F.lead(y).over(w_ord).alias("__gn")))
+    pair = F.col("__gn").isNotNull()
+    g = s.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("__g").alias("s1"),
+        F.sum(F.col("__g") * F.col("__g")).alias("q1"),
+        F.sum(F.when(pair, F.col("__g"))).alias("sx"),
+        F.sum(F.when(pair, F.col("__gn"))).alias("sy"),
+        F.sum(F.when(pair, F.col("__g") * F.col("__g"))).alias("sxx"),
+        F.sum(F.when(pair, F.col("__gn") * F.col("__gn"))).alias("syy"),
+        F.sum(F.when(pair, F.col("__g") * F.col("__gn"))).alias("sxy"))
+    nd = F.col("n_gaps").cast("double")
+    s1 = F.col("s1").cast("double")
+    disc = nd * F.col("q1").cast("double") - s1 * s1
+    root = F.sqrt(disc)
+    b_ok = (F.col("n_gaps") >= 2) & ((F.col("q1") > 0) | (F.col("s1") > 0))
+    b = F.when(b_ok, (root - s1) / (root + s1))
+    npd = (F.col("n_gaps") - 1).cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = npd * sxx - sx * sx
+    vy = npd * syy - sy * sy
+    m = F.when((F.col("n_gaps") >= 3) & (vx > 0) & (vy > 0),
+               (npd * sxy - sx * sy) / F.sqrt(vx * vy))
+    mean = F.when(F.col("n_gaps") > 0, s1 / nd)
+    return g.select("conv_id", "n_gaps", mean.alias("mean_gap"),
+                    b.alias("b"), m.alias("m"))

@@ -832,3 +832,50 @@ def test_ks2_degenerate_and_plan(spark):
         _series(spark, list(range(20)))
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- burstiness --------------------------------------------------------------------
+
+def _burst_ref(g):
+    g = np.asarray(g, dtype=float)
+    mu, sd = g.mean(), g.std()
+    b = (sd - mu) / (sd + mu) if (sd + mu) > 0 else None
+    x, yy = g[:-1], g[1:]
+    denom = x.std() * yy.std()
+    m = (np.mean((x - x.mean()) * (yy - yy.mean())) / denom
+         if denom > 0 else None)
+    return b, m
+
+
+def test_burstiness_matches_ref(spark):
+    from cesium_spark.operators.seriesstats import burstiness
+    rng = np.random.RandomState(31)
+    g = rng.choice([1, 2, 3, 50, 200], size=100, p=[.4, .3, .2, .07, .03])
+    row = burstiness(_series(spark, g)).collect()[0]
+    b, m = _burst_ref(g)
+    assert abs(row["b"] - b) < 1e-12
+    assert abs(row["m"] - m) < 1e-12
+    assert row["b"] > 0.3                  # heavy-tailed -> bursty
+    assert abs(row["mean_gap"] - g.mean()) < 1e-9
+
+
+def test_burstiness_metronome_and_memory_signs(spark):
+    from cesium_spark.operators.seriesstats import burstiness
+    row = burstiness(_series(spark, [60] * 30)).collect()[0]
+    assert row["b"] == -1.0                # constant gaps: exact -1
+    assert row["m"] is None                # zero variance pairs
+    alt = burstiness(_series(spark, [1, 100] * 20)).collect()[0]
+    assert alt["m"] < -0.9                 # long follows short
+    runs = burstiness(
+        _series(spark, [1] * 20 + [100] * 20)).collect()[0]
+    assert runs["m"] > 0.9                 # persistence
+
+
+def test_burstiness_degenerates(spark):
+    from cesium_spark.operators.seriesstats import burstiness
+    allz = burstiness(_series(spark, [0] * 10)).collect()[0]
+    assert allz["b"] is None
+    one = burstiness(_series(spark, [5])).collect()[0]
+    assert one["b"] is None and one["m"] is None
+    with pytest.raises(Exception, match="negative gap"):
+        burstiness(_series(spark, [3, -2, 4])).collect()
