@@ -9464,6 +9464,56 @@ FROM a
 """
 
 
+def q_doc_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-spectrum stylometry per document: Yule's K,
+    Simpson's repeat-rate D, Herdan's C — all from the three exact
+    int64 sums (N, V, sum c^2); oracle replays the doc_lexical token
+    convention and the fixed trees verbatim."""
+    from cesium_spark.operators.textstats import yules_k
+    _prep(spark)
+    out = yules_k(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", "n_types", "sum_c2",
+        _r(F.col("yules_k")).alias("yules_k"),
+        _r(F.col("simpson_d"), 9).alias("simpson_d"),
+        _r(F.col("herdan_c"), 9).alias("herdan_c"))
+
+
+SQL_DOC_YULES_K = r"""
+WITH tok AS (
+  SELECT doc_id, nullif(t, '') AS token
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(coalesce(text, '')),
+                                         '[ \t\n\r\f]+')) AS t
+        FROM documents)
+),
+c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+a AS (
+  SELECT doc_id,
+         cast(coalesce(sum(c) FILTER (WHERE token IS NOT NULL), 0)
+              AS bigint) AS n_tokens,
+         cast(count(*) FILTER (WHERE token IS NOT NULL) AS bigint)
+           AS n_types,
+         cast(coalesce(sum(c * c) FILTER (WHERE token IS NOT NULL), 0)
+              AS bigint) AS sum_c2
+  FROM c GROUP BY 1)
+SELECT doc_id, n_tokens, n_types, sum_c2,
+       round(CASE WHEN n_tokens > 0 THEN
+             10000.0 * (cast(sum_c2 AS double) - cast(n_tokens AS double))
+             / (cast(n_tokens AS double) * cast(n_tokens AS double))
+             END, 6) + 0.0 AS yules_k,
+       round(CASE WHEN n_tokens >= 2 THEN
+             (cast(sum_c2 AS double) - cast(n_tokens AS double))
+             / (cast(n_tokens AS double)
+                * (cast(n_tokens AS double) - 1.0)) END, 9)
+         + 0.0 AS simpson_d,
+       round(CASE WHEN n_tokens >= 2 THEN
+             ln(cast(n_types AS double)) / ln(cast(n_tokens AS double))
+             END, 9) + 0.0 AS herdan_c
+FROM a
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9491,6 +9541,7 @@ QUERIES = {
     "emb_mmr": q_emb_mmr,
     "ts_ks_two_sample": q_ts_ks_two_sample,
     "ts_burstiness": q_ts_burstiness,
+    "doc_yules_k": q_doc_yules_k,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9673,6 +9724,7 @@ ORACLE_SQL = {
     "emb_mmr": _mmr_sql(),
     "ts_ks_two_sample": SQL_TS_KS_TWO_SAMPLE,
     "ts_burstiness": SQL_TS_BURSTINESS,
+    "doc_yules_k": SQL_DOC_YULES_K,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

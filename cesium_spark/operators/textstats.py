@@ -1012,3 +1012,58 @@ def mojibake_stats(docs: DataFrame, per_kchar_threshold: float = 1.0,
         rate.alias("mojibake_per_kchar"),
         F.when(n_chars > 0, rate > F.lit(per_kchar_threshold))
         .alias("is_damaged"))
+
+
+def yules_k(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Frequency-SPECTRUM stylometry per document — the classic
+    authorship/quality triple over the token count spectrum, the
+    complement of ``lexical_stats``' distribution entropy:
+
+        yules_k   = 10⁴·(Σc² − N)/N²      (Yule 1944; repetitiveness
+                                           characteristic, length-
+                                           stable unlike raw TTR)
+        simpson_d = Σc(c−1)/(N(N−1))      (probability two random
+                                           tokens are the same type)
+        herdan_c  = ln V / ln N           (log-log type-token slope)
+
+    using Σ_m m²·V_m = Σ_types c², so everything reduces to the THREE
+    exact int64 sums (N, V, Σc²) the lexical_stats plan already
+    shapes: explode → (doc, token) count → per-doc aggregate, same
+    [ \\t\\n\\r\\f] token class, same zero-token NULL-row contract
+    (n_tokens = 0 rows survive with NULL statistics — absent rows
+    read as "passed" in a quality gate).  K and D are fixed double
+    trees over the integers; degenerates NULL, never 0/0: N < 2 for
+    D, N = 0 for K, and herdan_c NULL when ln N = 0 (N ≤ 1).
+
+    Scale: identical to lexical_stats — two shrinking hash
+    exchanges, repeated-token whales collapse map-side, no join, no
+    UDF.
+    """
+    tok = F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[ \t\n\r\f]+")).alias("__t")
+    counts = (docs
+              .select(F.col(id_col), tok)
+              .select(id_col,
+                      F.nullif(F.col("__t"), F.lit("")).alias("token"))
+              .groupBy(id_col, "token")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    real = F.col("token").isNotNull()
+    c = F.col("__c")
+    agg = (counts.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(real, c)), F.lit(0)).alias("n_tokens"),
+        F.count(F.when(real, F.lit(1))).alias("n_types"),
+        F.coalesce(F.sum(F.when(real, c * c)), F.lit(0)).alias("sum_c2")))
+    n = F.col("n_tokens").cast("double")
+    v = F.col("n_types").cast("double")
+    c2 = F.col("sum_c2").cast("double")
+    k = F.when(F.col("n_tokens") > 0,
+               F.lit(1e4) * (c2 - n) / (n * n))
+    d = F.when(F.col("n_tokens") >= 2,
+               (c2 - n) / (n * (n - F.lit(1.0))))
+    hc = F.when(F.col("n_tokens") >= 2, F.log(v) / F.log(n))
+    return agg.select(
+        id_col, "n_tokens", "n_types",
+        F.col("sum_c2").cast("long").alias("sum_c2"),
+        k.alias("yules_k"), d.alias("simpson_d"), hc.alias("herdan_c"))

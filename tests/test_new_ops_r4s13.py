@@ -879,3 +879,50 @@ def test_burstiness_degenerates(spark):
     assert one["b"] is None and one["m"] is None
     with pytest.raises(Exception, match="negative gap"):
         burstiness(_series(spark, [3, -2, 4])).collect()
+
+
+# --- Yule's K ----------------------------------------------------------------------
+
+def _docs(spark, texts):
+    pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))],
+                        "text": texts})
+    return spark.createDataFrame(pdf)
+
+
+def test_yules_k_closed_forms(spark):
+    from cesium_spark.operators.textstats import yules_k
+    # "a a a a" : N=4, V=1, sum_c2=16 -> K = 1e4*12/16 = 7500,
+    # D = 12/12 = 1, herdan = ln1/ln4 = 0
+    # "a b c d" : sum_c2 = 4 -> K = 0, D = 0, herdan = 1
+    out = {r["doc_id"]: r for r in
+           yules_k(_docs(spark, ["a a a a", "a b c d"])).collect()}
+    r0, r1 = out["d0"], out["d1"]
+    assert (r0["n_tokens"], r0["n_types"], r0["sum_c2"]) == (4, 1, 16)
+    assert abs(r0["yules_k"] - 7500.0) < 1e-9
+    assert r0["simpson_d"] == 1.0 and r0["herdan_c"] == 0.0
+    assert r1["yules_k"] == 0.0 and r1["simpson_d"] == 0.0
+    assert abs(r1["herdan_c"] - 1.0) < 1e-12
+
+
+def test_yules_k_matches_spectrum_definition(spark):
+    from cesium_spark.operators.textstats import yules_k
+    rng = np.random.RandomState(37)
+    words = [f"w{i}" for i in rng.zipf(1.6, 300) if i < 50]
+    text = " ".join(words)
+    row = yules_k(_docs(spark, [text])).collect()[0]
+    from collections import Counter
+    cnt = Counter(words)
+    n = sum(cnt.values())
+    spectrum = Counter(cnt.values())          # V_m
+    k_ref = 1e4 * (sum(m * m * vm for m, vm in spectrum.items()) - n) / n**2
+    assert row["n_tokens"] == n
+    assert abs(row["yules_k"] - k_ref) < 1e-9
+
+
+def test_yules_k_zero_token_row_survives(spark):
+    from cesium_spark.operators.textstats import yules_k
+    out = {r["doc_id"]: r for r in
+           yules_k(_docs(spark, ["", "x"])).collect()}
+    assert out["d0"]["n_tokens"] == 0 and out["d0"]["yules_k"] is None
+    assert out["d1"]["n_tokens"] == 1
+    assert out["d1"]["simpson_d"] is None      # N < 2
