@@ -9514,6 +9514,67 @@ FROM a
 """
 
 
+def q_doc_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe-Colaresi-Quinn log-odds with informative Dirichlet
+    prior between two document sources: exact int64 (token, group)
+    counts, full-corpus totals taken BEFORE the min_count filter (the
+    paper's n_a/n_b), fixed double trees for delta/z with the prior
+    making every log argument strictly positive by construction.
+    Full filtered vocabulary emitted - no top-k cut, no ordering in
+    the contract."""
+    from cesium_spark.operators.textstats import fightin_words
+    _prep(spark)
+    out = fightin_words(_read(spark, sf_dir, "documents"),
+                        "source", "src0", "src1",
+                        alpha0=500.0, min_count=5)
+    return out.select("token", "c_a", "c_b",
+                      _r(F.col("delta"), 9).alias("delta"),
+                      _r(F.col("z"), 9).alias("z"))
+
+
+SQL_DOC_FIGHTIN_WORDS = r"""
+WITH tok AS (
+  SELECT nullif(t, '') AS token, source AS g
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(coalesce(text, '')),
+                                         '[ \t\n\r\f]+')) AS t
+        FROM documents WHERE source IN ('src0', 'src1'))
+),
+cells AS (
+  SELECT token,
+         cast(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)
+              AS bigint) AS c_a,
+         cast(sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)
+              AS bigint) AS c_b
+  FROM tok WHERE token IS NOT NULL GROUP BY 1
+),
+e AS (
+  SELECT token, c_a, c_b,
+         sum(c_a) OVER () AS na, sum(c_b) OVER () AS nb
+  FROM cells
+),
+f AS (
+  SELECT token, c_a, c_b,
+         cast(c_a AS double) AS ca, cast(c_b AS double) AS cb,
+         cast(na AS double) AS nad, cast(nb AS double) AS nbd,
+         500.0 * (cast(c_a AS double) + cast(c_b AS double))
+           / (cast(na AS double) + cast(nb AS double)) AS aw
+  FROM e WHERE c_a + c_b >= 5
+),
+g AS (
+  SELECT token, c_a, c_b,
+         ln((ca + aw) / (nad + 500.0 - ca - aw))
+           - ln((cb + aw) / (nbd + 500.0 - cb - aw)) AS delta,
+         1.0 / (ca + aw) + 1.0 / (cb + aw) AS var
+  FROM f
+)
+SELECT token, c_a, c_b,
+       round(delta, 9) + 0.0 AS delta,
+       round(delta / sqrt(var), 9) + 0.0 AS z
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9542,6 +9603,7 @@ QUERIES = {
     "ts_ks_two_sample": q_ts_ks_two_sample,
     "ts_burstiness": q_ts_burstiness,
     "doc_yules_k": q_doc_yules_k,
+    "doc_fightin_words": q_doc_fightin_words,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9725,6 +9787,7 @@ ORACLE_SQL = {
     "ts_ks_two_sample": SQL_TS_KS_TWO_SAMPLE,
     "ts_burstiness": SQL_TS_BURSTINESS,
     "doc_yules_k": SQL_DOC_YULES_K,
+    "doc_fightin_words": SQL_DOC_FIGHTIN_WORDS,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -1067,3 +1067,77 @@ def yules_k(docs: DataFrame, id_col: str = "doc_id",
         id_col, "n_tokens", "n_types",
         F.col("sum_c2").cast("long").alias("sum_c2"),
         k.alias("yules_k"), d.alias("simpson_d"), hc.alias("herdan_c"))
+
+
+def fightin_words(docs: DataFrame, group_col: str, group_a: str,
+                  group_b: str, alpha0: float = 500.0,
+                  min_count: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """"Fightin' Words" (Monroe, Colaresi & Quinn 2008): which tokens
+    DISTINGUISH two slices of the corpus — the log-odds-ratio with an
+    informative Dirichlet prior, the method that fixes both naive
+    log-odds (infinite for group-exclusive words) and raw frequency
+    difference (dominated by stop words).  For each token w with
+    group counts c_aw, c_bw, corpus count c_w, totals n_a, n_b, N:
+
+        α_w  = α₀·c_w/N                     (prior ∝ corpus usage)
+        δ_w  = ln[(c_aw+α_w)/(n_a+α₀−c_aw−α_w)]
+             − ln[(c_bw+α_w)/(n_b+α₀−c_bw−α_w)]
+        σ²_w ≈ 1/(c_aw+α_w) + 1/(c_bw+α_w)
+        z_w  = δ_w / sqrt(σ²_w)
+
+    Positive z → characteristic of group A, negative → of B; |z| ≳ 2
+    is the conventional significance bar.
+
+    Exactness: every COUNT is an exact int64 from one (token, group)
+    conditional aggregate (the lexical_stats token class and
+    two-phase shape); δ/σ²/z are fixed double trees over those
+    integers — no float sum exists, ln ulps are absorbed by the
+    driver rounding.  The prior makes every log argument strictly
+    positive by construction (α_w > 0 whenever the token exists), so
+    no guard is needed — group-exclusive tokens get large FINITE z.
+    ``min_count`` drops the corpus-count tail BEFORE the trees (an
+    exact integer filter, no boundary risk); emitting the full
+    filtered vocabulary instead of a top-k cut removes ordering from
+    the contract entirely.
+
+    Scale: explode → (token, group) aggregate → token-level pivot —
+    two shrinking exchanges; the z computation runs on
+    vocabulary-cardinality rows, never the corpus.
+    """
+    if group_a == group_b:
+        raise ValueError("fightin_words: groups must differ")
+    if alpha0 <= 0 or min_count < 1:
+        raise ValueError("fightin_words: need alpha0 > 0, min_count >= 1")
+    tok = F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[ \t\n\r\f]+")).alias("__t")
+    base = (docs
+            .where(F.col(group_col).isin([group_a, group_b]))
+            .select(F.col(group_col).alias("__g"), tok)
+            .select("__g", F.nullif(F.col("__t"), F.lit("")).alias("token"))
+            .where(F.col("token").isNotNull()))
+    cells = (base.groupBy("token")
+             .agg(F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+                  .cast("long").alias("c_a"),
+                  F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+                  .cast("long").alias("c_b")))
+    w_all = Window.partitionBy()
+    # totals BEFORE the min_count filter: n_a/n_b/N are full-corpus
+    # facts in the paper's formulas, not filtered-vocabulary ones
+    enriched = (cells
+                .select("token", "c_a", "c_b",
+                        F.sum("c_a").over(w_all).alias("__na"),
+                        F.sum("c_b").over(w_all).alias("__nb"))
+                .where((F.col("c_a") + F.col("c_b")) >= min_count))
+    a0 = F.lit(float(alpha0))
+    ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    cw = ca + cb
+    aw = a0 * cw / (na + nb)
+    delta = (F.log((ca + aw) / (na + a0 - ca - aw))
+             - F.log((cb + aw) / (nb + a0 - cb - aw)))
+    var = F.lit(1.0) / (ca + aw) + F.lit(1.0) / (cb + aw)
+    z = delta / F.sqrt(var)
+    return enriched.select("token", "c_a", "c_b",
+                           delta.alias("delta"), z.alias("z"))

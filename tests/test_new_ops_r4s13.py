@@ -926,3 +926,65 @@ def test_yules_k_zero_token_row_survives(spark):
     assert out["d0"]["n_tokens"] == 0 and out["d0"]["yules_k"] is None
     assert out["d1"]["n_tokens"] == 1
     assert out["d1"]["simpson_d"] is None      # N < 2
+
+
+# --- fightin' words ----------------------------------------------------------------
+
+def _fw_ref(texts_a, texts_b, alpha0=500.0, min_count=1):
+    from collections import Counter
+    ca = Counter(w for t in texts_a for w in t.lower().split())
+    cb = Counter(w for t in texts_b for w in t.lower().split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    out = {}
+    for w in set(ca) | set(cb):
+        caw, cbw = ca[w], cb[w]
+        if caw + cbw < min_count:
+            continue
+        aw = alpha0 * (caw + cbw) / (na + nb)
+        delta = (np.log((caw + aw) / (na + alpha0 - caw - aw))
+                 - np.log((cbw + aw) / (nb + alpha0 - cbw - aw)))
+        z = delta / np.sqrt(1 / (caw + aw) + 1 / (cbw + aw))
+        out[w] = (delta, z)
+    return out
+
+
+def _grouped_docs(spark, texts_a, texts_b):
+    rows = [(f"a{i}", t, "A") for i, t in enumerate(texts_a)]
+    rows += [(f"b{i}", t, "B") for i, t in enumerate(texts_b)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "grp"]))
+
+
+def test_fw_matches_paper_formulas(spark):
+    from cesium_spark.operators.textstats import fightin_words
+    ta = ["refund refund angry bad service", "refund slow bad"]
+    tb = ["great fast great service", "love it great"]
+    out = fightin_words(_grouped_docs(spark, ta, tb), "grp", "A", "B",
+                        alpha0=10.0, min_count=1).collect()
+    ref = _fw_ref(ta, tb, alpha0=10.0)
+    got = {r["token"]: (r["delta"], r["z"]) for r in out}
+    assert set(got) == set(ref)
+    for w in ref:
+        assert abs(got[w][0] - ref[w][0]) < 1e-12, w
+        assert abs(got[w][1] - ref[w][1]) < 1e-12, w
+    # direction: 'refund' fights for A, 'great' for B; the shared
+    # word 'service' sits near 0
+    assert got["refund"][1] > 0 > got["great"][1]
+    assert abs(got["service"][1]) < min(got["refund"][1],
+                                        -got["great"][1])
+
+
+def test_fw_exclusive_words_finite_and_min_count(spark):
+    from cesium_spark.operators.textstats import fightin_words
+    ta, tb = ["unique unique unique"], ["other other other"]
+    out = fightin_words(_grouped_docs(spark, ta, tb), "grp", "A", "B",
+                        min_count=1).collect()
+    got = {r["token"]: r["z"] for r in out}
+    assert np.isfinite(got["unique"]) and got["unique"] > 0
+    assert np.isfinite(got["other"]) and got["other"] < 0
+    # min_count drops the tail
+    out2 = fightin_words(_grouped_docs(spark, ta, tb), "grp", "A", "B",
+                         min_count=4).collect()
+    assert out2 == []
+    with pytest.raises(ValueError, match="differ"):
+        fightin_words(_grouped_docs(spark, ta, tb), "grp", "A", "A")
