@@ -9575,6 +9575,67 @@ FROM g
 """
 
 
+def q_ts_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed (10%) and winsorized token-mean per conversation:
+    deterministic (y, turn_idx) ranks, integer k = floor(trim*n),
+    exact int64 conditional sums and boundary picks, one division
+    each. Oracle replays ranks, cuts, and sums verbatim."""
+    from cesium_spark.operators.seriesstats import trimmed_stats
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        tok.cast("long").alias("y"))
+    out = trimmed_stats(series, trim=0.1)
+    return out.select(
+        "conv_id", "n", "k", "lo_cut", "hi_cut",
+        _r(F.col("trimmed_mean"), 9).alias("trimmed_mean"),
+        _r(F.col("winsor_mean"), 9).alias("winsor_mean"))
+
+
+SQL_TS_TRIMMED = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT conv_id, y,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY y, turn_idx) AS i,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM s
+),
+rk AS (
+  SELECT conv_id, y, i, n,
+         cast(floor(0.1 * cast(n AS double)) AS bigint) AS k
+  FROM r
+),
+g AS (
+  SELECT conv_id, max(n) AS n, max(k) AS k,
+         sum(CASE WHEN i > k AND i <= n - k THEN y END) AS mid_sum,
+         max(CASE WHEN i = k + 1 THEN y END) AS lo_cut,
+         max(CASE WHEN i = n - k THEN y END) AS hi_cut
+  FROM rk GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n, cast(k AS bigint) AS k,
+       cast(lo_cut AS bigint) AS lo_cut,
+       cast(hi_cut AS bigint) AS hi_cut,
+       round(CASE WHEN n - 2 * k >= 1 THEN
+             cast(mid_sum AS double) / cast(n - 2 * k AS double)
+             END, 9) + 0.0 AS trimmed_mean,
+       round(CASE WHEN n - 2 * k >= 1 THEN
+             cast(mid_sum + k * lo_cut + k * hi_cut AS double)
+             / cast(n AS double) END, 9) + 0.0 AS winsor_mean
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9604,6 +9665,7 @@ QUERIES = {
     "ts_burstiness": q_ts_burstiness,
     "doc_yules_k": q_doc_yules_k,
     "doc_fightin_words": q_doc_fightin_words,
+    "ts_trimmed": q_ts_trimmed,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9788,6 +9850,7 @@ ORACLE_SQL = {
     "ts_burstiness": SQL_TS_BURSTINESS,
     "doc_yules_k": SQL_DOC_YULES_K,
     "doc_fightin_words": SQL_DOC_FIGHTIN_WORDS,
+    "ts_trimmed": SQL_TS_TRIMMED,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -1759,3 +1759,68 @@ def burstiness(series: DataFrame) -> DataFrame:
     mean = F.when(F.col("n_gaps") > 0, s1 / nd)
     return g.select("conv_id", "n_gaps", mean.alias("mean_gap"),
                     b.alias("b"), m.alias("m"))
+
+
+def trimmed_stats(series: DataFrame, trim: float = 0.1) -> DataFrame:
+    """Trimmed and winsorized mean per conversation — the robust
+    location pair between the mean (whale-sensitive) and the median
+    (discards 98% of the data): drop (trimmed) or clamp (winsorized)
+    the k = ⌊trim·n⌋ most extreme values at EACH end and average the
+    rest.  The outlier-resistant per-conversation location a
+    token-consumption dashboard actually wants.
+
+    Exactness on the integer contract: ranks come from row_number
+    over the deterministic (y, turn_idx) order, k = ⌊trim·n⌋ is
+    integer arithmetic (the float trim enters ONLY through floor of
+    trim·n — computed as the same double product on both engines,
+    never a data comparison), the trimmed sum and the two winsor
+    boundary values y_(k+1), y_(n−k) are exact int64 conditional
+    aggregates, and each mean is ONE terminal division:
+
+        trimmed_mean = Σ_{k<i≤n−k} y_(i) / (n − 2k)
+        winsor_mean  = (Σ_middle + k·y_(k+1) + k·y_(n−k)) / n
+
+    n − 2k < 1 (trim too aggressive for the series) → NULL, never a
+    mean over nothing.  Plan: one rank window + one hash aggregate,
+    conv-keyed → ONE exchange, no UDF.
+    """
+    if not (0.0 <= trim < 0.5):
+        raise ValueError(f"trimmed_stats: trim must be in [0, 0.5), "
+                         f"got {trim!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"trimmed_stats: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id").orderBy("y", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 F.row_number().over(w_ord).alias("__i"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    k = F.floor(F.lit(float(trim)) * F.col("__n").cast("double"))
+    s = s.select("conv_id", "__y", "__i", "__n", k.alias("__k"))
+    mid = (F.col("__i") > F.col("__k")) \
+        & (F.col("__i") <= F.col("__n") - F.col("__k"))
+    g = s.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("k"),
+        F.sum(F.when(mid, F.col("__y"))).alias("mid_sum"),
+        F.max(F.when(F.col("__i") == F.col("__k") + 1, F.col("__y")))
+        .alias("lo_cut"),
+        F.max(F.when(F.col("__i") == F.col("__n") - F.col("__k"),
+                     F.col("__y"))).alias("hi_cut"))
+    kept = F.col("n") - F.lit(2) * F.col("k")
+    ok = kept >= 1
+    tmean = F.when(ok, F.col("mid_sum").cast("double")
+                   / kept.cast("double"))
+    wsum = (F.col("mid_sum") + F.col("k") * F.col("lo_cut")
+            + F.col("k") * F.col("hi_cut"))
+    wmean = F.when(ok, wsum.cast("double") / F.col("n").cast("double"))
+    return g.select("conv_id", "n",
+                    F.col("k").cast("long").alias("k"),
+                    "lo_cut", "hi_cut",
+                    tmean.alias("trimmed_mean"),
+                    wmean.alias("winsor_mean"))

@@ -988,3 +988,37 @@ def test_fw_exclusive_words_finite_and_min_count(spark):
     assert out2 == []
     with pytest.raises(ValueError, match="differ"):
         fightin_words(_grouped_docs(spark, ta, tb), "grp", "A", "A")
+
+
+# --- trimmed stats -----------------------------------------------------------------
+
+def test_trimmed_matches_scipy_style(spark):
+    from cesium_spark.operators.seriesstats import trimmed_stats
+    rng = np.random.RandomState(41)
+    y = np.concatenate([rng.randint(10, 20, 45), [0, 0, 500, 900, 1000]])
+    rng.shuffle(y)
+    row = trimmed_stats(_series(spark, y), trim=0.1).collect()[0]
+    sy = np.sort(y)
+    n, k = len(y), int(0.1 * len(y))
+    ref_t = sy[k:n - k].mean()
+    wins = np.clip(sy, sy[k], sy[n - k - 1])
+    assert row["k"] == k
+    assert abs(row["trimmed_mean"] - ref_t) < 1e-12
+    assert abs(row["winsor_mean"] - wins.mean()) < 1e-12
+    assert row["lo_cut"] == sy[k] and row["hi_cut"] == sy[n - k - 1]
+    # robustness: plain mean dragged by whales, trimmed is not
+    assert abs(row["trimmed_mean"] - 15) < 3
+    assert y.mean() > 25
+
+
+def test_trimmed_degenerate_and_validation(spark):
+    from cesium_spark.operators.seriesstats import trimmed_stats
+    # trim 0.4 of a 2-point series: k=0 -> falls back to plain mean
+    row = trimmed_stats(_series(spark, [2, 8]), trim=0.4).collect()[0]
+    assert row["k"] == 0 and row["trimmed_mean"] == 5.0
+    assert row["winsor_mean"] == 5.0
+    # trim=0 is the identity
+    row = trimmed_stats(_series(spark, [1, 2, 9]), trim=0.0).collect()[0]
+    assert row["trimmed_mean"] == 4.0
+    with pytest.raises(ValueError, match="trim"):
+        trimmed_stats(_series(spark, [1, 2]), trim=0.5)
