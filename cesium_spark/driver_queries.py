@@ -9636,6 +9636,77 @@ FROM g
 """
 
 
+def q_ts_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE + Brier for the rational probe score
+    value/(value+50) (exact same double on both engines - no
+    transcendental near the 1e-6 grid boundary) against the purchase
+    label: micro-unit integer grid, exact per-bin counts, ordered
+    ECE fold. Oracle replays grid, binning, and folds verbatim."""
+    from cesium_spark.operators.scoring import calibration_bins
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("value") / (F.col("value") + F.lit(50.0))).alias("score"),
+        (F.col("event_type") == "purchase").alias("label"))
+    out = calibration_bins(scored, "score", "label", bins=10)
+    return out.select(
+        "bin", "n", "n_pos",
+        _r(F.col("mean_score"), 9).alias("mean_score"),
+        _r(F.col("pos_rate"), 9).alias("pos_rate"),
+        _r(F.col("gap"), 9).alias("gap"),
+        "n_total",
+        _r(F.col("ece"), 9).alias("ece"),
+        _r(F.col("brier"), 9).alias("brier"))
+
+
+SQL_TS_CALIBRATION = """
+WITH b AS (
+  SELECT cast(round((value / (value + 50.0)) * 1000000.0) AS bigint)
+           AS s,
+         event_type = 'purchase' AS l
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+pb AS (
+  SELECT cast(least((s * 10) // 1000000, 9) AS int) AS bin,
+         count(*) AS n,
+         sum(s) AS sum_s,
+         sum(CASE WHEN l THEN 1 ELSE 0 END) AS n_pos,
+         sum((s - CASE WHEN l THEN 1000000 ELSE 0 END)
+             * (s - CASE WHEN l THEN 1000000 ELSE 0 END)) AS brier_num
+  FROM b GROUP BY 1
+),
+e AS (
+  SELECT bin, n, n_pos,
+         cast(sum_s AS double) / (cast(n AS double) * 1000000.0)
+           AS mean_score,
+         cast(n_pos AS double) / cast(n AS double) AS pos_rate,
+         abs(cast(n_pos AS double) / cast(n AS double)
+             - cast(sum_s AS double)
+               / (cast(n AS double) * 1000000.0)) AS gap,
+         sum(n) OVER () AS nt,
+         sum(brier_num) OVER () AS bn
+  FROM pb
+),
+f AS (
+  SELECT *,
+         sum((cast(n AS double) / cast(nt AS double)) * gap)
+           OVER (ORDER BY bin) AS cum_ece
+  FROM e
+)
+SELECT bin, cast(n AS bigint) AS n, cast(n_pos AS bigint) AS n_pos,
+       round(mean_score, 9) + 0.0 AS mean_score,
+       round(pos_rate, 9) + 0.0 AS pos_rate,
+       round(gap, 9) + 0.0 AS gap,
+       cast(nt AS bigint) AS n_total,
+       round(max(cum_ece) OVER (), 9) + 0.0 AS ece,
+       round(cast(bn AS double)
+             / (cast(nt AS double) * 1000000000000.0), 9)
+         + 0.0 AS brier
+FROM f
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9666,6 +9737,7 @@ QUERIES = {
     "doc_yules_k": q_doc_yules_k,
     "doc_fightin_words": q_doc_fightin_words,
     "ts_trimmed": q_ts_trimmed,
+    "ts_calibration": q_ts_calibration,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9851,6 +9923,7 @@ ORACLE_SQL = {
     "doc_yules_k": SQL_DOC_YULES_K,
     "doc_fightin_words": SQL_DOC_FIGHTIN_WORDS,
     "ts_trimmed": SQL_TS_TRIMMED,
+    "ts_calibration": SQL_TS_CALIBRATION,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -306,3 +306,86 @@ def ols_granger(df: DataFrame, y_col: str, x1_col: str,
         F.when(okR, sse_r).alias("sse_r"),
         F.when(okU, sse_u).alias("sse_u"),
         f.alias("f_stat"))
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col: str,
+                     bins: int = 10) -> DataFrame:
+    """Reliability diagram + expected calibration error — the
+    calibration half of model evaluation next to ``auc_score``'s
+    discrimination half: a model can rank perfectly (AUC 1) and
+    still lie about probabilities; this is the operator that catches
+    it.  Scores must be probabilities in [0, 1] (validated IN-PLAN —
+    a raise, not a silent clamp: clamping would fabricate a
+    calibrated-looking tail).
+
+    Exactness device: each score is gridded ONCE to the exact int64
+    micro-unit s = round(score·10⁶); every downstream quantity —
+    the bin id least(s·B div 10⁶, B−1), per-bin count / Σs / positive
+    count, the Brier numerator Σ(s − label·10⁶)² — is integer
+    arithmetic over that grid (Brier stays in int64 to ~10⁶ rows at
+    the 10¹² per-row bound; ANSI raises beyond), and the per-bin
+    ``mean_score``/``pos_rate``/``gap`` plus the global
+
+        ece   = Σ_b (n_b/N)·|pos_rate_b − mean_score_b|
+        brier = Σ(s − label·10⁶)² / (N·10¹²)
+
+    are fixed double trees — the ECE fold runs in ORDERED bin
+    sequence (max of a nondecreasing running sum; the chi2 contract).
+    Output: one row per NON-EMPTY bin (empty bins contribute exactly
+    0 to ECE, so omitting them loses nothing — unlike chi2's dense
+    cells), each carrying the table-level ece/brier/n_total.
+
+    Plan: one corpus-sized hash aggregate to B bins; everything after
+    runs on ≤ B rows (global window folds bounded by bin count).
+    """
+    if not isinstance(bins, int) or not (2 <= bins <= 1000):
+        raise ValueError(f"calibration_bins: bins must be an int in "
+                         f"[2, 1000], got {bins!r}")
+    sc = F.col(score_col).cast("double")
+    checked = F.when(
+        (sc < 0) | (sc > 1) | F.isnan(sc),
+        F.expr("raise_error('calibration_bins: score outside [0,1] — "
+               "calibration needs probabilities, not raw scores')")
+        .cast("double")).otherwise(sc)
+    s_i = F.round(checked * F.lit(1000000.0), 0).cast("long")
+    lab = F.col(label_col).cast("boolean")
+    base = (df.where(F.col(score_col).isNotNull()
+                     & F.col(label_col).isNotNull())
+            .select(s_i.alias("__s"), lab.alias("__l")))
+    bin_id = F.least(F.expr(f"(__s * {int(bins)}) div 1000000"),
+                     F.lit(bins - 1)).cast("int")
+    per_bin = (base.select(bin_id.alias("bin"), "__s", "__l")
+               .groupBy("bin")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("__s").alias("sum_s"),
+                    F.sum(F.when(F.col("__l"), 1).otherwise(0))
+                    .cast("long").alias("n_pos"),
+                    F.sum((F.col("__s")
+                           - F.when(F.col("__l"), F.lit(1000000))
+                           .otherwise(F.lit(0)).cast("long"))
+                          * (F.col("__s")
+                             - F.when(F.col("__l"), F.lit(1000000))
+                             .otherwise(F.lit(0)).cast("long")))
+                    .alias("brier_num")))
+    w_all = Window.partitionBy()
+    w_ord = w_all.orderBy("bin")
+    nd = F.col("n").cast("double")
+    mean_score = F.col("sum_s").cast("double") / (nd * F.lit(1e6))
+    pos_rate = F.col("n_pos").cast("double") / nd
+    gap = F.abs(pos_rate - mean_score)
+    enriched = per_bin.select(
+        "bin", "n", "n_pos",
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        gap.alias("gap"),
+        F.sum("n").over(w_all).alias("__nt"),
+        F.sum("brier_num").over(w_all).alias("__bn"),
+        F.sum((nd / F.sum("n").over(w_all).cast("double")) * gap)
+        .over(w_ord).alias("__cum_ece"))
+    ntd = F.col("__nt").cast("double")
+    return enriched.select(
+        "bin", "n", "n_pos", "mean_score", "pos_rate", "gap",
+        F.col("__nt").cast("long").alias("n_total"),
+        F.max("__cum_ece").over(Window.partitionBy()).alias("ece"),
+        (F.col("__bn").cast("double") / (ntd * F.lit(1e12)))
+        .alias("brier"))

@@ -1022,3 +1022,64 @@ def test_trimmed_degenerate_and_validation(spark):
     assert row["trimmed_mean"] == 4.0
     with pytest.raises(ValueError, match="trim"):
         trimmed_stats(_series(spark, [1, 2]), trim=0.5)
+
+
+# --- calibration -------------------------------------------------------------------
+
+def _score_df(spark, scores, labels):
+    return spark.createDataFrame(pd.DataFrame(
+        {"score": np.asarray(scores, dtype=float),
+         "label": np.asarray(labels, dtype=bool)}))
+
+
+def test_calibration_matches_ref(spark):
+    from cesium_spark.operators.scoring import calibration_bins
+    rng = np.random.RandomState(43)
+    scores = rng.rand(500)
+    labels = rng.rand(500) < scores          # perfectly calibrated source
+    out = calibration_bins(_score_df(spark, scores, labels),
+                           "score", "label", bins=10).collect()
+    s_i = np.round(scores * 1e6).astype(np.int64)
+    bins = np.minimum(s_i * 10 // 1000000, 9)
+    ece_ref = 0.0
+    for b in sorted(set(bins)):
+        m = bins == b
+        ms = s_i[m].sum() / (m.sum() * 1e6)
+        pr = labels[m].sum() / m.sum()
+        ece_ref += (m.sum() / 500) * abs(pr - ms)
+    brier_ref = np.mean((s_i - labels * 1000000) ** 2) / 1e12
+    rows = {r["bin"]: r for r in out}
+    assert sum(r["n"] for r in out) == 500
+    assert abs(out[0]["ece"] - ece_ref) < 1e-12
+    assert abs(out[0]["brier"] - brier_ref) < 1e-12
+    assert out[0]["ece"] < 0.15              # calibrated source
+    for b, r in rows.items():
+        m = bins == b
+        assert r["n"] == m.sum() and r["n_pos"] == labels[m].sum()
+
+
+def test_calibration_miscalibrated_flagged(spark):
+    from cesium_spark.operators.scoring import calibration_bins
+    rng = np.random.RandomState(47)
+    scores = rng.rand(400)
+    labels = rng.rand(400) < np.clip(scores - 0.4, 0, 1)  # overconfident
+    out = calibration_bins(_score_df(spark, scores, labels),
+                           "score", "label").collect()
+    assert out[0]["ece"] > 0.2
+    # high bins overclaim: pos_rate well under mean_score
+    hi = [r for r in out if r["bin"] >= 7]
+    assert all(r["pos_rate"] < r["mean_score"] for r in hi)
+
+
+def test_calibration_validation(spark):
+    from cesium_spark.operators.scoring import calibration_bins
+    with pytest.raises(Exception, match="outside"):
+        calibration_bins(_score_df(spark, [0.5, 1.5], [True, False]),
+                         "score", "label").collect()
+    with pytest.raises(ValueError, match="bins"):
+        calibration_bins(_score_df(spark, [0.5], [True]),
+                         "score", "label", bins=1)
+    # boundary scores 0.0 and 1.0 land in the first/last bin
+    out = calibration_bins(_score_df(spark, [0.0, 1.0], [False, True]),
+                           "score", "label").collect()
+    assert sorted(r["bin"] for r in out) == [0, 9]
