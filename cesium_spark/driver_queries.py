@@ -9707,6 +9707,89 @@ FROM f
 """
 
 
+def q_ts_tail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-heaviness profile of tokens-per-turn: exact type-1
+    quartile order statistics, moment skew/kurtosis over exact int64
+    raw power sums (the scaled-deviation trick would overflow at
+    4th powers - raw sums do not), and the IQR/1.349-sigma normal-
+    consistency ratio with the constant inlined as the same Python
+    float literal. Oracle replays ranks, sums, and trees verbatim."""
+    from cesium_spark.operators.seriesstats import tail_stats
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        tok.cast("long").alias("y"))
+    out = tail_stats(series)
+    return out.select(
+        "conv_id", "n", "q1", "q2", "q3",
+        _r(F.col("bowley"), 9).alias("bowley"),
+        _r(F.col("skew_g1"), 9).alias("skew_g1"),
+        _r(F.col("kurtosis_ex"), 9).alias("kurtosis_ex"),
+        _r(F.col("tail_ratio"), 9).alias("tail_ratio"))
+
+
+SQL_TS_TAIL_STATS = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT conv_id, y,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY y, turn_idx) AS i,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM s
+),
+g AS (
+  SELECT conv_id, max(n) AS n,
+         sum(y) AS s1, sum(y * y) AS s2,
+         sum(y * y * y) AS s3, sum(y * y * y * y) AS s4,
+         max(CASE WHEN i = (n * 1 + 3) // 4 THEN y END) AS q1,
+         max(CASE WHEN i = (n * 1 + 1) // 2 THEN y END) AS q2,
+         max(CASE WHEN i = (n * 3 + 3) // 4 THEN y END) AS q3
+  FROM r GROUP BY 1
+),
+e AS (
+  SELECT conv_id, n, q1, q2, q3,
+         cast(n AS double) AS nd,
+         cast(s1 AS double) AS d1, cast(s2 AS double) AS d2,
+         cast(s3 AS double) AS d3, cast(s4 AS double) AS d4,
+         cast(s1 AS double) / cast(n AS double) AS mu
+  FROM g
+),
+m AS (
+  SELECT conv_id, n, q1, q2, q3, nd, mu,
+         d2 - d1 * mu AS m2,
+         d3 - 3.0 * mu * d2 + 2.0 * nd * mu * mu * mu AS m3,
+         d4 - 4.0 * mu * d3 + 6.0 * mu * mu * d2
+           - 3.0 * nd * mu * mu * mu * mu AS m4
+  FROM e
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(q1 AS bigint) AS q1, cast(q2 AS bigint) AS q2,
+       cast(q3 AS bigint) AS q3,
+       round(CASE WHEN q3 > q1 THEN
+             cast(q3 + q1 - 2 * q2 AS double)
+             / cast(q3 - q1 AS double) END, 9) + 0.0 AS bowley,
+       round(CASE WHEN m2 > 0 THEN
+             (m3 / nd) / pow(m2 / nd, 1.5) END, 9) + 0.0 AS skew_g1,
+       round(CASE WHEN m2 > 0 AND n >= 4 THEN
+             nd * m4 / (m2 * m2) - 3.0 END, 9) + 0.0 AS kurtosis_ex,
+       round(CASE WHEN m2 > 0 THEN
+             cast(q3 - q1 AS double)
+             / (1.3489795003921634 * sqrt(m2 / nd)) END, 9)
+         + 0.0 AS tail_ratio
+FROM m
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9738,6 +9821,7 @@ QUERIES = {
     "doc_fightin_words": q_doc_fightin_words,
     "ts_trimmed": q_ts_trimmed,
     "ts_calibration": q_ts_calibration,
+    "ts_tail_stats": q_ts_tail_stats,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -9924,6 +10008,7 @@ ORACLE_SQL = {
     "doc_fightin_words": SQL_DOC_FIGHTIN_WORDS,
     "ts_trimmed": SQL_TS_TRIMMED,
     "ts_calibration": SQL_TS_CALIBRATION,
+    "ts_tail_stats": SQL_TS_TAIL_STATS,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

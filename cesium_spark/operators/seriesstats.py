@@ -1824,3 +1824,88 @@ def trimmed_stats(series: DataFrame, trim: float = 0.1) -> DataFrame:
                     "lo_cut", "hi_cut",
                     tmean.alias("trimmed_mean"),
                     wmean.alias("winsor_mean"))
+
+
+def tail_stats(series: DataFrame) -> DataFrame:
+    """Tail-heaviness profile per conversation — the robust/classical
+    cross-check pair: quartile statistics (exact order statistics)
+    against moment statistics (skew, excess kurtosis), plus the
+    normal-consistency ratio that flags heavy tails when they
+    disagree:
+
+        q1/q2/q3       type-1 (lower) order statistics at ⌈p·n⌉ —
+                       exact INTEGER picks, no interpolation
+        bowley         (q3 + q1 − 2·q2)/(q3 − q1), robust skew,
+                       NULL when IQR = 0
+        skew_g1        M3/n / (M2/n)^{3/2}   (biased population g1,
+                       the §2.4 convention)
+        kurtosis_ex    n·M4/M2² − 3
+        tail_ratio     IQR / (1.3489795003921634·σ) — exactly 1 for
+                       a normal; < 1 ⇒ the σ is inflated by tails
+                       the quartiles don't see
+
+    Exactness: central moments expand over the exact int64 RAW power
+    sums Σy..Σy⁴ (NOT the scaled-deviation trick — (n·y−S)⁴ would
+    overflow int64 at token scale, Σy⁴ does not until max|y| ~ 5·10³
+    at 10⁶-row conversations; ANSI raises beyond, documented), μ is
+    one division, and every output is a fixed double tree over those
+    sums restated verbatim in SQL; the 2·Φ⁻¹(3/4) constant is the
+    same Python float literal on both sides.  Constant series → NULL
+    moments/ratios; n < 4 → NULL kurtosis.
+
+    Plan: one rank window + one hash aggregate, conv-keyed → ONE
+    exchange, no UDF.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"tail_stats: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id").orderBy("y", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 F.row_number().over(w_ord).alias("__i"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+
+    def _at(p_num, p_den):
+        # type-1 quantile: the ceil(p*n)-th order statistic, integer
+        # arithmetic only: ceil(a/b) = (a + b - 1) div b
+        rank = F.expr(f"(__n * {p_num} + {p_den} - 1) div {p_den}")
+        return F.max(F.when(F.col("__i") == rank, F.col("__y")))
+
+    g = s.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.sum("__y").alias("s1"),
+        F.sum(F.col("__y") * F.col("__y")).alias("s2"),
+        F.sum(F.col("__y") * F.col("__y") * F.col("__y")).alias("s3"),
+        F.sum(F.col("__y") * F.col("__y") * F.col("__y") * F.col("__y"))
+        .alias("s4"),
+        _at(1, 4).alias("q1"), _at(1, 2).alias("q2"),
+        _at(3, 4).alias("q3"))
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mu = s1 / nd
+    m2 = s2 - s1 * mu                      # Σ(y−μ)² = Σy² − n·μ²
+    m3 = s3 - F.lit(3.0) * mu * s2 + F.lit(2.0) * nd * mu * mu * mu
+    m4 = (s4 - F.lit(4.0) * mu * s3 + F.lit(6.0) * mu * mu * s2
+          - F.lit(3.0) * nd * mu * mu * mu * mu)
+    nz = m2 > 0
+    skew = F.when(nz, (m3 / nd) / F.pow(m2 / nd, F.lit(1.5)))
+    kurt = F.when(nz & (F.col("n") >= 4),
+                  nd * m4 / (m2 * m2) - F.lit(3.0))
+    iqr = (F.col("q3") - F.col("q1")).cast("double")
+    bowley = F.when(
+        F.col("q3") > F.col("q1"),
+        (F.col("q3") + F.col("q1") - F.lit(2) * F.col("q2"))
+        .cast("double") / iqr)
+    sigma = F.sqrt(m2 / nd)
+    tail = F.when(nz, iqr / (F.lit(1.3489795003921634) * sigma))
+    return g.select("conv_id", "n", "q1", "q2", "q3",
+                    bowley.alias("bowley"), skew.alias("skew_g1"),
+                    kurt.alias("kurtosis_ex"), tail.alias("tail_ratio"))

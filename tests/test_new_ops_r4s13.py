@@ -1083,3 +1083,48 @@ def test_calibration_validation(spark):
     out = calibration_bins(_score_df(spark, [0.0, 1.0], [False, True]),
                            "score", "label").collect()
     assert sorted(r["bin"] for r in out) == [0, 9]
+
+
+# --- tail stats --------------------------------------------------------------------
+
+def test_tail_stats_matches_ref(spark):
+    from cesium_spark.operators.seriesstats import tail_stats
+    rng = np.random.RandomState(53)
+    y = rng.randint(0, 40, 101)
+    row = tail_stats(_series(spark, y)).collect()[0]
+    sy = np.sort(y)
+    n = len(y)
+    q1, q2, q3 = (sy[int(np.ceil(p * n)) - 1] for p in (0.25, 0.5, 0.75))
+    assert (row["q1"], row["q2"], row["q3"]) == (q1, q2, q3)
+    mu = y.mean()
+    m2, m3, m4 = (np.sum((y - mu) ** k) for k in (2, 3, 4))
+    assert abs(row["skew_g1"] - (m3 / n) / (m2 / n) ** 1.5) < 1e-9
+    assert abs(row["kurtosis_ex"] - (n * m4 / m2**2 - 3)) < 1e-9
+    assert abs(row["bowley"] - (q3 + q1 - 2 * q2) / (q3 - q1)) < 1e-12
+    sigma = np.sqrt(m2 / n)
+    assert abs(row["tail_ratio"]
+               - (q3 - q1) / (1.3489795003921634 * sigma)) < 1e-9
+    # uniform-ish: light tails -> ratio ABOVE 1
+    assert row["tail_ratio"] > 1.0
+
+
+def test_tail_stats_heavy_tail_flagged(spark):
+    from cesium_spark.operators.seriesstats import tail_stats
+    rng = np.random.RandomState(59)
+    y = np.concatenate([rng.randint(10, 14, 96), [500, 700, 900, 1100]])
+    rng.shuffle(y)
+    row = tail_stats(_series(spark, y)).collect()[0]
+    assert row["tail_ratio"] < 0.1          # sigma exploded, IQR did not
+    assert row["kurtosis_ex"] > 10          # leptokurtic
+    assert row["skew_g1"] > 3
+
+
+def test_tail_stats_degenerates(spark):
+    from cesium_spark.operators.seriesstats import tail_stats
+    const = tail_stats(_series(spark, [6] * 20)).collect()[0]
+    assert const["skew_g1"] is None and const["tail_ratio"] is None
+    assert const["bowley"] is None          # IQR = 0
+    assert (const["q1"], const["q2"], const["q3"]) == (6, 6, 6)
+    tiny = tail_stats(_series(spark, [1, 5, 9])).collect()[0]
+    assert tiny["kurtosis_ex"] is None      # n < 4
+    assert tiny["skew_g1"] is not None
