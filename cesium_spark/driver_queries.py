@@ -9790,6 +9790,67 @@ FROM m
 """
 
 
+def q_ts_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT per conversation on the purchase indicator stream
+    (H0 rate 0.2 vs H1 rate 0.4): exact int64 running counts, the
+    four ln() constants computed once in Python and inlined as
+    IDENTICAL double literals on both sides, first-crossing-wins
+    decision rule. Oracle replays the walk verbatim."""
+    from cesium_spark.operators.seriesstats import sprt_bernoulli
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("y"))
+    out = sprt_bernoulli(series, p0=0.2, p1=0.4,
+                         alpha=0.05, beta=0.2)
+    return out.select(
+        "conv_id", "n", "n_pos", "decision", "decided_at",
+        _r(F.col("llr_final"), 9).alias("llr_final"))
+
+
+SQL_TS_SPRT = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT conv_id, turn_idx, x,
+         cast(sum(x) OVER wr AS double) * 0.6931471805599453
+           + cast(count(*) OVER wr - sum(x) OVER wr AS double)
+             * -0.28768207245178107 AS llr
+  FROM s
+  WINDOW wr AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING)
+),
+g AS (
+  SELECT conv_id, count(*) AS n, sum(x) AS n_pos,
+         min(CASE WHEN llr >= 2.772588722239781 THEN turn_idx END) AS t1,
+         min(CASE WHEN llr <= -1.5581446180465497 THEN turn_idx END) AS t0,
+         max_by(llr, turn_idx) AS llr_final
+  FROM l GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(n_pos AS bigint) AS n_pos,
+       CASE WHEN t1 IS NOT NULL AND (t0 IS NULL OR t1 <= t0)
+            THEN 'accept_h1'
+            WHEN t0 IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       cast(CASE WHEN t1 IS NOT NULL AND (t0 IS NULL OR t1 <= t0)
+                 THEN t1
+                 WHEN t0 IS NOT NULL THEN t0 END AS int) AS decided_at,
+       round(llr_final, 9) + 0.0 AS llr_final
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9822,6 +9883,7 @@ QUERIES = {
     "ts_trimmed": q_ts_trimmed,
     "ts_calibration": q_ts_calibration,
     "ts_tail_stats": q_ts_tail_stats,
+    "ts_sprt": q_ts_sprt,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10009,6 +10071,7 @@ ORACLE_SQL = {
     "ts_trimmed": SQL_TS_TRIMMED,
     "ts_calibration": SQL_TS_CALIBRATION,
     "ts_tail_stats": SQL_TS_TAIL_STATS,
+    "ts_sprt": SQL_TS_SPRT,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

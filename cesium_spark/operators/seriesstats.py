@@ -1909,3 +1909,89 @@ def tail_stats(series: DataFrame) -> DataFrame:
     return g.select("conv_id", "n", "q1", "q2", "q3",
                     bowley.alias("bowley"), skew.alias("skew_g1"),
                     kurt.alias("kurtosis_ex"), tail.alias("tail_ratio"))
+
+
+def sprt_bernoulli(series: DataFrame, p0: float, p1: float,
+                   alpha: float = 0.05, beta: float = 0.2) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per conversation
+    (Wald 1945) — the sequential decision engine behind every
+    "stop the experiment early" framework: walk the log-likelihood
+    ratio of H₁: rate = p1 against H₀: rate = p0 over the 0/1 event
+    stream and stop at the FIRST boundary crossing,
+
+        llr_t = pos_t·ln(p1/p0) + (t − pos_t)·ln((1−p1)/(1−p0))
+        accept H₁ when llr ≥ A = ln((1−β)/α)
+        accept H₀ when llr ≤ B = ln(β/(1−α))
+
+    with the textbook error guarantees (≈α false-accept of H₁,
+    ≈β false-accept of H₀).  The input column y must be 0/1 integers
+    (validated in-plan — any other value raises; a silently coerced
+    y=2 would double-count evidence).
+
+    Exactness: pos_t and t are exact int64 running counts (ordered
+    windows); the four ln() constants are computed ONCE in Python
+    and inlined as identical double literals on both engines, so
+    llr_t is the fixed tree pos·L1 + neg·L0 over exact integers —
+    the crossing comparison is therefore engine-identical arithmetic
+    except for the two literal thresholds, also Python floats.
+    Output per conversation: n, n_pos, final llr, decision
+    ('accept_h1' / 'accept_h0' / 'continue' — whichever boundary is
+    crossed FIRST in time wins, not whichever is crossed at the end),
+    decided_at (turn_idx, NULL when still in 'continue').
+
+    Plan: one ordered window pass + one hash aggregate, conv-keyed →
+    ONE exchange, no UDF, no join.
+    """
+    import math
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0) or p0 == p1:
+        raise ValueError(f"sprt_bernoulli: need distinct p0, p1 in "
+                         f"(0,1), got {p0}, {p1}")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError("sprt_bernoulli: alpha, beta must be in (0,1)")
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    a_bound = math.log((1.0 - beta) / alpha)
+    b_bound = math.log(beta / (1.0 - alpha))
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"sprt_bernoulli: column 'y' has type {t}; need 0/1 "
+            "integer outcomes")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    y = F.col("y").cast("long")
+    checked = F.when(
+        (y < 0) | (y > 1),
+        F.expr("raise_error('sprt_bernoulli: outcome outside {0,1}')")
+        .cast("long")).otherwise(y)
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", "turn_idx", "t", checked.alias("__x")))
+    pos = F.sum("__x").over(w_run)
+    cnt = F.count(F.lit(1)).over(w_run)
+    llr = (pos.cast("double") * F.lit(l1)
+           + (cnt - pos).cast("double") * F.lit(l0))
+    s = s.select("conv_id", "turn_idx", "__x", llr.alias("__llr"))
+    g = s.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("n_pos"),
+        F.min(F.when(F.col("__llr") >= F.lit(a_bound),
+                     F.col("turn_idx"))).alias("__t1"),
+        F.min(F.when(F.col("__llr") <= F.lit(b_bound),
+                     F.col("turn_idx"))).alias("__t0"),
+        F.expr("max_by(__llr, turn_idx)").alias("llr_final"))
+    first1 = F.col("__t1")
+    first0 = F.col("__t0")
+    h1_first = first1.isNotNull() & (first0.isNull()
+                                     | (first1 <= first0))
+    decision = (F.when(h1_first, F.lit("accept_h1"))
+                .when(first0.isNotNull(), F.lit("accept_h0"))
+                .otherwise(F.lit("continue")))
+    decided_at = (F.when(h1_first, first1)
+                  .when(first0.isNotNull(), first0))
+    return g.select(
+        "conv_id", "n",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        decision.alias("decision"),
+        decided_at.cast("int").alias("decided_at"),
+        F.col("llr_final"))

@@ -1128,3 +1128,60 @@ def test_tail_stats_degenerates(spark):
     tiny = tail_stats(_series(spark, [1, 5, 9])).collect()[0]
     assert tiny["kurtosis_ex"] is None      # n < 4
     assert tiny["skew_g1"] is not None
+
+
+# --- SPRT --------------------------------------------------------------------------
+
+def _sprt_ref(x, p0, p1, alpha, beta):
+    import math
+    l1, l0 = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    a, b = math.log((1 - beta) / alpha), math.log(beta / (1 - alpha))
+    llr = 0.0
+    pos = 0
+    for i, v in enumerate(x):
+        pos += v
+        llr = pos * l1 + (i + 1 - pos) * l0
+        if llr >= a:
+            return "accept_h1", i, llr
+        if llr <= b:
+            return "accept_h0", i, llr
+    return "continue", None, llr
+
+
+def test_sprt_decisions_match_wald_walk(spark):
+    from cesium_spark.operators.seriesstats import sprt_bernoulli
+    rng = np.random.RandomState(61)
+    hi = (rng.rand(200) < 0.5).astype(int)     # true rate 0.5 -> H1
+    lo = (rng.rand(200) < 0.1).astype(int)     # true rate 0.1 -> H0
+    for x, want in ((hi, "accept_h1"), (lo, "accept_h0")):
+        row = sprt_bernoulli(_series(spark, x), p0=0.1, p1=0.5
+                             ).collect()[0]
+        dec, at, llr = _sprt_ref(x, 0.1, 0.5, 0.05, 0.2)
+        assert row["decision"] == dec == want
+        # the walk's FIRST crossing, not the final state
+        assert row["decided_at"] == at
+        assert row["n_pos"] == int(x.sum())
+
+
+def test_sprt_continue_and_first_crossing_wins(spark):
+    from cesium_spark.operators.seriesstats import sprt_bernoulli
+    # too little evidence: 3 mixed outcomes -> continue
+    row = sprt_bernoulli(_series(spark, [1, 0, 1]),
+                         p0=0.3, p1=0.7).collect()[0]
+    assert row["decision"] == "continue" and row["decided_at"] is None
+    # a walk that dips to the H0 boundary FIRST then rockets up must
+    # still report H0: 8 zeros cross B before the ones arrive
+    x = [0] * 8 + [1] * 30
+    dec, at, _ = _sprt_ref(x, 0.3, 0.7, 0.05, 0.2)
+    row = sprt_bernoulli(_series(spark, x), p0=0.3, p1=0.7).collect()[0]
+    assert dec == "accept_h0"
+    assert row["decision"] == "accept_h0" and row["decided_at"] == at
+
+
+def test_sprt_validation(spark):
+    from cesium_spark.operators.seriesstats import sprt_bernoulli
+    with pytest.raises(ValueError, match="distinct p0"):
+        sprt_bernoulli(_series(spark, [1, 0]), p0=0.3, p1=0.3)
+    with pytest.raises(Exception, match="outside"):
+        sprt_bernoulli(_series(spark, [0, 2, 1]),
+                       p0=0.1, p1=0.5).collect()
