@@ -9851,6 +9851,86 @@ FROM g
 """
 
 
+def q_ts_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foster-Stuart records trend test on tokens-per-turn: integer
+    record counts (strict, shifted-frame running max/min), longest
+    strictly-increasing streak, and z = d/sqrt(2(H_n - 1)) with H_n
+    as an ordered 1/i fold. Oracle replays frames and folds
+    verbatim."""
+    from cesium_spark.operators.seriesstats import record_stats
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = record_stats(series)
+    return out.select("conv_id", "n", "rec_up", "rec_dn",
+                      "longest_up_run", "d",
+                      _r(F.col("z"), 9).alias("z"))
+
+
+SQL_TS_RECORDS = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT conv_id, turn_idx, y,
+         row_number() OVER wo AS i,
+         max(y) OVER wp AS pmax,
+         min(y) OVER wp AS pmin,
+         lag(y) OVER wo AS prev
+  FROM s
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx),
+         wp AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+b AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN pmax IS NULL OR y > pmax THEN 1 ELSE 0 END AS up,
+         CASE WHEN pmin IS NULL OR y < pmin THEN 1 ELSE 0 END AS dn,
+         CASE WHEN prev IS NULL OR y <= prev THEN 1 ELSE 0 END AS brk,
+         1.0 / cast(i AS double) AS inv
+  FROM r
+),
+c AS (
+  SELECT conv_id, up, dn,
+         sum(brk) OVER wr AS runid,
+         sum(inv) OVER wr AS cum_h
+  FROM b
+  WINDOW wr AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING)
+),
+d AS (
+  SELECT conv_id, up, dn, cum_h,
+         count(*) OVER (PARTITION BY conv_id, runid) AS rlen
+  FROM c
+),
+g AS (
+  SELECT conv_id, count(*) AS n,
+         sum(up) AS rec_up, sum(dn) AS rec_dn,
+         max(rlen) AS longest_up_run, max(cum_h) AS hn
+  FROM d GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(rec_up AS bigint) AS rec_up,
+       cast(rec_dn AS bigint) AS rec_dn,
+       cast(longest_up_run AS bigint) AS longest_up_run,
+       cast(rec_up - rec_dn AS bigint) AS d,
+       round(CASE WHEN n >= 2 THEN
+             cast(rec_up - rec_dn AS double)
+             / sqrt(2.0 * (hn - 1.0)) END, 9) + 0.0 AS z
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9884,6 +9964,7 @@ QUERIES = {
     "ts_calibration": q_ts_calibration,
     "ts_tail_stats": q_ts_tail_stats,
     "ts_sprt": q_ts_sprt,
+    "ts_records": q_ts_records,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10072,6 +10153,7 @@ ORACLE_SQL = {
     "ts_calibration": SQL_TS_CALIBRATION,
     "ts_tail_stats": SQL_TS_TAIL_STATS,
     "ts_sprt": SQL_TS_SPRT,
+    "ts_records": SQL_TS_RECORDS,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -1995,3 +1995,79 @@ def sprt_bernoulli(series: DataFrame, p0: float, p1: float,
         decision.alias("decision"),
         decided_at.cast("int").alias("decided_at"),
         F.col("llr_final"))
+
+
+def record_stats(series: DataFrame) -> DataFrame:
+    """Records-based distribution-free trend evidence per conversation
+    (Foster & Stuart 1954): count UPPER records (y_t strictly exceeds
+    every earlier value) and LOWER records; under exchangeability
+    both counts have mean H_n (the harmonic number), so
+
+        d = rec_up − rec_dn,     z = d / sqrt(2·(H_n − 1))
+
+    is the classic records test — drift shows as an up/down record
+    imbalance, robust to any monotone transform of y (records only
+    see the ORDER).  Also reports the longest strictly-increasing
+    run, the streak diagnostic.
+
+    Exactness: records and streaks are pure integer window logic
+    (running max/min with the 1-row-shifted frame so the first value
+    counts as both kinds of record, run-length via the
+    gaps-and-islands pair); H_n is the ordered cumulative fold
+    Σ 1/i over the rank sequence — both engines fold the same 1/i
+    doubles in the same order (max of a nondecreasing running sum).
+    z is NULL for n < 2 (H_n − 1 = 0).  Ties break records ONLY when
+    strictly exceeded — documented, and the reason the test is
+    two-sided on ties (a tie extends no record on either side).
+
+    Plan: one ordered window pass + one hash aggregate, conv-keyed →
+    ONE exchange, no UDF, no join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"record_stats: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", "turn_idx", "t", y.alias("__y"),
+                 F.row_number().over(w_ord).alias("__i")))
+    prev_max = F.max("__y").over(w_prev)
+    prev_min = F.min("__y").over(w_prev)
+    lagy = F.lag("__y").over(w_ord)
+    s = s.select(
+        "conv_id", "turn_idx", "t", "__y", "__i",
+        (prev_max.isNull() | (F.col("__y") > prev_max))
+        .cast("long").alias("__up"),
+        (prev_min.isNull() | (F.col("__y") < prev_min))
+        .cast("long").alias("__dn"),
+        # strictly-increasing streak: break when not greater
+        F.when(lagy.isNull() | (F.col("__y") <= lagy), 1)
+        .otherwise(0).alias("__brk"),
+        (F.lit(1.0) / F.col("__i").cast("double")).alias("__inv"))
+    s = s.select("conv_id", "__up", "__dn",
+                 F.sum("__brk").over(w_run).alias("__runid"),
+                 F.sum("__inv").over(w_run).alias("__cum_h"))
+    runs = Window.partitionBy("conv_id", "__runid")
+    s = s.select("conv_id", "__up", "__dn", "__cum_h",
+                 F.count(F.lit(1)).over(runs).alias("__rlen"))
+    g = s.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__up").alias("rec_up"),
+        F.sum("__dn").alias("rec_dn"),
+        F.max("__rlen").alias("longest_up_run"),
+        F.max("__cum_h").alias("__hn"))
+    d = F.col("rec_up") - F.col("rec_dn")
+    z = F.when(F.col("n") >= 2,
+               d.cast("double")
+               / F.sqrt(F.lit(2.0) * (F.col("__hn") - F.lit(1.0))))
+    return g.select(
+        "conv_id", "n",
+        F.col("rec_up").cast("long").alias("rec_up"),
+        F.col("rec_dn").cast("long").alias("rec_dn"),
+        F.col("longest_up_run").cast("long").alias("longest_up_run"),
+        d.cast("long").alias("d"), z.alias("z"))

@@ -1185,3 +1185,53 @@ def test_sprt_validation(spark):
     with pytest.raises(Exception, match="outside"):
         sprt_bernoulli(_series(spark, [0, 2, 1]),
                        p0=0.1, p1=0.5).collect()
+
+
+# --- record stats ------------------------------------------------------------------
+
+def _records_ref(y):
+    up = dn = 0
+    best = None
+    worst = None
+    for v in y:
+        if best is None or v > best:
+            up += 1
+        if worst is None or v < worst:
+            dn += 1
+        best = v if best is None else max(best, v)
+        worst = v if worst is None else min(worst, v)
+    hn = sum(1.0 / i for i in range(1, len(y) + 1))
+    d = up - dn
+    z = d / np.sqrt(2 * (hn - 1)) if len(y) >= 2 else None
+    return up, dn, d, z
+
+
+def test_records_matches_ref_and_ramps(spark):
+    from cesium_spark.operators.seriesstats import record_stats
+    rng = np.random.RandomState(67)
+    y = rng.randint(0, 1000, 150)
+    row = record_stats(_series(spark, y)).collect()[0]
+    up, dn, d, z = _records_ref(y)
+    assert (row["rec_up"], row["rec_dn"], row["d"]) == (up, dn, d)
+    assert abs(row["z"] - z) < 1e-12
+    assert abs(row["z"]) < 3              # iid: no drift signal
+    ramp = record_stats(_series(spark, list(range(50)))).collect()[0]
+    assert ramp["rec_up"] == 50 and ramp["rec_dn"] == 1
+    assert ramp["longest_up_run"] == 50 and ramp["z"] > 10
+    fall = record_stats(_series(spark, list(range(50, 0, -1)))).collect()[0]
+    assert fall["rec_dn"] == 50 and fall["z"] < -10
+    assert fall["longest_up_run"] == 1
+
+
+def test_records_ties_and_monotone_invariance(spark):
+    from cesium_spark.operators.seriesstats import record_stats
+    # a tie extends no record on either side
+    row = record_stats(_series(spark, [5, 5, 5, 5])).collect()[0]
+    assert row["rec_up"] == 1 and row["rec_dn"] == 1 and row["d"] == 0
+    # records only see order: y and y^3 give identical counts
+    y = np.array([3, 1, 4, 1, 5, 9, 2, 6])
+    r1 = record_stats(_series(spark, y)).collect()[0]
+    r2 = record_stats(_series(spark, y.astype(np.int64) ** 3)).collect()[0]
+    assert (r1["rec_up"], r1["rec_dn"]) == (r2["rec_up"], r2["rec_dn"])
+    one = record_stats(_series(spark, [7])).collect()[0]
+    assert one["z"] is None and one["rec_up"] == 1
