@@ -9931,6 +9931,84 @@ FROM g
 """
 
 
+def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between the even and odd vec_id slices:
+    integer-gridded (1e-7) per-dim sums, ordered-dim folds with
+    max_by terminal pick (signed terms - the max-of-cumsum trick
+    deliberately does NOT apply), deterministic top-moved-dim.
+    Oracle replays grid, folds, and the argmax rule verbatim."""
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    a = embs.where(F.col("vec_id") % 2 == 0)
+    b = embs.where(F.col("vec_id") % 2 == 1)
+    out = similarity.embedding_drift(a, b)
+    return out.select(
+        "n_a", "n_b",
+        _r(F.col("mean_cos"), 9).alias("mean_cos"),
+        _r(F.col("mean_l2"), 9).alias("mean_l2"),
+        "top_gap_dim",
+        _r(F.col("top_gap"), 9).alias("top_gap"))
+
+
+SQL_EMB_DRIFT = """
+WITH t AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS tag,
+         u.pos - 1 AS pos,
+         cast(round(u.x * 10000000.0) AS bigint) AS g
+  FROM embeddings e,
+  LATERAL (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+                  generate_subscripts(e.embedding, 1) AS pos) u
+  WHERE e.embedding IS NOT NULL
+),
+per AS (
+  SELECT tag, pos, sum(g) AS s, count(*) AS n FROM t GROUP BY 1, 2
+),
+wide AS (
+  SELECT pos,
+         max(CASE WHEN tag = 'a' THEN s END) AS sa,
+         max(CASE WHEN tag = 'b' THEN s END) AS sb,
+         max(CASE WHEN tag = 'a' THEN n END) AS na,
+         max(CASE WHEN tag = 'b' THEN n END) AS nb
+  FROM per GROUP BY 1
+),
+folded AS (
+  SELECT pos, na, nb,
+         sum(cast(sa AS double) * cast(sb AS double)) OVER wo AS dot,
+         sum(cast(sa AS double) * cast(sa AS double)) OVER wo AS aa,
+         sum(cast(sb AS double) * cast(sb AS double)) OVER wo AS bb,
+         sum((cast(sa AS double) / cast(na AS double)
+              - cast(sb AS double) / cast(nb AS double))
+             * (cast(sa AS double) / cast(na AS double)
+                - cast(sb AS double) / cast(nb AS double)))
+           OVER wo AS d2,
+         abs(cast(sa AS double) / cast(na AS double)
+             - cast(sb AS double) / cast(nb AS double))
+           / 10000000.0 AS gap
+  FROM wide
+  WINDOW wo AS (ORDER BY pos)
+),
+sc AS (
+  SELECT cast(max(na) AS bigint) AS n_a,
+         cast(max(nb) AS bigint) AS n_b,
+         arg_max(dot, pos) AS dot, arg_max(aa, pos) AS aa,
+         arg_max(bb, pos) AS bb, arg_max(d2, pos) AS d2,
+         max(gap) AS top_gap
+  FROM folded
+),
+td AS (
+  SELECT cast(pos + 1 AS int) AS top_gap_dim FROM folded
+  QUALIFY row_number() OVER (ORDER BY gap DESC, pos) = 1
+)
+SELECT sc.n_a, sc.n_b,
+       round(CASE WHEN sc.aa > 0 AND sc.bb > 0 THEN
+             sc.dot / sqrt(sc.aa * sc.bb) END, 9) + 0.0 AS mean_cos,
+       round(sqrt(sc.d2) / 10000000.0, 9) + 0.0 AS mean_l2,
+       td.top_gap_dim,
+       round(sc.top_gap, 9) + 0.0 AS top_gap
+FROM sc, td
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -9965,6 +10043,7 @@ QUERIES = {
     "ts_tail_stats": q_ts_tail_stats,
     "ts_sprt": q_ts_sprt,
     "ts_records": q_ts_records,
+    "emb_drift": q_emb_drift,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10154,6 +10233,7 @@ ORACLE_SQL = {
     "ts_tail_stats": SQL_TS_TAIL_STATS,
     "ts_sprt": SQL_TS_SPRT,
     "ts_records": SQL_TS_RECORDS,
+    "emb_drift": SQL_EMB_DRIFT,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -563,3 +563,87 @@ def mmr_topk(embs: DataFrame, query: list[float], k: int = 5,
                         F.lit(i).alias("pick"), "mmr_score"))
         sel = sel.unionByName(pick)
     return sel.select("pick", F.col(id_col), "rel", "mmr_score")
+
+
+def embedding_drift(embs_a: DataFrame, embs_b: DataFrame,
+                    grid: float = 1e7,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-distribution drift between two corpus slices (old
+    batch vs new batch, model v1 vs v2): ONE row comparing the slice
+    MEAN vectors — cosine between them, L2 distance, and the single
+    dimension that moved most.  The monitoring primitive that
+    catches a model swap, a truncated export, or a normalization
+    change before any downstream ANN/dedup silently degrades
+    (embedding_dim_stats is the one-slice health check; this is the
+    two-slice comparison).
+
+    Exactness device — the integer grid, not DECIMAL: every
+    component is gridded ONCE to round(x·grid) int64, so per-dim
+    sums are exact at any parallelism and every output is a fixed
+    double tree over those integers.  The grid scale cancels in
+    mean_cos entirely (cos = Σ sᵃsᵇ / √(Σsᵃ² Σsᵇ²)); mean_l2 divides
+    it back out.  Per-dim cross terms are cast to double BEFORE
+    multiplying (int64·int64 at 10⁹-scale sums would overflow); the
+    three dot folds run in ORDERED dim sequence with the terminal
+    value picked by max_by(cum, dim) — signed terms make the running
+    sum non-monotone, so the max-of-cumsum trick does NOT apply and
+    is deliberately not used.  Zero-norm mean (a slice that averages
+    to the origin) → NULL cosine, never 0/0.
+
+    Plan: union → posexplode → one (slice, dim) hash aggregate whose
+    map-side partials collapse to 2·dim rows before the exchange;
+    everything after runs on dim-cardinality rows (the
+    embedding_dim_stats contract).
+    """
+    if grid <= 0:
+        raise ValueError(f"embedding_drift: grid must be > 0, got {grid}")
+    tagged = (embs_a.where(F.col(vec_col).isNotNull())
+              .select(F.lit("a").alias("__tag"), F.col(vec_col))
+              .unionByName(
+                  embs_b.where(F.col(vec_col).isNotNull())
+                  .select(F.lit("b").alias("__tag"), F.col(vec_col))))
+    exploded = tagged.select(
+        "__tag",
+        F.posexplode(F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(grid)), 0)
+            .cast("long"))).alias("pos", "g"))
+    per = (exploded.groupBy("__tag", "pos")
+           .agg(F.sum("g").alias("s"), F.count(F.lit(1)).alias("n")))
+    wide = (per.groupBy("pos")
+            .agg(F.max(F.when(F.col("__tag") == "a", F.col("s")))
+                 .alias("sa"),
+                 F.max(F.when(F.col("__tag") == "b", F.col("s")))
+                 .alias("sb"),
+                 F.max(F.when(F.col("__tag") == "a", F.col("n")))
+                 .alias("na"),
+                 F.max(F.when(F.col("__tag") == "b", F.col("n")))
+                 .alias("nb")))
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    gap = F.abs(sa / na - sb / nb) / F.lit(float(grid))
+    w_ord = Window.partitionBy().orderBy("pos")
+    folded = wide.select(
+        "pos", "na", "nb",
+        F.sum(sa * sb).over(w_ord).alias("__dot"),
+        F.sum(sa * sa).over(w_ord).alias("__aa"),
+        F.sum(sb * sb).over(w_ord).alias("__bb"),
+        F.sum((sa / na - sb / nb) * (sa / na - sb / nb))
+        .over(w_ord).alias("__d2"),
+        gap.alias("__gap"))
+    g = folded.groupBy().agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.expr("max_by(__dot, pos)").alias("dot"),
+        F.expr("max_by(__aa, pos)").alias("aa"),
+        F.expr("max_by(__bb, pos)").alias("bb"),
+        F.expr("max_by(__d2, pos)").alias("d2"),
+        F.max("__gap").alias("top_gap"),
+        F.expr("min_by(pos, struct(-__gap, pos))").alias("top_gap_dim"))
+    ok = (F.col("aa") > 0) & (F.col("bb") > 0)
+    cos = F.when(ok, F.col("dot") / F.sqrt(F.col("aa") * F.col("bb")))
+    l2 = F.sqrt(F.col("d2")) / F.lit(float(grid))
+    return g.select(
+        "n_a", "n_b", cos.alias("mean_cos"), l2.alias("mean_l2"),
+        (F.col("top_gap_dim") + 1).cast("int").alias("top_gap_dim"),
+        F.col("top_gap"))

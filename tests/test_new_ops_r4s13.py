@@ -1235,3 +1235,39 @@ def test_records_ties_and_monotone_invariance(spark):
     assert (r1["rec_up"], r1["rec_dn"]) == (r2["rec_up"], r2["rec_dn"])
     one = record_stats(_series(spark, [7])).collect()[0]
     assert one["z"] is None and one["rec_up"] == 1
+
+
+# --- embedding drift ---------------------------------------------------------------
+
+def test_embedding_drift_matches_ref(spark):
+    from cesium_spark.operators.similarity import embedding_drift
+    rng = np.random.RandomState(71)
+    a = rng.randn(40, 8)
+    b = a + np.array([0, 0, 0, 0.5, 0, 0, 0, 0])   # dim 4 shifted
+    row = embedding_drift(
+        _embs(spark, [list(v) for v in a]),
+        _embs(spark, [list(v) for v in b])).collect()[0]
+    ga = np.round(a * 1e7).sum(axis=0)
+    gb = np.round(b * 1e7).sum(axis=0)
+    cos_ref = (ga * gb).sum() / np.sqrt((ga * ga).sum() * (gb * gb).sum())
+    l2_ref = np.sqrt(((ga / 40 - gb / 40) ** 2).sum()) / 1e7
+    assert row["n_a"] == 40 and row["n_b"] == 40
+    assert abs(row["mean_cos"] - cos_ref) < 1e-9
+    assert abs(row["mean_l2"] - l2_ref) < 1e-9
+    assert row["top_gap_dim"] == 4        # 1-based
+    assert abs(row["top_gap"] - 0.5) < 1e-6
+
+
+def test_embedding_drift_identical_and_degenerate(spark):
+    from cesium_spark.operators.similarity import embedding_drift
+    vecs = [[1.0, 2.0], [3.0, -1.0]]
+    same = embedding_drift(_embs(spark, vecs),
+                           _embs(spark, vecs)).collect()[0]
+    assert abs(same["mean_cos"] - 1.0) < 1e-12
+    assert same["mean_l2"] == 0.0 and same["top_gap"] == 0.0
+    # slice averaging to the origin: NULL cosine, never 0/0
+    zero = embedding_drift(_embs(spark, [[1.0, 0.0], [-1.0, 0.0]]),
+                           _embs(spark, vecs)).collect()[0]
+    assert zero["mean_cos"] is None
+    with pytest.raises(ValueError, match="grid"):
+        embedding_drift(_embs(spark, vecs), _embs(spark, vecs), grid=0)
