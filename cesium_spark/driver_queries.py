@@ -10009,6 +10009,71 @@ FROM sc, td
 """
 
 
+def q_ts_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index (k=20) of tokens-per-turn per conversation:
+    exact integer order-statistic threshold and top-k cut (no float
+    in the membership decision), ordered nondecreasing ln-ratio
+    fold, one terminal division. Oracle replays ranks and fold
+    verbatim."""
+    from cesium_spark.operators.seriesstats import hill_tail
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        tok.cast("long").alias("y"))
+    out = hill_tail(series, k=20)
+    return out.select(
+        "conv_id", "n", "k", "threshold",
+        _r(F.col("sum_ln"), 9).alias("sum_ln"),
+        _r(F.col("alpha"), 9).alias("alpha"))
+
+
+SQL_TS_HILL = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT conv_id, y,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY y DESC, turn_idx DESC) AS rk,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM s
+),
+t AS (
+  SELECT conv_id, y, rk, n,
+         max(CASE WHEN rk = 21 THEN y END)
+           OVER (PARTITION BY conv_id) AS thr
+  FROM r
+),
+f AS (
+  SELECT conv_id, n, thr,
+         sum(CASE WHEN rk <= 20 AND thr > 0 THEN
+             ln(cast(y AS double) / cast(thr AS double))
+             ELSE 0.0 END)
+           OVER (PARTITION BY conv_id ORDER BY rk
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+g AS (
+  SELECT conv_id, max(n) AS n, max(thr) AS thr, max(cum) AS sum_ln
+  FROM f GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n, 20 AS k,
+       cast(thr AS bigint) AS threshold,
+       round(sum_ln, 9) + 0.0 AS sum_ln,
+       round(CASE WHEN n > 20 AND thr > 0 AND sum_ln > 0 THEN
+             20.0 / sum_ln END, 9) + 0.0 AS alpha
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10044,6 +10109,7 @@ QUERIES = {
     "ts_sprt": q_ts_sprt,
     "ts_records": q_ts_records,
     "emb_drift": q_emb_drift,
+    "ts_hill": q_ts_hill,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10234,6 +10300,7 @@ ORACLE_SQL = {
     "ts_sprt": SQL_TS_SPRT,
     "ts_records": SQL_TS_RECORDS,
     "emb_drift": SQL_EMB_DRIFT,
+    "ts_hill": SQL_TS_HILL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -2071,3 +2071,69 @@ def record_stats(series: DataFrame) -> DataFrame:
         F.col("rec_dn").cast("long").alias("rec_dn"),
         F.col("longest_up_run").cast("long").alias("longest_up_run"),
         d.cast("long").alias("d"), z.alias("z"))
+
+
+def hill_tail(series: DataFrame, k: int = 20) -> DataFrame:
+    """Hill estimator of the power-law tail index per conversation
+    (Hill 1975) — the extreme-value refinement of ``tail_stats``'
+    one-number tail ratio: over the k largest values,
+
+        1/α̂ = (1/k)·Σ_{i=1..k} ln( y_(n−i+1) / y_(n−k) ),
+
+    α̂ ≈ 2 means heavy Pareto-like tails (infinite variance below 2),
+    α̂ large means thin tails.  The operator answers "HOW heavy" where
+    tail_stats answers "heavier than normal?".
+
+    Determinism/exactness: the top-k membership and the threshold
+    y_(n−k) are exact integer ORDER statistics (rank over the
+    deterministic (y, turn_idx) order — no float enters the cut);
+    the ln-ratio terms are non-negative BY CONSTRUCTION (every
+    member ≥ the threshold), so the per-conversation fold is the
+    ordered max-of-nondecreasing-cumsum (rank order), and α̂ is one
+    terminal division.  Guards: n must exceed k (else NULL — the
+    estimator needs a bulk to anchor the threshold), the threshold
+    must be > 0 (ln of a zero/negative threshold is undefined —
+    NULL, documented: Hill applies to positive heavy-tailed data),
+    and a zero Σln (all top-k equal to the threshold) yields NULL α̂
+    rather than ∞.
+
+    Plan: one rank window + one ordered fold + one hash aggregate,
+    conv-keyed → ONE exchange, no UDF, no join.
+    """
+    if not isinstance(k, int) or k < 2:
+        raise ValueError(f"hill_tail: k must be an int >= 2, got {k!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"hill_tail: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id").orderBy(
+        F.desc("y"), F.desc("turn_idx"))
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 F.row_number().over(w_ord).alias("__r"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    # threshold = the (k+1)-th largest = y_(n-k)
+    thr = F.max(F.when(F.col("__r") == k + 1, F.col("__y"))).over(w_all)
+    s = s.select("conv_id", "__y", "__r", "__n", thr.alias("__thr"))
+    term = F.when(
+        (F.col("__r") <= k) & (F.col("__thr") > 0),
+        F.log(F.col("__y").cast("double")
+              / F.col("__thr").cast("double"))).otherwise(F.lit(0.0))
+    w_fold = Window.partitionBy("conv_id").orderBy("__r")
+    s = s.select("conv_id", "__n", "__thr",
+                 F.sum(term).over(w_fold).alias("__cum"))
+    g = s.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.max("__thr").alias("threshold"),
+        F.max("__cum").alias("sum_ln"))
+    ok = (F.col("n") > k) & (F.col("threshold") > 0) \
+        & (F.col("sum_ln") > 0)
+    alpha = F.when(ok, F.lit(float(k)) / F.col("sum_ln"))
+    return g.select("conv_id", "n",
+                    F.lit(k).alias("k"),
+                    "threshold", F.col("sum_ln").alias("sum_ln"),
+                    alpha.alias("alpha"))

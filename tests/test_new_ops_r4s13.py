@@ -1271,3 +1271,41 @@ def test_embedding_drift_identical_and_degenerate(spark):
     assert zero["mean_cos"] is None
     with pytest.raises(ValueError, match="grid"):
         embedding_drift(_embs(spark, vecs), _embs(spark, vecs), grid=0)
+
+
+# --- Hill tail index ---------------------------------------------------------------
+
+def _hill_ref(y, k):
+    sy = np.sort(y)[::-1]
+    thr = sy[k]
+    if thr <= 0 or len(y) <= k:
+        return None
+    s = np.sum(np.log(sy[:k] / thr))
+    return k / s if s > 0 else None
+
+
+def test_hill_matches_ref_and_discriminates(spark):
+    from cesium_spark.operators.seriesstats import hill_tail
+    rng = np.random.RandomState(73)
+    # Pareto(alpha=1.5) sample, gridded to ints
+    pareto = np.maximum(1, (10 * rng.pareto(1.5, 300)).astype(int))
+    thin = rng.randint(50, 100, 300)        # bounded -> huge alpha
+    rp = hill_tail(_series(spark, pareto), k=30).collect()[0]
+    rt = hill_tail(_series(spark, thin), k=30).collect()[0]
+    ref = _hill_ref(pareto, 30)
+    assert abs(rp["alpha"] - ref) < 1e-9
+    assert rp["alpha"] < 3.5                 # heavy tail detected
+    assert rt["alpha"] > rp["alpha"] * 2     # thin >> heavy
+    assert rp["threshold"] == int(np.sort(pareto)[::-1][30])
+
+
+def test_hill_guards(spark):
+    from cesium_spark.operators.seriesstats import hill_tail
+    short = hill_tail(_series(spark, [5, 3, 9]), k=20).collect()[0]
+    assert short["alpha"] is None            # n <= k
+    zeros = hill_tail(_series(spark, [0] * 40), k=5).collect()[0]
+    assert zeros["alpha"] is None            # threshold 0
+    const = hill_tail(_series(spark, [7] * 40), k=5).collect()[0]
+    assert const["alpha"] is None            # sum_ln = 0, not inf
+    with pytest.raises(ValueError, match="k must be"):
+        hill_tail(_series(spark, [1, 2]), k=1)
