@@ -10074,6 +10074,115 @@ FROM g
 """
 
 
+def q_ts_ks_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: the two-sample KS mid-conversation drift p-bounds
+    across all 150 conversations, fed through Benjamini-Hochberg
+    step-up FDR control (q=0.1) - which conversations' distribution
+    shifts survive honest multiple-testing correction. The oracle
+    replays the UNROUNDED p tree (ranking must see the same doubles)
+    then the step-up rule and reverse-running-min adjustment
+    verbatim; ties at p=1.0 break by conv_id on both engines."""
+    from cesium_spark.operators.scoring import bh_fdr
+    from cesium_spark.operators.seriesstats import ks_two_sample
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    ks = ks_two_sample(series)
+    out = bh_fdr(ks, "p_bound", "conv_id", q=0.1)
+    return out.select(
+        "conv_id",
+        _r(F.col("p"), 9).alias("p"),
+        "rank",
+        _r(F.col("p_adj"), 9).alias("p_adj"),
+        "significant", "m")
+
+
+SQL_TS_KS_FDR = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS rk,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+h AS (
+  SELECT conv_id, y, cnt, cnt // 2 AS n1,
+         CASE WHEN rk >= cnt // 2 THEN 1 ELSE 0 END AS hh
+  FROM s
+),
+c AS (
+  SELECT conv_id, cnt, n1,
+         sum(1 - hh) OVER wv AS c1,
+         sum(hh) OVER wv AS c2
+  FROM h
+  WINDOW wv AS (PARTITION BY conv_id ORDER BY y
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+g AS (
+  SELECT conv_id, max(cnt) AS n, max(n1) AS n1,
+         max(abs(c1 * (cnt - n1) - c2 * n1)) AS d_num
+  FROM c GROUP BY 1
+),
+pv AS (
+  SELECT conv_id,
+         CASE WHEN n1 > 0 THEN
+           least(1.0, 2.0 * exp(-2.0
+             * ((cast(d_num AS double)
+                 / (cast(n1 AS double) * cast(n - n1 AS double)))
+                * sqrt(cast(n1 AS double) * cast(n - n1 AS double)
+                       / (cast(n1 AS double) + cast(n - n1 AS double))))
+             * ((cast(d_num AS double)
+                 / (cast(n1 AS double) * cast(n - n1 AS double)))
+                * sqrt(cast(n1 AS double) * cast(n - n1 AS double)
+                       / (cast(n1 AS double)
+                          + cast(n - n1 AS double))))))
+         END AS p
+  FROM g
+),
+v AS (SELECT conv_id, p FROM pv WHERE p IS NOT NULL AND NOT isnan(p)),
+rked AS (
+  SELECT conv_id, p,
+         row_number() OVER (ORDER BY p, conv_id) AS rnk,
+         count(*) OVER () AS m
+  FROM v
+),
+kk AS (
+  SELECT *,
+         max(CASE WHEN p <= cast(rnk AS double) * 0.1
+                       / cast(m AS double)
+                  THEN rnk END) OVER () AS kmax,
+         min(cast(m AS double) * p / cast(rnk AS double))
+           OVER (ORDER BY rnk DESC ROWS UNBOUNDED PRECEDING) AS radj
+  FROM rked
+),
+valid AS (
+  SELECT conv_id, p, cast(rnk AS int) AS rank,
+         least(1.0, radj) AS p_adj,
+         CASE WHEN kmax IS NOT NULL THEN rnk <= kmax
+              ELSE FALSE END AS significant,
+         cast(m AS bigint) AS m
+  FROM kk
+),
+inval AS (
+  SELECT conv_id, cast(NULL AS double) AS p, cast(NULL AS int) AS rank,
+         cast(NULL AS double) AS p_adj,
+         cast(NULL AS boolean) AS significant,
+         cast(NULL AS bigint) AS m
+  FROM pv WHERE p IS NULL OR isnan(p)
+)
+SELECT conv_id, round(p, 9) + 0.0 AS p, rank,
+       round(p_adj, 9) + 0.0 AS p_adj, significant, m
+FROM (SELECT * FROM valid UNION ALL SELECT * FROM inval)
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10110,6 +10219,7 @@ QUERIES = {
     "ts_records": q_ts_records,
     "emb_drift": q_emb_drift,
     "ts_hill": q_ts_hill,
+    "ts_ks_fdr": q_ts_ks_fdr,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10301,6 +10411,7 @@ ORACLE_SQL = {
     "ts_records": SQL_TS_RECORDS,
     "emb_drift": SQL_EMB_DRIFT,
     "ts_hill": SQL_TS_HILL,
+    "ts_ks_fdr": SQL_TS_KS_FDR,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -389,3 +389,73 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str,
         F.max("__cum_ece").over(Window.partitionBy()).alias("ece"),
         (F.col("__bn").cast("double") / (ntd * F.lit(1e12)))
         .alias("brier"))
+
+
+def bh_fdr(df: DataFrame, p_col: str, id_col: str,
+           q: float = 0.05) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate control (Benjamini &
+    Hochberg 1995) — the meta-operator every per-conversation test in
+    this library feeds: run one test per conversation and 5% of
+    10⁵ "significant at 0.05" results are false alarms BY DESIGN;
+    BH step-up turns the p-value column into an honest discovery
+    list.  Rows: hypotheses (one per conversation/doc/series).
+
+        rank i by p ascending (ties by id — deterministic),
+        k = max{ i : p_(i) ≤ i·q/m },
+        significant  ⇔  rank ≤ k          (the STEP-UP rule: a row
+                       above its own threshold is still rejected when
+                       a later row clears its line — comparing each p
+                       to its own i·q/m is the classic BH bug),
+        p_adj_(i) = min(1, min_{j≥i} m·p_(j)/j)   (reverse running
+                       min, monotone by construction).
+
+    NULL p-values are excluded from m and the ranking and come back
+    with NULL rank/p_adj/significant — an untestable hypothesis is
+    not a discovery and not a denominator.  Determinism: both engines
+    rank the SAME doubles (the p column is produced by this library's
+    engine-identical trees) with the id tiebreak, and every threshold
+    comparison i·q/m is the same fixed tree.
+
+    Scale note: one global rank window over the HYPOTHESIS table —
+    bounded by the number of series, not the corpus; at 10⁸+
+    hypotheses this is a single sort, the standard cost of the
+    procedure.
+    """
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"bh_fdr: q must be in (0,1), got {q!r}")
+    p = F.col(p_col).cast("double")
+    valid = df.where(p.isNotNull() & ~F.isnan(p))
+    invalid = df.where(p.isNull() | F.isnan(p))
+    w_rank = Window.partitionBy().orderBy(p.asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy()
+    ranked = valid.select(
+        F.col(id_col), p.alias("__p"),
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(w_all).alias("__m"))
+    md = F.col("__m").cast("double")
+    line = F.col("rank").cast("double") * F.lit(float(q)) / md
+    w_rev = Window.partitionBy().orderBy(F.col("rank").desc())
+    ranked = ranked.select(
+        id_col, "__p", "rank", "__m",
+        F.max(F.when(F.col("__p") <= line, F.col("rank")))
+        .over(w_all).alias("__k"),
+        F.min(md * F.col("__p") / F.col("rank").cast("double"))
+        .over(w_rev.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__radj"))
+    out_valid = ranked.select(
+        id_col,
+        F.col("__p").alias("p"),
+        "rank",
+        F.least(F.lit(1.0), F.col("__radj")).alias("p_adj"),
+        F.when(F.col("__k").isNotNull(),
+               F.col("rank") <= F.col("__k"))
+        .otherwise(F.lit(False)).alias("significant"),
+        F.col("__m").cast("long").alias("m"))
+    out_invalid = invalid.select(
+        F.col(id_col),
+        F.lit(None).cast("double").alias("p"),
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("double").alias("p_adj"),
+        F.lit(None).cast("boolean").alias("significant"),
+        F.lit(None).cast("long").alias("m"))
+    return out_valid.unionByName(out_invalid)

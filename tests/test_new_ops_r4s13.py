@@ -1309,3 +1309,59 @@ def test_hill_guards(spark):
     assert const["alpha"] is None            # sum_ln = 0, not inf
     with pytest.raises(ValueError, match="k must be"):
         hill_tail(_series(spark, [1, 2]), k=1)
+
+
+# --- BH FDR ------------------------------------------------------------------------
+
+def _pdf_p(spark, ps):
+    rows = [(f"h{i:03d}", p) for i, p in enumerate(ps)]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["hid", "p"]))
+
+
+def test_bh_step_up_rule(spark):
+    from cesium_spark.operators.scoring import bh_fdr
+    # p1 = 0.03 exceeds its own line (0.025) but p2 = 0.039 clears
+    # 0.05 -> BOTH rejected. Comparing each p to its own line is the
+    # classic BH implementation bug; this pins the step-up.
+    out = {r["hid"]: r for r in
+           bh_fdr(_pdf_p(spark, [0.03, 0.039]), "p", "hid",
+                  q=0.05).collect()}
+    assert out["h000"]["significant"] and out["h001"]["significant"]
+    assert abs(out["h000"]["p_adj"] - 0.039) < 1e-12
+    assert abs(out["h001"]["p_adj"] - 0.039) < 1e-12
+
+
+def test_bh_matches_reference_procedure(spark):
+    from cesium_spark.operators.scoring import bh_fdr
+    rng = np.random.RandomState(79)
+    ps = np.concatenate([rng.uniform(0, 0.002, 10),   # real signals
+                         rng.uniform(0, 1, 90)])      # nulls
+    out = bh_fdr(_pdf_p(spark, ps), "p", "hid", q=0.05).collect()
+    # reference: sort, step-up
+    order = np.argsort(ps, kind="stable")
+    m = len(ps)
+    sp = ps[order]
+    ks = [i + 1 for i in range(m) if sp[i] <= (i + 1) * 0.05 / m]
+    k = max(ks) if ks else 0
+    sig_ref = set(np.array([f"h{i:03d}" for i in order[:k]]))
+    adj = np.minimum.accumulate((m * sp / np.arange(1, m + 1))[::-1])[::-1]
+    adj = np.minimum(adj, 1.0)
+    got_sig = {r["hid"] for r in out if r["significant"]}
+    assert got_sig == sig_ref
+    assert len(got_sig) >= 10                # the planted signals survive
+    by_id = {r["hid"]: r for r in out}
+    for pos, i in enumerate(order):
+        assert abs(by_id[f"h{i:03d}"]["p_adj"] - adj[pos]) < 1e-12
+
+
+def test_bh_nulls_and_none_significant(spark):
+    from cesium_spark.operators.scoring import bh_fdr
+    pdf = pd.DataFrame({"hid": ["a", "b", "c"],
+                        "p": [0.9, None, 0.8]})
+    out = {r["hid"]: r for r in
+           bh_fdr(spark.createDataFrame(pdf), "p", "hid").collect()}
+    assert out["b"]["significant"] is None and out["b"]["m"] is None
+    assert out["a"]["m"] == 2                 # NULL excluded from m
+    assert not out["a"]["significant"] and not out["c"]["significant"]
+    with pytest.raises(ValueError, match="q must be"):
+        bh_fdr(spark.createDataFrame(pdf), "p", "hid", q=1.0)
