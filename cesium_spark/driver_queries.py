@@ -10183,6 +10183,64 @@ FROM (SELECT * FROM valid UNION ALL SELECT * FROM inval)
 """
 
 
+def q_ts_circadian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day activity profile per conversation: exact integer
+    hour-bucket counts, ordered entropy fold over <= 24 cells, the
+    deterministic (count DESC, hour ASC) majority hour, and the
+    entropy ratio against the same ln(24) Python literal on both
+    sides. Oracle replays cells, fold, and tie rule verbatim."""
+    from cesium_spark.operators.sequences import circadian_stats
+    out = circadian_stats(events_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "n_turns", "n_hours_active", "top_hour",
+        _r(F.col("top_hour_share"), 9).alias("top_hour_share"),
+        _r(F.col("hour_entropy"), 9).alias("hour_entropy"),
+        _r(F.col("entropy_ratio"), 9).alias("entropy_ratio"))
+
+
+SQL_TS_CIRCADIAN = """
+WITH cells AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         hour(ts) AS hh, count(*) AS c
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+e0 AS (
+  SELECT conv_id, hh, c,
+         sum(c) OVER (PARTITION BY conv_id) AS n
+  FROM cells
+),
+e AS (
+  SELECT conv_id, hh, c, n,
+         sum((cast(c AS double) / cast(n AS double))
+             * ln(cast(n AS double) / cast(c AS double)))
+           OVER (PARTITION BY conv_id ORDER BY hh
+                 ROWS UNBOUNDED PRECEDING) AS cum_h
+  FROM e0
+),
+g AS (
+  SELECT conv_id, max(n) AS n_turns,
+         count(*) AS n_hours_active,
+         max(cum_h) AS hour_entropy, max(c) AS top_c
+  FROM e GROUP BY 1
+),
+th AS (
+  SELECT conv_id, hh AS top_hour FROM cells
+  QUALIFY row_number() OVER (PARTITION BY conv_id
+                             ORDER BY c DESC, hh) = 1
+)
+SELECT g.conv_id,
+       cast(n_turns AS bigint) AS n_turns,
+       cast(n_hours_active AS bigint) AS n_hours_active,
+       cast(th.top_hour AS int) AS top_hour,
+       round(cast(top_c AS double) / cast(n_turns AS double), 9)
+         + 0.0 AS top_hour_share,
+       round(hour_entropy, 9) + 0.0 AS hour_entropy,
+       round(hour_entropy / 3.1780538303479458, 9) + 0.0 AS entropy_ratio
+FROM g JOIN th USING (conv_id)
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10220,6 +10278,7 @@ QUERIES = {
     "emb_drift": q_emb_drift,
     "ts_hill": q_ts_hill,
     "ts_ks_fdr": q_ts_ks_fdr,
+    "ts_circadian": q_ts_circadian,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10412,6 +10471,7 @@ ORACLE_SQL = {
     "emb_drift": SQL_EMB_DRIFT,
     "ts_hill": SQL_TS_HILL,
     "ts_ks_fdr": SQL_TS_KS_FDR,
+    "ts_circadian": SQL_TS_CIRCADIAN,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -355,3 +355,64 @@ def transition_entropy(transcripts: DataFrame) -> DataFrame:
         "h_next", "h_cond",
         (F.col("h_next") - F.col("h_cond")).alias("mi"),
         F.exp(F.col("h_cond")).alias("perplexity"))
+
+
+def circadian_stats(transcripts: DataFrame) -> DataFrame:
+    """Time-of-day activity profile per conversation — the circadian
+    concentration signal the cadence family doesn't cover: a human
+    talks in a few waking hours (low hour-entropy, high top-hour
+    share), a round-the-clock bot flattens the histogram (entropy →
+    ln 24).  One row per conversation:
+
+        n_turns, n_hours_active        exact integer counts
+        top_hour, top_hour_share       deterministic majority hour
+                                       (count DESC, hour ASC — the
+                                       dialogue_stats tie rule)
+        hour_entropy                   Shannon entropy (nats) of the
+                                       24-bucket hour histogram
+        entropy_ratio                  hour_entropy / ln(24) ∈ [0,1]
+
+    Exactness: hour buckets are integer ``hour(ts)`` counts from ONE
+    (conv, hour) hash aggregate; the entropy folds over a
+    conversation's ≤24 hour cells in ORDERED hour sequence (max of a
+    nondecreasing running sum of (c/n)·ln(n/c) ≥ 0 terms — the
+    transition_entropy contract); ln(24) is the same Python float
+    literal on both sides; share and ratio are terminal divisions.
+    Single-turn conversations give entropy exactly 0.
+
+    Plan: one (conv, hour) aggregate (map-side collapse — a
+    million-turn conversation reaches the exchange as ≤24 rows), one
+    conv-keyed window fold over ≤24-row groups, one final aggregate
+    → two shrinking exchanges, no UDF, no join.
+    """
+    import math
+    cells = (transcripts
+             .where(F.col("ts").isNotNull())
+             .select("conv_id", F.hour("ts").alias("hh"))
+             .groupBy("conv_id", "hh")
+             .agg(F.count(F.lit(1)).alias("c")))
+    w_all = Window.partitionBy("conv_id")
+    w_ord = w_all.orderBy("hh")
+    nd = F.sum("c").over(w_all)
+    term = (F.col("c").cast("double") / nd.cast("double")) \
+        * F.log(nd.cast("double") / F.col("c").cast("double"))
+    enriched = cells.select(
+        "conv_id", "hh", "c",
+        nd.alias("__n"),
+        F.sum(term).over(w_ord).alias("__cum_h"))
+    g = enriched.groupBy("conv_id").agg(
+        F.max("__n").alias("n_turns"),
+        F.count(F.lit(1)).alias("n_hours_active"),
+        F.expr("min_by(hh, struct(-c, hh))").alias("top_hour"),
+        F.max("c").alias("__top_c"),
+        F.max("__cum_h").alias("hour_entropy"))
+    share = F.col("__top_c").cast("double") / F.col("n_turns").cast("double")
+    ln24 = math.log(24.0)
+    return g.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_hours_active").cast("long").alias("n_hours_active"),
+        F.col("top_hour").cast("int").alias("top_hour"),
+        share.alias("top_hour_share"),
+        "hour_entropy",
+        (F.col("hour_entropy") / F.lit(ln24)).alias("entropy_ratio"))

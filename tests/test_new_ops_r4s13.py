@@ -1365,3 +1365,48 @@ def test_bh_nulls_and_none_significant(spark):
     assert not out["a"]["significant"] and not out["c"]["significant"]
     with pytest.raises(ValueError, match="q must be"):
         bh_fdr(spark.createDataFrame(pdf), "p", "hid", q=1.0)
+
+
+# --- circadian stats ---------------------------------------------------------------
+
+def test_circadian_human_vs_bot(spark):
+    from cesium_spark.operators.sequences import circadian_stats
+    rows = []
+    # human: 10 turns all between 09:00-10:59
+    for i in range(10):
+        rows.append(("hum", i, "u", "x", None,
+                     1700000000 + 9 * 3600 + i * 600))
+    # bot: one turn every hour for 24 hours
+    for i in range(24):
+        rows.append(("bot", i, "u", "x", None,
+                     1700000000 + i * 3600))
+    r = {x["conv_id"]: x for x in
+         circadian_stats(_tr(spark, rows)).collect()}
+    hum, bot = r["hum"], r["bot"]
+    assert hum["n_hours_active"] == 2 and bot["n_hours_active"] == 24
+    assert bot["entropy_ratio"] > 0.99       # flat histogram
+    assert hum["entropy_ratio"] < 0.25
+    assert abs(bot["hour_entropy"] - np.log(24)) < 1e-12
+    assert hum["top_hour_share"] >= 0.5
+
+
+def test_circadian_exact_entropy_and_ties(spark):
+    from cesium_spark.operators.sequences import circadian_stats
+    # 3 turns at hour 5, 1 at hour 7: H = 3/4 ln(4/3) + 1/4 ln 4
+    base = 1700006400                       # midnight UTC
+    rows = [("c", i, "u", "x", None, base + 5 * 3600 + i)
+            for i in range(3)]
+    rows.append(("c", 3, "u", "x", None, base + 7 * 3600))
+    row = circadian_stats(_tr(spark, rows)).collect()[0]
+    href = 0.75 * np.log(4 / 3) + 0.25 * np.log(4)
+    assert abs(row["hour_entropy"] - href) < 1e-12
+    assert row["top_hour"] == 5 and row["top_hour_share"] == 0.75
+    # tie: equal counts at hours 3 and 9 -> lower hour wins
+    rows = [("t", 0, "u", "x", None, base + 9 * 3600),
+            ("t", 1, "u", "x", None, base + 3 * 3600)]
+    row = circadian_stats(_tr(spark, rows)).collect()[0]
+    assert row["top_hour"] == 3
+    # singleton: entropy exactly 0
+    rows = [("s", 0, "u", "x", None, 1700000000)]
+    row = circadian_stats(_tr(spark, rows)).collect()[0]
+    assert row["hour_entropy"] == 0.0 and row["entropy_ratio"] == 0.0
