@@ -10241,6 +10241,69 @@ FROM g JOIN th USING (conv_id)
 """
 
 
+def q_ts_leaky_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaky-bucket rate-limit replay (1 request / 60 s, burst 3)
+    over whole-second inter-turn gaps: the Lindley recursion as
+    running-sum-minus-running-min with denominators CLEARED - the
+    rate is the rational 1/60, every quantity int64, the throttle
+    test an integer comparison. Oracle replays grid, prefix windows,
+    and the threshold verbatim."""
+    from cesium_spark.operators.rates import leaky_bucket
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    gap = F.round(sec - F.lag(sec).over(w), 0).cast("long")
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        gap.alias("y"))
+    out = leaky_bucket(series, rate_num=1, rate_den=60, burst=3)
+    return out.select(
+        "conv_id", "n", "n_throttled", "max_queue_num",
+        _r(F.col("max_queue"), 9).alias("max_queue"),
+        "first_throttle")
+
+
+SQL_TS_LEAKY_BUCKET = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(round(epoch(ts) - lag(epoch(ts)) OVER w, 0) AS bigint) AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+  SELECT conv_id, turn_idx,
+         sum(60 - 1 * coalesce(g, 0)) OVER wr AS sv
+  FROM s
+  WINDOW wr AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING)
+),
+q AS (
+  SELECT conv_id, turn_idx,
+         sv - least(min(sv) OVER wr, 0) AS qv
+  FROM a
+  WINDOW wr AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING)
+),
+g AS (
+  SELECT conv_id, count(*) AS n,
+         sum(CASE WHEN qv > 180 THEN 1 ELSE 0 END) AS n_throttled,
+         max(qv) AS max_queue_num,
+         min(CASE WHEN qv > 180 THEN turn_idx END) AS first_throttle
+  FROM q GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(n_throttled AS bigint) AS n_throttled,
+       cast(max_queue_num AS bigint) AS max_queue_num,
+       round(cast(max_queue_num AS double) / 60.0, 9)
+         + 0.0 AS max_queue,
+       cast(first_throttle AS int) AS first_throttle
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10279,6 +10342,7 @@ QUERIES = {
     "ts_hill": q_ts_hill,
     "ts_ks_fdr": q_ts_ks_fdr,
     "ts_circadian": q_ts_circadian,
+    "ts_leaky_bucket": q_ts_leaky_bucket,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10472,6 +10536,7 @@ ORACLE_SQL = {
     "ts_hill": SQL_TS_HILL,
     "ts_ks_fdr": SQL_TS_KS_FDR,
     "ts_circadian": SQL_TS_CIRCADIAN,
+    "ts_leaky_bucket": SQL_TS_LEAKY_BUCKET,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

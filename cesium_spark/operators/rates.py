@@ -155,3 +155,73 @@ def gauge_delta(series: DataFrame, tier: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def leaky_bucket(series: DataFrame, rate_num: int, rate_den: int,
+                 burst: int) -> DataFrame:
+    """Leaky-bucket / single-server queue replay per conversation —
+    "which conversations would hit a rate limit of rate_num/rate_den
+    requests per second with burst headroom ``burst``?"  The Lindley
+    recursion q_t = max(0, q_{t−1} + 1 − r·Δt) needs no recursion
+    (the cusum insight): with increments a_i = 1 − r·Δt_i,
+
+        q_t = S_t − min(0, min_{j≤t} S_j),   S_t = Σ_{i≤t} a_i,
+
+    a running sum minus a running min.  EXACT integer arithmetic by
+    clearing denominators: the rate enters as the RATIONAL
+    rate_num/rate_den (never a float), so q_t·rate_den =
+    Σ(rate_den − rate_num·Δt_i) is int64 and the throttle test
+    q_t > burst compares integers (burst·rate_den) — no float exists
+    anywhere in the operator.  Δt = the integer-second gap column
+    ``y`` (the burstiness pre-grid contract; floats raise, negative
+    gaps raise — time running backwards is corrupt input).  The first
+    turn of a conversation has no gap (y NULL) and is charged a full
+    burst-free arrival: its increment is rate_den (Δt treated as 0).
+
+    Output per conversation: n, n_throttled (turns whose POST-arrival
+    queue exceeds burst), max_queue ≈ max q (reported in EXACT
+    rate_den units as max_queue_num plus the divided double),
+    first_throttle (turn_idx or NULL).
+
+    Plan: two prefix windows + one hash aggregate, conv-keyed → ONE
+    exchange, no UDF, no join (the cusum plan).
+    """
+    for name, v in (("rate_num", rate_num), ("rate_den", rate_den),
+                    ("burst", burst)):
+        if not isinstance(v, int) or v < 0 or (name != "burst" and v <= 0):
+            raise ValueError(f"leaky_bucket: {name} must be a "
+                             f"{'non-negative' if name == 'burst' else 'positive'} "
+                             f"int, got {v!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"leaky_bucket: gap column 'y' has type {t}; pre-grid gaps "
+            "to integer seconds explicitly")
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.coalesce(F.col("y").cast("long"), F.lit(0))
+    checked = F.when(
+        gap < 0,
+        F.expr("raise_error('leaky_bucket: negative gap — time runs "
+               "backwards in the input')").cast("long")).otherwise(gap)
+    inc = F.lit(rate_den) - F.lit(rate_num) * checked
+    s = series.select("conv_id", "turn_idx",
+                      F.sum(inc).over(w_run).alias("__s"))
+    q = (F.col("__s")
+         - F.least(F.min("__s").over(w_run), F.lit(0)))
+    s = s.select("conv_id", "turn_idx", q.alias("__q"))
+    thr = F.lit(burst * rate_den)
+    g = s.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("__q") > thr, 1).otherwise(0))
+        .alias("n_throttled"),
+        F.max("__q").alias("max_queue_num"),
+        F.min(F.when(F.col("__q") > thr, F.col("turn_idx")))
+        .alias("first_throttle"))
+    return g.select(
+        "conv_id", "n",
+        F.col("n_throttled").cast("long").alias("n_throttled"),
+        F.col("max_queue_num").cast("long").alias("max_queue_num"),
+        (F.col("max_queue_num").cast("double")
+         / F.lit(float(rate_den))).alias("max_queue"),
+        F.col("first_throttle").cast("int").alias("first_throttle"))

@@ -1410,3 +1410,63 @@ def test_circadian_exact_entropy_and_ties(spark):
     rows = [("s", 0, "u", "x", None, 1700000000)]
     row = circadian_stats(_tr(spark, rows)).collect()[0]
     assert row["hour_entropy"] == 0.0 and row["entropy_ratio"] == 0.0
+
+
+# --- leaky bucket ------------------------------------------------------------------
+
+def _lb_ref(gaps, rn, rd, burst):
+    """Literal Lindley recursion in rationals (fractions module)."""
+    from fractions import Fraction
+    q = Fraction(0)
+    r = Fraction(rn, rd)
+    n_thr = 0
+    first = None
+    qmax = Fraction(0)
+    for i, g in enumerate(gaps):
+        q = max(Fraction(0), q + 1 - r * (g or 0))
+        qmax = max(qmax, q)
+        if q > burst:
+            n_thr += 1
+            if first is None:
+                first = i
+    return n_thr, qmax, first
+
+
+def test_leaky_bucket_matches_lindley(spark):
+    from cesium_spark.operators.rates import leaky_bucket
+    rng = np.random.RandomState(83)
+    gaps = [None] + list(rng.randint(0, 8, 60))   # first turn: no gap
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(gaps),
+        "turn_idx": np.arange(len(gaps), dtype=np.int32),
+        "y": pd.array(gaps, dtype="Int64")})
+    # 1 request per 3 s allowed, burst 2
+    row = leaky_bucket(spark.createDataFrame(pdf),
+                       rate_num=1, rate_den=3, burst=2).collect()[0]
+    n_thr, qmax, first = _lb_ref(gaps, 1, 3, 2)
+    assert row["n_throttled"] == n_thr
+    assert row["first_throttle"] == first
+    assert abs(row["max_queue"] - float(qmax)) < 1e-12
+    assert row["max_queue_num"] == int(qmax * 3)
+
+
+def test_leaky_bucket_anchors(spark):
+    from cesium_spark.operators.rates import leaky_bucket
+    def mk(gaps):
+        pdf = pd.DataFrame({"conv_id": ["c"] * len(gaps),
+                            "turn_idx": np.arange(len(gaps),
+                                                  dtype=np.int32),
+                            "y": pd.array(gaps, dtype="Int64")})
+        return spark.createDataFrame(pdf)
+    # slow sender: 1 req / 10 s at limit 1/2 s -> never throttled
+    slow = leaky_bucket(mk([None] + [10] * 20), 1, 2, 1).collect()[0]
+    assert slow["n_throttled"] == 0 and slow["first_throttle"] is None
+    # rapid-fire: 21 requests in the same second at burst 3
+    fast = leaky_bucket(mk([None] + [0] * 20), 1, 2, 3).collect()[0]
+    assert fast["n_throttled"] > 0
+    assert fast["first_throttle"] == 3      # queue hits 4 > 3 at turn 3
+    assert fast["max_queue"] == 21.0
+    with pytest.raises(ValueError, match="rate_num"):
+        leaky_bucket(mk([None]), 0, 2, 1)
+    with pytest.raises(Exception, match="negative gap"):
+        leaky_bucket(mk([None, -3]), 1, 2, 1).collect()
