@@ -10304,6 +10304,90 @@ FROM g
 """
 
 
+def q_ts_anova_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA per conversation: does the ROLE explain the
+    tokens-per-turn variance ("are purchase turns wordier than view
+    turns in this conversation")? Exact int64 cell sums, ordered
+    S_g^2/n_g fold, clamped decomposition, eta^2 + F with perfect
+    separation surfacing as eta2=1 / NULL F. Oracle replays cells,
+    fold, and trees verbatim."""
+    from cesium_spark.operators.seriesstats import anova_oneway
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("channel"),
+        tok.cast("long").alias("y"))
+    out = anova_oneway(series, group_col="channel")
+    return out.select(
+        "conv_id", "n", "k",
+        _r(F.col("ss_between"), 6).alias("ss_between"),
+        _r(F.col("ss_within"), 6).alias("ss_within"),
+        _r(F.col("eta2"), 9).alias("eta2"),
+        _r(F.col("f_stat"), 6).alias("f_stat"))
+
+
+SQL_TS_ANOVA_ROLE = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         event_type AS g,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+),
+cells AS (
+  SELECT conv_id, g, count(*) AS ng, sum(y) AS sg, sum(y * y) AS qg
+  FROM s WHERE g IS NOT NULL GROUP BY 1, 2
+),
+e AS (
+  SELECT conv_id,
+         sum(ng) OVER wp AS n, sum(sg) OVER wp AS sv,
+         sum(qg) OVER wp AS q, count(*) OVER wp AS k,
+         sum(cast(sg AS double) * cast(sg AS double)
+             / cast(ng AS double))
+           OVER (PARTITION BY conv_id ORDER BY g
+                 ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM cells
+  WINDOW wp AS (PARTITION BY conv_id)
+),
+gg AS (
+  SELECT conv_id, max(n) AS n, max(k) AS k, max(sv) AS sv,
+         max(q) AS q, max(cum_b) AS b
+  FROM e GROUP BY 1
+),
+m AS (
+  SELECT conv_id, n, k,
+         cast(q AS double)
+           - cast(sv AS double) * cast(sv AS double)
+             / cast(n AS double) AS sst,
+         CASE WHEN b - cast(sv AS double) * cast(sv AS double)
+                       / cast(n AS double) < 0 THEN 0.0
+              ELSE b - cast(sv AS double) * cast(sv AS double)
+                       / cast(n AS double) END AS ssb
+  FROM gg
+),
+f AS (
+  SELECT conv_id, n, k, sst, ssb,
+         CASE WHEN sst - ssb < 0 THEN 0.0 ELSE sst - ssb END AS ssw
+  FROM m
+)
+SELECT conv_id, cast(n AS bigint) AS n, cast(k AS int) AS k,
+       round(CASE WHEN k >= 2 AND n > k AND sst > 0
+                  THEN ssb END, 6) + 0.0 AS ss_between,
+       round(CASE WHEN k >= 2 AND n > k AND sst > 0
+                  THEN ssw END, 6) + 0.0 AS ss_within,
+       round(CASE WHEN k >= 2 AND n > k AND sst > 0
+                  THEN ssb / sst END, 9) + 0.0 AS eta2,
+       round(CASE WHEN k >= 2 AND n > k AND sst > 0 AND ssw > 0 THEN
+             (ssb / (cast(k AS double) - 1.0))
+             / (ssw / (cast(n AS double) - cast(k AS double)))
+             END, 6) + 0.0 AS f_stat
+FROM f
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10343,6 +10427,7 @@ QUERIES = {
     "ts_ks_fdr": q_ts_ks_fdr,
     "ts_circadian": q_ts_circadian,
     "ts_leaky_bucket": q_ts_leaky_bucket,
+    "ts_anova_role": q_ts_anova_role,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10537,6 +10622,7 @@ ORACLE_SQL = {
     "ts_ks_fdr": SQL_TS_KS_FDR,
     "ts_circadian": SQL_TS_CIRCADIAN,
     "ts_leaky_bucket": SQL_TS_LEAKY_BUCKET,
+    "ts_anova_role": SQL_TS_ANOVA_ROLE,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -2137,3 +2137,84 @@ def hill_tail(series: DataFrame, k: int = 20) -> DataFrame:
                     F.lit(k).alias("k"),
                     "threshold", F.col("sum_ln").alias("sum_ln"),
                     alpha.alias("alpha"))
+
+
+def anova_oneway(series: DataFrame, group_col: str = "channel") -> DataFrame:
+    """One-way ANOVA per conversation across a categorical factor —
+    the k-group generalization of the Welch two-sample screen: does
+    the factor (role, tool, hour bucket …) explain the value's
+    variance?  Reports the effect size η² = SS_between/SS_total and
+    the classical F statistic with its two degrees of freedom.
+
+    Exactness: per-(conv, group) sums n_g, S_g and the global n, S, Q
+    are exact int64; the decomposition
+
+        SS_total   = Q − S²/n
+        SS_between = Σ_g S_g²/n_g − S²/n
+
+    needs one float term per GROUP (S_g²/n_g ≥ 0), folded in ORDERED
+    group sequence (nondecreasing cumsum — the chi2 cell contract),
+    then fixed trees for η² and F.  Degenerates NULL, never ±inf or
+    fake certainty: k < 2 (no factor), n ≤ k (no residual df),
+    SS_total = 0 (constant data).  Perfect separation (SS_within = 0
+    exactly) reports η² = 1 with NULL F — an infinite F is a data
+    property to surface, not a number to fabricate.  The classic
+    float-cancellation hazard (SS_within = SST − SSB computed as a
+    difference of near-equal doubles) is clamped at 0 (the
+    ols_granger residue rule).
+
+    Plan: one (conv, group) aggregate (map-side collapse to k rows
+    per conv), one ordered fold over the k cells, one final conv
+    aggregate — two shrinking exchanges, no UDF, no join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"anova_oneway: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    y = F.col("y").cast("long")
+    cells = (series
+             .where(F.col("y").isNotNull()
+                    & F.col(group_col).isNotNull())
+             .groupBy("conv_id", F.col(group_col).alias("__g"))
+             .agg(F.count(F.lit(1)).alias("ng"),
+                  F.sum(y).alias("sg"),
+                  F.sum(y * y).alias("qg")))
+    w_all = Window.partitionBy("conv_id")
+    w_ord = w_all.orderBy("__g")
+    term = (F.col("sg").cast("double") * F.col("sg").cast("double")
+            / F.col("ng").cast("double"))
+    enriched = cells.select(
+        "conv_id",
+        F.sum("ng").over(w_all).alias("__n"),
+        F.sum("sg").over(w_all).alias("__s"),
+        F.sum("qg").over(w_all).alias("__q"),
+        F.count(F.lit(1)).over(w_all).alias("__k"),
+        F.sum(term).over(w_ord).alias("__cum_b"))
+    g = enriched.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("k"),
+        F.max("__s").alias("__s"),
+        F.max("__q").alias("__q"),
+        F.max("__cum_b").alias("__b"))
+    nd = F.col("n").cast("double")
+    sd = F.col("__s").cast("double")
+    qd = F.col("__q").cast("double")
+    sst = qd - sd * sd / nd
+    ssb_raw = F.col("__b") - sd * sd / nd
+    # clamp both: tiny negative cancellation residue must not leak
+    ssb = F.when(ssb_raw < 0, F.lit(0.0)).otherwise(ssb_raw)
+    ssw_raw = sst - ssb
+    ssw = F.when(ssw_raw < 0, F.lit(0.0)).otherwise(ssw_raw)
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (sst > 0)
+    eta2 = F.when(ok, ssb / sst)
+    kf = F.col("k").cast("double")
+    fstat = F.when(ok & (ssw > 0),
+                   (ssb / (kf - F.lit(1.0)))
+                   / (ssw / (nd - kf)))
+    return g.select(
+        "conv_id", "n",
+        F.col("k").cast("int").alias("k"),
+        F.when(ok, ssb).alias("ss_between"),
+        F.when(ok, ssw).alias("ss_within"),
+        eta2.alias("eta2"), fstat.alias("f_stat"))

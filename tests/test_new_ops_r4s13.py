@@ -1470,3 +1470,56 @@ def test_leaky_bucket_anchors(spark):
         leaky_bucket(mk([None]), 0, 2, 1)
     with pytest.raises(Exception, match="negative gap"):
         leaky_bucket(mk([None, -3]), 1, 2, 1).collect()
+
+
+# --- one-way ANOVA -----------------------------------------------------------------
+
+def _anova_df(spark, groups):
+    rows = []
+    i = 0
+    for gname, vals in groups.items():
+        for v in vals:
+            rows.append(("c", i, gname, int(v)))
+            i += 1
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                      "channel", "y"])
+    return spark.createDataFrame(pdf)
+
+
+def test_anova_matches_scipy_style_ref(spark):
+    from cesium_spark.operators.seriesstats import anova_oneway
+    rng = np.random.RandomState(89)
+    groups = {"a": rng.randint(10, 20, 30),
+              "b": rng.randint(14, 24, 25),
+              "c": rng.randint(18, 28, 35)}
+    row = anova_oneway(_anova_df(spark, groups)).collect()[0]
+    allv = np.concatenate(list(groups.values())).astype(float)
+    n, mu = len(allv), allv.mean()
+    sst = np.sum((allv - mu) ** 2)
+    ssb = sum(len(v) * (v.mean() - mu) ** 2 for v in groups.values())
+    k = 3
+    f_ref = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    assert row["k"] == 3 and row["n"] == n
+    assert abs(row["eta2"] - ssb / sst) < 1e-9
+    assert abs(row["f_stat"] - f_ref) < 1e-6
+    assert row["f_stat"] > 10              # the planted effect is real
+
+
+def test_anova_no_effect_and_degenerates(spark):
+    from cesium_spark.operators.seriesstats import anova_oneway
+    rng = np.random.RandomState(97)
+    same = {g: rng.randint(0, 50, 40) for g in "abc"}
+    row = anova_oneway(_anova_df(spark, same)).collect()[0]
+    assert row["eta2"] < 0.1 and row["f_stat"] < 4
+    # perfect separation: eta2 == 1, F NULL (infinite is a data
+    # property to surface, not a number to fabricate)
+    sep = anova_oneway(_anova_df(spark, {"a": [5] * 5,
+                                         "b": [9] * 5})).collect()[0]
+    assert sep["eta2"] == 1.0 and sep["f_stat"] is None
+    # single group: NULL everything
+    one = anova_oneway(_anova_df(spark, {"a": [1, 5, 3]})).collect()[0]
+    assert one["eta2"] is None and one["ss_between"] is None
+    # constant data: SST = 0
+    const = anova_oneway(_anova_df(spark, {"a": [4, 4], "b": [4, 4]})
+                         ).collect()[0]
+    assert const["eta2"] is None
