@@ -10388,6 +10388,52 @@ FROM f
 """
 
 
+def q_ts_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSATION-level near-dup detection: each conversation's
+    turn texts concatenate (deterministically, by turn order via
+    sort_array over (rn, text) structs) into one document, every 10th
+    conversation is planted as a copy under conv_id+100000, and the
+    MinHash-LSH candidate generator must surface every planted pair
+    with all 16 bands shared — the doc_minhash_lsh recall contract
+    lifted to the transcript grain (duplicate CONVERSATIONS are what
+    a training-data pipeline actually dedupes)."""
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(F.col("user_id").cast("long").alias("cid"),
+                      F.row_number().over(w).alias("rn"),
+                      F.col("props"))
+    conv_docs = (turns.groupBy("cid")
+                 .agg(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("rn", "props"))),
+                         lambda s: s.getField("props")),
+                     " ").alias("text"))
+                 .select(F.col("cid").alias("doc_id"), "text"))
+    planted = (conv_docs.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       "text"))
+    corpus = conv_docs.unionByName(planted)
+    cands = dedup.minhash_lsh_candidates(corpus, k=64, bands=16,
+                                         shingle_n=3)
+    expect = (conv_docs.where(F.col("doc_id") % 10 == 0)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 100000).alias("id_b")))
+    return (expect.join(cands, ["id_a", "id_b"])
+            .select("id_a", "id_b",
+                    F.col("n_shared_bands").cast("long")
+                    .alias("n_shared_bands")))
+
+
+SQL_TS_CONV_DEDUP = """
+SELECT DISTINCT cast(user_id AS bigint) AS id_a,
+       cast(user_id AS bigint) + 100000 AS id_b,
+       CAST(16 AS BIGINT) AS n_shared_bands
+FROM events WHERE user_id % 10 = 0
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10428,6 +10474,7 @@ QUERIES = {
     "ts_circadian": q_ts_circadian,
     "ts_leaky_bucket": q_ts_leaky_bucket,
     "ts_anova_role": q_ts_anova_role,
+    "ts_conv_dedup": q_ts_conv_dedup,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10623,6 +10670,7 @@ ORACLE_SQL = {
     "ts_circadian": SQL_TS_CIRCADIAN,
     "ts_leaky_bucket": SQL_TS_LEAKY_BUCKET,
     "ts_anova_role": SQL_TS_ANOVA_ROLE,
+    "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,
