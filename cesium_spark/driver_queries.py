@@ -10434,6 +10434,94 @@ FROM events WHERE user_id % 10 = 0
 """
 
 
+def q_doc_jsd_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document topic-shift detector: Jensen-Shannon
+    divergence between the first and second half of each document's
+    token stream plus the half-vocabulary Jaccard. posexplode
+    positions (partition-independent), exact int64 half counts,
+    explicit 0*ln0 = 0 CASE logic, ordered token fold. Oracle
+    replays split, positions, cells, and fold verbatim."""
+    from cesium_spark.operators.textstats import jsd_halves
+    _prep(spark)
+    out = jsd_halves(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens",
+        _r(F.col("jsd"), 9).alias("jsd"),
+        _r(F.col("jsd_norm"), 9).alias("jsd_norm"),
+        _r(F.col("vocab_jaccard"), 9).alias("vocab_jaccard"))
+
+
+SQL_DOC_JSD_HALVES = r"""
+WITH tok AS (
+  SELECT doc_id, u.pos AS rawpos, nullif(u.t, '') AS token
+  FROM (SELECT doc_id,
+               string_split_regex(lower(coalesce(text, '')),
+                                  '[ \t\n\r\f]+') AS tt
+        FROM documents) dd,
+  LATERAL (SELECT unnest(tt) AS t,
+                  generate_subscripts(tt, 1) AS pos) u
+),
+pos AS (
+  SELECT doc_id, token,
+         count(token) OVER (PARTITION BY doc_id) AS n,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY token IS NULL, rawpos) AS p
+  FROM tok
+),
+cells AS (
+  SELECT doc_id, token, max(n) AS n,
+         sum(CASE WHEN token IS NOT NULL AND p <= n // 2
+                  THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN token IS NOT NULL AND p > n // 2
+                  THEN 1 ELSE 0 END) AS b
+  FROM pos GROUP BY 1, 2
+),
+e AS (
+  SELECT doc_id, n, a, b,
+         n // 2 AS na, n - n // 2 AS nb,
+         sum(CASE WHEN token IS NOT NULL AND n // 2 > 0
+                   AND n - n // 2 > 0 THEN
+             (CASE WHEN a > 0 THEN
+               0.5 * (cast(a AS double) / cast(n // 2 AS double))
+               * ln((cast(a AS double) / cast(n // 2 AS double))
+                    / ((cast(a AS double) / cast(n // 2 AS double)
+                        + cast(b AS double)
+                          / cast(n - n // 2 AS double)) / 2.0))
+               ELSE 0.0 END
+              + CASE WHEN b > 0 THEN
+               0.5 * (cast(b AS double) / cast(n - n // 2 AS double))
+               * ln((cast(b AS double) / cast(n - n // 2 AS double))
+                    / ((cast(a AS double) / cast(n // 2 AS double)
+                        + cast(b AS double)
+                          / cast(n - n // 2 AS double)) / 2.0))
+               ELSE 0.0 END)
+             ELSE 0.0 END)
+           OVER (PARTITION BY doc_id ORDER BY token
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+         CASE WHEN token IS NOT NULL AND n // 2 > 0
+               AND n - n // 2 > 0 AND a > 0 AND b > 0
+              THEN 1 ELSE 0 END AS both_f,
+         CASE WHEN token IS NOT NULL AND n // 2 > 0
+               AND n - n // 2 > 0 AND (a > 0 OR b > 0)
+              THEN 1 ELSE 0 END AS any_f
+  FROM cells
+),
+g AS (
+  SELECT doc_id, max(n) AS n_tokens, max(cum) AS jsd,
+         sum(both_f) AS inter, sum(any_f) AS un
+  FROM e GROUP BY 1
+)
+SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens,
+       round(CASE WHEN n_tokens >= 2 THEN jsd END, 9) + 0.0 AS jsd,
+       round(CASE WHEN n_tokens >= 2 THEN jsd / 0.6931471805599453 END, 9)
+         + 0.0 AS jsd_norm,
+       round(CASE WHEN un > 0 THEN
+             cast(inter AS double) / cast(un AS double) END, 9)
+         + 0.0 AS vocab_jaccard
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10475,6 +10563,7 @@ QUERIES = {
     "ts_leaky_bucket": q_ts_leaky_bucket,
     "ts_anova_role": q_ts_anova_role,
     "ts_conv_dedup": q_ts_conv_dedup,
+    "doc_jsd_halves": q_doc_jsd_halves,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10671,6 +10760,7 @@ ORACLE_SQL = {
     "ts_leaky_bucket": SQL_TS_LEAKY_BUCKET,
     "ts_anova_role": SQL_TS_ANOVA_ROLE,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
+    "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -1141,3 +1141,99 @@ def fightin_words(docs: DataFrame, group_col: str, group_a: str,
     z = delta / F.sqrt(var)
     return enriched.select("token", "c_a", "c_b",
                            delta.alias("delta"), z.alias("z"))
+
+
+def jsd_halves(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Jensen–Shannon divergence between the FIRST and SECOND half of
+    each document's token stream — the within-document topic-shift
+    detector: two unrelated pages glued together (a crawler artifact
+    exact-dedup can't see) light up near ln 2, a topically-uniform
+    document sits near 0.  The single-document complement of
+    ``fightin_words``' two-corpus comparison.
+
+        JSD = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2,  ∈ [0, ln 2]
+
+    over the half-vocabulary distributions, plus the exact vocabulary
+    Jaccard between halves.
+
+    Exactness: the half split is ⌊n/2⌋ by TOKEN position (integer);
+    per-(doc, token) half counts a_w, b_w are exact int64; each
+    token's JSD contribution (zero-count sides contribute exactly 0 —
+    the 0·ln0 = 0 convention is explicit CASE logic, not a NaN
+    accident) is a fixed double tree folded in ORDERED token sequence
+    (non-negative terms — the chi2 cell contract); jaccard is a ratio
+    of exact integer vocabulary counts.  Zero-token and single-token
+    docs keep their row with NULL jsd (the lexical_stats survival
+    contract); the lexical_stats token class applies.
+
+    Plan: explode → per-doc position window → (doc, token) aggregate
+    (map-side collapse) → vocab-sized ordered fold → doc aggregate;
+    two shrinking exchanges after the position window, no UDF.
+    """
+    # posexplode, NOT monotonically_increasing_id: the raw split
+    # index is the only position that is deterministic under ANY
+    # partitioning (mono_id depends on partition layout and would
+    # silently move the half boundary between runs)
+    base = (docs
+            .select(F.col(id_col),
+                    F.posexplode(F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"[ \t\n\r\f]+")).alias("__rawpos", "__t"))
+            .select(id_col, "__rawpos",
+                    F.nullif(F.col("__t"), F.lit("")).alias("token")))
+    w_doc = Window.partitionBy(id_col)
+    # rank among REAL tokens only (empty-split NULL rows sort last
+    # and never enter the halves)
+    w_pos = w_doc.orderBy(F.col("token").isNull(), F.col("__rawpos"))
+    base = base.select(
+        id_col, "token",
+        F.count("token").over(w_doc).alias("__n"),
+        F.row_number().over(w_pos).alias("__pos"))
+    first_half = F.col("__pos") <= F.expr("__n div 2")
+    cells = (base
+             .groupBy(id_col, "token")
+             .agg(F.max("__n").alias("__n"),
+                  F.sum(F.when(F.col("token").isNotNull()
+                               & first_half, 1).otherwise(0))
+                  .alias("a"),
+                  F.sum(F.when(F.col("token").isNotNull()
+                               & ~first_half, 1).otherwise(0))
+                  .alias("b")))
+    na = F.expr("__n div 2")
+    nb = F.col("__n") - na
+    ad = F.col("a").cast("double") / na.cast("double")
+    bd = F.col("b").cast("double") / nb.cast("double")
+    md = (ad + bd) / F.lit(2.0)
+    term = (F.when(F.col("a") > 0,
+                   F.lit(0.5) * ad * F.log(ad / md)).otherwise(F.lit(0.0))
+            + F.when(F.col("b") > 0,
+                     F.lit(0.5) * bd * F.log(bd / md))
+            .otherwise(F.lit(0.0)))
+    valid = F.col("token").isNotNull() & (na > 0) & (nb > 0)
+    w_fold = Window.partitionBy(id_col).orderBy("token")
+    enriched = cells.select(
+        id_col, "__n", "a", "b",
+        F.sum(F.when(valid, term).otherwise(F.lit(0.0)))
+        .over(w_fold).alias("__cum"),
+        F.when(valid & (F.col("a") > 0) & (F.col("b") > 0), 1)
+        .otherwise(0).alias("__both"),
+        F.when(valid & ((F.col("a") > 0) | (F.col("b") > 0)), 1)
+        .otherwise(0).alias("__any"))
+    import math
+    g = enriched.groupBy(id_col).agg(
+        F.max("__n").alias("n_tokens"),
+        F.max("__cum").alias("__jsd"),
+        F.sum("__both").alias("__inter"),
+        F.sum("__any").alias("__union"))
+    ok = F.col("n_tokens") >= 2
+    jsd = F.when(ok, F.col("__jsd"))
+    return g.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        jsd.alias("jsd"),
+        F.when(ok, F.col("__jsd") / F.lit(math.log(2.0)))
+        .alias("jsd_norm"),
+        F.when(F.col("__union") > 0,
+               F.col("__inter").cast("double")
+               / F.col("__union").cast("double")).alias("vocab_jaccard"))

@@ -1523,3 +1523,54 @@ def test_anova_no_effect_and_degenerates(spark):
     const = anova_oneway(_anova_df(spark, {"a": [4, 4], "b": [4, 4]})
                          ).collect()[0]
     assert const["eta2"] is None
+
+
+# --- JSD halves --------------------------------------------------------------------
+
+def _jsd_ref(text):
+    from collections import Counter
+    toks = text.lower().split()
+    n = len(toks)
+    na = n // 2
+    a, b = Counter(toks[:na]), Counter(toks[na:])
+    nb = n - na
+    jsd = 0.0
+    for w in set(a) | set(b):
+        p, q = a[w] / na, b[w] / nb
+        m = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * np.log(p / m)
+        if q > 0:
+            jsd += 0.5 * q * np.log(q / m)
+    inter = len(set(a) & set(b))
+    union = len(set(a) | set(b))
+    return jsd, inter / union
+
+
+def test_jsd_glued_vs_uniform(spark):
+    from cesium_spark.operators.textstats import jsd_halves
+    glued = "apple banana cherry apple banana " \
+            "stock market trading stock bonds"
+    uniform = "cat dog cat dog cat dog cat dog cat dog"
+    out = {r["doc_id"]: r for r in
+           jsd_halves(_docs(spark, [glued, uniform])).collect()}
+    jg, jacg = _jsd_ref(glued)
+    ju, jacu = _jsd_ref(uniform)
+    assert abs(out["d0"]["jsd"] - jg) < 1e-12
+    assert abs(out["d1"]["jsd"] - ju) < 1e-12
+    assert abs(out["d0"]["vocab_jaccard"] - jacg) < 1e-12
+    # glued doc: near-maximal divergence, zero vocab overlap
+    assert out["d0"]["jsd_norm"] > 0.95 and out["d0"]["vocab_jaccard"] == 0
+    assert out["d1"]["jsd_norm"] < 0.05 and out["d1"]["vocab_jaccard"] == 1
+
+
+def test_jsd_degenerates_and_bounds(spark):
+    from cesium_spark.operators.textstats import jsd_halves
+    out = {r["doc_id"]: r for r in
+           jsd_halves(_docs(spark, ["", "solo", "a b"])).collect()}
+    assert out["d0"]["n_tokens"] == 0 and out["d0"]["jsd"] is None
+    assert out["d1"]["jsd"] is None           # one half empty
+    assert out["d2"]["n_tokens"] == 2
+    # fully disjoint 1-token halves: exactly ln 2
+    assert abs(out["d2"]["jsd"] - np.log(2)) < 1e-12
+    assert out["d2"]["jsd_norm"] == 1.0
