@@ -10522,6 +10522,48 @@ FROM g
 """
 
 
+def q_ts_role_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 role trigram motifs corpus-wide: integer supports from
+    lead windows that never cross a conversation boundary, the cut on
+    (support DESC, gram ASC) - pure integers and strings, no float
+    in the cut. Oracle replays leads, grams, and the cut verbatim."""
+    from cesium_spark.operators.sequences import role_ngrams
+    out = role_ngrams(events_transcripts(spark, sf_dir), n=3, top_k=20)
+    return out.select("gram", "support",
+                      _r(F.col("share"), 9).alias("share"))
+
+
+SQL_TS_ROLE_NGRAMS = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         event_type AS role
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT role,
+         lead(role, 1) OVER w2 AS r1,
+         lead(role, 2) OVER w2 AS r2
+  FROM t
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT role || '>' || r1 || '>' || r2 AS gram, count(*) AS support
+  FROM l
+  WHERE role IS NOT NULL AND r1 IS NOT NULL AND r2 IS NOT NULL
+  GROUP BY 1
+),
+e AS (SELECT gram, support, sum(support) OVER () AS total FROM g)
+SELECT gram, cast(support AS bigint) AS support,
+       round(cast(support AS double) / cast(total AS double), 9)
+         + 0.0 AS share
+FROM e
+ORDER BY support DESC, gram
+LIMIT 20
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10564,6 +10606,7 @@ QUERIES = {
     "ts_anova_role": q_ts_anova_role,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
+    "ts_role_ngrams": q_ts_role_ngrams,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10761,6 +10804,7 @@ ORACLE_SQL = {
     "ts_anova_role": SQL_TS_ANOVA_ROLE,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
+    "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -416,3 +416,57 @@ def circadian_stats(transcripts: DataFrame) -> DataFrame:
         share.alias("top_hour_share"),
         "hour_entropy",
         (F.col("hour_entropy") / F.lit(ln24)).alias("entropy_ratio"))
+
+
+def role_ngrams(transcripts: DataFrame, n: int = 3,
+                top_k: int = 20) -> DataFrame:
+    """Top-k most frequent role n-grams across the corpus — the
+    sequence-pattern mining view of the dialogue grammar:
+    ``role_transitions`` gives the order-1 matrix,
+    ``transition_entropy`` its information content, this surfaces the
+    actual MOTIFS ("view>view>purchase") with exact support counts
+    and corpus share.
+
+    Entirely integer: n-grams form per conversation from lead()
+    windows (never crossing a conversation boundary — a gram needs
+    all n turns in the SAME conversation), support is one hash
+    aggregate, the top-k cut orders by (count DESC, gram ASC) —
+    pure integers and strings, no float anywhere except the terminal
+    share division, so the cut cannot flip between engines.
+
+    Plan: one ordered window pass (n−1 leads) + one gram aggregate
+    (map-side collapse: the shuffle carries distinct grams per
+    partition, bounded by |roles|ⁿ) + a global top-k (TakeOrdered —
+    no full sort materialization); no UDF, no join.
+    """
+    if not isinstance(n, int) or not (2 <= n <= 6):
+        raise ValueError(f"role_ngrams: n must be an int in [2, 6], "
+                         f"got {n!r}")
+    if top_k < 1:
+        raise ValueError(f"role_ngrams: top_k must be >= 1, got {top_k}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cols = [F.col("role")] + [F.lead("role", i).over(w).alias(f"__r{i}")
+                              for i in range(1, n)]
+    base = transcripts.select("conv_id", "turn_idx", "role")
+    for i in range(1, n):
+        base = base.withColumn(f"__r{i}", F.lead("role", i).over(w))
+    cond = F.col("role").isNotNull()
+    for i in range(1, n):
+        cond = cond & F.col(f"__r{i}").isNotNull()
+    gram = F.concat_ws(">", F.col("role"),
+                       *[F.col(f"__r{i}") for i in range(1, n)])
+    grams = (base.where(cond)
+             .select(gram.alias("gram"))
+             .groupBy("gram")
+             .agg(F.count(F.lit(1)).alias("support")))
+    w_all = Window.partitionBy()
+    out = grams.select(
+        "gram", "support",
+        F.sum("support").over(w_all).alias("__total"))
+    return (out
+            .orderBy(F.desc("support"), F.col("gram"))
+            .limit(int(top_k))
+            .select("gram",
+                    F.col("support").cast("long").alias("support"),
+                    (F.col("support").cast("double")
+                     / F.col("__total").cast("double")).alias("share")))

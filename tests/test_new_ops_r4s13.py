@@ -1574,3 +1574,32 @@ def test_jsd_degenerates_and_bounds(spark):
     # fully disjoint 1-token halves: exactly ln 2
     assert abs(out["d2"]["jsd"] - np.log(2)) < 1e-12
     assert out["d2"]["jsd_norm"] == 1.0
+
+
+# --- role n-grams ------------------------------------------------------------------
+
+def test_role_ngrams_counts_and_no_leak(spark):
+    from cesium_spark.operators.sequences import role_ngrams
+    convs = {"c1": ["u", "a", "u", "a", "u"],
+             "c2": ["u", "a", "u"],
+             "c3": ["x"]}                    # too short for trigrams
+    out = role_ngrams(_roles(spark, convs), n=3, top_k=10).collect()
+    got = {r["gram"]: r["support"] for r in out}
+    # c1: u>a>u, a>u>a, u>a>u ; c2: u>a>u  -> u>a>u x3, a>u>a x1
+    assert got == {"u>a>u": 3, "a>u>a": 1}
+    shares = {r["gram"]: r["share"] for r in out}
+    assert abs(shares["u>a>u"] - 0.75) < 1e-12
+    # no gram may span c1|c2 boundary (e.g. u>u>a doesn't exist)
+    assert "u>u>a" not in got
+
+
+def test_role_ngrams_topk_deterministic_and_validation(spark):
+    from cesium_spark.operators.sequences import role_ngrams
+    convs = {"c": ["a", "b", "a", "c", "a", "b"]}
+    out = role_ngrams(_roles(spark, convs), n=2, top_k=3).collect()
+    # bigrams: a>b x2, b>a x1, a>c x1, c>a x1 -> tie at 1 broken
+    # lexicographically
+    assert [(r["gram"], r["support"]) for r in out] == \
+        [("a>b", 2), ("a>c", 1), ("b>a", 1)]
+    with pytest.raises(ValueError, match="n must be"):
+        role_ngrams(_roles(spark, convs), n=1)
