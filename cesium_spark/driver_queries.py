@@ -10564,6 +10564,71 @@ LIMIT 20
 """
 
 
+def q_ts_mix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type mix trajectory: per-day HHI concentration,
+    Shannon entropy, and the deterministic majority type - the
+    per-bucket view of what chi2_independence tests globally. Exact
+    integer cells, ordered category folds. Oracle replays cells,
+    folds, and the tie rule verbatim."""
+    from cesium_spark.operators.datastats import mix_stats
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    out = mix_stats(ev, F.to_date("ts"), F.col("event_type"))
+    return out.select(
+        F.col("bucket").cast("string").alias("day"),
+        "n", "n_categories",
+        _r(F.col("hhi"), 9).alias("hhi"),
+        _r(F.col("entropy"), 9).alias("entropy"),
+        "top_category",
+        _r(F.col("top_share"), 9).alias("top_share"))
+
+
+SQL_TS_MIX_DAILY = """
+WITH cells AS (
+  SELECT cast(cast(ts AS date) AS varchar) AS day,
+         event_type AS cat, count(*) AS c
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+e0 AS (
+  SELECT day, cat, c, sum(c) OVER (PARTITION BY day) AS n
+  FROM cells
+),
+e AS (
+  SELECT day, cat, c, n,
+         sum((cast(c AS double) / cast(n AS double))
+             * (cast(c AS double) / cast(n AS double)))
+           OVER wo AS cum_hhi,
+         sum((cast(c AS double) / cast(n AS double))
+             * ln(cast(n AS double) / cast(c AS double)))
+           OVER wo AS cum_ent
+  FROM e0
+  WINDOW wo AS (PARTITION BY day ORDER BY cat
+                ROWS UNBOUNDED PRECEDING)
+),
+g AS (
+  SELECT day, max(n) AS n, count(*) AS n_categories,
+         max(cum_hhi) AS hhi, max(cum_ent) AS entropy,
+         max(c) AS top_c
+  FROM e GROUP BY 1
+),
+tc AS (
+  SELECT day, cat AS top_category FROM cells
+  QUALIFY row_number() OVER (PARTITION BY day
+                             ORDER BY c DESC, cat) = 1
+)
+SELECT g.day, cast(g.n AS bigint) AS n,
+       cast(n_categories AS bigint) AS n_categories,
+       round(hhi, 9) + 0.0 AS hhi,
+       round(entropy, 9) + 0.0 AS entropy,
+       tc.top_category,
+       round(cast(top_c AS double) / cast(g.n AS double), 9)
+         + 0.0 AS top_share
+FROM g JOIN tc USING (day)
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10607,6 +10672,7 @@ QUERIES = {
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
+    "ts_mix_daily": q_ts_mix_daily,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10805,6 +10871,7 @@ ORACLE_SQL = {
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,
+    "ts_mix_daily": SQL_TS_MIX_DAILY,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

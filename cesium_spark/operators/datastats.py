@@ -221,3 +221,61 @@ def chi2_independence(df: DataFrame, col_a: str,
     return out.select("a", "b", "n_obs", "expected", "contrib",
                       "chi2_total", "dof", "n",
                       v.alias("cramers_v"))
+
+
+def mix_stats(df: DataFrame, bucket_col, category_col) -> DataFrame:
+    """Composition-mix monitor per time bucket — "did the crawl /
+    traffic mix shift?": for each bucket (day, source batch …) the
+    category distribution summarized as
+
+        n, n_categories              exact integer counts
+        hhi                          Herfindahl–Hirschman Σ share²
+                                     (1/k flat → 1 monopolized)
+        entropy                      Shannon nats (the inverse lens)
+        top_category, top_share      deterministic majority
+                                     (count DESC, category ASC)
+
+    The chi2_independence screen asks whether mix and bucket are
+    independent GLOBALLY; this gives the per-bucket trajectory a
+    dashboard actually plots.
+
+    Exactness: cell counts from ONE (bucket, category) hash
+    aggregate; HHI and entropy fold over each bucket's ≤k cells in
+    ORDERED category sequence (non-negative terms, the chi2 cell
+    contract); shares are terminal divisions.  A single-category
+    bucket lands on exactly hhi = 1, entropy = 0.
+
+    Plan: one corpus aggregate collapsing map-side to (buckets × k)
+    rows, then bucket-cardinality window work — two shrinking
+    exchanges, no UDF, no join.
+    """
+    cells = (df
+             .where(bucket_col.isNotNull() & category_col.isNotNull())
+             .groupBy(bucket_col.alias("bucket"),
+                      category_col.alias("cat"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    w_all = Window.partitionBy("bucket")
+    w_ord = w_all.orderBy("cat")
+    n = F.sum("c").over(w_all)
+    share = F.col("c").cast("double") / n.cast("double")
+    hhi_term = share * share
+    ent_term = share * F.log(n.cast("double") / F.col("c").cast("double"))
+    enriched = cells.select(
+        "bucket", "cat", "c",
+        n.alias("__n"),
+        F.sum(hhi_term).over(w_ord).alias("__cum_hhi"),
+        F.sum(ent_term).over(w_ord).alias("__cum_ent"))
+    g = enriched.groupBy("bucket").agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.max("__cum_hhi").alias("hhi"),
+        F.max("__cum_ent").alias("entropy"),
+        F.expr("min_by(cat, struct(-c, cat))").alias("top_category"),
+        F.max("c").alias("__top_c"))
+    return g.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        "hhi", "entropy", "top_category",
+        (F.col("__top_c").cast("double") / F.col("n").cast("double"))
+        .alias("top_share"))

@@ -1603,3 +1603,33 @@ def test_role_ngrams_topk_deterministic_and_validation(spark):
         [("a>b", 2), ("a>c", 1), ("b>a", 1)]
     with pytest.raises(ValueError, match="n must be"):
         role_ngrams(_roles(spark, convs), n=1)
+
+
+# --- mix stats ---------------------------------------------------------------------
+
+def test_mix_stats_closed_forms(spark):
+    from cesium_spark.operators.datastats import mix_stats
+    import pyspark.sql.functions as SF
+    rows = ([("d1", "x")] * 2 + [("d1", "y")] * 2   # flat 2-cat
+            + [("d2", "x")] * 9 + [("d2", "y")])    # 90/10
+    pdf = pd.DataFrame(rows, columns=["day", "cat"])
+    out = {r["bucket"]: r for r in
+           mix_stats(spark.createDataFrame(pdf),
+                     SF.col("day"), SF.col("cat")).collect()}
+    d1, d2 = out["d1"], out["d2"]
+    assert d1["hhi"] == 0.5 and abs(d1["entropy"] - np.log(2)) < 1e-12
+    assert d1["top_category"] == "x" and d1["top_share"] == 0.5  # tie->x
+    assert abs(d2["hhi"] - (0.81 + 0.01)) < 1e-12
+    href = 0.9 * np.log(1 / 0.9) + 0.1 * np.log(1 / 0.1)
+    assert abs(d2["entropy"] - href) < 1e-12
+    assert d2["top_category"] == "x" and d2["top_share"] == 0.9
+
+
+def test_mix_stats_monopoly(spark):
+    from cesium_spark.operators.datastats import mix_stats
+    import pyspark.sql.functions as SF
+    pdf = pd.DataFrame([("d", "only")] * 7, columns=["day", "cat"])
+    row = mix_stats(spark.createDataFrame(pdf),
+                    SF.col("day"), SF.col("cat")).collect()[0]
+    assert row["hhi"] == 1.0 and row["entropy"] == 0.0
+    assert row["n_categories"] == 1 and row["top_share"] == 1.0
