@@ -10629,6 +10629,92 @@ FROM g JOIN tc USING (day)
 """
 
 
+def q_ts_dominant_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant integer period (lags 2-12) of tokens-per-turn: the
+    argmax compares EXACT int64 ACF numerators (the shared positive
+    denominator cancels), ties to the lowest lag, lag 1 excluded so
+    plain stickiness cannot mask true periodicity; greatest()'s
+    null-skipping is exploited correctly here (an unmeasurable lag
+    cannot win). Oracle replays numerators and the argmax chain
+    verbatim."""
+    from cesium_spark.operators.seriesstats import dominant_lag
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = dominant_lag(series, max_lag=12)
+    return out.select("conv_id", "n", "best_lag",
+                      _r(F.col("r_best"), 9).alias("r_best"))
+
+
+SQL_TS_DOMINANT_LAG = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT conv_id, y,
+         lag(y, 2) OVER w2 AS l2,
+         lag(y, 3) OVER w2 AS l3,
+         lag(y, 4) OVER w2 AS l4,
+         lag(y, 5) OVER w2 AS l5,
+         lag(y, 6) OVER w2 AS l6,
+         lag(y, 7) OVER w2 AS l7,
+         lag(y, 8) OVER w2 AS l8,
+         lag(y, 9) OVER w2 AS l9,
+         lag(y, 10) OVER w2 AS l10,
+         lag(y, 11) OVER w2 AS l11,
+         lag(y, 12) OVER w2 AS l12,
+         sum(y) OVER (PARTITION BY conv_id) AS sy,
+         count(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM s
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT conv_id, max(cnt) AS n,
+         sum((cnt * y - sy) * (cnt * y - sy)) AS n0,
+         sum(CASE WHEN l2 IS NOT NULL THEN (cnt * y - sy) * (cnt * l2 - sy) END) AS n2,
+         sum(CASE WHEN l3 IS NOT NULL THEN (cnt * y - sy) * (cnt * l3 - sy) END) AS n3,
+         sum(CASE WHEN l4 IS NOT NULL THEN (cnt * y - sy) * (cnt * l4 - sy) END) AS n4,
+         sum(CASE WHEN l5 IS NOT NULL THEN (cnt * y - sy) * (cnt * l5 - sy) END) AS n5,
+         sum(CASE WHEN l6 IS NOT NULL THEN (cnt * y - sy) * (cnt * l6 - sy) END) AS n6,
+         sum(CASE WHEN l7 IS NOT NULL THEN (cnt * y - sy) * (cnt * l7 - sy) END) AS n7,
+         sum(CASE WHEN l8 IS NOT NULL THEN (cnt * y - sy) * (cnt * l8 - sy) END) AS n8,
+         sum(CASE WHEN l9 IS NOT NULL THEN (cnt * y - sy) * (cnt * l9 - sy) END) AS n9,
+         sum(CASE WHEN l10 IS NOT NULL THEN (cnt * y - sy) * (cnt * l10 - sy) END) AS n10,
+         sum(CASE WHEN l11 IS NOT NULL THEN (cnt * y - sy) * (cnt * l11 - sy) END) AS n11,
+         sum(CASE WHEN l12 IS NOT NULL THEN (cnt * y - sy) * (cnt * l12 - sy) END) AS n12
+  FROM l GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(CASE WHEN n0 > 0 AND greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) IS NOT NULL THEN
+            CASE WHEN n2 IS NOT NULL AND n2 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 2
+             WHEN n3 IS NOT NULL AND n3 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 3
+             WHEN n4 IS NOT NULL AND n4 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 4
+             WHEN n5 IS NOT NULL AND n5 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 5
+             WHEN n6 IS NOT NULL AND n6 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 6
+             WHEN n7 IS NOT NULL AND n7 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 7
+             WHEN n8 IS NOT NULL AND n8 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 8
+             WHEN n9 IS NOT NULL AND n9 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 9
+             WHEN n10 IS NOT NULL AND n10 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 10
+             WHEN n11 IS NOT NULL AND n11 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 11
+             WHEN n12 IS NOT NULL AND n12 = greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) THEN 12
+            END END AS int) AS best_lag,
+       round(CASE WHEN n0 > 0 AND greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) IS NOT NULL THEN
+             cast(greatest(n2, n3, n4, n5, n6, n7, n8, n9, n10, n11, n12) AS double) / cast(n0 AS double)
+             END, 9) + 0.0 AS r_best
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10673,6 +10759,7 @@ QUERIES = {
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
     "ts_mix_daily": q_ts_mix_daily,
+    "ts_dominant_lag": q_ts_dominant_lag,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10872,6 +10959,7 @@ ORACLE_SQL = {
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,
     "ts_mix_daily": SQL_TS_MIX_DAILY,
+    "ts_dominant_lag": SQL_TS_DOMINANT_LAG,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -2218,3 +2218,77 @@ def anova_oneway(series: DataFrame, group_col: str = "channel") -> DataFrame:
         F.when(ok, ssb).alias("ss_between"),
         F.when(ok, ssw).alias("ss_within"),
         eta2.alias("eta2"), fstat.alias("f_stat"))
+
+
+def dominant_lag(series: DataFrame, max_lag: int = 12) -> DataFrame:
+    """Dominant integer period per conversation — argmax over lags
+    2..max_lag of the sample autocorrelation, decided ENTIRELY in
+    integers: r_l = N_l/N₀ shares the positive denominator N₀, so
+
+        best_lag = argmax_l  N_l,
+        N_l = Σ (n·y_t − S)(n·y_{t−l} − S)   (exact int64, the pacf3
+                                              numerators)
+
+    — the argmax compares exact integers, ties break to the LOWEST
+    lag, and no float ever enters the decision (the one place a
+    periodicity detector usually goes engine-flaky).  r at the best
+    lag is reported as the one terminal division.  This is the
+    integer-period complement of the Lomb–Scargle family: LS scans a
+    continuous frequency grid on irregular cadence; this answers
+    "every how many TURNS does the pattern repeat" on the regular
+    turn axis.  Lag 1 is deliberately excluded — plain stickiness
+    (ar1_fit) would win on almost every real series and mask true
+    periodicity.
+
+    NULL contract: lags with no pairs (series too short) get N_l =
+    NULL and are skipped by greatest()'s null-skipping — here that
+    semantics is CORRECT and exploited (a lag that cannot be
+    measured cannot win); all-lags-NULL or constant series (N₀ = 0)
+    → NULL best_lag.
+
+    Plan: max_lag−1 lag windows + two unordered windows + ONE
+    conv-keyed aggregate (the pacf3 plan) — one exchange, no UDF.
+    """
+    if not isinstance(max_lag, int) or not (2 <= max_lag <= 24):
+        raise ValueError(f"dominant_lag: max_lag must be an int in "
+                         f"[2, 24], got {max_lag!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"dominant_lag: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer levels")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    lags = list(range(2, max_lag + 1))
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 *[F.lag(y, l).over(w_ord).alias(f"__l{l}")
+                   for l in lags],
+                 F.sum(y).over(w_all).alias("__s"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    dev = F.col("__n") * F.col("__y") - F.col("__s")
+
+    def _num(l):
+        lagdev = F.col("__n") * F.col(f"__l{l}") - F.col("__s")
+        return F.sum(F.when(F.col(f"__l{l}").isNotNull(), dev * lagdev))
+
+    agg = (s.groupBy("conv_id")
+           .agg(F.max("__n").alias("n"),
+                F.sum(dev * dev).alias("n0"),
+                *[_num(l).alias(f"n{l}") for l in lags]))
+    best_val = F.greatest(*[F.col(f"n{l}") for l in lags])
+    best_lag = None
+    for l in lags:  # lowest lag wins ties: first match in order
+        cond = F.col(f"n{l}").isNotNull() & (F.col(f"n{l}") == best_val)
+        pick = F.lit(l)
+        best_lag = F.when(cond, pick) if best_lag is None \
+            else best_lag.when(cond, pick)
+    ok = (F.col("n0") > 0) & best_val.isNotNull()
+    r_best = F.when(ok, best_val.cast("double")
+                    / F.col("n0").cast("double"))
+    return agg.select(
+        "conv_id", "n",
+        F.when(ok, best_lag).cast("int").alias("best_lag"),
+        r_best.alias("r_best"))

@@ -1633,3 +1633,41 @@ def test_mix_stats_monopoly(spark):
                     SF.col("day"), SF.col("cat")).collect()[0]
     assert row["hhi"] == 1.0 and row["entropy"] == 0.0
     assert row["n_categories"] == 1 and row["top_share"] == 1.0
+
+
+# --- dominant lag ------------------------------------------------------------------
+
+def test_dominant_lag_finds_planted_period(spark):
+    from cesium_spark.operators.seriesstats import dominant_lag
+    rng = np.random.RandomState(101)
+    base = np.tile([10, 2, 5, 8, 1, 12, 3], 30)     # period 7
+    y = base + rng.randint(0, 2, len(base))
+    row = dominant_lag(_series(spark, y), max_lag=12).collect()[0]
+    assert row["best_lag"] == 7
+    assert row["r_best"] > 0.8
+    # numpy cross-check of the winning numerator logic
+    yy = np.asarray(y, dtype=np.int64)
+    n = len(yy)
+    dev = n * yy - yy.sum()
+    nums = {l: int(np.sum(dev[l:] * dev[:-l])) for l in range(2, 13)}
+    n0 = int(np.sum(dev * dev))
+    lbest = min([l for l in nums if nums[l] == max(nums.values())])
+    assert row["best_lag"] == lbest
+    assert abs(row["r_best"] - nums[lbest] / n0) < 1e-12
+
+
+def test_dominant_lag_period_2_and_degenerates(spark):
+    from cesium_spark.operators.seriesstats import dominant_lag
+    alt = dominant_lag(_series(spark, [1, 9] * 30)).collect()[0]
+    # biased sample ACF: numerator has n-l pairs over N0's n terms,
+    # so a perfect period tops out near (n-l)/n, not 1
+    assert alt["best_lag"] == 2 and alt["r_best"] > 0.9
+    const = dominant_lag(_series(spark, [4] * 30)).collect()[0]
+    assert const["best_lag"] is None
+    # 3-point series: only lag 2 measurable -> it wins by default
+    short = dominant_lag(_series(spark, [1, 5, 2])).collect()[0]
+    assert short["best_lag"] == 2
+    two = dominant_lag(_series(spark, [1, 5])).collect()[0]
+    assert two["best_lag"] is None          # no lag has pairs
+    with pytest.raises(ValueError, match="max_lag"):
+        dominant_lag(_series(spark, [1, 2]), max_lag=1)
