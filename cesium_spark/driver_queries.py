@@ -10715,6 +10715,63 @@ FROM g
 """
 
 
+def q_ts_tw_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted quartiles of tokens-per-turn, each turn's value
+    holding for the whole-second gap until the next turn: NO float
+    anywhere including the cuts (4*cumw >= k*W integer comparisons,
+    denominators cleared). Oracle replays grid, holds, and cuts
+    verbatim."""
+    from cesium_spark.operators.seriesstats import time_weighted_quantiles
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    hold = F.round(F.lead(sec).over(w) - sec, 0).cast("long")
+    series = (ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        tok.cast("long").alias("y"),
+        hold.alias("w"))
+        .where(F.col("w").isNotNull()))
+    out = time_weighted_quantiles(series)
+    return out.select("conv_id", "n", "total_w",
+                      "tw_q1", "tw_q2", "tw_q3")
+
+
+SQL_TS_TW_QUANTILES = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y,
+         cast(round(lead(epoch(ts)) OVER w - epoch(ts), 0)
+              AS bigint) AS hold
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT conv_id, y,
+         sum(hold) OVER (PARTITION BY conv_id ORDER BY y, turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(hold) OVER (PARTITION BY conv_id) AS tw
+  FROM s WHERE hold IS NOT NULL
+),
+g AS (
+  SELECT conv_id, count(*) AS n, max(tw) AS total_w,
+         min(CASE WHEN 4 * cw >= 1 * tw THEN y END) AS q1,
+         min(CASE WHEN 4 * cw >= 2 * tw THEN y END) AS q2,
+         min(CASE WHEN 4 * cw >= 3 * tw THEN y END) AS q3
+  FROM c GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(total_w AS bigint) AS total_w,
+       cast(CASE WHEN total_w > 0 THEN q1 END AS bigint) AS tw_q1,
+       cast(CASE WHEN total_w > 0 THEN q2 END AS bigint) AS tw_q2,
+       cast(CASE WHEN total_w > 0 THEN q3 END AS bigint) AS tw_q3
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10760,6 +10817,7 @@ QUERIES = {
     "ts_role_ngrams": q_ts_role_ngrams,
     "ts_mix_daily": q_ts_mix_daily,
     "ts_dominant_lag": q_ts_dominant_lag,
+    "ts_tw_quantiles": q_ts_tw_quantiles,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -10960,6 +11018,7 @@ ORACLE_SQL = {
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,
     "ts_mix_daily": SQL_TS_MIX_DAILY,
     "ts_dominant_lag": SQL_TS_DOMINANT_LAG,
+    "ts_tw_quantiles": SQL_TS_TW_QUANTILES,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

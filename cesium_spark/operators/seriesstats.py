@@ -2292,3 +2292,70 @@ def dominant_lag(series: DataFrame, max_lag: int = 12) -> DataFrame:
         "conv_id", "n",
         F.when(ok, best_lag).cast("int").alias("best_lag"),
         r_best.alias("r_best"))
+
+
+def time_weighted_quantiles(series: DataFrame) -> DataFrame:
+    """Time-weighted quartiles of a value series per conversation —
+    "what level did this conversation SIT at half the time": each
+    turn's value y holds for the integer-second duration until the
+    next turn (``w`` column, the burstiness pre-grid contract), and
+    the weighted type-1 quantile at p is the smallest value whose
+    cumulative holding time reaches p of the total.  The
+    event-weighted quartiles (tail_stats) over-count rapid-fire
+    turns; the TWA operator gives the time-weighted MEAN; this is
+    the missing time-weighted ORDER statistic.
+
+    Pure-integer decisions: with integer weights, the p = 1/4, 1/2,
+    3/4 cuts are the integer comparisons 4·cumw ≥ W, 4·cumw ≥ 2·W,
+    4·cumw ≥ 3·W over the value-ordered cumulative weight — no float
+    exists ANYWHERE in the operator, including the cut (denominators
+    cleared, the leaky_bucket rule).  The pick is min(y) among rows
+    clearing the line (value order makes that the first crossing).
+    Zero-weight rows cannot be picked unless they tie a positive-
+    weight value (cumw unchanged ⇒ they clear the line exactly when
+    their value-group does — the standard weighted-quantile tie
+    semantics).  Zero TOTAL weight → NULL quartiles.
+
+    Plan: one value-ordered window + one hash aggregate, conv-keyed
+    → ONE exchange, no UDF, no join.
+    """
+    for c in ("y", "w"):
+        t = dict(series.dtypes).get(c)
+        if t not in ("int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"time_weighted_quantiles: column {c!r} has type {t}; "
+                "pre-grid values and durations to integers explicitly")
+    w_ord = Window.partitionBy("conv_id").orderBy("y", "turn_idx")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    wgt = F.col("w").cast("long")
+    checked = F.when(
+        wgt < 0,
+        F.expr("raise_error('time_weighted_quantiles: negative "
+               "duration')").cast("long")).otherwise(wgt)
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("w").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 F.sum(checked).over(w_run).alias("__cw"),
+                 F.sum(checked).over(w_all).alias("__tw")))
+
+    def _pick(mult, thresh_mult):
+        # smallest y whose 4*cumw >= thresh_mult*W
+        return F.min(F.when(
+            F.lit(mult) * F.col("__cw")
+            >= F.lit(thresh_mult) * F.col("__tw"), F.col("__y")))
+
+    g = s.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__tw").alias("total_w"),
+        _pick(4, 1).alias("__q1"),
+        _pick(4, 2).alias("__q2"),
+        _pick(4, 3).alias("__q3"))
+    ok = F.col("total_w") > 0
+    return g.select(
+        "conv_id", "n",
+        F.col("total_w").cast("long").alias("total_w"),
+        F.when(ok, F.col("__q1")).alias("tw_q1"),
+        F.when(ok, F.col("__q2")).alias("tw_q2"),
+        F.when(ok, F.col("__q3")).alias("tw_q3"))

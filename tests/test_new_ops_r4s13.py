@@ -1671,3 +1671,51 @@ def test_dominant_lag_period_2_and_degenerates(spark):
     assert two["best_lag"] is None          # no lag has pairs
     with pytest.raises(ValueError, match="max_lag"):
         dominant_lag(_series(spark, [1, 2]), max_lag=1)
+
+
+# --- time-weighted quantiles -------------------------------------------------------
+
+def _wseries(spark, ys, ws):
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(ys),
+        "turn_idx": np.arange(len(ys), dtype=np.int32),
+        "y": np.asarray(ys, dtype=np.int64),
+        "w": np.asarray(ws, dtype=np.int64)})
+    return spark.createDataFrame(pdf)
+
+
+def test_twq_weights_dominate(spark):
+    from cesium_spark.operators.seriesstats import time_weighted_quantiles
+    # value 100 appears once but holds 97 of 100 seconds
+    row = time_weighted_quantiles(
+        _wseries(spark, [1, 2, 100, 3], [1, 1, 97, 1])).collect()[0]
+    assert (row["tw_q1"], row["tw_q2"], row["tw_q3"]) == (100, 100, 100)
+    # event-weighted median would be 2 or 3 — the whole point
+    row = time_weighted_quantiles(
+        _wseries(spark, [10, 20, 30, 40], [1, 1, 1, 1])).collect()[0]
+    assert (row["tw_q1"], row["tw_q2"], row["tw_q3"]) == (10, 20, 30)
+
+
+def test_twq_matches_ref_and_zero_weights(spark):
+    from cesium_spark.operators.seriesstats import time_weighted_quantiles
+    rng = np.random.RandomState(103)
+    ys = rng.randint(0, 50, 60)
+    ws = rng.randint(0, 30, 60)
+
+    def ref(p_num):
+        order = np.lexsort((np.arange(len(ys)), ys))
+        cw = np.cumsum(ws[order])
+        tot = cw[-1]
+        for i, c in enumerate(cw):
+            if 4 * c >= p_num * tot:
+                return ys[order][i]
+    row = time_weighted_quantiles(_wseries(spark, ys, ws)).collect()[0]
+    assert row["tw_q1"] == ref(1)
+    assert row["tw_q2"] == ref(2)
+    assert row["tw_q3"] == ref(3)
+    allz = time_weighted_quantiles(
+        _wseries(spark, [1, 2], [0, 0])).collect()[0]
+    assert allz["tw_q2"] is None
+    with pytest.raises(Exception, match="negative duration"):
+        time_weighted_quantiles(
+            _wseries(spark, [1, 2], [3, -1])).collect()
