@@ -10772,6 +10772,71 @@ FROM g
 """
 
 
+def q_rel_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over hash-parity experiment cohorts
+    (user_id % 2 - the standard deterministic bucketing): does the
+    'treatment' cohort purchase at a different rate? Exact int64
+    sufficient statistics from one conditional aggregate; z and the
+    rates are fixed double trees replayed verbatim; a pooled rate of
+    exactly 0/1 comes back NULL, never inf."""
+    from cesium_spark.operators.datastats import prop_ztest
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    out = prop_ztest(
+        ev.select(F.when(F.col("user_id") % 2 == 0, "even")
+                  .otherwise("odd").alias("g"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("x")),
+        "g", "x", "even", "odd")
+    return out.select(
+        "n_a", "s_a", "n_b", "s_b",
+        _r(F.col("rate_a"), 9).alias("rate_a"),
+        _r(F.col("rate_b"), 9).alias("rate_b"),
+        _r(F.col("lift"), 9).alias("lift"),
+        _r(F.col("z"), 9).alias("z"))
+
+
+SQL_REL_PROP_ZTEST = """
+WITH b AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events
+),
+a AS (
+  SELECT sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN g = 'even' THEN x ELSE 0 END) AS s_a,
+         sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN g = 'odd' THEN x ELSE 0 END) AS s_b
+  FROM b
+)
+SELECT cast(n_a AS bigint) AS n_a, cast(s_a AS bigint) AS s_a,
+       cast(n_b AS bigint) AS n_b, cast(s_b AS bigint) AS s_b,
+       round(CASE WHEN n_a > 0 THEN
+             cast(s_a AS double) / cast(n_a AS double) END, 9)
+         + 0.0 AS rate_a,
+       round(CASE WHEN n_b > 0 THEN
+             cast(s_b AS double) / cast(n_b AS double) END, 9)
+         + 0.0 AS rate_b,
+       round(CASE WHEN n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+                   AND s_a + s_b < n_a + n_b THEN
+             cast(s_a AS double) / cast(n_a AS double)
+             - cast(s_b AS double) / cast(n_b AS double) END, 9)
+         + 0.0 AS lift,
+       round(CASE WHEN n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+                   AND s_a + s_b < n_a + n_b THEN
+             (cast(s_a AS double) / cast(n_a AS double)
+              - cast(s_b AS double) / cast(n_b AS double))
+             / sqrt(((cast(s_a AS double) + cast(s_b AS double))
+                     / (cast(n_a AS double) + cast(n_b AS double)))
+                    * (1.0 - (cast(s_a AS double) + cast(s_b AS double))
+                       / (cast(n_a AS double) + cast(n_b AS double)))
+                    * (1.0 / cast(n_a AS double)
+                       + 1.0 / cast(n_b AS double))) END, 9)
+         + 0.0 AS z
+FROM a
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10818,6 +10883,7 @@ QUERIES = {
     "ts_mix_daily": q_ts_mix_daily,
     "ts_dominant_lag": q_ts_dominant_lag,
     "ts_tw_quantiles": q_ts_tw_quantiles,
+    "rel_prop_ztest": q_rel_prop_ztest,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -11019,6 +11085,7 @@ ORACLE_SQL = {
     "ts_mix_daily": SQL_TS_MIX_DAILY,
     "ts_dominant_lag": SQL_TS_DOMINANT_LAG,
     "ts_tw_quantiles": SQL_TS_TW_QUANTILES,
+    "rel_prop_ztest": SQL_REL_PROP_ZTEST,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -279,3 +279,64 @@ def mix_stats(df: DataFrame, bucket_col, category_col) -> DataFrame:
         "hhi", "entropy", "top_category",
         (F.col("__top_c").cast("double") / F.col("n").cast("double"))
         .alias("top_share"))
+
+
+def prop_ztest(df: DataFrame, group_col, success_col,
+               group_a: str, group_b: str) -> DataFrame:
+    """Two-proportion z-test (pooled) — the RATE counterpart of
+    ``welch_ttest``'s mean comparison: does group A convert/click/
+    purchase at a different rate than group B?
+
+        z = (p̂_a − p̂_b) / sqrt( p̂(1−p̂)·(1/n_a + 1/n_b) ),
+        p̂ = pooled successes / pooled n
+
+    Exactness: the four sufficient statistics (n_a, s_a, n_b, s_b)
+    are exact int64 from ONE conditional aggregate over one scan; z
+    and the rates are fixed double trees restated verbatim in SQL.
+    Degenerates NULL, never ±inf: an empty group, or a pooled rate
+    of exactly 0 or 1 (zero variance — a difference is either
+    impossible or already certain; fabricating z = ∞ helps nobody).
+    The success column must be boolean or 0/1 integer (validated;
+    a silently-coerced count column would inflate successes).
+
+    Plan: one corpus-sized hash aggregate to ONE row; no shuffle
+    beyond the final single-row combine.
+    """
+    if group_a == group_b:
+        raise ValueError("prop_ztest: groups must differ")
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    sl = s.cast("long")
+    checked = F.when(
+        (sl < 0) | (sl > 1),
+        F.expr("raise_error('prop_ztest: success outside {0,1}')")
+        .cast("long")).otherwise(sl)
+    base = df.where(g.isin([group_a, group_b]) & s.isNotNull())
+    agg = base.agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(g == group_a, checked).otherwise(F.lit(0)))
+        .alias("s_a"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(g == group_b, checked).otherwise(F.lit(0)))
+        .alias("s_b"))
+    na, sa = F.col("n_a").cast("double"), F.col("s_a").cast("double")
+    nb, sb = F.col("n_b").cast("double"), F.col("s_b").cast("double")
+    pa = F.when(F.col("n_a") > 0, sa / na)
+    pb = F.when(F.col("n_b") > 0, sb / nb)
+    pool_s = F.col("s_a") + F.col("s_b")
+    pool_n = F.col("n_a") + F.col("n_b")
+    pp = (sa + sb) / (na + nb)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) \
+        & (pool_s > 0) & (pool_s < pool_n)
+    z = F.when(ok,
+               (sa / na - sb / nb)
+               / F.sqrt(pp * (F.lit(1.0) - pp)
+                        * (F.lit(1.0) / na + F.lit(1.0) / nb)))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("s_a").cast("long").alias("s_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_b").cast("long").alias("s_b"),
+        pa.alias("rate_a"), pb.alias("rate_b"),
+        F.when(ok, sa / na - sb / nb).alias("lift"),
+        z.alias("z"))

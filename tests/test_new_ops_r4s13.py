@@ -1719,3 +1719,41 @@ def test_twq_matches_ref_and_zero_weights(spark):
     with pytest.raises(Exception, match="negative duration"):
         time_weighted_quantiles(
             _wseries(spark, [1, 2], [3, -1])).collect()
+
+
+# --- two-proportion z --------------------------------------------------------------
+
+def test_prop_ztest_matches_ref(spark):
+    from cesium_spark.operators.datastats import prop_ztest
+    rng = np.random.RandomState(107)
+    rows = [("A", int(rng.rand() < 0.30)) for _ in range(400)]
+    rows += [("B", int(rng.rand() < 0.22)) for _ in range(350)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "x"]))
+    row = prop_ztest(df, "g", "x", "A", "B").collect()[0]
+    sa = sum(x for g, x in rows if g == "A")
+    sb = sum(x for g, x in rows if g == "B")
+    pa, pb = sa / 400, sb / 350
+    pp = (sa + sb) / 750
+    z = (pa - pb) / np.sqrt(pp * (1 - pp) * (1 / 400 + 1 / 350))
+    assert (row["n_a"], row["s_a"], row["n_b"], row["s_b"]) == \
+        (400, sa, 350, sb)
+    assert abs(row["z"] - z) < 1e-12
+    assert abs(row["lift"] - (pa - pb)) < 1e-12
+    assert row["z"] > 1.5                    # the planted lift shows
+
+
+def test_prop_ztest_degenerates(spark):
+    from cesium_spark.operators.datastats import prop_ztest
+    df = spark.createDataFrame(pd.DataFrame(
+        [("A", 1), ("A", 1), ("B", 1)], columns=["g", "x"]))
+    row = prop_ztest(df, "g", "x", "A", "B").collect()[0]
+    assert row["z"] is None                  # pooled rate == 1
+    assert row["rate_a"] == 1.0
+    df2 = spark.createDataFrame(pd.DataFrame(
+        [("A", 0), ("A", 1)], columns=["g", "x"]))
+    row = prop_ztest(df2, "g", "x", "A", "B").collect()[0]
+    assert row["n_b"] == 0 and row["z"] is None and row["rate_b"] is None
+    with pytest.raises(Exception, match="outside"):
+        prop_ztest(spark.createDataFrame(pd.DataFrame(
+            [("A", 2), ("B", 0)], columns=["g", "x"])),
+            "g", "x", "A", "B").collect()
