@@ -10837,6 +10837,53 @@ FROM a
 """
 
 
+def q_ts_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-ending profile: deterministic max_by-over-
+    turn_idx picks, whole-second final gap, the documented
+    abandonment heuristic (user had the last word OR a dangling tool
+    call). Oracle replays picks and flags verbatim."""
+    from cesium_spark.operators.derive import conversation_endings
+    out = conversation_endings(events_transcripts(spark, sf_dir),
+                               user_role="view")
+    return out.select("conv_id", "n_turns", "last_role",
+                      "last_turn_tokens", "ends_with_question",
+                      "ends_after_tool", "final_gap_s", "abandoned")
+
+
+SQL_TS_ENDINGS = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         event_type AS role, props AS text,
+         CASE WHEN event_type = 'purchase' THEN 'checkout' END AS tool,
+         round(epoch(ts) - lag(epoch(ts)) OVER w, 0) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT conv_id, count(*) AS n_turns,
+         arg_max(role, turn_idx) AS last_role,
+         arg_max(cast(len(string_split_regex(trim(coalesce(text, '')),
+                                             '\\s+')) AS bigint),
+                 turn_idx) AS last_turn_tokens,
+         arg_max(trim(coalesce(text, '')), turn_idx) AS last_txt,
+         max(CASE WHEN tool IS NOT NULL THEN turn_idx END)
+           AS last_tool_turn,
+         max(turn_idx) AS last_turn,
+         arg_max(cast(gap AS bigint), turn_idx) AS final_gap_s
+  FROM t GROUP BY 1
+)
+SELECT conv_id, cast(n_turns AS bigint) AS n_turns, last_role,
+       last_turn_tokens,
+       last_txt LIKE '%?' AS ends_with_question,
+       coalesce(last_tool_turn = last_turn, FALSE) AS ends_after_tool,
+       final_gap_s,
+       last_role = 'view'
+         OR coalesce(last_tool_turn = last_turn, FALSE) AS abandoned
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10884,6 +10931,7 @@ QUERIES = {
     "ts_dominant_lag": q_ts_dominant_lag,
     "ts_tw_quantiles": q_ts_tw_quantiles,
     "rel_prop_ztest": q_rel_prop_ztest,
+    "ts_endings": q_ts_endings,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -11086,6 +11134,7 @@ ORACLE_SQL = {
     "ts_dominant_lag": SQL_TS_DOMINANT_LAG,
     "ts_tw_quantiles": SQL_TS_TW_QUANTILES,
     "rel_prop_ztest": SQL_REL_PROP_ZTEST,
+    "ts_endings": SQL_TS_ENDINGS,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

@@ -131,3 +131,56 @@ def dialogue_stats(transcripts: DataFrame) -> DataFrame:
         rate.alias("switch_rate"), "tool_turns",
         F.col("tok_total").cast("long").alias("tok_total"),
         "top_role", "top_role_turns")
+
+
+def conversation_endings(transcripts: DataFrame,
+                         user_role: str = "user") -> DataFrame:
+    """How conversations END — the abandonment/closure profile
+    support teams and agent-loop audits read first: one row per
+    conversation with
+
+        last_role, last_turn_tokens      what the final turn was
+        ends_with_question               trimmed text ends in '?'
+        ends_after_tool                  final turn carries a tool
+                                         call nobody followed up
+        final_gap_s                      integer seconds between the
+                                         last two turns (NULL for
+                                         1-turn conversations)
+        abandoned                        last word was the user's OR
+                                         a dangling tool call — the
+                                         documented heuristic, not a
+                                         ground truth
+
+    Every pick is max_by over the unique turn_idx (deterministic
+    under any partitioning); the gap grids to whole seconds (the
+    burstiness rule); everything else is string/boolean logic — no
+    float anywhere.
+
+    Plan: one ordered window (lag for the gap) + one conv-keyed hash
+    aggregate → ONE exchange, no UDF, no join.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    sec = F.col("ts").cast("double")
+    base = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                       r"\s+")).alias("__tok"),
+        F.trim(F.coalesce(F.col("text"), F.lit(""))).alias("__txt"),
+        F.round(sec - F.lag(sec).over(w), 0).cast("long").alias("__gap"))
+    g = base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.expr("max_by(role, turn_idx)").alias("last_role"),
+        F.expr("max_by(__tok, turn_idx)").alias("last_turn_tokens"),
+        F.expr("max_by(__txt, turn_idx)").alias("__last_txt"),
+        F.expr("max_by(tool, turn_idx)").alias("__last_tool"),
+        F.expr("max_by(__gap, turn_idx)").alias("final_gap_s"))
+    ends_q = F.col("__last_txt").endswith("?")
+    after_tool = F.col("__last_tool").isNotNull()
+    return g.select(
+        "conv_id", "n_turns", "last_role",
+        F.col("last_turn_tokens").cast("long").alias("last_turn_tokens"),
+        ends_q.alias("ends_with_question"),
+        after_tool.alias("ends_after_tool"),
+        F.col("final_gap_s").cast("long").alias("final_gap_s"),
+        ((F.col("last_role") == F.lit(user_role)) | after_tool)
+        .alias("abandoned"))

@@ -1757,3 +1757,27 @@ def test_prop_ztest_degenerates(spark):
         prop_ztest(spark.createDataFrame(pd.DataFrame(
             [("A", 2), ("B", 0)], columns=["g", "x"])),
             "g", "x", "A", "B").collect()
+
+
+# --- conversation endings ----------------------------------------------------------
+
+def test_endings_profiles(spark):
+    from cesium_spark.operators.derive import conversation_endings
+    rows = [
+        ("done", 0, "user", "hi", None, 0),
+        ("done", 1, "assistant", "bye now", None, 60),
+        ("hang", 0, "assistant", "welcome", None, 0),
+        ("hang", 1, "user", "are you there?", None, 30),
+        ("tooldrop", 0, "user", "search this", None, 0),
+        ("tooldrop", 1, "assistant", "running query", "search", 5),
+        ("solo", 0, "user", "anyone?", None, 0),
+    ]
+    r = {x["conv_id"]: x for x in
+         conversation_endings(_tr(spark, rows)).collect()}
+    assert not r["done"]["abandoned"] and r["done"]["last_role"] == "assistant"
+    assert r["done"]["final_gap_s"] == 60
+    assert r["hang"]["abandoned"] and r["hang"]["ends_with_question"]
+    assert r["tooldrop"]["abandoned"] and r["tooldrop"]["ends_after_tool"]
+    assert not r["tooldrop"]["ends_with_question"]
+    assert r["solo"]["final_gap_s"] is None and r["solo"]["abandoned"]
+    assert r["solo"]["last_turn_tokens"] == 1
