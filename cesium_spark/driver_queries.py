@@ -10884,6 +10884,79 @@ FROM g
 """
 
 
+def q_emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dimensionality (participation ratio trace^2/frob^2
+    of the covariance spectrum) of the embeddings corpus - NO
+    eigendecomposition: exact int64 covariance numerators on the 1e-7
+    grid, double squares, ordered (d,e) folds; the grid cancels in ER
+    exactly. Oracle replays outer products, cells, and folds
+    verbatim."""
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    out = similarity.effective_rank(embs, dim=64)
+    return out.select(
+        "n", "dim",
+        _r(F.col("total_variance"), 9).alias("total_variance"),
+        _r(F.col("effective_rank"), 6).alias("effective_rank"))
+
+
+SQL_EMB_EFFECTIVE_RANK = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> cast(round(x * 10000000.0) AS bigint)) AS g
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+pairs AS (
+  SELECT u1.d AS d, u2.e AS e, u1.gd * u2.ge AS prod
+  FROM e,
+  LATERAL (SELECT unnest(g) AS gd,
+                  generate_subscripts(g, 1) - 1 AS d) u1,
+  LATERAL (SELECT unnest(g) AS ge,
+                  generate_subscripts(g, 1) - 1 AS e) u2
+),
+cells AS (
+  SELECT d, e, sum(prod) AS spp, count(*) AS n FROM pairs GROUP BY 1, 2
+),
+sums AS (
+  SELECT u.d AS d, sum(u.gd) AS s
+  FROM e, LATERAL (SELECT unnest(g) AS gd,
+                          generate_subscripts(g, 1) - 1 AS d) u
+  GROUP BY 1
+),
+j AS (
+  SELECT c.d, c.e, c.n,
+         c.n * c.spp - sa.s * se.s AS cnum
+  FROM cells c
+  JOIN sums sa ON c.d = sa.d
+  JOIN sums se ON c.e = se.d
+),
+f AS (
+  SELECT d, e, n,
+         sum(CASE WHEN d = e THEN cast(cnum AS double)
+                  ELSE 0.0 END) OVER wo AS tr,
+         sum(cast(cnum AS double) * cast(cnum AS double))
+           OVER wo AS fr
+  FROM j
+  WINDOW wo AS (ORDER BY d, e ROWS UNBOUNDED PRECEDING)
+),
+g2 AS (
+  SELECT cast(max(n) AS bigint) AS n,
+         arg_max(tr, (d, e)) AS trace_num,
+         arg_max(fr, (d, e)) AS frob_num
+  FROM f
+)
+SELECT n, 64 AS dim,
+       round(trace_num / (cast(n AS double) * cast(n AS double)
+                          * 10000000.0 * 10000000.0), 9)
+         + 0.0 AS total_variance,
+       round(CASE WHEN frob_num > 0 THEN
+             trace_num * trace_num / frob_num END, 6)
+         + 0.0 AS effective_rank
+FROM g2
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10932,6 +11005,7 @@ QUERIES = {
     "ts_tw_quantiles": q_ts_tw_quantiles,
     "rel_prop_ztest": q_rel_prop_ztest,
     "ts_endings": q_ts_endings,
+    "emb_effective_rank": q_emb_effective_rank,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
     "ts_state_agg": q_ts_state_agg,
@@ -11135,6 +11209,7 @@ ORACLE_SQL = {
     "ts_tw_quantiles": SQL_TS_TW_QUANTILES,
     "rel_prop_ztest": SQL_REL_PROP_ZTEST,
     "ts_endings": SQL_TS_ENDINGS,
+    "emb_effective_rank": SQL_EMB_EFFECTIVE_RANK,
     "doc_stratified_sample": _stratified_sample_sql(),
     "ts_state_agg": SQL_TS_STATE_AGG,
     "ts_channel_corr": SQL_TS_CHANNEL_CORR,

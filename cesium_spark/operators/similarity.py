@@ -647,3 +647,90 @@ def embedding_drift(embs_a: DataFrame, embs_b: DataFrame,
         "n_a", "n_b", cos.alias("mean_cos"), l2.alias("mean_l2"),
         (F.col("top_gap_dim") + 1).cast("int").alias("top_gap_dim"),
         F.col("top_gap"))
+
+
+def effective_rank(embs: DataFrame, dim: int, grid: float = 1e7,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Effective dimensionality of the embedding corpus by the
+    participation ratio of the covariance spectrum —
+
+        ER = (Σλ)² / Σλ²  =  trace(C)² / ‖C‖²_F
+
+    — WITHOUT any eigendecomposition: the trace and the Frobenius
+    norm are plain sums over covariance cells, so the whole statistic
+    is two folds over the (dim × dim) cell table.  ER ≈ dim means an
+    isotropic, fully-used space; ER ≪ dim is the anisotropic
+    collapse (Ethayarajh) that silently breaks cosine retrieval —
+    the one-number summary behind embedding_dim_stats' per-dim view.
+
+    Exactness: components grid to round(x·grid) int64 (the
+    embedding_drift device), each covariance numerator
+    n·Σg_d·g_e − S_d·S_e is an exact int64 (int64-safe to ~500·dim
+    vectors at unit-scale embeddings — the operator is built for the
+    TRAINING-SLICE workflow, like kmeans_train: hash-sample first at
+    corpus scale, the bound is documented), squares are taken in
+    double (squaring the cell numerators would overflow), both folds
+    run in ORDERED (d, e) cell sequence, and the grid scale cancels
+    in ER exactly.  trace is also reported in real units.
+
+    Plan: outer products form NATIVELY per row (nested transform +
+    flatten + posexplode — no self-join on vector id), collapse
+    map-side to dim² cells, then cell-table-sized fold work.  Cost
+    is dim²·n explode rows — the honest price of a covariance,
+    stated; no shuffle carries more than dim² rows per partition.
+    """
+    if dim < 2:
+        raise ValueError(f"effective_rank: dim must be >= 2, got {dim}")
+    if grid <= 0:
+        raise ValueError(f"effective_rank: grid must be > 0, got {grid}")
+    v = F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * F.lit(float(grid)),
+                                      0).cast("long"))
+    outer = F.flatten(F.transform(v, lambda a: F.transform(
+        v, lambda b: a * b)))
+    exploded = (embs.where(F.col(vec_col).isNotNull())
+                .select(F.posexplode(outer).alias("pos", "prod")))
+    cells = (exploded
+             .select((F.col("pos") / dim).cast("int").alias("d"),
+                     (F.col("pos") % dim).cast("int").alias("e"),
+                     "prod")
+             .groupBy("d", "e")
+             .agg(F.sum("prod").alias("spp"),
+                  F.count(F.lit(1)).alias("n")))
+    # per-dim sums for the mean correction: the diagonal of the
+    # (d, e) table doesn't carry S_d, so compute sums separately
+    sums = (embs.where(F.col(vec_col).isNotNull())
+            .select(F.posexplode(v).alias("d", "g"))
+            .groupBy("d")
+            .agg(F.sum("g").alias("s")))
+    j = (cells
+         .join(sums.select(F.col("d").alias("dd"),
+                           F.col("s").alias("sd")),
+               F.col("d") == F.col("dd"))
+         .join(sums.select(F.col("d").alias("ee"),
+                           F.col("s").alias("se")),
+               F.col("e") == F.col("ee"))
+         .select("d", "e", "n",
+                 (F.col("n") * F.col("spp")
+                  - F.col("sd") * F.col("se")).alias("cnum")))
+    w_ord = Window.partitionBy().orderBy("d", "e")
+    cd = F.col("cnum").cast("double")
+    folded = j.select(
+        "d", "e", "n",
+        F.sum(F.when(F.col("d") == F.col("e"), cd)
+              .otherwise(F.lit(0.0))).over(w_ord).alias("__tr"),
+        F.sum(cd * cd).over(w_ord).alias("__fr"))
+    g = folded.groupBy().agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr("max_by(__tr, struct(d, e))").alias("trace_num"),
+        F.expr("max_by(__fr, struct(d, e))").alias("frob_num"))
+    nd = F.col("n").cast("double")
+    ok = F.col("frob_num") > 0
+    er = F.when(ok, F.col("trace_num") * F.col("trace_num")
+                / F.col("frob_num"))
+    trace_real = F.col("trace_num") / (nd * nd * F.lit(float(grid))
+                                       * F.lit(float(grid)))
+    return g.select(
+        "n", F.lit(int(dim)).alias("dim"),
+        trace_real.alias("total_variance"),
+        er.alias("effective_rank"))

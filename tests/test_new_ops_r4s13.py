@@ -1781,3 +1781,36 @@ def test_endings_profiles(spark):
     assert not r["tooldrop"]["ends_with_question"]
     assert r["solo"]["final_gap_s"] is None and r["solo"]["abandoned"]
     assert r["solo"]["last_turn_tokens"] == 1
+
+
+# --- effective rank ----------------------------------------------------------------
+
+def test_effective_rank_isotropic_vs_collapsed(spark):
+    from cesium_spark.operators.similarity import effective_rank
+    rng = np.random.RandomState(109)
+    iso = rng.randn(200, 6)
+    direction = rng.randn(6)
+    rank1 = np.outer(rng.randn(200), direction)
+    r_iso = effective_rank(
+        _embs(spark, [list(v) for v in iso]), dim=6).collect()[0]
+    r_r1 = effective_rank(
+        _embs(spark, [list(v) for v in rank1]), dim=6).collect()[0]
+    assert r_iso["effective_rank"] > 5.0      # nearly full
+    assert r_r1["effective_rank"] < 1.05      # collapsed
+    # numpy replay on the identical integer grid
+    g = np.round(iso * 1e7).astype(np.int64)
+    n = len(g)
+    c = n * (g.T @ g) - np.outer(g.sum(0), g.sum(0))
+    pr = np.trace(c) ** 2 / np.sum(c.astype(float) ** 2)
+    assert abs(r_iso["effective_rank"] - pr) < 1e-6
+    tv = np.trace(c) / (n * n * 1e14)
+    assert abs(r_iso["total_variance"] - tv) < 1e-9
+
+
+def test_effective_rank_validation(spark):
+    from cesium_spark.operators.similarity import effective_rank
+    with pytest.raises(ValueError, match="dim"):
+        effective_rank(_embs(spark, [[1.0, 2.0]]), dim=1)
+    # constant corpus: zero covariance -> NULL ER
+    r = effective_rank(_embs(spark, [[1.0, 2.0]] * 5), dim=2).collect()[0]
+    assert r["effective_rank"] is None and r["total_variance"] == 0.0
