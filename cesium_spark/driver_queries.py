@@ -10887,10 +10887,10 @@ FROM g
 def q_emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective dimensionality (participation ratio trace^2/frob^2
     of the covariance spectrum) of the embeddings corpus - NO
-    eigendecomposition: exact int64 covariance numerators on the 1e-7
-    grid, double squares, ordered (d,e) folds; the grid cancels in ER
-    exactly. Oracle replays outer products, cells, and folds
-    verbatim."""
+    eigendecomposition: exact int64 covariance numerators on the 1e-4
+    grid (the squared-sum overflow bound - 1e-7 would wrap), double
+    squares, ordered (d,e) folds; the grid cancels in ER exactly.
+    Oracle replays outer products, cells, and folds verbatim."""
     _prep(spark)
     embs = _read(spark, sf_dir, "embeddings")
     out = similarity.effective_rank(embs, dim=64)
@@ -10904,7 +10904,7 @@ SQL_EMB_EFFECTIVE_RANK = """
 WITH e AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> cast(round(x * 10000000.0) AS bigint)) AS g
+                        x -> cast(round(x * 10000.0) AS bigint)) AS g
   FROM embeddings WHERE embedding IS NOT NULL
 ),
 pairs AS (
@@ -10942,13 +10942,13 @@ f AS (
 ),
 g2 AS (
   SELECT cast(max(n) AS bigint) AS n,
-         arg_max(tr, (d, e)) AS trace_num,
-         arg_max(fr, (d, e)) AS frob_num
+         arg_max(tr, d * 64 + e) AS trace_num,
+         arg_max(fr, d * 64 + e) AS frob_num
   FROM f
 )
 SELECT n, 64 AS dim,
        round(trace_num / (cast(n AS double) * cast(n AS double)
-                          * 10000000.0 * 10000000.0), 9)
+                          * 10000.0 * 10000.0), 9)
          + 0.0 AS total_variance,
        round(CASE WHEN frob_num > 0 THEN
              trace_num * trace_num / frob_num END, 6)

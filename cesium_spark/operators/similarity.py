@@ -649,7 +649,7 @@ def embedding_drift(embs_a: DataFrame, embs_b: DataFrame,
         F.col("top_gap"))
 
 
-def effective_rank(embs: DataFrame, dim: int, grid: float = 1e7,
+def effective_rank(embs: DataFrame, dim: int, grid: float = 1e4,
                    vec_col: str = "embedding") -> DataFrame:
     """Effective dimensionality of the embedding corpus by the
     participation ratio of the covariance spectrum —
@@ -664,14 +664,17 @@ def effective_rank(embs: DataFrame, dim: int, grid: float = 1e7,
     the one-number summary behind embedding_dim_stats' per-dim view.
 
     Exactness: components grid to round(x·grid) int64 (the
-    embedding_drift device), each covariance numerator
-    n·Σg_d·g_e − S_d·S_e is an exact int64 (int64-safe to ~500·dim
-    vectors at unit-scale embeddings — the operator is built for the
-    TRAINING-SLICE workflow, like kmeans_train: hash-sample first at
-    corpus scale, the bound is documented), squares are taken in
-    double (squaring the cell numerators would overflow), both folds
-    run in ORDERED (d, e) cell sequence, and the grid scale cancels
-    in ER exactly.  trace is also reported in real units.
+    embedding_drift device) — at the DEFAULT grid 1e4, NOT drift's
+    1e7: the covariance numerator n·Σg_d·g_e − S_d·S_e squares the
+    grid, so n·Σ(g·g) ~ n²·(grid·|x|)² must stay under 2⁶³ — 1e4
+    holds to ~10⁶ unit-scale vectors where 1e7 overflows at a few
+    hundred (caught by the overflow test before shipping; ANSI
+    raises, never wraps).  The numerators are exact int64; squares
+    are taken in double (squaring the cells would overflow), both
+    folds run in ORDERED (d, e) cell sequence, and the grid scale
+    cancels in ER exactly.  trace is also reported in real units.
+    For 10⁹-vector corpora use the kmeans_train hash-sample
+    workflow — a rank statistic needs a sample, not the corpus.
 
     Plan: outer products form NATIVELY per row (nested transform +
     flatten + posexplode — no self-join on vector id), collapse
@@ -722,8 +725,10 @@ def effective_rank(embs: DataFrame, dim: int, grid: float = 1e7,
         F.sum(cd * cd).over(w_ord).alias("__fr"))
     g = folded.groupBy().agg(
         F.max("n").cast("long").alias("n"),
-        F.expr("max_by(__tr, struct(d, e))").alias("trace_num"),
-        F.expr("max_by(__fr, struct(d, e))").alias("frob_num"))
+        # scalar fold key d*dim+e, not struct: DuckDB's arg_max has
+        # no struct overload and the replay must use the same rule
+        F.expr(f"max_by(__tr, d * {dim} + e)").alias("trace_num"),
+        F.expr(f"max_by(__fr, d * {dim} + e)").alias("frob_num"))
     nd = F.col("n").cast("double")
     ok = F.col("frob_num") > 0
     er = F.when(ok, F.col("trace_num") * F.col("trace_num")

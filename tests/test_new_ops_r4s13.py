@@ -1798,12 +1798,13 @@ def test_effective_rank_isotropic_vs_collapsed(spark):
     assert r_iso["effective_rank"] > 5.0      # nearly full
     assert r_r1["effective_rank"] < 1.05      # collapsed
     # numpy replay on the identical integer grid
-    g = np.round(iso * 1e7).astype(np.int64)
+    g = np.round(iso * 1e4).astype(np.int64)
     n = len(g)
     c = n * (g.T @ g) - np.outer(g.sum(0), g.sum(0))
-    pr = np.trace(c) ** 2 / np.sum(c.astype(float) ** 2)
+    # float BEFORE squaring: np.int64 ** 2 wraps silently
+    pr = float(np.trace(c)) ** 2 / np.sum(c.astype(float) ** 2)
     assert abs(r_iso["effective_rank"] - pr) < 1e-6
-    tv = np.trace(c) / (n * n * 1e14)
+    tv = np.trace(c) / (n * n * 1e8)
     assert abs(r_iso["total_variance"] - tv) < 1e-9
 
 
