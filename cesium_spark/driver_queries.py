@@ -10957,6 +10957,88 @@ FROM g2
 """
 
 
+def q_ts_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test per conversation: does the ROLE shift
+    the tokens-per-turn DISTRIBUTION - the rank twin of ts_anova_role,
+    immune to the whale turn that can buy a parametric F. Integer
+    2-avg-rank sums and tie masses, one ordered float fold per group,
+    fixed H / tie-corrected H trees replayed verbatim."""
+    from cesium_spark.operators.seriesstats import kruskal_wallis
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("channel"),
+        tok.cast("long").alias("y"))
+    out = kruskal_wallis(series, group_col="channel")
+    return out.select(
+        "conv_id", "n", "k", "tie_mass",
+        _r(F.col("h_stat"), 9).alias("h_stat"),
+        _r(F.col("h_corrected"), 9).alias("h_corrected"))
+
+
+SQL_TS_KRUSKAL = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         event_type AS g,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+),
+r AS (
+  SELECT conv_id, g,
+         2 * rank() OVER (PARTITION BY conv_id ORDER BY y)
+           + count(*) OVER (PARTITION BY conv_id, y) - 1 AS r2,
+         count(*) OVER (PARTITION BY conv_id, y) AS t
+  FROM s WHERE g IS NOT NULL AND y IS NOT NULL
+),
+cells AS (
+  SELECT conv_id, g, count(*) AS ng, sum(r2) AS r2g,
+         sum(t * t - 1) AS tg
+  FROM r GROUP BY 1, 2
+),
+e AS (
+  SELECT conv_id,
+         sum(ng) OVER wp AS n, count(*) OVER wp AS k,
+         sum(tg) OVER wp AS tm,
+         sum(cast(r2g AS double) * cast(r2g AS double)
+             / (4.0 * cast(ng AS double)))
+           OVER (PARTITION BY conv_id ORDER BY g
+                 ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM cells
+  WINDOW wp AS (PARTITION BY conv_id)
+),
+gg AS (
+  SELECT conv_id, max(n) AS n, max(k) AS k, max(tm) AS tm,
+         max(cum_b) AS b
+  FROM e GROUP BY 1
+),
+m AS (
+  SELECT conv_id, n, k, tm,
+         12.0 / (cast(n AS double) * (cast(n AS double) + 1.0)) * b
+           - 3.0 * (cast(n AS double) + 1.0) AS h_raw,
+         1.0 - cast(tm AS double)
+           / (cast(n AS double) * cast(n AS double) * cast(n AS double)
+              - cast(n AS double)) AS corr
+  FROM gg
+),
+f AS (
+  SELECT conv_id, n, k, tm,
+         CASE WHEN h_raw < 0 THEN 0.0 ELSE h_raw END AS h, corr
+  FROM m
+)
+SELECT conv_id, cast(n AS bigint) AS n, cast(k AS int) AS k,
+       cast(tm AS bigint) AS tie_mass,
+       round(CASE WHEN k >= 2 AND n >= 2 AND corr > 0
+                  THEN h END, 9) + 0.0 AS h_stat,
+       round(CASE WHEN k >= 2 AND n >= 2 AND corr > 0
+                  THEN h / corr END, 9) + 0.0 AS h_corrected
+FROM f
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -10997,6 +11079,7 @@ QUERIES = {
     "ts_circadian": q_ts_circadian,
     "ts_leaky_bucket": q_ts_leaky_bucket,
     "ts_anova_role": q_ts_anova_role,
+    "ts_kruskal": q_ts_kruskal,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11201,6 +11284,7 @@ ORACLE_SQL = {
     "ts_circadian": SQL_TS_CIRCADIAN,
     "ts_leaky_bucket": SQL_TS_LEAKY_BUCKET,
     "ts_anova_role": SQL_TS_ANOVA_ROLE,
+    "ts_kruskal": SQL_TS_KRUSKAL,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -2359,3 +2359,88 @@ def time_weighted_quantiles(series: DataFrame) -> DataFrame:
         F.when(ok, F.col("__q1")).alias("tw_q1"),
         F.when(ok, F.col("__q2")).alias("tw_q2"),
         F.when(ok, F.col("__q3")).alias("tw_q3"))
+
+
+def kruskal_wallis(series: DataFrame, group_col: str = "channel") -> DataFrame:
+    """Kruskal–Wallis H test per conversation (Kruskal & Wallis 1952)
+    — the RANK twin of ``anova_oneway``: does the factor shift the
+    value's *distribution*, judged on ranks so a single whale turn
+    cannot buy significance the way it can in the parametric F?
+
+        H = 12/(N(N+1)) · Σ_g R̄²_g·n_g·… − 3(N+1)
+          = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+        tie correction  C = 1 − Σ_v(t_v³−t_v)/(N³−N),  H_corr = H/C.
+
+    Exactness: mid-ranks arrive as the INTEGER 2·avg-rank (the
+    spearman_channels contract): a tie block occupying positions
+    a..a+t−1 has 2·avg = 2a+t−1 via rank() + per-value count, so the
+    per-group rank sums 2R_g and the tie masses Σ(t³−t) are exact
+    int64 and the only float work is one Σ_g (2R_g)²/(4n_g) term per
+    group, folded in ORDERED group sequence (the anova cum_b
+    contract), then fixed trees for H and H/C.  Cancellation residue
+    is clamped at 0 (H ≥ 0 mathematically).  Degenerates NULL: k < 2
+    (no factor), N < 2, or C = 0 (every value identical — ranks carry
+    no information, reporting H = 0 as "no effect" would be fake
+    certainty).
+
+    Overflow bound: 2R_g ≤ 2N², exact in int64 to N ~ 2^31 rows per
+    conversation; (2R_g)² is formed in DOUBLE and stays exact to
+    N ≈ 5·10⁴ (2N² ≤ 2^26.3, square ≤ 2^53) — far beyond any
+    conversation; t³ ≤ N³ int64-safe to N ≈ 2·10⁶.
+
+    Plan: two windows on the conv_id partition key (rank fold + group
+    fold) and one final conv aggregate — one hash exchange on
+    conv_id reused throughout, no UDF, no join (plan-asserted).
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"kruskal_wallis: column 'y' has type {t}; the exact-"
+            "2·avg-rank contract needs integer values")
+    y = F.col("y").cast("long")
+    base = (series
+            .where(F.col("y").isNotNull() & F.col(group_col).isNotNull())
+            .select("conv_id", F.col(group_col).alias("__g"), y.alias("__y")))
+    w_rank = Window.partitionBy("conv_id").orderBy("__y")
+    w_val = Window.partitionBy("conv_id", "__y")
+    ranked = base.select(
+        "conv_id", "__g",
+        # 2·avg-rank of a tie block at positions a..a+t−1 is 2a+t−1
+        (F.lit(2) * F.rank().over(w_rank)
+         + F.count(F.lit(1)).over(w_val) - F.lit(1)).alias("__r2"),
+        F.count(F.lit(1)).over(w_val).alias("__t"))
+    cells = ranked.groupBy("conv_id", "__g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("__r2").alias("r2g"),
+        # Σ_blocks(t³−t) = Σ_rows(t²−1): every row of a t-block
+        # contributes t²−1, so the conv-level fold needs no
+        # once-per-block bookkeeping even when a block spans groups
+        F.sum(F.col("__t") * F.col("__t") - F.lit(1)).alias("tg"))
+    w_all = Window.partitionBy("conv_id")
+    w_ord = w_all.orderBy("__g")
+    term = (F.col("r2g").cast("double") * F.col("r2g").cast("double")
+            / (F.lit(4.0) * F.col("ng").cast("double")))
+    enriched = cells.select(
+        "conv_id",
+        F.sum("ng").over(w_all).alias("__n"),
+        F.count(F.lit(1)).over(w_all).alias("__k"),
+        F.sum("tg").over(w_all).alias("__tm"),
+        F.sum(term).over(w_ord).alias("__cum_b"))
+    g = enriched.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("k"),
+        F.max("__tm").alias("tie_mass"),
+        F.max("__cum_b").alias("__b"))
+    nd = F.col("n").cast("double")
+    h_raw = (F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("__b")
+             - F.lit(3.0) * (nd + F.lit(1.0)))
+    h = F.when(h_raw < 0, F.lit(0.0)).otherwise(h_raw)
+    corr = (F.lit(1.0)
+            - F.col("tie_mass").cast("double") / (nd * nd * nd - nd))
+    ok = (F.col("k") >= 2) & (F.col("n") >= 2) & (corr > 0)
+    return g.select(
+        "conv_id", "n",
+        F.col("k").cast("int").alias("k"),
+        F.col("tie_mass").cast("long").alias("tie_mass"),
+        F.when(ok, h).alias("h_stat"),
+        F.when(ok, h / corr).alias("h_corrected"))
