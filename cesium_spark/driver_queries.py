@@ -11039,6 +11039,83 @@ FROM f
 """
 
 
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau screen at lags 1-3 over tokens-per-turn:
+    is there ANY jointly-detectable low-lag structure, the whiteness
+    gate in front of ar1_fit/pacf3/dominant_lag. Exact int64 ACF
+    numerators (the shared sufficient-statistics contract), one
+    division per lag, fixed left-assoc Q tree; constant or too-short
+    series NULL."""
+    from cesium_spark.operators.seriesstats import ljung_box
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = ljung_box(series)
+    return out.select(
+        "conv_id", "n",
+        _r(F.col("rho1"), 9).alias("rho1"),
+        _r(F.col("rho2"), 9).alias("rho2"),
+        _r(F.col("rho3"), 9).alias("rho3"),
+        _r(F.col("q_lb"), 9).alias("q_lb"))
+
+
+SQL_TS_LJUNG_BOX = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT conv_id, y,
+         lag(y, 1) OVER w2 AS l1,
+         lag(y, 2) OVER w2 AS l2,
+         lag(y, 3) OVER w2 AS l3,
+         sum(y) OVER (PARTITION BY conv_id) AS sy,
+         count(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM s
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT conv_id, max(cnt) AS n,
+         sum((cnt * y - sy) * (cnt * y - sy)) AS n0,
+         sum(CASE WHEN l1 IS NOT NULL
+                  THEN (cnt * y - sy) * (cnt * l1 - sy) END) AS nk1,
+         sum(CASE WHEN l2 IS NOT NULL
+                  THEN (cnt * y - sy) * (cnt * l2 - sy) END) AS nk2,
+         sum(CASE WHEN l3 IS NOT NULL
+                  THEN (cnt * y - sy) * (cnt * l3 - sy) END) AS nk3
+  FROM l GROUP BY 1
+),
+m AS (
+  SELECT conv_id, n,
+         n > 3 AND n0 > 0 AS ok,
+         cast(nk1 AS double) / cast(n0 AS double) AS r1,
+         cast(nk2 AS double) / cast(n0 AS double) AS r2,
+         cast(nk3 AS double) / cast(n0 AS double) AS r3
+  FROM g
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       round(CASE WHEN ok THEN r1 END, 9) + 0.0 AS rho1,
+       round(CASE WHEN ok THEN r2 END, 9) + 0.0 AS rho2,
+       round(CASE WHEN ok THEN r3 END, 9) + 0.0 AS rho3,
+       round(CASE WHEN ok THEN
+             cast(n AS double) * (cast(n AS double) + 2.0)
+             * (r1 * r1 / (cast(n AS double) - 1.0)
+                + r2 * r2 / (cast(n AS double) - 2.0)
+                + r3 * r3 / (cast(n AS double) - 3.0)) END, 9)
+         + 0.0 AS q_lb
+FROM m
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11080,6 +11157,7 @@ QUERIES = {
     "ts_leaky_bucket": q_ts_leaky_bucket,
     "ts_anova_role": q_ts_anova_role,
     "ts_kruskal": q_ts_kruskal,
+    "ts_ljung_box": q_ts_ljung_box,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11285,6 +11363,7 @@ ORACLE_SQL = {
     "ts_leaky_bucket": SQL_TS_LEAKY_BUCKET,
     "ts_anova_role": SQL_TS_ANOVA_ROLE,
     "ts_kruskal": SQL_TS_KRUSKAL,
+    "ts_ljung_box": SQL_TS_LJUNG_BOX,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

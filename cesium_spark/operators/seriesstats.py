@@ -2444,3 +2444,64 @@ def kruskal_wallis(series: DataFrame, group_col: str = "channel") -> DataFrame:
         F.col("tie_mass").cast("long").alias("tie_mass"),
         F.when(ok, h).alias("h_stat"),
         F.when(ok, h / corr).alias("h_corrected"))
+
+
+def ljung_box(series: DataFrame) -> DataFrame:
+    """Ljung–Box portmanteau test per conversation (Ljung & Box 1978)
+    at lags 1–3 — the "is it white noise AT ALL" screen that belongs
+    in front of every member of the ACF family (ar1_fit fits lag 1,
+    pacf3 isolates 1–3, dominant_lag argmaxes 2–12; this one asks
+    whether ANY of the low-lag structure is jointly distinguishable
+    from noise):
+
+        Q = n(n+2) · Σ_{k=1..3} ρ̂_k² / (n−k)   ~  χ²(3) under H₀.
+
+    Exactness: the autocorrelation numerators N_k = Σ (n·y_t − S)
+    (n·y_{t−k} − S) and denominator N₀ = Σ (n·y_t − S)² are exact
+    int64 (the pacf3/dominant_lag sufficient-statistics contract);
+    each ρ̂_k = N_k/N₀ is one division and Q is a fixed left-assoc
+    double tree restated verbatim in SQL.  Degenerates NULL: n ≤ 3
+    (lag-3 pairs or residual df missing) or N₀ = 0 (constant series
+    — "definitely white" would be fake certainty; a constant is
+    degenerate, not noise).
+
+    Plan: 3 lag windows + one unordered window + ONE conv aggregate —
+    one hash exchange on conv_id, no UDF, no join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"ljung_box: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 *[F.lag(y, k).over(w_ord).alias(f"__l{k}")
+                   for k in (1, 2, 3)],
+                 F.sum(y).over(w_all).alias("__s"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    dev = F.col("__n") * F.col("__y") - F.col("__s")
+
+    def _num(k):
+        lagdev = F.col("__n") * F.col(f"__l{k}") - F.col("__s")
+        return F.sum(F.when(F.col(f"__l{k}").isNotNull(), dev * lagdev))
+
+    agg = (s.groupBy("conv_id")
+           .agg(F.max("__n").alias("n"),
+                F.sum(dev * dev).alias("n0"),
+                *[_num(k).alias(f"nk{k}") for k in (1, 2, 3)]))
+    nd = F.col("n").cast("double")
+    ok = (F.col("n") > 3) & (F.col("n0") > 0)
+    r = {k: F.col(f"nk{k}").cast("double") / F.col("n0").cast("double")
+         for k in (1, 2, 3)}
+    q = (nd * (nd + F.lit(2.0))
+         * (r[1] * r[1] / (nd - F.lit(1.0))
+            + r[2] * r[2] / (nd - F.lit(2.0))
+            + r[3] * r[3] / (nd - F.lit(3.0))))
+    return agg.select(
+        "conv_id", "n",
+        *[F.when(ok, r[k]).alias(f"rho{k}") for k in (1, 2, 3)],
+        F.when(ok, q).alias("q_lb"))

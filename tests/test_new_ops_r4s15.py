@@ -96,3 +96,64 @@ def test_kruskal_degenerates(spark):
                         "channel": ["a"], "y": [1.5]})
     with pytest.raises(ValueError, match="integer"):
         kruskal_wallis(spark.createDataFrame(pdf))
+
+
+# --- Ljung-Box --------------------------------------------------------------
+
+def _series15(spark, ys):
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(ys),
+        "turn_idx": np.arange(len(ys), dtype=np.int32),
+        "t": np.arange(len(ys), dtype=np.float64),
+        "y": np.asarray(ys, dtype=np.int64)})
+    return spark.createDataFrame(pdf)
+
+
+def _lb_ref(y, m=3):
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    d = n * y - y.sum()                       # scaled devs (exact form)
+    n0 = np.sum(d * d)
+    q = 0.0
+    rhos = []
+    for k in range(1, m + 1):
+        rho = np.sum(d[k:] * d[:-k]) / n0
+        rhos.append(rho)
+        q += rho * rho / (n - k)
+    return rhos, n * (n + 2) * q
+
+
+def test_ljung_box_matches_ref(spark):
+    from cesium_spark.operators.seriesstats import ljung_box
+    rng = np.random.RandomState(55)
+    # AR(1)-ish: strong lag-1 structure -> Q must exceed chi2(3) 1%
+    y = [10]
+    for _ in range(79):
+        y.append(int(round(0.8 * y[-1] + 0.2 * 10 + rng.randint(-2, 3))))
+    row = ljung_box(_series15(spark, y)).collect()[0]
+    rhos, q = _lb_ref(y)
+    assert row["n"] == 80
+    for k in (1, 2, 3):
+        assert abs(row[f"rho{k}"] - rhos[k - 1]) < 1e-12
+    assert abs(row["q_lb"] - q) < 1e-9
+    assert row["q_lb"] > 11.34                # chi2(3) 1% critical
+
+
+def test_ljung_box_white_noise_small(spark):
+    from cesium_spark.operators.seriesstats import ljung_box
+    rng = np.random.RandomState(4)
+    y = rng.randint(0, 100, 200)
+    row = ljung_box(_series15(spark, y)).collect()[0]
+    _, q = _lb_ref(y)
+    assert abs(row["q_lb"] - q) < 1e-9
+    assert row["q_lb"] < 11.34                # iid noise stays under
+
+
+def test_ljung_box_degenerates(spark):
+    from cesium_spark.operators.seriesstats import ljung_box
+    # constant series: N0 = 0 -> NULL, never "definitely white"
+    row = ljung_box(_series15(spark, [5, 5, 5, 5, 5])).collect()[0]
+    assert row["q_lb"] is None and row["rho1"] is None
+    # n = 3: lag-3 unmeasurable -> NULL
+    row = ljung_box(_series15(spark, [1, 2, 3])).collect()[0]
+    assert row["q_lb"] is None
