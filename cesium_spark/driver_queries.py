@@ -11116,6 +11116,74 @@ FROM m
 """
 
 
+def q_ts_allan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of inter-turn gaps at m = 1/2/4: the cadence-
+    STABILITY profile (does the local mean gap wander between
+    adjacent blocks) next to burstiness's shape profile. Integer
+    block sums and squared-diff numerators, one terminal division by
+    2(K-1)m^2; incomplete tails dropped; LONG output (conv, m). The
+    floor()-not-cast bucketing is shared with the oracle because
+    DuckDB's double->int cast rounds where Spark's truncates."""
+    from cesium_spark.operators.seriesstats import allan_variance
+    out = allan_variance(events_transcripts(spark, sf_dir))
+    # avar is UNROUNDED: it is one IEEE division of exactly-cast
+    # integers, bit-identical across engines by construction — while
+    # round(x, 9) at 1e8 magnitude is where engine round()
+    # implementations (BigDecimal vs scaled multiply) diverge by ulps
+    return out.select(
+        "conv_id", "m", "n_gaps", "k_blocks", "d_sum", "avar")
+
+
+SQL_TS_ALLAN = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         -- floor, not cast: ts has sub-second parts; Spark's
+         -- long cast floors positive epochs, DuckDB's cast rounds
+         cast(floor(epoch(ts)) AS bigint) AS es
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gp AS (
+  SELECT conv_id, turn_idx,
+         es - lag(es) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS g
+  FROM s
+),
+gi AS (
+  SELECT conv_id, g,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+           AS i,
+         count(*) OVER (PARTITION BY conv_id) AS ng
+  FROM gp WHERE g IS NOT NULL
+),
+lg AS (SELECT gi.*, m FROM gi, (VALUES (1), (2), (4)) t(m)),
+b AS (
+  SELECT conv_id, m, floor(i / m) AS bk, sum(g) AS bs, max(ng) AS ng
+  FROM lg WHERE floor(i / m) < floor(ng / m)
+  GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT conv_id, m, ng,
+         bs - lag(bs) OVER (PARTITION BY conv_id, m ORDER BY bk) AS dd
+  FROM b
+),
+g2 AS (
+  SELECT conv_id, m, max(ng) AS n_gaps, count(*) AS k_blocks,
+         sum(dd * dd) AS d_sum
+  FROM d GROUP BY 1, 2
+)
+SELECT conv_id, cast(m AS int) AS m,
+       cast(n_gaps AS bigint) AS n_gaps,
+       cast(k_blocks AS bigint) AS k_blocks,
+       CASE WHEN k_blocks >= 2 THEN cast(d_sum AS bigint) END AS d_sum,
+       CASE WHEN k_blocks >= 2 THEN
+             cast(d_sum AS double)
+             / (2.0 * cast(k_blocks - 1 AS double)
+                * cast(m * m AS double)) END AS avar
+FROM g2
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11158,6 +11226,7 @@ QUERIES = {
     "ts_anova_role": q_ts_anova_role,
     "ts_kruskal": q_ts_kruskal,
     "ts_ljung_box": q_ts_ljung_box,
+    "ts_allan": q_ts_allan,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11364,6 +11433,7 @@ ORACLE_SQL = {
     "ts_anova_role": SQL_TS_ANOVA_ROLE,
     "ts_kruskal": SQL_TS_KRUSKAL,
     "ts_ljung_box": SQL_TS_LJUNG_BOX,
+    "ts_allan": SQL_TS_ALLAN,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

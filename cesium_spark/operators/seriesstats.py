@@ -2505,3 +2505,84 @@ def ljung_box(series: DataFrame) -> DataFrame:
         "conv_id", "n",
         *[F.when(ok, r[k]).alias(f"rho{k}") for k in (1, 2, 3)],
         F.when(ok, q).alias("q_lb"))
+
+
+def allan_variance(series: DataFrame,
+                   ms: tuple[int, ...] = (1, 2, 4)) -> DataFrame:
+    """Non-overlapped Allan variance of the inter-turn gaps (Allan
+    1966) at averaging factors m — the cadence-STABILITY metric next
+    to burstiness's cadence-shape one: how much does the local mean
+    gap wander between adjacent m-gap blocks?  White-noise cadence
+    halves AVAR per doubling of m; a drifting cadence (agent slowing
+    down, rate limits kicking in) keeps it flat or growing.
+
+        AVAR(m) = Σ_k (B_{k+1} − B_k)² / (2(K−1)m²),
+        B_k = sum of the k-th complete block of m consecutive gaps.
+
+    Exactness: gaps are integer seconds, block sums B_k and the
+    numerator D = Σ(B_{k+1}−B_k)² are exact int64 (bound: |ΔB| ≤
+    m·max_gap — at m=4 and day-long gaps that is 2^18.4, squared
+    2^37, summed over 10⁶ blocks still < 2^57 … raise-free for any
+    real transcript); AVAR is ONE terminal division by the exact
+    integer 2(K−1)m².  Incomplete tail blocks are dropped (the
+    standard estimator), K < 2 → NULL, negative gaps raise in-plan
+    (non-monotone timestamps are data corruption, not cadence).
+
+    Output is LONG — one row per (conv_id, m) — so the m-grid is an
+    explode, not three joins: one generate + one (conv, m, block)
+    aggregate + one (conv, m) window/aggregate — two shrinking
+    conv-keyed exchanges total, no UDF, no join.
+    """
+    for m in ms:
+        if not isinstance(m, int) or m < 1:
+            raise ValueError(f"allan_variance: bad averaging factor {m!r}")
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap_raw = (F.col("ts").cast("long")
+               - F.lag(F.col("ts").cast("long")).over(w_ord))
+    gap = F.when(
+        gap_raw < 0,
+        F.expr("raise_error('allan_variance: negative gap — "
+               "non-monotone timestamps')").cast("long")
+    ).otherwise(gap_raw)
+    gaps = (series
+            .select("conv_id", "turn_idx", gap.alias("__g"))
+            .where(F.col("__g").isNotNull())
+            .select("conv_id", "__g",
+                    (F.row_number().over(
+                        Window.partitionBy("conv_id")
+                        .orderBy("turn_idx")) - 1).alias("__i"),
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("conv_id")).alias("__ng")))
+    long = gaps.select(
+        "conv_id", "__g", "__i", "__ng",
+        F.explode(F.array(*[F.lit(m) for m in ms])).alias("m"))
+    # floor(), not a double→int cast: Spark's cast truncates but
+    # DuckDB's ROUNDS, so the oracle replay must share an explicit
+    # floor — and so must we
+    blocks = (long
+              .where(F.floor(F.col("__i") / F.col("m"))
+                     < F.floor(F.col("__ng") / F.col("m")))
+              .groupBy("conv_id", "m",
+                       F.floor(F.col("__i") / F.col("m"))
+                       .cast("long").alias("__b"))
+              .agg(F.sum("__g").alias("__bs"),
+                   F.max("__ng").alias("__ng")))
+    w_b = Window.partitionBy("conv_id", "m").orderBy("__b")
+    diffs = blocks.select(
+        "conv_id", "m", "__ng",
+        (F.col("__bs") - F.lag("__bs").over(w_b)).alias("__d"))
+    g = diffs.groupBy("conv_id", "m").agg(
+        F.max("__ng").alias("n_gaps"),
+        F.count(F.lit(1)).alias("k_blocks"),
+        F.sum(F.col("__d") * F.col("__d")).alias("d_sum"))
+    kb = F.col("k_blocks")
+    ok = kb >= 2
+    avar = (F.col("d_sum").cast("double")
+            / (F.lit(2.0) * (kb - F.lit(1)).cast("double")
+               * (F.col("m") * F.col("m")).cast("double")))
+    return g.select(
+        "conv_id", F.col("m").cast("int").alias("m"),
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        kb.cast("long").alias("k_blocks"),
+        F.when(ok, F.col("d_sum")).cast("long").alias("d_sum"),
+        F.when(ok, avar).alias("avar"))

@@ -157,3 +157,76 @@ def test_ljung_box_degenerates(spark):
     # n = 3: lag-3 unmeasurable -> NULL
     row = ljung_box(_series15(spark, [1, 2, 3])).collect()[0]
     assert row["q_lb"] is None
+
+
+# --- Allan variance ---------------------------------------------------------
+
+def _ts_conv(spark, gaps):
+    """Build a 1-conversation transcript whose inter-turn gaps are
+    exactly `gaps` seconds."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0]
+    for g in gaps:
+        ts.append(ts[-1] + dt.timedelta(seconds=int(g)))
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(ts),
+        "turn_idx": np.arange(len(ts), dtype=np.int32),
+        "role": ["user"] * len(ts),
+        "text": ["x"] * len(ts),
+        "tool": [None] * len(ts),
+        "ts": ts})
+    return spark.createDataFrame(pdf)
+
+
+def _avar_ref(gaps, m):
+    g = np.asarray(gaps, dtype=np.int64)
+    k = len(g) // m
+    b = g[:k * m].reshape(k, m).sum(axis=1)
+    d = np.diff(b)
+    return int(np.sum(d * d)), int(np.sum(d * d)) / (2.0 * (k - 1) * m * m)
+
+
+def test_allan_matches_ref_and_tail_drop(spark):
+    from cesium_spark.operators.seriesstats import allan_variance
+    rng = np.random.RandomState(9)
+    gaps = rng.randint(5, 120, 43)            # 43 gaps: tails at m=2,4
+    rows = {r["m"]: r for r in
+            allan_variance(_ts_conv(spark, gaps)).collect()}
+    for m in (1, 2, 4):
+        d, av = _avar_ref(gaps, m)
+        assert rows[m]["n_gaps"] == 43
+        assert rows[m]["k_blocks"] == 43 // m   # incomplete tail dropped
+        assert rows[m]["d_sum"] == d
+        assert rows[m]["avar"] == av            # bit-identical division
+
+
+def test_allan_white_vs_drift(spark):
+    from cesium_spark.operators.seriesstats import allan_variance
+    rng = np.random.RandomState(3)
+    white = rng.randint(20, 40, 64)            # iid cadence
+    drift = 20 + np.arange(64) * 3             # steadily slowing agent
+    w = {r["m"]: r["avar"] for r in
+         allan_variance(_ts_conv(spark, white)).collect()}
+    d = {r["m"]: r["avar"] for r in
+         allan_variance(_ts_conv(spark, drift)).collect()}
+    assert w[4] < w[1]                         # white noise averages down
+    assert d[4] > d[1]                         # drift grows with m
+
+
+def test_allan_degenerates(spark):
+    from cesium_spark.operators.seriesstats import allan_variance
+    # 5 gaps: at m=4 only one block -> K < 2 -> NULL avar
+    rows = {r["m"]: r for r in
+            allan_variance(_ts_conv(spark, [10, 20, 30, 40, 50])).collect()}
+    assert rows[4]["k_blocks"] == 1 and rows[4]["avar"] is None
+    assert rows[1]["avar"] is not None
+    # non-monotone timestamps raise
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame({
+        "conv_id": ["c", "c"], "turn_idx": np.array([0, 1], np.int32),
+        "role": ["user"] * 2, "text": ["x"] * 2, "tool": [None] * 2,
+        "ts": [t0, t0 - dt.timedelta(seconds=5)]})
+    with pytest.raises(Exception, match="negative gap"):
+        allan_variance(spark.createDataFrame(pdf)).collect()
