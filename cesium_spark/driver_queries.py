@@ -11184,6 +11184,101 @@ FROM g2
 """
 
 
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie 2023): score every document by
+    how much more likely its hashed unigram+bigram profile is under
+    the TARGET distribution (the two trusted sources) than under the
+    raw corpus, and keep the top 50. The B-row smoothed log-ratio
+    dictionary is computed once and broadcast; per-doc scores fold in
+    bucket order (terminal pick = max_by over the bucket id - the
+    cumsum is non-monotone); the top-k reduces via sort-limit BEFORE
+    the rank window so no global single-partition window ever sees
+    the corpus. Ranking compares bit-identical doubles; ties break on
+    doc_id."""
+    from cesium_spark.operators.sampling import dsir_logweights
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = dsir_logweights(
+        docs, F.col("source").isin(["src18", "src6"]), n_buckets=256)
+    top = (out.orderBy(F.desc("logw"), F.asc("doc_id")).limit(50))
+    w = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id", "n_items", "in_target",
+        _r(F.col("logw"), 9).alias("logw"))
+
+
+SQL_DOC_DSIR = """
+WITH d AS (
+  SELECT doc_id, text, source IN ('src18', 'src6') AS tgt
+  FROM documents WHERE text IS NOT NULL
+),
+tk AS (
+  SELECT doc_id, tgt,
+         unnest(string_split_regex(trim(text), '\\s+')) AS item
+  FROM d
+),
+tok2 AS (
+  SELECT doc_id, tgt,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         generate_subscripts(
+           string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM d
+),
+bg AS (
+  SELECT doc_id, tgt,
+         tok || ' ' || lead(tok)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS item
+  FROM tok2
+  QUALIFY item IS NOT NULL
+),
+it AS (
+  SELECT doc_id, tgt,
+         (('0x' || substr(md5('g:' || item), 1, 8))::BIGINT % 256) AS b
+  FROM (SELECT * FROM tk UNION ALL SELECT * FROM bg)
+),
+rcnt AS (SELECT b, count(*) AS cr FROM it GROUP BY 1),
+tcnt AS (SELECT b, count(*) AS ct FROM it WHERE tgt GROUP BY 1),
+tot AS (SELECT (SELECT sum(cr) FROM rcnt) AS tr,
+               (SELECT sum(ct) FROM tcnt) AS tt),
+dict AS (
+  SELECT coalesce(rcnt.b, tcnt.b) AS b,
+         ln((cast(coalesce(ct, 0) AS double) + 1.0)
+            / (cast(tt AS double) + 256.0))
+         - ln((cast(coalesce(cr, 0) AS double) + 1.0)
+              / (cast(tr AS double) + 256.0)) AS delta
+  FROM rcnt FULL OUTER JOIN tcnt ON rcnt.b = tcnt.b, tot
+),
+db AS (
+  SELECT doc_id, b, count(*) AS c,
+         max(CASE WHEN tgt THEN 1 ELSE 0 END) AS t
+  FROM it GROUP BY 1, 2
+),
+f AS (
+  SELECT doc_id, t, b,
+         sum(cast(c AS double) * delta)
+           OVER (PARTITION BY doc_id ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY doc_id) AS n
+  FROM db LEFT JOIN dict USING (b)
+),
+g AS (
+  SELECT doc_id, max(n) AS n_items, max(t) AS t,
+         arg_max(cum, b) AS logw
+  FROM f GROUP BY 1
+),
+r AS (
+  SELECT doc_id, n_items, t = 1 AS in_target, logw,
+         row_number() OVER (ORDER BY logw DESC, doc_id) AS rnk
+  FROM g
+)
+SELECT cast(rnk AS int) AS rank, doc_id,
+       cast(n_items AS bigint) AS n_items, in_target,
+       round(logw, 9) + 0.0 AS logw
+FROM r WHERE rnk <= 50
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11227,6 +11322,7 @@ QUERIES = {
     "ts_kruskal": q_ts_kruskal,
     "ts_ljung_box": q_ts_ljung_box,
     "ts_allan": q_ts_allan,
+    "doc_dsir": q_doc_dsir,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11434,6 +11530,7 @@ ORACLE_SQL = {
     "ts_kruskal": SQL_TS_KRUSKAL,
     "ts_ljung_box": SQL_TS_LJUNG_BOX,
     "ts_allan": SQL_TS_ALLAN,
+    "doc_dsir": SQL_DOC_DSIR,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

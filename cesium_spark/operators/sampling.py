@@ -165,3 +165,107 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     return (d.withColumn("sample_rank",
                          F.row_number().over(win).cast("int"))
             .where(F.col("sample_rank") <= k))
+
+
+def dsir_logweights(docs: DataFrame, is_target,
+                    n_buckets: int = 256,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") — the principled
+    "make the corpus look like the target domain" selection step of
+    an LLM curation pipeline, next to the quality-gate and dedup
+    stages: score every document by how much more likely its hashed
+    n-gram profile is under the TARGET distribution than under the
+    raw corpus,
+
+        log ŵ(x) = Σ_b c_b(x) · ( ln p̂_t[b] − ln p̂_r[b] ),
+
+    where c_b(x) counts the document's unigrams+bigrams hashed into
+    bucket b (the paper's hashed n-gram feature space) and p̂ are
+    add-one-smoothed bucket distributions: p̂[b] = (cnt[b]+1)/(tot+B).
+
+    Determinism: the bucket hash is the CMS md5 family (bit-identical
+    in any engine); both distributions are exact int64 counts; each
+    bucket's Δ_b = ln(p̂_t) − ln(p̂_r) is a fixed double tree computed
+    ONCE in the B-row dictionary, and the per-document sum folds
+    Σ c_b·Δ_b in BUCKET order (ordered cumsum, terminal max — the
+    chi2 cell contract), so log ŵ is bit-identical across engines
+    and partitionings.  Buckets unseen in both distributions get the
+    same smoothed Δ via coalesce(cnt, 0) — no row is dropped.
+
+    Plan: one explode over the scan, two B-row count aggregates
+    (broadcast back), one (doc, bucket) aggregate + ordered fold on
+    the doc key — the corpus is touched once, the dictionaries are
+    tiny broadcasts, and the only doc-keyed exchange is the fold
+    window.  No UDF.  At 100 TB the B-row dictionary path is exactly
+    the two-pass shape the paper's estimator needs.
+
+    `is_target`: boolean Column marking target-domain rows (computed
+    from the docs frame's own columns — e.g. trusted sources).
+    Returns one row per document: (id, n_items, in_target, logw).
+    """
+    if n_buckets < 2 or n_buckets > 1_000_000:
+        raise ValueError(f"dsir_logweights: bad n_buckets {n_buckets}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    items = F.concat(
+        toks,
+        F.expr(f"zip_with(slice(split(trim({text_col}), '\\\\s+'), 1, "
+               f"size(split(trim({text_col}), '\\\\s+')) - 1), "
+               f"slice(split(trim({text_col}), '\\\\s+'), 2, "
+               f"size(split(trim({text_col}), '\\\\s+')) - 1), "
+               "(a, b) -> concat(a, ' ', b))"))
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__tgt"),
+        F.explode(items).alias("__item"))
+    bucket = (F.conv(F.substring(F.md5(F.concat(F.lit("g:"),
+                                                F.col("__item"))),
+                                 1, 8), 16, 10).cast("long")
+              % F.lit(n_buckets))
+    it = base.select("__id", "__tgt", bucket.alias("__b"))
+    rcnt = it.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tcnt = (it.where(F.col("__tgt"))
+            .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")))
+    totals = (rcnt.agg(F.sum("__cr").alias("__tr"))
+              .crossJoin(tcnt.agg(F.sum("__ct").alias("__tt"))))
+    dict_df = (rcnt.join(tcnt, "__b", "full_outer")
+               .crossJoin(F.broadcast(totals)))
+    bf = F.lit(float(n_buckets))
+    ct = F.coalesce(F.col("__ct"), F.lit(0)).cast("double")
+    cr = F.coalesce(F.col("__cr"), F.lit(0)).cast("double")
+    # an EMPTY target set means the target distribution does not
+    # exist — raise in-plan rather than silently scoring all-NULL
+    tt = F.when(
+        F.col("__tt").isNull(),
+        F.expr("raise_error('dsir_logweights: empty target set')")
+        .cast("long")).otherwise(F.col("__tt"))
+    delta = (F.log((ct + F.lit(1.0))
+                   / (tt.cast("double") + bf))
+             - F.log((cr + F.lit(1.0))
+                     / (F.col("__tr").cast("double") + bf)))
+    deltas = dict_df.select("__b", delta.alias("__delta"),
+                            F.col("__tt").alias("__tt"),
+                            F.col("__tr").alias("__tr"))
+    docb = it.groupBy("__id", "__b").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.max(F.col("__tgt").cast("int")).alias("__t"))
+    joined = docb.join(F.broadcast(deltas), "__b", "left")
+    w_ord = (Window.partitionBy("__id").orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    folded = joined.select(
+        "__id", "__t", "__b",
+        F.sum(F.col("__c").cast("double") * F.col("__delta"))
+        .over(w_ord).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("__id")).alias("__n"))
+    # terminal pick is max_by over the bucket id, NOT max: deltas can
+    # be negative, so the cumsum is non-monotone (the effective_rank
+    # terminal-fold rule)
+    return (folded.groupBy("__id")
+            .agg(F.max("__n").alias("n_items"),
+                 F.max("__t").alias("__t"),
+                 F.max_by(F.col("__cum"), F.col("__b")).alias("logw"))
+            .select(F.col("__id").alias(id_col),
+                    F.col("n_items").cast("long").alias("n_items"),
+                    (F.col("__t") == 1).alias("in_target"),
+                    F.col("logw")))

@@ -2,6 +2,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 
 def _kw_ref(groups):
@@ -230,3 +231,77 @@ def test_allan_degenerates(spark):
         "ts": [t0, t0 - dt.timedelta(seconds=5)]})
     with pytest.raises(Exception, match="negative gap"):
         allan_variance(spark.createDataFrame(pdf)).collect()
+
+
+# --- DSIR -------------------------------------------------------------------
+
+def _dsir_ref(docs, targets, B=256):
+    """Literal DSIR replay: hashed unigram+bigram counts, add-one
+    smoothing, bucket-ordered fold."""
+    import hashlib
+
+    def bucket(item):
+        return int(hashlib.md5(f"g:{item}".encode()).hexdigest()[:8],
+                   16) % B
+
+    def items(text):
+        t = text.strip().split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    rc, tc = {}, {}
+    for txt in docs:
+        for i in items(txt):
+            rc[bucket(i)] = rc.get(bucket(i), 0) + 1
+    for txt in targets:
+        for i in items(txt):
+            tc[bucket(i)] = tc.get(bucket(i), 0) + 1
+    tr, tt = sum(rc.values()), sum(tc.values())
+    out = []
+    for txt in docs:
+        cb = {}
+        for i in items(txt):
+            cb[bucket(i)] = cb.get(bucket(i), 0) + 1
+        logw = 0.0
+        for b in sorted(cb):
+            d = (np.log((tc.get(b, 0) + 1.0) / (tt + B))
+                 - np.log((rc.get(b, 0) + 1.0) / (tr + B)))
+            logw += cb[b] * d
+        out.append(logw)
+    return out
+
+
+def test_dsir_matches_ref_and_finds_target_like(spark):
+    from cesium_spark.operators.sampling import dsir_logweights
+    tvocab = ["alpha", "beta", "gamma", "delta"]
+    rvocab = ["noise", "junk", "spam", "blah"]
+    rng = np.random.RandomState(11)
+
+    def mk(vocab, n=12):
+        return " ".join(rng.choice(vocab, n))
+
+    rows = []
+    for i in range(6):
+        rows.append((i, mk(tvocab), True))        # target docs
+    for i in range(6, 18):
+        rows.append((i, mk(rvocab), False))       # raw noise
+    rows.append((18, mk(tvocab), False))          # target-LIKE outsider
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "is_t"])
+    df = spark.createDataFrame(pdf)
+    out = dsir_logweights(df, F.col("is_t")).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ref = _dsir_ref(list(pdf["text"]),
+                    list(pdf[pdf["is_t"]]["text"]))
+    for i in range(len(pdf)):
+        assert abs(out["logw"][i] - ref[i]) < 1e-9, i
+    # the point of DSIR: the outsider written in target vocabulary
+    # outranks every noise doc
+    noise_max = out[(~out["in_target"]) & (out["doc_id"] < 18)]["logw"].max()
+    assert out[out["doc_id"] == 18]["logw"].iloc[0] > noise_max + 1.0
+
+
+def test_dsir_empty_target_raises(spark):
+    from cesium_spark.operators.sampling import dsir_logweights
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c d"]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="empty target"):
+        dsir_logweights(df, F.lit(False)).collect()
