@@ -11279,6 +11279,85 @@ FROM r WHERE rnk <= 50
 """
 
 
+def q_rel_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to the synthetic
+    schema: the dataset carries no l_commitdate/l_receiptdate, so the
+    lateness predicate is l_shipdate > o_orderdate + 30 days - the
+    same correlated EXISTS shape as spec Q4 (one order counts ONCE no
+    matter how many late lines). Spark expresses EXISTS as a
+    LEFT-SEMI hash join with a mixed equi+range condition - the
+    dedup-free way (an inner join + distinct would shuffle the
+    multiplicity only to throw it away). Counts are exact integers;
+    no float exists in the query."""
+    _prep(spark)
+    od = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    o = od.where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    late = o.join(
+        li, (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+SQL_REL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= timestamp '1996-07-01 00:00:00'
+  AND o_orderdate < timestamp '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_rel_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping priority by mode), adapted: the synthetic
+    schema has no l_shipmode, so lines group by l_linestatus - the
+    structure is identical (fact-to-fact equi-join + conditional
+    split aggregate on the joined priority). orders is the smaller
+    side and explicitly broadcast; the two CASE counts are exact
+    integers from ONE pass - no second scan, no float."""
+    _prep(spark)
+    od = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = _read(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    out = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        .join(F.broadcast(od),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_linestatus"))
+    return out
+
+
+SQL_REL_TPCH_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+  AND l_shipdate < timestamp '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11323,6 +11402,8 @@ QUERIES = {
     "ts_ljung_box": q_ts_ljung_box,
     "ts_allan": q_ts_allan,
     "doc_dsir": q_doc_dsir,
+    "rel_tpch_q4": q_rel_tpch_q4,
+    "rel_tpch_q12": q_rel_tpch_q12,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11531,6 +11612,8 @@ ORACLE_SQL = {
     "ts_ljung_box": SQL_TS_LJUNG_BOX,
     "ts_allan": SQL_TS_ALLAN,
     "doc_dsir": SQL_DOC_DSIR,
+    "rel_tpch_q4": SQL_REL_TPCH_Q4,
+    "rel_tpch_q12": SQL_REL_TPCH_Q12,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

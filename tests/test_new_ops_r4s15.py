@@ -305,3 +305,43 @@ def test_dsir_empty_target_raises(spark):
     df = spark.createDataFrame(pdf)
     with pytest.raises(Exception, match="empty target"):
         dsir_logweights(df, F.lit(False)).collect()
+
+
+# --- TPC-H Q4 / Q12 adaptations --------------------------------------------
+
+def test_q4_semi_join_counts_order_once(spark):
+    """An order with MANY late lines counts once (the EXISTS
+    contract), and the join is semi, not inner+distinct."""
+    import datetime as dt
+    od = spark.createDataFrame(pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_orderdate": [dt.datetime(1996, 7, 2)] * 3,
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "5-LOW"]}))
+    li = spark.createDataFrame(pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 3],
+        "l_shipdate": [dt.datetime(1996, 9, 30)] * 3
+        + [dt.datetime(1996, 7, 10)]}))          # order 3: on time
+    from pyspark.sql import functions as FF
+    late = od.join(
+        li, (FF.col("l_orderkey") == FF.col("o_orderkey"))
+        & (FF.col("l_shipdate")
+           > FF.col("o_orderdate") + FF.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    got = {r["o_orderpriority"]: r["cnt"] for r in
+           late.groupBy("o_orderpriority")
+           .agg(FF.count(FF.lit(1)).alias("cnt")).collect()}
+    assert got == {"1-URGENT": 1}                # 3 late lines -> 1 order
+    plan = late._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Cartesian" not in plan
+
+
+def test_q12_broadcast_no_shuffle_join(spark):
+    """The executed Q12 plan broadcasts orders - the fact table is
+    never shuffled for the join."""
+    import re
+    from cesium_spark.driver_queries import q_rel_tpch_q12
+    out = q_rel_tpch_q12(spark, "/root/testdata/sf0.001")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    # only exchanges: the broadcast + the tiny post-agg hash/sort
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
