@@ -11358,6 +11358,66 @@ ORDER BY l_linestatus
 """
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=50) of the user co-activity graph: users joined when
+    they share >= 6 active hours; the core is the community whose
+    every member keeps >= 50 persistently-co-active peers after
+    peeling (7 rounds deep at sf0.01 - a real cascade, not a
+    one-shot filter). Engine peels to a FIXPOINT with
+    raise-on-non-convergence; the oracle unrolls 12 removal rounds
+    (idempotent once converged, verified >= peel depth at this SF).
+    All integers; no float anywhere."""
+    from cesium_spark.operators.graphrank import kcore
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    uh = (ev.select(F.col("user_id").alias("u"),
+                    F.date_trunc("hour", F.col("ts")).alias("h"))
+          .distinct())
+    a, b = uh.alias("a"), uh.alias("b")
+    edges = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.u") < F.col("b.u")))
+             .groupBy(F.col("a.u").alias("src"),
+                      F.col("b.u").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("w"))
+             .where(F.col("w") >= 6))
+    out = kcore(edges, k=50, max_iter=30)
+    return (out.select(F.col("v").cast("long").alias("v"), "core_deg")
+            .orderBy("v"))
+
+
+def _kcore_sql(k: int = 50, rounds: int = 12) -> str:
+    head = """
+WITH uh AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+  FROM events
+),
+e0 AS MATERIALIZED (
+  SELECT a.u AS a, b.u AS b
+  FROM uh a JOIN uh b ON a.h = b.h AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 6
+)"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e{i-1} UNION ALL SELECT b FROM e{i-1}) z
+  GROUP BY 1
+),
+x{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d < {k}),
+e{i} AS MATERIALIZED (
+  SELECT * FROM e{i-1}
+  WHERE a NOT IN (SELECT v FROM x{i})
+    AND b NOT IN (SELECT v FROM x{i})
+)""")
+    parts.append(f"""
+SELECT cast(v AS bigint) AS v, cast(count(*) AS bigint) AS core_deg
+FROM (SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) z
+GROUP BY 1 ORDER BY 1
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11404,6 +11464,7 @@ QUERIES = {
     "doc_dsir": q_doc_dsir,
     "rel_tpch_q4": q_rel_tpch_q4,
     "rel_tpch_q12": q_rel_tpch_q12,
+    "graph_kcore": q_graph_kcore,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11614,6 +11675,7 @@ ORACLE_SQL = {
     "doc_dsir": SQL_DOC_DSIR,
     "rel_tpch_q4": SQL_REL_TPCH_Q4,
     "rel_tpch_q12": SQL_REL_TPCH_Q12,
+    "graph_kcore": _kcore_sql(),
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

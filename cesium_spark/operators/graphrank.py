@@ -445,3 +445,59 @@ def adamic_adar(edges: DataFrame, top_k: int = 50) -> DataFrame:
             .limit(int(top_k))
             .select(F.col("u"), F.col("z").alias("v"),
                     "n_common", F.col("aa")))
+
+
+def kcore(edges: DataFrame, k: int = 3,
+          max_iter: int = 30) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983) by iterative
+    peeling: repeatedly delete every vertex whose degree in the
+    SURVIVING graph is < k; what remains is the (unique, maximal)
+    k-core — the density backbone the other graph primitives orbit
+    (components find who is connected at all, clustering finds who is
+    cliquish locally, the k-core finds the subgraph where everyone
+    keeps ≥ k live neighbors).
+
+    Distributed shape: the loop is O(peel-depth) rounds, each round
+    = one degree aggregate + two vertex anti-joins (the removable
+    set is usually tiny after round 1 and broadcasts); the surviving
+    edge list is eagerly localCheckpoint-ed per round so plan size
+    stays O(1) — the doc_dedup_clusters iterative contract,
+    including its documented executor-loss durability caveat and the
+    raise-on-non-convergence policy (a silently partial core is a
+    wrong answer; peel depth > max_iter must abort loudly).  The
+    peeled set is MONOTONE (a vertex once removable never becomes
+    viable again), so convergence in ≤ n rounds is guaranteed; the
+    empty-core fixpoint exits naturally.
+
+    Returns (v, core_deg): vertices of the k-core with their degree
+    INSIDE the core.  All counts exact integers; no float anywhere.
+    """
+    if not isinstance(k, int) or k < 1:
+        raise ValueError(f"kcore: bad k {k!r}")
+    und = (edges
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    live = und.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = (live.select(F.col("a").alias("v"))
+               .unionAll(live.select(F.col("b").alias("v")))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+        bad = deg.where(F.col("deg") < k).select("v")
+        if bad.isEmpty():
+            core_deg = deg
+            break
+        # no broadcast HINT: round 1 of a sparse graph can make the
+        # removable set huge; AQE picks broadcast when it is small
+        # (every later round) and falls back to shuffle when not
+        live = (live
+                .join(bad, live["a"] == bad["v"], "left_anti")
+                .join(bad, live["b"] == bad["v"], "left_anti")
+                .localCheckpoint(eager=True))
+    else:
+        raise RuntimeError(
+            f"kcore: no fixpoint after {max_iter} rounds — raise "
+            "max_iter; a silently partial core would be wrong")
+    return core_deg.select(
+        "v", F.col("deg").cast("long").alias("core_deg"))

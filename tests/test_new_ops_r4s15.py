@@ -345,3 +345,59 @@ def test_q12_broadcast_no_shuffle_join(spark):
     assert "BroadcastHashJoin" in p
     # only exchanges: the broadcast + the tiny post-agg hash/sort
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
+
+
+# --- k-core -----------------------------------------------------------------
+
+def _edges15(spark, pairs):
+    pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+    return spark.createDataFrame(pdf)
+
+
+def test_kcore_textbook_graph(spark):
+    """Clique K4 + a pendant chain: the 3-core is exactly the clique,
+    and the chain peels over MULTIPLE rounds (cascade, not filter)."""
+    from cesium_spark.operators.graphrank import kcore
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    got = {r["v"]: r["core_deg"]
+           for r in kcore(_edges15(spark, k4 + chain), k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_ref_replay_random(spark):
+    from cesium_spark.operators.graphrank import kcore
+    rng = np.random.RandomState(5)
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, 40, (300, 2))
+             if a < b}
+    got = {r["v"]: r["core_deg"]
+           for r in kcore(_edges15(spark, sorted(pairs)), k=8).collect()}
+    # literal peel replay
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    live = {v: set(n) for v, n in adj.items()}
+    while True:
+        bad = [v for v, n in live.items() if len(n) < 8]
+        if not bad:
+            break
+        for v in bad:
+            for w in live[v]:
+                live[w].discard(v)
+            del live[v]
+    assert got == {v: len(n) for v, n in live.items()}
+
+
+def test_kcore_empty_core_and_guards(spark):
+    from cesium_spark.operators.graphrank import kcore
+    # a triangle has no 3-core members (deg 2 < 3) -> empty result
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    assert kcore(_edges15(spark, tri), k=3).count() == 0
+    with pytest.raises(ValueError, match="bad k"):
+        kcore(_edges15(spark, tri), k=0)
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        # chain of 6 needs 3 peel rounds at k=2... max_iter=1 must abort
+        chain = [(str(i), str(i + 1)) for i in range(6)]
+        kcore(_edges15(spark, chain), k=2, max_iter=1)
