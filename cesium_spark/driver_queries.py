@@ -11418,6 +11418,83 @@ GROUP BY 1 ORDER BY 1
     return "".join(parts)
 
 
+def q_ts_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Kendall tau-b of latency vs tokens: exact
+    int64 concordance/tie pair counts over the theil_sen-style
+    slot-thinned aligned sample (capped flag when thinned), one fixed
+    S/sqrt(A*B) tree. Completes the association triple next to
+    Pearson (ts_channel_corr) and Spearman (ts_spearman)."""
+    from cesium_spark.operators.seriesstats import kendall_channels
+    out = kendall_channels(
+        derive_series(events_transcripts(spark, sf_dir)), *_CORR_CH,
+        max_points=64)
+    return out.select(
+        "conv_id", "n", "n_used", "capped", "s_stat", "tx", "ty",
+        _r(F.col("tau_b"), 9).alias("tau_b"))
+
+
+SQL_TS_KENDALL = _SERIES_SQL + f"""
+, aligned AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN channel = '{_CORR_CH[0]}' THEN y END) AS xa,
+         max(CASE WHEN channel = '{_CORR_CH[1]}' THEN y END) AS xb
+  FROM series WHERE y IS NOT NULL
+  GROUP BY 1, 2
+),
+pc AS (
+  SELECT conv_id, turn_idx, xa, xb FROM aligned
+  WHERE xa IS NOT NULL AND xb IS NOT NULL
+),
+b AS (
+  SELECT conv_id, xa, xb,
+         row_number() OVER wo AS k,
+         count(*) OVER wa AS n
+  FROM pc
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx),
+         wa AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+kept AS (
+  SELECT * FROM b
+  WHERE k = 1 OR ((k - 1) * 64) // n > ((k - 2) * 64) // n
+),
+counts AS (
+  SELECT conv_id, max(n) AS n, count(*) AS n_used
+  FROM kept GROUP BY 1
+),
+pr AS (
+  SELECT a.conv_id,
+         sum(cast(sign(b2.xa - a.xa) AS bigint)
+             * cast(sign(b2.xb - a.xb) AS bigint)) AS s_stat,
+         sum(CASE WHEN b2.xa - a.xa = 0 THEN 1 ELSE 0 END) AS tx,
+         sum(CASE WHEN b2.xb - a.xb = 0 THEN 1 ELSE 0 END) AS ty
+  FROM kept a JOIN kept b2
+    ON a.conv_id = b2.conv_id AND b2.k > a.k
+  GROUP BY 1
+),
+j AS (
+  SELECT c.conv_id, c.n, c.n_used, s.s_stat, s.tx, s.ty,
+         cast(c.n_used * (c.n_used - 1) AS double) / 2 AS p
+  FROM counts c LEFT JOIN pr s ON c.conv_id = s.conv_id
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(n_used AS bigint) AS n_used,
+       n > 64 AS capped,
+       cast(coalesce(s_stat, 0) AS bigint) AS s_stat,
+       cast(coalesce(tx, 0) AS bigint) AS tx,
+       cast(coalesce(ty, 0) AS bigint) AS ty,
+       round(CASE WHEN n_used >= 2 AND s_stat IS NOT NULL
+                   AND p - cast(tx AS double) > 0
+                   AND p - cast(ty AS double) > 0 THEN
+             cast(s_stat AS double)
+             / sqrt((p - cast(tx AS double))
+                    * (p - cast(ty AS double))) END, 9)
+         + 0.0 AS tau_b
+FROM j
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11465,6 +11542,7 @@ QUERIES = {
     "rel_tpch_q4": q_rel_tpch_q4,
     "rel_tpch_q12": q_rel_tpch_q12,
     "graph_kcore": q_graph_kcore,
+    "ts_kendall": q_ts_kendall,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11676,6 +11754,7 @@ ORACLE_SQL = {
     "rel_tpch_q4": SQL_REL_TPCH_Q4,
     "rel_tpch_q12": SQL_REL_TPCH_Q12,
     "graph_kcore": _kcore_sql(),
+    "ts_kendall": SQL_TS_KENDALL,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -2586,3 +2586,98 @@ def allan_variance(series: DataFrame,
         kb.cast("long").alias("k_blocks"),
         F.when(ok, F.col("d_sum")).cast("long").alias("d_sum"),
         F.when(ok, avar).alias("avar"))
+
+
+def kendall_channels(series: DataFrame, ch_a: str, ch_b: str,
+                     max_points: int = 128) -> DataFrame:
+    """Cross-channel Kendall τ-b per conversation — the CONCORDANCE
+    member of the association family (Pearson ``channel_corr`` hears
+    linear coupling, Spearman ``spearman_channels`` monotone coupling
+    through ranks; τ-b counts agreeing vs disagreeing PAIRS, the most
+    outlier-proof of the three and the one with the cleanest tie
+    story):
+
+        τ_b = S / sqrt((P − T_x)(P − T_y)),
+        S = Σ_{i<j} sgn(Δx)·sgn(Δy),   P = n(n−1)/2,
+        T_x/T_y = #pairs tied in x / in y.
+
+    Exactness: S, P, T_x, T_y are exact int64 pair counts — sgn
+    comparisons are exact for ANY orderable type, so no integer-grid
+    precondition at all; τ is ONE fixed tree S/sqrt(A·B) with the
+    product formed in double (A·B ≤ n⁴ would wrap int64 past n ≈
+    55 k pairs; doubles lose nothing — A, B ≤ 2^53 individually).
+
+    The estimator is inherently O(n²) pairs and is bounded exactly
+    like ``theil_sen``: aligned series beyond ``max_points`` are
+    deterministically slot-thinned (⌊(k−1)m/n⌋ > ⌊(k−2)m/n⌋, full
+    budget at every n) with a ``capped`` flag.  Degenerates NULL:
+    < 2 aligned pairs, or either channel constant on the kept
+    sample (A or B = 0 — association with a constant is undefined,
+    not zero).
+
+    Plan: single-scan conditional-aggregation alignment (no join),
+    one thinning window, one conv-keyed self-equi-join bounded to
+    max_points² pairs, one aggregate — all exchanges on conv_id.
+    """
+    if ch_a == ch_b:
+        raise ValueError(f"channels must differ, got {ch_a!r} twice")
+    if not (2 <= max_points <= 4096):
+        raise ValueError(f"max_points must be in [2, 4096], got "
+                         f"{max_points}")
+    aligned = (
+        series
+        .where(F.col("channel").isin([ch_a, ch_b])
+               & F.col("y").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.when(F.col("channel") == ch_a, F.col("y")))
+             .alias("__xa"),
+             F.max(F.when(F.col("channel") == ch_b, F.col("y")))
+             .alias("__xb"))
+        .where(F.col("__xa").isNotNull() & F.col("__xb").isNotNull()))
+    wo = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wall = wo.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    base = (aligned
+            .withColumn("__k", F.row_number().over(wo).cast("long"))
+            .withColumn("__n", F.count(F.lit(1)).over(wall)
+                        .cast("long")))
+    m = int(max_points)
+    slot = F.expr(f"((__k - 1) * {m}) DIV __n")
+    prev_slot = F.expr(f"((__k - 2) * {m}) DIV __n")
+    kept = base.where((F.col("__k") == 1) | (slot > prev_slot))
+    counts = kept.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_used"))
+    a = kept.select("conv_id", F.col("__k").alias("__ka"),
+                    F.col("__xa").alias("__aa"),
+                    F.col("__xb").alias("__ab"))
+    b = kept.select("conv_id", F.col("__k").alias("__kb"),
+                    F.col("__xa").alias("__ba"),
+                    F.col("__xb").alias("__bb"))
+    dx = F.col("__ba") - F.col("__aa")
+    dy = F.col("__bb") - F.col("__ab")
+    pairs = (a.join(b, "conv_id")
+             .where(F.col("__kb") > F.col("__ka"))
+             .groupBy("conv_id")
+             .agg((F.sum(F.signum(dx).cast("long")
+                         * F.signum(dy).cast("long"))).alias("s_stat"),
+                  F.sum(F.when(dx == 0, 1).otherwise(0)).alias("tx"),
+                  F.sum(F.when(dy == 0, 1).otherwise(0)).alias("ty")))
+    out = counts.join(pairs, "conv_id", "left")
+    nu = F.col("n_used")
+    p = (nu * (nu - F.lit(1))).cast("long") / F.lit(2)
+    av = (p - F.col("tx")).cast("double")
+    bv = (p - F.col("ty")).cast("double")
+    ok = (nu >= 2) & F.col("s_stat").isNotNull() \
+        & (av > 0) & (bv > 0)
+    tau = F.when(ok, F.col("s_stat").cast("double")
+                 / F.sqrt(av * bv))
+    return out.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        F.col("n_used").cast("long").alias("n_used"),
+        (F.col("n") > F.lit(max_points)).alias("capped"),
+        F.coalesce(F.col("s_stat"), F.lit(0)).cast("long")
+        .alias("s_stat"),
+        F.coalesce(F.col("tx"), F.lit(0)).cast("long").alias("tx"),
+        F.coalesce(F.col("ty"), F.lit(0)).cast("long").alias("ty"),
+        tau.alias("tau_b"))

@@ -401,3 +401,73 @@ def test_kcore_empty_core_and_guards(spark):
         # chain of 6 needs 3 peel rounds at k=2... max_iter=1 must abort
         chain = [(str(i), str(i + 1)) for i in range(6)]
         kcore(_edges15(spark, chain), k=2, max_iter=1)
+
+
+# --- Kendall tau-b ----------------------------------------------------------
+
+def _two_channel(spark, xs, ys):
+    rows = []
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        rows.append(("c", i, "a", float(x)))
+        rows.append(("c", i, "b", float(y)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                      "channel", "y"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    return spark.createDataFrame(pdf)
+
+
+def _tau_ref(xs, ys):
+    n = len(xs)
+    s = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+            s += int(np.sign(dx)) * int(np.sign(dy))
+            tx += dx == 0
+            ty += dy == 0
+    p = n * (n - 1) / 2
+    return s, tx, ty, s / np.sqrt((p - tx) * (p - ty))
+
+
+def test_kendall_matches_ref_with_ties(spark):
+    from cesium_spark.operators.seriesstats import kendall_channels
+    rng = np.random.RandomState(21)
+    xs = rng.randint(0, 8, 60)              # heavy ties
+    ys = (xs * 2 + rng.randint(-3, 4, 60))  # positive association
+    row = kendall_channels(_two_channel(spark, xs, ys),
+                           "a", "b").collect()[0]
+    s, tx, ty, tau = _tau_ref(list(xs), list(ys))
+    assert (row["s_stat"], row["tx"], row["ty"]) == (s, tx, ty)
+    assert abs(row["tau_b"] - tau) < 1e-12
+    assert row["tau_b"] > 0.5 and not row["capped"]
+
+
+def test_kendall_monotone_invariance_and_cap(spark):
+    """tau-b is invariant under any monotone transform of either
+    channel — Pearson is not. Also: >max_points aligns get thinned
+    with the capped flag."""
+    from cesium_spark.operators.seriesstats import kendall_channels
+    rng = np.random.RandomState(2)
+    xs = rng.permutation(200).astype(float)
+    ys = rng.permutation(200).astype(float)
+    t1 = kendall_channels(_two_channel(spark, xs, ys), "a", "b",
+                          max_points=64).collect()[0]
+    t2 = kendall_channels(_two_channel(spark, np.exp(xs / 50), ys),
+                          "a", "b", max_points=64).collect()[0]
+    assert t1["capped"] and t1["n_used"] == 64
+    assert t1["s_stat"] == t2["s_stat"]       # monotone-invariant, exact
+    assert t1["tau_b"] == t2["tau_b"]
+
+
+def test_kendall_degenerates(spark):
+    from cesium_spark.operators.seriesstats import kendall_channels
+    # constant channel -> A = 0 -> NULL
+    row = kendall_channels(_two_channel(spark, [1, 1, 1], [1, 2, 3]),
+                           "a", "b").collect()[0]
+    assert row["tau_b"] is None and row["tx"] == 3
+    # single pair -> NULL
+    row = kendall_channels(_two_channel(spark, [1], [2]),
+                           "a", "b").collect()[0]
+    assert row["tau_b"] is None and row["n_used"] == 1
+    with pytest.raises(ValueError, match="differ"):
+        kendall_channels(_two_channel(spark, [1], [2]), "a", "a")
