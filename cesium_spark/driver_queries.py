@@ -11495,6 +11495,67 @@ FROM j
 """
 
 
+def q_ts_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of adjacent-turn roles per conversation: the
+    chance-corrected stickiness next to transition_entropy's
+    information profile - raw consecutive-same-role agreement is
+    inflated whenever one role dominates, and kappa subtracts exactly
+    the marginal-product baseline. Exact int64 numerator/denominator
+    (n*A - E over n^2 - E), ONE division; single-role conversations
+    NULL (p_e = 1 makes kappa undefined, not 1)."""
+    from cesium_spark.operators.sequences import cohen_kappa_adjacent
+    out = cohen_kappa_adjacent(events_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "n_pairs", "n_agree", "e_sum",
+        _r(F.col("kappa"), 9).alias("kappa"))
+
+
+SQL_TS_KAPPA = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         event_type AS role
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT conv_id, role AS r1,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS r2
+  FROM s
+),
+pairs AS (
+  SELECT conv_id, r1, r2 FROM p
+  WHERE r1 IS NOT NULL AND r2 IS NOT NULL
+),
+tot AS (
+  SELECT conv_id, count(*) AS n_pairs,
+         sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS n_agree
+  FROM pairs GROUP BY 1
+),
+r AS (SELECT conv_id, r1 AS role, count(*) AS rk
+      FROM pairs GROUP BY 1, 2),
+c AS (SELECT conv_id, r2 AS role, count(*) AS ck
+      FROM pairs GROUP BY 1, 2),
+e AS (
+  SELECT coalesce(r.conv_id, c.conv_id) AS conv_id,
+         sum(coalesce(rk, 0) * coalesce(ck, 0)) AS e_sum
+  FROM r FULL OUTER JOIN c
+    ON r.conv_id = c.conv_id AND r.role = c.role
+  GROUP BY 1
+)
+SELECT t.conv_id,
+       cast(n_pairs AS bigint) AS n_pairs,
+       cast(n_agree AS bigint) AS n_agree,
+       cast(e_sum AS bigint) AS e_sum,
+       round(CASE WHEN n_pairs > 0
+                   AND n_pairs * n_pairs - e_sum != 0 THEN
+             cast(n_pairs * n_agree - e_sum AS double)
+             / cast(n_pairs * n_pairs - e_sum AS double) END, 9)
+         + 0.0 AS kappa
+FROM tot t JOIN e ON t.conv_id = e.conv_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11543,6 +11604,7 @@ QUERIES = {
     "rel_tpch_q12": q_rel_tpch_q12,
     "graph_kcore": q_graph_kcore,
     "ts_kendall": q_ts_kendall,
+    "ts_kappa": q_ts_kappa,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11755,6 +11817,7 @@ ORACLE_SQL = {
     "rel_tpch_q12": SQL_REL_TPCH_Q12,
     "graph_kcore": _kcore_sql(),
     "ts_kendall": SQL_TS_KENDALL,
+    "ts_kappa": SQL_TS_KAPPA,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

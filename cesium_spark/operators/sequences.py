@@ -470,3 +470,66 @@ def role_ngrams(transcripts: DataFrame, n: int = 3,
                     F.col("support").cast("long").alias("support"),
                     (F.col("support").cast("double")
                      / F.col("__total").cast("double")).alias("share")))
+
+
+def cohen_kappa_adjacent(transcripts: DataFrame) -> DataFrame:
+    """Cohen's κ between each turn's role and the NEXT turn's role,
+    per conversation (Cohen 1960 applied to the transition grain) —
+    the chance-corrected stickiness score that transition_entropy's
+    information profile does not give directly: raw consecutive-same-
+    role agreement p_o is inflated whenever one role dominates, and κ
+    subtracts exactly that marginal-product baseline:
+
+        κ = (p_o − p_e)/(1 − p_e)
+          = (n·A − E) / (n² − E),   E = Σ_k r_k·c_k
+
+    with n = adjacent pairs, A = pairs with equal roles, r_k/c_k the
+    first-/second-position marginal counts of role k.  The right-hand
+    form is the exactness contract: numerator and denominator are
+    EXACT int64 (n² and E wrap only past ~3·10⁹ pairs per
+    conversation; ANSI raises, not wraps) and κ is ONE terminal
+    division.  κ = 0 means "no stickier than its own role mix
+    predicts"; κ < 0 means anti-persistent turn-taking (user/agent
+    alternation — the common transcript case, pinned in pytest).
+
+    Degenerate: a single distinct role makes p_e = 1 (denominator
+    exactly 0) — κ is undefined, NULL, never the fake certainty of 1
+    (perfect agreement with no discriminating signal is vacuous).
+    n = 0 (one-turn conversations) likewise NULL.
+
+    Plan: one lag window + three conv-keyed aggregates (pair cells →
+    two marginal folds, full-outer-joined per role) — every exchange
+    on conv_id (or conv+role, same key family), no UDF.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (transcripts
+             .select("conv_id", "turn_idx",
+                     F.col("role").alias("__r1"),
+                     F.lead("role").over(w).alias("__r2"))
+             .where(F.col("__r2").isNotNull()
+                    & F.col("__r1").isNotNull()))
+    tot = pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("__r1") == F.col("__r2"), 1)
+              .otherwise(0)).alias("n_agree"))
+    rows = pairs.groupBy("conv_id", F.col("__r1").alias("__role")) \
+        .agg(F.count(F.lit(1)).alias("__rk"))
+    cols = pairs.groupBy("conv_id", F.col("__r2").alias("__role")) \
+        .agg(F.count(F.lit(1)).alias("__ck"))
+    e = (rows.join(cols, ["conv_id", "__role"], "full_outer")
+         .groupBy("conv_id")
+         .agg(F.sum(F.coalesce(F.col("__rk"), F.lit(0))
+                    * F.coalesce(F.col("__ck"), F.lit(0)))
+              .alias("e_sum")))
+    out = tot.join(e, "conv_id")
+    n = F.col("n_pairs")
+    den = n * n - F.col("e_sum")
+    kappa = F.when((n > 0) & (den != 0),
+                   (n * F.col("n_agree") - F.col("e_sum"))
+                   .cast("double") / den.cast("double"))
+    return out.select(
+        "conv_id",
+        n.cast("long").alias("n_pairs"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.col("e_sum").cast("long").alias("e_sum"),
+        kappa.alias("kappa"))

@@ -471,3 +471,44 @@ def test_kendall_degenerates(spark):
     assert row["tau_b"] is None and row["n_used"] == 1
     with pytest.raises(ValueError, match="differ"):
         kendall_channels(_two_channel(spark, [1], [2]), "a", "a")
+
+
+# --- Cohen's kappa ----------------------------------------------------------
+
+def _roles(spark, roles):
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(roles),
+        "turn_idx": np.arange(len(roles), dtype=np.int32),
+        "role": roles})
+    return spark.createDataFrame(pdf)
+
+
+def test_kappa_matches_sklearn_free_ref(spark):
+    from cesium_spark.operators.sequences import cohen_kappa_adjacent
+    rng = np.random.RandomState(13)
+    roles = list(rng.choice(["u", "a", "t"], 120, p=[0.5, 0.4, 0.1]))
+    row = cohen_kappa_adjacent(_roles(spark, roles)).collect()[0]
+    r1, r2 = roles[:-1], roles[1:]
+    n = len(r1)
+    a = sum(x == y for x, y in zip(r1, r2))
+    ks = set(roles)
+    e = sum(r1.count(k) * r2.count(k) for k in ks)
+    assert (row["n_pairs"], row["n_agree"], row["e_sum"]) == (n, a, e)
+    assert abs(row["kappa"] - (n * a - e) / (n * n - e)) < 1e-15
+
+
+def test_kappa_signs_and_degenerates(spark):
+    from cesium_spark.operators.sequences import cohen_kappa_adjacent
+    # strict alternation: anti-persistent -> kappa < 0
+    alt = cohen_kappa_adjacent(
+        _roles(spark, ["u", "a"] * 20)).collect()[0]
+    assert alt["kappa"] < -0.9
+    # blocks: sticky -> kappa > 0
+    sticky = cohen_kappa_adjacent(
+        _roles(spark, ["u"] * 20 + ["a"] * 20)).collect()[0]
+    assert sticky["kappa"] > 0.9
+    # single role: p_e = 1 -> NULL, never fake-perfect 1
+    solo = cohen_kappa_adjacent(_roles(spark, ["u"] * 9)).collect()[0]
+    assert solo["kappa"] is None and solo["n_agree"] == 8
+    # one-turn conversation: no pairs -> absent from output
+    assert cohen_kappa_adjacent(_roles(spark, ["u"])).count() == 0
