@@ -11556,6 +11556,78 @@ FROM tot t JOIN e ON t.conv_id = e.conv_id
 """
 
 
+def q_ts_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at the deciles over tokens-per-turn: the SHAPE
+    behind ts_gini's single number - 'one whale turn carries half the
+    tokens' reads directly as l90 ~ 0.5. No float until the terminal
+    divisions: integer cumulative sums probed at k_d = (n*d) DIV 10,
+    each share one division of exact int64, emitted UNROUNDED
+    (bit-identical by construction, the ts_allan rule)."""
+    from cesium_spark.operators.seriesstats import lorenz_deciles
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        tok.cast("long").alias("y"))
+    return lorenz_deciles(series)
+
+
+SQL_TS_LORENZ = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+o AS (
+  SELECT conv_id,
+         row_number() OVER wo AS rn,
+         sum(y) OVER (PARTITION BY conv_id ORDER BY y, turn_idx
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM s
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY y, turn_idx)
+),
+g AS (
+  SELECT conv_id, max(n) AS n, max(cum) AS tot,
+         max(CASE WHEN rn = (n * 1) // 10 THEN cum END) AS s1,
+         max(CASE WHEN rn = (n * 2) // 10 THEN cum END) AS s2,
+         max(CASE WHEN rn = (n * 3) // 10 THEN cum END) AS s3,
+         max(CASE WHEN rn = (n * 4) // 10 THEN cum END) AS s4,
+         max(CASE WHEN rn = (n * 5) // 10 THEN cum END) AS s5,
+         max(CASE WHEN rn = (n * 6) // 10 THEN cum END) AS s6,
+         max(CASE WHEN rn = (n * 7) // 10 THEN cum END) AS s7,
+         max(CASE WHEN rn = (n * 8) // 10 THEN cum END) AS s8,
+         max(CASE WHEN rn = (n * 9) // 10 THEN cum END) AS s9
+  FROM o GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n, cast(tot AS bigint) AS total,
+       CASE WHEN tot > 0 THEN cast(coalesce(s1, 0) AS double)
+            / cast(tot AS double) END AS l10,
+       CASE WHEN tot > 0 THEN cast(coalesce(s2, 0) AS double)
+            / cast(tot AS double) END AS l20,
+       CASE WHEN tot > 0 THEN cast(coalesce(s3, 0) AS double)
+            / cast(tot AS double) END AS l30,
+       CASE WHEN tot > 0 THEN cast(coalesce(s4, 0) AS double)
+            / cast(tot AS double) END AS l40,
+       CASE WHEN tot > 0 THEN cast(coalesce(s5, 0) AS double)
+            / cast(tot AS double) END AS l50,
+       CASE WHEN tot > 0 THEN cast(coalesce(s6, 0) AS double)
+            / cast(tot AS double) END AS l60,
+       CASE WHEN tot > 0 THEN cast(coalesce(s7, 0) AS double)
+            / cast(tot AS double) END AS l70,
+       CASE WHEN tot > 0 THEN cast(coalesce(s8, 0) AS double)
+            / cast(tot AS double) END AS l80,
+       CASE WHEN tot > 0 THEN cast(coalesce(s9, 0) AS double)
+            / cast(tot AS double) END AS l90
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11605,6 +11677,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "ts_kendall": q_ts_kendall,
     "ts_kappa": q_ts_kappa,
+    "ts_lorenz": q_ts_lorenz,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11818,6 +11891,7 @@ ORACLE_SQL = {
     "graph_kcore": _kcore_sql(),
     "ts_kendall": SQL_TS_KENDALL,
     "ts_kappa": SQL_TS_KAPPA,
+    "ts_lorenz": SQL_TS_LORENZ,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -2681,3 +2681,70 @@ def kendall_channels(series: DataFrame, ch_a: str, ch_b: str,
         F.coalesce(F.col("tx"), F.lit(0)).cast("long").alias("tx"),
         F.coalesce(F.col("ty"), F.lit(0)).cast("long").alias("ty"),
         tau.alias("tau_b"))
+
+
+def lorenz_deciles(series: DataFrame) -> DataFrame:
+    """Empirical Lorenz curve at the deciles, per conversation — the
+    SHAPE behind gini_concentration's single number: L(d/10) = share
+    of the total carried by the smallest ⌊n·d/10⌋ values.  A perfectly
+    even conversation has L on the diagonal (L(p) = p); "one whale
+    turn carries half the tokens" reads directly as L(0.9) ≈ 0.5.
+
+    Exactness: NO float exists until the terminal divisions — values
+    are required integer, the value-ordered cumulative sums S_k and
+    the total S_n are exact int64, the decile indices k_d = (n·d) DIV
+    10 are integer arithmetic, and each L_d = S_{k_d}/S_n is one
+    division of exact integers (bit-identical in any engine,
+    unrounded).  Ties need no tie-break rule: the sum of the k
+    smallest values is the same under any ordering of equals (unlike
+    a quantile PICK, a prefix SUM over ties is order-invariant — the
+    ordered window still uses (y, turn_idx) so the cumsum column
+    itself is deterministic for the k_d probe).  k_d = 0 → L_d = 0.
+
+    Degenerates: S_n = 0 (all-zero values) → NULL curve (shares of
+    nothing are undefined); negative values raise in-plan (the
+    Lorenz curve is a nonnegative-mass construction; a negative
+    token count is corruption, not inequality).
+
+    Plan: one ordered conv window + one conv aggregate — one hash
+    exchange, no UDF, no join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"lorenz_deciles: column 'y' has type {t}; the exact-"
+            "integer-share contract needs integer values")
+    y_raw = F.col("y").cast("long")
+    y = F.when(
+        y_raw < 0,
+        F.expr("raise_error('lorenz_deciles: negative value — the "
+               "Lorenz curve needs nonnegative mass')").cast("long")
+    ).otherwise(y_raw)
+    w_ord = Window.partitionBy("conv_id").orderBy("y", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    s = (series
+         .where(F.col("y").isNotNull())
+         .select("conv_id",
+                 F.row_number().over(w_ord).alias("__rn"),
+                 F.sum(y).over(
+                     w_ord.rowsBetween(Window.unboundedPreceding, 0))
+                 .alias("__cum"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    picks = [
+        F.max(F.when(F.col("__rn")
+                     == F.expr(f"(__n * {d}) DIV 10"),
+                     F.col("__cum"))).alias(f"__s{d}")
+        for d in range(1, 10)]
+    g = s.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.max("__cum").alias("__tot"),
+        *picks)
+    ok = F.col("__tot") > 0
+    out_cols = ["conv_id", F.col("n").cast("long").alias("n"),
+                F.col("__tot").cast("long").alias("total")]
+    for d in range(1, 10):
+        # k_d = 0 → no probe row matched → the smallest-0 share is 0
+        ld = (F.coalesce(F.col(f"__s{d}"), F.lit(0)).cast("double")
+              / F.col("__tot").cast("double"))
+        out_cols.append(F.when(ok, ld).alias(f"l{d}0"))
+    return g.select(*out_cols)

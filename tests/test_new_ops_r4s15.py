@@ -512,3 +512,37 @@ def test_kappa_signs_and_degenerates(spark):
     assert solo["kappa"] is None and solo["n_agree"] == 8
     # one-turn conversation: no pairs -> absent from output
     assert cohen_kappa_adjacent(_roles(spark, ["u"])).count() == 0
+
+
+# --- Lorenz deciles ---------------------------------------------------------
+
+def test_lorenz_matches_ref_and_brackets_gini(spark):
+    from cesium_spark.operators.seriesstats import lorenz_deciles
+    rng = np.random.RandomState(77)
+    ys = rng.randint(0, 200, 70)
+    row = lorenz_deciles(_series15(spark, ys)).collect()[0]
+    srt = np.sort(ys)
+    tot = srt.sum()
+    for d in range(1, 10):
+        k = (70 * d) // 10
+        assert row[f"l{d}0"] == srt[:k].sum() / tot   # bit-exact
+    # curve is monotone and under the diagonal
+    ls = [row[f"l{d}0"] for d in range(1, 10)]
+    assert all(a <= b for a, b in zip(ls, ls[1:]))
+    assert all(ls[d - 1] <= d / 10 + 1e-12 for d in range(1, 10))
+
+
+def test_lorenz_whale_and_degenerates(spark):
+    from cesium_spark.operators.seriesstats import lorenz_deciles
+    # 9 single-token turns + one whale carrying ~92% of the mass
+    row = lorenz_deciles(_series15(spark, [1] * 9 + [100])).collect()[0]
+    assert row["l90"] == 9 / 109                 # smallest 9 carry 8%
+    assert row["l10"] == 1 / 109
+    # all-zero -> NULL curve (shares of nothing undefined)
+    row = lorenz_deciles(_series15(spark, [0, 0, 0])).collect()[0]
+    assert row["l50"] is None and row["total"] == 0
+    with pytest.raises(Exception, match="negative value"):
+        lorenz_deciles(_series15(spark, [1, -2, 3])).collect()
+    pdf = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0], "y": [1.5]})
+    with pytest.raises(ValueError, match="integer"):
+        lorenz_deciles(spark.createDataFrame(pdf))
