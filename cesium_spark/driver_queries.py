@@ -11628,6 +11628,91 @@ FROM g
 """
 
 
+def q_ts_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend + seasonal strength (Hyndman FPP) over the period-7
+    classical decomposition of the value series: F_T and F_S in
+    [0,1], the two numbers a monitoring dashboard keys on. Variances
+    fold Sv/Sv^2 in strict (t, turn_idx) order with max_by terminal
+    picks; fixed q/n - (s/n)^2 trees clamped against cancellation;
+    flat-reference and short-series degenerates NULL."""
+    from cesium_spark.operators.seriesstats import decomposition_strength
+    out = decomposition_strength(_value_series(spark, sf_dir), _DECOMP_P)
+    return out.select(
+        "conv_id", "n_used",
+        _r(F.col("trend_strength"), 6).alias("trend_strength"),
+        _r(F.col("seasonal_strength"), 6).alias("seasonal_strength"))
+
+
+SQL_TS_STRENGTH = f"""{_VALUE_SERIES_SQL}
+, o AS (
+  SELECT conv_id, turn_idx, t, y,
+         row_number() OVER w - 1 AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n,
+         avg(y) OVER (PARTITION BY conv_id ORDER BY t, turn_idx
+                      ROWS BETWEEN {_DECOMP_HALF} PRECEDING
+                            AND {_DECOMP_HALF} FOLLOWING) AS ma
+  FROM series WHERE y IS NOT NULL AND t IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+), d AS (
+  SELECT *, rn % {_DECOMP_P} AS slot,
+         CASE WHEN rn >= {_DECOMP_HALF} AND rn < n - {_DECOMP_HALF}
+              THEN ma END AS trend
+  FROM o
+), sm AS (
+  SELECT *,
+         avg(y - trend) OVER (PARTITION BY conv_id, slot) AS slot_mean,
+         row_number() OVER (PARTITION BY conv_id, slot
+                            ORDER BY t, turn_idx) AS srn
+  FROM d
+), c AS (
+  SELECT *, avg(CASE WHEN srn = 1 THEN slot_mean END)
+              OVER (PARTITION BY conv_id) AS ctr
+  FROM sm
+), comp AS (
+  SELECT conv_id, t, turn_idx,
+         (y - trend - (slot_mean - ctr)) AS r,
+         trend + (y - trend - (slot_mean - ctr)) AS tr,
+         (slot_mean - ctr) + (y - trend - (slot_mean - ctr)) AS sr
+  FROM c
+  WHERE (y - trend - (slot_mean - ctr)) IS NOT NULL
+), fold AS (
+  SELECT conv_id,
+         row_number() OVER wo AS rn2,
+         count(*) OVER (PARTITION BY conv_id) AS nu,
+         sum(r) OVER wc AS s_r, sum(r * r) OVER wc AS q_r,
+         sum(tr) OVER wc AS s_tr, sum(tr * tr) OVER wc AS q_tr,
+         sum(sr) OVER wc AS s_sr, sum(sr * sr) OVER wc AS q_sr
+  FROM comp
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY t, turn_idx),
+         wc AS (PARTITION BY conv_id ORDER BY t, turn_idx
+                ROWS UNBOUNDED PRECEDING)
+), g AS (
+  SELECT conv_id, max(nu) AS n_used,
+         arg_max(s_r, rn2) AS s_r, arg_max(q_r, rn2) AS q_r,
+         arg_max(s_tr, rn2) AS s_tr, arg_max(q_tr, rn2) AS q_tr,
+         arg_max(s_sr, rn2) AS s_sr, arg_max(q_sr, rn2) AS q_sr
+  FROM fold GROUP BY 1
+), v AS (
+  SELECT conv_id, n_used,
+         greatest(q_r / n_used - (s_r / n_used) * (s_r / n_used),
+                  0.0) AS vr,
+         greatest(q_tr / n_used - (s_tr / n_used) * (s_tr / n_used),
+                  0.0) AS vtr,
+         greatest(q_sr / n_used - (s_sr / n_used) * (s_sr / n_used),
+                  0.0) AS vsr
+  FROM g
+)
+SELECT conv_id, cast(n_used AS bigint) AS n_used,
+       round(CASE WHEN n_used >= {_DECOMP_P} AND vtr > 0 THEN
+             greatest(1.0 - vr / vtr, 0.0) END, 6) + 0.0
+         AS trend_strength,
+       round(CASE WHEN n_used >= {_DECOMP_P} AND vsr > 0 THEN
+             greatest(1.0 - vr / vsr, 0.0) END, 6) + 0.0
+         AS seasonal_strength
+FROM v
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11678,6 +11763,7 @@ QUERIES = {
     "ts_kendall": q_ts_kendall,
     "ts_kappa": q_ts_kappa,
     "ts_lorenz": q_ts_lorenz,
+    "ts_strength": q_ts_strength,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11892,6 +11978,7 @@ ORACLE_SQL = {
     "ts_kendall": SQL_TS_KENDALL,
     "ts_kappa": SQL_TS_KAPPA,
     "ts_lorenz": SQL_TS_LORENZ,
+    "ts_strength": SQL_TS_STRENGTH,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

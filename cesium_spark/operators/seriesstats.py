@@ -2748,3 +2748,81 @@ def lorenz_deciles(series: DataFrame) -> DataFrame:
               / F.col("__tot").cast("double"))
         out_cols.append(F.when(ok, ld).alias(f"l{d}0"))
     return g.select(*out_cols)
+
+
+def decomposition_strength(series: DataFrame,
+                           period: int) -> DataFrame:
+    """Trend and seasonal STRENGTH per (conv_id, channel) (Hyndman &
+    Athanasopoulos, FPP "STL features" — here over the deterministic
+    ``classical_decompose``): the two numbers a monitoring stack keys
+    dashboards on,
+
+        F_T = max(0, 1 − Var(R)/Var(T+R)),
+        F_S = max(0, 1 − Var(R)/Var(S+R)),
+
+    ≈ 0 for structureless noise, → 1 when trend (resp. seasonality)
+    explains the series.
+
+    Determinism: the decomposition itself is the already-oracled
+    window pipeline; the three variances fold Σv and Σv² in strict
+    (t, turn_idx) order (ordered cumsum, terminal pick by row number
+    — max_by, since nothing here is monotone) and use the fixed tree
+    q/n − (s/n)·(s/n), clamped at 0 against cancellation residue.
+    Rows where the decomposition is undefined (the MA edge NULLs) are
+    excluded — the classical estimator's own domain.
+
+    Degenerates NULL: Var(T+R) = 0 (resp. Var(S+R) = 0) — strength
+    against a flat reference is undefined, not 1; fewer than
+    ``period`` usable rows likewise (no slot is even fully
+    populated).
+
+    Plan: inherits the decomposition's ONE (conv, channel) exchange;
+    the folds ride the same key; one terminal aggregate.  No UDF,
+    no join.
+    """
+    dec = classical_decompose(series, period)
+    s = (dec.where(F.col("resid").isNotNull())
+         .select("conv_id", "channel", "t", "turn_idx",
+                 F.col("resid").alias("__r"),
+                 (F.col("trend") + F.col("resid")).alias("__tr"),
+                 (F.col("seasonal") + F.col("resid")).alias("__sr")))
+    w_ord = (Window.partitionBy("conv_id", "channel")
+             .orderBy("t", "turn_idx")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("conv_id", "channel")
+    cols = {}
+    for nm in ("r", "tr", "sr"):
+        v = F.col(f"__{nm}")
+        cols[f"s_{nm}"] = F.sum(v).over(w_ord)
+        cols[f"q_{nm}"] = F.sum(v * v).over(w_ord)
+    folded = s.select(
+        "conv_id", "channel",
+        F.row_number().over(
+            Window.partitionBy("conv_id", "channel")
+            .orderBy("t", "turn_idx")).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        *[c.alias(k) for k, c in cols.items()])
+    g = folded.groupBy("conv_id", "channel").agg(
+        F.max("__n").alias("n_used"),
+        *[F.max_by(F.col(k), F.col("__rn")).alias(k)
+          for k in cols])
+    nd = F.col("n_used").cast("double")
+
+    def var(nm):
+        sv, qv = F.col(f"s_{nm}"), F.col(f"q_{nm}")
+        raw = qv / nd - (sv / nd) * (sv / nd)
+        return F.when(raw < 0, F.lit(0.0)).otherwise(raw)
+
+    vr, vtr, vsr = var("r"), var("tr"), var("sr")
+    okn = F.col("n_used") >= F.lit(period)
+
+    def strength(vref):
+        raw = F.lit(1.0) - vr / vref
+        clamped = F.when(raw < 0, F.lit(0.0)).otherwise(raw)
+        return F.when(okn & (vref > 0), clamped)
+
+    return g.select(
+        "conv_id", "channel",
+        F.col("n_used").cast("long").alias("n_used"),
+        strength(vtr).alias("trend_strength"),
+        strength(vsr).alias("seasonal_strength"))

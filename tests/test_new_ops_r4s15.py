@@ -546,3 +546,81 @@ def test_lorenz_whale_and_degenerates(spark):
     pdf = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0], "y": [1.5]})
     with pytest.raises(ValueError, match="integer"):
         lorenz_deciles(spark.createDataFrame(pdf))
+
+
+# --- decomposition strength -------------------------------------------------
+
+def _chan_series(spark, ys):
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(ys), "channel": ["v"] * len(ys),
+        "turn_idx": np.arange(len(ys), dtype=np.int32),
+        "ts": pd.date_range("2024-01-01", periods=len(ys), freq="min"),
+        "t": np.arange(len(ys), dtype=np.float64),
+        "y": np.asarray(ys, dtype=np.float64)})
+    return spark.createDataFrame(pdf)
+
+
+def _strength_ref(ys, period=7):
+    y = np.asarray(ys, dtype=float)
+    n, half = len(y), (period - 1) // 2
+    trend = np.full(n, np.nan)
+    for i in range(half, n - half):
+        trend[i] = np.mean(y[i - half:i + half + 1])
+    det = y - trend
+    slots = np.arange(n) % period
+    slot_mean = np.array([np.nanmean(det[slots == s])
+                          if np.any(~np.isnan(det[slots == s]))
+                          else np.nan for s in range(period)])
+    ctr = np.nanmean(slot_mean[np.unique(slots)])
+    seasonal = slot_mean[slots] - ctr
+    resid = y - trend - seasonal
+    m = ~np.isnan(resid)
+    r, tr, sr = resid[m], (trend + resid)[m], (seasonal + resid)[m]
+
+    def v(x):
+        return max(np.sum(x * x) / len(x)
+                   - (np.sum(x) / len(x)) ** 2, 0.0)
+
+    ft = max(1 - v(r) / v(tr), 0.0) if v(tr) > 0 else None
+    fs = max(1 - v(r) / v(sr), 0.0) if v(sr) > 0 else None
+    return ft, fs
+
+
+def test_strength_matches_ref_random(spark):
+    from cesium_spark.operators.seriesstats import decomposition_strength
+    rng = np.random.RandomState(19)
+    ys = (0.5 * np.arange(60) + 5 * np.sin(np.arange(60) * 2 * np.pi / 7)
+          + rng.normal(0, 1, 60))
+    row = decomposition_strength(_chan_series(spark, ys), 7).collect()[0]
+    ft, fs = _strength_ref(ys)
+    assert abs(row["trend_strength"] - ft) < 1e-9
+    assert abs(row["seasonal_strength"] - fs) < 1e-9
+
+
+def test_strength_directions(spark):
+    from cesium_spark.operators.seriesstats import decomposition_strength
+    rng = np.random.RandomState(8)
+    trendy = np.arange(80) * 2.0 + rng.normal(0, 0.5, 80)
+    seasonal = np.tile([0, 10, 0, -10, 0, 5, -5], 12)[:80] \
+        + rng.normal(0, 0.3, 80)
+    noise = rng.normal(0, 1, 80)
+    rt = decomposition_strength(_chan_series(spark, trendy), 7).collect()[0]
+    rs = decomposition_strength(
+        _chan_series(spark, seasonal), 7).collect()[0]
+    rn_ = decomposition_strength(_chan_series(spark, noise), 7).collect()[0]
+    assert rt["trend_strength"] > 0.95
+    assert rs["seasonal_strength"] > 0.95
+    assert rn_["trend_strength"] < 0.6 and rn_["seasonal_strength"] < 0.6
+
+
+def test_strength_degenerates(spark):
+    from cesium_spark.operators.seriesstats import decomposition_strength
+    # constant series: every variance 0 -> NULL strengths
+    row = decomposition_strength(
+        _chan_series(spark, [5.0] * 30), 7).collect()[0]
+    assert row["trend_strength"] is None
+    assert row["seasonal_strength"] is None
+    # too short for even one full slot cycle after edge trim
+    row = decomposition_strength(
+        _chan_series(spark, list(range(8))), 7).collect()[0]
+    assert row["n_used"] < 7 and row["trend_strength"] is None
