@@ -11713,6 +11713,77 @@ FROM v
 """
 
 
+def q_ts_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (m=2, r=2 tokens) of tokens-per-turn: the
+    amplitude-regularity member of the complexity family next to
+    permutation entropy's ordinal one. Integer template matches
+    (exact comparisons, no grid), exact int64 A/B pair counts over
+    the Richman-Moorman shared template set, one -ln(A/B) tree;
+    prefix cap (not thinning - templates are consecutive points)."""
+    from cesium_spark.operators.seriesstats import sample_entropy
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = sample_entropy(series, r=2, max_n=128)
+    return out.select(
+        "conv_id", "n", "n_used", "capped", "b_count", "a_count",
+        _r(F.col("sampen"), 9).alias("sampen"))
+
+
+SQL_TS_SAMPEN = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+b AS (
+  SELECT conv_id, y,
+         lead(y, 1) OVER wo AS y1,
+         lead(y, 2) OVER wo AS y2,
+         row_number() OVER wo AS k,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM s
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+kept AS (SELECT * FROM b WHERE k <= 128),
+counts AS (
+  SELECT conv_id, max(n) AS n, count(*) AS n_used
+  FROM kept GROUP BY 1
+),
+tmpl AS (SELECT * FROM kept WHERE y2 IS NOT NULL),
+pr AS (
+  SELECT a.conv_id,
+         sum(CASE WHEN abs(a.y - t2.y) <= 2
+                   AND abs(a.y1 - t2.y1) <= 2
+                  THEN 1 ELSE 0 END) AS b_count,
+         sum(CASE WHEN abs(a.y - t2.y) <= 2
+                   AND abs(a.y1 - t2.y1) <= 2
+                   AND abs(a.y2 - t2.y2) <= 2
+                  THEN 1 ELSE 0 END) AS a_count
+  FROM tmpl a JOIN tmpl t2
+    ON a.conv_id = t2.conv_id AND t2.k > a.k
+  GROUP BY 1
+)
+SELECT c.conv_id, cast(c.n AS bigint) AS n,
+       cast(c.n_used AS bigint) AS n_used,
+       c.n > 128 AS capped,
+       cast(coalesce(p.b_count, 0) AS bigint) AS b_count,
+       cast(coalesce(p.a_count, 0) AS bigint) AS a_count,
+       round(CASE WHEN p.a_count > 0 AND p.b_count > 0 THEN
+             -ln(cast(p.a_count AS double)
+                 / cast(p.b_count AS double)) END, 9) + 0.0 AS sampen
+FROM counts c LEFT JOIN pr p ON c.conv_id = p.conv_id
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11764,6 +11835,7 @@ QUERIES = {
     "ts_kappa": q_ts_kappa,
     "ts_lorenz": q_ts_lorenz,
     "ts_strength": q_ts_strength,
+    "ts_sampen": q_ts_sampen,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -11979,6 +12051,7 @@ ORACLE_SQL = {
     "ts_kappa": SQL_TS_KAPPA,
     "ts_lorenz": SQL_TS_LORENZ,
     "ts_strength": SQL_TS_STRENGTH,
+    "ts_sampen": SQL_TS_SAMPEN,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -2826,3 +2826,99 @@ def decomposition_strength(series: DataFrame,
         F.col("n_used").cast("long").alias("n_used"),
         strength(vtr).alias("trend_strength"),
         strength(vsr).alias("seasonal_strength"))
+
+
+def sample_entropy(series: DataFrame, r: int, max_n: int = 256) -> DataFrame:
+    """Sample entropy per conversation (Richman & Moorman 2000),
+    m = 2: the regularity member of the complexity family —
+    permutation_entropy hears ORDINAL pattern diversity, SampEn asks
+    the amplitude question "when two length-2 windows agree within
+    tolerance r, how often do they STILL agree one step later":
+
+        SampEn = −ln(A/B),
+        B = #{i<j: max(|Δy|, |Δy₁|) ≤ r},
+        A = #{i<j: max(|Δy|, |Δy₁|, |Δy₂|) ≤ r}
+
+    (Chebyshev template matching, self-matches excluded by i<j).
+    Low SampEn = regular/predictable; high = irregular.
+
+    Exactness: y and the tolerance are INTEGERS, so every template
+    match is an exact integer comparison — no float enters until the
+    single −ln(A/B) tree (A, B exact int64).  A = 0 or B = 0 → NULL
+    (the estimator is undefined — "infinitely irregular" is a data
+    property to surface, not a number).
+
+    The estimator is inherently O(n²) template pairs; the bound here
+    is a documented PREFIX cap (first ``max_n`` rows per
+    conversation, ``capped`` flag) — unlike theil_sen's slot
+    thinning, SampEn's templates are CONSECUTIVE points, and a
+    thinned series would measure the regularity of a different
+    process.  The cap bounds template STARTS: a template starting at
+    row ≤ max_n still reads its full m+1 consecutive values (the two
+    rows past the boundary included), so no boundary template is
+    mutilated.
+
+    Plan: one ordered conv window (lead ×2 + row_number) + one
+    conv-keyed self-equi-join bounded to max_n²/2 pairs + one
+    aggregate — all exchanges on conv_id, no UDF.
+    """
+    if not isinstance(r, int) or r < 0:
+        raise ValueError(f"sample_entropy: tolerance must be a "
+                         f"nonnegative int, got {r!r}")
+    if not (8 <= max_n <= 4096):
+        raise ValueError(f"sample_entropy: max_n must be in "
+                         f"[8, 4096], got {max_n}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"sample_entropy: column 'y' has type {t}; the exact-"
+            "integer-match contract needs integer values")
+    wo = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    wall = wo.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    y = F.col("y").cast("long")
+    base = (series
+            .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+            .select("conv_id", y.alias("__y"),
+                    F.lead(y, 1).over(wo).alias("__y1"),
+                    F.lead(y, 2).over(wo).alias("__y2"),
+                    F.row_number().over(wo).alias("__k"),
+                    F.count(F.lit(1)).over(wall).alias("__n")))
+    kept = base.where(F.col("__k") <= max_n)
+    counts = kept.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_used"))
+    # Richman–Moorman count BOTH A and B over the SAME template-start
+    # set i <= N-m-1 (where the m+1-window is valid) — B on the first
+    # two coordinates, A on all three; using all N-1 length-2 starts
+    # for B would be a (common but different) variant
+    tmpl = kept.where(F.col("__y2").isNotNull())
+    a = tmpl.select("conv_id", F.col("__k").alias("__ka"),
+                    F.col("__y").alias("__ay"),
+                    F.col("__y1").alias("__ay1"),
+                    F.col("__y2").alias("__ay2"))
+    b = tmpl.select("conv_id", F.col("__k").alias("__kb"),
+                    F.col("__y").alias("__by"),
+                    F.col("__y1").alias("__by1"),
+                    F.col("__y2").alias("__by2"))
+    m_b = (F.abs(F.col("__ay") - F.col("__by")) <= r) \
+        & (F.abs(F.col("__ay1") - F.col("__by1")) <= r)
+    m_a = m_b & (F.abs(F.col("__ay2") - F.col("__by2")) <= r)
+    pairs = (a.join(b, "conv_id")
+             .where(F.col("__kb") > F.col("__ka"))
+             .groupBy("conv_id")
+             .agg(F.sum(F.when(m_b, 1).otherwise(0)).alias("b_count"),
+                  F.sum(F.when(m_a, 1).otherwise(0)).alias("a_count")))
+    out = counts.join(pairs, "conv_id", "left")
+    ok = (F.col("a_count") > 0) & (F.col("b_count") > 0)
+    sampen = F.when(ok, -F.log(F.col("a_count").cast("double")
+                               / F.col("b_count").cast("double")))
+    return out.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        F.col("n_used").cast("long").alias("n_used"),
+        (F.col("n") > F.lit(max_n)).alias("capped"),
+        F.coalesce(F.col("b_count"), F.lit(0)).cast("long")
+        .alias("b_count"),
+        F.coalesce(F.col("a_count"), F.lit(0)).cast("long")
+        .alias("a_count"),
+        sampen.alias("sampen"))

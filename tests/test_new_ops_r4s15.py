@@ -624,3 +624,64 @@ def test_strength_degenerates(spark):
     row = decomposition_strength(
         _chan_series(spark, list(range(8))), 7).collect()[0]
     assert row["n_used"] < 7 and row["trend_strength"] is None
+
+
+# --- sample entropy ---------------------------------------------------------
+
+def _sampen_ref(y, r, m=2):
+    y = np.asarray(y)
+    n = len(y)
+    starts = n - m - 1 + 1          # template starts: i in [0, n-m-1]
+    a = b = 0
+    for i in range(n - m):
+        for j in range(i + 1, n - m):
+            if max(abs(y[i] - y[j]), abs(y[i + 1] - y[j + 1])) <= r:
+                b += 1
+                if abs(y[i + 2] - y[j + 2]) <= r:
+                    a += 1
+    return a, b, (-np.log(a / b) if a > 0 and b > 0 else None)
+
+
+def test_sampen_matches_ref(spark):
+    from cesium_spark.operators.seriesstats import sample_entropy
+    rng = np.random.RandomState(41)
+    y = rng.randint(0, 20, 90)
+    row = sample_entropy(_series15(spark, y), r=2).collect()[0]
+    a, b, se = _sampen_ref(y, 2)
+    assert (row["a_count"], row["b_count"]) == (a, b)
+    assert abs(row["sampen"] - se) < 1e-12
+
+
+def test_sampen_regular_vs_irregular(spark):
+    from cesium_spark.operators.seriesstats import sample_entropy
+    regular = [3, 7] * 50                      # perfectly periodic
+    rng = np.random.RandomState(6)
+    irregular = rng.randint(0, 60, 100)
+    r1 = sample_entropy(_series15(spark, regular), r=1).collect()[0]
+    r2 = sample_entropy(_series15(spark, irregular), r=1).collect()[0]
+    assert r1["sampen"] == 0.0                 # every B match extends
+    assert r2["sampen"] is None or r2["sampen"] > 1.0
+
+
+def test_sampen_caps_and_degenerates(spark):
+    from cesium_spark.operators.seriesstats import sample_entropy
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 10, 300)
+    row = sample_entropy(_series15(spark, y), r=2, max_n=128).collect()[0]
+    # cap bounds template STARTS; boundary templates read their full
+    # m+1 consecutive values (rows 129-130 included)
+    a = b = 0
+    for i in range(128):
+        for j in range(i + 1, 128):
+            if max(abs(y[i] - y[j]), abs(y[i + 1] - y[j + 1])) <= 2:
+                b += 1
+                if abs(y[i + 2] - y[j + 2]) <= 2:
+                    a += 1
+    assert row["capped"] and row["n_used"] == 128
+    assert (row["a_count"], row["b_count"]) == (a, b)
+    # a spread-out series at r=0: B may exist but A empty -> NULL
+    row = sample_entropy(_series15(spark, [1, 2, 4, 8, 16, 32, 64]),
+                         r=0).collect()[0]
+    assert row["sampen"] is None
+    with pytest.raises(ValueError, match="nonnegative int"):
+        sample_entropy(_series15(spark, [1, 2]), r=-1)
