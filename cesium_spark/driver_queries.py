@@ -11784,6 +11784,81 @@ FROM counts c LEFT JOIN pr p ON c.conv_id = p.conv_id
 """
 
 
+def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (4 rounds) over the directed
+    token-bigram graph: which tokens POINT AT the load-bearing
+    vocabulary (hubs) vs which ARE it (authorities) - the
+    query-dependent complement of doc_textrank's PageRank. Linear
+    iteration normalized ONCE terminally (per-round L1 scaling only
+    changes a scalar; k global reductions removed), sorted
+    sequential folds per vertex per round, terminal vocab-bounded
+    L1 folds - the pagerank bit-exactness contract verbatim."""
+    from cesium_spark.operators.graphrank import hits, token_edges
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = hits(token_edges(docs), iterations=4)
+    return out.select(
+        F.col("v").alias("token"),
+        _r(F.col("authority"), 9).alias("authority"),
+        _r(F.col("hub"), 9).alias("hub"))
+
+
+def _hits_oracle_sql(k: int = 4) -> str:
+    """Unrolled k-round HITS CTE chain, generated from the same
+    parameters the Spark query uses so the two cannot drift."""
+    stages = []
+    for i in range(1, k + 1):
+        stages.append(f"""a{i} AS (
+  SELECT v.v, coalesce(s.s, 0.0) AS a
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS v,
+           list_sum(list(CAST(e.w AS DOUBLE) * p.h
+                         ORDER BY e.src)) AS s
+    FROM edges e JOIN h{i - 1} p ON e.src = p.v
+    GROUP BY e.dst) s ON v.v = s.v
+),
+h{i} AS (
+  SELECT v.v, coalesce(s.s, 0.0) AS h
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS v,
+           list_sum(list(CAST(e.w AS DOUBLE) * p.a
+                         ORDER BY e.dst)) AS s
+    FROM edges e JOIN a{i} p ON e.dst = p.v
+    GROUP BY e.src) s ON v.v = s.v
+)""")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, u.t AS tok, u.pos
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS tt
+        FROM documents) dd,
+  LATERAL (SELECT unnest(tt) AS t,
+                  generate_subscripts(tt, 1) AS pos) u
+),
+edges AS (
+  SELECT a.tok AS src, b.tok AS dst, count(*) AS w
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT v, 1.0 AS h FROM verts),
+{",".join(stages)},
+tot AS (
+  SELECT (SELECT list_sum(list(a ORDER BY v)) FROM a{k}) AS ta,
+         (SELECT list_sum(list(h ORDER BY v)) FROM h{k}) AS th
+)
+SELECT a{k}.v AS token,
+       round(CASE WHEN ta > 0 THEN a{k}.a / ta ELSE 0.0 END, 9)
+         + 0.0 AS authority,
+       round(CASE WHEN th > 0 THEN h{k}.h / th ELSE 0.0 END, 9)
+         + 0.0 AS hub
+FROM a{k} JOIN h{k} ON a{k}.v = h{k}.v CROSS JOIN tot
+"""
+
+
+SQL_DOC_HITS = _hits_oracle_sql(4)
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11836,6 +11911,7 @@ QUERIES = {
     "ts_lorenz": q_ts_lorenz,
     "ts_strength": q_ts_strength,
     "ts_sampen": q_ts_sampen,
+    "doc_hits": q_doc_hits,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12052,6 +12128,7 @@ ORACLE_SQL = {
     "ts_lorenz": SQL_TS_LORENZ,
     "ts_strength": SQL_TS_STRENGTH,
     "ts_sampen": SQL_TS_SAMPEN,
+    "doc_hits": SQL_DOC_HITS,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -501,3 +501,92 @@ def kcore(edges: DataFrame, k: int = 3,
             "max_iter; a silently partial core would be wrong")
     return core_deg.select(
         "v", F.col("deg").cast("long").alias("core_deg"))
+
+
+def hits(edges: DataFrame, iterations: int = 4,
+         checkpoint_mode: str = "none",
+         checkpoint_dir: str | None = None) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over (src, dst, w)
+    edges → (v, authority, hub), the query-dependent complement of
+    PageRank's global prestige: a good HUB points at good
+    authorities, a good AUTHORITY is pointed at by good hubs —
+    a_i(v) = Σ_{u→v} w·h_{i−1}(u), h_i(v) = Σ_{v→u} w·a_i(u).
+
+    Normalization happens ONCE, terminally — the iteration is LINEAR,
+    so per-round L1 scaling only changes a scalar factor and the
+    final normalized direction is identical; skipping it removes k
+    global float reductions (k ordering hazards) and leaves a single
+    vocab-bounded terminal fold.  The growth bound this buys is
+    documented: unnormalized scores grow like λ₁^(2k); doubles hold
+    to λ₁ ≈ 1e15 at k = 4 — any real token graph is orders of
+    magnitude below.
+
+    Determinism (the pagerank contract verbatim): every per-vertex
+    incoming sum is a sorted sequential fold over the contributing
+    neighbor id, each contribution the fixed tree w·score, and the
+    two terminal L1 sums fold over the vertex id — bit-identical in
+    any engine at any parallelism.  Zero in-degree → authority 0,
+    zero out-degree → hub 0 (coalesced, not dropped).
+
+    Scale: 2 joins + 2 grouped folds per round on the pre-aggregated
+    vocabulary-sized graph; ``checkpoint_mode`` shares the
+    connected-components truncator ('table' survives executor loss).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
+    trunc = (None if checkpoint_mode == "none"
+             else _make_truncator(spark, checkpoint_mode, checkpoint_dir))
+    verts = (edges.select(F.col("src").alias("v"))
+             .union(edges.select(F.col("dst").alias("v")))
+             .distinct())
+    if edges.isEmpty():
+        raise ValueError("hits: empty graph")
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    if trunc is not None:
+        e = trunc(e, "hits_edges", 0)
+
+    def _fold(df, key_out):
+        return (df.groupBy(key_out)
+                .agg(F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("nbr", "c"))),
+                    F.lit(0.0), lambda acc, r: acc + r["c"])
+                    .alias("s")))
+
+    h = verts.select("v", F.lit(1.0).alias("h"))
+    a = None
+    for it in range(iterations):
+        # authorities from hubs
+        contrib_a = (e.join(h.withColumnRenamed("v", "src"), "src")
+                     .select(F.col("dst").alias("v"),
+                             F.col("src").alias("nbr"),
+                             (F.col("w").cast("double") * F.col("h"))
+                             .alias("c")))
+        a = (verts.join(_fold(contrib_a, "v"), "v", "left")
+             .select("v", F.coalesce("s", F.lit(0.0)).alias("a")))
+        # hubs from the NEW authorities (the classic in-round order)
+        contrib_h = (e.join(a.withColumnRenamed("v", "dst"), "dst")
+                     .select(F.col("src").alias("v"),
+                             F.col("dst").alias("nbr"),
+                             (F.col("w").cast("double") * F.col("a"))
+                             .alias("c")))
+        h = (verts.join(_fold(contrib_h, "v"), "v", "left")
+             .select("v", F.coalesce("s", F.lit(0.0)).alias("h")))
+        if trunc is not None:
+            a = trunc(a, "hits_a", it + 1)
+            h = trunc(h, "hits_h", it + 1)
+    scores = a.join(h, "v")
+    tot = scores.agg(
+        F.aggregate(F.sort_array(F.collect_list(F.struct("v", "a"))),
+                    F.lit(0.0), lambda acc, r: acc + r["a"])
+        .alias("ta"),
+        F.aggregate(F.sort_array(F.collect_list(F.struct("v", "h"))),
+                    F.lit(0.0), lambda acc, r: acc + r["h"])
+        .alias("th"))
+    out = scores.crossJoin(F.broadcast(tot))
+    return out.select(
+        "v",
+        F.when(F.col("ta") > 0, F.col("a") / F.col("ta"))
+        .otherwise(F.lit(0.0)).alias("authority"),
+        F.when(F.col("th") > 0, F.col("h") / F.col("th"))
+        .otherwise(F.lit(0.0)).alias("hub"))

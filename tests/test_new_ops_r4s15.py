@@ -685,3 +685,47 @@ def test_sampen_caps_and_degenerates(spark):
     assert row["sampen"] is None
     with pytest.raises(ValueError, match="nonnegative int"):
         sample_entropy(_series15(spark, [1, 2]), r=-1)
+
+
+# --- HITS -------------------------------------------------------------------
+
+def test_hits_matches_ref_and_separates_hubs(spark):
+    """Bipartite-ish graph: sources point at sinks; sources must be
+    pure hubs, sinks pure authorities; scores match a numpy power
+    iteration with identical round structure."""
+    from cesium_spark.operators.graphrank import hits
+    edges = [("s1", "t1", 3), ("s1", "t2", 1), ("s2", "t1", 2),
+             ("s2", "t3", 1), ("s3", "t2", 4)]
+    df = spark.createDataFrame(pd.DataFrame(
+        edges, columns=["src", "dst", "w"]))
+    got = {r["v"]: (r["authority"], r["hub"])
+           for r in hits(df, iterations=4).collect()}
+    verts = sorted({v for e in edges for v in e[:2]})
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((6, 6))
+    for u, v, w in edges:
+        A[idx[u], idx[v]] = w
+    h = np.ones(6)
+    for _ in range(4):
+        a = A.T @ h
+        h = A @ a
+    a_n, h_n = a / a.sum(), h / h.sum()
+    for v in verts:
+        assert abs(got[v][0] - a_n[idx[v]]) < 1e-9
+        assert abs(got[v][1] - h_n[idx[v]]) < 1e-9
+    for v in ("s1", "s2", "s3"):
+        assert got[v][0] == 0.0                 # sources: no authority
+    for v in ("t1", "t2", "t3"):
+        assert got[v][1] == 0.0                 # sinks: no hub mass
+    # the argmax authority agrees with the reference power iteration
+    best = max(verts, key=lambda v: got[v][0])
+    assert best == verts[int(np.argmax(a_n))] == "t2"
+
+
+def test_hits_empty_raises(spark):
+    from cesium_spark.operators.graphrank import hits
+    empty = spark.createDataFrame(
+        pd.DataFrame({"src": [], "dst": [], "w": []}),
+        "src string, dst string, w long")
+    with pytest.raises(ValueError, match="empty graph"):
+        hits(empty)
