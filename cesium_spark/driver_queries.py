@@ -11859,6 +11859,54 @@ FROM a{k} JOIN h{k} ON a{k}.v = h{k}.v CROSS JOIN tot
 SQL_DOC_HITS = _hits_oracle_sql(4)
 
 
+_BLOOM_WORDS, _BLOOM_K = 16, 4
+
+
+def q_ts_bloom_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter mergeable membership tier: build per-(role, 1h)
+    filters from the turn payloads (16 words x 63 usable bits - bit
+    63 unused because DuckDB's CHECKED shift raises on 1<<63; an
+    engine-portable replay beats 1.6% capacity), fold 1h->1d by
+    bitwise OR. The oracle rebuilds the DAILY words directly from raw
+    with the same md5 positions, so the comparison certifies build
+    AND fold==direct word-for-word (OR of sub-window filters IS the
+    union-window filter). Membership semantics (no false negatives)
+    are pinned in pytest."""
+    from cesium_spark.operators.sketches import bloom_build, bloom_fold
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("role"), "ts",
+        F.col("props").alias("item"))
+    fold = bloom_fold(bloom_build(ev, "1h", ["role"], "item",
+                                  words=_BLOOM_WORDS, k=_BLOOM_K),
+                      "1d", ["role"])
+    return fold.select(
+        "role",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "tier",
+        F.col("word_idx").cast("long").alias("word_idx"),
+        F.col("bits").cast("long").alias("bits"))
+
+
+SQL_TS_BLOOM_FOLD = f"""
+WITH pos AS (
+  SELECT event_type AS role,
+         date_trunc('day', ts) AS w,
+         (('0x' || substr(md5('b' || cast(js.j AS varchar)
+                               || ':' || props), 1, 8))::BIGINT
+          % {63 * _BLOOM_WORDS}) AS p
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j) js
+  WHERE props IS NOT NULL
+)
+SELECT role, strftime(w, '{DUCK_TS_FMT}') AS window_start,
+       '1d' AS tier,
+       cast(p // 63 AS bigint) AS word_idx,
+       cast(bit_or(1::BIGINT << cast(p % 63 AS int)) AS bigint) AS bits
+FROM pos GROUP BY role, w, p // 63
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11912,6 +11960,7 @@ QUERIES = {
     "ts_strength": q_ts_strength,
     "ts_sampen": q_ts_sampen,
     "doc_hits": q_doc_hits,
+    "ts_bloom_fold": q_ts_bloom_fold,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12129,6 +12178,7 @@ ORACLE_SQL = {
     "ts_strength": SQL_TS_STRENGTH,
     "ts_sampen": SQL_TS_SAMPEN,
     "doc_hits": SQL_DOC_HITS,
+    "ts_bloom_fold": SQL_TS_BLOOM_FOLD,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -145,3 +145,126 @@ def cms_estimate(sketch: DataFrame, items: list[str], key_cols: list[str],
             .groupBy(*key_cols, "window_start", "tier", "item")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("long").alias("est")))
+
+
+def _bloom_pos(item_col, j: int, m_bits: int):
+    """Bit position of item under hash j (the CMS md5 family)."""
+    h = F.md5(F.concat(F.lit(f"b{j}:"), item_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(m_bits))
+
+
+def _bloom_check(words: int, k: int) -> None:
+    if words < 1 or words > 1 << 20:
+        raise ValueError(f"words must be in [1, 2^20], got {words}")
+    if k < 1 or k > 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+
+
+def bloom_build(df: DataFrame, tier: str, key_cols: list[str],
+                item_col: str, words: int = 16,
+                k: int = 4) -> DataFrame:
+    """Per-(key, window) Bloom filter rows — the MEMBERSHIP member of
+    the mergeable-sketch family (HLL answers "how many distinct", CMS
+    "how often", DDSketch "which quantile"; Bloom answers "was this
+    item ever seen in this window", with no false negatives).
+
+    Representation: ``words`` int64 rows per filter, 63 usable bits
+    per word (m = 63·words bits) — bit 63 is deliberately unused
+    because DuckDB's CHECKED left shift raises on 1<<63, and an
+    engine-portable replay beats 1.6% extra capacity.  Only occupied
+    words materialize (sparse storage, dense semantics — absent word
+    = 0, the CMS/histogram convention).  k md5-family positions per
+    item; NULL items are filtered (md5(NULL) would silently alias
+    every NULL).
+
+    Output: ``(*key_cols, window_start, tier, word_idx, bits)``.
+    Pure integer/bit expressions end-to-end — bit-identical in any
+    engine.  ONE hash exchange (explode k positions, bit_or-collapse
+    map-side).
+    """
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}")
+    _bloom_check(words, k)
+    m_bits = 63 * words
+    pos = F.array(*[_bloom_pos(F.col(item_col), j, m_bits)
+                    for j in range(k)])
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .withColumn("window_start",
+                    F.date_trunc(TIERS[tier], F.col("ts")))
+        .select(*key_cols, "window_start", F.explode(pos).alias("__p"))
+        # explicit floor — Spark's double→long cast truncates but
+        # DuckDB's rounds (the ts_allan lesson); // replays floor.
+        # shiftleft via expr: the python API wants a literal shift
+        .groupBy(*key_cols, "window_start",
+                 F.floor(F.col("__p") / F.lit(63)).cast("long")
+                 .alias("word_idx"))
+        .agg(F.bit_or(F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(__p % 63 AS INT))"))
+            .alias("bits"))
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def bloom_fold(fine: DataFrame, target_tier: str,
+               key_cols: list[str]) -> DataFrame:
+    """Fold finer-tier Bloom rows up to ``target_tier`` by bitwise
+    OR — the Bloom merge: OR of filters over sub-windows IS the
+    filter of the unioned window (same m, same hash family), exactly,
+    so membership after folding equals direct coarse-tier membership
+    bit-for-bit.  One shuffle of the small word table, never of raw
+    turns."""
+    if target_tier not in _FOLD_TARGETS:
+        raise ValueError(f"can only fold to {list(_FOLD_TARGETS)}")
+    unit = TIERS[target_tier]
+    return (
+        fine
+        .withColumn("window_start",
+                    F.date_trunc(unit, F.col("window_start")))
+        .groupBy(*key_cols, "window_start", "word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+        .withColumn("tier", F.lit(target_tier))
+    )
+
+
+def bloom_contains(sketch: DataFrame, items: list[str],
+                   key_cols: list[str], words: int = 16,
+                   k: int = 4) -> DataFrame:
+    """Probe each query item against every (key, window) filter:
+    present iff ALL k bit positions are set; an absent word reads as
+    0 (sparse convention), so one unset position answers definitely-
+    absent — Bloom's no-false-negative guarantee is preserved
+    exactly.  Output ``(*key_cols, window_start, tier, item,
+    maybe_present)``; ``maybe_present`` false is CERTAIN absence,
+    true is presence up to the documented false-positive rate
+    (~(1 − e^{−kn/m})^k).  Probe grid = k·|items| literal rows
+    broadcast against the filter spine (items are a driver-side
+    candidate list by contract, not the item domain)."""
+    _bloom_check(words, k)
+    if not items:
+        raise ValueError("items must be non-empty")
+    if any(i is None for i in items):
+        raise ValueError("query items must be non-NULL")
+    m_bits = 63 * words
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        [(it,) for it in items], "item string").select(
+        "item",
+        F.explode(F.array(*[_bloom_pos(F.col("item"), j, m_bits)
+                            for j in range(k)])).alias("__p")) \
+        .select("item",
+                F.floor(F.col("__p") / F.lit(63)).cast("long")
+                .alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(__p % 63 AS INT))").alias("b"))
+    spine = sketch.select(*key_cols, "window_start", "tier").distinct()
+    grid = spine.crossJoin(F.broadcast(probes))
+    joined = grid.join(
+        sketch, [*key_cols, "window_start", "tier", "word_idx"], "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0))
+           .bitwiseAND(F.col("b")) == F.col("b"))
+    return (joined
+            .groupBy(*key_cols, "window_start", "tier", "item")
+            .agg((F.sum(F.when(hit, 0).otherwise(1)) == 0)
+                 .alias("maybe_present")))

@@ -729,3 +729,48 @@ def test_hits_empty_raises(spark):
         "src string, dst string, w long")
     with pytest.raises(ValueError, match="empty graph"):
         hits(empty)
+
+
+# --- Bloom tier -------------------------------------------------------------
+
+def _bloom_events(spark, items, hours):
+    ts = [pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)
+          for h in hours]
+    return spark.createDataFrame(pd.DataFrame(
+        {"role": ["r"] * len(items), "ts": ts, "item": items}))
+
+
+def test_bloom_no_false_negatives_and_fold_eq_direct(spark):
+    from cesium_spark.operators.sketches import (bloom_build,
+                                                 bloom_contains,
+                                                 bloom_fold)
+    items = [f"item{i}" for i in range(40)]
+    hours = [i % 20 for i in range(40)]          # spread over 20 hours
+    ev = _bloom_events(spark, items, hours)
+    fine = bloom_build(ev, "1h", ["role"], "item")
+    folded = bloom_fold(fine, "1d", ["role"])
+    direct = bloom_build(ev, "1d", ["role"], "item")
+    a = {(r["word_idx"]): r["bits"] for r in folded.collect()}
+    b = {(r["word_idx"]): r["bits"] for r in direct.collect()}
+    assert a == b                                # OR-fold == direct
+    got = {r["item"]: r["maybe_present"] for r in
+           bloom_contains(folded, items + ["nope1", "nope2"],
+                          ["role"]).collect()}
+    for it in items:
+        assert got[it] is True                   # NO false negatives
+
+
+def test_bloom_certain_absence_and_guards(spark):
+    from cesium_spark.operators.sketches import (bloom_build,
+                                                 bloom_contains)
+    ev = _bloom_events(spark, ["only"], [0])
+    sk = bloom_build(ev, "1h", ["role"], "item")
+    # 1 item sets <= 4 of 1008 bits: a disjoint probe is certain-absent
+    got = {r["item"]: r["maybe_present"] for r in
+           bloom_contains(sk, [f"absent{i}" for i in range(30)],
+                          ["role"]).collect()}
+    assert sum(1 for v in got.values() if not v) >= 29
+    with pytest.raises(ValueError, match="words"):
+        bloom_build(ev, "1h", ["role"], "item", words=0)
+    with pytest.raises(ValueError, match="non-NULL"):
+        bloom_contains(sk, ["a", None], ["role"])
