@@ -11907,6 +11907,133 @@ FROM pos GROUP BY role, w, p // 63
 """
 
 
+def q_ts_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis (boxes 4/8/16, prefix 256) of
+    tokens-per-turn: the nonstationarity-robust twin of ts_hurst -
+    the profile is integrated then linearly detrended per box, so a
+    drifting baseline does not masquerade as long memory. Exact int64
+    profile and box statistics (U, W, V - V's overflow bound
+    documented), one fixed RSS tree per box, nondecreasing ordered
+    RSS folds, fixed-literal-weight log-log slope; constant prefix ->
+    F = 0 -> NULL alpha."""
+    from cesium_spark.operators.seriesstats import dfa
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = dfa(series, boxes=(4, 8, 16), max_n=256)
+    return out.select(
+        "conv_id", "n_used", "capped",
+        _r(F.col("f_4"), 9).alias("f_4"),
+        _r(F.col("f_8"), 9).alias("f_8"),
+        _r(F.col("f_16"), 9).alias("f_16"),
+        _r(F.col("alpha"), 9).alias("alpha"))
+
+
+def _dfa_oracle_sql(bs=(4, 8, 16), max_n=256) -> str:
+    import math
+    lb = [math.log(b) for b in bs]
+    mlb = sum(lb) / len(lb)
+    dev = [x - mlb for x in lb]
+    den = sum(d * d for d in dev)
+    coef = [d / den for d in dev]
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN s = {b} THEN f END) AS f_{b}" for b in bs)
+    ok = " AND ".join(f"f_{b} IS NOT NULL AND f_{b} > 0" for b in bs)
+    slope = " + ".join(f"{c!r} * ln(f_{b})" for c, b in zip(coef, bs))
+    outf = ",\n       ".join(
+        f"round(f_{b}, 9) + 0.0 AS f_{b}" for b in bs)
+    grid = ", ".join(f"({b})" for b in bs)
+    return f"""
+WITH s0 AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint)
+           AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pre AS (
+  SELECT conv_id, y,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS k
+  FROM s0
+),
+kept AS (SELECT * FROM pre WHERE k <= {max_n}),
+prof AS (
+  SELECT conv_id, k - 1 AS rank,
+         count(*) OVER (PARTITION BY conv_id) AS nu,
+         count(*) OVER (PARTITION BY conv_id)
+           * sum(y) OVER (PARTITION BY conv_id ORDER BY k
+                          ROWS UNBOUNDED PRECEDING)
+           - k * sum(y) OVER (PARTITION BY conv_id) AS p
+  FROM kept
+),
+ex AS (
+  SELECT conv_id, rank, nu, p, s,
+         rank // s AS block, rank % s + 1 AS x
+  FROM prof, (VALUES {grid}) t(s)
+  WHERE rank // s < nu // s
+),
+st AS (
+  SELECT conv_id, s, block, max(nu) AS nu,
+         sum(p) AS u, sum(x * p) AS w, sum(p * p) AS v
+  FROM ex GROUP BY 1, 2, 3
+),
+rs AS (
+  SELECT conv_id, s, block, nu,
+         greatest(
+           (cast(v AS double)
+            - cast(u AS double) * cast(u AS double) / cast(s AS double))
+           - (cast(w AS double)
+              - cast(s * (s + 1) AS double) / 2.0
+                * cast(u AS double) / cast(s AS double))
+             * (cast(w AS double)
+                - cast(s * (s + 1) AS double) / 2.0
+                  * cast(u AS double) / cast(s AS double))
+             / (cast(s * (s + 1) * (2 * s + 1) AS double) / 6.0
+                - cast(s * (s + 1) AS double) / 2.0
+                  * (cast(s * (s + 1) AS double) / 2.0)
+                  / cast(s AS double)),
+           0.0) AS rss
+  FROM st
+),
+fold AS (
+  SELECT conv_id, s, max(nu) AS nu,
+         max(cum_rss) AS tot_rss, count(*) AS k_blocks
+  FROM (SELECT conv_id, s, nu, block,
+               sum(rss) OVER (PARTITION BY conv_id, s ORDER BY block
+                              ROWS UNBOUNDED PRECEDING) AS cum_rss
+        FROM rs) z
+  GROUP BY 1, 2
+),
+per_s AS (
+  SELECT conv_id, nu, s,
+         sqrt(tot_rss / cast(k_blocks * s AS double))
+           / cast(nu AS double) AS f
+  FROM fold
+),
+wide AS (
+  SELECT conv_id, max(nu) AS n_used,
+         {pivots}
+  FROM per_s GROUP BY 1
+)
+SELECT conv_id, cast(n_used AS bigint) AS n_used,
+       n_used >= {max_n} AS capped,
+       {outf},
+       round(CASE WHEN {ok} THEN {slope} END, 9) + 0.0 AS alpha
+FROM wide
+"""
+
+
+SQL_TS_DFA = _dfa_oracle_sql()
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -11961,6 +12088,7 @@ QUERIES = {
     "ts_sampen": q_ts_sampen,
     "doc_hits": q_doc_hits,
     "ts_bloom_fold": q_ts_bloom_fold,
+    "ts_dfa": q_ts_dfa,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12179,6 +12307,7 @@ ORACLE_SQL = {
     "ts_sampen": SQL_TS_SAMPEN,
     "doc_hits": SQL_DOC_HITS,
     "ts_bloom_fold": SQL_TS_BLOOM_FOLD,
+    "ts_dfa": SQL_TS_DFA,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -2922,3 +2922,127 @@ def sample_entropy(series: DataFrame, r: int, max_n: int = 256) -> DataFrame:
         F.coalesce(F.col("a_count"), F.lit(0)).cast("long")
         .alias("a_count"),
         sampen.alias("sampen"))
+
+
+def dfa(series: DataFrame, boxes: tuple = (4, 8, 16),
+        max_n: int = 1024) -> DataFrame:
+    """Detrended fluctuation analysis per conversation (Peng et al.
+    1994) — the nonstationarity-robust twin of ``hurst_rs``: R/S
+    rescales raw block ranges, DFA first integrates to the profile
+    and removes a per-box LINEAR trend, so a drifting baseline (the
+    agent slowing down) does not masquerade as long memory.  α ≈ 0.5
+    uncorrelated, → 1 persistent, ≈ 1.5 Brownian.
+
+    Exact-integer layout: with prefix length n, sum S and ordered
+    cumsum cum_j, the scaled profile P_j = n·cum_j − j·S is EXACT
+    int64, and every box statistic — U = ΣP, W = Σx·P, V = ΣP² —
+    is an exact int64 aggregate (order-free, no float fold needed at
+    box level).  V is the binding overflow bound: s·(n²·y_max)² must
+    stay under 2^63, which holds to y_max ≈ 2.9·10³ at the default
+    1024-row prefix cap (ANSI raises, not wraps, beyond — the
+    documented-grid discipline).  The per-box RSS is then ONE fixed
+    double tree (V − U²/s) − (W − A·U/s)²/(B − A²/s) with integer
+    constants A = s(s+1)/2, B = s(s+1)(2s+1)/6, clamped at 0; box
+    RSS values are ≥ 0, so the per-(conv,s) fold is a nondecreasing
+    ordered cumsum whose max IS the total (the hurst_rs fold rule).
+    F(s) = sqrt(ΣRSS/(k·s))/n — the /n un-scales the profile; since
+    scaling multiplies every F by the same factor, α is unaffected
+    either way.
+
+    α = Σ cᵢ·ln Fᵢ with fixed literal weights (the hurst_rs
+    closed-form slope); NULL unless every box level has ≥ 1 full box
+    AND F > 0 (a constant prefix has F exactly 0 — ln(0) is not a
+    memory exponent).  Prefix cap semantics as in sample_entropy
+    (``capped`` flag).
+
+    Plan: two conv windows (prefix rank, then cumsum/S over the
+    prefix) + explode over the literal s grid + one (conv,s,block)
+    aggregate + one (conv,s) ordered fold + one per-conv pivot —
+    all exchanges on conv_id-prefixed keys, no UDF, no join.
+    """
+    bs = tuple(int(b) for b in boxes)
+    if len(bs) < 2 or any(b < 3 for b in bs) or len(set(bs)) != len(bs):
+        raise ValueError(f"dfa: need >=2 distinct box sizes >= 3, "
+                         f"got {boxes!r}")
+    if not (32 <= max_n <= 8192):
+        raise ValueError(f"dfa: max_n must be in [32, 8192], got {max_n}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"dfa: column 'y' has type {t}; the exact-profile "
+            "contract needs integer values")
+    import math
+    lb = [math.log(b) for b in bs]
+    mlb = sum(lb) / len(lb)
+    dev = [x - mlb for x in lb]
+    den = sum(d * d for d in dev)
+    coef = [d / den for d in dev]
+
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    pre = (series
+           .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+           .select("conv_id", "t", "turn_idx",
+                   F.col("y").cast("long").alias("y"),
+                   F.row_number().over(w_ord).alias("__k")))
+    kept = pre.where(F.col("__k") <= max_n)
+    w_ord2 = Window.partitionBy("conv_id").orderBy("__k")
+    w_all = Window.partitionBy("conv_id")
+    prof = kept.select(
+        "conv_id",
+        (F.col("__k") - 1).alias("rank"),
+        F.col("__k").alias("j_global"),
+        F.count(F.lit(1)).over(w_all).alias("nu"),
+        (F.count(F.lit(1)).over(w_all)
+         * F.sum("y").over(w_ord2.rowsBetween(
+             Window.unboundedPreceding, 0))
+         - F.col("__k") * F.sum("y").over(w_all)).alias("p"))
+    ex = (prof
+          .select("conv_id", "rank", "nu", "p",
+                  F.explode(F.array(*[F.lit(b) for b in bs])).alias("s"))
+          .withColumn("block", F.expr("rank div s"))
+          .withColumn("x", F.expr("rank % s + 1"))
+          .where(F.col("block") < F.expr("nu div s")))
+    stats = (ex.groupBy("conv_id", "s", "block")
+             .agg(F.first("nu").alias("nu"),
+                  F.sum("p").alias("u"),
+                  F.sum(F.col("x") * F.col("p")).alias("w"),
+                  F.sum(F.col("p") * F.col("p")).alias("v")))
+    sd = F.col("s").cast("double")
+    a_c = (F.col("s") * (F.col("s") + 1)).cast("double") / F.lit(2.0)
+    b_c = (F.col("s") * (F.col("s") + 1)
+           * (F.lit(2) * F.col("s") + 1)).cast("double") / F.lit(6.0)
+    ud, wd, vd = (F.col(c).cast("double") for c in ("u", "w", "v"))
+    rss_raw = ((vd - ud * ud / sd)
+               - (wd - a_c * ud / sd) * (wd - a_c * ud / sd)
+               / (b_c - a_c * a_c / sd))
+    rss = F.when(rss_raw < 0, F.lit(0.0)).otherwise(rss_raw)
+    wcs = Window.partitionBy("conv_id", "s").orderBy("block")
+    folded = (stats
+              .select("conv_id", "nu", "s", "block",
+                      F.sum(rss).over(wcs).alias("cum_rss"))
+              .groupBy("conv_id", "s")
+              .agg(F.first("nu").alias("nu"),
+                   F.max("cum_rss").alias("tot_rss"),
+                   F.count(F.lit(1)).alias("k_blocks")))
+    f_s = (F.sqrt(F.col("tot_rss")
+                  / (F.col("k_blocks") * F.col("s")).cast("double"))
+           / F.col("nu").cast("double"))
+    per_s = folded.select("conv_id", "nu", "s", f_s.alias("f"))
+    pivots = [F.max(F.when(F.col("s") == b, F.col("f")))
+              .alias(f"f_{b}") for b in bs]
+    wide = (per_s.groupBy("conv_id")
+            .agg(F.first("nu").alias("n_used"), *pivots))
+    all_ok = None
+    for b in bs:
+        c = F.col(f"f_{b}").isNotNull() & (F.col(f"f_{b}") > 0)
+        all_ok = c if all_ok is None else (all_ok & c)
+    slope = None
+    for cf, b in zip(coef, bs):
+        term = F.lit(cf) * F.log(F.col(f"f_{b}"))
+        slope = term if slope is None else (slope + term)
+    return wide.select(
+        "conv_id",
+        F.col("n_used").cast("long").alias("n_used"),
+        (F.col("n_used") >= F.lit(max_n)).alias("capped"),
+        *[F.col(f"f_{b}") for b in bs],
+        F.when(all_ok, slope).alias("alpha"))

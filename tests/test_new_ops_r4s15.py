@@ -774,3 +774,74 @@ def test_bloom_certain_absence_and_guards(spark):
         bloom_build(ev, "1h", ["role"], "item", words=0)
     with pytest.raises(ValueError, match="non-NULL"):
         bloom_contains(sk, ["a", None], ["role"])
+
+
+# --- DFA --------------------------------------------------------------------
+
+def _dfa_ref(y, bs=(4, 8, 16), max_n=1024):
+    y = np.asarray(y[:max_n], dtype=np.int64)
+    n = len(y)
+    p = n * np.cumsum(y) - np.arange(1, n + 1) * y.sum()
+    fs = []
+    for s in bs:
+        k = n // s
+        rss_tot = 0.0
+        x = np.arange(1, s + 1, dtype=float)
+        for b in range(k):
+            seg = p[b * s:(b + 1) * s].astype(float)
+            A = np.vstack([x, np.ones(s)]).T
+            beta, res, *_ = np.linalg.lstsq(A, seg, rcond=None)
+            r = seg - A @ beta
+            rss_tot += float(r @ r)
+        fs.append(np.sqrt(rss_tot / (k * s)) / n)
+    lb = np.log(bs)
+    c = (lb - lb.mean()) / np.sum((lb - lb.mean()) ** 2)
+    return fs, float(np.sum(c * np.log(fs)))
+
+
+def test_dfa_matches_ref(spark):
+    from cesium_spark.operators.seriesstats import dfa
+    rng = np.random.RandomState(17)
+    y = rng.randint(0, 50, 200)
+    row = dfa(_series15(spark, y)).collect()[0]
+    fs, alpha = _dfa_ref(y)
+    for b, f in zip((4, 8, 16), fs):
+        assert abs(row[f"f_{b}"] - f) < 1e-9
+    assert abs(row["alpha"] - alpha) < 1e-9
+
+
+def test_dfa_memory_directions(spark):
+    """The textbook scaling pins: iid noise alpha ~ 0.5 (well below
+    1), an integrated random walk alpha ~ 1.5 (well above 1). DFA1
+    removes profile-linear components, i.e. constant LEVELS of the
+    original series - so a large baseline offset changes alpha not
+    at all (exact invariance, pinned bitwise)."""
+    from cesium_spark.operators.seriesstats import dfa
+    rng = np.random.RandomState(23)
+    white = rng.randint(0, 100, 500)
+    walk = np.cumsum(rng.choice([-1, 1], 500)) + 600
+    a_white = dfa(_series15(spark, white)).collect()[0]["alpha"]
+    a_walk = dfa(_series15(spark, walk)).collect()[0]["alpha"]
+    assert a_white < 0.8 and a_walk > 1.2
+    # exact level invariance: +10000 to every value, alpha unchanged
+    a_shift = dfa(_series15(spark, white + 10000)).collect()[0]["alpha"]
+    assert a_shift == a_white
+
+
+def test_dfa_cap_and_degenerates(spark):
+    from cesium_spark.operators.seriesstats import dfa
+    rng = np.random.RandomState(2)
+    y = rng.randint(0, 30, 300)
+    row = dfa(_series15(spark, y), max_n=64).collect()[0]
+    fs, alpha = _dfa_ref(y, max_n=64)
+    assert row["capped"] and row["n_used"] == 64
+    assert abs(row["alpha"] - alpha) < 1e-9
+    # constant -> F = 0 -> NULL alpha, never ln(0)
+    row = dfa(_series15(spark, [7] * 100)).collect()[0]
+    assert row["alpha"] is None and row["f_4"] == 0.0
+    # too short for a 16-box -> NULL
+    row = dfa(_series15(spark, list(range(12)))).collect()[0]
+    assert row["alpha"] is None
+    with pytest.raises(ValueError, match="integer"):
+        dfa(spark.createDataFrame(pd.DataFrame(
+            {"conv_id": ["c"], "turn_idx": [0], "t": [0.0], "y": [1.5]})))
