@@ -12034,6 +12034,52 @@ FROM wide
 SQL_TS_DFA = _dfa_oracle_sql()
 
 
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document: the
+    classic dictionary-free readability pair next to quality_score's
+    heuristics. Exact integer word/sentence/syllable counts (per-WORD
+    vowel-group floor - a whole-text count would undercount exactly
+    the all-consonant ids a quality gate needs to see), two fixed
+    double trees, zero exchanges."""
+    from cesium_spark.operators.textstats import readability
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = readability(docs)
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        _r(F.col("flesch_ease"), 6).alias("flesch_ease"),
+        _r(F.col("fk_grade"), 6).alias("fk_grade"))
+
+
+SQL_DOC_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         list_sum(list_transform(
+           string_split_regex(trim(text), '\\s+'),
+           t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+           AS y
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       cast(w AS bigint) AS n_words,
+       CASE WHEN w > 0 THEN cast(s AS bigint) END AS n_sentences,
+       CASE WHEN w > 0 THEN cast(y AS bigint) END AS n_syllables,
+       round(CASE WHEN w > 0 THEN
+             206.835 - 1.015 * (cast(w AS double) / cast(s AS double))
+             - 84.6 * (cast(y AS double) / cast(w AS double)) END, 6)
+         + 0.0 AS flesch_ease,
+       round(CASE WHEN w > 0 THEN
+             0.39 * (cast(w AS double) / cast(s AS double))
+             + 11.8 * (cast(y AS double) / cast(w AS double))
+             - 15.59 END, 6) + 0.0 AS fk_grade
+FROM c
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12089,6 +12135,7 @@ QUERIES = {
     "doc_hits": q_doc_hits,
     "ts_bloom_fold": q_ts_bloom_fold,
     "ts_dfa": q_ts_dfa,
+    "doc_readability": q_doc_readability,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12308,6 +12355,7 @@ ORACLE_SQL = {
     "doc_hits": SQL_DOC_HITS,
     "ts_bloom_fold": SQL_TS_BLOOM_FOLD,
     "ts_dfa": SQL_TS_DFA,
+    "doc_readability": SQL_DOC_READABILITY,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -1237,3 +1237,54 @@ def jsd_halves(docs: DataFrame, id_col: str = "doc_id",
         F.when(F.col("__union") > 0,
                F.col("__inter").cast("double")
                / F.col("__union").cast("double")).alias("vocab_jaccard"))
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document
+    (Flesch 1948; Kincaid et al. 1975) — the classic readability pair
+    every text-quality gate reports next to the length/punctuation
+    heuristics of ``quality_score``:
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    with W = words (whitespace split), S = sentence-terminator groups
+    ``[.!?]+`` floored at 1 (prose without terminators is one
+    sentence, not a division by zero), and Y = syllables estimated as
+    per-word vowel-group count ``[aeiouy]+`` floored at 1 (the
+    standard dictionary-free estimator; "xyz" is one syllable, not
+    zero).  The floor must be PER WORD — a whole-text vowel-group
+    count would undercount exactly the all-consonant tokens (ids,
+    acronyms) that quality gates most need to see.
+
+    Exactness: W, S, Y are exact int64 regex/split counts (identical
+    engines — probed: Spark's regexp_extract_all and DuckDB's agree
+    on the character classes used here); both scores are fixed double
+    trees over the two ratios.  W = 0 (NULL/whitespace text) → NULL
+    scores.  Pure projection over the scan — zero exchanges, no UDF.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    w_cnt = F.when(F.trim(F.col(text_col)) == "", F.lit(0)) \
+        .otherwise(F.size(toks)).cast("long")
+    s_cnt = F.greatest(
+        F.expr(f"size(regexp_extract_all({text_col}, '[.!?]+', 0))")
+        .cast("long"), F.lit(1).cast("long"))
+    syl = F.expr(
+        f"aggregate(transform(split(trim({text_col}), '\\\\s+'), "
+        "w -> greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1)),"
+        " cast(0 as bigint), (a, x) -> a + x)")
+    ok = w_cnt > 0
+    wps = w_cnt.cast("double") / s_cnt.cast("double")
+    spw = syl.cast("double") / w_cnt.cast("double")
+    ease = (F.lit(206.835) - F.lit(1.015) * wps
+            - F.lit(84.6) * spw)
+    grade = (F.lit(0.39) * wps + F.lit(11.8) * spw
+             - F.lit(15.59))
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        w_cnt.alias("n_words"),
+        F.when(ok, s_cnt).alias("n_sentences"),
+        F.when(ok, syl).alias("n_syllables"),
+        F.when(ok, ease).alias("flesch_ease"),
+        F.when(ok, grade).alias("fk_grade"))

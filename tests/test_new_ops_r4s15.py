@@ -845,3 +845,40 @@ def test_dfa_cap_and_degenerates(spark):
     with pytest.raises(ValueError, match="integer"):
         dfa(spark.createDataFrame(pd.DataFrame(
             {"conv_id": ["c"], "turn_idx": [0], "t": [0.0], "y": [1.5]})))
+
+
+# --- readability ------------------------------------------------------------
+
+def test_readability_known_text(spark):
+    from cesium_spark.operators.textstats import readability
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat on the mat. it was flat!",
+                 "antidisestablishmentarianism notwithstanding",
+                 "xyz qrs bcd",            # all-consonant: 1 syl each
+                 "   "]}))
+    rows = {r["doc_id"]: r for r in readability(docs).collect()}
+    r1 = rows[1]
+    # 9 words, 2 sentences, syllables: the=1 cat=1 sat=1 on=1 the=1
+    # mat.=1 it=1 was=1 flat!=1 -> 9
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) \
+        == (9, 2, 9)
+    assert abs(r1["flesch_ease"]
+               - (206.835 - 1.015 * 4.5 - 84.6 * 1.0)) < 1e-9
+    # long-word doc reads much harder than the cat doc
+    assert rows[2]["flesch_ease"] < rows[1]["flesch_ease"] - 100
+    assert rows[2]["n_sentences"] == 1         # floored, no div-by-0
+    assert rows[3]["n_syllables"] == 3         # per-word floor
+    assert rows[4]["flesch_ease"] is None      # whitespace-only
+    assert rows[4]["n_words"] == 0
+
+
+def test_readability_grade_monotone_in_length(spark):
+    from cesium_spark.operators.textstats import readability
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["see the dog run.",
+                 "the committee deliberated extensively regarding "
+                 "organizational restructuring implications."]}))
+    rows = {r["doc_id"]: r for r in readability(docs).collect()}
+    assert rows[2]["fk_grade"] > rows[1]["fk_grade"] + 5
