@@ -12080,6 +12080,82 @@ FROM c
 """
 
 
+def q_emb_ncm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean evaluation over the embeddings table: hold
+    out every 5th vector by id, average the rest per label on the
+    integer grid, assign each held-out vector to the nearest class
+    mean (deterministic lowest-label tiebreak), report the per-class
+    confusion-free accuracy - the 'does this space separate labels
+    at all' probe in front of any learned head. Accuracy emitted
+    UNROUNDED (one division of exact integers - the ts_allan rule)."""
+    from cesium_spark.operators.similarity import ncm_classify
+    _prep(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    out = ncm_classify(embs)
+    return out.orderBy("label").select(
+        F.col("label").cast("int").alias("label"),
+        "n_test", "n_correct", "accuracy")
+
+
+SQL_EMB_NCM = """
+WITH b AS (
+  SELECT vec_id, label, embedding
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+train AS (
+  SELECT label AS l, u.pos,
+         cast(round(cast(u.g AS double) * 1e7) AS bigint) AS g
+  FROM b,
+  LATERAL (SELECT unnest(embedding) AS g,
+                  generate_subscripts(embedding, 1) AS pos) u
+  WHERE vec_id % 5 != 0
+),
+cent AS (
+  SELECT l, pos, sum(g) AS s, count(*) AS n
+  FROM train GROUP BY 1, 2
+),
+test AS (
+  SELECT vec_id AS id, label AS tru, u.pos,
+         cast(round(cast(u.g AS double) * 1e7) AS bigint) AS gx
+  FROM b,
+  LATERAL (SELECT unnest(embedding) AS g,
+                  generate_subscripts(embedding, 1) AS pos) u
+  WHERE vec_id % 5 = 0
+),
+folded AS (
+  SELECT t.id, t.tru, c.l,
+         sum((cast(t.gx AS double)
+              - cast(c.s AS double) / cast(c.n AS double))
+             * (cast(t.gx AS double)
+                - cast(c.s AS double) / cast(c.n AS double)))
+           OVER (PARTITION BY t.id, c.l ORDER BY t.pos
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM test t JOIN cent c ON t.pos = c.pos
+),
+d2 AS (
+  SELECT id, tru, l, max(cum) AS d2
+  FROM folded GROUP BY 1, 2, 3
+),
+pred AS (
+  -- arg_min has no composite-key overload; the deterministic
+  -- (d2, l) pick is a row_number window instead
+  SELECT id, tru, l AS pred FROM (
+    SELECT id, tru, l,
+           row_number() OVER (PARTITION BY id ORDER BY d2, l) AS rn
+    FROM d2) z
+  WHERE rn = 1
+)
+SELECT cast(tru AS int) AS label,
+       cast(count(*) AS bigint) AS n_test,
+       cast(sum(CASE WHEN pred = tru THEN 1 ELSE 0 END) AS bigint)
+         AS n_correct,
+       cast(sum(CASE WHEN pred = tru THEN 1 ELSE 0 END) AS double)
+         / cast(count(*) AS double) AS accuracy
+FROM pred GROUP BY tru ORDER BY tru
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12136,6 +12212,7 @@ QUERIES = {
     "ts_bloom_fold": q_ts_bloom_fold,
     "ts_dfa": q_ts_dfa,
     "doc_readability": q_doc_readability,
+    "emb_ncm": q_emb_ncm,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12356,6 +12433,7 @@ ORACLE_SQL = {
     "ts_bloom_fold": SQL_TS_BLOOM_FOLD,
     "ts_dfa": SQL_TS_DFA,
     "doc_readability": SQL_DOC_READABILITY,
+    "emb_ncm": SQL_EMB_NCM,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -739,3 +739,98 @@ def effective_rank(embs: DataFrame, dim: int, grid: float = 1e4,
         "n", F.lit(int(dim)).alias("dim"),
         trace_real.alias("total_variance"),
         er.alias("effective_rank"))
+
+
+def ncm_classify(embs: DataFrame, grid: float = 1e7, fold_mod: int = 5,
+                 vec_col: str = "embedding",
+                 label_col: str = "label",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Nearest-class-mean classification over the embedding corpus
+    (the NCM baseline of Mensink et al. 2013; also the 'prototype'
+    in few-shot literature) — the evaluate-step that tells you
+    whether the embedding space SEPARATES your labels at all before
+    you spend anything on a learned head: hold out every
+    ``fold_mod``-th vector by id, average the rest per label, assign
+    each held-out vector to the nearest class mean, report per-class
+    accuracy.
+
+    Exactness: train centroids use the embedding_drift integer-grid
+    device — components gridded ONCE to round(x·grid) int64, so
+    per-(label, dim) sums are exact at any parallelism; each test
+    component uses the SAME grid, so the squared-distance terms
+    t = gx_d − s_ld/n_l are fixed double trees; the Σt² fold per
+    (vector, label) runs in ORDERED dim sequence and — squares being
+    nonnegative — its running sum is nondecreasing, so the terminal
+    value is max(cum) (the hurst fold rule; the drift fold needed
+    max_by because ITS terms are signed).  The argmin pick is
+    min_by(label, struct(d2, label)) — deterministic lowest-label
+    tiebreak over bit-identical doubles.  The /grid² scale on d²
+    is monotone and therefore never applied.
+
+    Split contract: ``id % fold_mod == 0`` is the test fold —
+    content-addressed like hash_split, so the fold never migrates
+    under repartition or table growth by append-with-increasing-id.
+
+    Degenerate: a test label with no TRAIN vectors classifies
+    against the remaining centroids (its accuracy shows the miss);
+    an EMPTY train set raises eagerly (driver-side
+    isEmpty — an in-plan raise on the broadcast side is elided by
+    AQE when the test side is empty; found live, noted here for the
+    next in-plan-guard author).
+
+    Plan: one (label, dim) train aggregate (label·dim rows,
+    broadcast), one posexplode of the test fold joined to it on dim,
+    one (vec, label) ordered fold + one per-vec argmin + one
+    per-label aggregate — the brute-force exact baseline by design
+    (the IVF/PQ path is the ANN complement at corpus scale).
+    """
+    if grid <= 0:
+        raise ValueError(f"ncm_classify: grid must be > 0, got {grid}")
+    if not isinstance(fold_mod, int) or fold_mod < 2:
+        raise ValueError(f"ncm_classify: fold_mod must be an int >= 2, "
+                         f"got {fold_mod!r}")
+    base = embs.where(F.col(vec_col).isNotNull()
+                      & F.col(label_col).isNotNull())
+    gvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(grid)), 0)
+        .cast("long"))
+    is_test = F.col(id_col) % fold_mod == 0
+    train_rows = base.where(~is_test)
+    # eager driver-side guard (the pagerank n-count discipline): an
+    # in-plan raise on the broadcast side is ELIDED by AQE when the
+    # test side is empty — found live; a bounded isEmpty() cannot be
+    # optimized away
+    if train_rows.isEmpty():
+        raise ValueError("ncm_classify: empty train set")
+    train = train_rows.select(F.col(label_col).alias("__l"),
+                              F.posexplode(gvec).alias("pos", "g"))
+    cent = train.groupBy("__l", "pos").agg(
+        F.sum("g").alias("s"),
+        F.count(F.lit(1)).alias("n"))
+    test = (base.where(is_test)
+            .select(F.col(id_col).alias("__id"),
+                    F.col(label_col).alias("__true"),
+                    F.posexplode(gvec).alias("pos", "gx")))
+    joined = test.join(F.broadcast(cent), "pos")
+    t = (F.col("gx").cast("double")
+         - F.col("s").cast("double") / F.col("n").cast("double"))
+    w_ord = (Window.partitionBy("__id", "__l").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    folded = joined.select(
+        "__id", "__true", "__l",
+        F.sum(t * t).over(w_ord).alias("__cum"))
+    d2 = (folded.groupBy("__id", "__true", "__l")
+          .agg(F.max("__cum").alias("d2")))
+    pred = (d2.groupBy("__id", "__true")
+            .agg(F.expr("min_by(__l, struct(d2, __l))").alias("__pred")))
+    out = (pred.groupBy(F.col("__true").alias(label_col))
+           .agg(F.count(F.lit(1)).alias("n_test"),
+                F.sum(F.when(F.col("__pred") == F.col("__true"), 1)
+                      .otherwise(0)).alias("n_correct")))
+    return out.select(
+        label_col,
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        (F.col("n_correct").cast("double")
+         / F.col("n_test").cast("double")).alias("accuracy"))

@@ -882,3 +882,52 @@ def test_readability_grade_monotone_in_length(spark):
                  "organizational restructuring implications."]}))
     rows = {r["doc_id"]: r for r in readability(docs).collect()}
     assert rows[2]["fk_grade"] > rows[1]["fk_grade"] + 5
+
+
+# --- NCM classifier ---------------------------------------------------------
+
+def _embs(spark, vecs, labels, ids=None):
+    ids = list(range(len(vecs))) if ids is None else ids
+    pdf = pd.DataFrame({
+        "vec_id": np.asarray(ids, dtype=np.int64),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+        "label": np.asarray(labels, dtype=np.int32)})
+    return spark.createDataFrame(pdf)
+
+
+def test_ncm_separable_clusters(spark):
+    """Three well-separated Gaussian blobs -> near-perfect held-out
+    accuracy; the same data with shuffled labels -> chance."""
+    from cesium_spark.operators.similarity import ncm_classify
+    rng = np.random.RandomState(3)
+    centers = np.eye(3).repeat(4, axis=1) * 10      # 3 centers in 12-d
+    vecs, labels = [], []
+    for i in range(90):
+        c = i % 3
+        vecs.append(centers[c] + rng.normal(0, 0.5, 12))
+        labels.append(c)
+    out = ncm_classify(_embs(spark, vecs, labels)).toPandas()
+    assert out.n_correct.sum() / out.n_test.sum() > 0.95
+    shuffled = list(rng.permutation(labels))
+    out2 = ncm_classify(_embs(spark, vecs, shuffled)).toPandas()
+    assert out2.n_correct.sum() / out2.n_test.sum() < 0.7
+
+
+def test_ncm_fold_and_degenerates(spark):
+    from cesium_spark.operators.similarity import ncm_classify
+    # ids 0 and 5 are the test fold at fold_mod=5
+    vecs = [[float(i), 0.0] for i in range(10)]
+    labels = [0, 0, 0, 0, 0, 1, 1, 1, 1, 1]
+    out = ncm_classify(_embs(spark, vecs, labels)).toPandas()
+    assert out.n_test.sum() == 2
+    # vec 0 (=0.0) near train-mean of class 0 (1,2,3,4 -> 2.5) vs
+    # class 1 (6,7,8,9 -> 7.5): correct; vec 5 (=5.0) nearer 2.5: wrong
+    by = {int(r.label): (int(r.n_test), int(r.n_correct))
+          for r in out.itertuples()}
+    assert by[0] == (1, 1) and by[1] == (1, 0)
+    with pytest.raises(Exception, match="empty train set"):
+        # every id divisible by 5 -> no train rows
+        ncm_classify(_embs(spark, [[1.0], [2.0]], [0, 1],
+                           ids=[0, 5])).collect()
+    with pytest.raises(ValueError, match="fold_mod"):
+        ncm_classify(_embs(spark, [[1.0]], [0]), fold_mod=1)
