@@ -12156,6 +12156,59 @@ FROM pred GROUP BY tru ORDER BY tru
 """
 
 
+def q_multimodal_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-energy sharpness over the REAL raster decode: the
+    no-reference blur/flatness detector next to image_phash's
+    identity - exact int64 |first difference| sums over the parsed
+    PGM raster (videos: first Y4M frame, the resize convention;
+    audio filtered). sharpness is one unrounded division of exact
+    integers; the oracle replays every pixel from the padded-text
+    byte formula with inline shifted-index lookups (no join)."""
+    _prep(spark)
+    media = multimodal.attach_media(_read(spark, sf_dir, "documents"))
+    out = multimodal.gradient_energy(
+        media.where(F.col("media_type") != "audio"))
+    return out.select("doc_id", "h", "w", "e_h", "e_v", "n_pairs",
+                      "sharpness")
+
+
+SQL_MULTIMODAL_SHARPNESS = """
+WITH meta AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + (length(text) % 48) AS w,
+         16 + ((length(text) * 7) % 48) AS h
+  FROM documents
+  WHERE (doc_id % 3) != 1  -- audio rows have no raster
+),
+g AS (
+  SELECT doc_id, w, h, i,
+         CASE WHEN (i - 1) % w > 0 THEN abs(
+           (CASE WHEN i <= n THEN ord(text[CAST(i AS INTEGER)])
+                 ELSE 32 END)
+           - (CASE WHEN i - 1 <= n
+                   THEN ord(text[CAST(i - 1 AS INTEGER)])
+                   ELSE 32 END)) ELSE 0 END AS dh,
+         CASE WHEN i > w THEN abs(
+           (CASE WHEN i <= n THEN ord(text[CAST(i AS INTEGER)])
+                 ELSE 32 END)
+           - (CASE WHEN i - w <= n
+                   THEN ord(text[CAST(i - w AS INTEGER)])
+                   ELSE 32 END)) ELSE 0 END AS dv
+  FROM meta, LATERAL unnest(range(1, w * h + 1)) AS u(i)
+)
+SELECT doc_id,
+       cast(max(h) AS int) AS h, cast(max(w) AS int) AS w,
+       cast(sum(dh) AS bigint) AS e_h,
+       cast(sum(dv) AS bigint) AS e_v,
+       cast(max(h) * (max(w) - 1) + (max(h) - 1) * max(w) AS bigint)
+         AS n_pairs,
+       cast(sum(dh) + sum(dv) AS double)
+         / cast(max(h) * (max(w) - 1) + (max(h) - 1) * max(w)
+                AS double) AS sharpness
+FROM g GROUP BY 1
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12213,6 +12266,7 @@ QUERIES = {
     "ts_dfa": q_ts_dfa,
     "doc_readability": q_doc_readability,
     "emb_ncm": q_emb_ncm,
+    "multimodal_sharpness": q_multimodal_sharpness,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12434,6 +12488,7 @@ ORACLE_SQL = {
     "ts_dfa": SQL_TS_DFA,
     "doc_readability": SQL_DOC_READABILITY,
     "emb_ncm": SQL_EMB_NCM,
+    "multimodal_sharpness": SQL_MULTIMODAL_SHARPNESS,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -543,3 +543,59 @@ def image_phash(media: DataFrame) -> DataFrame:
 
     return (media.select("doc_id", "media")
             .mapInPandas(kernel, schema=PHASH_SCHEMA))
+
+
+def gradient_energy(media: DataFrame) -> DataFrame:
+    """Image sharpness by first-difference gradient energy over the
+    REAL raster decode — the classic no-reference blur/flatness
+    detector (the |∇I| energy behind Tenengrad/Brenner focus
+    measures, in its exact integer form): a defocused or padded
+    raster has small adjacent-pixel differences, a textured one
+    large.  The multimodal curation signal next to ``image_phash``'s
+    identity and ``resize_media``'s thumbnails:
+
+        e_h = Σ_{i, j<w} |p[i][j+1] − p[i][j]|,
+        e_v = Σ_{i<h, j} |p[i+1][j] − p[i][j]|
+
+    over integer bytes — EXACT int64 (bound: 255·2wh, overflow-free
+    to petapixel rasters).  Images use their (h, w) raster, videos
+    their FIRST frame (the resize_media convention); audio raises.
+    ``sharpness`` = (e_h + e_v)/n_pairs is the ONE terminal division
+    (unrounded — a quotient of exact integers is bit-identical in
+    any engine); a 1×1 raster has no pairs → NULL, never 0/0.
+
+    Dimensions come from the parsed container header, not metadata
+    columns (the resize_media anti-corruption rule).  Arrow-batched
+    mapInPandas over a pre-projected (doc_id, media) scan: pure
+    per-row kernel, zero shuffle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                arr = decode_media(bytes(payload))
+                if arr.ndim == 3 and arr.shape[-1] != 3:
+                    arr = arr[0]          # video: first frame
+                if arr.ndim != 2:
+                    raise ValueError(
+                        "gradient_energy: item decodes to shape "
+                        f"{arr.shape}, not a 2-d raster (audio rows "
+                        "must be filtered out upstream)")
+                h, w = arr.shape
+                g = np.rint(arr.astype(np.float64) * 256.0).astype(np.int64)
+                e_h = int(np.abs(np.diff(g, axis=1)).sum())
+                e_v = int(np.abs(np.diff(g, axis=0)).sum())
+                n_pairs = h * (w - 1) + (h - 1) * w
+                rows.append((doc_id, h, w, e_h, e_v, n_pairs))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "h", "w", "e_h", "e_v", "n_pairs"])
+
+    out = media.select("doc_id", "media").mapInPandas(
+        kernel,
+        "doc_id long, h int, w int, e_h long, e_v long, n_pairs long")
+    return out.select(
+        "doc_id", "h", "w", "e_h", "e_v", "n_pairs",
+        F.when(F.col("n_pairs") > 0,
+               (F.col("e_h") + F.col("e_v")).cast("double")
+               / F.col("n_pairs").cast("double")).alias("sharpness"))

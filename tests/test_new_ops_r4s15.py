@@ -931,3 +931,41 @@ def test_ncm_fold_and_degenerates(spark):
                            ids=[0, 5])).collect()
     with pytest.raises(ValueError, match="fold_mod"):
         ncm_classify(_embs(spark, [[1.0]], [0]), fold_mod=1)
+
+
+# --- gradient energy --------------------------------------------------------
+
+def test_gradient_energy_flat_vs_textured(spark):
+    """Flat raster -> sharpness exactly 0 over the real PGM decode;
+    a checkerboard -> exactly 255 per pair; values match a numpy
+    diff replay bit-for-bit."""
+    from cesium_spark.operators import multimodal
+    from cesium_spark.operators.multimodal import gradient_energy
+    flat = b"P5\n4 4\n255\n" + bytes([7] * 16)
+    board = b"P5\n4 4\n255\n" + bytes(
+        [0 if (i // 4 + i % 4) % 2 == 0 else 255 for i in range(16)])
+    rng = np.random.RandomState(9)
+    rand_px = bytes(rng.randint(0, 256, 30).tolist())
+    randimg = b"P5\n6 5\n255\n" + rand_px
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "media": [flat, board, randimg]}))
+    rows = {r["doc_id"]: r for r in gradient_energy(df).collect()}
+    assert rows[1]["sharpness"] == 0.0
+    assert rows[1]["n_pairs"] == 4 * 3 * 2
+    assert rows[2]["sharpness"] == 255.0           # every pair flips
+    g = np.frombuffer(rand_px, np.uint8).reshape(5, 6).astype(np.int64)
+    eh = int(np.abs(np.diff(g, axis=1)).sum())
+    ev = int(np.abs(np.diff(g, axis=0)).sum())
+    assert (rows[3]["e_h"], rows[3]["e_v"]) == (eh, ev)
+    assert rows[3]["sharpness"] == (eh + ev) / (5 * 5 + 4 * 6)
+
+
+def test_gradient_energy_audio_raises(spark):
+    from cesium_spark.operators import multimodal
+    from cesium_spark.operators.multimodal import gradient_energy
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": ["some audio content here"]}))
+    media = multimodal.attach_media(docs)   # doc_id 1 -> audio
+    with pytest.raises(Exception, match="2-d raster"):
+        gradient_energy(media).collect()
