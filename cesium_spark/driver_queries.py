@@ -12209,6 +12209,100 @@ FROM g GROUP BY 1
 """
 
 
+_MI_EA = (30.0, 60.0, 120.0, 300.0)      # latency seconds edges
+_MI_EB = (3.0, 5.0, 7.0, 9.0)            # tokens-per-turn edges
+
+
+def q_ts_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned mutual information latency vs tokens per conversation:
+    the INFORMATION member closing the association quartet (Pearson
+    linear, Spearman monotone, Kendall concordance, MI any
+    dependence). Fixed literal bin edges (the drift_psi contract),
+    exact int64 cell/marginal counts, signed MI terms folded in
+    ordered cell sequence with max_by terminal picks, H terms
+    likewise; NMI NULL when a marginal is constant."""
+    from cesium_spark.operators.seriesstats import mi_channels
+    out = mi_channels(
+        derive_series(events_transcripts(spark, sf_dir)), *_CORR_CH,
+        list(_MI_EA), list(_MI_EB))
+    return out.select(
+        "conv_id", "n_pairs",
+        _r(F.col("mi"), 9).alias("mi"),
+        _r(F.col("h_a"), 9).alias("h_a"),
+        _r(F.col("h_b"), 9).alias("h_b"),
+        _r(F.col("nmi"), 9).alias("nmi"))
+
+
+def _mi_bin_sql(col: str, edges: tuple) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col} >= {e!r} THEN 1 ELSE 0 END)" for e in edges)
+
+
+SQL_TS_MI = _SERIES_SQL + f"""
+, aligned AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN channel = '{_CORR_CH[0]}' THEN y END) AS ya,
+         max(CASE WHEN channel = '{_CORR_CH[1]}' THEN y END) AS yb
+  FROM series WHERE y IS NOT NULL
+  GROUP BY 1, 2
+),
+pc AS (
+  SELECT conv_id,
+         {_mi_bin_sql('ya', _MI_EA)} AS bx,
+         {_mi_bin_sql('yb', _MI_EB)} AS by
+  FROM aligned WHERE ya IS NOT NULL AND yb IS NOT NULL
+),
+cells AS (
+  SELECT conv_id, bx, by, count(*) AS nxy
+  FROM pc GROUP BY 1, 2, 3
+),
+enr AS (
+  SELECT conv_id, nxy, bx * {len(_MI_EB) + 1} + by AS key_,
+         sum(nxy) OVER (PARTITION BY conv_id) AS n,
+         sum(nxy) OVER (PARTITION BY conv_id, bx) AS nx,
+         sum(nxy) OVER (PARTITION BY conv_id, by) AS ny,
+         row_number() OVER (PARTITION BY conv_id, bx ORDER BY by) = 1
+           AS fx,
+         row_number() OVER (PARTITION BY conv_id, by ORDER BY bx) = 1
+           AS fy
+  FROM cells
+),
+folded AS (
+  SELECT conv_id, key_, n,
+         sum(cast(nxy AS double) / cast(n AS double)
+             * ln(cast(n AS double) * cast(nxy AS double)
+                  / (cast(nx AS double) * cast(ny AS double))))
+           OVER wo AS mi,
+         sum(CASE WHEN fx THEN
+             -(cast(nx AS double) / cast(n AS double))
+             * ln(cast(nx AS double) / cast(n AS double))
+             ELSE 0.0 END) OVER wo AS hx,
+         sum(CASE WHEN fy THEN
+             -(cast(ny AS double) / cast(n AS double))
+             * ln(cast(ny AS double) / cast(n AS double))
+             ELSE 0.0 END) OVER wo AS hy
+  FROM enr
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY key_
+                ROWS UNBOUNDED PRECEDING)
+),
+g AS (
+  SELECT conv_id, max(n) AS n_pairs,
+         arg_max(mi, key_) AS mi,
+         arg_max(hx, key_) AS hx,
+         arg_max(hy, key_) AS hy
+  FROM folded GROUP BY 1
+)
+SELECT conv_id, cast(n_pairs AS bigint) AS n_pairs,
+       round(CASE WHEN n_pairs >= 8 THEN
+             greatest(mi, 0.0) END, 9) + 0.0 AS mi,
+       round(CASE WHEN n_pairs >= 8 THEN hx END, 9) + 0.0 AS h_a,
+       round(CASE WHEN n_pairs >= 8 THEN hy END, 9) + 0.0 AS h_b,
+       round(CASE WHEN n_pairs >= 8 AND hx > 0 AND hy > 0 THEN
+             greatest(mi, 0.0) / sqrt(hx * hy) END, 9) + 0.0 AS nmi
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12267,6 +12361,7 @@ QUERIES = {
     "doc_readability": q_doc_readability,
     "emb_ncm": q_emb_ncm,
     "multimodal_sharpness": q_multimodal_sharpness,
+    "ts_mi": q_ts_mi,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12489,6 +12584,7 @@ ORACLE_SQL = {
     "doc_readability": SQL_DOC_READABILITY,
     "emb_ncm": SQL_EMB_NCM,
     "multimodal_sharpness": SQL_MULTIMODAL_SHARPNESS,
+    "ts_mi": SQL_TS_MI,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

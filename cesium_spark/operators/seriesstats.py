@@ -3046,3 +3046,113 @@ def dfa(series: DataFrame, boxes: tuple = (4, 8, 16),
         (F.col("n_used") >= F.lit(max_n)).alias("capped"),
         *[F.col(f"f_{b}") for b in bs],
         F.when(all_ok, slope).alias("alpha"))
+
+
+def mi_channels(series: DataFrame, ch_a: str, ch_b: str,
+                edges_a: list, edges_b: list,
+                min_pairs: int = 8) -> DataFrame:
+    """Binned mutual information between two channels per
+    conversation — the INFORMATION member closing the association
+    quartet: Pearson hears linear, Spearman monotone, Kendall
+    concordance, and MI any dependence at all (a U-shaped coupling
+    scores ~0 on all three correlations but lights up MI; pinned in
+    pytest):
+
+        MI = Σ_cells (n_xy/n)·ln( n·n_xy / (n_x·n_y) ),
+        NMI = MI/√(H_x·H_y)   (0 when either marginal is constant →
+                               NULL — dependence on a constant is
+                               undefined, not zero).
+
+    Binning is by FIXED literal edges (the drift_psi contract —
+    data-dependent edges would make the statistic incomparable
+    across conversations and unreplayable): bin = #edges ≤ y, an
+    exact integer comparison count.  All cell and marginal counts
+    are exact int64; each cell/marginal term is one fixed double
+    tree and the three sums fold in ORDERED cell sequence (bx·B+by
+    scalar key — the effective_rank terminal-pick rule does not
+    apply because every term n_xy > 0 makes each sum a sum over
+    existing cells only; absent cells contribute exactly 0 and are
+    correctly absent).  MI ≥ 0 up to rounding; clamped at 0.
+
+    Plan: the spearman single-scan alignment, one (conv, bx, by)
+    cell aggregate, two marginal window sums riding the same conv
+    key, one ordered fold + terminal aggregate — all exchanges on
+    conv_id, no UDF, no join.
+    """
+    if ch_a == ch_b:
+        raise ValueError(f"channels must differ, got {ch_a!r} twice")
+    if not edges_a or not edges_b:
+        raise ValueError("mi_channels: edges must be non-empty")
+    ea = sorted(float(e) for e in edges_a)
+    eb = sorted(float(e) for e in edges_b)
+
+    def _bin(col, edges):
+        b = F.lit(0)
+        for e in edges:
+            b = b + F.when(col >= F.lit(e), 1).otherwise(0)
+        return b.cast("int")
+
+    aligned = (
+        series
+        .where(F.col("channel").isin([ch_a, ch_b])
+               & F.col("y").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.when(F.col("channel") == ch_a, F.col("y")))
+             .alias("__ya"),
+             F.max(F.when(F.col("channel") == ch_b, F.col("y")))
+             .alias("__yb"))
+        .where(F.col("__ya").isNotNull() & F.col("__yb").isNotNull()))
+    binned = aligned.select(
+        "conv_id",
+        _bin(F.col("__ya"), ea).alias("__bx"),
+        _bin(F.col("__yb"), eb).alias("__by"))
+    cells = binned.groupBy("conv_id", "__bx", "__by").agg(
+        F.count(F.lit(1)).alias("nxy"))
+    w_all = Window.partitionBy("conv_id")
+    w_x = Window.partitionBy("conv_id", "__bx")
+    w_y = Window.partitionBy("conv_id", "__by")
+    nb = len(eb) + 1
+    key = (F.col("__bx") * F.lit(nb) + F.col("__by"))
+    w_ord = (Window.partitionBy("conv_id").orderBy("__key")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    enr = cells.select(
+        "conv_id", "nxy",
+        key.alias("__key"),
+        F.sum("nxy").over(w_all).alias("n"),
+        F.sum("nxy").over(w_x).alias("nx"),
+        F.sum("nxy").over(w_y).alias("ny"),
+        (F.row_number().over(
+            Window.partitionBy("conv_id", "__bx").orderBy("__by")) == 1
+         ).alias("__fx"),
+        (F.row_number().over(
+            Window.partitionBy("conv_id", "__by").orderBy("__bx")) == 1
+         ).alias("__fy"))
+    nd = F.col("n").cast("double")
+    nxy = F.col("nxy").cast("double")
+    nx, ny = F.col("nx").cast("double"), F.col("ny").cast("double")
+    mi_term = nxy / nd * F.log(nd * nxy / (nx * ny))
+    hx_term = F.when(F.col("__fx"), -(nx / nd) * F.log(nx / nd)) \
+        .otherwise(F.lit(0.0))
+    hy_term = F.when(F.col("__fy"), -(ny / nd) * F.log(ny / nd)) \
+        .otherwise(F.lit(0.0))
+    folded = enr.select(
+        "conv_id", "__key", "n",
+        F.sum(mi_term).over(w_ord).alias("__mi"),
+        F.sum(hx_term).over(w_ord).alias("__hx"),
+        F.sum(hy_term).over(w_ord).alias("__hy"))
+    g = folded.groupBy("conv_id").agg(
+        F.max("n").alias("n_pairs"),
+        F.max_by(F.col("__mi"), F.col("__key")).alias("__mi"),
+        F.max_by(F.col("__hx"), F.col("__key")).alias("__hx"),
+        F.max_by(F.col("__hy"), F.col("__key")).alias("__hy"))
+    mi = F.when(F.col("__mi") < 0, F.lit(0.0)).otherwise(F.col("__mi"))
+    ok = F.col("n_pairs") >= min_pairs
+    both = (F.col("__hx") > 0) & (F.col("__hy") > 0)
+    return g.select(
+        "conv_id",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(ok, mi).alias("mi"),
+        F.when(ok, F.col("__hx")).alias("h_a"),
+        F.when(ok, F.col("__hy")).alias("h_b"),
+        F.when(ok & both,
+               mi / F.sqrt(F.col("__hx") * F.col("__hy"))).alias("nmi"))

@@ -969,3 +969,76 @@ def test_gradient_energy_audio_raises(spark):
     media = multimodal.attach_media(docs)   # doc_id 1 -> audio
     with pytest.raises(Exception, match="2-d raster"):
         gradient_energy(media).collect()
+
+
+# --- mutual information -----------------------------------------------------
+
+def _mi_ref(xs, ys, ea, eb):
+    bx = np.sum([np.asarray(xs)[:, None] >= np.asarray(ea)[None, :]],
+                axis=-1).ravel()
+    by = np.sum([np.asarray(ys)[:, None] >= np.asarray(eb)[None, :]],
+                axis=-1).ravel()
+    n = len(xs)
+    mi = hx = hy = 0.0
+    import collections
+    cxy = collections.Counter(zip(bx, by))
+    cx, cy = collections.Counter(bx), collections.Counter(by)
+    for (a, b), c in cxy.items():
+        mi += c / n * np.log(n * c / (cx[a] * cy[b]))
+    for c in cx.values():
+        hx += -(c / n) * np.log(c / n)
+    for c in cy.values():
+        hy += -(c / n) * np.log(c / n)
+    return max(mi, 0.0), hx, hy
+
+
+def test_mi_matches_ref_and_hears_ushape(spark):
+    """A U-shaped coupling scores ~0 on Pearson but lights up MI -
+    the quartet's reason to exist."""
+    from cesium_spark.operators.seriesstats import (channel_corr,
+                                                    mi_channels)
+    xs = np.arange(-30, 30).astype(float)
+    ys = (xs ** 2 / 10).astype(float)            # pure U shape
+    rows = []
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        rows.append(("c", i, "a", float(x)))
+        rows.append(("c", i, "b", float(y)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                      "channel", "y"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    df = spark.createDataFrame(pdf)
+    ea, eb = [-15.0, 0.0, 15.0], [10.0, 40.0, 70.0]
+    row = mi_channels(df, "a", "b", ea, eb).collect()[0]
+    mi, hx, hy = _mi_ref(xs, ys, ea, eb)
+    assert abs(row["mi"] - mi) < 1e-12
+    assert abs(row["nmi"] - mi / np.sqrt(hx * hy)) < 1e-12
+    assert row["mi"] > 0.4                       # strong dependence
+    r = channel_corr(df, "a", "b").collect()[0]["r"]
+    assert abs(r) < 0.1                          # Pearson hears nothing
+
+
+def test_mi_independent_and_degenerates(spark):
+    from cesium_spark.operators.seriesstats import mi_channels
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(200):
+        rows.append(("c", i, "a", float(rng.randint(0, 100))))
+        rows.append(("c", i, "b", float(rng.randint(0, 100))))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                      "channel", "y"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    df = spark.createDataFrame(pdf)
+    e = [25.0, 50.0, 75.0]
+    row = mi_channels(df, "a", "b", e, e).collect()[0]
+    assert row["mi"] < 0.05                      # independent: near 0
+    # constant channel b -> H_b = 0 -> NMI NULL, MI = 0
+    rows2 = [("c", i, ch, v) for i in range(20)
+             for ch, v in (("a", float(i)), ("b", 5.0))]
+    pdf2 = pd.DataFrame(rows2, columns=["conv_id", "turn_idx",
+                                        "channel", "y"])
+    pdf2["turn_idx"] = pdf2["turn_idx"].astype(np.int32)
+    row = mi_channels(spark.createDataFrame(pdf2), "a", "b",
+                      [5.0, 10.0], [3.0, 7.0]).collect()[0]
+    assert row["mi"] == 0.0 and row["nmi"] is None
+    with pytest.raises(ValueError, match="non-empty"):
+        mi_channels(df, "a", "b", [], [1.0])
