@@ -12303,6 +12303,59 @@ FROM g
 """
 
 
+def q_rel_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): top 100 orders whose total
+    line quantity exceeds 250 units, with their customer. The HAVING
+    subquery is a self-aggregation of the fact table (group lineitem
+    once, filter, then semi-shape join back); quantities are
+    integer-valued doubles cast to long so the threshold compare and
+    sum are EXACT; the ranking key is (fixed-point total price DESC,
+    orderdate, orderkey) - float ordering across engines is replaced
+    by the exact 1e-2 integer grid, the Q5/Q6 revenue contract."""
+    _prep(spark)
+    cu = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    od = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("lq"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("lq").alias("sum_qty"))
+           .where(F.col("sum_qty") > 250))
+    price_i = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    out = (od.join(big, od["o_orderkey"] == big["l_orderkey"])
+           .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+           .select("c_name", "c_custkey", "o_orderkey",
+                   F.date_format("o_orderdate", TS_FMT)
+                   .alias("o_orderdate"),
+                   price_i.alias("__pi"), "sum_qty")
+           .orderBy(F.desc("__pi"), F.asc("o_orderdate"),
+                    F.asc("o_orderkey"))
+           .limit(100))
+    return out.select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        _r0(F.round(F.col("__pi").cast("double") / 100.0, 2))
+        .alias("total_price"),
+        F.col("sum_qty").cast("long").alias("sum_qty"))
+
+
+SQL_REL_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(cast(l_quantity AS bigint)) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(cast(l_quantity AS bigint)) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '{DUCK_TS_FMT}') AS o_orderdate,
+       round(cast(cast(round(o_totalprice * 100.0) AS bigint)
+                  AS double) / 100.0, 2) + 0.0 AS total_price,
+       cast(sum_qty AS bigint) AS sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY cast(round(o_totalprice * 100.0) AS bigint) DESC,
+         o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12362,6 +12415,7 @@ QUERIES = {
     "emb_ncm": q_emb_ncm,
     "multimodal_sharpness": q_multimodal_sharpness,
     "ts_mi": q_ts_mi,
+    "rel_tpch_q18": q_rel_tpch_q18,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12585,6 +12639,7 @@ ORACLE_SQL = {
     "emb_ncm": SQL_EMB_NCM,
     "multimodal_sharpness": SQL_MULTIMODAL_SHARPNESS,
     "ts_mi": SQL_TS_MI,
+    "rel_tpch_q18": SQL_REL_TPCH_Q18,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

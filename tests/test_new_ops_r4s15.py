@@ -1042,3 +1042,19 @@ def test_mi_independent_and_degenerates(spark):
     assert row["mi"] == 0.0 and row["nmi"] is None
     with pytest.raises(ValueError, match="non-empty"):
         mi_channels(df, "a", "b", [], [1.0])
+
+
+# --- TPC-H Q18 --------------------------------------------------------------
+
+def test_q18_plan_and_threshold(spark):
+    """The executed plan broadcasts customer and never shuffles the
+    big fact side for that join; the HAVING filter is exact-integer."""
+    from cesium_spark.driver_queries import q_rel_tpch_q18
+    out = q_rel_tpch_q18(spark, "/root/testdata/sf0.001")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "Cartesian" not in p
+    rows = out.collect()
+    assert all(r["sum_qty"] > 250 for r in rows)
+    # ranking is by the exact price grid, descending
+    prices = [r["total_price"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
