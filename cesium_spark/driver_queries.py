@@ -12356,6 +12356,98 @@ LIMIT 100
 """
 
 
+def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of tokens-per-turn (Bartlett-windowed
+    Wiener-Khinchin over the exact ACF integers, no FFT): ~1 flat
+    white spectrum, ->0 concentrated periodicity, with the argmax
+    frequency bin (lowest on ties). Every cosine/Bartlett factor is
+    one Python literal injected into BOTH engines from
+    spectral_coeffs - the textrank cannot-drift rule."""
+    from cesium_spark.operators.seriesstats import spectral_entropy
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = spectral_entropy(series)
+    return out.select(
+        "conv_id", "n",
+        _r(F.col("spec_entropy"), 9).alias("spec_entropy"),
+        "peak_bin")
+
+
+def _spectral_oracle_sql(n_lags: int = 6, n_freqs: int = 8) -> str:
+    import math
+    from cesium_spark.operators.seriesstats import spectral_coeffs
+    coeffs = spectral_coeffs(n_lags, n_freqs)
+    lags = "".join(
+        f"         lag(y, {k}) OVER w2 AS l{k},\n"
+        for k in range(1, n_lags + 1))
+    nks = ",\n".join(
+        f"         sum(CASE WHEN l{k} IS NOT NULL THEN "
+        f"(cnt * y - sy) * (cnt * l{k} - sy) END) AS nk{k}"
+        for k in range(1, n_lags + 1))
+    specs = ",\n".join(
+        "  greatest(cast(n0 AS double)"
+        + "".join(f" + {coeffs[m][k - 1]!r} * cast(nk{k} AS double)"
+                  for k in range(1, n_lags + 1))
+        + f", 0.0) AS s{m + 1}"
+        for m in range(n_freqs))
+    tot = " + ".join(f"s{m}" for m in range(1, n_freqs + 1))
+    h = " + ".join(
+        f"(CASE WHEN s{m} > 0 THEN -(s{m} / tot * ln(s{m} / tot)) "
+        f"ELSE 0.0 END)"
+        for m in range(1, n_freqs + 1))
+    gl = ", ".join(f"s{m}" for m in range(1, n_freqs + 1))
+    peak = "".join(
+        f"            WHEN s{m} = greatest({gl}) THEN {m}\n"
+        for m in range(1, n_freqs + 1))
+    return f"""
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint)
+           AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT conv_id, y,
+{lags}         sum(y) OVER (PARTITION BY conv_id) AS sy,
+         count(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM s
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT conv_id, max(cnt) AS n,
+         sum((cnt * y - sy) * (cnt * y - sy)) AS n0,
+{nks}
+  FROM l GROUP BY 1
+),
+sp AS (
+  SELECT conv_id, n, n0,
+{specs}
+  FROM g
+),
+tt AS (SELECT *, {tot} AS tot FROM sp)
+SELECT conv_id, cast(n AS bigint) AS n,
+       round(CASE WHEN n0 > 0 AND n > {n_lags} AND tot > 0 THEN
+             ({h}) / {math.log(float(n_freqs))!r} END, 9)
+         + 0.0 AS spec_entropy,
+       cast(CASE WHEN n0 > 0 AND n > {n_lags} AND tot > 0 THEN
+            CASE
+{peak}            END END AS int) AS peak_bin
+FROM tt
+"""
+
+
+SQL_TS_SPECTRAL = _spectral_oracle_sql()
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12416,6 +12508,7 @@ QUERIES = {
     "multimodal_sharpness": q_multimodal_sharpness,
     "ts_mi": q_ts_mi,
     "rel_tpch_q18": q_rel_tpch_q18,
+    "ts_spectral_entropy": q_ts_spectral_entropy,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12640,6 +12733,7 @@ ORACLE_SQL = {
     "multimodal_sharpness": SQL_MULTIMODAL_SHARPNESS,
     "ts_mi": SQL_TS_MI,
     "rel_tpch_q18": SQL_REL_TPCH_Q18,
+    "ts_spectral_entropy": SQL_TS_SPECTRAL,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -3156,3 +3156,115 @@ def mi_channels(series: DataFrame, ch_a: str, ch_b: str,
         F.when(ok, F.col("__hy")).alias("h_b"),
         F.when(ok & both,
                mi / F.sqrt(F.col("__hx") * F.col("__hy"))).alias("nmi"))
+
+
+def spectral_coeffs(n_lags: int = 6, n_freqs: int = 8):
+    """The (frequency, lag) cosine/Bartlett literal table shared by
+    the engine AND the oracle generator so the two cannot drift:
+    entry [m][k] = 2·(1 − k/(K+1))·cos(2π·f_m·k) for k ≥ 1, with
+    f_m = m/(2·n_freqs), plus the k = 0 weight 1.0."""
+    import math
+    out = []
+    for m in range(1, n_freqs + 1):
+        f = m / (2.0 * n_freqs)
+        out.append([2.0 * (1.0 - k / (n_lags + 1.0))
+                    * math.cos(2.0 * math.pi * f * k)
+                    for k in range(1, n_lags + 1)])
+    return out
+
+
+def spectral_entropy(series: DataFrame, n_lags: int = 6,
+                     n_freqs: int = 8) -> DataFrame:
+    """Spectral entropy per conversation — the flat-vs-peaked summary
+    of the power spectrum (the tsfresh/feature-engineering classic)
+    computed WITHOUT an FFT via Wiener–Khinchin from the family's
+    exact ACF integers: the Bartlett-windowed estimate
+
+        S(f_m) = N₀ + Σ_{k=1..K} 2(1 − k/(K+1))·cos(2πf_m k)·N_k
+
+    over the fixed grid f_m = m/(2M), where N_k are the EXACT int64
+    scaled-deviation autocovariance numerators shared with
+    ljung_box/pacf3/dominant_lag (their common n³ scale cancels in
+    the normalization, so it is never divided out).  The Bartlett
+    lag window is the Fejér-kernel smoothing whose estimate is
+    nonnegative in exact arithmetic; float residue is clamped at 0.
+
+        H = −Σ p_m ln p_m / ln M,   p_m = S_m / Σ S
+
+    → 1 for white noise (flat spectrum), → 0 as power concentrates
+    in one bin (strong periodicity); ``peak_bin`` is the argmax bin
+    (lowest bin on exact ties — the dominant_lag chain rule),
+    f = peak_bin/(2M) cycles/turn.
+
+    Degenerates NULL: constant series (N₀ = 0 — a constant has no
+    spectrum) or n ≤ K (unmeasurable lags).  Every cosine/Bartlett
+    factor is a PYTHON-computed literal injected into both engines
+    from ``spectral_coeffs`` — the textrank cannot-drift rule.
+
+    Plan: the ljung_box single-aggregate shape (K lag windows + one
+    conv aggregate) then pure fixed trees — ONE exchange, no UDF.
+    """
+    if not (2 <= n_lags <= 24) or not (2 <= n_freqs <= 64):
+        raise ValueError(f"spectral_entropy: bad grid "
+                         f"({n_lags}, {n_freqs})")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"spectral_entropy: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    import math
+    coeffs = spectral_coeffs(n_lags, n_freqs)
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 *[F.lag(y, k).over(w_ord).alias(f"__l{k}")
+                   for k in range(1, n_lags + 1)],
+                 F.sum(y).over(w_all).alias("__s"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    dev = F.col("__n") * F.col("__y") - F.col("__s")
+
+    def _num(k):
+        lagdev = F.col("__n") * F.col(f"__l{k}") - F.col("__s")
+        return F.sum(F.when(F.col(f"__l{k}").isNotNull(), dev * lagdev))
+
+    agg = (s.groupBy("conv_id")
+           .agg(F.max("__n").alias("n"),
+                F.sum(dev * dev).alias("n0"),
+                *[_num(k).alias(f"nk{k}")
+                  for k in range(1, n_lags + 1)]))
+    spec = []
+    for m in range(n_freqs):
+        sm = F.col("n0").cast("double")
+        for k in range(1, n_lags + 1):
+            sm = sm + F.lit(coeffs[m][k - 1]) \
+                * F.col(f"nk{k}").cast("double")
+        spec.append(F.when(sm < 0, F.lit(0.0)).otherwise(sm))
+    agg = agg.select("conv_id", "n", "n0",
+                     *[sp.alias(f"s{m + 1}")
+                       for m, sp in enumerate(spec)],
+                     *[F.col(f"nk{k}") for k in range(1, n_lags + 1)])
+    tot = None
+    for m in range(1, n_freqs + 1):
+        c = F.col(f"s{m}")
+        tot = c if tot is None else tot + c
+    h = None
+    for m in range(1, n_freqs + 1):
+        p = F.col(f"s{m}") / tot
+        term = F.when(F.col(f"s{m}") > 0, -(p * F.log(p))) \
+            .otherwise(F.lit(0.0))
+        h = term if h is None else h + term
+    best = F.greatest(*[F.col(f"s{m}") for m in range(1, n_freqs + 1)])
+    peak = None
+    for m in range(1, n_freqs + 1):
+        cond = F.col(f"s{m}") == best
+        peak = F.when(cond, F.lit(m)) if peak is None \
+            else peak.when(cond, F.lit(m))
+    ok = (F.col("n0") > 0) & (F.col("n") > n_lags) & (tot > 0)
+    return agg.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        F.when(ok, h / F.lit(math.log(float(n_freqs))))
+        .alias("spec_entropy"),
+        F.when(ok, peak).cast("int").alias("peak_bin"))

@@ -1058,3 +1058,53 @@ def test_q18_plan_and_threshold(spark):
     # ranking is by the exact price grid, descending
     prices = [r["total_price"] for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+# --- spectral entropy -------------------------------------------------------
+
+def _spec_ref(y, K=6, M=8):
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    d = n * y - y.sum()
+    n0 = np.sum(d * d)
+    nk = [np.sum(d[k:] * d[:-k]) for k in range(1, K + 1)]
+    from cesium_spark.operators.seriesstats import spectral_coeffs
+    co = spectral_coeffs(K, M)
+    s = []
+    for m in range(M):
+        v = n0
+        for k in range(1, K + 1):
+            v = v + co[m][k - 1] * nk[k - 1]
+        s.append(max(v, 0.0))
+    tot = sum(s)
+    h = sum(-(x / tot) * np.log(x / tot) for x in s if x > 0)
+    return h / np.log(M), s.index(max(s)) + 1
+
+
+def test_spectral_entropy_matches_ref_and_directions(spark):
+    from cesium_spark.operators.seriesstats import spectral_entropy
+    rng = np.random.RandomState(33)
+    white = rng.randint(0, 100, 300)
+    rw = spectral_entropy(_series15(spark, white)).collect()[0]
+    h, peak = _spec_ref(white)
+    assert abs(rw["spec_entropy"] - h) < 1e-9
+    assert rw["peak_bin"] == peak
+    assert rw["spec_entropy"] > 0.9              # flat spectrum
+    # strong period-4 square wave: power concentrates at f = 1/4,
+    # which is bin m = 4 on the m/16 grid
+    per4 = ([0, 10, 0, 10] * 75) + [0] * 0
+    per4 = [a + b for a, b in zip([0, 10, 20, 10] * 75,
+                                  rng.randint(0, 2, 300))]
+    rp = spectral_entropy(_series15(spark, per4)).collect()[0]
+    hp, pp = _spec_ref(per4)
+    assert abs(rp["spec_entropy"] - hp) < 1e-9
+    assert rp["peak_bin"] == pp == 4
+    assert rp["spec_entropy"] < rw["spec_entropy"] - 0.1
+
+
+def test_spectral_entropy_degenerates(spark):
+    from cesium_spark.operators.seriesstats import spectral_entropy
+    row = spectral_entropy(_series15(spark, [5] * 50)).collect()[0]
+    assert row["spec_entropy"] is None and row["peak_bin"] is None
+    row = spectral_entropy(_series15(spark, [1, 2, 3, 4])).collect()[0]
+    assert row["spec_entropy"] is None           # n <= K
