@@ -12448,6 +12448,56 @@ FROM tt
 SQL_TS_SPECTRAL = _spectral_oracle_sql()
 
 
+def q_ts_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion of per-hour turn counts per conversation
+    (Poisson => 1, clumped >> 1, rate-limited < 1): the count-domain
+    twin of ts_burstiness's gap fingerprint, over the FULL hour span
+    including empty hours - counting only occupied buckets deletes
+    exactly the silence that makes traffic bursty. Exact int64
+    S/Q/B; ID and D = (B-1)ID are unrounded divisions of exact
+    integers (the ts_allan rule)."""
+    from cesium_spark.operators.seriesstats import dispersion_index
+    out = dispersion_index(events_transcripts(spark, sf_dir))
+    return out.select("conv_id", "n_buckets", "n_turns",
+                      "dispersion", "d_stat")
+
+
+SQL_TS_DISPERSION = """
+WITH c AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         date_trunc('hour', ts) AS b, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT conv_id, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+),
+grid AS (
+  SELECT conv_id, unnest(generate_series(lo, hi,
+                                         INTERVAL 1 HOUR)) AS b
+  FROM span
+),
+f AS (
+  SELECT g.conv_id, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN c ON g.conv_id = c.conv_id AND g.b = c.b
+),
+a AS (
+  SELECT conv_id, count(*) AS nb, sum(c) AS s, sum(c * c) AS q
+  FROM f GROUP BY 1
+)
+SELECT conv_id,
+       cast(nb AS bigint) AS n_buckets,
+       cast(s AS bigint) AS n_turns,
+       CASE WHEN nb >= 2 THEN
+            cast(nb * q - s * s AS double)
+            / cast(nb * s AS double) END AS dispersion,
+       CASE WHEN nb >= 2 THEN
+            cast(nb - 1 AS double)
+            * (cast(nb * q - s * s AS double)
+               / cast(nb * s AS double)) END AS d_stat
+FROM a
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12509,6 +12559,7 @@ QUERIES = {
     "ts_mi": q_ts_mi,
     "rel_tpch_q18": q_rel_tpch_q18,
     "ts_spectral_entropy": q_ts_spectral_entropy,
+    "ts_dispersion": q_ts_dispersion,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12734,6 +12785,7 @@ ORACLE_SQL = {
     "ts_mi": SQL_TS_MI,
     "rel_tpch_q18": SQL_REL_TPCH_Q18,
     "ts_spectral_entropy": SQL_TS_SPECTRAL,
+    "ts_dispersion": SQL_TS_DISPERSION,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -3268,3 +3268,63 @@ def spectral_entropy(series: DataFrame, n_lags: int = 6,
         F.when(ok, h / F.lit(math.log(float(n_freqs))))
         .alias("spec_entropy"),
         F.when(ok, peak).cast("int").alias("peak_bin"))
+
+
+def dispersion_index(transcripts: DataFrame,
+                     bucket: str = "hour") -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of per-bucket
+    turn counts per conversation — the COUNT-domain twin of
+    ``burstiness``'s gap-domain fingerprint, and the classic "is this
+    traffic Poisson?" screen (Cox & Lewis 1966): Poisson arrivals
+    have ID = 1; ID ≫ 1 is clumping (burst-pause agents), ID < 1
+    regular pacing (rate-limited clients).
+
+        ID = Var(c)/Mean(c) = (B·Q − S²)/(B·S)
+
+    over ALL buckets in the conversation's [first, last] span —
+    including the EMPTY ones (counting only occupied buckets is the
+    classic bias: it deletes exactly the silence that makes traffic
+    bursty; the span grid is a sequence() explode, bounded by the
+    conversation's own lifetime).  S = Σc, Q = Σc², B are exact
+    int64, so ID is ONE division of exact integers (unrounded,
+    bit-identical — the ts_allan rule).  D = (B−1)·ID is the χ²(B−1)
+    dispersion statistic; B < 2 → NULL D (no degrees of freedom),
+    and ID = NULL too (a single bucket has no variance to compare).
+
+    Plan: one conv aggregate for the span + counts-per-bucket
+    aggregate + one sequence explode left-joined to the counts +
+    one final conv aggregate — all exchanges on conv_id, no UDF.
+    """
+    if bucket not in ("hour", "day"):
+        raise ValueError(f"dispersion_index: bucket must be "
+                         f"'hour' or 'day', got {bucket!r}")
+    b = F.date_trunc(bucket, F.col("ts"))
+    cnt = (transcripts.where(F.col("ts").isNotNull())
+           .groupBy("conv_id", b.alias("__b"))
+           .agg(F.count(F.lit(1)).alias("__c")))
+    span = cnt.groupBy("conv_id").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    step = "interval 1 hour" if bucket == "hour" else "interval 1 day"
+    grid = span.select(
+        "conv_id",
+        F.explode(F.expr(f"sequence(__lo, __hi, {step})"))
+        .alias("__b"))
+    filled = (grid.join(cnt, ["conv_id", "__b"], "left")
+              .select("conv_id",
+                      F.coalesce(F.col("__c"), F.lit(0)).alias("__c")))
+    g = filled.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("__c").alias("n_turns"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__q"))
+    bn = F.col("n_buckets")
+    sv, qv = F.col("n_turns"), F.col("__q")
+    ok = bn >= 2
+    idx = ((bn * qv - sv * sv).cast("double")
+           / (bn * sv).cast("double"))
+    return g.select(
+        "conv_id",
+        bn.cast("long").alias("n_buckets"),
+        sv.cast("long").alias("n_turns"),
+        F.when(ok, idx).alias("dispersion"),
+        F.when(ok, (bn - F.lit(1)).cast("double") * idx)
+        .alias("d_stat"))

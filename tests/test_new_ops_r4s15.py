@@ -1108,3 +1108,47 @@ def test_spectral_entropy_degenerates(spark):
     assert row["spec_entropy"] is None and row["peak_bin"] is None
     row = spectral_entropy(_series15(spark, [1, 2, 3, 4])).collect()[0]
     assert row["spec_entropy"] is None           # n <= K
+
+
+# --- dispersion index -------------------------------------------------------
+
+def _disp_conv(spark, hours):
+    """Transcript with one turn at each (possibly repeated) hour."""
+    ts = [pd.Timestamp("2024-01-01") + pd.Timedelta(hours=int(h))
+          for h in hours]
+    return spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c"] * len(ts),
+        "turn_idx": np.arange(len(ts), dtype=np.int32),
+        "role": ["u"] * len(ts), "text": ["x"] * len(ts),
+        "tool": [None] * len(ts), "ts": ts}))
+
+
+def test_dispersion_exact_and_directions(spark):
+    from cesium_spark.operators.seriesstats import dispersion_index
+    # one turn every hour for 48 hours: counts all 1 -> ID exactly 0
+    row = dispersion_index(_disp_conv(spark, range(48))).collect()[0]
+    assert row["dispersion"] == 0.0 and row["n_buckets"] == 48
+    # 40 turns crammed into hour 0 and hour 47 silent span: the
+    # empty buckets MUST count - ID blows up
+    burst = [0] * 40 + [47]
+    row = dispersion_index(_disp_conv(spark, burst)).collect()[0]
+    c = np.zeros(48, dtype=np.int64)
+    c[0], c[47] = 40, 1
+    B, S, Q = 48, int(c.sum()), int((c * c).sum())
+    assert row["n_buckets"] == 48 and row["n_turns"] == 41
+    assert row["dispersion"] == (B * Q - S * S) / (B * S)   # bit-exact
+    assert row["dispersion"] > 20
+    assert row["d_stat"] == (B - 1) * ((B * Q - S * S) / (B * S))
+    # rng-scattered (Poisson-ish): ID near 1
+    rng = np.random.RandomState(12)
+    row = dispersion_index(
+        _disp_conv(spark, rng.randint(0, 100, 100))).collect()[0]
+    assert 0.5 < row["dispersion"] < 2.0
+
+
+def test_dispersion_degenerates(spark):
+    from cesium_spark.operators.seriesstats import dispersion_index
+    row = dispersion_index(_disp_conv(spark, [0, 0, 0])).collect()[0]
+    assert row["n_buckets"] == 1 and row["dispersion"] is None
+    with pytest.raises(ValueError, match="bucket"):
+        dispersion_index(_disp_conv(spark, [0]), bucket="minute")
