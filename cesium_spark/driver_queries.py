@@ -12498,6 +12498,93 @@ FROM a
 """
 
 
+def q_ts_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test: do conversations that OPEN with a
+    click survive differently from ones that open with an error? The
+    comparison completing the survival family next to ts_survival's
+    KM curves, censoring handled identically. Exact int64 risk sets
+    and death counts; E and V fold as nonneg ordered cumsums; V = 0
+    -> NULL ('no information' is not 'no difference')."""
+    from cesium_spark.operators.survival import (
+        conversation_spans,
+        logrank_test,
+    )
+    spans = conversation_spans(events_transcripts(spark, sf_dir),
+                               censor_horizon_s=_KM_HORIZON)
+    out = logrank_test(spans, "first_role", "click", "error")
+    return out.select(
+        "o1", _r(F.col("e1"), 9).alias("e1"),
+        _r(F.col("v"), 9).alias("v"),
+        _r(F.col("chi2"), 9).alias("chi2"))
+
+
+SQL_TS_LOGRANK = f"""
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         event_type AS role, epoch(ts) AS sec
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per AS (
+  SELECT conv_id, max(sec) - min(sec) AS duration,
+         max(sec) AS last_s, arg_min(role, turn_idx) AS first_role
+  FROM t GROUP BY 1
+),
+mx AS (SELECT max(epoch(ts)) AS m FROM events),
+spans AS (
+  SELECT first_role, duration,
+         last_s <= m - {_KM_HORIZON} AS event
+  FROM per, mx
+  WHERE first_role IN ('click', 'error')
+),
+grain AS (
+  SELECT duration AS tt,
+         sum(CASE WHEN event AND first_role = 'click'
+                  THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN event AND first_role = 'error'
+                  THEN 1 ELSE 0 END) AS d2,
+         sum(CASE WHEN NOT event AND first_role = 'click'
+                  THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN NOT event AND first_role = 'error'
+                  THEN 1 ELSE 0 END) AS c2
+  FROM spans GROUP BY 1
+),
+risk AS (
+  SELECT tt, d1, d2,
+         sum(d1 + c1) OVER () - sum(d1 + c1) OVER wc + d1 + c1 AS n1,
+         sum(d2 + c2) OVER () - sum(d2 + c2) OVER wc + d2 + c2 AS n2
+  FROM grain
+  WINDOW wc AS (ORDER BY tt ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+),
+folded AS (
+  SELECT sum(d1) OVER wc AS o1,
+         sum(CASE WHEN d1 + d2 >= 1 THEN
+             cast(d1 + d2 AS double)
+             * (cast(n1 AS double) / cast(n1 + n2 AS double))
+             ELSE 0.0 END) OVER wc AS e1,
+         sum(CASE WHEN d1 + d2 >= 1 AND n1 + n2 > 1 THEN
+             cast(d1 + d2 AS double)
+             * (cast(n1 AS double) / cast(n1 + n2 AS double))
+             * (1.0 - cast(n1 AS double) / cast(n1 + n2 AS double))
+             * (cast(n1 + n2 AS double) - cast(d1 + d2 AS double))
+             / (cast(n1 + n2 AS double) - 1.0)
+             ELSE 0.0 END) OVER wc AS v
+  FROM risk
+  WINDOW wc AS (ORDER BY tt ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+),
+g AS (SELECT max(o1) AS o1, max(e1) AS e1, max(v) AS v FROM folded)
+SELECT cast(o1 AS bigint) AS o1,
+       round(e1, 9) + 0.0 AS e1,
+       round(v, 9) + 0.0 AS v,
+       round(CASE WHEN v > 0 THEN
+             (cast(o1 AS double) - e1) * (cast(o1 AS double) - e1)
+             / v END, 9) + 0.0 AS chi2
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12560,6 +12647,7 @@ QUERIES = {
     "rel_tpch_q18": q_rel_tpch_q18,
     "ts_spectral_entropy": q_ts_spectral_entropy,
     "ts_dispersion": q_ts_dispersion,
+    "ts_logrank": q_ts_logrank,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12786,6 +12874,7 @@ ORACLE_SQL = {
     "rel_tpch_q18": SQL_REL_TPCH_Q18,
     "ts_spectral_entropy": SQL_TS_SPECTRAL,
     "ts_dispersion": SQL_TS_DISPERSION,
+    "ts_logrank": SQL_TS_LOGRANK,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

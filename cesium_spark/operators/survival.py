@@ -117,3 +117,90 @@ def conversation_spans(transcripts: DataFrame,
                     (F.col("__last")
                      <= F.col("__mx") - F.lit(float(censor_horizon_s)))
                     .alias("event")))
+
+
+def logrank_test(spans: DataFrame, group_col: str,
+                 group_a: str, group_b: str,
+                 duration_col: str = "duration",
+                 event_col: str = "event") -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) —
+    the COMPARISON completing the survival family: ``kaplan_meier``
+    draws each stratum's curve, the log-rank χ² says whether two
+    curves differ beyond chance, censoring handled exactly like KM
+    (a censored span leaves the risk set without counting as death):
+
+        O₁ = Σᵢ d₁ᵢ,   E₁ = Σᵢ dᵢ·n₁ᵢ/nᵢ,
+        V  = Σᵢ dᵢ·(n₁ᵢ/nᵢ)·(1 − n₁ᵢ/nᵢ)·(nᵢ−dᵢ)/(nᵢ−1),
+        χ² = (O₁ − E₁)²/V   ~  χ²(1) under H₀,
+
+    summed over the POOLED distinct event times (dᵢ ≥ 1).
+
+    Exactness: every count (per-time deaths/censorings per group,
+    risk sets via the KM total-minus-exclusive-prefix trick) is
+    exact int64; E₁ and V terms are fixed double trees whose
+    summands are NONNEGATIVE, so both folds are nondecreasing
+    ordered cumsums with max terminal picks (the hurst rule); O₁ is
+    a plain integer sum.  nᵢ = 1 rows contribute V = 0 (the standard
+    convention — the factor (nᵢ−dᵢ)/(nᵢ−1) is skipped, not 0/0).
+    V = 0 overall (e.g. every event time has the risk set entirely
+    in one group) → NULL χ² — "no information" is not "no
+    difference".  The kaplan_meier NULL/negative-duration rejection
+    applies verbatim.
+
+    Plan: one (t) grain aggregate with per-group conditional counts,
+    two cumulative windows on the single ordered-time partition, one
+    final 1-row aggregate — the KM plan with a second group lane.
+    """
+    if group_a == group_b:
+        raise ValueError("logrank_test: groups must differ")
+    d, e = F.col(duration_col), F.col(event_col)
+    g = F.col(group_col)
+    base = spans.where(g.isin([group_a, group_b]))
+    bad = base.where(d.isNull() | (d < 0) | e.isNull())
+    if bad.limit(1).count():
+        raise ValueError(
+            "logrank_test: NULL/negative duration or NULL event flag "
+            "present — reject or repair upstream")
+    in_a = g == group_a
+    grain = (base.groupBy(d.alias("t"))
+             .agg(F.sum(F.when(e & in_a, 1).otherwise(0)).alias("d1"),
+                  F.sum(F.when(e & ~in_a, 1).otherwise(0)).alias("d2"),
+                  F.sum(F.when(~e & in_a, 1).otherwise(0)).alias("c1"),
+                  F.sum(F.when(~e & ~in_a, 1).otherwise(0)).alias("c2")))
+    w_part = Window.partitionBy(F.lit(1))
+    w_ord = w_part.orderBy("t")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    leave1 = F.col("d1") + F.col("c1")
+    leave2 = F.col("d2") + F.col("c2")
+    n1 = (F.sum(leave1).over(w_part)
+          - F.sum(leave1).over(w_cum) + leave1).cast("long")
+    n2 = (F.sum(leave2).over(w_part)
+          - F.sum(leave2).over(w_cum) + leave2).cast("long")
+    risk = grain.select(
+        "t", "d1", "d2", n1.alias("n1"), n2.alias("n2"))
+    dd = F.col("d1") + F.col("d2")
+    nn = F.col("n1") + F.col("n2")
+    n1d = F.col("n1").cast("double")
+    nnd = nn.cast("double")
+    ddd = dd.cast("double")
+    e_term = F.when(dd >= 1, ddd * (n1d / nnd)).otherwise(F.lit(0.0))
+    v_term = F.when(
+        (dd >= 1) & (nn > 1),
+        ddd * (n1d / nnd) * (F.lit(1.0) - n1d / nnd)
+        * (nnd - ddd) / (nnd - F.lit(1.0))).otherwise(F.lit(0.0))
+    folded = risk.select(
+        F.sum(F.col("d1")).over(w_cum).alias("__o1"),
+        F.sum(e_term).over(w_ord.rowsBetween(
+            Window.unboundedPreceding, 0)).alias("__e1"),
+        F.sum(v_term).over(w_ord.rowsBetween(
+            Window.unboundedPreceding, 0)).alias("__v"))
+    out = folded.agg(
+        F.max("__o1").cast("long").alias("o1"),
+        F.max("__e1").alias("e1"),
+        F.max("__v").alias("v"))
+    chi2 = F.when(
+        F.col("v") > 0,
+        (F.col("o1").cast("double") - F.col("e1"))
+        * (F.col("o1").cast("double") - F.col("e1")) / F.col("v"))
+    return out.select("o1", "e1", "v", chi2.alias("chi2"))

@@ -1152,3 +1152,63 @@ def test_dispersion_degenerates(spark):
     assert row["n_buckets"] == 1 and row["dispersion"] is None
     with pytest.raises(ValueError, match="bucket"):
         dispersion_index(_disp_conv(spark, [0]), bucket="minute")
+
+
+# --- log-rank ---------------------------------------------------------------
+
+def _spans(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["g", "duration", "event"])
+    pdf["duration"] = pdf["duration"].astype(float)
+    return spark.createDataFrame(pdf)
+
+
+def _logrank_ref(rows, ga, gb):
+    times = sorted({d for g, d, e in rows if e})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for g, d, e in rows if g == ga and d >= t)
+        n2 = sum(1 for g, d, e in rows if g == gb and d >= t)
+        d1 = sum(1 for g, d, e in rows if g == ga and d == t and e)
+        d2 = sum(1 for g, d, e in rows if g == gb and d == t and e)
+        n, dd = n1 + n2, d1 + d2
+        o1 += d1
+        e1 += dd * n1 / n
+        if n > 1:
+            v += dd * (n1 / n) * (1 - n1 / n) * (n - dd) / (n - 1)
+    return o1, e1, v, (o1 - e1) ** 2 / v
+
+
+def test_logrank_matches_ref_and_detects_separation(spark):
+    from cesium_spark.operators.survival import logrank_test
+    rng = np.random.RandomState(44)
+    rows = []
+    for _ in range(60):                      # A dies fast
+        rows.append(("A", int(rng.randint(1, 50)), True))
+    for _ in range(60):                      # B survives long
+        rows.append(("B", int(rng.randint(40, 120)), True))
+    for _ in range(10):                      # censored tails both arms
+        rows.append(("A", 100, False))
+        rows.append(("B", 130, False))
+    row = logrank_test(_spans(spark, rows), "g", "A", "B").collect()[0]
+    o1, e1, v, chi2 = _logrank_ref(rows, "A", "B")
+    assert row["o1"] == o1
+    assert abs(row["e1"] - e1) < 1e-9
+    assert abs(row["v"] - v) < 1e-9
+    assert abs(row["chi2"] - chi2) < 1e-9
+    assert row["chi2"] > 6.63                # chi2(1) 1%: curves differ
+
+
+def test_logrank_null_and_guards(spark):
+    from cesium_spark.operators.survival import logrank_test
+    # identical groups: chi2 small
+    rows = [("A", d, True) for d in range(1, 40)] \
+        + [("B", d, True) for d in range(1, 40)]
+    row = logrank_test(_spans(spark, rows), "g", "A", "B").collect()[0]
+    assert row["chi2"] < 1e-9                # perfectly balanced
+    # single subject: V = 0 -> NULL
+    row = logrank_test(_spans(spark, [("A", 5, True)]),
+                       "g", "A", "B").collect()[0]
+    assert row["chi2"] is None
+    with pytest.raises(ValueError, match="NULL/negative"):
+        logrank_test(_spans(spark, [("A", -1, True), ("B", 2, True)]),
+                     "g", "A", "B")
