@@ -12585,6 +12585,195 @@ FROM g
 """
 
 
+def q_rel_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend: does the purchase rate TREND across
+    the conversation's position terciles (early/mid/late thirds) -
+    the ordered-groups question prop_ztest's pairwise z cannot
+    answer. Integer tercile scores floor(3*turn_idx/n), exact int64
+    A/B statistics (the N-scaling clears every fraction), one fixed
+    z tree; oracle replays verbatim."""
+    from cesium_spark.operators.datastats import cochran_armitage
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    rows = ev.select(
+        F.floor((F.row_number().over(w) - 1) * 3
+                / F.count(F.lit(1)).over(wn)).cast("long").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0).alias("succ"))
+    out = cochran_armitage(rows, "x", "succ")
+    return out.select("n", "s", "a_stat", "b_stat",
+                      _r(F.col("z"), 9).alias("z"))
+
+
+SQL_REL_TREND_TEST = """
+WITH r AS (
+  SELECT (row_number() OVER w - 1) * 3
+           // (count(*) OVER (PARTITION BY user_id)) AS x,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+  SELECT count(*) AS n, sum(succ) AS s, sum(x) AS xn,
+         sum(x * succ) AS xs, sum(x * x) AS xxn
+  FROM r
+)
+SELECT cast(n AS bigint) AS n, cast(s AS bigint) AS s,
+       cast(n * xs - s * xn AS bigint) AS a_stat,
+       cast(n * xxn - xn * xn AS bigint) AS b_stat,
+       round(CASE WHEN s > 0 AND s < n AND n * xxn - xn * xn > 0 THEN
+             cast(n * xs - s * xn AS double)
+             / sqrt(cast(s AS double) * (cast(n AS double)
+                    - cast(s AS double))
+                    * cast(n * xxn - xn * xn AS double)
+                    / cast(n AS double)) END, 9) + 0.0 AS z
+FROM a
+"""
+
+
+def q_rel_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired change test: per conversation, did purchasing
+    happen in the first half but not the second (or vice versa)?
+    Only the discordant conversations carry information - treating
+    the halves as independent cohorts (prop_ztest) would overstate
+    n. Exact integer b/c; chi2 unrounded (the ts_allan rule)."""
+    from cesium_spark.operators.datastats import mcnemar_test
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    half = ((F.row_number().over(w) - 1) * 2
+            < F.count(F.lit(1)).over(wn))
+    purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    flags = (ev.select(F.col("user_id"), half.alias("__h"),
+                       purch.alias("__p"))
+             .groupBy("user_id")
+             .agg((F.max(F.when(F.col("__h"), F.col("__p"))) == 1)
+                  .alias("fa"),
+                  (F.max(F.when(~F.col("__h"), F.col("__p"))) == 1)
+                  .alias("fb")))
+    out = mcnemar_test(flags, "fa", "fb")
+    return out.select("n_pairs", "b_cnt", "c_cnt", "chi2")
+
+
+SQL_REL_MCNEMAR = """
+WITH r AS (
+  SELECT user_id,
+         (row_number() OVER w - 1) * 2
+           < count(*) OVER (PARTITION BY user_id) AS h,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT user_id,
+         max(CASE WHEN h THEN p END) = 1 AS fa,
+         max(CASE WHEN NOT h THEN p END) = 1 AS fb
+  FROM r GROUP BY 1
+),
+a AS (
+  SELECT count(*) AS n_pairs,
+         sum(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS b_cnt,
+         sum(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS c_cnt
+  FROM f
+)
+SELECT cast(n_pairs AS bigint) AS n_pairs,
+       cast(b_cnt AS bigint) AS b_cnt,
+       cast(c_cnt AS bigint) AS c_cnt,
+       CASE WHEN b_cnt + c_cnt > 0 THEN
+            cast((b_cnt - c_cnt) * (b_cnt - c_cnt) AS double)
+            / cast(b_cnt + c_cnt AS double) END AS chi2
+FROM a
+"""
+
+
+def q_ts_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe spread-homogeneity per conversation: does the
+    ROLE shift the tokens-per-turn SPREAD (not the level - anova's
+    question, nor the distribution - kruskal's)? z = |2y - 2 med_g|
+    is exact int64 (interpolated medians of integers land on halves,
+    so the doubling clears them), then the whole anova_oneway exact
+    machinery runs verbatim; F is doubling-invariant."""
+    from cesium_spark.operators.seriesstats import brown_forsythe
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("channel"),
+        tok.cast("long").alias("y"))
+    out = brown_forsythe(series, group_col="channel")
+    return out.select(
+        "conv_id", "n", "k",
+        _r(F.col("spread_eta2"), 9).alias("spread_eta2"),
+        _r(F.col("bf_stat"), 6).alias("bf_stat"))
+
+
+SQL_TS_BROWN_FORSYTHE = """
+WITH s0 AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         event_type AS g,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint)
+           AS y
+  FROM events
+),
+z AS (
+  SELECT conv_id, g,
+         abs(2 * y - cast(round(quantile_cont(y, 0.5)
+               OVER (PARTITION BY conv_id, g) * 2.0) AS bigint)) AS y
+  FROM s0 WHERE g IS NOT NULL AND y IS NOT NULL
+),
+cells AS (
+  SELECT conv_id, g, count(*) AS ng, sum(y) AS sg, sum(y * y) AS qg
+  FROM z GROUP BY 1, 2
+),
+e AS (
+  SELECT conv_id,
+         sum(ng) OVER wp AS n, sum(sg) OVER wp AS sv,
+         sum(qg) OVER wp AS q, count(*) OVER wp AS k,
+         sum(cast(sg AS double) * cast(sg AS double)
+             / cast(ng AS double))
+           OVER (PARTITION BY conv_id ORDER BY g
+                 ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM cells
+  WINDOW wp AS (PARTITION BY conv_id)
+),
+gg AS (
+  SELECT conv_id, max(n) AS n, max(k) AS k, max(sv) AS sv,
+         max(q) AS q, max(cum_b) AS b
+  FROM e GROUP BY 1
+),
+m AS (
+  SELECT conv_id, n, k,
+         cast(q AS double)
+           - cast(sv AS double) * cast(sv AS double)
+             / cast(n AS double) AS sst,
+         CASE WHEN b - cast(sv AS double) * cast(sv AS double)
+                       / cast(n AS double) < 0 THEN 0.0
+              ELSE b - cast(sv AS double) * cast(sv AS double)
+                       / cast(n AS double) END AS ssb
+  FROM gg
+),
+f AS (
+  SELECT conv_id, n, k, sst, ssb,
+         CASE WHEN sst - ssb < 0 THEN 0.0 ELSE sst - ssb END AS ssw
+  FROM m
+)
+SELECT conv_id, cast(n AS bigint) AS n, cast(k AS int) AS k,
+       round(CASE WHEN k >= 2 AND n > k AND sst > 0
+                  THEN ssb / sst END, 9) + 0.0 AS spread_eta2,
+       round(CASE WHEN k >= 2 AND n > k AND sst > 0 AND ssw > 0 THEN
+             (ssb / (cast(k AS double) - 1.0))
+             / (ssw / (cast(n AS double) - cast(k AS double)))
+             END, 6) + 0.0 AS bf_stat
+FROM f
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12648,6 +12837,9 @@ QUERIES = {
     "ts_spectral_entropy": q_ts_spectral_entropy,
     "ts_dispersion": q_ts_dispersion,
     "ts_logrank": q_ts_logrank,
+    "rel_trend_test": q_rel_trend_test,
+    "rel_mcnemar": q_rel_mcnemar,
+    "ts_brown_forsythe": q_ts_brown_forsythe,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -12875,6 +13067,9 @@ ORACLE_SQL = {
     "ts_spectral_entropy": SQL_TS_SPECTRAL,
     "ts_dispersion": SQL_TS_DISPERSION,
     "ts_logrank": SQL_TS_LOGRANK,
+    "rel_trend_test": SQL_REL_TREND_TEST,
+    "rel_mcnemar": SQL_REL_MCNEMAR,
+    "ts_brown_forsythe": SQL_TS_BROWN_FORSYTHE,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -340,3 +340,95 @@ def prop_ztest(df: DataFrame, group_col, success_col,
         pa.alias("rate_a"), pb.alias("rate_b"),
         F.when(ok, sa / na - sb / nb).alias("lift"),
         z.alias("z"))
+
+
+def cochran_armitage(df: DataFrame, group_score, success_col) -> DataFrame:
+    """Cochran–Armitage trend test (Cochran 1954; Armitage 1955) —
+    the ORDERED-groups completion of ``prop_ztest``: with k ordered
+    cohorts scored x₁ < … < x_k, does the success rate TREND with
+    the score (dose-response), which a pairwise z or an omnibus χ²
+    cannot answer.  With exact int64 sufficient statistics N, S (all
+    trials/successes), Σxn, Σxs, Σx²n:
+
+        A = N·Σxs − S·Σxn,     B = N·Σx²n − (Σxn)²,
+        z = A / sqrt( S·(N−S)·B / N )   ~  N(0,1) under no trend
+
+    — A and B are exact integers (the N-scaling clears every
+    fraction; overflow bound N²·x_max·s̄, int64-safe past 10⁹ trials
+    at single-digit scores), and z is ONE fixed double tree.
+    Degenerates NULL: S = 0 or S = N (no variance — certainty is
+    not a trend) or B = 0 (a single distinct score — no axis to
+    trend along).  Scores must be integers; successes must be 0/1
+    (validated in-plan, the prop_ztest guard).
+
+    Plan: one conditional aggregate over one scan to ONE row.
+    """
+    x = (F.col(group_score) if isinstance(group_score, str)
+         else group_score).cast("long")
+    sc = (F.col(success_col) if isinstance(success_col, str)
+          else success_col).cast("long")
+    checked = F.when(
+        (sc < 0) | (sc > 1),
+        F.expr("raise_error('cochran_armitage: success outside "
+               "{0,1}')").cast("long")).otherwise(sc)
+    base = df.where(x.isNotNull() & sc.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(checked).alias("s"),
+        F.sum(x).alias("xn"),
+        F.sum(x * checked).alias("xs"),
+        F.sum(x * x).alias("xxn"))
+    a = F.col("n") * F.col("xs") - F.col("s") * F.col("xn")
+    b = F.col("n") * F.col("xxn") - F.col("xn") * F.col("xn")
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    ok = (F.col("s") > 0) & (F.col("s") < F.col("n")) & (b > 0)
+    z = F.when(ok, a.cast("double")
+               / F.sqrt(sd * (nd - sd) * b.cast("double") / nd))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+        a.cast("long").alias("a_stat"),
+        b.cast("long").alias("b_stat"),
+        z.alias("z"))
+
+
+def mcnemar_test(df: DataFrame, flag_a, flag_b) -> DataFrame:
+    """McNemar's test for PAIRED binary flags (McNemar 1947) — the
+    within-subject change detector the two-sample prop_ztest gets
+    wrong (paired halves share the conversation; treating them as
+    independent cohorts overstates n): only the DISCORDANT pairs
+    carry information,
+
+        χ² = (b − c)² / (b + c),
+        b = #(A ∧ ¬B),  c = #(¬A ∧ B)   ~  χ²(1) under no change.
+
+    b, c exact int64; χ² one division of exact integers, unrounded
+    (bit-identical — the ts_allan rule).  b + c = 0 (no discordant
+    pair) → NULL — "nothing moved" carries no evidence about
+    symmetry.  NULL flags are rejected in-plan (a silently-skipped
+    row would understate both margins).
+
+    Plan: one conditional aggregate over one scan to ONE row.
+    """
+    fa = F.col(flag_a) if isinstance(flag_a, str) else flag_a
+    fb = F.col(flag_b) if isinstance(flag_b, str) else flag_b
+    chk = F.when(
+        fa.isNull() | fb.isNull(),
+        F.expr("raise_error('mcnemar_test: NULL flag — reject or "
+               "repair upstream')").cast("boolean")).otherwise(F.lit(True))
+    agg = df.select(fa.alias("__a"), fb.alias("__b"),
+                    chk.alias("__chk")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("__chk") & F.col("__a")
+                     & ~F.col("__b"), 1).otherwise(0)).alias("b_cnt"),
+        F.sum(F.when(F.col("__chk") & ~F.col("__a")
+                     & F.col("__b"), 1).otherwise(0)).alias("c_cnt"))
+    bc = F.col("b_cnt") + F.col("c_cnt")
+    diff = F.col("b_cnt") - F.col("c_cnt")
+    chi2 = F.when(bc > 0,
+                  (diff * diff).cast("double") / bc.cast("double"))
+    return agg.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("b_cnt").cast("long").alias("b_cnt"),
+        F.col("c_cnt").cast("long").alias("c_cnt"),
+        chi2.alias("chi2"))

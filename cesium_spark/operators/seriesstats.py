@@ -3328,3 +3328,49 @@ def dispersion_index(transcripts: DataFrame,
         F.when(ok, idx).alias("dispersion"),
         F.when(ok, (bn - F.lit(1)).cast("double") * idx)
         .alias("d_stat"))
+
+
+def brown_forsythe(series: DataFrame,
+                   group_col: str = "channel") -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test per conversation
+    (Brown & Forsythe 1974 — Levene's test with MEDIAN centers, the
+    robust variant): does the factor shift the SPREAD, not the
+    level?  The missing member next to ``anova_oneway`` (level
+    shift) and ``kruskal_wallis`` (distribution shift): an agent
+    whose latency mean is steady but whose variance doubles fails
+    only this screen.
+
+    The device that keeps the family's integer contract intact: the
+    transformed value is the DOUBLED absolute deviation from the
+    group median, z = |2y − 2·med_g| — the interpolated median of
+    integers is k or k+0.5, so 2·med is an exact integer (the
+    spearman 2·avg-rank trick applied to order statistics), z is
+    exact int64, and the one-way ANOVA over z runs verbatim through
+    ``anova_oneway``'s exact cells, ordered fold, and clamped
+    decomposition — this operator ADDS no float of its own.  The
+    reported F is invariant to the doubling (numerator and
+    denominator both scale by 4).
+
+    Degenerates inherit anova_oneway's NULL contract (k < 2,
+    n ≤ k, all-z-equal).  Plan: one extra (conv, group) percentile
+    window on the SAME key the ANOVA already exchanges on — still
+    effectively one conv-keyed exchange family, no UDF, no join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"brown_forsythe: column 'y' has type {t}; the exact-"
+            "2-median contract needs integer values")
+    y = F.col("y").cast("long")
+    w_g = Window.partitionBy("conv_id", group_col)
+    med2 = F.round(F.percentile(y, F.lit(0.5)).over(w_g)
+                   * F.lit(2.0), 0).cast("long")
+    z = (series
+         .where(F.col("y").isNotNull() & F.col(group_col).isNotNull())
+         .select("conv_id", "turn_idx", group_col,
+                 F.abs(F.lit(2) * y - med2).alias("y")))
+    out = anova_oneway(z, group_col=group_col)
+    return out.select(
+        "conv_id", "n", "k",
+        F.col("eta2").alias("spread_eta2"),
+        F.col("f_stat").alias("bf_stat"))

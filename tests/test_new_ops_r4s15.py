@@ -1212,3 +1212,72 @@ def test_logrank_null_and_guards(spark):
     with pytest.raises(ValueError, match="NULL/negative"):
         logrank_test(_spans(spark, [("A", -1, True), ("B", 2, True)]),
                      "g", "A", "B")
+
+
+# --- Cochran-Armitage / McNemar / Brown-Forsythe ----------------------------
+
+def test_cochran_armitage_matches_ref(spark):
+    from cesium_spark.operators.datastats import cochran_armitage
+    rng = np.random.RandomState(61)
+    rows = []
+    for x, p in ((0, 0.1), (1, 0.2), (2, 0.35)):   # planted dose trend
+        for _ in range(200):
+            rows.append((x, int(rng.rand() < p)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["x", "succ"]))
+    row = cochran_armitage(df, "x", "succ").collect()[0]
+    n = len(rows)
+    s = sum(r[1] for r in rows)
+    xn = sum(r[0] for r in rows)
+    xs = sum(r[0] * r[1] for r in rows)
+    xxn = sum(r[0] ** 2 for r in rows)
+    a = n * xs - s * xn
+    b = n * xxn - xn * xn
+    z = a / np.sqrt(s * (n - s) * b / n)
+    assert (row["a_stat"], row["b_stat"]) == (a, b)
+    assert abs(row["z"] - z) < 1e-12
+    assert row["z"] > 2.58                         # the trend shows
+    # all-success: certainty is not a trend -> NULL
+    dfa = spark.createDataFrame(pd.DataFrame(
+        [(0, 1), (1, 1), (2, 1)], columns=["x", "succ"]))
+    assert cochran_armitage(dfa, "x", "succ").collect()[0]["z"] is None
+    with pytest.raises(Exception, match="outside"):
+        cochran_armitage(spark.createDataFrame(pd.DataFrame(
+            [(0, 2)], columns=["x", "succ"])), "x", "succ").collect()
+
+
+def test_mcnemar_matches_ref(spark):
+    from cesium_spark.operators.datastats import mcnemar_test
+    rows = [(True, False)] * 30 + [(False, True)] * 10 \
+        + [(True, True)] * 25 + [(False, False)] * 35
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["a", "b"]))
+    row = mcnemar_test(df, "a", "b").collect()[0]
+    assert (row["b_cnt"], row["c_cnt"]) == (30, 10)
+    assert row["chi2"] == (30 - 10) ** 2 / 40     # bit-exact
+    # no discordant pair -> NULL
+    df2 = spark.createDataFrame(pd.DataFrame(
+        [(True, True), (False, False)], columns=["a", "b"]))
+    assert mcnemar_test(df2, "a", "b").collect()[0]["chi2"] is None
+    with pytest.raises(Exception, match="NULL flag"):
+        mcnemar_test(spark.createDataFrame(
+            pd.DataFrame({"a": [True, None], "b": [True, True]})),
+            "a", "b").collect()
+
+
+def test_brown_forsythe_spread_not_level(spark):
+    """Same means, different variances -> BF fires while the level
+    ANOVA stays quiet; level shift with equal spread -> the reverse."""
+    from cesium_spark.operators.seriesstats import (anova_oneway,
+                                                    brown_forsythe)
+    rng = np.random.RandomState(9)
+    tight = 100 + rng.randint(-2, 3, 60)           # mean 100, sd ~1.4
+    wide = 100 + rng.randint(-30, 31, 60)          # mean ~100, sd ~17
+    df = _grouped(spark, [tight, wide])
+    bf = brown_forsythe(df).collect()[0]
+    an = anova_oneway(df).collect()[0]
+    assert bf["bf_stat"] > 50                      # spread screams
+    assert an["f_stat"] < 4                        # level quiet
+    shifted = _grouped(spark, [tight, tight + 50])
+    bf2 = brown_forsythe(shifted).collect()[0]
+    an2 = anova_oneway(shifted).collect()[0]
+    assert an2["f_stat"] > 1000                    # level screams
+    assert bf2["bf_stat"] < 4                      # spread quiet
