@@ -12774,6 +12774,127 @@ FROM f
 """
 
 
+def q_ts_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs max-studentized deviation of tokens-per-turn: WHICH
+    turn is the conversation's single extreme and how far out. The
+    argmax compares exact int64 scaled deviations |n*y - S| (no
+    float can reorder the pick, earliest turn on ties); G is one
+    fixed tree; constant or n<3 NULL."""
+    from cesium_spark.operators.seriesstats import grubbs_stat
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        tok.cast("long").alias("y"))
+    out = grubbs_stat(series)
+    return out.select("conv_id", "n", "peak_turn",
+                      _r(F.col("g_stat"), 9).alias("g_stat"))
+
+
+SQL_TS_GRUBBS = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint)
+           AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+e AS (
+  SELECT conv_id, turn_idx, y,
+         sum(y) OVER wp AS sv, sum(y * y) OVER wp AS q,
+         count(*) OVER wp AS n
+  FROM s WINDOW wp AS (PARTITION BY conv_id)
+),
+d AS (
+  SELECT conv_id, turn_idx, n, sv, q,
+         abs(n * y - sv) AS dev
+  FROM e
+),
+g AS (
+  SELECT conv_id, max(n) AS n, max(sv) AS sv, max(q) AS q,
+         max(dev) AS dmax,
+         max(CASE WHEN rn = 1 THEN turn_idx END) AS peak_turn
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY dev DESC, turn_idx) AS rn
+        FROM d) z
+  GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       CASE WHEN n >= 3 AND n * q - sv * sv > 0
+            THEN cast(peak_turn AS bigint) END AS peak_turn,
+       round(CASE WHEN n >= 3 AND n * q - sv * sv > 0 THEN
+             cast(dmax AS double)
+             / sqrt(cast(n * q - sv * sv AS double)) END, 9)
+         + 0.0 AS g_stat
+FROM g
+"""
+
+
+def q_ts_cusumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-squares variance changepoint (Brown-Durbin-Evans):
+    did the VOLATILITY change and where - pettitt hears level by
+    rank, cusum alarms on mean drift, CUSUMSQ trips on jitter
+    doubling at a steady mean. Argmax over exact int64
+    |n*C_k - k*C_n|, one terminal division; earliest k on ties."""
+    from cesium_spark.operators.seriesstats import cusumsq
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        tok.cast("long").alias("y"))
+    out = cusumsq(series)
+    return out.select("conv_id", "n", "changepoint",
+                      _r(F.col("d_stat"), 9).alias("d_stat"))
+
+
+SQL_TS_CUSUMSQ = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w AS k,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint)
+           AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT conv_id, k,
+         sum(y * y) OVER (PARTITION BY conv_id ORDER BY k
+                          ROWS UNBOUNDED PRECEDING) AS ck,
+         sum(y * y) OVER (PARTITION BY conv_id) AS cn,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM s
+),
+d AS (
+  SELECT conv_id, k, n, cn,
+         abs(n * ck - k * cn) AS num
+  FROM c
+),
+g AS (
+  SELECT conv_id, max(n) AS n, max(cn) AS cn, max(num) AS nmax,
+         max(CASE WHEN rn = 1 THEN k END) AS changepoint
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY num DESC, k) AS rn
+        FROM d) z
+  GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       CASE WHEN n >= 2 AND cn > 0
+            THEN cast(changepoint AS bigint) END AS changepoint,
+       round(CASE WHEN n >= 2 AND cn > 0 THEN
+             cast(nmax AS double)
+             / cast(n * cn AS double) END, 9) + 0.0 AS d_stat
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12840,6 +12961,8 @@ QUERIES = {
     "rel_trend_test": q_rel_trend_test,
     "rel_mcnemar": q_rel_mcnemar,
     "ts_brown_forsythe": q_ts_brown_forsythe,
+    "ts_grubbs": q_ts_grubbs,
+    "ts_cusumsq": q_ts_cusumsq,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13070,6 +13193,8 @@ ORACLE_SQL = {
     "rel_trend_test": SQL_REL_TREND_TEST,
     "rel_mcnemar": SQL_REL_MCNEMAR,
     "ts_brown_forsythe": SQL_TS_BROWN_FORSYTHE,
+    "ts_grubbs": SQL_TS_GRUBBS,
+    "ts_cusumsq": SQL_TS_CUSUMSQ,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -3374,3 +3374,117 @@ def brown_forsythe(series: DataFrame,
         "conv_id", "n", "k",
         F.col("eta2").alias("spread_eta2"),
         F.col("f_stat").alias("bf_stat"))
+
+
+def grubbs_stat(series: DataFrame) -> DataFrame:
+    """Grubbs' max-studentized-deviation statistic per conversation
+    (Grubbs 1950) — "WHICH turn is the single most anomalous, and
+    how far out is it": the one-outlier screen next to the
+    sequence-level detectors (hampel smooths, seasonal_zscore flags
+    per-slot, this one names the conversation's single extreme):
+
+        G = max_t |y_t − ȳ| / s_pop
+          = max_t |n·y_t − S| / sqrt(n·Q − S²)
+
+    — the right-hand form is the exactness contract: the argmax
+    compares EXACT int64 scaled deviations |n·y_t − S| (no float can
+    reorder the pick; ties break to the EARLIEST turn via min_by on
+    (−dev, turn)), and G is one fixed tree over exact integers.
+    Degenerates NULL: constant series (s = 0 — everything is the
+    outlier of nothing) or n < 3 (Grubbs' minimum).
+
+    Plan: one unordered conv window + one conv aggregate — one
+    exchange, no UDF, no join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"grubbs_stat: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    y = F.col("y").cast("long")
+    w_all = Window.partitionBy("conv_id")
+    s = (series
+         .where(F.col("y").isNotNull())
+         .select("conv_id", "turn_idx", y.alias("__y"),
+                 F.sum(y).over(w_all).alias("__s"),
+                 F.sum(y * y).over(w_all).alias("__q"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    dev = F.abs(F.col("__n") * F.col("__y") - F.col("__s"))
+    g = (s.select("conv_id", "turn_idx", "__n", "__s", "__q",
+                  dev.alias("__d"))
+         .groupBy("conv_id")
+         .agg(F.max("__n").alias("n"),
+              F.max("__s").alias("__s"),
+              F.max("__q").alias("__q"),
+              F.max("__d").alias("__dmax"),
+              F.expr("min_by(turn_idx, struct(-__d, turn_idx))")
+              .alias("peak_turn")))
+    nd = F.col("n").cast("double")
+    var_n = (F.col("n") * F.col("__q")
+             - F.col("__s") * F.col("__s"))
+    ok = (F.col("n") >= 3) & (var_n > 0)
+    # |n·y−S| = n·|y−ȳ| and sqrt(nQ−S²) = n·s_pop: the n cancels
+    gg = F.when(ok, F.col("__dmax").cast("double")
+                / F.sqrt(var_n.cast("double")))
+    return g.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        F.when(ok, F.col("peak_turn")).cast("long").alias("peak_turn"),
+        gg.alias("g_stat"))
+
+
+def cusumsq(series: DataFrame) -> DataFrame:
+    """CUSUM-of-squares variance-changepoint per conversation
+    (Brown, Durbin & Evans 1975) — the VARIANCE member of the
+    changepoint trio: ``pettitt`` locates a LEVEL shift by ranks,
+    ``cusum`` alarms on mean drift sequentially, and CUSUMSQ asks
+    "did the VOLATILITY change, and where" — the agent whose mean
+    latency is steady while its jitter doubles trips only this one:
+
+        D_k = C_k/C_n − k/n,   C_k = Σ_{t≤k} y_t²,
+        stat = max_k |D_k|,    changepoint = argmax
+
+    decided ENTIRELY in integers: |n·C_k − k·C_n| is exact int64,
+    the argmax compares integers (ties → earliest k via min_by on
+    (−num, k)), and the statistic is ONE terminal division by the
+    exact n·C_n.  Overflow bound documented: n·C_n < 2^63 means
+    n²·ȳ² < 2^63 — safe to n = 10⁶ turns of |y| ≤ 3000 (ANSI
+    raises beyond, never wraps).  C_n = 0 (all-zero series) → NULL;
+    n < 2 → NULL.
+
+    Plan: one ordered conv window (the cumsum) + one conv
+    aggregate — one exchange, no UDF, no join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"cusumsq: column 'y' has type {t}; the exact-"
+            "integer-cumsum contract needs integer values")
+    y = F.col("y").cast("long")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id",
+                 F.row_number().over(w_ord).alias("__k"),
+                 F.sum(y * y).over(
+                     w_ord.rowsBetween(Window.unboundedPreceding, 0))
+                 .alias("__ck"),
+                 F.sum(y * y).over(w_all).alias("__cn"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    num = F.abs(F.col("__n") * F.col("__ck")
+                - F.col("__k") * F.col("__cn"))
+    g = (s.select("conv_id", "__k", "__n", "__cn", num.alias("__num"))
+         .groupBy("conv_id")
+         .agg(F.max("__n").alias("n"),
+              F.max("__cn").alias("__cn"),
+              F.max("__num").alias("__nmax"),
+              F.expr("min_by(__k, struct(-__num, __k))")
+              .alias("changepoint")))
+    ok = (F.col("n") >= 2) & (F.col("__cn") > 0)
+    stat = F.when(ok, F.col("__nmax").cast("double")
+                  / (F.col("n") * F.col("__cn")).cast("double"))
+    return g.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        F.when(ok, F.col("changepoint")).cast("long")
+        .alias("changepoint"),
+        stat.alias("d_stat"))

@@ -1281,3 +1281,45 @@ def test_brown_forsythe_spread_not_level(spark):
     an2 = anova_oneway(shifted).collect()[0]
     assert an2["f_stat"] > 1000                    # level screams
     assert bf2["bf_stat"] < 4                      # spread quiet
+
+
+# --- Grubbs / CUSUMSQ -------------------------------------------------------
+
+def test_grubbs_finds_the_whale(spark):
+    from cesium_spark.operators.seriesstats import grubbs_stat
+    rng = np.random.RandomState(3)
+    y = rng.randint(10, 20, 50)
+    y[17] = 500
+    pdf = pd.DataFrame({"conv_id": ["c"] * 50,
+                        "turn_idx": np.arange(50, dtype=np.int32),
+                        "y": y.astype(np.int64)})
+    row = grubbs_stat(spark.createDataFrame(pdf)).collect()[0]
+    g_ref = np.max(np.abs(y - y.mean())) / y.std()
+    assert row["peak_turn"] == 17
+    assert abs(row["g_stat"] - g_ref) < 1e-9
+    assert row["g_stat"] > 6
+    # constant -> NULL
+    pdf["y"] = 5
+    row = grubbs_stat(spark.createDataFrame(pdf)).collect()[0]
+    assert row["g_stat"] is None and row["peak_turn"] is None
+
+
+def test_cusumsq_variance_break(spark):
+    """Steady mean, jitter doubles halfway: pettitt-style level tests
+    see nothing but CUSUMSQ locates the volatility break."""
+    from cesium_spark.operators.seriesstats import cusumsq
+    rng = np.random.RandomState(8)
+    # the drift after the break must dominate the per-step noise for
+    # tight localization (the estimator is asymptotic): +-1 vs +-100
+    calm = 1000 + rng.randint(-1, 2, 100)
+    wild = 1000 + 100 * np.where(np.arange(100) % 2 == 0, 1, -1)
+    y = np.concatenate([calm, wild])
+    row = cusumsq(_series15(spark, y)).collect()[0]
+    c = np.cumsum((y.astype(np.int64)) ** 2)
+    num = np.abs(200 * c - np.arange(1, 201) * c[-1])
+    assert row["changepoint"] == int(np.argmax(num)) + 1
+    assert 95 <= row["changepoint"] <= 105          # near the break
+    assert row["d_stat"] == num.max() / (200 * c[-1])   # bit-exact
+    # all-zero -> NULL
+    row = cusumsq(_series15(spark, [0] * 10)).collect()[0]
+    assert row["d_stat"] is None
