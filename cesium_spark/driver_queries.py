@@ -12895,6 +12895,98 @@ FROM g
 """
 
 
+def q_ts_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation latency vs tokens CONTROLLING for tool
+    activity - the confound question the association quartet cannot
+    ask. Latency enters as floored integer seconds (the ts_allan
+    rule; squares stay int64-safe where micros would wrap), tokens
+    and the 0/1 tool flag are native integers; ten exact int64 sums
+    from one aggregate, three fixed pairwise-r trees, one partial
+    tree; |r_xc| = 1 exactly -> NULL."""
+    from cesium_spark.operators.seriesstats import partial_corr
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    lat = sec - F.lag(sec).over(w)
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    tool = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        lat.alias("__lat"), tok.cast("long").alias("__tok"),
+        tool.cast("long").alias("__tool"))
+    series = (base.selectExpr(
+        "conv_id", "turn_idx",
+        "stack(3, 'latency', __lat, 'tokens', __tok, "
+        "'tool', __tool) AS (channel, y)"))
+    out = partial_corr(series, "latency", "tokens", "tool")
+    return out.select(
+        "conv_id", "n_pairs",
+        _r(F.col("r_ab"), 9).alias("r_ab"),
+        _r(F.col("r_ac"), 9).alias("r_ac"),
+        _r(F.col("r_bc"), 9).alias("r_bc"),
+        _r(F.col("r_ab_c"), 9).alias("r_ab_c"))
+
+
+SQL_TS_PARTIAL_CORR = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(floor(epoch(ts)) AS bigint)
+           - lag(cast(floor(epoch(ts)) AS bigint)) OVER w AS a,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint)
+           AS b,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+al AS (
+  SELECT conv_id, a, b, c FROM t
+  WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
+),
+g AS (
+  SELECT conv_id, count(*) AS n,
+         sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+         sum(a * a) AS saa, sum(b * b) AS sbb, sum(c * c) AS scc,
+         sum(a * b) AS sab, sum(a * c) AS sac, sum(b * c) AS sbc
+  FROM al GROUP BY 1
+),
+rr AS (
+  SELECT conv_id, n,
+         cast(n AS double) * saa - cast(sa AS double) * sa AS va,
+         cast(n AS double) * sbb - cast(sb AS double) * sb AS vb,
+         cast(n AS double) * scc - cast(sc AS double) * sc AS vc,
+         (cast(n AS double) * sab - cast(sa AS double) * sb)
+           / sqrt((cast(n AS double) * saa - cast(sa AS double) * sa)
+                  * (cast(n AS double) * sbb
+                     - cast(sb AS double) * sb)) AS rab,
+         (cast(n AS double) * sac - cast(sa AS double) * sc)
+           / sqrt((cast(n AS double) * saa - cast(sa AS double) * sa)
+                  * (cast(n AS double) * scc
+                     - cast(sc AS double) * sc)) AS rac,
+         (cast(n AS double) * sbc - cast(sb AS double) * sc)
+           / sqrt((cast(n AS double) * sbb - cast(sb AS double) * sb)
+                  * (cast(n AS double) * scc
+                     - cast(sc AS double) * sc)) AS rbc
+  FROM g
+)
+SELECT conv_id, cast(n AS bigint) AS n_pairs,
+       round(CASE WHEN n >= 3 AND va > 0 AND vb > 0 AND vc > 0
+                  THEN rab END, 9) + 0.0 AS r_ab,
+       round(CASE WHEN n >= 3 AND va > 0 AND vb > 0 AND vc > 0
+                  THEN rac END, 9) + 0.0 AS r_ac,
+       round(CASE WHEN n >= 3 AND va > 0 AND vb > 0 AND vc > 0
+                  THEN rbc END, 9) + 0.0 AS r_bc,
+       round(CASE WHEN n >= 3 AND va > 0 AND vb > 0 AND vc > 0
+                   AND (1.0 - rac * rac) * (1.0 - rbc * rbc) > 0 THEN
+             (rab - rac * rbc)
+             / sqrt((1.0 - rac * rac) * (1.0 - rbc * rbc)) END, 9)
+         + 0.0 AS r_ab_c
+FROM rr
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -12963,6 +13055,7 @@ QUERIES = {
     "ts_brown_forsythe": q_ts_brown_forsythe,
     "ts_grubbs": q_ts_grubbs,
     "ts_cusumsq": q_ts_cusumsq,
+    "ts_partial_corr": q_ts_partial_corr,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13195,6 +13288,7 @@ ORACLE_SQL = {
     "ts_brown_forsythe": SQL_TS_BROWN_FORSYTHE,
     "ts_grubbs": SQL_TS_GRUBBS,
     "ts_cusumsq": SQL_TS_CUSUMSQ,
+    "ts_partial_corr": SQL_TS_PARTIAL_CORR,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

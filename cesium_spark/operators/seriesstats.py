@@ -3488,3 +3488,86 @@ def cusumsq(series: DataFrame) -> DataFrame:
         F.when(ok, F.col("changepoint")).cast("long")
         .alias("changepoint"),
         stat.alias("d_stat"))
+
+
+def partial_corr(series: DataFrame, ch_a: str, ch_b: str,
+                 ch_c: str) -> DataFrame:
+    """First-order partial correlation per conversation — does A
+    relate to B once C is CONTROLLED for (the confound question the
+    whole association quartet cannot ask: latency and tokens may
+    correlate only because tool calls drive both):
+
+        r_ab·c = (r_ab − r_ac·r_bc) / sqrt((1 − r_ac²)(1 − r_bc²))
+
+    over the TRIPLE-complete aligned sample (turns where all three
+    channels exist — the three pairwise r's must share one sample or
+    the formula is incoherent).
+
+    Exactness: integer values required; all ten sufficient sums (n,
+    ΣX, ΣX², ΣXY over the three channels) are exact int64 from ONE
+    conditional aggregate, each pairwise r is the fixed
+    (nΣxy − ΣxΣy)/√(…) tree, and the partial is one more fixed tree
+    over those three doubles — no fold, no ordering hazard anywhere.
+    Degenerates NULL: n < 3, any channel constant on the aligned
+    sample, or |r_ac| = 1 / |r_bc| = 1 exactly (C explains a
+    partner completely — partialling out everything leaves nothing).
+
+    Plan: single-scan conditional-aggregation alignment + one conv
+    aggregate — one exchange, no UDF, no join.
+    """
+    if len({ch_a, ch_b, ch_c}) != 3:
+        raise ValueError("partial_corr: channels must be distinct")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"partial_corr: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    y = F.col("y").cast("long")
+    aligned = (
+        series
+        .where(F.col("channel").isin([ch_a, ch_b, ch_c])
+               & F.col("y").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.when(F.col("channel") == ch_a, y)).alias("__a"),
+             F.max(F.when(F.col("channel") == ch_b, y)).alias("__b"),
+             F.max(F.when(F.col("channel") == ch_c, y)).alias("__c"))
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull()
+               & F.col("__c").isNotNull()))
+    a, b, c = F.col("__a"), F.col("__b"), F.col("__c")
+    g = aligned.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a).alias("sa"), F.sum(b).alias("sb"),
+        F.sum(c).alias("sc"),
+        F.sum(a * a).alias("saa"), F.sum(b * b).alias("sbb"),
+        F.sum(c * c).alias("scc"),
+        F.sum(a * b).alias("sab"), F.sum(a * c).alias("sac"),
+        F.sum(b * c).alias("sbc"))
+
+    def d(col):
+        return F.col(col).cast("double")
+
+    nd = d("n")
+
+    def r(sxy, sx, sy, sxx, syy):
+        vx = nd * d(sxx) - d(sx) * d(sx)
+        vy = nd * d(syy) - d(sy) * d(sy)
+        # try_divide, not /: Spark's common-subexpression elimination
+        # hoists the division OUT of the guarding CASE branch, so a
+        # constant channel trips ANSI DIVIDE_BY_ZERO even though the
+        # guard is false (found live; the ar1_fit rule)
+        return (F.try_divide(nd * d(sxy) - d(sx) * d(sy),
+                             F.sqrt(vx * vy)), vx, vy)
+
+    rab, va, vb = r("sab", "sa", "sb", "saa", "sbb")
+    rac, _, vc = r("sac", "sa", "sc", "saa", "scc")
+    rbc, _, _ = r("sbc", "sb", "sc", "sbb", "scc")
+    den2 = (F.lit(1.0) - rac * rac) * (F.lit(1.0) - rbc * rbc)
+    ok = (F.col("n") >= 3) & (va > 0) & (vb > 0) & (vc > 0)
+    part = F.when(ok & (den2 > 0),
+                  F.try_divide(rab - rac * rbc, F.sqrt(den2)))
+    return g.select(
+        "conv_id", F.col("n").cast("long").alias("n_pairs"),
+        F.when(ok, rab).alias("r_ab"),
+        F.when(ok, rac).alias("r_ac"),
+        F.when(ok, rbc).alias("r_bc"),
+        part.alias("r_ab_c"))

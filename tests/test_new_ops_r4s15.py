@@ -1323,3 +1323,58 @@ def test_cusumsq_variance_break(spark):
     # all-zero -> NULL
     row = cusumsq(_series15(spark, [0] * 10)).collect()[0]
     assert row["d_stat"] is None
+
+
+# --- partial correlation ----------------------------------------------------
+
+def _triple(spark, a, b, c):
+    rows = []
+    for i, (x, y, z) in enumerate(zip(a, b, c)):
+        rows += [("c", i, "A", int(x)), ("c", i, "B", int(y)),
+                 ("c", i, "C", int(z))]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                      "channel", "y"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    pdf["y"] = pdf["y"].astype(np.int64)
+    return spark.createDataFrame(pdf)
+
+
+def test_partial_corr_removes_the_confound(spark):
+    """A and B both driven by C, no direct link: raw r_ab is strong,
+    r_ab.c collapses toward 0 - the confound question none of the
+    quartet can ask. Values match a numpy replay to 1e-12."""
+    from cesium_spark.operators.seriesstats import partial_corr
+    rng = np.random.RandomState(15)
+    cc = rng.randint(0, 50, 300)
+    a = 3 * cc + rng.randint(0, 10, 300)          # driven by C
+    b = 2 * cc + rng.randint(0, 10, 300)          # driven by C
+    row = partial_corr(_triple(spark, a, b, cc),
+                       "A", "B", "C").collect()[0]
+
+    def pear(x, y):
+        n = len(x)
+        return ((n * np.sum(x * y) - x.sum() * y.sum())
+                / np.sqrt((n * np.sum(x * x) - x.sum() ** 2)
+                          * (n * np.sum(y * y) - y.sum() ** 2)))
+
+    a64, b64, c64 = (v.astype(np.int64) for v in (a, b, cc))
+    rab, rac, rbc = pear(a64, b64), pear(a64, c64), pear(b64, c64)
+    part = (rab - rac * rbc) / np.sqrt((1 - rac ** 2) * (1 - rbc ** 2))
+    assert abs(row["r_ab"] - rab) < 1e-12
+    assert abs(row["r_ab_c"] - part) < 1e-12
+    assert row["r_ab"] > 0.95                     # confounded: strong
+    assert abs(row["r_ab_c"]) < 0.25              # controlled: collapses
+
+
+def test_partial_corr_degenerates(spark):
+    from cesium_spark.operators.seriesstats import partial_corr
+    # constant C on the aligned sample -> NULL everywhere
+    row = partial_corr(_triple(spark, [1, 2, 3, 4], [2, 3, 4, 5],
+                               [7, 7, 7, 7]), "A", "B", "C").collect()[0]
+    assert row["r_ab"] is None and row["r_ab_c"] is None
+    # C == A exactly: |r_ac| = 1 -> partial NULL, pairwise fine
+    row = partial_corr(_triple(spark, [1, 2, 3, 9], [2, 1, 4, 5],
+                               [1, 2, 3, 9]), "A", "B", "C").collect()[0]
+    assert row["r_ac"] == 1.0 and row["r_ab_c"] is None
+    with pytest.raises(ValueError, match="distinct"):
+        partial_corr(_triple(spark, [1], [2], [3]), "A", "A", "C")
