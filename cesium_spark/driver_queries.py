@@ -12987,6 +12987,77 @@ FROM rr
 """
 
 
+_SMK_P = 7
+
+
+def q_ts_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (period 7, turn positions) over the
+    value series: within-slot MK integers summed across slots - the
+    trend screen a strong periodic component would otherwise drown.
+    Exact integers from the shared mergesort kernel; one fixed z
+    tree; all-tied var*=0 -> NULL."""
+    from cesium_spark.operators.seriesstats import seasonal_mann_kendall
+    out = seasonal_mann_kendall(_value_series(spark, sf_dir), _SMK_P)
+    return out.select("conv_id", "n", "n_slots", "s_stat", "var18",
+                      _r(F.col("z"), 6).alias("z"))
+
+
+SQL_TS_SEASONAL_MK = f"""{_VALUE_SERIES_SQL}
+, sl AS (
+  SELECT conv_id, turn_idx, y,
+         (row_number() OVER (PARTITION BY conv_id
+                             ORDER BY t, turn_idx) - 1)
+           % {_SMK_P} AS slot
+  FROM series WHERE y IS NOT NULL AND t IS NOT NULL
+),
+pairs AS (
+  SELECT a.conv_id,
+         sum(CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat
+  FROM sl a
+  JOIN sl b ON a.conv_id = b.conv_id AND a.slot = b.slot
+           AND b.turn_idx > a.turn_idx
+  GROUP BY 1
+),
+ties AS (
+  SELECT conv_id,
+         sum(n_g * (n_g - 1) * (2 * n_g + 5)) AS slot_nvar,
+         0 AS dummy
+  FROM (SELECT conv_id, slot, count(*) AS n_g
+        FROM sl GROUP BY 1, 2) z
+  GROUP BY 1
+),
+tiev AS (
+  SELECT conv_id, sum(c * (c - 1) * (2 * c + 5)) AS tie_term
+  FROM (SELECT conv_id, slot, y, count(*) AS c
+        FROM sl GROUP BY 1, 2, 3) z
+  GROUP BY 1
+),
+base AS (
+  SELECT conv_id, count(*) AS n, count(DISTINCT slot) AS n_slots
+  FROM sl GROUP BY 1
+),
+mk AS (
+  SELECT b.conv_id, b.n, b.n_slots,
+         cast(coalesce(p.s_stat, 0) AS bigint) AS s_stat,
+         cast(t.slot_nvar - v.tie_term AS bigint) AS var18
+  FROM base b
+  LEFT JOIN pairs p ON b.conv_id = p.conv_id
+  JOIN ties t ON b.conv_id = t.conv_id
+  JOIN tiev v ON b.conv_id = v.conv_id
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(n_slots AS int) AS n_slots, s_stat, var18,
+       round(CASE WHEN var18 = 0 THEN NULL
+                  WHEN s_stat > 0 THEN (cast(s_stat AS double) - 1)
+                       / sqrt(cast(var18 AS double) / 18.0)
+                  WHEN s_stat < 0 THEN (cast(s_stat AS double) + 1)
+                       / sqrt(cast(var18 AS double) / 18.0)
+                  ELSE 0.0 END, 6) + 0.0 AS z
+FROM mk
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13056,6 +13127,7 @@ QUERIES = {
     "ts_grubbs": q_ts_grubbs,
     "ts_cusumsq": q_ts_cusumsq,
     "ts_partial_corr": q_ts_partial_corr,
+    "ts_seasonal_mk": q_ts_seasonal_mk,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13289,6 +13361,7 @@ ORACLE_SQL = {
     "ts_grubbs": SQL_TS_GRUBBS,
     "ts_cusumsq": SQL_TS_CUSUMSQ,
     "ts_partial_corr": SQL_TS_PARTIAL_CORR,
+    "ts_seasonal_mk": SQL_TS_SEASONAL_MK,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

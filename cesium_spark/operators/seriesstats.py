@@ -931,6 +931,35 @@ MK_SCHEMA = ("conv_id string, n long, s_stat long, tied_pairs long, "
              "var18 long")
 
 
+def _mk_counts(y):
+    """Exact MK integers for one time-ordered value array: (n, S,
+    tied_pairs, 18·var) — S via the O(n·log²n) mergesort inversion
+    count (shared by mann_kendall and its seasonal variant)."""
+    import numpy as np
+    n = len(y)
+    a = y.copy()
+    inv = 0
+    width = 1
+    while width < n:
+        for lo in range(0, n - width, 2 * width):
+            mid = lo + width
+            hi = min(lo + 2 * width, n)
+            left = a[lo:mid]
+            inv += int((mid - lo
+                        - np.searchsorted(left, a[mid:hi],
+                                          side="right")).sum())
+            a[lo:hi] = np.sort(a[lo:hi], kind="mergesort")
+        width *= 2
+    _, counts = np.unique(y, return_counts=True)
+    cnt = [int(c) for c in counts]
+    total = n * (n - 1) // 2
+    tied = sum(c * (c - 1) // 2 for c in cnt)
+    s = total - tied - 2 * inv
+    var18 = (n * (n - 1) * (2 * n + 5)
+             - sum(c * (c - 1) * (2 * c + 5) for c in cnt))
+    return n, s, tied, var18
+
+
 def mann_kendall(series: DataFrame) -> DataFrame:
     """Mann–Kendall monotonic-trend test per series (Mann 1945,
     Kendall 1975) — the distribution-free "is it drifting?" question
@@ -967,30 +996,8 @@ def mann_kendall(series: DataFrame) -> DataFrame:
 
     def _kernel(pdf):
         pdf = pdf.sort_values(["t", "turn_idx"], kind="stable")
-        y = pdf["y"].to_numpy(dtype=np.float64)
-        n = len(y)
-        # strict inversions (i<j, y_i > y_j): bottom-up mergesort with
-        # vectorized cross-run counting via searchsorted
-        a = y.copy()
-        inv = 0
-        width = 1
-        while width < n:
-            for lo in range(0, n - width, 2 * width):
-                mid = lo + width
-                hi = min(lo + 2 * width, n)
-                left = a[lo:mid]
-                inv += int((mid - lo
-                            - np.searchsorted(left, a[mid:hi],
-                                              side="right")).sum())
-                a[lo:hi] = np.sort(a[lo:hi], kind="mergesort")
-            width *= 2
-        _, counts = np.unique(y, return_counts=True)
-        cnt = [int(c) for c in counts]
-        total = n * (n - 1) // 2
-        tied = sum(c * (c - 1) // 2 for c in cnt)
-        s = total - tied - 2 * inv
-        var18 = (n * (n - 1) * (2 * n + 5)
-                 - sum(c * (c - 1) * (2 * c + 5) for c in cnt))
+        n, s, tied, var18 = _mk_counts(
+            pdf["y"].to_numpy(dtype=np.float64))
         return pd.DataFrame({
             "conv_id": [pdf["conv_id"].iloc[0]],
             "n": [n], "s_stat": [s], "tied_pairs": [tied],
@@ -3571,3 +3578,72 @@ def partial_corr(series: DataFrame, ch_a: str, ch_b: str,
         F.when(ok, rac).alias("r_ac"),
         F.when(ok, rbc).alias("r_bc"),
         part.alias("r_ab_c"))
+
+
+SMK_SCHEMA = ("conv_id string, slot int, n long, s_stat long, "
+              "var18 long")
+
+
+def seasonal_mann_kendall(series: DataFrame,
+                          period: int) -> DataFrame:
+    """Seasonal Mann–Kendall trend test per conversation (Hirsch &
+    Slack 1984): run MK WITHIN each season slot (turn position mod
+    ``period``) and combine — the trend screen that a strong
+    periodic component would otherwise drown (plain MK on a
+    sawtooth+drift series compares across phases and dilutes S;
+    within-slot pairs never straddle phases — pinned in pytest by a
+    series where plain MK misses the drift seasonal MK nails):
+
+        S* = Σ_g S_g,    var* = Σ_g var_g   (slots independent),
+        z  = (S* ∓ 1)/sqrt(var*)
+
+    with per-slot S_g and 18·var_g the EXACT MK integers from the
+    shared ``_mk_counts`` mergesort kernel (counting, not float
+    math), combined by plain integer addition.  All-tied everywhere
+    (var* = 0) → NULL z.
+
+    Plan: one hash exchange into a per-(conv, slot) applyInPandas
+    kernel (finer keys than plain MK — MORE parallelism, smaller
+    tasks), then one conv-keyed integer aggregate.  The SQL oracle
+    replays S* by the literal within-slot pair definition.
+    """
+    if not isinstance(period, int) or not (2 <= period <= 64):
+        raise ValueError(f"seasonal_mann_kendall: period must be an "
+                         f"int in [2, 64], got {period!r}")
+    import numpy as np
+    import pandas as pd
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(["t", "turn_idx"], kind="stable")
+        n, s, tied, var18 = _mk_counts(
+            pdf["y"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "slot": [int(pdf["slot"].iloc[0])],
+            "n": [n], "s_stat": [s], "var18": [var18]})
+
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    slotted = (series
+               .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+               .select("conv_id", "turn_idx", "t", "y",
+                       ((F.row_number().over(w_ord) - 1)
+                        % period).cast("int").alias("slot")))
+    per_slot = (slotted.groupBy("conv_id", "slot")
+                .applyInPandas(_kernel, SMK_SCHEMA))
+    g = per_slot.groupBy("conv_id").agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum("s_stat").alias("s_stat"),
+        F.sum("var18").alias("var18"))
+    s = F.col("s_stat").cast("double")
+    v = F.col("var18").cast("double")
+    z = (F.when(F.col("var18") == 0, F.lit(None).cast("double"))
+         .when(F.col("s_stat") > 0, (s - 1) / F.sqrt(v / F.lit(18.0)))
+         .when(F.col("s_stat") < 0, (s + 1) / F.sqrt(v / F.lit(18.0)))
+         .otherwise(F.lit(0.0)))
+    return g.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        F.col("n_slots").cast("int").alias("n_slots"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var18"),
+        z.alias("z"))

@@ -1378,3 +1378,50 @@ def test_partial_corr_degenerates(spark):
     assert row["r_ac"] == 1.0 and row["r_ab_c"] is None
     with pytest.raises(ValueError, match="distinct"):
         partial_corr(_triple(spark, [1], [2], [3]), "A", "A", "C")
+
+
+# --- seasonal Mann-Kendall --------------------------------------------------
+
+def _smk_ref(y, period):
+    n_tot = s_tot = v_tot = 0
+    for g in range(period):
+        sub = np.asarray(y[g::period], dtype=float)
+        n = len(sub)
+        s = sum(int(np.sign(sub[j] - sub[i]))
+                for i in range(n) for j in range(i + 1, n))
+        _, c = np.unique(sub, return_counts=True)
+        v = (n * (n - 1) * (2 * n + 5)
+             - int(np.sum(c * (c - 1) * (2 * c + 5))))
+        n_tot, s_tot, v_tot = n_tot + n, s_tot + s, v_tot + v
+    if v_tot == 0:
+        return n_tot, s_tot, v_tot, None
+    z = ((s_tot - 1) if s_tot > 0 else (s_tot + 1)
+         if s_tot < 0 else 0) / np.sqrt(v_tot / 18.0)
+    return n_tot, s_tot, v_tot, (z if s_tot != 0 else 0.0)
+
+
+def test_seasonal_mk_beats_plain_on_sawtooth(spark):
+    """Sawtooth + slow drift: plain MK compares across phases and
+    dilutes S; within-slot pairs see the pure drift."""
+    from cesium_spark.operators.seriesstats import (mann_kendall,
+                                                    seasonal_mann_kendall)
+    saw = np.tile([0, 40, 80, 40, 0, -40, -80], 20)
+    drift = np.arange(140) // 10
+    y = (saw + drift + 100).astype(np.int64)
+    df = _series15(spark, y)
+    smk = seasonal_mann_kendall(df, 7).collect()[0]
+    mk = mann_kendall(df).collect()[0]
+    n, s, v, z = _smk_ref(list(y), 7)
+    assert (smk["n"], smk["s_stat"], smk["var18"]) == (n, s, v)
+    assert abs(smk["z"] - z) < 1e-9
+    assert smk["z"] > 2 * abs(mk["z"])         # the seasonal win
+    assert smk["z"] > 6
+
+
+def test_seasonal_mk_degenerates(spark):
+    from cesium_spark.operators.seriesstats import seasonal_mann_kendall
+    row = seasonal_mann_kendall(
+        _series15(spark, [5] * 30), 7).collect()[0]
+    assert row["z"] is None and row["var18"] == 0
+    with pytest.raises(ValueError, match="period"):
+        seasonal_mann_kendall(_series15(spark, [1, 2]), 1)
