@@ -13058,6 +13058,74 @@ FROM mk
 """
 
 
+_GUMBEL_T = 1800
+
+
+def q_ts_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel block-maxima fit over each conversation's daily worst
+    inter-turn gap: method-of-moments location/scale plus the
+    'how often does the daily worst gap breach 30 minutes' EVT
+    exceedance - the block-maxima route next to hill_tail's
+    peaks-over-threshold. Exact integer maxima and moment sums; mu,
+    beta, P are fixed trees with gamma and sqrt(6)/pi as literals."""
+    from cesium_spark.operators.seriesstats import gumbel_maxima
+    out = gumbel_maxima(events_transcripts(spark, sf_dir), _GUMBEL_T)
+    return out.select(
+        "conv_id", "n_blocks",
+        _r(F.col("mu"), 6).alias("mu"),
+        _r(F.col("beta"), 6).alias("beta"),
+        _r(F.col("p_exceed"), 9).alias("p_exceed"))
+
+
+SQL_TS_GUMBEL = f"""
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx, ts,
+         cast(floor(epoch(ts)) AS bigint) AS es
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gp AS (
+  SELECT conv_id, ts,
+         es - lag(es) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS g
+  FROM s
+),
+b AS (
+  SELECT conv_id, date_trunc('day', ts) AS bkt, max(g) AS m
+  FROM gp WHERE g IS NOT NULL GROUP BY 1, 2
+),
+a AS (
+  SELECT conv_id, count(*) AS nb, sum(m) AS sm, sum(m * m) AS qm
+  FROM b GROUP BY 1
+),
+t AS (
+  SELECT conv_id, nb,
+         nb >= 2 AND nb * qm - sm * sm > 0 AS ok,
+         sqrt(cast(nb * qm - sm * sm AS double)) / cast(nb AS double)
+           AS sd,
+         cast(sm AS double) / cast(nb AS double) AS mean
+  FROM a
+),
+f AS (
+  SELECT conv_id, nb, ok,
+         {__import__("math").sqrt(6.0) / __import__("math").pi!r} * sd
+           AS beta,
+         mean - 0.5772156649015329
+           * ({__import__("math").sqrt(6.0) / __import__("math").pi!r}
+              * sd) AS mu
+  FROM t
+)
+SELECT conv_id, cast(nb AS bigint) AS n_blocks,
+       round(CASE WHEN ok THEN mu END, 6) + 0.0 AS mu,
+       round(CASE WHEN ok THEN beta END, 6) + 0.0 AS beta,
+       round(CASE WHEN ok THEN
+             1.0 - exp(-exp(-((1800.0 - mu) / beta))) END, 9)
+         + 0.0 AS p_exceed
+FROM f
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13128,6 +13196,7 @@ QUERIES = {
     "ts_cusumsq": q_ts_cusumsq,
     "ts_partial_corr": q_ts_partial_corr,
     "ts_seasonal_mk": q_ts_seasonal_mk,
+    "ts_gumbel": q_ts_gumbel,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13362,6 +13431,7 @@ ORACLE_SQL = {
     "ts_cusumsq": SQL_TS_CUSUMSQ,
     "ts_partial_corr": SQL_TS_PARTIAL_CORR,
     "ts_seasonal_mk": SQL_TS_SEASONAL_MK,
+    "ts_gumbel": SQL_TS_GUMBEL,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

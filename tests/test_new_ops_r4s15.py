@@ -1425,3 +1425,66 @@ def test_seasonal_mk_degenerates(spark):
     assert row["z"] is None and row["var18"] == 0
     with pytest.raises(ValueError, match="period"):
         seasonal_mann_kendall(_series15(spark, [1, 2]), 1)
+
+
+# --- Gumbel block maxima ----------------------------------------------------
+
+def test_gumbel_matches_moments_ref(spark):
+    from cesium_spark.operators.seriesstats import gumbel_maxima
+    import datetime as dt
+    # 10 days, 5 turns/day with a known max gap per day
+    rng = np.random.RandomState(66)
+    rows = []
+    t = dt.datetime(2024, 1, 1)
+    day_max = []
+    for d in range(10):
+        t = dt.datetime(2024, 1, 1 + d)
+        gaps = rng.randint(60, 3000, 4)
+        day_max.append(int(gaps.max()))
+        for g in gaps:
+            rows.append(t)
+            t = t + dt.timedelta(seconds=int(g))
+        rows.append(t)
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(rows),
+        "turn_idx": np.arange(len(rows), dtype=np.int32),
+        "role": ["u"] * len(rows), "text": ["x"] * len(rows),
+        "tool": [None] * len(rows), "ts": rows})
+    row = gumbel_maxima(spark.createDataFrame(pdf), 1800).collect()[0]
+    # block = calendar day of the gap's END turn, so the overnight
+    # gap into each new day COUNTS in that day's block (it is a real
+    # worst-gap; the first fixture draft forgot it and disagreed
+    # with the engine) — recompute maxima from the actual rows
+    es = np.array([int(r.timestamp()) for r in rows])
+    gaps = es[1:] - es[:-1]
+    days = np.array([r.toordinal() for r in rows])[1:]
+    m = np.array([gaps[days == d].max()
+                  for d in np.unique(days)], dtype=np.int64)
+    mean, sd = m.mean(), m.std()
+    beta = np.sqrt(6) / np.pi * sd
+    mu = mean - 0.5772156649015329 * beta
+    p = 1 - np.exp(-np.exp(-((1800.0 - mu) / beta)))
+    assert row["n_blocks"] == len(m)
+    assert abs(row["mu"] - mu) < 1e-6
+    assert abs(row["beta"] - beta) < 1e-6
+    assert abs(row["p_exceed"] - p) < 1e-9
+    assert 0.0 < row["p_exceed"] < 1.0
+
+
+def test_gumbel_degenerates(spark):
+    from cesium_spark.operators.seriesstats import gumbel_maxima
+    import datetime as dt
+    # all-equal daily maxima -> s = 0 -> NULL (a constant has no
+    # tail); ONE gap per day, exactly 86400 s (midnight to midnight),
+    # so even the overnight gap is the same constant
+    rows = [dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+            for d in range(6)]
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(rows),
+        "turn_idx": np.arange(len(rows), dtype=np.int32),
+        "role": ["u"] * len(rows), "text": ["x"] * len(rows),
+        "tool": [None] * len(rows), "ts": rows})
+    row = gumbel_maxima(spark.createDataFrame(pdf), 1800).collect()[0]
+    assert row["n_blocks"] == 5 and row["mu"] is None
+    with pytest.raises(ValueError, match="threshold"):
+        gumbel_maxima(spark.createDataFrame(pdf), 0)
