@@ -13126,6 +13126,56 @@ FROM f
 """
 
 
+def q_ts_lz76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ76 sequence complexity of each conversation's role string:
+    long-range scripted repetition collapses the phrase count where
+    per-step entropies stay blind (a^n -> 2, (ab)^n -> 3, iid ->
+    n/log n). Sequential parsing in a per-conversation kernel; the
+    oracle replays the SAME novel-length rule as a DuckDB recursive
+    CTE - sequential state is recursion, not a window."""
+    from cesium_spark.operators.sequences import lz76_complexity
+    out = lz76_complexity(events_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "n", "c_phrases",
+        _r(F.col("c_norm"), 9).alias("c_norm"))
+
+
+SQL_TS_LZ76 = """
+WITH RECURSIVE t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         substr(event_type, 1, 1) AS ch
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+strs AS (
+  SELECT conv_id, string_agg(ch, '' ORDER BY turn_idx) AS s
+  FROM t GROUP BY 1
+),
+p AS (
+  SELECT conv_id, s, 1 AS pos, 0 AS c FROM strs
+  UNION ALL
+  SELECT conv_id, s,
+         pos + coalesce(list_min(list_filter(
+                 range(1, len(s) - pos + 2),
+                 L -> strpos(substr(s, 1, pos + L - 2),
+                             substr(s, pos, L)) = 0)),
+               len(s) - pos + 1),
+         c + 1
+  FROM p WHERE pos <= len(s)
+),
+g AS (
+  SELECT conv_id, max(len(s)) AS n, max(c) AS c FROM p GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       cast(c AS bigint) AS c_phrases,
+       round(CASE WHEN n >= 2 THEN
+             cast(c AS double) * ln(cast(n AS double))
+             / cast(n AS double) END, 9) + 0.0 AS c_norm
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13197,6 +13247,7 @@ QUERIES = {
     "ts_partial_corr": q_ts_partial_corr,
     "ts_seasonal_mk": q_ts_seasonal_mk,
     "ts_gumbel": q_ts_gumbel,
+    "ts_lz76": q_ts_lz76,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13432,6 +13483,7 @@ ORACLE_SQL = {
     "ts_partial_corr": SQL_TS_PARTIAL_CORR,
     "ts_seasonal_mk": SQL_TS_SEASONAL_MK,
     "ts_gumbel": SQL_TS_GUMBEL,
+    "ts_lz76": SQL_TS_LZ76,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -533,3 +533,78 @@ def cohen_kappa_adjacent(transcripts: DataFrame) -> DataFrame:
         F.col("n_agree").cast("long").alias("n_agree"),
         F.col("e_sum").cast("long").alias("e_sum"),
         kappa.alias("kappa"))
+
+
+LZ_SCHEMA = "conv_id string, n long, c_phrases long"
+
+
+def lz76_complexity(transcripts: DataFrame) -> DataFrame:
+    """Lempel–Ziv 1976 complexity of the role sequence per
+    conversation — the SEQUENCE-compressibility member of the
+    complexity family: permutation/sample entropy hear numeric
+    series, ``transition_entropy`` the one-step Markov structure,
+    and LZ76 counts the phrases in the exhaustive self-referential
+    parsing of the whole role STRING — long-range repetition
+    (scripted agent loops spanning many turns) collapses C where
+    per-step entropies stay blind.  aⁿ parses to 2 phrases, (ab)ⁿ
+    to 3, iid text to ~n/log n.
+
+    Parsing rule (Kaspar & Schuster 1987 operationalization, stated
+    exactly because variants abound): a phrase starting at i extends
+    while the candidate s[i..i+L−1] occurs in s[1..i+L−2] (overlap
+    allowed — the window ends one char before the candidate does);
+    the first NOVEL length closes the phrase including its novel
+    char; a suffix that never goes novel is one final phrase.
+
+    Each role maps to its first letter ('signup'→s … — distinct for
+    the five transcript roles; collisions raise loudly rather than
+    silently merging states).  The kernel is inherently sequential →
+    per-conversation applyInPandas (the mann_kendall contract); the
+    oracle replays the SAME rule as a DuckDB recursive CTE stepping
+    (pos, count) with a list_filter/strpos novel-length probe —
+    sequential state is recursion, not a window.  ``c_norm`` =
+    C·ln(n)/n is the usual size normalization (one fixed tree;
+    n = 1 → NULL — a single turn has no sequence).
+
+    Plan: ONE hash exchange into the kernel; the per-row work is
+    O(C·n) string scans on a vocabulary-sized alphabet.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values("turn_idx", kind="stable")
+        chars = []
+        seen = {}
+        for r in pdf["role"]:
+            ch = r[0]
+            if seen.setdefault(ch, r) != r:
+                raise ValueError(
+                    f"lz76_complexity: first-letter collision "
+                    f"{seen[ch]!r} vs {r!r} — supply a custom mapping")
+            chars.append(ch)
+        s = "".join(chars)
+        n = len(s)
+        i, c = 0, 0
+        while i < n:
+            L = 1
+            while i + L <= n and s[i:i + L] in s[:i + L - 1]:
+                L += 1
+            i += min(L, n - i)
+            c += 1
+        return pd.DataFrame({
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "n": [n], "c_phrases": [c]})
+
+    base = (transcripts
+            .where(F.col("role").isNotNull())
+            .select("conv_id", "turn_idx", "role")
+            .groupBy("conv_id")
+            .applyInPandas(_kernel, LZ_SCHEMA))
+    ok = F.col("n") >= 2
+    c_norm = (F.col("c_phrases").cast("double")
+              * F.log(F.col("n").cast("double"))
+              / F.col("n").cast("double"))
+    return base.select(
+        "conv_id", "n", "c_phrases",
+        F.when(ok, c_norm).alias("c_norm"))

@@ -1488,3 +1488,56 @@ def test_gumbel_degenerates(spark):
     assert row["n_blocks"] == 5 and row["mu"] is None
     with pytest.raises(ValueError, match="threshold"):
         gumbel_maxima(spark.createDataFrame(pdf), 0)
+
+
+# --- LZ76 -------------------------------------------------------------------
+
+def _role_seq(spark, roles):
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(roles),
+        "turn_idx": np.arange(len(roles), dtype=np.int32),
+        "role": roles})
+    return spark.createDataFrame(pdf)
+
+
+def test_lz76_textbook_values(spark):
+    from cesium_spark.operators.sequences import lz76_complexity
+    # a^n -> 2 phrases; (ab)^n -> 3; single char -> 1
+    assert lz76_complexity(_role_seq(spark, ["a"] * 20)) \
+        .collect()[0]["c_phrases"] == 2
+    assert lz76_complexity(_role_seq(spark, ["a", "b"] * 15)) \
+        .collect()[0]["c_phrases"] == 3
+    row = lz76_complexity(_role_seq(spark, ["a"])).collect()[0]
+    assert row["c_phrases"] == 1 and row["c_norm"] is None
+
+
+def test_lz76_loops_vs_random(spark):
+    """A scripted 6-turn loop repeated 20x collapses C; an iid role
+    stream of the same length does not — the long-range structure
+    per-step entropies cannot see."""
+    from cesium_spark.operators.sequences import lz76_complexity
+    rng = np.random.RandomState(3)
+    loop = list("uatuet") * 20
+    iid = list(rng.choice(list("uatec"), 120))
+    c_loop = lz76_complexity(_role_seq(spark, loop)) \
+        .collect()[0]["c_phrases"]
+    c_iid = lz76_complexity(_role_seq(spark, iid)) \
+        .collect()[0]["c_phrases"]
+    assert c_loop < c_iid / 3
+    # literal python replay of the stated rule
+    s = "".join(loop)
+    i = c = 0
+    while i < len(s):
+        L = 1
+        while i + L <= len(s) and s[i:i + L] in s[:i + L - 1]:
+            L += 1
+        i += min(L, len(s) - i)
+        c += 1
+    assert c_loop == c
+
+
+def test_lz76_collision_raises(spark):
+    from cesium_spark.operators.sequences import lz76_complexity
+    with pytest.raises(Exception, match="collision"):
+        lz76_complexity(
+            _role_seq(spark, ["signup", "system"])).collect()
