@@ -13176,6 +13176,43 @@ FROM g
 """
 
 
+def q_doc_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate + Good's coverage over the
+    document corpus: is more crawling still buying vocabulary - the
+    question zipf's slope does not answer. Exact int64
+    frequency-of-frequencies; both outputs unrounded divisions of
+    exact integers (the ts_allan rule); the f2+1 bias-corrected form
+    stays finite exactly when the corpus is most undersampled."""
+    from cesium_spark.operators.textstats import vocab_richness
+    _prep(spark)
+    return vocab_richness(_read(spark, sf_dir, "documents"))
+
+
+SQL_DOC_VOCAB_RICHNESS = """
+WITH f AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) != '') z
+  GROUP BY 1
+),
+g AS (
+  SELECT count(*) AS v_obs, sum(c) AS n_tokens,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM f
+)
+SELECT cast(v_obs AS bigint) AS v_obs,
+       cast(n_tokens AS bigint) AS n_tokens,
+       cast(f1 AS bigint) AS f1, cast(f2 AS bigint) AS f2,
+       cast(v_obs AS double)
+         + cast(f1 * (f1 - 1) AS double)
+           / cast(2 * (f2 + 1) AS double) AS chao1,
+       1.0 - cast(f1 AS double) / cast(n_tokens AS double) AS coverage
+FROM g
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13248,6 +13285,7 @@ QUERIES = {
     "ts_seasonal_mk": q_ts_seasonal_mk,
     "ts_gumbel": q_ts_gumbel,
     "ts_lz76": q_ts_lz76,
+    "doc_vocab_richness": q_doc_vocab_richness,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13484,6 +13522,7 @@ ORACLE_SQL = {
     "ts_seasonal_mk": SQL_TS_SEASONAL_MK,
     "ts_gumbel": SQL_TS_GUMBEL,
     "ts_lz76": SQL_TS_LZ76,
+    "doc_vocab_richness": SQL_DOC_VOCAB_RICHNESS,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -1288,3 +1288,56 @@ def readability(docs: DataFrame, id_col: str = "doc_id",
         F.when(ok, syl).alias("n_syllables"),
         F.when(ok, ease).alias("flesch_ease"),
         F.when(ok, grade).alias("fk_grade"))
+
+
+def vocab_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unseen-vocabulary estimation over the corpus: the bias-corrected
+    Chao1 species-richness estimate and Good's sample coverage
+    (Chao 1984; Good 1953) — the curation question zipf_fit's slope
+    does not answer: how many word types does this corpus REALLY
+    have, and what fraction of the token stream comes from types we
+    have already seen (is more crawling still buying vocabulary)?
+
+        Chao1   = V + f₁(f₁−1) / (2(f₂+1)),
+        coverage = 1 − f₁/N
+
+    with V = observed distinct tokens, f₁/f₂ = types seen exactly
+    once/twice, N = total tokens.  The f₂+1 form is the
+    bias-corrected estimator that stays finite at f₂ = 0 (the raw
+    f₁²/2f₂ form divides by zero exactly when the corpus is most
+    undersampled — the case the estimate exists for).
+
+    Exactness: V, f₁, f₂, N are exact int64 from one
+    frequency-of-frequencies aggregate (the yules_k machinery's
+    grain); both outputs are single divisions of exact integers,
+    emitted UNROUNDED (bit-identical — the ts_allan rule).  Empty
+    corpus → no row (nothing to estimate richness of).
+
+    Plan: explode → (token) count → (count) count — two shrinking
+    hash exchanges, the second over at most max-frequency rows; the
+    final fold is a 1-row aggregate.  No UDF.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    freq = (docs
+            .where(F.col(text_col).isNotNull()
+                   & (F.trim(F.col(text_col)) != ""))
+            .select(F.explode(toks).alias("__t"))
+            .groupBy("__t").agg(F.count(F.lit(1)).alias("__c")))
+    g = freq.agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum("__c").alias("n_tokens"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).alias("f2"))
+    f1, f2 = F.col("f1"), F.col("f2")
+    chao1 = (F.col("v_obs").cast("double")
+             + (f1 * (f1 - F.lit(1))).cast("double")
+             / (F.lit(2) * (f2 + F.lit(1))).cast("double"))
+    cov = (F.lit(1.0)
+           - f1.cast("double") / F.col("n_tokens").cast("double"))
+    return g.select(
+        F.col("v_obs").cast("long").alias("v_obs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        f1.cast("long").alias("f1"),
+        f2.cast("long").alias("f2"),
+        chao1.alias("chao1"),
+        cov.alias("coverage"))

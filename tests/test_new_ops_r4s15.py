@@ -1541,3 +1541,47 @@ def test_lz76_collision_raises(spark):
     with pytest.raises(Exception, match="collision"):
         lz76_complexity(
             _role_seq(spark, ["signup", "system"])).collect()
+
+
+# --- vocab richness ---------------------------------------------------------
+
+def test_chao1_known_counts(spark):
+    from cesium_spark.operators.textstats import vocab_richness
+    # frequencies: a:3, b:2, c:1, d:1 -> V=4, f1=2, f2=1, N=7
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["a a b c", "a b d"]}))
+    row = vocab_richness(docs).collect()[0]
+    assert (row["v_obs"], row["n_tokens"], row["f1"], row["f2"]) \
+        == (4, 7, 2, 1)
+    assert row["chao1"] == 4 + 2 * 1 / (2 * 2)      # bit-exact
+    assert row["coverage"] == 1 - 2 / 7
+    # fully-saturated corpus: f1 = 0 -> chao1 == V, coverage == 1
+    sat = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": ["x x y y"]}))
+    row = vocab_richness(sat).collect()[0]
+    assert row["chao1"] == row["v_obs"] == 2
+    assert row["coverage"] == 1.0
+    # f2 = 0 with singletons: the raw form would divide by zero --
+    # the corrected form stays finite
+    und = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": ["p q r"]}))
+    row = vocab_richness(und).collect()[0]
+    assert row["f2"] == 0 and row["chao1"] == 3 + 3 * 2 / 2
+
+
+def test_chao1_undersampling_direction(spark):
+    """A tiny sample of a large vocabulary: chao1 >> V_obs and
+    coverage is low; the full corpus: chao1 ~ V and coverage ~ 1."""
+    from cesium_spark.operators.textstats import vocab_richness
+    rng = np.random.RandomState(10)
+    vocab = [f"w{i}" for i in range(500)]
+    small = " ".join(rng.choice(vocab, 80))
+    big = " ".join(rng.choice(vocab, 20000))
+    r_small = vocab_richness(spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [small]}))).collect()[0]
+    r_big = vocab_richness(spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [big]}))).collect()[0]
+    assert r_small["chao1"] > r_small["v_obs"] * 1.5
+    assert r_small["coverage"] < 0.35
+    assert r_big["chao1"] < r_big["v_obs"] * 1.05
+    assert r_big["coverage"] > 0.99
