@@ -13213,6 +13213,57 @@ FROM g
 """
 
 
+def q_doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing weights (alpha=0.5) across the corpus's 20
+    sources: the GPT-3/PaLM multinomial sampling table - raw token
+    shares flattened so low-resource sources upsample; boost =
+    mix/raw is each source's effective epoch multiplier. Exact int64
+    counts, source-ordered normalizer fold, fixed trees."""
+    from cesium_spark.operators.sampling import mix_weights
+    _prep(spark)
+    out = mix_weights(_read(spark, sf_dir, "documents"), alpha=0.5)
+    return out.orderBy("source").select(
+        "source", "n_docs", "n_tokens",
+        _r(F.col("raw_share"), 9).alias("raw_share"),
+        _r(F.col("mix_share"), 9).alias("mix_share"),
+        _r(F.col("boost"), 9).alias("boost"))
+
+
+SQL_DOC_MIX_WEIGHTS = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(cast(len(string_split_regex(trim(text), '\\s+'))
+                  AS bigint)) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1
+),
+p1 AS (
+  SELECT source, n_docs, n_tokens,
+         cast(n_tokens AS double)
+           / cast(sum(n_tokens) OVER () AS double) AS raw_share,
+         pow(cast(n_tokens AS double)
+             / cast(sum(n_tokens) OVER () AS double), 0.5) AS pw
+  FROM per
+),
+f AS (
+  SELECT *,
+         sum(pw) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM p1
+),
+z AS (SELECT max(cum) AS zz FROM f)
+SELECT source,
+       cast(n_docs AS bigint) AS n_docs,
+       cast(n_tokens AS bigint) AS n_tokens,
+       round(raw_share, 9) + 0.0 AS raw_share,
+       round(pw / zz, 9) + 0.0 AS mix_share,
+       round(pw / zz / raw_share, 9) + 0.0 AS boost
+FROM f, z
+ORDER BY source
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13286,6 +13337,7 @@ QUERIES = {
     "ts_gumbel": q_ts_gumbel,
     "ts_lz76": q_ts_lz76,
     "doc_vocab_richness": q_doc_vocab_richness,
+    "doc_mix_weights": q_doc_mix_weights,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13523,6 +13575,7 @@ ORACLE_SQL = {
     "ts_gumbel": SQL_TS_GUMBEL,
     "ts_lz76": SQL_TS_LZ76,
     "doc_vocab_richness": SQL_DOC_VOCAB_RICHNESS,
+    "doc_mix_weights": SQL_DOC_MIX_WEIGHTS,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -269,3 +269,62 @@ def dsir_logweights(docs: DataFrame, is_target,
                     F.col("n_items").cast("long").alias("n_items"),
                     (F.col("__t") == 1).alias("in_target"),
                     F.col("logw")))
+
+
+def mix_weights(docs: DataFrame, alpha: float = 0.5,
+                group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Temperature-based corpus mixing weights per source (the
+    multinomial sampling recipe of the GPT-3/PaLM training setups —
+    Brown et al. 2020 §2.2's quality-weighted sampling restated at
+    the source grain): raw token shares p_s are flattened to
+
+        w_s = p_s^α / Σ_t p_t^α        (α = 1 keeps raw shares,
+                                        α → 0 approaches uniform)
+
+    so low-resource sources are UPSAMPLED — the ``boost`` column
+    (w_s/p_s) is each source's effective epoch multiplier, the
+    number a data-mixing review actually reads.
+
+    Exactness: per-source doc and token counts are exact int64; p_s,
+    the α-powers, and the normalizer fold in SOURCE order (ordered
+    cumsum, terminal max — powers are nonnegative, the hurst rule),
+    then w_s and boost are fixed trees.  α is validated in (0, 1]
+    (α > 1 would SHARPEN the skew — almost always a config typo for
+    this recipe, refused loudly).
+
+    Plan: one (source) aggregate + one ordered fold over the tiny
+    source table + a broadcast-back of the 1-row normalizer — the
+    corpus is scanned once; everything after runs on |sources| rows.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"mix_weights: alpha must be in (0, 1], "
+                         f"got {alpha}")
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (docs
+           .where(F.col(text_col).isNotNull()
+                  & F.col(group_col).isNotNull())
+           .groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(toks.cast("long")).alias("n_tokens")))
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = (w_all.orderBy(group_col)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("n_tokens").over(w_all)
+    p = F.col("n_tokens").cast("double") / tot.cast("double")
+    powed = F.pow(p, F.lit(float(alpha)))
+    folded = per.select(
+        group_col, "n_docs", "n_tokens",
+        p.alias("raw_share"),
+        powed.alias("__pw"),
+        F.sum(powed).over(w_ord).alias("__cum"))
+    norm = folded.agg(F.max("__cum").alias("__z"))
+    out = folded.crossJoin(F.broadcast(norm))
+    w = F.col("__pw") / F.col("__z")
+    return out.select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("raw_share"),
+        w.alias("mix_share"),
+        (w / F.col("raw_share")).alias("boost"))

@@ -1585,3 +1585,31 @@ def test_chao1_undersampling_direction(spark):
     assert r_small["coverage"] < 0.35
     assert r_big["chao1"] < r_big["v_obs"] * 1.05
     assert r_big["coverage"] > 0.99
+
+
+# --- mixing weights ---------------------------------------------------------
+
+def test_mix_weights_flattens(spark):
+    from cesium_spark.operators.sampling import mix_weights
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(5),
+        "source": ["big", "big", "big", "big", "small"],
+        "text": ["w " * 80, "w " * 80, "w " * 80, "w " * 79 + "w",
+                 "w w w w"]}))
+    out = {r["source"]: r for r in
+           mix_weights(docs, alpha=0.5).collect()}
+    big, small = out["big"], out["small"]
+    p_big = 320 / 324
+    p_small = 4 / 324
+    z = np.sqrt(p_big) + np.sqrt(p_small)
+    assert abs(big["raw_share"] - p_big) < 1e-12
+    assert abs(small["mix_share"] - np.sqrt(p_small) / z) < 1e-12
+    # flattening: shares sum to 1, small is UPSAMPLED, big damped
+    assert abs(big["mix_share"] + small["mix_share"] - 1.0) < 1e-12
+    assert small["boost"] > 5 and big["boost"] < 1
+    # alpha = 1 is the identity: mix == raw, boost == 1 exactly
+    out1 = {r["source"]: r for r in
+            mix_weights(docs, alpha=1.0).collect()}
+    assert abs(out1["small"]["boost"] - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="alpha"):
+        mix_weights(docs, alpha=1.5)
