@@ -13264,6 +13264,93 @@ ORDER BY source
 """
 
 
+def q_doc_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth V(n) ~ K n^beta over the corpus
+    at four doc-order quartile checkpoints: the GROWTH companion to
+    zipf (frequency) and chao1 (asymptote). Exact integer n_i/V_i
+    (ordered-cumsum probes + first-containing-doc min-aggregates),
+    closed-form 4-point log-log OLS as one fixed tree in literal
+    checkpoint order."""
+    from cesium_spark.operators.textstats import heaps_fit
+    _prep(spark)
+    out = heaps_fit(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "n_docs", "n1", "n2", "n3", "n4", "v1", "v2", "v3", "v4",
+        _r(F.col("beta"), 9).alias("beta"),
+        _r(F.col("k_coef"), 6).alias("k_coef"))
+
+
+SQL_DOC_HEAPS = """
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) AS r,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
+),
+wc AS (
+  SELECT r, toks,
+         sum(len(toks)) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+         count(*) OVER () AS d
+  FROM ranked
+),
+cps AS (
+  SELECT max(d) AS d,
+         max(CASE WHEN r = (d * 1) // 4 THEN cum END) AS n1,
+         max(CASE WHEN r = (d * 2) // 4 THEN cum END) AS n2,
+         max(CASE WHEN r = (d * 3) // 4 THEN cum END) AS n3,
+         max(CASE WHEN r = (d * 4) // 4 THEN cum END) AS n4,
+         max((d * 1) // 4) AS k1, max((d * 2) // 4) AS k2,
+         max((d * 3) // 4) AS k3, max((d * 4) // 4) AS k4
+  FROM wc
+),
+fst AS (
+  SELECT t, min(r) AS f FROM (
+    SELECT r, unnest(toks) AS t FROM wc) z
+  GROUP BY 1
+),
+vc AS (
+  SELECT sum(CASE WHEN f <= k1 THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN f <= k2 THEN 1 ELSE 0 END) AS v2,
+         sum(CASE WHEN f <= k3 THEN 1 ELSE 0 END) AS v3,
+         sum(CASE WHEN f <= k4 THEN 1 ELSE 0 END) AS v4
+  FROM fst, cps
+),
+j AS (
+  SELECT d, n1, n2, n3, n4, v1, v2, v3, v4,
+         ln(cast(n1 AS double)) + ln(cast(n2 AS double))
+           + ln(cast(n3 AS double)) + ln(cast(n4 AS double)) AS sx,
+         ln(cast(v1 AS double)) + ln(cast(v2 AS double))
+           + ln(cast(v3 AS double)) + ln(cast(v4 AS double)) AS sy,
+         ln(cast(n1 AS double)) * ln(cast(n1 AS double))
+           + ln(cast(n2 AS double)) * ln(cast(n2 AS double))
+           + ln(cast(n3 AS double)) * ln(cast(n3 AS double))
+           + ln(cast(n4 AS double)) * ln(cast(n4 AS double)) AS sxx,
+         ln(cast(n1 AS double)) * ln(cast(v1 AS double))
+           + ln(cast(n2 AS double)) * ln(cast(v2 AS double))
+           + ln(cast(n3 AS double)) * ln(cast(v3 AS double))
+           + ln(cast(n4 AS double)) * ln(cast(v4 AS double)) AS sxy
+  FROM cps, vc
+),
+b AS (
+  SELECT *, 4.0 * sxx - sx * sx AS den,
+         (4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx) AS beta
+  FROM j
+)
+SELECT cast(d AS bigint) AS n_docs,
+       cast(n1 AS bigint) AS n1, cast(n2 AS bigint) AS n2,
+       cast(n3 AS bigint) AS n3, cast(n4 AS bigint) AS n4,
+       cast(v1 AS bigint) AS v1, cast(v2 AS bigint) AS v2,
+       cast(v3 AS bigint) AS v3, cast(v4 AS bigint) AS v4,
+       round(CASE WHEN d >= 4 AND den > 0 THEN beta END, 9)
+         + 0.0 AS beta,
+       round(CASE WHEN d >= 4 AND den > 0 THEN
+             exp((sy - beta * sx) / 4.0) END, 6) + 0.0 AS k_coef
+FROM b
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13338,6 +13425,7 @@ QUERIES = {
     "ts_lz76": q_ts_lz76,
     "doc_vocab_richness": q_doc_vocab_richness,
     "doc_mix_weights": q_doc_mix_weights,
+    "doc_heaps": q_doc_heaps,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13576,6 +13664,7 @@ ORACLE_SQL = {
     "ts_lz76": SQL_TS_LZ76,
     "doc_vocab_richness": SQL_DOC_VOCAB_RICHNESS,
     "doc_mix_weights": SQL_DOC_MIX_WEIGHTS,
+    "doc_heaps": SQL_DOC_HEAPS,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

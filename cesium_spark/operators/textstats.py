@@ -1341,3 +1341,84 @@ def vocab_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
         f2.cast("long").alias("f2"),
         chao1.alias("chao1"),
         cov.alias("coverage"))
+
+
+def heaps_fit(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the corpus (Heaps 1978;
+    Herdan 1960): V(n) ≈ K·n^β — the GROWTH companion to zipf_fit's
+    frequency slope and vocab_richness's asymptote: β ≈ 0.4–0.6 for
+    natural text; β drifting low flags a corpus going repetitive
+    (template/boilerplate floods), β ≈ 1 flags id-like token soup.
+
+    Measurement grid: cumulative token count n_i and distinct-type
+    count V_i at the four doc-ORDER quartile checkpoints k_i =
+    (D·i) DIV 4 (doc_id order — content-addressed, stable under
+    repartition).  Both are EXACT int64: n_i is an ordered cumsum
+    probe (the lorenz_deciles pick), V_i counts tokens whose FIRST
+    containing doc rank ≤ k_i (one min-aggregate per token).  β is
+    the closed-form OLS slope of ln V on ln n over the four points
+
+        β = (m·Σxy − Σx·Σy) / (m·Σxx − Σx²),   m = 4
+
+    — a fixed tree over eight ln's of exact integers, summed in
+    FIXED checkpoint order (i = 1..4 literal expansion, not a
+    fold).  K = exp((Σy − β·Σx)/m).  Degenerates NULL: fewer than 4
+    docs (checkpoints collide) or any V_i = V_{i+1} AND n equal
+    (degenerate x-spread: denominator 0).
+
+    Plan: one doc-rank window + one token-grain min-aggregate + two
+    tiny conditional-count aggregates against a broadcast 1-row
+    checkpoint struct — the corpus is scanned once; everything else
+    runs on checkpoint-cardinality rows.
+    """
+    w_ord = Window.orderBy(id_col)
+    ranked = (docs
+              .where(F.col(text_col).isNotNull()
+                     & (F.trim(F.col(text_col)) != ""))
+              .select(F.col(id_col),
+                      F.row_number().over(w_ord).alias("__r"),
+                      F.split(F.trim(F.col(text_col)), r"\s+")
+                      .alias("__toks")))
+    with_cum = ranked.select(
+        "__r", "__toks",
+        F.sum(F.size("__toks")).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("__cum"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))).alias("__d"))
+    cps = with_cum.agg(
+        F.max("__d").alias("d"),
+        *[F.max(F.when(F.col("__r")
+                       == F.expr(f"(__d * {i}) DIV 4"),
+                       F.col("__cum"))).alias(f"n{i}")
+          for i in (1, 2, 3, 4)],
+        *[F.max(F.expr(f"(__d * {i}) DIV 4")).alias(f"k{i}")
+          for i in (1, 2, 3, 4)])
+    first = (with_cum
+             .select("__r", F.explode("__toks").alias("__t"))
+             .groupBy("__t")
+             .agg(F.min("__r").alias("__f")))
+    vcounts = first.crossJoin(F.broadcast(cps)).agg(
+        *[F.sum(F.when(F.col("__f") <= F.col(f"k{i}"), 1)
+                .otherwise(0)).cast("long").alias(f"v{i}")
+          for i in (1, 2, 3, 4)])
+    g = cps.crossJoin(F.broadcast(vcounts))
+    xs = [F.log(F.col(f"n{i}").cast("double")) for i in (1, 2, 3, 4)]
+    ys = [F.log(F.col(f"v{i}").cast("double")) for i in (1, 2, 3, 4)]
+    sx = xs[0] + xs[1] + xs[2] + xs[3]
+    sy = ys[0] + ys[1] + ys[2] + ys[3]
+    sxx = (xs[0] * xs[0] + xs[1] * xs[1]
+           + xs[2] * xs[2] + xs[3] * xs[3])
+    sxy = (xs[0] * ys[0] + xs[1] * ys[1]
+           + xs[2] * ys[2] + xs[3] * ys[3])
+    den = F.lit(4.0) * sxx - sx * sx
+    ok = (F.col("d") >= 4) & (den > 0)
+    beta = (F.lit(4.0) * sxy - sx * sy) / den
+    kcoef = F.exp((sy - beta * sx) / F.lit(4.0))
+    return g.select(
+        F.col("d").cast("long").alias("n_docs"),
+        *[F.col(f"n{i}").alias(f"n{i}") for i in (1, 2, 3, 4)],
+        *[F.col(f"v{i}").alias(f"v{i}") for i in (1, 2, 3, 4)],
+        F.when(ok, beta).alias("beta"),
+        F.when(ok, kcoef).alias("k_coef"))

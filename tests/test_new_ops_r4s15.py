@@ -1613,3 +1613,52 @@ def test_mix_weights_flattens(spark):
     assert abs(out1["small"]["boost"] - 1.0) < 1e-12
     with pytest.raises(ValueError, match="alpha"):
         mix_weights(docs, alpha=1.5)
+
+
+# --- Heaps' law -------------------------------------------------------------
+
+def test_heaps_matches_ref_and_directions(spark):
+    from cesium_spark.operators.textstats import heaps_fit
+    rng = np.random.RandomState(5)
+    # zipf-ish text: growing vocabulary, beta in the natural band
+    texts = [" ".join(f"w{int(z)}" for z in rng.zipf(1.6, 60) % 3000)
+             for _ in range(64)]
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(64), "text": texts}))
+    row = heaps_fit(docs).collect()[0]
+    # literal replay
+    ns, vs = [], []
+    seen = set()
+    cum = 0
+    ks = [(64 * i) // 4 for i in (1, 2, 3, 4)]
+    for r, t in enumerate(texts, 1):
+        toks = t.split()
+        cum += len(toks)
+        seen |= set(toks)
+        if r in ks:
+            ns.append(cum)
+            vs.append(len(seen))
+    x, y = np.log(ns), np.log(vs)
+    beta = ((4 * np.sum(x * y) - x.sum() * y.sum())
+            / (4 * np.sum(x * x) - x.sum() ** 2))
+    assert [row[f"n{i}"] for i in (1, 2, 3, 4)] == ns
+    assert [row[f"v{i}"] for i in (1, 2, 3, 4)] == vs
+    assert abs(row["beta"] - beta) < 1e-9
+    assert 0.2 < row["beta"] < 0.95               # natural-text band
+    # boilerplate flood: same 5 words forever -> beta ~ 0
+    flat = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(16), "text": ["a b c d e"] * 16}))
+    assert heaps_fit(flat).collect()[0]["beta"] < 0.01
+    # id soup: every token new -> beta ~ 1
+    soup = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(16),
+         "text": [" ".join(f"id{i}_{j}" for j in range(9))
+                  for i in range(16)]}))
+    assert heaps_fit(soup).collect()[0]["beta"] > 0.99
+
+
+def test_heaps_degenerate(spark):
+    from cesium_spark.operators.textstats import heaps_fit
+    few = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b", "c d"]}))
+    assert heaps_fit(few).collect()[0]["beta"] is None
