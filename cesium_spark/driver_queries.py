@@ -13351,6 +13351,74 @@ FROM b
 """
 
 
+def q_rel_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: the schema has
+    no phone column, so the country code is c_nationkey % 5, and
+    every customer has SOME order, so the lapse predicate is 'no
+    order since 2000-06-01' (255 lapsed customers at sf0.01 - the
+    spec's never-ordered form returns zero rows here and would make
+    the anti-join vacuous). The structure is intact - a scalar
+    global-average subquery, an ANTI-join against recent orders, and
+    per-code count/sum. The
+    above-average predicate runs ENTIRELY in integers: with acctbal
+    on the 1e-2 grid, bal > avg = S/N is the exact integer compare
+    bal_i * N > S - no float average ever materializes (division by
+    a count is the one thing the fixed-point contract cannot absorb,
+    so the compare is cross-multiplied instead). Customer is small
+    but orders is the big side: the anti-join keys on the FACT's
+    key, and sums ride the exact grid with one terminal division."""
+    _prep(spark)
+    cu = _read(spark, sf_dir, "customer")
+    od = (_read(spark, sf_dir, "orders")
+          .where(F.col("o_orderdate")
+                 >= F.lit("2000-06-01").cast("timestamp"))
+          .select("o_custkey"))
+    bal_i = F.round(F.col("c_acctbal") * 100.0, 0).cast("long")
+    base = cu.select("c_custkey",
+                     (F.col("c_nationkey") % 5).cast("int")
+                     .alias("cntrycode"),
+                     bal_i.alias("__bi"))
+    pos = base.where(F.col("__bi") > 0)
+    avg1 = pos.agg(F.sum("__bi").alias("__s"),
+                   F.count(F.lit(1)).alias("__n"))
+    rich = (pos.crossJoin(F.broadcast(avg1))
+            .where(F.col("__bi") * F.col("__n") > F.col("__s")))
+    noord = rich.join(od, rich["c_custkey"] == od["o_custkey"],
+                      "left_anti")
+    out = (noord.groupBy("cntrycode")
+           .agg(F.count(F.lit(1)).alias("numcust"),
+                F.sum("__bi").alias("__tb"))
+           .orderBy("cntrycode"))
+    return out.select(
+        "cntrycode", "numcust",
+        _r0(F.round(F.col("__tb").cast("double") / 100.0, 2))
+        .alias("totacctbal"))
+
+
+SQL_REL_TPCH_Q22 = """
+WITH base AS (
+  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+         cast(round(c_acctbal * 100.0) AS bigint) AS bi
+  FROM customer
+),
+pos AS (SELECT * FROM base WHERE bi > 0),
+a AS (SELECT sum(bi) AS s, count(*) AS n FROM pos),
+rich AS (
+  SELECT p.* FROM pos p, a WHERE p.bi * a.n > a.s
+),
+noord AS (
+  SELECT * FROM rich
+  WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= timestamp '2000-06-01 00:00:00')
+)
+SELECT cast(cntrycode AS int) AS cntrycode,
+       cast(count(*) AS bigint) AS numcust,
+       round(cast(sum(bi) AS double) / 100.0, 2) + 0.0 AS totacctbal
+FROM noord GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13426,6 +13494,7 @@ QUERIES = {
     "doc_vocab_richness": q_doc_vocab_richness,
     "doc_mix_weights": q_doc_mix_weights,
     "doc_heaps": q_doc_heaps,
+    "rel_tpch_q22": q_rel_tpch_q22,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13665,6 +13734,7 @@ ORACLE_SQL = {
     "doc_vocab_richness": SQL_DOC_VOCAB_RICHNESS,
     "doc_mix_weights": SQL_DOC_MIX_WEIGHTS,
     "doc_heaps": SQL_DOC_HEAPS,
+    "rel_tpch_q22": SQL_REL_TPCH_Q22,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -1662,3 +1662,35 @@ def test_heaps_degenerate(spark):
     few = spark.createDataFrame(pd.DataFrame(
         {"doc_id": [1, 2], "text": ["a b", "c d"]}))
     assert heaps_fit(few).collect()[0]["beta"] is None
+
+
+# --- TPC-H Q22 --------------------------------------------------------------
+
+def test_q22_exact_predicate_and_antijoin(spark):
+    """The above-average compare is the integer cross-multiplication
+    bal*N > S (no float average materializes), and the executed plan
+    anti-joins without a cartesian."""
+    from cesium_spark.driver_queries import q_rel_tpch_q22
+    out = q_rel_tpch_q22(spark, "/root/testdata/sf0.01")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in p and "LeftAnti" in p
+    rows = out.collect()
+    assert len(rows) == 5 and sum(r["numcust"] for r in rows) == 255
+    import duckdb
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'/root/testdata/sf0.01/{t}.parquet'")
+    # every reported customer is strictly above the positive-balance
+    # mean and lapsed
+    s, n = con.sql(
+        "SELECT sum(cast(round(c_acctbal*100) AS bigint)), count(*) "
+        "FROM customer WHERE c_acctbal > 0").fetchone()
+    chk = con.sql(f"""
+      SELECT count(*) FROM customer
+      WHERE cast(round(c_acctbal*100) AS bigint) * {n} > {s}
+        AND c_acctbal > 0
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= timestamp '2000-06-01 00:00:00')
+      """).fetchone()[0]
+    assert chk == 255
