@@ -13419,6 +13419,88 @@ FROM noord GROUP BY 1 ORDER BY 1
 """
 
 
+def q_ts_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha of the (latency, tokens, tool) channel
+    triple per conversation: do the three move together enough to be
+    read as one 'intensity' scale - the question to ask BEFORE
+    averaging them into a single health score. Exact int64 channel
+    and sum-score moments (the sum is formed in integers before
+    squaring), one fixed tree; constant composite NULL."""
+    from cesium_spark.operators.seriesstats import cronbach_alpha
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    lat = sec - F.lag(sec).over(w)
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    tool = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        lat.alias("__lat"), tok.cast("long").alias("__tok"),
+        tool.cast("long").alias("__tool"))
+    series = base.selectExpr(
+        "conv_id", "turn_idx",
+        "stack(3, 'latency', __lat, 'tokens', __tok, "
+        "'tool', __tool) AS (channel, y)")
+    out = cronbach_alpha(series)
+    # variance columns UNROUNDED: fixed trees over exact ints are
+    # bit-identical, while round-6 at 1e9 magnitude is where engine
+    # round() implementations diverge by ulps (the ts_allan rule)
+    return out.select(
+        "conv_id", "n_turns", "var_total", "var_items",
+        _r(F.col("alpha"), 9).alias("alpha"))
+
+
+SQL_TS_CRONBACH = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(floor(epoch(ts)) AS bigint)
+           - lag(cast(floor(epoch(ts)) AS bigint)) OVER w AS a,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint)
+           AS b,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+al AS (
+  SELECT conv_id, a, b, c, a + b + c AS tt FROM t
+  WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
+),
+g AS (
+  SELECT conv_id, count(*) AS n,
+         sum(a) AS s0, sum(a * a) AS q0,
+         sum(b) AS s1, sum(b * b) AS q1,
+         sum(c) AS s2, sum(c * c) AS q2,
+         sum(tt) AS st, sum(tt * tt) AS qt
+  FROM al GROUP BY 1
+),
+v AS (
+  SELECT conv_id, n,
+         cast(q0 AS double) / cast(n AS double)
+           - (cast(s0 AS double) / cast(n AS double))
+             * (cast(s0 AS double) / cast(n AS double))
+         + (cast(q1 AS double) / cast(n AS double)
+            - (cast(s1 AS double) / cast(n AS double))
+              * (cast(s1 AS double) / cast(n AS double)))
+         + (cast(q2 AS double) / cast(n AS double)
+            - (cast(s2 AS double) / cast(n AS double))
+              * (cast(s2 AS double) / cast(n AS double))) AS vi,
+         cast(qt AS double) / cast(n AS double)
+           - (cast(st AS double) / cast(n AS double))
+             * (cast(st AS double) / cast(n AS double)) AS vt
+  FROM g
+)
+SELECT conv_id, cast(n AS bigint) AS n_turns,
+       CASE WHEN n >= 3 AND vt > 0 THEN vt END AS var_total,
+       CASE WHEN n >= 3 AND vt > 0 THEN vi END AS var_items,
+       round(CASE WHEN n >= 3 AND vt > 0 THEN
+             3.0 / 2.0 * (1.0 - vi / vt) END, 9) + 0.0 AS alpha
+FROM v
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13495,6 +13577,7 @@ QUERIES = {
     "doc_mix_weights": q_doc_mix_weights,
     "doc_heaps": q_doc_heaps,
     "rel_tpch_q22": q_rel_tpch_q22,
+    "ts_cronbach": q_ts_cronbach,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13735,6 +13818,7 @@ ORACLE_SQL = {
     "doc_mix_weights": SQL_DOC_MIX_WEIGHTS,
     "doc_heaps": SQL_DOC_HEAPS,
     "rel_tpch_q22": SQL_REL_TPCH_Q22,
+    "ts_cronbach": SQL_TS_CRONBACH,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

@@ -3715,3 +3715,89 @@ def gumbel_maxima(transcripts: DataFrame, threshold_s: int,
         F.when(ok, mu).alias("mu"),
         F.when(ok, beta).alias("beta"),
         F.when(ok, p).alias("p_exceed"))
+
+
+def cronbach_alpha(series: DataFrame,
+                   channels: tuple = ("latency", "tokens", "tool"),
+                   min_pairs: int = 3) -> DataFrame:
+    """Cronbach's α per conversation (Cronbach 1951) — the internal-
+    consistency member opening the reliability family: do the k
+    channels move TOGETHER enough to be read as one underlying
+    "intensity" scale?  α ≈ 1 means any one channel is a good proxy
+    for the composite; α ≤ 0 means they measure different things
+    (averaging them into one health score — which dashboards love to
+    do — would be noise):
+
+        α = k/(k−1) · (1 − Σᵢ σ²ᵢ / σ²_total),
+
+    σ²ᵢ the population variance of channel i, σ²_total the variance
+    of the per-turn SUM across channels, both over the k-complete
+    aligned turns.
+
+    Exactness: integer values required (the partial_corr alignment
+    contract); per-channel and sum-score Σ/Σ² are exact int64 from
+    ONE conditional aggregate — the sum score t = Σᵢ yᵢ is formed
+    per turn in integers BEFORE squaring, so σ²_total is exact too,
+    not assembled from channel covariances; α is one fixed tree with
+    the variance ratio's numerator summed in fixed channel order
+    (literal expansion, not a fold).  Degenerates NULL: fewer than
+    ``min_pairs`` aligned turns or σ²_total = 0 (a constant
+    composite has no consistency to measure).
+
+    Plan: single-scan alignment + one conv aggregate — one exchange,
+    no UDF, no join.
+    """
+    if len(channels) < 2 or len(set(channels)) != len(channels):
+        raise ValueError(f"cronbach_alpha: need >= 2 distinct "
+                         f"channels, got {channels!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"cronbach_alpha: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    k = len(channels)
+    y = F.col("y").cast("long")
+    aligned = (
+        series
+        .where(F.col("channel").isin(list(channels))
+               & F.col("y").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(*[F.max(F.when(F.col("channel") == ch, y))
+               .alias(f"__c{i}")
+               for i, ch in enumerate(channels)]))
+    notnull = None
+    for i in range(k):
+        c = F.col(f"__c{i}").isNotNull()
+        notnull = c if notnull is None else (notnull & c)
+    aligned = aligned.where(notnull)
+    tot = None
+    for i in range(k):
+        c = F.col(f"__c{i}")
+        tot = c if tot is None else tot + c
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        c = F.col(f"__c{i}")
+        aggs += [F.sum(c).alias(f"s{i}"),
+                 F.sum(c * c).alias(f"q{i}")]
+    aggs += [F.sum(tot).alias("st"), F.sum(tot * tot).alias("qt")]
+    g = aligned.groupBy("conv_id").agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def var(sname, qname):
+        sd = F.col(sname).cast("double")
+        qd = F.col(qname).cast("double")
+        return qd / nd - (sd / nd) * (sd / nd)
+
+    item_vars = None
+    for i in range(k):
+        v = var(f"s{i}", f"q{i}")
+        item_vars = v if item_vars is None else item_vars + v
+    vt = var("st", "qt")
+    ok = (F.col("n") >= min_pairs) & (vt > 0)
+    alpha = (F.lit(float(k)) / F.lit(float(k - 1))
+             * (F.lit(1.0) - item_vars / vt))
+    return g.select(
+        "conv_id", F.col("n").cast("long").alias("n_turns"),
+        F.when(ok, vt).alias("var_total"),
+        F.when(ok, item_vars).alias("var_items"),
+        F.when(ok, alpha).alias("alpha"))

@@ -1697,3 +1697,48 @@ def test_q22_exact_predicate_and_antijoin(spark):
     assert len(rows) == 5
     assert sum(r["numcust"] for r in rows) == chk
     assert 50 < chk < 255
+
+
+# --- Cronbach's alpha -------------------------------------------------------
+
+def _kchan(spark, cols):
+    rows = []
+    for i, vals in enumerate(zip(*cols)):
+        for j, v in enumerate(vals):
+            rows.append(("c", i, f"ch{j}", int(v)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                      "channel", "y"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    pdf["y"] = pdf["y"].astype(np.int64)
+    return spark.createDataFrame(pdf)
+
+
+def test_cronbach_consistent_vs_independent(spark):
+    from cesium_spark.operators.seriesstats import cronbach_alpha
+    rng = np.random.RandomState(30)
+    signal = rng.randint(0, 50, 200)
+    consistent = [signal + rng.randint(0, 5, 200) for _ in range(3)]
+    rowc = cronbach_alpha(_kchan(spark, consistent),
+                          ("ch0", "ch1", "ch2")).collect()[0]
+    indep = [rng.randint(0, 50, 200) for _ in range(3)]
+    rowi = cronbach_alpha(_kchan(spark, indep),
+                          ("ch0", "ch1", "ch2")).collect()[0]
+    # literal replay for the consistent case
+    a = np.array(consistent, dtype=np.int64)
+    vi = sum(float(np.var(a[j])) for j in range(3))
+    vt = float(np.var(a.sum(axis=0)))
+    alpha = 1.5 * (1 - vi / vt)
+    assert abs(rowc["alpha"] - alpha) < 1e-9
+    assert rowc["alpha"] > 0.9                  # shared signal
+    assert abs(rowi["alpha"]) < 0.3             # independent: ~0
+
+
+def test_cronbach_degenerates(spark):
+    from cesium_spark.operators.seriesstats import cronbach_alpha
+    # constant composite: ch1 = -ch0 + 7 makes the sum constant
+    a = np.arange(10)
+    row = cronbach_alpha(_kchan(spark, [a, 7 - a]),
+                         ("ch0", "ch1")).collect()[0]
+    assert row["alpha"] is None and row["var_total"] is None
+    with pytest.raises(ValueError, match="distinct"):
+        cronbach_alpha(_kchan(spark, [a]), ("ch0", "ch0"))
