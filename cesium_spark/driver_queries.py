@@ -13501,6 +13501,71 @@ FROM v
 """
 
 
+def q_ts_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom membership tier under the driver gate: events
+    replayed through readStream, hourly filter words finalized by the
+    watermark - bounded-state continuous membership (bit_or folds
+    under append mode exactly like the DDSketch counters), emitting
+    the SAME integer words as the batch build so fold/contains run
+    verbatim on batch+stream unions. Oracle rebuilds the words
+    directly with the identical 7000 s cutoff; integer-exact."""
+    import os
+    import tempfile
+
+    from cesium_spark.sources.table_io import TableIO
+    from cesium_spark.streaming.window_delta import (
+        stream_bloom_cells,
+        stream_to_table,
+    )
+
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="cesium_spark_streambloom_")
+    os.makedirs(f"{base}/src")
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("role"), "ts",
+        F.col("props").alias("item"))
+    ev.coalesce(1).write.mode("append").parquet(f"{base}/src")
+    schema = "role string, ts timestamp, item string"
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src")
+    io = TableIO(spark, f"{base}/tables")
+    q = stream_to_table(
+        stream_bloom_cells(stream, "1h", "7000 seconds",
+                           words=_BLOOM_WORDS, k=_BLOOM_K),
+        io, "stream_bloom", f"{base}/ckpt")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ts_stream_bloom: availableNow stream did not finish "
+            "within 300s")
+    out = io.read("stream_bloom")
+    return out.select(
+        "role",
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.col("word_idx").cast("long").alias("word_idx"),
+        F.col("bits").cast("long").alias("bits"))
+
+
+SQL_TS_STREAM_BLOOM = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+pos AS (
+  SELECT event_type AS role,
+         date_trunc('hour', ts) AS ws, ts,
+         (('0x' || substr(md5('b' || cast(js.j AS varchar)
+                               || ':' || props), 1, 8))::BIGINT
+          % {63 * _BLOOM_WORDS}) AS p
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j) js
+  WHERE props IS NOT NULL
+)
+SELECT role, strftime(ws, '{DUCK_TS_FMT}') AS window_start,
+       cast(p // 63 AS bigint) AS word_idx,
+       cast(bit_or(1::BIGINT << cast(p % 63 AS int)) AS bigint) AS bits
+FROM pos, mx
+GROUP BY role, ws, p // 63, mx.m
+HAVING ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 7000 SECONDS
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13578,6 +13643,7 @@ QUERIES = {
     "doc_heaps": q_doc_heaps,
     "rel_tpch_q22": q_rel_tpch_q22,
     "ts_cronbach": q_ts_cronbach,
+    "ts_stream_bloom": q_ts_stream_bloom,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13819,6 +13885,7 @@ ORACLE_SQL = {
     "doc_heaps": SQL_DOC_HEAPS,
     "rel_tpch_q22": SQL_REL_TPCH_Q22,
     "ts_cronbach": SQL_TS_CRONBACH,
+    "ts_stream_bloom": SQL_TS_STREAM_BLOOM,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

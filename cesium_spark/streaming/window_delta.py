@@ -345,3 +345,46 @@ def disorder_stats(series: DataFrame, arrival_col: str,
             .withColumn("late_frac",
                         F.col("n_late").cast("double")
                         / F.col("n").cast("double")))
+
+
+def stream_bloom_cells(events_stream: DataFrame, tier: str = "1h",
+                       watermark: str = "2 hours",
+                       key_col: str = "role", item_col: str = "item",
+                       words: int = 16, k: int = 4) -> DataFrame:
+    """Streaming twin of ``sketches.bloom_build``: watermarked
+    per-window Bloom-filter words over a readStream — CONTINUOUS
+    membership tiers with BOUNDED state.  The capability gap it
+    closes: answering "was this item seen in this window" on a live
+    stream would otherwise need the distinct item set per window in
+    state; a Bloom window's state is ≤ ``words`` int64 counters per
+    key (bit_or is commutative and associative, so it folds under
+    append mode exactly like the DDSketch counters), finalized once
+    the watermark passes — and the emitted words are the SAME
+    integers the batch build produces (the md5 positions and the
+    63-bits-per-word layout are the batch expressions, a pure
+    projection before the windowed fold), so ``bloom_fold`` /
+    ``bloom_contains`` run verbatim on the union of batch history
+    and streamed present."""
+    from cesium_spark.operators.sketches import _bloom_check, _bloom_pos
+    if tier not in _TIER_DURATION:
+        raise ValueError(f"unknown streaming tier {tier!r}; "
+                         f"expected one of {list(_TIER_DURATION)}")
+    _bloom_check(words, k)
+    m_bits = 63 * words
+    pos = F.array(*[_bloom_pos(F.col(item_col), j, m_bits)
+                    for j in range(k)])
+    win = F.window("ts", _TIER_DURATION[tier])
+    return (
+        events_stream.where(F.col(item_col).isNotNull())
+        .select(key_col, "ts", F.explode(pos).alias("__p"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.col(key_col), win,
+                 F.floor(F.col("__p") / F.lit(63)).cast("long")
+                 .alias("word_idx"))
+        .agg(F.bit_or(F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(__p % 63 AS INT))"))
+            .alias("bits"))
+        .select(key_col, F.col("window.start").alias("window_start"),
+                "word_idx", "bits")
+        .withColumn("tier", F.lit(tier))
+    )

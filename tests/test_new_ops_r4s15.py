@@ -1742,3 +1742,38 @@ def test_cronbach_degenerates(spark):
     assert row["alpha"] is None and row["var_total"] is None
     with pytest.raises(ValueError, match="distinct"):
         cronbach_alpha(_kchan(spark, [a]), ("ch0", "ch0"))
+
+
+# --- streaming Bloom cells --------------------------------------------------
+
+def test_stream_bloom_equals_batch_on_closed_windows(spark, tmp_path):
+    """The streaming twin emits the SAME integer words as the batch
+    build for every watermark-closed window."""
+    from cesium_spark.operators.sketches import bloom_build
+    from cesium_spark.sources.table_io import TableIO
+    from cesium_spark.streaming.window_delta import (stream_bloom_cells,
+                                                     stream_to_table)
+    rng = np.random.RandomState(2)
+    ts = [pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=int(m))
+          for m in sorted(rng.randint(0, 600, 120))]
+    pdf = pd.DataFrame({"role": ["r"] * 120, "ts": ts,
+                        "item": [f"i{v}" for v in
+                                 rng.randint(0, 40, 120)]})
+    df = spark.createDataFrame(pdf)
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "role string, ts timestamp, item string").parquet(src)
+    io = TableIO(spark, str(tmp_path / "tables"))
+    q = stream_to_table(
+        stream_bloom_cells(stream, "1h", "90 minutes"),
+        io, "sb", str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    got = {(str(r["window_start"]), r["word_idx"]): r["bits"]
+           for r in io.read("sb").collect()}
+    cutoff = max(ts) - pd.Timedelta(minutes=90)
+    batch = bloom_build(df, "1h", ["role"], "item")
+    exp = {(str(r["window_start"]), r["word_idx"]): r["bits"]
+           for r in batch.collect()
+           if r["window_start"] + pd.Timedelta(hours=1) <= cutoff}
+    assert got == exp and len(got) > 0
