@@ -13566,6 +13566,85 @@ HAVING ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 7000 SECONDS
 """
 
 
+def q_ts_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn post-hoc pairwise z between ROLES on tokens-per-turn
+    midranks: ts_kruskal's omnibus says the role matters - this says
+    between WHICH roles, on the same exact 2-avg-rank integers (one
+    ranking discipline, two consumers). Consumers chain rel_bh_fdr
+    for multiplicity; canonical (a < b) pair order."""
+    from cesium_spark.operators.seriesstats import dunn_posthoc
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tok = F.size(F.split(F.trim(F.col("props")), r"\s+"))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("channel"),
+        tok.cast("long").alias("y"))
+    out = dunn_posthoc(series, group_col="channel")
+    return out.select(
+        "conv_id", "group_a", "group_b", "n_a", "n_b",
+        _r(F.col("mean_rank_a"), 6).alias("mean_rank_a"),
+        _r(F.col("mean_rank_b"), 6).alias("mean_rank_b"),
+        _r(F.col("z"), 9).alias("z"))
+
+
+SQL_TS_DUNN = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         event_type AS g,
+         cast(len(string_split_regex(trim(props), '\\s+')) AS bigint) AS y
+  FROM events
+),
+r AS (
+  SELECT conv_id, g,
+         2 * rank() OVER (PARTITION BY conv_id ORDER BY y)
+           + count(*) OVER (PARTITION BY conv_id, y) - 1 AS r2,
+         count(*) OVER (PARTITION BY conv_id, y) AS t
+  FROM s WHERE g IS NOT NULL AND y IS NOT NULL
+),
+cells AS (
+  SELECT conv_id, g, count(*) AS ng, sum(r2) AS r2g,
+         sum(t * t - 1) AS tg
+  FROM r GROUP BY 1, 2
+),
+e AS (
+  SELECT conv_id, g, ng, r2g,
+         sum(ng) OVER (PARTITION BY conv_id) AS n,
+         sum(tg) OVER (PARTITION BY conv_id) AS tm
+  FROM cells
+),
+p AS (
+  SELECT a.conv_id, a.g AS group_a, b.g AS group_b,
+         a.ng AS na, b.ng AS nb, a.r2g AS ra, b.r2g AS rb,
+         a.n, a.tm
+  FROM e a JOIN e b ON a.conv_id = b.conv_id AND a.g < b.g
+),
+q AS (
+  SELECT *,
+         cast(ra AS double) / (2.0 * cast(na AS double)) AS ma,
+         cast(rb AS double) / (2.0 * cast(nb AS double)) AS mb,
+         cast(n AS double) * (cast(n AS double) + 1.0) / 12.0
+           - cast(tm AS double)
+             / (12.0 * (cast(n AS double) - 1.0)) AS pooled
+  FROM p
+)
+SELECT conv_id, group_a, group_b,
+       cast(na AS bigint) AS n_a, cast(nb AS bigint) AS n_b,
+       round(CASE WHEN n >= 3 AND pooled > 0 THEN ma END, 6)
+         + 0.0 AS mean_rank_a,
+       round(CASE WHEN n >= 3 AND pooled > 0 THEN mb END, 6)
+         + 0.0 AS mean_rank_b,
+       round(CASE WHEN n >= 3 AND pooled > 0 THEN
+             (ma - mb) / sqrt(pooled
+                              * (1.0 / cast(na AS double)
+                                 + 1.0 / cast(nb AS double))) END, 9)
+         + 0.0 AS z
+FROM q
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13644,6 +13723,7 @@ QUERIES = {
     "rel_tpch_q22": q_rel_tpch_q22,
     "ts_cronbach": q_ts_cronbach,
     "ts_stream_bloom": q_ts_stream_bloom,
+    "ts_dunn": q_ts_dunn,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13886,6 +13966,7 @@ ORACLE_SQL = {
     "rel_tpch_q22": SQL_REL_TPCH_Q22,
     "ts_cronbach": SQL_TS_CRONBACH,
     "ts_stream_bloom": SQL_TS_STREAM_BLOOM,
+    "ts_dunn": SQL_TS_DUNN,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

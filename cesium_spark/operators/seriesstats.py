@@ -3801,3 +3801,84 @@ def cronbach_alpha(series: DataFrame,
         F.when(ok, vt).alias("var_total"),
         F.when(ok, item_vars).alias("var_items"),
         F.when(ok, alpha).alias("alpha"))
+
+
+def dunn_posthoc(series: DataFrame,
+                 group_col: str = "channel") -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons (Dunn 1964) — the WHICH
+    question after ``kruskal_wallis``'s omnibus: KW says the factor
+    shifts the distribution somewhere; Dunn says between WHICH pairs,
+    on the same midranks:
+
+        z_gh = (R̄_g − R̄_h) / sqrt( (n(n+1)/12 − T/(12(n−1)))
+                                     · (1/n_g + 1/n_h) ),
+
+    R̄ the groups' mean midranks over the POOLED ranking, T the
+    Σ(t³−t) tie mass.  (Consumers apply their own multiple-comparison
+    control — ``bh_fdr`` exists for exactly that; baking one
+    correction in here would pick the caller's α policy for them.)
+
+    Exactness: the 2·avg-rank integers, per-group rank sums 2R_g,
+    and the tie mass are the kruskal_wallis sufficient statistics
+    COMPUTED THE SAME WAY (one ranking discipline, two consumers);
+    R̄_g = 2R_g/(2n_g) and z are fixed double trees.  Pairs emit in
+    canonical (group_a < group_b) order.  Degenerates NULL: pooled
+    variance term ≤ 0 (all-tied conversation — no ranking
+    information), n < 3.
+
+    Plan: the kruskal rank windows + one cell aggregate + a per-conv
+    cell self-join bounded by k²/2 pairs (k = #groups, single
+    digits) — all exchanges on conv_id.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"dunn_posthoc: column 'y' has type {t}; the exact-"
+            "2·avg-rank contract needs integer values")
+    y = F.col("y").cast("long")
+    base = (series
+            .where(F.col("y").isNotNull() & F.col(group_col).isNotNull())
+            .select("conv_id", F.col(group_col).alias("__g"),
+                    y.alias("__y")))
+    w_rank = Window.partitionBy("conv_id").orderBy("__y")
+    w_val = Window.partitionBy("conv_id", "__y")
+    ranked = base.select(
+        "conv_id", "__g",
+        (F.lit(2) * F.rank().over(w_rank)
+         + F.count(F.lit(1)).over(w_val) - F.lit(1)).alias("__r2"),
+        F.count(F.lit(1)).over(w_val).alias("__t"))
+    cells = ranked.groupBy("conv_id", "__g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("__r2").alias("r2g"),
+        F.sum(F.col("__t") * F.col("__t") - F.lit(1)).alias("tg"))
+    w_all = Window.partitionBy("conv_id")
+    enr = cells.select(
+        "conv_id", "__g", "ng", "r2g",
+        F.sum("ng").over(w_all).alias("__n"),
+        F.sum("tg").over(w_all).alias("__tm"))
+    a = enr.select("conv_id", F.col("__g").alias("group_a"),
+                   F.col("ng").alias("__na"),
+                   F.col("r2g").alias("__ra"),
+                   "__n", "__tm")
+    b = enr.select("conv_id", F.col("__g").alias("group_b"),
+                   F.col("ng").alias("__nb"),
+                   F.col("r2g").alias("__rb"))
+    pairs = a.join(b, "conv_id").where(
+        F.col("group_a") < F.col("group_b"))
+    nd = F.col("__n").cast("double")
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    mean_a = F.col("__ra").cast("double") / (F.lit(2.0) * na)
+    mean_b = F.col("__rb").cast("double") / (F.lit(2.0) * nb)
+    pooled = (nd * (nd + F.lit(1.0)) / F.lit(12.0)
+              - F.col("__tm").cast("double")
+              / (F.lit(12.0) * (nd - F.lit(1.0))))
+    ok = (F.col("__n") >= 3) & (pooled > 0)
+    z = F.when(ok, (mean_a - mean_b)
+               / F.sqrt(pooled * (F.lit(1.0) / na + F.lit(1.0) / nb)))
+    return pairs.select(
+        "conv_id", "group_a", "group_b",
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.when(ok, mean_a).alias("mean_rank_a"),
+        F.when(ok, mean_b).alias("mean_rank_b"),
+        z.alias("z"))

@@ -1777,3 +1777,47 @@ def test_stream_bloom_equals_batch_on_closed_windows(spark, tmp_path):
            for r in batch.collect()
            if r["window_start"] + pd.Timedelta(hours=1) <= cutoff}
     assert got == exp and len(got) > 0
+
+
+# --- Dunn post-hoc ----------------------------------------------------------
+
+def test_dunn_finds_the_shifted_group(spark):
+    """Three groups, one shifted: the shifted pairs fire, the null
+    pair stays quiet; z matches a literal midrank replay."""
+    from cesium_spark.operators.seriesstats import dunn_posthoc
+    rng = np.random.RandomState(42)
+    a = rng.randint(0, 30, 40)
+    b = rng.randint(0, 30, 40)
+    c = rng.randint(40, 70, 40)               # clearly shifted
+    rows = {(r["group_a"], r["group_b"]): r for r in
+            dunn_posthoc(_grouped(spark, [a, b, c])).collect()}
+    allv = np.concatenate([a, b, c]).astype(float)
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    n = 120
+    _, cnt = np.unique(allv, return_counts=True)
+    tm = np.sum(cnt ** 3 - cnt)
+    pooled = n * (n + 1) / 12 - tm / (12 * (n - 1))
+    m = [ranks[:40].mean(), ranks[40:80].mean(), ranks[80:].mean()]
+    z01 = (m[0] - m[1]) / np.sqrt(pooled * (1 / 40 + 1 / 40))
+    z02 = (m[0] - m[2]) / np.sqrt(pooled * (1 / 40 + 1 / 40))
+    assert abs(rows[("g0", "g1")]["z"] - z01) < 1e-9
+    assert abs(rows[("g0", "g2")]["z"] - z02) < 1e-9
+    assert abs(rows[("g0", "g1")]["z"]) < 2      # null pair quiet
+    assert rows[("g0", "g2")]["z"] < -5          # shifted pair fires
+    assert rows[("g1", "g2")]["z"] < -5
+    assert len(rows) == 3                        # canonical pairs only
+
+
+def test_dunn_degenerates(spark):
+    from cesium_spark.operators.seriesstats import dunn_posthoc
+    rows = dunn_posthoc(_grouped(spark, [[5, 5], [5, 5]])).collect()
+    assert len(rows) == 1 and rows[0]["z"] is None   # all-tied
