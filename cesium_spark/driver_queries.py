@@ -13645,6 +13645,78 @@ FROM q
 """
 
 
+def q_ts_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on positionally-paired first-half vs
+    second-half VALUES (1e-2 grid - the welch_ttest integer
+    contract; tokens-per-turn is constant per user in the synthetic
+    data, so every paired diff would be the dropped zero - found by
+    a vacuous 0-row first run): did the level move within the same
+    conversation, judged on ranks of paired differences (the paired
+    twin of the independent-groups rank tests; McNemar answers the
+    paired-binary form). Zero diffs dropped, |d| midranked with the
+    exact 2-avg-rank integers, tie-corrected variance; one fixed z
+    tree."""
+    from cesium_spark.operators.seriesstats import wilcoxon_signed_rank
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("y"))
+    out = wilcoxon_signed_rank(series)
+    return out.select(
+        "conv_id", "n_pairs", "tplus2", "tie_mass",
+        _r(F.col("z"), 9).alias("z"))
+
+
+SQL_TS_WILCOXON = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w AS j,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         cast(round(value * 100.0) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pairs AS (
+  SELECT a.conv_id, b.y - a.y AS d
+  FROM s a JOIN s b
+    ON a.conv_id = b.conv_id AND b.j = a.j + a.n // 2
+  WHERE a.j <= a.n // 2 AND b.y - a.y != 0
+),
+r AS (
+  SELECT conv_id, d,
+         2 * rank() OVER (PARTITION BY conv_id ORDER BY abs(d))
+           + count(*) OVER (PARTITION BY conv_id, abs(d)) - 1 AS r2,
+         count(*) OVER (PARTITION BY conv_id, abs(d)) AS t
+  FROM pairs
+),
+g AS (
+  SELECT conv_id, count(*) AS m,
+         sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS tplus2,
+         sum(t * t - 1) AS tie_mass
+  FROM r GROUP BY 1
+),
+q AS (
+  SELECT conv_id, m, tplus2, tie_mass,
+         cast(tplus2 AS double) / 2.0 AS tp,
+         cast(m AS double) * (cast(m AS double) + 1.0) / 4.0 AS mu,
+         cast(m AS double) * (cast(m AS double) + 1.0)
+           * (2.0 * cast(m AS double) + 1.0) / 24.0
+           - cast(tie_mass AS double) / 48.0 AS v
+  FROM g
+)
+SELECT conv_id, cast(m AS bigint) AS n_pairs,
+       cast(tplus2 AS bigint) AS tplus2,
+       cast(tie_mass AS bigint) AS tie_mass,
+       round(CASE WHEN m >= 2 AND v > 0 THEN
+             (tp - mu) / sqrt(v) END, 9) + 0.0 AS z
+FROM q
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13724,6 +13796,7 @@ QUERIES = {
     "ts_cronbach": q_ts_cronbach,
     "ts_stream_bloom": q_ts_stream_bloom,
     "ts_dunn": q_ts_dunn,
+    "ts_wilcoxon": q_ts_wilcoxon,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -13967,6 +14040,7 @@ ORACLE_SQL = {
     "ts_cronbach": SQL_TS_CRONBACH,
     "ts_stream_bloom": SQL_TS_STREAM_BLOOM,
     "ts_dunn": SQL_TS_DUNN,
+    "ts_wilcoxon": SQL_TS_WILCOXON,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

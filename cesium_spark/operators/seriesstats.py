@@ -3882,3 +3882,85 @@ def dunn_posthoc(series: DataFrame,
         F.when(ok, mean_a).alias("mean_rank_a"),
         F.when(ok, mean_b).alias("mean_rank_b"),
         z.alias("z"))
+
+
+def wilcoxon_signed_rank(series: DataFrame) -> DataFrame:
+    """Wilcoxon signed-rank test per conversation (Wilcoxon 1945) —
+    the PAIRED-continuous member next to McNemar's paired-binary:
+    did the value LEVEL move between the first and second half of
+    the same conversation, judged on ranks of the paired differences
+    so one whale turn cannot buy the verdict (the paired twin of
+    kruskal/anova's independent-groups question).
+
+    Pairing is positional: turn j of the first half against turn
+    j + ⌊n/2⌋ (the ks_two_sample halves convention); d_j = y₂ − y₁,
+    zero differences DROPPED (the classic Wilcoxon rule — a zero
+    carries no sign information), |d| midranked with the 2·avg-rank
+    integers, and
+
+        2T⁺ = Σ_{d>0} 2·rank(|d|)   (exact int64),
+        z = (T⁺ − m(m+1)/4) / sqrt( m(m+1)(2m+1)/24 − Σ(t³−t)/48 )
+
+    with m = non-zero pairs and the tie mass from the |d| ranking
+    (the kruskal Σ_rows(t²−1) identity).  Everything before z is
+    exact integers; z is one fixed tree.  Degenerates NULL: m < 2
+    or zero variance (all |d| tied AND... the variance term ≤ 0 —
+    no ranking information).
+
+    Plan: one self-pairing window (lead by the half-length — a
+    per-conv dynamic lead is expressed as an equi-join on
+    (conv, j + half)), one rank window over pairs, one conv
+    aggregate — all exchanges on conv_id.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"wilcoxon_signed_rank: column 'y' has type {t}; the "
+            "exact-2·avg-rank contract needs integer values")
+    y = F.col("y").cast("long")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    base = (series
+            .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+            .select("conv_id", y.alias("__y"),
+                    F.row_number().over(w_ord).alias("__j"),
+                    F.count(F.lit(1)).over(w_all).alias("__n")))
+    half = F.expr("__n DIV 2")
+    first = base.where(F.col("__j") <= half).select(
+        "conv_id", F.col("__j").alias("__ja"),
+        F.col("__y").alias("__y1"),
+        (F.col("__j") + half).alias("__match"))
+    second = base.select("conv_id", F.col("__j").alias("__jb"),
+                         F.col("__y").alias("__y2"))
+    pairs = (first.join(second,
+                        (first["conv_id"] == second["conv_id"])
+                        & (F.col("__match") == F.col("__jb")))
+             .drop(second["conv_id"])
+             .select("conv_id",
+                     (F.col("__y2") - F.col("__y1")).alias("__d"))
+             .where(F.col("__d") != 0))
+    w_rank = Window.partitionBy("conv_id").orderBy(F.abs(F.col("__d")))
+    w_vald = Window.partitionBy("conv_id", F.abs(F.col("__d")))
+    ranked = pairs.select(
+        "conv_id", "__d",
+        (F.lit(2) * F.rank().over(w_rank)
+         + F.count(F.lit(1)).over(w_vald) - F.lit(1)).alias("__r2"),
+        F.count(F.lit(1)).over(w_vald).alias("__t"))
+    g = ranked.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("__d") > 0, F.col("__r2"))
+              .otherwise(F.lit(0))).alias("tplus2"),
+        F.sum(F.col("__t") * F.col("__t") - F.lit(1)).alias("tie_mass"))
+    md = F.col("m").cast("double")
+    tplus = F.col("tplus2").cast("double") / F.lit(2.0)
+    mean = md * (md + F.lit(1.0)) / F.lit(4.0)
+    var = (md * (md + F.lit(1.0)) * (F.lit(2.0) * md + F.lit(1.0))
+           / F.lit(24.0)
+           - F.col("tie_mass").cast("double") / F.lit(48.0))
+    ok = (F.col("m") >= 2) & (var > 0)
+    z = F.when(ok, (tplus - mean) / F.sqrt(var))
+    return g.select(
+        "conv_id", F.col("m").cast("long").alias("n_pairs"),
+        F.col("tplus2").cast("long").alias("tplus2"),
+        F.col("tie_mass").cast("long").alias("tie_mass"),
+        z.alias("z"))

@@ -1821,3 +1821,50 @@ def test_dunn_degenerates(spark):
     from cesium_spark.operators.seriesstats import dunn_posthoc
     rows = dunn_posthoc(_grouped(spark, [[5, 5], [5, 5]])).collect()
     assert len(rows) == 1 and rows[0]["z"] is None   # all-tied
+
+
+# --- Wilcoxon signed-rank ---------------------------------------------------
+
+def test_wilcoxon_matches_ref_and_detects_shift(spark):
+    from cesium_spark.operators.seriesstats import wilcoxon_signed_rank
+    rng = np.random.RandomState(27)
+    first = rng.randint(0, 40, 40)
+    second = first + rng.randint(0, 12, 40) + 1     # genuine lift
+    y = np.concatenate([first, second])
+    row = wilcoxon_signed_rank(_series15(spark, y)).collect()[0]
+    d = (second - first).astype(float)
+    d = d[d != 0]
+    order = np.argsort(np.abs(d), kind="stable")
+    ranks = np.empty(len(d))
+    sv = np.abs(d)[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    m = len(d)
+    tplus = ranks[d > 0].sum()
+    _, cnt = np.unique(np.abs(d), return_counts=True)
+    tm = int(np.sum(cnt ** 3 - cnt))
+    var = m * (m + 1) * (2 * m + 1) / 24 - tm / 48
+    z = (tplus - m * (m + 1) / 4) / np.sqrt(var)
+    assert row["n_pairs"] == m and row["tie_mass"] == tm
+    assert row["tplus2"] == int(round(2 * tplus))
+    assert abs(row["z"] - z) < 1e-9
+    assert row["z"] > 4                            # the lift shows
+
+
+def test_wilcoxon_null_and_degenerates(spark):
+    from cesium_spark.operators.seriesstats import wilcoxon_signed_rank
+    rng = np.random.RandomState(1)
+    # symmetric noise around zero shift: |z| modest
+    first = rng.randint(0, 60, 50)
+    second = first + rng.randint(-5, 6, 50)
+    row = wilcoxon_signed_rank(
+        _series15(spark, np.concatenate([first, second]))).collect()[0]
+    assert abs(row["z"]) < 2.5
+    # identical halves: every diff zero -> conversation absent
+    same = np.tile(rng.randint(0, 9, 20), 2)
+    assert wilcoxon_signed_rank(_series15(spark, same)).count() == 0
