@@ -13717,6 +13717,93 @@ FROM q
 """
 
 
+def q_ts_mood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test per conversation across roles on the
+    1e-2-gridded value: do the roles sit on the same side of the
+    POOLED median in the right proportions - the bluntest,
+    most outlier-proof member of the center/spread quartet (anova
+    means, kruskal distributions, brown_forsythe spreads). Exact
+    integer 2-median dichotomy, ordered chi2 cell fold."""
+    from cesium_spark.operators.seriesstats import mood_median
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("channel"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("y"))
+    out = mood_median(series, group_col="channel")
+    return out.select(
+        "conv_id", "n", "k", "n_above",
+        _r(F.col("chi2"), 9).alias("chi2"))
+
+
+SQL_TS_MOOD = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         event_type AS g,
+         cast(round(value * 100.0) AS bigint) AS y
+  FROM events
+),
+m AS (
+  SELECT conv_id, g, y,
+         cast(round(quantile_cont(y, 0.5)
+               OVER (PARTITION BY conv_id) * 2.0) AS bigint) AS m2
+  FROM s WHERE g IS NOT NULL AND y IS NOT NULL
+),
+cells AS (
+  SELECT conv_id, g, count(*) AS ng,
+         sum(CASE WHEN 2 * y > m2 THEN 1 ELSE 0 END) AS ag
+  FROM m GROUP BY 1, 2
+),
+e AS (
+  SELECT conv_id, g, ng, ag,
+         sum(ng) OVER (PARTITION BY conv_id) AS n,
+         sum(ag) OVER (PARTITION BY conv_id) AS a,
+         count(*) OVER (PARTITION BY conv_id) AS k
+  FROM cells
+),
+f AS (
+  SELECT conv_id, n, a, k,
+         sum(CASE WHEN a > 0 AND a < n THEN
+             (cast(ag AS double)
+              - cast(ng AS double) * cast(a AS double)
+                / cast(n AS double))
+             * (cast(ag AS double)
+                - cast(ng AS double) * cast(a AS double)
+                  / cast(n AS double))
+             / (cast(ng AS double) * cast(a AS double)
+                / cast(n AS double))
+             + ((cast(ng AS double) - cast(ag AS double))
+                - cast(ng AS double)
+                  * (cast(n AS double) - cast(a AS double))
+                  / cast(n AS double))
+             * ((cast(ng AS double) - cast(ag AS double))
+                - cast(ng AS double)
+                  * (cast(n AS double) - cast(a AS double))
+                  / cast(n AS double))
+             / (cast(ng AS double)
+                * (cast(n AS double) - cast(a AS double))
+                / cast(n AS double))
+             ELSE 0.0 END)
+           OVER (PARTITION BY conv_id ORDER BY g
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e
+),
+g2 AS (
+  SELECT conv_id, max(n) AS n, max(k) AS k, max(a) AS a,
+         max(cum) AS chi2
+  FROM f GROUP BY 1
+)
+SELECT conv_id, cast(n AS bigint) AS n, cast(k AS int) AS k,
+       cast(a AS bigint) AS n_above,
+       round(CASE WHEN k >= 2 AND a > 0 AND a < n
+                  THEN chi2 END, 9) + 0.0 AS chi2
+FROM g2
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13797,6 +13884,7 @@ QUERIES = {
     "ts_stream_bloom": q_ts_stream_bloom,
     "ts_dunn": q_ts_dunn,
     "ts_wilcoxon": q_ts_wilcoxon,
+    "ts_mood": q_ts_mood,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -14041,6 +14129,7 @@ ORACLE_SQL = {
     "ts_stream_bloom": SQL_TS_STREAM_BLOOM,
     "ts_dunn": SQL_TS_DUNN,
     "ts_wilcoxon": SQL_TS_WILCOXON,
+    "ts_mood": SQL_TS_MOOD,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

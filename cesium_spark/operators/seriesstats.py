@@ -3964,3 +3964,89 @@ def wilcoxon_signed_rank(series: DataFrame) -> DataFrame:
         F.col("tplus2").cast("long").alias("tplus2"),
         F.col("tie_mass").cast("long").alias("tie_mass"),
         z.alias("z"))
+
+
+def mood_median(series: DataFrame,
+                group_col: str = "channel") -> DataFrame:
+    """Mood's median test per conversation (Mood 1950) — completing
+    the center/spread quartet: ``anova_oneway`` compares MEANS,
+    ``kruskal_wallis`` whole distributions, ``brown_forsythe``
+    SPREADS, and Mood asks the bluntest, most outlier-proof question
+    of all — do the groups sit on the same side of the POOLED median
+    in the right proportions?  (It trades power for robustness: a
+    monitoring gate that must never be bought by any reweighting of
+    tail values uses Mood.)
+
+        χ² = Σ_g [ (a_g − n_g·A/N)²/(n_g·A/N)
+                 + (r_g − n_g·R/N)²/(n_g·R/N) ]   ~  χ²(k−1)
+
+    with a_g = #{y > pooled median} in group g (ties sit BELOW —
+    the classic dichotomy), r_g = n_g − a_g, A/R the pooled counts.
+
+    Exactness: the pooled median enters as the exact integer
+    2·median (interpolated medians of integers land on halves — the
+    brown_forsythe device), so the dichotomy 2y > M₂ is an integer
+    compare; all counts are exact int64; the χ² terms fold in
+    ORDERED group sequence (the chi2 cell contract).  Degenerates
+    NULL: k < 2, A = 0 or R = 0 (every value on one side of its own
+    median — no split to test).
+
+    Plan: one conv percentile window + one (conv, group) aggregate
+    + one ordered fold — all on the conv key family, no UDF, no
+    join.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"mood_median: column 'y' has type {t}; the exact-"
+            "2-median contract needs integer values")
+    y = F.col("y").cast("long")
+    w_conv = Window.partitionBy("conv_id")
+    base = (series
+            .where(F.col("y").isNotNull() & F.col(group_col).isNotNull())
+            .select("conv_id", F.col(group_col).alias("__g"),
+                    y.alias("__y"),
+                    F.round(F.percentile(y, F.lit(0.5)).over(w_conv)
+                            * F.lit(2.0), 0).cast("long").alias("__m2")))
+    cells = base.groupBy("conv_id", "__g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.when(F.lit(2) * F.col("__y") > F.col("__m2"), 1)
+              .otherwise(0)).alias("ag"))
+    w_all = Window.partitionBy("conv_id")
+    w_ord = w_all.orderBy("__g")
+    enr = cells.select(
+        "conv_id", "__g", "ng", "ag",
+        F.sum("ng").over(w_all).alias("__n"),
+        F.sum("ag").over(w_all).alias("__a"),
+        F.count(F.lit(1)).over(w_all).alias("__k"))
+    nd = F.col("__n").cast("double")
+    ad = F.col("__a").cast("double")
+    rd = nd - ad
+    ngd = F.col("ng").cast("double")
+    ea = ngd * ad / nd
+    er = ngd * rd / nd
+    # try_divide: the A>0 guard does not stop common-subexpression
+    # elimination from hoisting these divisions (the partial_corr
+    # lesson); A=0 conversations are NULLed by the guard either way
+    term = (F.try_divide((F.col("ag").cast("double") - ea)
+                         * (F.col("ag").cast("double") - ea), ea)
+            + F.try_divide(((ngd - F.col("ag").cast("double")) - er)
+                           * ((ngd - F.col("ag").cast("double")) - er),
+                           er))
+    folded = enr.select(
+        "conv_id", "__g", "__n", "__a", "__k",
+        F.sum(F.when((F.col("__a") > 0) & (F.col("__a") < F.col("__n")),
+                     term).otherwise(F.lit(0.0)))
+        .over(w_ord).alias("__cum"))
+    g = folded.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("k"),
+        F.max("__a").alias("n_above"),
+        F.max("__cum").alias("__chi2"))
+    ok = (F.col("k") >= 2) & (F.col("n_above") > 0) \
+        & (F.col("n_above") < F.col("n"))
+    return g.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        F.col("n_above").cast("long").alias("n_above"),
+        F.when(ok, F.col("__chi2")).alias("chi2"))

@@ -1868,3 +1868,42 @@ def test_wilcoxon_null_and_degenerates(spark):
     # identical halves: every diff zero -> conversation absent
     same = np.tile(rng.randint(0, 9, 20), 2)
     assert wilcoxon_signed_rank(_series15(spark, same)).count() == 0
+
+
+# --- Mood's median ----------------------------------------------------------
+
+def test_mood_median_matches_ref(spark):
+    from cesium_spark.operators.seriesstats import mood_median
+    rng = np.random.RandomState(50)
+    lo = rng.randint(0, 40, 50)
+    hi = rng.randint(30, 70, 50)                   # shifted median
+    row = mood_median(_grouped(spark, [lo, hi])).collect()[0]
+    allv = np.concatenate([lo, hi])
+    m2 = int(round(2 * np.percentile(allv, 50)))
+    a_lo = int(np.sum(2 * lo > m2))
+    a_hi = int(np.sum(2 * hi > m2))
+    n, a = 100, a_lo + a_hi
+    chi2 = 0.0
+    for ng, ag in ((50, a_lo), (50, a_hi)):
+        ea, er = ng * a / n, ng * (n - a) / n
+        chi2 += (ag - ea) ** 2 / ea + ((ng - ag) - er) ** 2 / er
+    assert row["n_above"] == a
+    assert abs(row["chi2"] - chi2) < 1e-9
+    assert row["chi2"] > 6.63                      # chi2(1) 1%
+
+
+def test_mood_median_degenerates_and_blunt_robustness(spark):
+    from cesium_spark.operators.seriesstats import mood_median
+    # identical groups: chi2 ~ 0; inflating the maximum changes
+    # NOTHING (the dichotomy is side-of-median only) - bit-exact
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 50, 30)
+    b = rng.randint(0, 50, 30).astype(np.int64)
+    base = mood_median(_grouped(spark, [a, b])).collect()[0]
+    b2 = b.copy()
+    b2[np.argmax(b2)] = 10 ** 9                    # same side, huge
+    whale = mood_median(_grouped(spark, [a, b2])).collect()[0]
+    assert whale["chi2"] == base["chi2"]           # bitwise immune
+    # single group -> NULL
+    row = mood_median(_grouped(spark, [[1, 2, 3]])).collect()[0]
+    assert row["chi2"] is None
