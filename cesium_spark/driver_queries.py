@@ -13804,6 +13804,74 @@ FROM g2
 """
 
 
+def q_ts_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size from the truncated integrated
+    autocorrelation time over the 1e-2-gridded value series: how
+    many INDEPENDENT turns is this conversation worth - the same
+    correlation penalty hac_mean_se puts into the error bar,
+    restated as the number a sample-size gate consumes. The shared
+    exact ACF-integer aggregate (fifth consumer); negative tau is a
+    truncation artifact -> NULL ESS with tau still reported."""
+    from cesium_spark.operators.seriesstats import ess_acf
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("y"))
+    out = ess_acf(series)
+    return out.select(
+        "conv_id", "n",
+        _r(F.col("tau_int"), 9).alias("tau_int"),
+        _r(F.col("ess"), 6).alias("ess"))
+
+
+SQL_TS_ESS = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(round(value * 100.0) AS bigint) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT conv_id, y,
+         lag(y, 1) OVER w2 AS l1,
+         lag(y, 2) OVER w2 AS l2,
+         lag(y, 3) OVER w2 AS l3,
+         sum(y) OVER (PARTITION BY conv_id) AS sy,
+         count(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM s
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT conv_id, max(cnt) AS n,
+         sum((cnt * y - sy) * (cnt * y - sy)) AS n0,
+         sum(CASE WHEN l1 IS NOT NULL
+                  THEN (cnt * y - sy) * (cnt * l1 - sy) END) AS nk1,
+         sum(CASE WHEN l2 IS NOT NULL
+                  THEN (cnt * y - sy) * (cnt * l2 - sy) END) AS nk2,
+         sum(CASE WHEN l3 IS NOT NULL
+                  THEN (cnt * y - sy) * (cnt * l3 - sy) END) AS nk3
+  FROM l GROUP BY 1
+),
+m AS (
+  SELECT conv_id, n, n > 3 AND n0 > 0 AS ok,
+         1.0 + 2.0 * (cast(nk1 AS double) / cast(n0 AS double)
+                      + cast(nk2 AS double) / cast(n0 AS double)
+                      + cast(nk3 AS double) / cast(n0 AS double)) AS tau
+  FROM g
+)
+SELECT conv_id, cast(n AS bigint) AS n,
+       round(CASE WHEN ok THEN tau END, 9) + 0.0 AS tau_int,
+       round(CASE WHEN ok AND tau > 0 THEN
+             cast(n AS double) / tau END, 6) + 0.0 AS ess
+FROM m
+"""
+
+
 QUERIES = {
     "ts_derive_series": q_ts_derive_series,
     "ts_rollup_1h_kernel": q_ts_rollup_1h_kernel,
@@ -13885,6 +13953,7 @@ QUERIES = {
     "ts_dunn": q_ts_dunn,
     "ts_wilcoxon": q_ts_wilcoxon,
     "ts_mood": q_ts_mood,
+    "ts_ess": q_ts_ess,
     "ts_conv_dedup": q_ts_conv_dedup,
     "doc_jsd_halves": q_doc_jsd_halves,
     "ts_role_ngrams": q_ts_role_ngrams,
@@ -14130,6 +14199,7 @@ ORACLE_SQL = {
     "ts_dunn": SQL_TS_DUNN,
     "ts_wilcoxon": SQL_TS_WILCOXON,
     "ts_mood": SQL_TS_MOOD,
+    "ts_ess": SQL_TS_ESS,
     "ts_conv_dedup": SQL_TS_CONV_DEDUP,
     "doc_jsd_halves": SQL_DOC_JSD_HALVES,
     "ts_role_ngrams": SQL_TS_ROLE_NGRAMS,

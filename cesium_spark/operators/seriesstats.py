@@ -4050,3 +4050,59 @@ def mood_median(series: DataFrame,
         F.col("k").cast("int").alias("k"),
         F.col("n_above").cast("long").alias("n_above"),
         F.when(ok, F.col("__chi2")).alias("chi2"))
+
+
+def ess_acf(series: DataFrame) -> DataFrame:
+    """Effective sample size per conversation from the truncated
+    integrated autocorrelation time (the MCMC/clickstream diagnostic
+    next to ``hac_mean_se`` — HAC widens the error bar, ESS restates
+    the same correlation penalty as "how many INDEPENDENT turns is
+    this conversation worth", the number sample-size gates consume):
+
+        τ_int = 1 + 2(ρ₁ + ρ₂ + ρ₃),    ESS = n / τ_int.
+
+    ρ_k are single divisions of the family's exact int64 ACF
+    numerators (the ljung_box aggregate verbatim — one sufficient-
+    statistics discipline, five consumers now); τ and ESS are fixed
+    trees.  τ ≤ 0 (strong anti-correlation at this truncation) →
+    NULL ESS with τ still reported — ESS > n is a real phenomenon
+    for antithetic sequences but a NEGATIVE τ is a truncation
+    artifact, not a sample size.  Constant series or n ≤ 3 → NULL.
+
+    Plan: the ljung_box single-aggregate shape — ONE exchange.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"ess_acf: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("y").isNotNull() & F.col("t").isNotNull())
+         .select("conv_id", y.alias("__y"),
+                 *[F.lag(y, k).over(w_ord).alias(f"__l{k}")
+                   for k in (1, 2, 3)],
+                 F.sum(y).over(w_all).alias("__s"),
+                 F.count(F.lit(1)).over(w_all).alias("__n")))
+    dev = F.col("__n") * F.col("__y") - F.col("__s")
+
+    def _num(k):
+        lagdev = F.col("__n") * F.col(f"__l{k}") - F.col("__s")
+        return F.sum(F.when(F.col(f"__l{k}").isNotNull(), dev * lagdev))
+
+    agg = (s.groupBy("conv_id")
+           .agg(F.max("__n").alias("n"),
+                F.sum(dev * dev).alias("n0"),
+                *[_num(k).alias(f"nk{k}") for k in (1, 2, 3)]))
+    ok = (F.col("n") > 3) & (F.col("n0") > 0)
+    r = {k: F.col(f"nk{k}").cast("double") / F.col("n0").cast("double")
+         for k in (1, 2, 3)}
+    tau = (F.lit(1.0)
+           + F.lit(2.0) * (r[1] + r[2] + r[3]))
+    ess = F.when(tau > 0, F.col("n").cast("double") / tau)
+    return agg.select(
+        "conv_id", F.col("n").cast("long").alias("n"),
+        F.when(ok, tau).alias("tau_int"),
+        F.when(ok, ess).alias("ess"))

@@ -1907,3 +1907,29 @@ def test_mood_median_degenerates_and_blunt_robustness(spark):
     # single group -> NULL
     row = mood_median(_grouped(spark, [[1, 2, 3]])).collect()[0]
     assert row["chi2"] is None
+
+
+# --- ESS --------------------------------------------------------------------
+
+def test_ess_directions_and_ref(spark):
+    from cesium_spark.operators.seriesstats import ess_acf
+    rng = np.random.RandomState(70)
+    # sticky AR(1): tau > 1, ESS << n
+    y = [50]
+    for _ in range(299):
+        y.append(int(round(0.85 * y[-1] + 0.15 * 50
+                           + rng.randint(-3, 4))))
+    row = ess_acf(_series15(spark, y)).collect()[0]
+    d = 300 * np.asarray(y, dtype=float) - np.sum(y)
+    n0 = np.sum(d * d)
+    tau = 1 + 2 * sum(np.sum(d[k:] * d[:-k]) / n0 for k in (1, 2, 3))
+    assert abs(row["tau_int"] - tau) < 1e-9
+    assert abs(row["ess"] - 300 / tau) < 1e-6
+    assert row["ess"] < 150                       # autocorr penalty
+    # iid: tau ~ 1, ESS ~ n
+    w = rng.randint(0, 100, 300)
+    row = ess_acf(_series15(spark, w)).collect()[0]
+    assert 200 < row["ess"] < 400
+    # strict alternation: negative tau (truncation artifact) -> NULL
+    row = ess_acf(_series15(spark, [0, 10] * 50)).collect()[0]
+    assert row["tau_int"] < 0 and row["ess"] is None
