@@ -2176,7 +2176,7 @@ def q_ts_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-style counter rate per hour bucket with reset detection
     (delta when monotone, raw value after a reset)."""
     from cesium_spark.operators.rates import counter_rate
-    r = counter_rate(_value_series(spark, sf_dir), "1h")
+    r = counter_rate(_value_series(spark, sf_dir), "1h", grid=100)
     return r.select(
         "conv_id",
         F.date_format("bucket", TS_FMT).alias("bucket"),
@@ -2187,21 +2187,30 @@ def q_ts_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Restated on the exact 1e-2 value grid (r4 verdict item #2): cent
+# increments sum as int64, one terminal division — matching the
+# engine's grid=100 path bit-for-bit in any accumulation order.
 SQL_TS_COUNTER_RATE_1H = f"""{_VALUE_SERIES_SQL},
+c AS (
+  SELECT conv_id, ts, t, turn_idx,
+         CAST(round(y * 100.0) AS BIGINT) AS yc
+  FROM series
+),
 d AS (
   SELECT conv_id, date_trunc('hour', ts) AS bucket,
-         CASE WHEN lag(y) OVER w IS NULL THEN NULL
-              WHEN y >= lag(y) OVER w THEN y - lag(y) OVER w
-              ELSE y END AS inc,
-         CASE WHEN lag(y) OVER w IS NOT NULL AND y < lag(y) OVER w
+         CASE WHEN lag(yc) OVER w IS NULL THEN NULL
+              WHEN yc >= lag(yc) OVER w THEN yc - lag(yc) OVER w
+              ELSE yc END AS inc,
+         CASE WHEN lag(yc) OVER w IS NOT NULL AND yc < lag(yc) OVER w
               THEN 1 ELSE 0 END AS reset
-  FROM series
+  FROM c
   WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)
 )
 SELECT conv_id, strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
-       round(sum(inc), 6) + 0.0 AS increase,
-       round(sum(inc) / 3600.0, 6) + 0.0 AS rate_per_s,
-       sum(reset) AS n_resets,
+       round(CAST(sum(inc) AS DOUBLE) / 100.0, 6) + 0.0 AS increase,
+       round(CAST(sum(inc) AS DOUBLE) / 100.0 / 3600.0, 6)
+         + 0.0 AS rate_per_s,
+       CAST(sum(reset) AS BIGINT) AS n_resets,
        count(inc) AS n
 FROM d
 GROUP BY 1, 2
@@ -2726,7 +2735,7 @@ q50 AS ({_hist_quantile_sql_expr('0.5', 'p50_est')}),
 q90 AS ({_hist_quantile_sql_expr('0.9', 'p90_est')})
 SELECT q50.conv_id,
        strftime(q50.window_start, '{DUCK_TS_FMT}') AS window_start,
-       q50.total AS n,
+       CAST(q50.total AS BIGINT) AS n,
        round(q50.p50_est, 6) + 0.0 AS p50_est,
        round(q90.p90_est, 6) + 0.0 AS p90_est
 FROM q50
@@ -3157,7 +3166,7 @@ def q_ts_heartbeat_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-value oracle restates the lead() arithmetic."""
     from cesium_spark.operators.intervals import heartbeat_uptime
     out = heartbeat_uptime(_value_series(spark, sf_dir), "1d",
-                           _HEARTBEAT_S)
+                           _HEARTBEAT_S, t_grid=1_000_000)
     return out.select(
         "conv_id", F.date_format("bucket", TS_FMT).alias("bucket"),
         _r(F.col("live_s")).alias("live_s"),
@@ -3166,21 +3175,32 @@ def q_ts_heartbeat_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_gaps").cast("long").alias("n_gaps"))
 
 
+_HEARTBEAT_US = int(round(_HEARTBEAT_S * 1e6))
+
+# Restated on the exact µs integer grid (r4 verdict item #2): spans sum
+# as int64 lattice units, one terminal division to seconds — matching
+# the engine's t_grid=1_000_000 path bit-for-bit regardless of
+# partition count or accumulation order.
 SQL_TS_HEARTBEAT_1D = f"""{_VALUE_SERIES_SQL}
 , b AS (
-  SELECT conv_id, date_trunc('day', ts) AS bucket, t,
-         lead(t) OVER (PARTITION BY conv_id ORDER BY t, turn_idx) AS nt
+  SELECT conv_id, date_trunc('day', ts) AS bucket,
+         CAST(round(t * 1000000.0) AS BIGINT) AS tu,
+         lead(CAST(round(t * 1000000.0) AS BIGINT))
+           OVER (PARTITION BY conv_id ORDER BY t, turn_idx) AS ntu
   FROM series
 )
 SELECT conv_id, strftime(bucket, '{DUCK_TS_FMT}') AS bucket,
-       round(sum(CASE WHEN nt IS NULL THEN {_HEARTBEAT_S}
-                      ELSE least(nt - t, {_HEARTBEAT_S}) END), 6)
+       round(CAST(sum(CASE WHEN ntu IS NULL THEN {_HEARTBEAT_US}
+                           ELSE least(ntu - tu, {_HEARTBEAT_US}) END)
+                  AS DOUBLE) / 1000000.0, 6)
          + 0.0 AS live_s,
-       round(sum(CASE WHEN nt IS NULL THEN 0.0
-                      ELSE greatest(nt - t - {_HEARTBEAT_S}, 0.0) END), 6)
+       round(CAST(sum(CASE WHEN ntu IS NULL THEN 0
+                           ELSE greatest(ntu - tu - {_HEARTBEAT_US}, 0) END)
+                  AS DOUBLE) / 1000000.0, 6)
          + 0.0 AS dead_s,
        count(*) AS n_beats,
-       sum(CASE WHEN nt - t > {_HEARTBEAT_S} THEN 1 ELSE 0 END) AS n_gaps
+       CAST(sum(CASE WHEN ntu - tu > {_HEARTBEAT_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gaps
 FROM b
 GROUP BY 1, 2
 """
@@ -3275,7 +3295,8 @@ def q_ts_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exchange + one hash agg; full-value oracle restates the
     lead arithmetic."""
     from cesium_spark.operators.intervals import state_agg
-    out = state_agg(events_transcripts(spark, sf_dir), "role", "1d")
+    out = state_agg(events_transcripts(spark, sf_dir), "role", "1d",
+                    t_grid=1_000_000)
     return out.select(
         "conv_id", F.date_format("bucket", TS_FMT).alias("bucket"),
         F.col("state"),
@@ -3284,21 +3305,26 @@ def q_ts_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_closed").cast("long").alias("n_closed"))
 
 
+# Restated on the exact µs integer grid (r4 verdict item #2), matching
+# the engine's t_grid=1_000_000 path: spans sum as int64 µs, one
+# terminal division to seconds.
 SQL_TS_STATE_AGG = f"""
 WITH t AS (
   SELECT cast(user_id AS varchar) AS conv_id, event_type AS state, ts,
-         epoch(ts) AS sec,
+         epoch_us(ts) AS su,
          -- engine orders by (ts, turn_idx); turn_idx is itself the
          -- row_number over (ts, event_id), so this is the same order
-         lead(epoch(ts)) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS nxt
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxu
   FROM events
 )
 SELECT conv_id, strftime(date_trunc('day', ts), '{DUCK_TS_FMT}') AS bucket,
        state,
-       round(sum(coalesce(nxt - sec, 0.0)), 6) + 0.0 AS dur_s,
+       round(CAST(sum(coalesce(nxu - su, 0)) AS DOUBLE) / 1000000.0, 6)
+         + 0.0 AS dur_s,
        count(*) AS n_turns,
-       sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END) AS n_closed
+       CAST(sum(CASE WHEN nxu IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_closed
 FROM t
 GROUP BY 1, 2, 3
 """
@@ -4873,7 +4899,7 @@ p AS (
   FROM t
 )
 SELECT role, next_role, count(*) AS n_trans,
-       sum(count(*)) OVER (PARTITION BY role) AS n_from,
+       CAST(sum(count(*)) OVER (PARTITION BY role) AS BIGINT) AS n_from,
        round(count(*) / (sum(count(*)) OVER (PARTITION BY role)), 6)
          + 0.0 AS p
 FROM p WHERE role IS NOT NULL AND next_role IS NOT NULL
@@ -6875,7 +6901,7 @@ SQL_TS_MANN_KENDALL = f"""{_VALUE_SERIES_SQL}
 ),
 ties AS (
   SELECT conv_id, sum(c * (c - 1) * (2 * c + 5)) AS tie_term,
-         sum(c) AS n
+         CAST(sum(c) AS BIGINT) AS n
   FROM (SELECT conv_id, y, count(*) AS c FROM series
         WHERE y IS NOT NULL AND t IS NOT NULL GROUP BY 1, 2)
   GROUP BY 1
@@ -7469,7 +7495,7 @@ r AS (
 )
 SELECT conv_id,
        strftime(window_start, '{DUCK_TS_FMT}') AS window_start,
-       max(total) AS n,
+       CAST(max(total) AS BIGINT) AS n,
        round(max(CASE WHEN CAST(cum AS DOUBLE)
                            >= 0.5 * CAST(total AS DOUBLE)
                       AND CAST(cum - cnt AS DOUBLE)
@@ -11346,10 +11372,10 @@ def q_rel_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REL_TPCH_Q12 = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
   AND l_shipdate < timestamp '1997-01-01 00:00:00'

@@ -141,7 +141,8 @@ def interval_join(points: DataFrame, intervals: DataFrame,
 
 
 def heartbeat_uptime(series: DataFrame, tier: str,
-                     heartbeat_s: float) -> DataFrame:
+                     heartbeat_s: float,
+                     t_grid: int | None = None) -> DataFrame:
     """Uptime accounting (TimescaleDB ``heartbeat_agg`` semantics): a
     series is considered live for ``min(gap_to_next, heartbeat_s)``
     seconds after each point (the final point contributes
@@ -156,17 +157,38 @@ def heartbeat_uptime(series: DataFrame, tier: str,
     0 per pair), ``n_gaps`` counts pairs whose gap exceeded the
     heartbeat. One window exchange on the series' natural key, then
     one hash aggregation with map-side partials.
+
+    ``t_grid``: when ``t`` is timestamp-derived it sits exactly on the
+    1/t_grid-second lattice (t_grid=1_000_000 for µs-precision
+    timestamps); live/dead spans are then computed and summed as exact
+    int64 lattice units and divided back to seconds ONCE — the §4.3
+    exact-sufficient-statistics discipline, bit-stable across any
+    partition count / shuffle order. ``None`` keeps the float sum for
+    off-grid ``t``.
     """
     if tier not in TIERS:
         raise ValueError(f"unknown tier {tier!r}")
     if heartbeat_s <= 0:
         raise ValueError(f"heartbeat_s must be positive, got {heartbeat_s}")
     w = Window.partitionBy("conv_id", "channel").orderBy("t", "turn_idx")
-    gap = F.lead("t").over(w) - F.col("t")
-    hb = F.lit(float(heartbeat_s))
-    live = F.when(gap.isNull(), hb).otherwise(F.least(gap, hb))
-    dead = F.when(gap.isNull(), F.lit(0.0)) \
-            .otherwise(F.greatest(gap - hb, F.lit(0.0)))
+    if t_grid is not None:
+        g = float(t_grid)
+        tc = F.round(F.col("t") * F.lit(g)).cast("long")
+        gap = F.lead(tc).over(w) - tc
+        hb = F.lit(int(round(heartbeat_s * g)))
+        live = F.when(gap.isNull(), hb).otherwise(F.least(gap, hb))
+        dead = F.when(gap.isNull(), F.lit(0)) \
+                .otherwise(F.greatest(gap - hb, F.lit(0)))
+        live_s = F.sum("__live").cast("double") / F.lit(g)
+        dead_s = F.sum("__dead").cast("double") / F.lit(g)
+    else:
+        gap = F.lead("t").over(w) - F.col("t")
+        hb = F.lit(float(heartbeat_s))
+        live = F.when(gap.isNull(), hb).otherwise(F.least(gap, hb))
+        dead = F.when(gap.isNull(), F.lit(0.0)) \
+                .otherwise(F.greatest(gap - hb, F.lit(0.0)))
+        live_s = F.sum("__live")
+        dead_s = F.sum("__dead")
     return (
         series
         .withColumn("bucket", F.date_trunc(TIERS[tier], F.col("ts")))
@@ -174,8 +196,8 @@ def heartbeat_uptime(series: DataFrame, tier: str,
         .withColumn("__dead", dead)
         .withColumn("__gapped", (gap > hb).cast("long"))
         .groupBy("conv_id", "channel", "bucket")
-        .agg(F.sum("__live").alias("live_s"),
-             F.sum("__dead").alias("dead_s"),
+        .agg(live_s.alias("live_s"),
+             dead_s.alias("dead_s"),
              F.count(F.lit(1)).alias("n_beats"),
              F.coalesce(F.sum("__gapped"), F.lit(0)).alias("n_gaps"))
     )
@@ -252,7 +274,8 @@ def cusum_changepoints(series: DataFrame, k: float = 0.5,
 
 def state_agg(turns: DataFrame, state_col: str, tier: str,
               key: str = "conv_id", ts_col: str = "ts",
-              order_col: str = "turn_idx") -> DataFrame:
+              order_col: str = "turn_idx",
+              t_grid: int | None = None) -> DataFrame:
     """Time-in-state accounting (TimescaleDB ``state_agg`` semantics):
     each turn holds its state (role, tool, status, …) until the next
     turn in the same conversation; wall seconds per state are summed
@@ -274,19 +297,31 @@ def state_agg(turns: DataFrame, state_col: str, tier: str,
     shuffle carries one row per observed (key, bucket, state), never
     raw turns twice. NULL states are kept as a real group (a missing
     role is an observation, not a row to lose).
+
+    ``t_grid``: as in ``heartbeat_uptime`` — timestamps sit exactly on
+    the 1/t_grid-second lattice (1_000_000 for µs precision), so spans
+    sum as exact int64 lattice units with one terminal division.
     """
     if tier not in TIERS:
         raise ValueError(f"unknown tier {tier!r}")
     w = Window.partitionBy(key).orderBy(ts_col, order_col)
-    nxt = F.lead(F.col(ts_col).cast("double")).over(w)
-    dur = nxt - F.col(ts_col).cast("double")
+    if t_grid is not None:
+        g = float(t_grid)
+        tc = F.round(F.col(ts_col).cast("double") * F.lit(g)).cast("long")
+        nxt = F.lead(tc).over(w)
+        dur = F.coalesce(nxt - tc, F.lit(0))
+        dur_s = F.sum("__dur").cast("double") / F.lit(g)
+    else:
+        nxt = F.lead(F.col(ts_col).cast("double")).over(w)
+        dur = F.coalesce(nxt - F.col(ts_col).cast("double"), F.lit(0.0))
+        dur_s = F.sum("__dur")
     return (
         turns
         .withColumn("bucket", F.date_trunc(TIERS[tier], F.col(ts_col)))
-        .withColumn("__dur", F.coalesce(dur, F.lit(0.0)))
+        .withColumn("__dur", dur)
         .withColumn("__closed", nxt.isNotNull().cast("long"))
         .groupBy(key, "bucket", F.col(state_col).alias("state"))
-        .agg(F.sum("__dur").alias("dur_s"),
+        .agg(dur_s.alias("dur_s"),
              F.count(F.lit(1)).alias("n_turns"),
              F.sum("__closed").alias("n_closed"))
     )

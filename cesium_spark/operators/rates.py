@@ -26,27 +26,50 @@ from cesium_spark.operators.rollup import TIERS
 _SPAN_S = {"1m": 60.0, "1h": 3600.0, "1d": 86400.0}
 
 
-def counter_rate(series: DataFrame, tier: str) -> DataFrame:
+def counter_rate(series: DataFrame, tier: str,
+                 grid: int | None = None) -> DataFrame:
     """Returns (conv_id, channel, bucket, increase, rate_per_s,
     n_resets, n). First point of each series has no predecessor and
-    contributes nothing (PromQL parity: rate needs >= 2 points)."""
+    contributes nothing (PromQL parity: rate needs >= 2 points).
+
+    ``grid``: when the value channel sits on a 1/grid lattice (e.g.
+    grid=100 for cent-valued counters), increments are computed and
+    summed as exact int64 lattice units and divided back to seconds
+    ONCE at the end — the §4.3 exact-sufficient-statistics discipline
+    (welch/allan precedent), making the aggregate independent of
+    partition count and shuffle order at the bit level. ``None`` keeps
+    the native float sum for off-grid values.
+    """
     if tier not in TIERS:
         raise ValueError(f"unknown tier {tier!r}")
     w = Window.partitionBy("conv_id", "channel").orderBy("t", "turn_idx")
-    prev = F.lag("y").over(w)
-    inc = F.when(prev.isNull(), F.lit(None)) \
-           .when(F.col("y") >= prev, F.col("y") - prev) \
-           .otherwise(F.col("y"))
+    if grid is not None:
+        yc = F.round(F.col("y") * F.lit(float(grid))).cast("long")
+        prev = F.lag(yc).over(w)
+        inc = F.when(prev.isNull(), F.lit(None)) \
+               .when(yc >= prev, yc - prev) \
+               .otherwise(yc)
+        reset = (prev.isNotNull() & (yc < prev)).cast("long")
+        g = F.lit(float(grid))
+        increase = F.sum("__inc").cast("double") / g
+        rate = F.sum("__inc").cast("double") / g / F.lit(_SPAN_S[tier])
+    else:
+        prev = F.lag("y").over(w)
+        inc = F.when(prev.isNull(), F.lit(None)) \
+               .when(F.col("y") >= prev, F.col("y") - prev) \
+               .otherwise(F.col("y"))
+        reset = (prev.isNotNull() & (F.col("y") < prev)).cast("long")
+        increase = F.sum("__inc")
+        rate = F.sum("__inc") / F.lit(_SPAN_S[tier])
     return (
         series
         .withColumn("bucket", F.date_trunc(TIERS[tier], F.col("ts")))
         .withColumn("__inc", inc)
-        .withColumn("__reset",
-                    (prev.isNotNull() & (F.col("y") < prev)).cast("long"))
+        .withColumn("__reset", reset)
         .groupBy("conv_id", "channel", "bucket")
         .agg(
-            F.sum("__inc").alias("increase"),
-            (F.sum("__inc") / F.lit(_SPAN_S[tier])).alias("rate_per_s"),
+            increase.alias("increase"),
+            rate.alias("rate_per_s"),
             F.sum("__reset").alias("n_resets"),
             F.count("__inc").alias("n"),
         )

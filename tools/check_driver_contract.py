@@ -46,6 +46,16 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
         return [f"columns {list(g.columns)} != {list(e.columns)}"]
     for c in g.columns:
         gv, ev = g[c], e[c]
+        # Dtype-strict (r4 verdict): DuckDB HUGEINT arrives in pandas as
+        # float64 while Spark hands back int64; coercing both to float
+        # hides a type mismatch the driver's value-hash DOES see. An
+        # int-vs-float kind split is therefore a failure, not a coercion.
+        kinds = {gv.dtype.kind, ev.dtype.kind}
+        if kinds == {"i", "f"} or kinds == {"u", "f"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={gv.dtype} "
+                f"oracle={ev.dtype} (HUGEINT oracle column? CAST to BIGINT)")
+            continue
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
             ga = np.ascontiguousarray(gv.astype(float).to_numpy())
             ea = np.ascontiguousarray(ev.astype(float).to_numpy())
@@ -102,7 +112,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            exp = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            huge = [c for c, tp in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(tp)]
+            if huge:
+                failures[name] = [f"HUGEINT oracle columns {huge}"]
+                print(f"✗ {name}: HUGEINT oracle columns {huge} "
+                      f"(driver hash will diverge from Spark BIGINT)")
+                continue
+            exp = rel.df()
         except Exception as ex:
             failures[name] = [f"DUCKDB ERROR: {ex}"]
             print(f"✗ {name}: duckdb error {str(ex)[:200]}")
