@@ -11987,10 +11987,12 @@ WITH s0 AS (
 pre AS (
   SELECT conv_id, y,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
-           AS k
+           AS k,
+         count(*) OVER (PARTITION BY conv_id) AS n_total
   FROM s0
 ),
 kept AS (SELECT * FROM pre WHERE k <= {max_n}),
+tot AS (SELECT conv_id, max(n_total) AS n_total FROM pre GROUP BY 1),
 prof AS (
   SELECT conv_id, k - 1 AS rank,
          count(*) OVER (PARTITION BY conv_id) AS nu,
@@ -12050,10 +12052,10 @@ wide AS (
   FROM per_s GROUP BY 1
 )
 SELECT conv_id, cast(n_used AS bigint) AS n_used,
-       n_used >= {max_n} AS capped,
+       n_total > {max_n} AS capped,
        {outf},
        round(CASE WHEN {ok} THEN {slope} END, 9) + 0.0 AS alpha
-FROM wide
+FROM wide JOIN tot USING (conv_id)
 """
 
 
@@ -12673,13 +12675,19 @@ def q_rel_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = ((F.row_number().over(w) - 1) * 2
             < F.count(F.lit(1)).over(wn))
     purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    # a 1-event conversation has an empty second half: max over no rows
+    # is NULL, which would trip mcnemar_test's null guard — a missing
+    # half means "no purchase observed in that half" (coalesce→false),
+    # mirrored in the oracle
     flags = (ev.select(F.col("user_id"), half.alias("__h"),
                        purch.alias("__p"))
              .groupBy("user_id")
-             .agg((F.max(F.when(F.col("__h"), F.col("__p"))) == 1)
-                  .alias("fa"),
-                  (F.max(F.when(~F.col("__h"), F.col("__p"))) == 1)
-                  .alias("fb")))
+             .agg(F.coalesce(
+                      F.max(F.when(F.col("__h"), F.col("__p"))) == 1,
+                      F.lit(False)).alias("fa"),
+                  F.coalesce(
+                      F.max(F.when(~F.col("__h"), F.col("__p"))) == 1,
+                      F.lit(False)).alias("fb")))
     out = mcnemar_test(flags, "fa", "fb")
     return out.select("n_pairs", "b_cnt", "c_cnt", "chi2")
 
@@ -12695,8 +12703,8 @@ WITH r AS (
 ),
 f AS (
   SELECT user_id,
-         max(CASE WHEN h THEN p END) = 1 AS fa,
-         max(CASE WHEN NOT h THEN p END) = 1 AS fb
+         coalesce(max(CASE WHEN h THEN p END) = 1, false) AS fa,
+         coalesce(max(CASE WHEN NOT h THEN p END) = 1, false) AS fb
   FROM r GROUP BY 1
 ),
 a AS (

@@ -574,19 +574,32 @@ def gradient_energy(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                arr = decode_media(bytes(payload))
-                if arr.ndim == 3 and arr.shape[-1] != 3:
+                buf = bytes(payload)
+                arr = decode_media(buf)
+                # disambiguate by CONTAINER, not shape: a video whose
+                # frame width happens to be 3 is still a video, and a
+                # P6 color raster is a legitimate (h, w, 3) image
+                if buf[:9] == b"YUV4MPEG2":
                     arr = arr[0]          # video: first frame
-                if arr.ndim != 2:
+                if arr.ndim == 1:
                     raise ValueError(
-                        "gradient_energy: item decodes to shape "
-                        f"{arr.shape}, not a 2-d raster (audio rows "
-                        "must be filtered out upstream)")
-                h, w = arr.shape
+                        "gradient_energy: audio rows must be filtered "
+                        "out upstream (a 1-d sample stream is not a "
+                        "2-d raster)")
                 g = np.rint(arr.astype(np.float64) * 256.0).astype(np.int64)
-                e_h = int(np.abs(np.diff(g, axis=1)).sum())
-                e_v = int(np.abs(np.diff(g, axis=0)).sum())
-                n_pairs = h * (w - 1) + (h - 1) * w
+                if g.ndim == 3:
+                    # color (P6): per-channel gradients summed — stays
+                    # exact int64; n_pairs scales by the channel count
+                    # so sharpness remains a per-pair mean
+                    h, w, nc = g.shape
+                    e_h = int(np.abs(np.diff(g, axis=1)).sum())
+                    e_v = int(np.abs(np.diff(g, axis=0)).sum())
+                    n_pairs = (h * (w - 1) + (h - 1) * w) * nc
+                else:
+                    h, w = g.shape
+                    e_h = int(np.abs(np.diff(g, axis=1)).sum())
+                    e_v = int(np.abs(np.diff(g, axis=0)).sum())
+                    n_pairs = h * (w - 1) + (h - 1) * w
                 rows.append((doc_id, h, w, e_h, e_v, n_pairs))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "h", "w", "e_h", "e_v", "n_pairs"])

@@ -2991,11 +2991,13 @@ def dfa(series: DataFrame, boxes: tuple = (4, 8, 16),
            .select("conv_id", "t", "turn_idx",
                    F.col("y").cast("long").alias("y"),
                    F.row_number().over(w_ord).alias("__k")))
+    w_all_pre = Window.partitionBy("conv_id")
+    pre = pre.withColumn("__n", F.count(F.lit(1)).over(w_all_pre))
     kept = pre.where(F.col("__k") <= max_n)
     w_ord2 = Window.partitionBy("conv_id").orderBy("__k")
     w_all = Window.partitionBy("conv_id")
     prof = kept.select(
-        "conv_id",
+        "conv_id", "__n",
         (F.col("__k") - 1).alias("rank"),
         F.col("__k").alias("j_global"),
         F.count(F.lit(1)).over(w_all).alias("nu"),
@@ -3004,13 +3006,14 @@ def dfa(series: DataFrame, boxes: tuple = (4, 8, 16),
              Window.unboundedPreceding, 0))
          - F.col("__k") * F.sum("y").over(w_all)).alias("p"))
     ex = (prof
-          .select("conv_id", "rank", "nu", "p",
+          .select("conv_id", "__n", "rank", "nu", "p",
                   F.explode(F.array(*[F.lit(b) for b in bs])).alias("s"))
           .withColumn("block", F.expr("rank div s"))
           .withColumn("x", F.expr("rank % s + 1"))
           .where(F.col("block") < F.expr("nu div s")))
     stats = (ex.groupBy("conv_id", "s", "block")
              .agg(F.first("nu").alias("nu"),
+                  F.first("__n").alias("__n"),
                   F.sum("p").alias("u"),
                   F.sum(F.col("x") * F.col("p")).alias("w"),
                   F.sum(F.col("p") * F.col("p")).alias("v")))
@@ -3025,20 +3028,22 @@ def dfa(series: DataFrame, boxes: tuple = (4, 8, 16),
     rss = F.when(rss_raw < 0, F.lit(0.0)).otherwise(rss_raw)
     wcs = Window.partitionBy("conv_id", "s").orderBy("block")
     folded = (stats
-              .select("conv_id", "nu", "s", "block",
+              .select("conv_id", "__n", "nu", "s", "block",
                       F.sum(rss).over(wcs).alias("cum_rss"))
               .groupBy("conv_id", "s")
               .agg(F.first("nu").alias("nu"),
+                   F.first("__n").alias("__n"),
                    F.max("cum_rss").alias("tot_rss"),
                    F.count(F.lit(1)).alias("k_blocks")))
     f_s = (F.sqrt(F.col("tot_rss")
                   / (F.col("k_blocks") * F.col("s")).cast("double"))
            / F.col("nu").cast("double"))
-    per_s = folded.select("conv_id", "nu", "s", f_s.alias("f"))
+    per_s = folded.select("conv_id", "__n", "nu", "s", f_s.alias("f"))
     pivots = [F.max(F.when(F.col("s") == b, F.col("f")))
               .alias(f"f_{b}") for b in bs]
     wide = (per_s.groupBy("conv_id")
-            .agg(F.first("nu").alias("n_used"), *pivots))
+            .agg(F.first("nu").alias("n_used"),
+                 F.first("__n").alias("__n"), *pivots))
     all_ok = None
     for b in bs:
         c = F.col(f"f_{b}").isNotNull() & (F.col(f"f_{b}") > 0)
@@ -3050,7 +3055,9 @@ def dfa(series: DataFrame, boxes: tuple = (4, 8, 16),
     return wide.select(
         "conv_id",
         F.col("n_used").cast("long").alias("n_used"),
-        (F.col("n_used") >= F.lit(max_n)).alias("capped"),
+        # strict pre-cap convention (sample_entropy/kendall_channels):
+        # capped ⇔ rows were actually truncated, not merely n == max_n
+        (F.col("__n") > F.lit(max_n)).alias("capped"),
         *[F.col(f"f_{b}") for b in bs],
         F.when(all_ok, slope).alias("alpha"))
 

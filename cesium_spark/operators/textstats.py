@@ -1367,33 +1367,57 @@ def heaps_fit(docs: DataFrame, id_col: str = "doc_id",
     docs (checkpoints collide) or any V_i = V_{i+1} AND n equal
     (degenerate x-spread: denominator 0).
 
-    Plan: one doc-rank window + one token-grain min-aggregate + two
-    tiny conditional-count aggregates against a broadcast 1-row
-    checkpoint struct — the corpus is scanned once; everything else
-    runs on checkpoint-cardinality rows.
+    Plan (scale contract: NO global single-partition window ever sees
+    the corpus — the q_doc_dsir rule): doc rank and the ordered token
+    cumsum run as a distributed two-phase scheme — range-repartition
+    on doc id, per-PARTITION row_number + cumsum, then per-partition
+    (count, token-sum) totals fold into prefix offsets on
+    partition-cardinality rows and broadcast back.  The corpus-sized
+    exchanges are the range repartition and the token-grain
+    min-aggregate; every global window runs on ≤ num-partitions or
+    checkpoint-cardinality rows.
     """
-    w_ord = Window.orderBy(id_col)
-    ranked = (docs
-              .where(F.col(text_col).isNotNull()
-                     & (F.trim(F.col(text_col)) != ""))
-              .select(F.col(id_col),
-                      F.row_number().over(w_ord).alias("__r"),
-                      F.split(F.trim(F.col(text_col)), r"\s+")
-                      .alias("__toks")))
-    with_cum = ranked.select(
-        "__r", "__toks",
+    base = (docs
+            .where(F.col(text_col).isNotNull()
+                   & (F.trim(F.col(text_col)) != ""))
+            .select(F.col(id_col).alias("__id"),
+                    F.split(F.trim(F.col(text_col)), r"\s+")
+                    .alias("__toks")))
+    # total doc count: plain aggregate (map-side partials), no window
+    dtot = base.agg(F.count(F.lit(1)).alias("d"))
+    # phase 1: per-partition local rank + local token cumsum
+    part = (base.repartitionByRange("__id")
+            .withColumn("__pid", F.spark_partition_id()))
+    wp = Window.partitionBy("__pid").orderBy("__id")
+    local = part.select(
+        "__pid", "__toks",
+        F.row_number().over(wp).alias("__lr"),
         F.sum(F.size("__toks")).over(
-            w_ord.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long").alias("__cum"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))).alias("__d"))
-    cps = with_cum.agg(
-        F.max("__d").alias("d"),
+            wp.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("__lcum"))
+    # phase 2: fold per-partition totals into exclusive prefix offsets
+    # (num-partitions rows — the only ordered global window, bounded)
+    ptot = local.groupBy("__pid").agg(
+        F.max("__lr").alias("__pc"),
+        F.max("__lcum").alias("__ps"))
+    wo = (Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = ptot.select(
+        "__pid",
+        F.coalesce(F.sum("__pc").over(wo), F.lit(0)).alias("__roff"),
+        F.coalesce(F.sum("__ps").over(wo), F.lit(0)).alias("__soff"))
+    with_cum = (local.join(F.broadcast(off), "__pid")
+                .select((F.col("__lr") + F.col("__roff")).alias("__r"),
+                        (F.col("__lcum") + F.col("__soff"))
+                        .cast("long").alias("__cum"),
+                        "__toks"))
+    cps = with_cum.crossJoin(F.broadcast(dtot)).agg(
+        F.max("d").alias("d"),
         *[F.max(F.when(F.col("__r")
-                       == F.expr(f"(__d * {i}) DIV 4"),
+                       == F.expr(f"(d * {i}) DIV 4"),
                        F.col("__cum"))).alias(f"n{i}")
           for i in (1, 2, 3, 4)],
-        *[F.max(F.expr(f"(__d * {i}) DIV 4")).alias(f"k{i}")
+        *[F.max(F.expr(f"(d * {i}) DIV 4")).alias(f"k{i}")
           for i in (1, 2, 3, 4)])
     first = (with_cum
              .select("__r", F.explode("__toks").alias("__t"))

@@ -1933,3 +1933,36 @@ def test_ess_directions_and_ref(spark):
     # strict alternation: negative tau (truncation artifact) -> NULL
     row = ess_acf(_series15(spark, [0, 10] * 50)).collect()[0]
     assert row["tau_int"] < 0 and row["ess"] is None
+
+
+def test_gradient_energy_color_and_width3_video(spark):
+    """r5 (ADVICE): a P6 color raster is a legitimate input (per-channel
+    gradients summed, n_pairs ×3), and a Y4M video whose frame WIDTH is
+    3 is still a video (container sniff, not shape[-1] != 3)."""
+    from cesium_spark.operators.multimodal import gradient_energy
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, 4 * 5 * 3).astype(np.uint8)
+    ppm = b"P6\n5 4\n255\n" + px.tobytes()
+    # 2 frames of 4x3 mono Y4M; only frame 0 must be scored
+    f0 = rng.randint(0, 256, 12).astype(np.uint8)
+    f1 = rng.randint(0, 256, 12).astype(np.uint8)
+    y4m = (b"YUV4MPEG2 W3 H4 F25:1 Ip A1:1 Cmono\n"
+           + b"FRAME\n" + f0.tobytes() + b"FRAME\n" + f1.tobytes())
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "media": [ppm, y4m]}))
+    rows = {r["doc_id"]: r for r in gradient_energy(df).collect()}
+    g = px.reshape(4, 5, 3).astype(np.int64)
+    eh = int(np.abs(np.diff(g, axis=1)).sum())
+    ev = int(np.abs(np.diff(g, axis=0)).sum())
+    r = rows[1]
+    assert (r["h"], r["w"]) == (4, 5)
+    assert (r["e_h"], r["e_v"]) == (eh, ev)
+    assert r["n_pairs"] == (4 * 4 + 3 * 5) * 3
+    assert r["sharpness"] == (eh + ev) / r["n_pairs"]
+    v = f0.reshape(4, 3).astype(np.int64)
+    veh = int(np.abs(np.diff(v, axis=1)).sum())
+    vev = int(np.abs(np.diff(v, axis=0)).sum())
+    rv = rows[2]
+    assert (rv["h"], rv["w"]) == (4, 3)
+    assert (rv["e_h"], rv["e_v"]) == (veh, vev)
+    assert rv["n_pairs"] == 4 * 2 + 3 * 3

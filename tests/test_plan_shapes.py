@@ -335,3 +335,27 @@ def test_score_linear_pure_projection(docs, spark):
     s = _shape(score_linear(df, {"f0": 1.0, "f1": -1.0}))
     assert s == {"hash": 0, "range": 0, "single": 0, "bcast": 0,
                  "cartesian": False}
+
+
+def test_heaps_fit_no_corpus_global_window(spark):
+    """r5 (ADVICE medium): heaps_fit's doc rank + token cumsum must run
+    as the two-phase per-partition scheme — every corpus-sized window
+    (row_number / running token sum) is partitioned by __pid; the only
+    global ordered window folds per-PARTITION totals (bounded rows)."""
+    from cesium_spark.operators.textstats import heaps_fit
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(1, 9),
+        "text": ["a b c", "b c d", "c d e", "x y",
+                 "p q r s", "a a", "m n", "z"]}))
+    out = heaps_fit(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    for line in p.splitlines():
+        if "row_number() windowspecdefinition" in line:
+            assert "__pid" in line, f"corpus window not partitioned: {line}"
+    # the bounded offset fold is the only global ordered window
+    glob = [ln for ln in p.splitlines()
+            if "windowspecdefinition(__pid#" in ln
+            and "ASC NULLS FIRST, specifiedwindowframe" in ln
+            and "row_number" not in ln]
+    assert glob, "expected the bounded per-partition offset fold window"
+    assert _shape(out)["cartesian"] is False
