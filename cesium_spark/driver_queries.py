@@ -2562,6 +2562,60 @@ FROM rec
 """
 
 
+def q_doc_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing denominated in toy-BPE tokens (the r5
+    tokenizer seam): the packing cap now bounds SUBWORD counts from
+    the frozen greedy longest-match vocabulary — the unit a real
+    context window is measured in — instead of whitespace words. The
+    token count is ONE native nested-HOF Spark expression (zero
+    Python); packing itself is the unchanged per-shard recurrence.
+    Full-value oracle: DuckDB recursive CTEs replay BOTH folds — the
+    per-word greedy scan (identical match CASE over the identical
+    literal vocab) and the doc-by-doc bin recurrence."""
+    from cesium_spark.functions.tokenizer import token_count
+    from cesium_spark.operators.packing import pack_sequences
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.col("source").alias("shard"), "doc_id",
+        token_count("text", "toy_bpe").cast("long").alias("n_tokens"))
+    out = pack_sequences(lens, cap=_PACK_CAP_BPE)
+    return out.select("shard", "doc_id", "n_tokens", "bin_id",
+                      "bin_fill", "oversize")
+
+
+_PACK_CAP_BPE = 300
+
+
+def _pack_bpe_sql() -> str:
+    from cesium_spark.functions.tokenizer import duckdb_token_count_cte
+    tok = duckdb_token_count_cte("documents", "doc_id")
+    return f"""WITH RECURSIVE {tok},
+lens AS (
+  SELECT d.source AS shard, d.doc_id,
+         coalesce(t.n_tokens, 0) AS n_tokens,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+           AS rn
+  FROM documents d LEFT JOIN n_tokens_cte t USING (doc_id)
+),
+rec AS (
+  SELECT shard, doc_id, n_tokens, rn,
+         cast(0 AS bigint) AS bin_id, n_tokens AS bin_fill
+  FROM lens WHERE rn = 1
+  UNION ALL
+  SELECT l.shard, l.doc_id, l.n_tokens, l.rn,
+         CASE WHEN r.bin_fill + l.n_tokens <= {_PACK_CAP_BPE}
+              THEN r.bin_id ELSE r.bin_id + 1 END,
+         CASE WHEN r.bin_fill + l.n_tokens <= {_PACK_CAP_BPE}
+              THEN r.bin_fill + l.n_tokens ELSE l.n_tokens END
+  FROM rec r JOIN lens l ON l.shard = r.shard AND l.rn = r.rn + 1
+)
+SELECT shard, doc_id, n_tokens, bin_id, bin_fill,
+       n_tokens > {_PACK_CAP_BPE} AS oversize
+FROM rec
+"""
+
+
 _BM25_TERMS = ("spark", "window", "hash")
 
 
@@ -5990,6 +6044,60 @@ SELECT conv_id,
        cast(min(CASE WHEN cum > {_BUDGET} THEN turn_idx END) AS int)
          AS cross_turn_idx,
        round(min(CASE WHEN cum > {_BUDGET} THEN cum END), 6) + 0.0
+         AS cost_at_cross
+FROM c GROUP BY conv_id
+"""
+
+
+_BUDGET_BPE = 150.0
+
+
+def q_ts_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget overflow denominated in toy-BPE tokens (the r5
+    tokenizer seam): the running total that trips the budget is now
+    the frozen-vocab greedy subword count per turn — the unit a real
+    context window is measured in. Same one-exchange cumsum plan as
+    ts_budget; the oracle replays the greedy per-word fold as a
+    recursive CTE over the identical literal vocab, then the same
+    cumsum + filtered aggregates."""
+    from cesium_spark.operators.sequences import budget_crossing
+    out = budget_crossing(events_transcripts(spark, sf_dir),
+                          budget=_BUDGET_BPE, tokenizer="toy_bpe")
+    return out.select(
+        "conv_id", "n_turns",
+        _r(F.col("total_cost")).alias("total_cost"),
+        "crossed",
+        F.col("cross_turn_idx").cast("int").alias("cross_turn_idx"),
+        _r(F.col("cost_at_cross")).alias("cost_at_cross"))
+
+
+def _budget_bpe_sql() -> str:
+    from cesium_spark.functions.tokenizer import duckdb_token_count_cte
+    tok = duckdb_token_count_cte("t", "conv_id, turn_idx",
+                                 text_col="text", out="n_tok")
+    return f"""WITH RECURSIVE t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         props AS text
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+{tok},
+c AS (
+  SELECT t.conv_id, t.turn_idx,
+         sum(cast(coalesce(k.n_tok, 0) AS double))
+           OVER (PARTITION BY t.conv_id ORDER BY t.turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t LEFT JOIN n_tok_cte k
+    ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx
+)
+SELECT conv_id,
+       cast(count(*) AS bigint) AS n_turns,
+       round(max(cum), 6) + 0.0 AS total_cost,
+       bool_or(cum > {_BUDGET_BPE}) AS crossed,
+       cast(min(CASE WHEN cum > {_BUDGET_BPE} THEN turn_idx END) AS int)
+         AS cross_turn_idx,
+       round(min(CASE WHEN cum > {_BUDGET_BPE} THEN cum END), 6) + 0.0
          AS cost_at_cross
 FROM c GROUP BY conv_id
 """
@@ -14024,6 +14132,7 @@ QUERIES = {
     "ts_funnel": q_ts_funnel,
     "ts_loops": q_ts_loops,
     "ts_budget": q_ts_budget,
+    "ts_budget_bpe": q_ts_budget_bpe,
     "ts_bursts": q_ts_bursts,
     "doc_lexical": q_doc_lexical,
     "doc_tfidf": q_doc_tfidf,
@@ -14123,6 +14232,7 @@ QUERIES = {
     "doc_redact_pii": q_doc_redact_pii,
     "doc_dedup_resolve": q_doc_dedup_resolve,
     "doc_pack": q_doc_pack,
+    "doc_pack_bpe": q_doc_pack_bpe,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_vocab_topk": q_doc_vocab_topk,
@@ -14326,6 +14436,7 @@ ORACLE_SQL = {
     "emb_anisotropy": SQL_EMB_ANISOTROPY,
     "ts_forecast_score": _forecast_score_sql(),
     "ts_budget": SQL_TS_BUDGET,
+    "ts_budget_bpe": _budget_bpe_sql(),
     "doc_hash_vectors": _hash_vectors_sql(),
     "ts_concurrency": SQL_TS_CONCURRENCY,
     "ts_stream_sliding": SQL_TS_STREAM_SLIDING,
@@ -14376,6 +14487,7 @@ ORACLE_SQL = {
     "doc_redact_pii": _redact_sql(),
     "doc_dedup_resolve": SQL_DOC_DEDUP_RESOLVE,
     "doc_pack": SQL_DOC_PACK,
+    "doc_pack_bpe": _pack_bpe_sql(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,

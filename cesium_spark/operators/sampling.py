@@ -273,7 +273,8 @@ def dsir_logweights(docs: DataFrame, is_target,
 
 def mix_weights(docs: DataFrame, alpha: float = 0.5,
                 group_col: str = "source",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                tokenizer: str = "ws") -> DataFrame:
     """Temperature-based corpus mixing weights per source (the
     multinomial sampling recipe of the GPT-3/PaLM training setups —
     Brown et al. 2020 §2.2's quality-weighted sampling restated at
@@ -300,7 +301,14 @@ def mix_weights(docs: DataFrame, alpha: float = 0.5,
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"mix_weights: alpha must be in (0, 1], "
                          f"got {alpha}")
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    if tokenizer == "ws":
+        # r4 convention kept verbatim (oracle-pinned)
+        toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    else:
+        # tokenizer seam (r5): BPE-denominated token shares — the
+        # unit real mixing recipes weight by
+        from cesium_spark.functions.tokenizer import token_count
+        toks = token_count(text_col, tokenizer)
     per = (docs
            .where(F.col(text_col).isNotNull()
                   & F.col(group_col).isNotNull())

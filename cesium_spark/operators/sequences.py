@@ -179,7 +179,7 @@ def turn_self_similarity(transcripts: DataFrame, threshold: float = 0.8,
         "max_loop_run")
 
 def budget_crossing(transcripts: DataFrame, budget: float,
-                    cost_col=None) -> DataFrame:
+                    cost_col=None, tokenizer: str = "ws") -> DataFrame:
     """Context-budget overflow detection: per conversation, the first
     turn at which the RUNNING token total exceeds ``budget`` — where
     an agent's context window would overflow, a serving bill would
@@ -207,9 +207,11 @@ def budget_crossing(transcripts: DataFrame, budget: float,
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
     if cost_col is None:
-        arr = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                      r"[ \t\n\r\f]+")
-        cost_col = F.size(F.filter(arr, lambda x: x != ""))
+        # tokenizer seam (r5): 'ws' keeps the r4 whitespace count
+        # verbatim; 'toy_bpe' counts frozen-vocab subword tokens —
+        # the unit real context budgets are denominated in
+        from cesium_spark.functions.tokenizer import token_count
+        cost_col = token_count("text", tokenizer)
     w = (Window.partitionBy("conv_id").orderBy("turn_idx")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     t = (transcripts

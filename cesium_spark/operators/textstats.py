@@ -25,13 +25,25 @@ LANG_MARKERS = {
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                tokenizer: str = "ws") -> DataFrame:
     """(id, n_tokens, n_chars, avg_token_len) — whitespace tokenization
     plus a BPE-ish subword estimate (≈ chars/4 heuristic, bounded below
-    by word count)."""
+    by word count). With ``tokenizer='toy_bpe'`` (r5 seam), n_tokens is
+    the frozen-vocab greedy subword count and est_bpe_tokens IS that
+    exact count (no heuristic)."""
+    n_chars = F.length(text_col)
+    if tokenizer == "toy_bpe":
+        from cesium_spark.functions.tokenizer import token_count
+        n_tokens = token_count(text_col, tokenizer)
+        return docs.select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            n_chars.alias("n_chars"),
+            (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+            n_tokens.cast("long").alias("est_bpe_tokens"))
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_tokens = F.size(toks)
-    n_chars = F.length(text_col)
     return docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
