@@ -4837,6 +4837,122 @@ WHERE doc_id % 10 = 0
 """
 
 
+_SUBSTR_MIN_RUN = 50
+_SUBSTR_CAP = 2048
+
+
+def q_doc_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring refinement at pair grain (Lee et al. 2022
+    substring semantics): candidate pairs are re-scored with the EXACT
+    longest shared token run via the run DP — closing the n-gram-grain
+    approximation gap of doc_ngram_coverage. Planted-duplicate design
+    (winnowing_pairs pattern): each eligible doc gets a twin carrying a
+    VERBATIM 60-token slice (tokens 6..65) between junk flanks, so the
+    pair's max_run is the planted insertion found at its exact length
+    and position. The oracle is an INDEPENDENT algorithm — diagonal
+    gaps-and-islands over the token-match join (group matches by i−j,
+    islands by i − row_number, run = island size) with the same
+    lexicographic (a_start, b_start) tie-break — not a replay of the
+    DP."""
+    from cesium_spark.operators.dedup import substring_pairs
+    _prep(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")),
+                            r"[ \t\n\r\f]+"),
+                    lambda x: x != "")
+    base = (docs.select("doc_id", toks.alias("__toks"))
+            .where((F.col("doc_id") % 10 == 0)
+                   & (F.size("__toks") >= 65)))
+    planted = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.array(F.lit("xxja"), F.lit("xxjb"),
+                             F.lit("xxjc")),
+                     F.slice("__toks", 6, 60),
+                     F.array(F.lit("xxjd"), F.lit("xxje"))))
+        .alias("text"))
+    corpus = docs.unionByName(planted)
+    pairs = base.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 200000).alias("id_b"))
+    out = substring_pairs(corpus, pairs, min_run=_SUBSTR_MIN_RUN,
+                          max_tokens=_SUBSTR_CAP)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "capped_a", "capped_b",
+        F.col("max_run").cast("long").alias("max_run"),
+        F.col("a_start").cast("long").alias("a_start"),
+        F.col("b_start").cast("long").alias("b_start"),
+        "is_dup")
+
+
+SQL_DOC_SUBSTRING_PAIRS = f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''),
+                                        '[ \\t\\n\\r\\f]+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, toks FROM tok0
+  WHERE doc_id % 10 = 0 AND len(toks) >= 65
+),
+planted AS (
+  SELECT doc_id + 200000 AS doc_id,
+         ['xxja', 'xxjb', 'xxjc'] || toks[6:65]
+           || ['xxjd', 'xxje'] AS toks
+  FROM base
+),
+corpus AS (SELECT * FROM tok0 UNION ALL SELECT * FROM planted),
+pairs AS (SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM base),
+ta AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS i
+  FROM corpus
+),
+m AS (
+  SELECT p.id_a, p.id_b, a.i AS i, b.i AS j
+  FROM pairs p
+  JOIN ta a ON a.doc_id = p.id_a
+  JOIN ta b ON b.doc_id = p.id_b AND b.tok = a.tok
+),
+isl AS (
+  SELECT id_a, id_b, i, j, i - j AS diag,
+         i - row_number() OVER (PARTITION BY id_a, id_b, i - j
+                                ORDER BY i) AS grp
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS run,
+         CAST(min(i) - 1 AS BIGINT) AS a_start,
+         CAST(min(j) - 1 AS BIGINT) AS b_start
+  FROM isl GROUP BY id_a, id_b, diag, grp
+),
+best AS (
+  SELECT id_a, id_b, run, a_start, b_start,
+         row_number() OVER (PARTITION BY id_a, id_b
+                            ORDER BY run DESC, a_start, b_start) AS rk
+  FROM runs
+),
+n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM corpus)
+SELECT p.id_a, p.id_b, na.n AS n_a, nb.n AS n_b,
+       na.n > {_SUBSTR_CAP} AS capped_a,
+       nb.n > {_SUBSTR_CAP} AS capped_b,
+       coalesce(b.run, 0) AS max_run,
+       b.a_start, b.b_start,
+       coalesce(b.run, 0) >= {_SUBSTR_MIN_RUN} AS is_dup
+FROM pairs p
+JOIN n na ON na.doc_id = p.id_a
+JOIN n nb ON nb.doc_id = p.id_b
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+  ON b.id_a = p.id_a AND b.id_b = p.id_b
+"""
+
+
 def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix (the classic product-analytics
     rollup): users grouped by first-activity ISO week, distinct active
@@ -14233,6 +14349,7 @@ QUERIES = {
     "doc_dedup_resolve": q_doc_dedup_resolve,
     "doc_pack": q_doc_pack,
     "doc_pack_bpe": q_doc_pack_bpe,
+    "doc_substring_pairs": q_doc_substring_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_vocab_topk": q_doc_vocab_topk,
@@ -14488,6 +14605,7 @@ ORACLE_SQL = {
     "doc_dedup_resolve": SQL_DOC_DEDUP_RESOLVE,
     "doc_pack": SQL_DOC_PACK,
     "doc_pack_bpe": _pack_bpe_sql(),
+    "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,

@@ -922,3 +922,118 @@ def semdedup(embs: DataFrame, dim: int = 64, threshold: float = 0.45,
     return (base.join(removed, id_col, "left")
             .select(F.col(id_col), "list_id", "cent_cos",
                     F.col("__rm").isNull().alias("kept")))
+
+
+SUBSTRING_PAIRS_SCHEMA = (
+    "id_a long, id_b long, n_a long, n_b long, capped_a boolean, "
+    "capped_b boolean, max_run long, a_start long, b_start long")
+
+
+def substring_pairs(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    min_run: int = 50,
+                    max_tokens: int = 2048) -> DataFrame:
+    """Exact-substring refinement of candidate near-dup pairs (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — their suffix-array pass finds verbatim shared substrings
+    of ≥ 50 tokens; a suffix array is a single-machine structure, so
+    the distributed restatement is GRAIN REFINEMENT: candidate pairs
+    from any bucketed generator (winnowing / minhash / simhash bands)
+    are re-scored with the EXACT longest shared token run, giving the
+    published substring semantics at pair grain without an all-pairs
+    or corpus-wide structure).
+
+    Per pair: tokens on the explicit whitespace class (the winnowing
+    class — no ``\\s`` Java/RE2 divergence), capped at ``max_tokens``
+    per side (flagged), then the longest common substring AT TOKEN
+    GRAIN via the classic run DP — L[i,j] = (a_i == b_j)·(L[i−1,j−1]
+    + 1) — evaluated as a numpy rolling row (vectorized over j; O(n·m)
+    time, O(m) memory per pair). Among maximal runs the reported
+    (a_start, b_start) is the lexicographically smallest 0-based start
+    pair — a deterministic tie-break an independent SQL replay can
+    reproduce (diagonal gaps-and-islands: matches grouped by i−j,
+    islands by i − row_number, run = island size).
+
+    Returns (id_a, id_b, n_a, n_b, capped_a, capped_b, max_run,
+    a_start, b_start, is_dup): ``max_run`` = 0 and NULL starts when
+    the pair shares no token; ``is_dup`` ⇔ max_run ≥ min_run.
+
+    Scale shape: two id-equi joins attach texts to the BOUNDED pair
+    set (the generators already killed the quadratic); the kernel is
+    mapInPandas — pure per-row compute, zero shuffle beyond the joins,
+    Arrow-batched. At 10^12-token corpora this refinement touches only
+    candidate pairs, exactly how the published pipeline is deployed
+    behind a cheap first-stage filter.
+    """
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    if max_tokens < min_run:
+        raise ValueError(
+            f"max_tokens ({max_tokens}) must be >= min_run ({min_run})")
+    import re as _re
+
+    ws = _re.compile(r"[ \t\n\r\f]+")
+
+    ta = docs.select(F.col(id_col).alias("id_a"),
+                     F.col(text_col).alias("__text_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"),
+                     F.col(text_col).alias("__text_b"))
+    joined = (pairs.select("id_a", "id_b")
+              .join(ta, "id_a").join(tb, "id_b"))
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for id_a, id_b, txt_a, txt_b in zip(
+                    pdf["id_a"], pdf["id_b"],
+                    pdf["__text_a"], pdf["__text_b"]):
+                wa = [t for t in ws.split(txt_a or "") if t]
+                wb = [t for t in ws.split(txt_b or "") if t]
+                n_a, n_b = len(wa), len(wb)
+                cap_a, cap_b = n_a > max_tokens, n_b > max_tokens
+                wa, wb = wa[:max_tokens], wb[:max_tokens]
+                # intern tokens to ints over the pair's joint vocab
+                vocab = {}
+                a = np.fromiter((vocab.setdefault(t, len(vocab))
+                                 for t in wa), np.int64, len(wa))
+                b = np.fromiter((vocab.setdefault(t, len(vocab))
+                                 for t in wb), np.int64, len(wb))
+                best = 0
+                if len(a) and len(b):
+                    prev = np.zeros(len(b), np.int64)
+                    for i in range(len(a)):
+                        cur = np.where(b == a[i],
+                                       np.concatenate(([0], prev[:-1]))
+                                       + 1, 0)
+                        m = int(cur.max())
+                        if m > best:
+                            best = m
+                        prev = cur
+                a_start = b_start = None
+                if best:
+                    # second pass: lexicomin (a_start, b_start) among
+                    # maximal runs (cells where the DP hits `best`)
+                    prev = np.zeros(len(b), np.int64)
+                    for i in range(len(a)):
+                        cur = np.where(b == a[i],
+                                       np.concatenate(([0], prev[:-1]))
+                                       + 1, 0)
+                        js = np.flatnonzero(cur == best)
+                        if js.size:
+                            sa_ = i - best + 1
+                            sb_ = int(js.min()) - best + 1
+                            if (a_start is None
+                                    or (sa_, sb_) < (a_start, b_start)):
+                                a_start, b_start = sa_, sb_
+                        prev = cur
+                rows.append((id_a, id_b, n_a, n_b, cap_a, cap_b,
+                             best, a_start, b_start))
+            yield pd.DataFrame(rows, columns=[
+                "id_a", "id_b", "n_a", "n_b", "capped_a", "capped_b",
+                "max_run", "a_start", "b_start"])
+
+    out = joined.mapInPandas(kernel, SUBSTRING_PAIRS_SCHEMA)
+    return out.select(
+        "id_a", "id_b", "n_a", "n_b", "capped_a", "capped_b",
+        "max_run", "a_start", "b_start",
+        (F.col("max_run") >= F.lit(min_run)).alias("is_dup"))

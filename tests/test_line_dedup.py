@@ -70,3 +70,58 @@ def test_hot_set_broadcast_in_plan(spark):
     df = line_dedup(_docs(spark, ["a\nb", "a\nc", "a\nd"]), min_docs=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+# --- substring_pairs (r5: Lee 2022 exact-substring at pair grain) ----------
+
+def test_substring_pairs_planted_exact_length(spark):
+    import pandas as pd
+    from cesium_spark.operators.dedup import substring_pairs
+    base = " ".join(f"w{i}" for i in range(100))
+    insert = " ".join(f"w{i}" for i in range(20, 80))   # 60-token run
+    planted = "junka junkb " + insert + " junkc"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, planted, "zz yy xx", base]}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [1, 1, 1], "id_b": [2, 3, 4]}))
+    out = {r["id_b"]: r for r in
+           substring_pairs(docs, pairs, min_run=50).collect()}
+    # the planted insertion is found at its EXACT length and position
+    r = out[2]
+    assert r["max_run"] == 60 and r["is_dup"]
+    assert (r["a_start"], r["b_start"]) == (20, 2)
+    # disjoint pair: run 0, NULL starts, not a dup
+    assert out[3]["max_run"] == 0 and out[3]["a_start"] is None
+    assert not out[3]["is_dup"]
+    # identical docs: the whole doc is the run, starting at (0, 0)
+    assert out[4]["max_run"] == 100
+    assert (out[4]["a_start"], out[4]["b_start"]) == (0, 0)
+
+
+def test_substring_pairs_tie_break_and_cap(spark):
+    import pandas as pd
+    from cesium_spark.operators.dedup import substring_pairs
+    # two disjoint maximal runs of length 3: ('p q r' at a=0/b=4 and
+    # 'x y z' at a=4/b=0) -> lexicomin (a_start, b_start) = (0, 4)
+    a = "p q r GAP1 x y z"
+    b = "x y z GAP2 p q r"
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": [a, b]}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [1], "id_b": [2]}))
+    [r] = substring_pairs(docs, pairs, min_run=3).collect()
+    assert r["max_run"] == 3 and r["is_dup"]
+    assert (r["a_start"], r["b_start"]) == (0, 4)
+    # cap: only the first max_tokens tokens are scanned, flagged
+    long_a = " ".join(f"t{i}" for i in range(30))
+    long_b = " ".join(f"t{i}" for i in range(30))
+    docs2 = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": [long_a, long_b]}))
+    [rc] = substring_pairs(docs2, pairs, min_run=5,
+                           max_tokens=10).collect()
+    assert rc["capped_a"] and rc["capped_b"]
+    assert (rc["n_a"], rc["n_b"]) == (30, 30)      # pre-cap counts
+    assert rc["max_run"] == 10                     # run bounded by cap
+    with pytest.raises(ValueError, match="max_tokens"):
+        substring_pairs(docs2, pairs, min_run=50, max_tokens=10)
