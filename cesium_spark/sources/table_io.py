@@ -117,6 +117,14 @@ class TableIO:
                                    partition_by: list[str]) -> None:
         """Idempotent per-partition MERGE: replaces exactly the
         partitions present in ``df`` (dynamic partition overwrite)."""
+        if self.backend == "iceberg":  # pragma: no cover - needs jar
+            from cesium_spark.sources.iceberg_sql import (
+                overwrite_partitions_sql)
+            view = f"__src_{name}"
+            df.hint("rebalance", *partition_by) \
+              .createOrReplaceTempView(view)
+            self.spark.sql(overwrite_partitions_sql(name, view))
+            return
         if not self.exists(name):
             self.write(df, name, mode="overwrite", partition_by=partition_by)
             return
@@ -130,6 +138,11 @@ class TableIO:
         """Retention delete: keep rows NOT matching ``predicate``.
         Returns number of rows deleted. Iceberg: DELETE FROM …;
         parquet: rewrite survivors (or partition drop when aligned)."""
+        if self.backend == "iceberg":  # pragma: no cover - needs jar
+            from cesium_spark.sources.iceberg_sql import delete_where_sql
+            before = self.spark.table(name).count()
+            self.spark.sql(delete_where_sql(name, predicate))
+            return before - self.spark.table(name).count()
         if not self.exists(name):
             return 0
         df = self.read(name)
