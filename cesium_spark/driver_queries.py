@@ -14288,7 +14288,6 @@ QUERIES = {
     "ts_spearman": q_ts_spearman,
     "ts_dialogue": q_ts_dialogue,
     "ts_role_entropy": q_ts_role_entropy,
-    "ts_cusum": q_ts_cusum,
     "rel_tpch_q14": q_rel_tpch_q14,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_topk": q_emb_pq_topk,
@@ -14517,7 +14516,6 @@ ORACLE_SQL = {
     "ts_spearman": SQL_TS_SPEARMAN,
     "ts_dialogue": SQL_TS_DIALOGUE,
     "ts_role_entropy": SQL_TS_ROLE_ENTROPY,
-    "ts_cusum": SQL_TS_CUSUM,
     "rel_tpch_q14": SQL_REL_TPCH_Q14,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_pq_topk": _pq_topk_sql(),
