@@ -4953,6 +4953,233 @@ LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
 """
 
 
+
+
+def _int_token_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer per-turn payload series for the r5 randomness/
+    changepoint family: the events ``props`` column is JSON
+    ``{"k": <int>}``, so the integer series is the extracted k —
+    a genuinely varying int64 channel (the whitespace token count of
+    a JSON object is the constant 2 — degenerate for a randomness
+    test)."""
+    _prep(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kv = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        kv.alias("y"))
+
+
+_INT_TOKEN_SERIES_SQL = """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER w - 1 AS turn_idx,
+         cast(row_number() OVER w - 1 AS double) AS t,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+"""
+
+
+def q_ts_von_neumann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Neumann successive-difference ratio over integer
+    tokens-per-turn: eta = N^2*Sd2/((N-1)*SS) over exact int64
+    sufficient statistics (Sd2, S, Q), Hart 1942 exact moments for
+    the z, 6-dp-margin flags. ONE exchange; oracle replays the
+    identical double tree."""
+    from cesium_spark.operators.seriesstats import von_neumann
+    out = von_neumann(_int_token_series(spark, sf_dir))
+    return out.select(
+        "conv_id", "n",
+        _r(F.col("vn_ratio")).alias("vn_ratio"),
+        _r(F.col("z")).alias("z"),
+        "trending_95", "oscillating_95")
+
+
+SQL_TS_VON_NEUMANN = f"""{_INT_TOKEN_SERIES_SQL},
+l AS (
+  SELECT conv_id, y, y - lag(y) OVER (PARTITION BY conv_id
+                                      ORDER BY t, turn_idx) AS d
+  FROM s
+),
+a AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(y) AS sy, sum(y * y) AS q,
+         coalesce(sum(d * d), 0) AS sd2
+  FROM l GROUP BY conv_id
+),
+c AS (
+  SELECT conv_id, n, n * q - sy * sy AS ss, sd2,
+         cast(n AS double) AS nd
+  FROM a
+),
+e AS (
+  SELECT conv_id, n, ss,
+         nd * nd * cast(sd2 AS double)
+           / ((nd - 1.0) * cast(ss AS double)) AS eta,
+         2.0 * nd / (nd - 1.0) AS mu,
+         4.0 * nd * nd * (nd - 2.0)
+           / ((nd + 1.0) * (nd - 1.0) * (nd - 1.0) * (nd - 1.0)) AS var
+  FROM c
+)
+SELECT conv_id, n,
+       round(CASE WHEN n >= 3 AND ss > 0 THEN eta END, 6) + 0.0
+         AS vn_ratio,
+       round(CASE WHEN n >= 3 AND ss > 0
+                  THEN (eta - mu) / sqrt(var) END, 6) + 0.0 AS z,
+       CASE WHEN n >= 3 AND ss > 0
+            THEN round((eta - mu) / sqrt(var), 6) < -1.96 END
+         AS trending_95,
+       CASE WHEN n >= 3 AND ss > 0
+            THEN round((eta - mu) / sqrt(var), 6) > 1.96 END
+         AS oscillating_95
+FROM e
+"""
+
+
+def q_ts_snht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNHT mean-shift changepoint (Alexandersson 1986) over the
+    1e-2-gridded value channel as exact cents: T(k) =
+    n*U_k^2/(k*(n-k)*V) with U_k = n*S_k - k*S and V = n*Q - S^2 all
+    exact int64 — one cumsum window + a fixed double tree per row;
+    argmax with the cusum 9-dp grid snap, earliest-k ties. Oracle
+    replays U/V/T and the row_number argmax verbatim."""
+    from cesium_spark.operators.seriesstats import snht
+    base = _value_series(spark, sf_dir)
+    cents = base.select(
+        "conv_id", "turn_idx", "t",
+        F.round(F.col("y") * 100).cast("long").alias("y"))
+    out = snht(cents)
+    return out.select(
+        "conv_id", "n", "k_snht",
+        _r(F.col("t_change")).alias("t_change"),
+        _r(F.col("t_max")).alias("t_max"),
+        _r(F.col("mean_left")).alias("mean_left_c"),
+        _r(F.col("mean_right")).alias("mean_right_c"),
+        _r(F.col("delta_mean")).alias("delta_mean_c"))
+
+
+SQL_TS_SNHT = f"""{_VALUE_SERIES_SQL},
+c AS (
+  SELECT conv_id, t, turn_idx,
+         CAST(round(y * 100) AS BIGINT) AS yc
+  FROM series WHERE t IS NOT NULL AND y IS NOT NULL
+),
+pre AS (
+  SELECT conv_id, t,
+         row_number() OVER wo AS k,
+         sum(yc) OVER (PARTITION BY conv_id ORDER BY t, turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS sk,
+         CAST(count(*) OVER wa AS BIGINT) AS n,
+         sum(yc) OVER wa AS s,
+         sum(yc * yc) OVER wa AS q
+  FROM c
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY t, turn_idx),
+         wa AS (PARTITION BY conv_id)
+),
+scored AS (
+  SELECT conv_id, t, k, sk, n, s,
+         round(cast(n AS double)
+               * cast(n * sk - k * s AS double)
+               * cast(n * sk - k * s AS double)
+               / (cast(k AS double) * cast(n - k AS double)
+                  * cast(n * q - s * s AS double)), 9) AS ts
+  FROM pre
+  WHERE k < n AND n * q - s * s > 0 AND n >= 3
+),
+best AS (
+  SELECT conv_id, t, k, sk, n, s, ts,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts DESC, k) AS rk
+  FROM scored
+)
+SELECT conv_id, n, CAST(k AS BIGINT) AS k_snht,
+       round(t, 6) + 0.0 AS t_change,
+       round(ts, 6) + 0.0 AS t_max,
+       round(cast(sk AS double) / cast(k AS double), 6) + 0.0
+         AS mean_left_c,
+       round(cast(s - sk AS double) / cast(n - k AS double), 6) + 0.0
+         AS mean_right_c,
+       round(cast(s - sk AS double) / cast(n - k AS double)
+             - cast(sk AS double) / cast(k AS double), 6) + 0.0
+         AS delta_mean_c
+FROM best WHERE rk = 1
+"""
+
+
+_PH_DELTA, _PH_LAM = 0.5, 12.0
+
+
+def q_ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift alarms over integer tokens-per-turn
+    (delta=0.5, lam=12, grid=4): the whole detector runs on the exact
+    4n-scaled integer lattice - cumsum, running min, and the alarm
+    compare are all int64, the two excursions divide back ONCE.
+    Oracle replays the lattice arithmetic verbatim."""
+    from cesium_spark.operators.seriesstats import page_hinkley
+    out = page_hinkley(_int_token_series(spark, sf_dir),
+                       delta=_PH_DELTA, lam=_PH_LAM, grid=4)
+    return out.select(
+        "conv_id", "n", "alarm_inc_idx", "alarm_dec_idx",
+        _r(F.col("max_exc_inc")).alias("max_exc_inc"),
+        _r(F.col("max_exc_dec")).alias("max_exc_dec"),
+        "alarmed")
+
+
+def _ph_sql() -> str:
+    dg = int(round(_PH_DELTA * 4))
+    lg = int(round(_PH_LAM * 4))
+    return f"""{_INT_TOKEN_SERIES_SQL},
+pre AS (
+  SELECT conv_id,
+         row_number() OVER wo AS k,
+         sum(y) OVER (PARTITION BY conv_id ORDER BY t, turn_idx
+                      ROWS UNBOUNDED PRECEDING) AS sk,
+         CAST(count(*) OVER wa AS BIGINT) AS n,
+         sum(y) OVER wa AS s
+  FROM s
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY t, turn_idx),
+         wa AS (PARTITION BY conv_id)
+),
+g AS (
+  SELECT conv_id, k, n,
+         4 * (n * sk - k * s) - k * n * {dg} AS gi,
+         -(4 * (n * sk - k * s)) - k * n * {dg} AS gd
+  FROM pre
+),
+r AS (
+  SELECT conv_id, k, n,
+         gi - min(gi) OVER wr AS phi,
+         gd - min(gd) OVER wr AS phd
+  FROM g
+  WINDOW wr AS (PARTITION BY conv_id ORDER BY k
+                ROWS UNBOUNDED PRECEDING)
+),
+a AS (
+  SELECT conv_id, max(n) AS n,
+         min(CASE WHEN phi > {lg} * n THEN k END) AS alarm_inc_idx,
+         min(CASE WHEN phd > {lg} * n THEN k END) AS alarm_dec_idx,
+         max(phi) AS mi, max(phd) AS md
+  FROM r GROUP BY conv_id
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n,
+       CAST(alarm_inc_idx AS BIGINT) AS alarm_inc_idx,
+       CAST(alarm_dec_idx AS BIGINT) AS alarm_dec_idx,
+       round(cast(mi AS double) / cast(n * 4 AS double), 6) + 0.0
+         AS max_exc_inc,
+       round(cast(md AS double) / cast(n * 4 AS double), 6) + 0.0
+         AS max_exc_dec,
+       alarm_inc_idx IS NOT NULL OR alarm_dec_idx IS NOT NULL
+         AS alarmed
+FROM a
+"""
+
+
 def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix (the classic product-analytics
     rollup): users grouped by first-activity ISO week, distinct active
@@ -14349,6 +14576,9 @@ QUERIES = {
     "doc_pack": q_doc_pack,
     "doc_pack_bpe": q_doc_pack_bpe,
     "doc_substring_pairs": q_doc_substring_pairs,
+    "ts_von_neumann": q_ts_von_neumann,
+    "ts_snht": q_ts_snht,
+    "ts_page_hinkley": q_ts_page_hinkley,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_vocab_topk": q_doc_vocab_topk,
@@ -14604,6 +14834,9 @@ ORACLE_SQL = {
     "doc_pack": SQL_DOC_PACK,
     "doc_pack_bpe": _pack_bpe_sql(),
     "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
+    "ts_von_neumann": SQL_TS_VON_NEUMANN,
+    "ts_snht": SQL_TS_SNHT,
+    "ts_page_hinkley": _ph_sql(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,

@@ -4113,3 +4113,265 @@ def ess_acf(series: DataFrame) -> DataFrame:
         "conv_id", F.col("n").cast("long").alias("n"),
         F.when(ok, tau).alias("tau_int"),
         F.when(ok, ess).alias("ess"))
+
+
+def von_neumann(series: DataFrame) -> DataFrame:
+    """Von Neumann successive-difference ratio per conversation (von
+    Neumann 1941, "Distribution of the ratio of the mean square
+    successive difference to the variance") — the oldest and bluntest
+    serial-dependence screen, completing the randomness family next to
+    ``runs_test`` (sign pattern) and ``acf`` (linear memory): a
+    trending / positively-autocorrelated series makes consecutive
+    values close (small successive differences relative to the
+    spread), a mean-reverting saw makes them far apart.
+
+        η = δ̂² / s²,   δ̂² = Σ_{i<N}(y_{i+1}−y_i)² / (N−1),
+                        s² = Σ(y−ȳ)² / N
+
+    Under iid normality E[η] = 2N/(N−1) and Var[η] =
+    4·N²·(N−2)/((N+1)·(N−1)³) (Hart 1942 exact moments);
+    z = (η − E[η])/√Var[η].  ``trending_95`` ⇔ the 6-dp-rounded
+    z + 1.96 margin is negative (small η = positive dependence),
+    ``oscillating_95`` the symmetric upper flag.
+
+    Exactness (the variance_ratio contract): y MUST be integer —
+    Sd2 = Σd², S = Σy, Q = Σy² are exact int64 hash-aggregate sums,
+    SS = N·Q − S² is exact, and
+
+        η = N² · Sd2 / ((N−1) · SS)
+
+    is ONE double expression over exact integers (the N from s² and
+    the (N−1) from δ̂² both explicit), restated verbatim in SQL.
+    Degenerates NULL: N < 3, or SS = 0 (constant series — the ratio
+    of two zeros is not evidence of anything).
+
+    Plan: one lag window + one hash aggregate on conv_id → ONE
+    exchange, no join, no UDF.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"von_neumann: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer levels "
+            "(pre-grid floats to integers explicitly)")
+    w = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    y = F.col("y").cast("long")
+    d = y - F.lag(y).over(w)
+    s = (series
+         .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+         .select("conv_id", y.alias("__y"), d.alias("__d")))
+    agg = s.groupBy("conv_id").agg(
+        F.count("__y").alias("n"),
+        F.sum("__y").alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__q"),
+        F.coalesce(F.sum(F.col("__d") * F.col("__d")), F.lit(0))
+        .alias("__sd2"))
+    n = F.col("n").cast("double")
+    ss = (F.col("n") * F.col("__q")
+          - F.col("__s") * F.col("__s"))          # N²·Σ(y−ȳ)², int64
+    # η = δ̂²/s² = [Sd2/(N−1)] / [(SS/N²)/N · N] = N²·Sd2/((N−1)·SS)
+    # (SS = N·Q − S² = N²·Σ(y−ȳ)²/N → Σ(y−ȳ)² = SS/N, s² = SS/N²)
+    eta = (n * n * F.col("__sd2").cast("double")
+           / ((n - F.lit(1.0)) * ss.cast("double")))
+    mu = F.lit(2.0) * n / (n - F.lit(1.0))
+    var = (F.lit(4.0) * n * n * (n - F.lit(2.0))
+           / ((n + F.lit(1.0)) * (n - F.lit(1.0))
+              * (n - F.lit(1.0)) * (n - F.lit(1.0))))
+    z = (eta - mu) / F.sqrt(var)
+    ok = (F.col("n") >= 3) & (ss > 0)
+    zr = F.round(z, 6)
+    return agg.select(
+        "conv_id",
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, eta).alias("vn_ratio"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, zr < F.lit(-1.96)).alias("trending_95"),
+        F.when(ok, zr > F.lit(1.96)).alias("oscillating_95"))
+
+
+def snht(series: DataFrame) -> DataFrame:
+    """Standard Normal Homogeneity Test changepoint per conversation
+    (Alexandersson 1986) — the MEAN-shift member of the changepoint
+    family: pettitt asks the rank question (outlier-proof, location-
+    free), cusum watches drift against a slack band, SNHT asks the
+    sharpest parametric question — at which split k do the two
+    segment means, standardized by the POOLED variance, differ most:
+
+        T(k) = k·z̄₁² + (n−k)·z̄₂²,   z̄ᵢ = (meanᵢ − ȳ)/σ̂
+
+    Algebraic core (derived once, replayed verbatim in SQL): with
+    prefix sum S_k, total S, Q = Σy², both segment deviations share
+    ONE numerator U_k = n·S_k − k·S, and
+
+        T(k) = n · U_k² / (k·(n−k)·V),   V = n·Q − S²
+
+    so the whole scan is ONE ordered cumsum window + a fixed double
+    tree per row over exact int64 statistics (y MUST be integer —
+    the variance_ratio contract; U_k and V are exact, U_k² is the
+    one product evaluated in double: |U| ≤ n·|S| can pass 2^26.5 and
+    its square 2^53, but both engines square the SAME exact double
+    cast, so the value is bit-identical even where it is rounded).
+
+    Argmax: earliest k among 9-dp-rounded-T ties (the cusum grid-snap
+    rule — a double argmax without a snap can flip between engines on
+    1-ulp noise). Output: (conv_id, n, k_snht — 1-based split AFTER
+    which the second segment starts, t_change — the t of the LAST
+    first-segment row, T_max, mean_left, mean_right, delta_mean).
+    Degenerates DROP: n < 3 or V = 0 (constant series) yield no row —
+    a homogeneity test over a constant or 2-point series has no
+    interior split to report.
+
+    Plan: one ordered-cumsum window + one argmax aggregate on
+    conv_id → ONE exchange, no join, no UDF.
+    """
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"snht: column 'y' has type {t}; the exact-sufficient-"
+            "statistics contract needs integer levels "
+            "(pre-grid floats to integers explicitly)")
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+         .select("conv_id", "t", "turn_idx", y.alias("__y")))
+    pre = s.select(
+        "conv_id", "t",
+        F.row_number().over(w_ord).alias("__k"),
+        F.sum("__y").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__sk"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum("__y").over(w_all).alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).over(w_all).alias("__q"))
+    k = F.col("__k")
+    n_i = F.col("__n")
+    u = n_i * F.col("__sk") - k * F.col("__s")     # exact int64
+    v = n_i * F.col("__q") - F.col("__s") * F.col("__s")
+    t_stat = (n_i.cast("double") * u.cast("double") * u.cast("double")
+              / (k.cast("double") * (n_i - k).cast("double")
+                 * v.cast("double")))
+    interior = pre.where((k < n_i) & (v > 0) & (n_i >= 3))
+    scored = interior.select(
+        "conv_id", "t", "__k", "__sk", "__n", "__s",
+        F.round(t_stat, 9).alias("__ts"))
+    best = (scored.groupBy("conv_id")
+            .agg(F.max_by(
+                F.struct(F.col("__k"), F.col("t"), F.col("__sk"),
+                         F.col("__n"), F.col("__s"), F.col("__ts")),
+                # max T, then EARLIEST k: negate k in the ordering key
+                F.struct(F.col("__ts"), (-F.col("__k")).cast("long")))
+                .alias("b")))
+    b = F.col("b")
+    mean_l = b["__sk"].cast("double") / b["__k"].cast("double")
+    mean_r = ((b["__s"] - b["__sk"]).cast("double")
+              / (b["__n"] - b["__k"]).cast("double"))
+    return best.select(
+        "conv_id",
+        b["__n"].cast("long").alias("n"),
+        b["__k"].cast("long").alias("k_snht"),
+        b["t"].alias("t_change"),
+        b["__ts"].alias("t_max"),
+        mean_l.alias("mean_left"),
+        mean_r.alias("mean_right"),
+        (mean_r - mean_l).alias("delta_mean"))
+
+
+def page_hinkley(series: DataFrame, delta: float = 0.0,
+                 lam: float = 10.0, grid: int = 4) -> DataFrame:
+    """Page–Hinkley drift detector per conversation (Page 1954 §5, the
+    CUSUM variant tuned for a sustained MEAN drift; the standard
+    concept-drift monitor in streaming-ML references, e.g. Gama 2014
+    §3.2) — the twin of ``cusum_changepoints`` that standardizes
+    against the SERIES MEAN rather than a z-score band:
+
+        m_T = Σ_{i≤T} (y_i − ȳ − δ)          (increase arm)
+        PH⁺_T = m_T − min_{t≤T} m_t,  alarm when PH⁺ > λ
+
+    (the min ranges over REAL prefixes t ∈ [1, T] — no virtual
+    m₀ = 0 — Page's M_T convention; a variant seeding 0 alarms one
+    step earlier on series whose first step already moves)
+
+    and symmetrically PH⁻ with (ȳ − y_i − δ) for a downward drift.
+    δ is the tolerated drift per step, λ the alarm threshold, both in
+    y units.
+
+    Exactness: y MUST be integer (the variance_ratio contract); δ and
+    λ must sit on the 1/``grid`` lattice (validated loudly). Then
+    G_T = grid·n·m_T = grid·(n·S_T − T·S) − T·n·(grid·δ) is EXACT
+    int64 (prefix sum S_T, total S), the running min is an int64
+    window min, and the alarm compare G_T − min G > grid·n·λ is an
+    exact integer compare — no float ever decides an alarm. The
+    reported excursions divide back by grid·n ONCE (the
+    counter_rate/heartbeat terminal-division discipline).
+
+    Output: (conv_id, n, alarm_inc_idx, alarm_dec_idx — 1-based first
+    crossing per arm, NULL if never — max_exc_inc, max_exc_dec,
+    alarmed). Plan: one ordered window (cumsum + running min, shared
+    frame) + one aggregate on conv_id → ONE exchange, no join, no UDF.
+    """
+    if lam <= 0:
+        raise ValueError(f"page_hinkley: lam must be > 0, got {lam}")
+    if delta < 0:
+        raise ValueError(f"page_hinkley: delta must be >= 0, got {delta}")
+    if grid < 1 or abs(delta * grid - round(delta * grid)) > 1e-9 \
+            or abs(lam * grid - round(lam * grid)) > 1e-9:
+        raise ValueError(
+            f"page_hinkley: delta ({delta}) and lam ({lam}) must sit "
+            f"on the 1/{grid} lattice (pass a matching grid=)")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"page_hinkley: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer levels "
+            "(pre-grid floats to integers explicitly)")
+    dg = int(round(delta * grid))
+    lg = int(round(lam * grid))
+    g = int(grid)
+    w_ord = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+         .select("conv_id", "t", "turn_idx", y.alias("__y")))
+    pre = s.select(
+        "conv_id",
+        F.row_number().over(w_ord).alias("__k"),
+        F.sum("__y").over(w_run).alias("__sk"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum("__y").over(w_all).alias("__s"))
+    k, n_i = F.col("__k"), F.col("__n")
+    # G⁺ = g·(n·S_T − T·S) − T·n·gδ ; G⁻ is its negation shifted by
+    # the same slack, so one cumsum serves both arms. The running min
+    # orders by __k — the row_number over the SAME (t, turn_idx) order,
+    # still present after `pre` projects t/turn_idx away.
+    w_runk = (Window.partitionBy("conv_id").orderBy("__k")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    core = F.lit(g) * (n_i * F.col("__sk") - k * F.col("__s"))
+    g_inc = core - k * n_i * F.lit(dg)
+    g_dec = -core - k * n_i * F.lit(dg)
+    scored = pre.select(
+        "conv_id", "__k", "__n",
+        (g_inc - F.min(g_inc).over(w_runk)).alias("__ph_i"),
+        (g_dec - F.min(g_dec).over(w_runk)).alias("__ph_d"))
+    thr_i = F.lit(lg) * n_i
+    out = scored.groupBy("conv_id").agg(
+        F.max("__n").alias("n"),
+        F.min(F.when(F.col("__ph_i") > thr_i, F.col("__k")))
+        .alias("alarm_inc_idx"),
+        F.min(F.when(F.col("__ph_d") > thr_i, F.col("__k")))
+        .alias("alarm_dec_idx"),
+        F.max("__ph_i").alias("__mi"),
+        F.max("__ph_d").alias("__md"))
+    den = (F.col("n") * F.lit(g)).cast("double")
+    return out.select(
+        "conv_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("alarm_inc_idx").cast("long").alias("alarm_inc_idx"),
+        F.col("alarm_dec_idx").cast("long").alias("alarm_dec_idx"),
+        (F.col("__mi").cast("double") / den).alias("max_exc_inc"),
+        (F.col("__md").cast("double") / den).alias("max_exc_dec"),
+        (F.col("alarm_inc_idx").isNotNull()
+         | F.col("alarm_dec_idx").isNotNull()).alias("alarmed"))

@@ -1,0 +1,158 @@
+"""r5 randomness/changepoint family: von Neumann ratio, SNHT, and
+Page–Hinkley — literal numpy replays of the documented formulas to
+1e-9 plus planted-signal direction checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cesium_spark.operators.seriesstats import (
+    page_hinkley, snht, von_neumann)
+
+
+def _series(spark, y, conv="c"):
+    pdf = pd.DataFrame({
+        "conv_id": [conv] * len(y),
+        "turn_idx": range(len(y)),
+        "t": [float(i) for i in range(len(y))],
+        "y": np.asarray(y, dtype=np.int64)})
+    return spark.createDataFrame(pdf)
+
+
+def _vn_ref(y):
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    sd2 = np.sum(np.diff(y) ** 2)
+    ss_over_n = np.sum((y - y.mean()) ** 2)       # = SS/N
+    eta = (sd2 / (n - 1)) / (ss_over_n / n)
+    mu = 2.0 * n / (n - 1.0)
+    var = 4.0 * n * n * (n - 2.0) / ((n + 1.0) * (n - 1.0) ** 3)
+    return eta, (eta - mu) / np.sqrt(var)
+
+
+def test_von_neumann_matches_reference(spark):
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 100, 80)
+    [r] = von_neumann(_series(spark, y)).collect()
+    eta, z = _vn_ref(y)
+    assert r["vn_ratio"] == pytest.approx(eta, abs=1e-9)
+    assert r["z"] == pytest.approx(z, abs=1e-9)
+
+
+def test_von_neumann_directions(spark):
+    ramp = np.arange(100)                          # trend: tiny d², big SS
+    [rt] = von_neumann(_series(spark, ramp)).collect()
+    assert rt["vn_ratio"] < 0.1 and rt["trending_95"]
+    alt = np.tile([0, 100], 50)                    # saw: η → 4
+    [ra] = von_neumann(_series(spark, alt)).collect()
+    assert ra["vn_ratio"] > 3.5 and ra["oscillating_95"]
+    const = np.full(50, 7)                         # SS = 0 → NULL
+    [rc] = von_neumann(_series(spark, const)).collect()
+    assert rc["vn_ratio"] is None and rc["trending_95"] is None
+    fdf = _series(spark, ramp)
+    with pytest.raises(ValueError, match="integer"):
+        von_neumann(fdf.withColumn("y", fdf["y"].cast("double")))
+
+
+def test_snht_planted_shift(spark):
+    rng = np.random.default_rng(3)
+    y = np.concatenate([rng.integers(10, 20, 60),
+                        rng.integers(40, 50, 40)])
+    [r] = snht(_series(spark, y)).collect()
+    assert r["k_snht"] == 60                        # split AFTER row 60
+    assert r["mean_right"] - r["mean_left"] == pytest.approx(
+        r["delta_mean"], abs=1e-9)
+    assert r["delta_mean"] > 20
+    # formula replay at the reported k
+    n, k = 100, 60
+    s_k, s, q = y[:60].sum(), y.sum(), (y.astype(np.int64) ** 2).sum()
+    u = n * s_k - k * s
+    v = n * q - s * s
+    t_ref = round(n * float(u) * float(u) / (k * (n - k) * float(v)), 9)
+    assert r["t_max"] == pytest.approx(t_ref, abs=1e-9)
+    # degenerate: constant and 2-point series yield no row
+    assert snht(_series(spark, np.full(30, 5))).count() == 0
+    assert snht(_series(spark, [1, 2])).count() == 0
+
+
+def _ph_ref(y, delta, lam, grid=4):
+    """EXACT integer-lattice replay (the engine semantics): all state
+    on the grid·n lattice, so a crossing that lands exactly ON λ is
+    not-crossed under strict > — a float replay flips such boundaries
+    by 1 ulp (observed live: mean = S/100 is not binary-exact)."""
+    y = np.asarray(y, dtype=np.int64)
+    n = len(y)
+    dg, lg, g = round(delta * grid), round(lam * grid), grid
+    inc_idx = dec_idx = None
+    mi = md = 0
+    sk = 0
+    # min over t' in [1, T] — the engine's window min sees only real
+    # rows, no virtual m_0 = 0 (Page's M_T = min_{t<=T} m_t convention)
+    min_i = min_d = None
+    for t, v in enumerate(y, start=1):
+        sk += int(v)
+        core = g * (n * sk - t * int(y.sum()))
+        g_i = core - t * n * dg
+        g_d = -core - t * n * dg
+        min_i = g_i if min_i is None else min(min_i, g_i)
+        min_d = g_d if min_d is None else min(min_d, g_d)
+        mi = max(mi, g_i - min_i)
+        md = max(md, g_d - min_d)
+        if inc_idx is None and g_i - min_i > lg * n:
+            inc_idx = t
+        if dec_idx is None and g_d - min_d > lg * n:
+            dec_idx = t
+    return inc_idx, dec_idx, mi / (g * n), md / (g * n)
+
+
+def test_page_hinkley_planted_drift(spark):
+    rng = np.random.default_rng(5)
+    y = np.concatenate([rng.integers(20, 30, 50),
+                        rng.integers(60, 70, 50)])  # upward drift at 50
+    [r] = page_hinkley(_series(spark, y), delta=0.5, lam=25.0).collect()
+    ii, di, mi, md = _ph_ref(y, 0.5, 25.0)
+    assert r["alarm_inc_idx"] == ii and ii is not None and ii > 50
+    assert r["alarm_dec_idx"] == di
+    assert r["max_exc_inc"] == pytest.approx(mi, abs=1e-9)
+    assert r["max_exc_dec"] == pytest.approx(md, abs=1e-9)
+    assert r["alarmed"]
+
+
+def test_page_hinkley_quiet_and_validation(spark):
+    y = np.tile([10, 11], 30)                       # no drift
+    [r] = page_hinkley(_series(spark, y), delta=0.5, lam=25.0).collect()
+    assert not r["alarmed"] and r["alarm_inc_idx"] is None
+    with pytest.raises(ValueError, match="lattice"):
+        page_hinkley(_series(spark, y), delta=0.3, lam=10.0, grid=4)
+    with pytest.raises(ValueError, match="lam"):
+        page_hinkley(_series(spark, y), lam=0.0)
+    fdf = _series(spark, y)
+    with pytest.raises(ValueError, match="integer"):
+        page_hinkley(fdf.withColumn("y", fdf["y"].cast("double")),
+                     lam=1.0)
+
+
+def test_all_three_bit_stable_across_partitions(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(5):
+        y = rng.integers(0, 100, 60)
+        for i, v in enumerate(y):
+            rows.append((f"c{c}", i, float(i), int(v)))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "t", "y"]))
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = {"vn": [], "sn": [], "ph": []}
+    try:
+        for n in (3, 200):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            outs["vn"].append(sorted(map(tuple, von_neumann(df).collect())))
+            outs["sn"].append(sorted(map(tuple, snht(df).collect())))
+            outs["ph"].append(sorted(map(tuple, page_hinkley(
+                df, delta=0.25, lam=5.0).collect())))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for k in outs:
+        assert outs[k][0] == outs[k][1], k
