@@ -5180,6 +5180,62 @@ FROM a
 """
 
 
+
+
+def q_ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall turning-points test over the integer JSON-k payload
+    series: exact integer peak/trough counts (strict-inequality tie
+    rule), classic E = 2(n-2)/3 and Var = (16n-29)/90 moments, 6-dp
+    margin flags. ONE exchange; full-value oracle replays the
+    lag/lead compares and the fixed double tree verbatim."""
+    from cesium_spark.operators.seriesstats import turning_points
+    out = turning_points(_int_token_series(spark, sf_dir))
+    return out.select(
+        "conv_id", "n", "n_turning",
+        _r(F.col("expected")).alias("expected"),
+        _r(F.col("z")).alias("z"),
+        "trending_95", "alternating_95")
+
+
+SQL_TS_TURNING_POINTS = f"""{_INT_TOKEN_SERIES_SQL},
+l AS (
+  SELECT conv_id, y,
+         lag(y) OVER w2 AS yp, lead(y) OVER w2 AS yn
+  FROM s
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY t, turn_idx)
+),
+a AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                        AND ((y > yp AND y > yn)
+                             OR (y < yp AND y < yn))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+  FROM l GROUP BY conv_id
+)
+SELECT conv_id, n, n_turning,
+       round(CASE WHEN n >= 4
+                  THEN 2.0 * (cast(n AS double) - 2.0) / 3.0 END, 6)
+         + 0.0 AS expected,
+       round(CASE WHEN n >= 4 THEN
+             (cast(n_turning AS double)
+              - 2.0 * (cast(n AS double) - 2.0) / 3.0)
+             / sqrt((16.0 * cast(n AS double) - 29.0) / 90.0) END, 6)
+         + 0.0 AS z,
+       CASE WHEN n >= 4 THEN
+            round((cast(n_turning AS double)
+                   - 2.0 * (cast(n AS double) - 2.0) / 3.0)
+                  / sqrt((16.0 * cast(n AS double) - 29.0) / 90.0), 6)
+            < -1.96 END AS trending_95,
+       CASE WHEN n >= 4 THEN
+            round((cast(n_turning AS double)
+                   - 2.0 * (cast(n AS double) - 2.0) / 3.0)
+                  / sqrt((16.0 * cast(n AS double) - 29.0) / 90.0), 6)
+            > 1.96 END AS alternating_95
+FROM a
+"""
+
+
 def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix (the classic product-analytics
     rollup): users grouped by first-activity ISO week, distinct active
@@ -14579,6 +14635,7 @@ QUERIES = {
     "ts_von_neumann": q_ts_von_neumann,
     "ts_snht": q_ts_snht,
     "ts_page_hinkley": q_ts_page_hinkley,
+    "ts_turning_points": q_ts_turning_points,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_vocab_topk": q_doc_vocab_topk,
@@ -14837,6 +14894,7 @@ ORACLE_SQL = {
     "ts_von_neumann": SQL_TS_VON_NEUMANN,
     "ts_snht": SQL_TS_SNHT,
     "ts_page_hinkley": _ph_sql(),
+    "ts_turning_points": SQL_TS_TURNING_POINTS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,

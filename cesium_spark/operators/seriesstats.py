@@ -4375,3 +4375,61 @@ def page_hinkley(series: DataFrame, delta: float = 0.0,
         (F.col("__md").cast("double") / den).alias("max_exc_dec"),
         (F.col("alarm_inc_idx").isNotNull()
          | F.col("alarm_dec_idx").isNotNull()).alias("alarmed"))
+
+
+def turning_points(series: DataFrame) -> DataFrame:
+    """Kendall turning-points randomness test per conversation
+    (Kendall & Stuart, *The Advanced Theory of Statistics* vol. 3 —
+    the classic peaks-and-troughs screen): a turning point is an
+    interior value strictly greater than both neighbors (peak) or
+    strictly less (trough). Too few flags a trend, too many flags
+    alternation — the EXTREMA twin of ``runs_test``'s sign statistic
+    and ``von_neumann``'s magnitude statistic (the three randomness
+    screens hear different departures; a slow sine fools runs but not
+    turning points).
+
+    Tie handling: triples containing ANY equality (y₋ = y₀ or
+    y₀ = y₊) are neither peak nor trough and count toward n but not T
+    (the strict-inequality convention; the classic test assumes a
+    continuous variate, so ties are simply not extrema). Under iid:
+
+        E[T] = 2(n−2)/3,   Var[T] = (16n − 29)/90
+
+    z = (T − E)/√Var, flags on the 6-dp-rounded margin vs 1.96.
+
+    Exactness: T, n are exact integers from exact compares (y is any
+    orderable type — no grid needed; equality of doubles is exact);
+    z is one fixed double tree over two integers. Degenerates NULL:
+    n < 4 (variance formula needs interior mass; n = 3 has Var < 0
+    protection as a bonus).
+
+    Plan: one lag/lead window + one aggregate on conv_id → ONE
+    exchange, no join, no UDF.
+    """
+    w = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    prev = F.lag("y").over(w)
+    nxt = F.lead("y").over(w)
+    is_tp = (prev.isNotNull() & nxt.isNotNull()
+             & (((F.col("y") > prev) & (F.col("y") > nxt))
+                | ((F.col("y") < prev) & (F.col("y") < nxt))))
+    s = (series
+         .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+         .select("conv_id", is_tp.cast("long").alias("__tp")))
+    agg = s.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__tp").alias("n_turning"))
+    n = F.col("n").cast("double")
+    t_cnt = F.col("n_turning").cast("double")
+    mu = F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
+    z = (t_cnt - mu) / F.sqrt(var)
+    ok = F.col("n") >= 4
+    zr = F.round(z, 6)
+    return agg.select(
+        "conv_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_turning").cast("long").alias("n_turning"),
+        F.when(ok, mu).alias("expected"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, zr < F.lit(-1.96)).alias("trending_95"),
+        F.when(ok, zr > F.lit(1.96)).alias("alternating_95"))

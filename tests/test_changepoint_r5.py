@@ -156,3 +156,33 @@ def test_all_three_bit_stable_across_partitions(spark):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for k in outs:
         assert outs[k][0] == outs[k][1], k
+
+
+def test_turning_points_reference_and_directions(spark):
+    from cesium_spark.operators.seriesstats import turning_points
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 1000, 120)
+    [r] = turning_points(_series(spark, y)).collect()
+    # numpy replay of the strict-inequality count
+    tp = int(np.sum((y[1:-1] > y[:-2]) & (y[1:-1] > y[2:])
+                    | (y[1:-1] < y[:-2]) & (y[1:-1] < y[2:])))
+    n = len(y)
+    mu = 2.0 * (n - 2) / 3.0
+    z = (tp - mu) / np.sqrt((16 * n - 29) / 90.0)
+    assert r["n_turning"] == tp
+    assert r["z"] == pytest.approx(z, abs=1e-9)
+    # iid: z within ±4 sigma, neither flag typically
+    assert abs(r["z"]) < 4
+    # monotone ramp: zero turning points, trending
+    [rt] = turning_points(_series(spark, np.arange(50))).collect()
+    assert rt["n_turning"] == 0 and rt["trending_95"]
+    # perfect saw: every interior point turns, alternating
+    [ra] = turning_points(_series(spark, np.tile([0, 9], 30))).collect()
+    assert ra["n_turning"] == 58 and ra["alternating_95"]
+    # ties are not extrema: flat plateau contributes nothing
+    [rf] = turning_points(_series(spark, [1, 5, 5, 5, 1, 7, 2])).collect()
+    # plateau 5,5,5 contributes nothing; the 1-trough and 7-peak count
+    assert rf["n_turning"] == 2
+    # n < 4 -> NULL moments
+    [rs] = turning_points(_series(spark, [1, 9, 2])).collect()
+    assert rs["z"] is None and rs["n_turning"] == 1
