@@ -5236,6 +5236,76 @@ FROM a
 """
 
 
+
+
+_ESD_K = 3
+
+
+def q_ts_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner 1983) 3-round outlier ladder over the
+    integer JSON-k payload series: each round recomputes (n, S, Q)
+    after removing the previous extreme, so masking cannot hide a
+    second outlier. Exact int64 argmaxes (earliest ties), grubbs
+    fixed tree per round; oracle unrolls the three rounds as CTEs
+    with the identical row_number argmax (the kcore unroll rule)."""
+    from cesium_spark.operators.seriesstats import esd_outliers
+    out = esd_outliers(_int_token_series(spark, sf_dir), k=_ESD_K)
+    sel = ["conv_id", "n"]
+    for i in range(1, _ESD_K + 1):
+        sel += [_r(F.col(f"r_{i}")).alias(f"r_{i}"),
+                F.col(f"turn_{i}")]
+    return out.select(*sel)
+
+
+def _esd_sql(k=_ESD_K) -> str:
+    # round i: stats over rem_{i-1}, argmax by (-dev, turn), remove
+    parts = ["rem_0 AS (SELECT conv_id, turn_idx, y FROM s "
+             "WHERE y IS NOT NULL)"]
+    outs = []
+    for i in range(1, k + 1):
+        parts.append(f"""st_{i} AS (
+  SELECT conv_id, turn_idx, y,
+         CAST(count(*) OVER wa AS BIGINT) AS n,
+         sum(y) OVER wa AS sy, sum(y * y) OVER wa AS q
+  FROM rem_{i - 1}
+  WINDOW wa AS (PARTITION BY conv_id)
+),
+rk_{i} AS (
+  SELECT conv_id, turn_idx, y, n, sy, q,
+         abs(n * y - sy) AS dev,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY abs(n * y - sy) DESC, turn_idx)
+           AS rnk
+  FROM st_{i}
+),
+pick_{i} AS (
+  SELECT conv_id, CAST(n AS BIGINT) AS n_{i},
+         CASE WHEN n >= 3 AND n * q - sy * sy > 0 THEN
+              round(cast(dev AS double)
+                    / sqrt(cast(n * q - sy * sy AS double)), 6) + 0.0
+         END AS r_{i},
+         CASE WHEN n >= 3 AND n * q - sy * sy > 0
+              THEN CAST(turn_idx AS BIGINT) END AS turn_{i}
+  FROM rk_{i} WHERE rnk = 1
+)""")
+        outs.append(f"pick_{i}")
+        if i < k:
+            parts.append(f"""rem_{i} AS (
+  SELECT r.conv_id, r.turn_idx, r.y
+  FROM rem_{i - 1} r
+  LEFT JOIN pick_{i} p
+    ON p.conv_id = r.conv_id AND p.turn_{i} = r.turn_idx
+  WHERE p.conv_id IS NULL
+)""")
+    joins = "\n".join(
+        f"LEFT JOIN pick_{i} USING (conv_id)" for i in range(2, k + 1))
+    cols = ", ".join(f"r_{i}, turn_{i}" for i in range(1, k + 1))
+    return (f"{_INT_TOKEN_SERIES_SQL.rstrip()},\n"
+            + ",\n".join(parts)
+            + f"\nSELECT conv_id, n_1 AS n, {cols}\n"
+            + f"FROM pick_1\n{joins}\n")
+
+
 def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix (the classic product-analytics
     rollup): users grouped by first-activity ISO week, distinct active
@@ -14636,6 +14706,7 @@ QUERIES = {
     "ts_snht": q_ts_snht,
     "ts_page_hinkley": q_ts_page_hinkley,
     "ts_turning_points": q_ts_turning_points,
+    "ts_esd": q_ts_esd,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_vocab_topk": q_doc_vocab_topk,
@@ -14895,6 +14966,7 @@ ORACLE_SQL = {
     "ts_snht": SQL_TS_SNHT,
     "ts_page_hinkley": _ph_sql(),
     "ts_turning_points": SQL_TS_TURNING_POINTS,
+    "ts_esd": _esd_sql(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,

@@ -4433,3 +4433,93 @@ def turning_points(series: DataFrame) -> DataFrame:
         F.when(ok, z).alias("z"),
         F.when(ok, zr < F.lit(-1.96)).alias("trending_95"),
         F.when(ok, zr > F.lit(1.96)).alias("alternating_95"))
+
+
+def esd_outliers(series: DataFrame, k: int = 3) -> DataFrame:
+    """Generalized ESD multi-outlier screen per conversation (Rosner
+    1983, "Percentage points for a generalized ESD many-outlier
+    procedure" — the iterative engine inside Twitter's S-H-ESD
+    anomaly detector): ``grubbs_stat`` names ONE extreme, but a
+    second outlier masks the first (it inflates s); ESD removes the
+    current extreme and RECOMPUTES mean/std up to ``k`` times,
+    reporting each round's studentized deviate
+
+        R_i = max_t |y_t − ȳ_i| / s_i   over the remaining points.
+
+    This implementation reports the (R_i, turn_i) ladder and leaves
+    the λ_i critical compare to the caller (the grubbs_stat
+    convention — Rosner's λ_i needs a t-quantile, which neither
+    engine has natively; the LADDER is the exactly-replayable part,
+    and any caller-side threshold applied to it reproduces the
+    published procedure).
+
+    Exactness: each round runs on sufficient statistics only —
+    removal of the round-i extreme updates (n, S, Q) by that one
+    value, so every round's argmax compares EXACT int64 scaled
+    deviations |n_i·y − S_i| (earliest-turn ties, the grubbs rule)
+    and every R_i is the grubbs fixed tree |n·y−S|/√(nQ−S²) over
+    exact integers. y MUST be integer.
+
+    Rounds with fewer than 3 remaining points or zero remaining
+    variance report NULL (R over a constant rump is not evidence).
+    Plan: k statically-unrolled passes, each one window + one
+    aggregate + one broadcast-sized anti-join of the picks — all
+    keyed on conv_id; k is small and fixed (the kcore unroll rule).
+    """
+    if not isinstance(k, int) or not (1 <= k <= 8):
+        raise ValueError(f"esd_outliers: k must be an int in [1, 8], "
+                         f"got {k!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"esd_outliers: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    base = (series
+            .where(F.col("y").isNotNull())
+            .select("conv_id", "turn_idx",
+                    F.col("y").cast("long").alias("__y")))
+    remaining = base
+    picks = []
+    for i in range(1, k + 1):
+        w_all = Window.partitionBy("conv_id")
+        st = remaining.select(
+            "conv_id", "turn_idx", "__y",
+            F.sum("__y").over(w_all).alias("__s"),
+            F.sum(F.col("__y") * F.col("__y")).over(w_all).alias("__q"),
+            F.count(F.lit(1)).over(w_all).alias("__n"))
+        dev = F.abs(F.col("__n") * F.col("__y") - F.col("__s"))
+        g = (st.select("conv_id", "turn_idx", "__n", "__s", "__q",
+                       dev.alias("__d"))
+             .groupBy("conv_id")
+             .agg(F.max("__n").alias("__n"),
+                  F.max("__s").alias("__s"),
+                  F.max("__q").alias("__q"),
+                  F.max("__d").alias("__dmax"),
+                  F.expr("min_by(turn_idx, struct(-__d, turn_idx))")
+                  .alias("__peak")))
+        var_n = (F.col("__n") * F.col("__q")
+                 - F.col("__s") * F.col("__s"))
+        ok = (F.col("__n") >= 3) & (var_n > 0)
+        # R = max|y−ȳ|/s_pop = |n·y−S|/√(nQ−S²)  (the grubbs tree)
+        r_i = (F.col("__dmax").cast("double")
+               / F.sqrt(var_n.cast("double")))
+        pick = g.select(
+            "conv_id",
+            F.col("__n").cast("long").alias(f"n_{i}"),
+            F.when(ok, r_i).alias(f"r_{i}"),
+            F.when(ok, F.col("__peak")).cast("long")
+            .alias(f"turn_{i}"))
+        picks.append(pick)
+        if i < k:
+            gone = pick.select(
+                "conv_id", F.col(f"turn_{i}").alias("turn_idx"))
+            remaining = remaining.join(
+                gone.where(F.col("turn_idx").isNotNull()),
+                ["conv_id", "turn_idx"], "left_anti")
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.join(p, "conv_id", "left")
+    cols = ["conv_id", F.col("n_1").alias("n")]
+    for i in range(1, k + 1):
+        cols += [F.col(f"r_{i}"), F.col(f"turn_{i}")]
+    return out.select(*cols)

@@ -186,3 +186,36 @@ def test_turning_points_reference_and_directions(spark):
     # n < 4 -> NULL moments
     [rs] = turning_points(_series(spark, [1, 9, 2])).collect()
     assert rs["z"] is None and rs["n_turning"] == 1
+
+
+def test_esd_unmasking(spark):
+    """Two planted outliers: round 1 picks the bigger, round 2 the
+    second AFTER recomputing stats — the masking case a single Grubbs
+    pass understates. Replayed in numpy to 1e-9."""
+    from cesium_spark.operators.seriesstats import esd_outliers
+    rng = np.random.default_rng(13)
+    y = rng.integers(45, 56, 80)
+    y[20], y[55] = 500, 480                # two big spikes
+    [r] = esd_outliers(_series(spark, y), k=3).collect()
+    assert (r["turn_1"], r["turn_2"]) == (20, 55)
+
+    def esd_round(vals):
+        v = np.asarray(vals, dtype=np.int64)
+        n, S, Q = len(v), int(v.sum()), int((v * v).sum())
+        dev = np.abs(n * v - S)
+        j = int(np.argmax(dev))            # numpy argmax = earliest max
+        return j, dev[j] / np.sqrt(n * Q - S * S)
+
+    j1, r1 = esd_round(y)
+    assert r["r_1"] == pytest.approx(r1, abs=1e-9)
+    y2 = np.delete(y, j1)
+    j2, r2 = esd_round(y2)
+    assert r["r_2"] == pytest.approx(r2, abs=1e-9)
+    # r_2 > r_1's would-be value without removal is the unmasking point:
+    # after removing the 500, the 480 stands out MORE
+    assert r["r_2"] > r["r_1"] * 0.9
+    # constant rump: NULL rounds
+    [rc] = esd_outliers(_series(spark, np.full(10, 3)), k=2).collect()
+    assert rc["r_1"] is None and rc["turn_1"] is None
+    with pytest.raises(ValueError, match="k must be"):
+        esd_outliers(_series(spark, y), k=0)
