@@ -5306,6 +5306,94 @@ pick_{i} AS (
             + f"FROM pick_1\n{joins}\n")
 
 
+
+
+_THETA_H = 3
+
+
+def q_ts_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecasts (Assimakopoulos & Nikolopoulos 2000, the
+    M3 winner) over the integer JSON-k payload series: exact-integer
+    OLS theta-0 line, theta-2 line smoothed by SES(alpha=1/2, dyadic)
+    as an ORDERED reverse-time fold, h-step forecast = the average of
+    trend extrapolation and SES level. Oracle replays the identical
+    fold with the identical window order."""
+    from cesium_spark.operators.smoothing import theta_forecast
+    base = _int_token_series(spark, sf_dir).withColumn(
+        "channel", F.lit("k"))
+    out = theta_forecast(base, h=_THETA_H)
+    sel = ["conv_id", "n",
+           _r(F.col("intercept")).alias("intercept"),
+           _r(F.col("slope")).alias("slope"),
+           _r(F.col("ses_level")).alias("ses_level")]
+    for i in range(1, _THETA_H + 1):
+        sel.append(_r(F.col(f"fc_{i}")).alias(f"fc_{i}"))
+    return out.select(*sel)
+
+
+def _theta_sql(h=_THETA_H) -> str:
+    fc_cols = ",\n       ".join(
+        f"round(CASE WHEN n >= 3 AND b_den > 0 THEN "
+        f"((a + b * cast(n + {i} AS double)) + ses) / 2.0 END, 6) "
+        f"+ 0.0 AS fc_{i}" for i in range(1, h + 1))
+    return f"""{_INT_TOKEN_SERIES_SQL.rstrip()},
+r AS (
+  SELECT conv_id, y,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY t, turn_idx) AS i,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+  FROM s WHERE y IS NOT NULL AND t IS NOT NULL
+),
+st AS (
+  SELECT conv_id, y, i, n,
+         sum(y) OVER wa AS sy,
+         sum(i * y) OVER wa AS siy,
+         sum(i * i) OVER wa AS sii,
+         sum(i) OVER wa AS si
+  FROM r WINDOW wa AS (PARTITION BY conv_id)
+),
+ab AS (
+  SELECT conv_id, y, i, n, sy, si, siy, sii,
+         CAST(n * siy - si * sy AS BIGINT) AS b_num,
+         CAST(n * sii - si * si AS BIGINT) AS b_den
+  FROM st
+),
+zed AS (
+  SELECT conv_id, i, n, b_num, b_den, sy, si,
+         cast(b_num AS double) / cast(b_den AS double) AS b,
+         (cast(sy AS double)
+          - cast(b_num AS double) / cast(b_den AS double)
+            * cast(si AS double)) / cast(n AS double) AS a,
+         2.0 * cast(y AS double)
+           - ((cast(sy AS double)
+               - cast(b_num AS double) / cast(b_den AS double)
+                 * cast(si AS double)) / cast(n AS double)
+              + cast(b_num AS double) / cast(b_den AS double)
+                * cast(i AS double)) AS z
+  FROM ab
+),
+fold AS (
+  SELECT conv_id, i, n, a, b, b_den,
+         sum((CASE WHEN i = 1
+                   THEN power(0.5, cast(n - 1 AS double))
+                   ELSE power(0.5, cast(n - i + 1 AS double)) END) * z)
+           OVER (PARTITION BY conv_id ORDER BY i DESC
+                 ROWS UNBOUNDED PRECEDING) AS ses_cum
+  FROM zed
+)
+SELECT conv_id, n,
+       round(CASE WHEN n >= 3 AND b_den > 0 THEN a END, 6) + 0.0
+         AS intercept,
+       round(CASE WHEN n >= 3 AND b_den > 0 THEN b END, 6) + 0.0
+         AS slope,
+       round(CASE WHEN n >= 3 AND b_den > 0 THEN ses END, 6) + 0.0
+         AS ses_level,
+       {fc_cols}
+FROM (SELECT conv_id, n, a, b, b_den, ses_cum AS ses
+      FROM fold WHERE i = 1)
+"""
+
+
 def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix (the classic product-analytics
     rollup): users grouped by first-activity ISO week, distinct active
@@ -14707,6 +14795,7 @@ QUERIES = {
     "ts_page_hinkley": q_ts_page_hinkley,
     "ts_turning_points": q_ts_turning_points,
     "ts_esd": q_ts_esd,
+    "ts_theta": q_ts_theta,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_vocab_topk": q_doc_vocab_topk,
@@ -14967,6 +15056,7 @@ ORACLE_SQL = {
     "ts_page_hinkley": _ph_sql(),
     "ts_turning_points": SQL_TS_TURNING_POINTS,
     "ts_esd": _esd_sql(),
+    "ts_theta": _theta_sql(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,

@@ -474,3 +474,106 @@ def forecast_scores(scored: DataFrame,
             .select("conv_id", "n_scored", "mae", "rmse",
                     F.expr("try_divide(mae, __naive_mae)")
                     .alias("mase")))
+
+
+def theta_forecast(series: DataFrame, h: int = 3) -> DataFrame:
+    """Theta-method point forecasts per (conv_id, channel)
+    (Assimakopoulos & Nikolopoulos 2000 — the M3-competition winner;
+    Hyndman & Billah 2003 showed it equals SES-with-drift): the
+    series is split into two "theta lines" — θ=0 (the pure linear
+    trend) and θ=2 (curvature doubled, Z_i = 2·y_i − (a + b·i)) —
+    the θ=2 line is smoothed with simple exponential smoothing
+    (α = 1/2, dyadic — the ewma bit-replay rule), and the h-step
+    forecast averages the two:
+
+        ŷ_{n+h} = ((a + b·(n+h)) + ses_n) / 2
+
+    (SES of a θ=2 line is flat, so its h-step forecast is its level.)
+
+    Exactness: with integer y and ranks i = 1..n, the OLS line is
+    exact-integer sufficient statistics (b_num = n·Σiy − Σi·Σy,
+    b_den = n·Σi² − (Σi)² — the ols_fit discipline); Z and the SES
+    fold are doubles, but the fold is an ORDERED reverse-time cumsum
+    of (1/2)^{j+1}·Z_{n−j} (plus the (1/2)^{n−1}·Z_1 boundary term),
+    a deterministic left-to-right window fold both engines execute in
+    the identical order — bit-replayable in SQL with the same window,
+    and terms below 2⁻⁵³ vanish identically on both sides.
+
+    Degenerates NULL: n < 3, or zero rank-variance (can't happen for
+    distinct ranks — kept as an explicit guard for the b_den
+    division). Plan: one ordered window (rank + reverse cumsum) + one
+    aggregate on (conv_id, channel) → ONE exchange, no UDF, no join.
+    """
+    if not isinstance(h, int) or not (1 <= h <= 24):
+        raise ValueError(f"theta_forecast: h must be an int in "
+                         f"[1, 24], got {h!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"theta_forecast: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id", "channel") \
+                  .orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id", "channel")
+    y = F.col("y").cast("long")
+    s = (series
+         .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+         .select("conv_id", "channel", "turn_idx", "t",
+                 y.alias("__y"),
+                 F.row_number().over(w_ord).alias("__i")))
+    st = s.select(
+        "conv_id", "channel", "__y", "__i",
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum("__y").over(w_all).alias("__sy"),
+        F.sum(F.col("__i") * F.col("__y")).over(w_all).alias("__siy"),
+        F.sum(F.col("__i").cast("long") * F.col("__i"))
+        .over(w_all).alias("__sii"),
+        F.sum(F.col("__i").cast("long")).over(w_all).alias("__si"))
+    n_i = F.col("__n")
+    b_num = n_i * F.col("__siy") - F.col("__si") * F.col("__sy")
+    b_den = n_i * F.col("__sii") - F.col("__si") * F.col("__si")
+    b = b_num.cast("double") / b_den.cast("double")
+    a = ((F.col("__sy").cast("double") - b * F.col("__si").cast("double"))
+         / n_i.cast("double"))
+    z = F.lit(2.0) * F.col("__y").cast("double") \
+        - (a + b * F.col("__i").cast("double"))
+    # SES(α=1/2, adjust=False) closed form as a reverse-time fold:
+    # e_n = Σ_{j=0..n−2} (1/2)^{j+1}·Z_{n−j}  +  (1/2)^{n−1}·Z_1
+    j = n_i - F.col("__i")                          # 0 for the last row
+    coef = F.when(F.col("__i") == 1,
+                  F.pow(F.lit(0.5), (n_i - 1).cast("double"))) \
+            .otherwise(F.pow(F.lit(0.5), (j + 1).cast("double")))
+    w_rev = (Window.partitionBy("conv_id", "channel")
+             .orderBy(F.col("__i").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    folded = st.select(
+        "conv_id", "channel", "__i", "__n", "__sy", "__si",
+        "__siy", "__sii",
+        F.sum(coef * z).over(w_rev).alias("__ses_cum"))
+    # the FULL fold value sits on the EARLIEST row (last in reverse
+    # order) — an ordered min_by pick, never a max (the effective_rank
+    # terminal-fold rule: the cumsum of signed terms is non-monotone)
+    g = (folded.groupBy("conv_id", "channel")
+         .agg(F.max("__n").alias("n"),
+              F.max("__sy").alias("__sy"),
+              F.max("__si").alias("__si"),
+              F.max("__siy").alias("__siy"),
+              F.max("__sii").alias("__sii"),
+              F.min_by(F.col("__ses_cum"), F.col("__i")).alias("__ses")))
+    nn = F.col("n")
+    b_num2 = nn * F.col("__siy") - F.col("__si") * F.col("__sy")
+    b_den2 = nn * F.col("__sii") - F.col("__si") * F.col("__si")
+    ok = (nn >= 3) & (b_den2 > 0)
+    b2 = b_num2.cast("double") / b_den2.cast("double")
+    a2 = ((F.col("__sy").cast("double")
+           - b2 * F.col("__si").cast("double")) / nn.cast("double"))
+    cols = ["conv_id", "channel",
+            nn.cast("long").alias("n"),
+            F.when(ok, a2).alias("intercept"),
+            F.when(ok, b2).alias("slope"),
+            F.when(ok, F.col("__ses")).alias("ses_level")]
+    for step in range(1, h + 1):
+        trend = a2 + b2 * (nn + F.lit(step)).cast("double")
+        cols.append(F.when(ok, (trend + F.col("__ses")) / F.lit(2.0))
+                    .alias(f"fc_{step}"))
+    return g.select(*cols)

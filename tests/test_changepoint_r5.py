@@ -219,3 +219,51 @@ def test_esd_unmasking(spark):
     assert rc["r_1"] is None and rc["turn_1"] is None
     with pytest.raises(ValueError, match="k must be"):
         esd_outliers(_series(spark, y), k=0)
+
+
+def test_theta_forecast_matches_pandas_reference(spark):
+    """Theta = average of OLS-trend extrapolation and SES(1/2) of the
+    theta-2 line; pinned against np.polyfit + pandas ewm(adjust=False)
+    to 1e-6 on a noisy trend, plus degenerate guards."""
+    from cesium_spark.operators.smoothing import theta_forecast
+    rng = np.random.default_rng(1)
+    y = (10 + 2 * np.arange(50) + rng.integers(-3, 4, 50)).astype(np.int64)
+    pdf = pd.DataFrame({"conv_id": ["c"] * 50, "channel": ["v"] * 50,
+                        "turn_idx": range(50),
+                        "t": [float(i) for i in range(50)], "y": y})
+    [r] = theta_forecast(spark.createDataFrame(pdf), h=3).collect()
+    i = np.arange(1, 51)
+    b, a = np.polyfit(i, y, 1)
+    z = 2 * y - (a + b * i)
+    ses = pd.Series(z).ewm(alpha=0.5, adjust=False).mean().iloc[-1]
+    assert r["slope"] == pytest.approx(b, abs=1e-9)
+    assert r["intercept"] == pytest.approx(a, abs=1e-9)
+    assert r["ses_level"] == pytest.approx(ses, abs=1e-6)
+    for h in (1, 2, 3):
+        assert r[f"fc_{h}"] == pytest.approx(
+            ((a + b * (50 + h)) + ses) / 2, abs=1e-6)
+    # pure trend: forecasts continue the line almost exactly
+    yt = (5 + 3 * np.arange(30)).astype(np.int64)
+    pdt = pd.DataFrame({"conv_id": ["c"] * 30, "channel": ["v"] * 30,
+                        "turn_idx": range(30),
+                        "t": [float(i) for i in range(30)], "y": yt})
+    [rt] = theta_forecast(spark.createDataFrame(pdt), h=2).collect()
+    # classic Theta ≡ SES-with-drift-b/2 (Hyndman & Billah 2003): on a
+    # pure ramp the SES leg lags by b·(1−α)/α = 3, so the forecast is
+    # (trend + (y_n − 3))/2 — NOT the naive line continuation
+    it = np.arange(1, 31)
+    bt, at = np.polyfit(it, yt, 1)
+    st = pd.Series(2 * yt - (at + bt * it)).ewm(
+        alpha=0.5, adjust=False).mean().iloc[-1]
+    assert rt["fc_1"] == pytest.approx(
+        ((at + bt * 31) + st) / 2, abs=1e-6)
+    assert rt["fc_1"] < 5 + 3 * 30    # the documented trend damping
+    # n < 3 -> NULL
+    pds = pdt.iloc[:2]
+    [rs] = theta_forecast(spark.createDataFrame(pds), h=1).collect()
+    assert rs["fc_1"] is None
+    with pytest.raises(ValueError, match="h must be"):
+        theta_forecast(spark.createDataFrame(pdt), h=0)
+    fdf = spark.createDataFrame(pdt)
+    with pytest.raises(ValueError, match="integer"):
+        theta_forecast(fdf.withColumn("y", fdf["y"].cast("double")))
