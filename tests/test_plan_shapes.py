@@ -359,3 +359,33 @@ def test_heaps_fit_no_corpus_global_window(spark):
             and "row_number" not in ln]
     assert glob, "expected the bounded per-partition offset fold window"
     assert _shape(out)["cartesian"] is False
+
+
+@pytest.fixture(scope="module")
+def int_series(spark):
+    return spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c"] * 40, "turn_idx": range(40),
+        "t": [float(i) for i in range(40)],
+        "y": [(i * 7) % 13 for i in range(40)]}))
+
+
+def test_r5_randomness_family_one_exchange(int_series):
+    """r5 ops each claim ONE hash exchange (window + agg share the
+    conv_id partitioning) — pinned against the executed plan."""
+    from cesium_spark.operators.seriesstats import (
+        page_hinkley, snht, turning_points, von_neumann)
+    for op in (von_neumann, snht, turning_points):
+        s = _shape(op(int_series))
+        assert s["hash"] == 1 and not s["cartesian"], op.__name__
+    s = _shape(page_hinkley(int_series, delta=0.25, lam=5.0))
+    assert s["hash"] == 1 and not s["cartesian"]
+
+
+def test_theta_one_exchange(spark):
+    from cesium_spark.operators.smoothing import theta_forecast
+    df = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c"] * 30, "channel": ["v"] * 30,
+        "turn_idx": range(30), "t": [float(i) for i in range(30)],
+        "y": [(i * 3) % 11 for i in range(30)]}))
+    s = _shape(theta_forecast(df, h=2))
+    assert s["hash"] == 1 and not s["cartesian"]
