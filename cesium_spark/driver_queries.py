@@ -5394,6 +5394,131 @@ FROM (SELECT conv_id, n, a, b, b_den, ses_cum AS ses
 """
 
 
+
+
+_TBT_H = 3
+
+
+def q_ts_theta_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout backtest of the Theta forecaster (last 3 turns held
+    out, MASE + sMAPE per Hyndman & Koehler 2006): MASE < 1 means
+    Theta beats the in-sample naive-1 forecast - the publishable
+    forecast-accuracy number. The naive-1 denominator is an exact
+    int64 aggregate over the training prefix; oracle replays the
+    prefix theta fit, the holdout join, and both metric trees."""
+    from cesium_spark.operators.smoothing import theta_backtest
+    base = _int_token_series(spark, sf_dir).withColumn(
+        "channel", F.lit("k"))
+    out = theta_backtest(base, h=_TBT_H)
+    return out.select(
+        "conv_id", "n_train", "n_test",
+        _r(F.col("mae")).alias("mae"),
+        _r(F.col("mase")).alias("mase"),
+        _r(F.col("smape")).alias("smape"))
+
+
+def _theta_backtest_sql(h=_TBT_H) -> str:
+    return f"""{_INT_TOKEN_SERIES_SQL.rstrip()},
+rk AS (
+  SELECT conv_id, y, t, turn_idx,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY t, turn_idx) AS gi,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS cnt
+  FROM s WHERE y IS NOT NULL AND t IS NOT NULL
+),
+tr AS (SELECT conv_id, y, t, turn_idx FROM rk WHERE gi <= cnt - {h}),
+r AS (
+  SELECT conv_id, y,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY t, turn_idx) AS i,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+  FROM tr
+),
+st AS (
+  SELECT conv_id, y, i, n,
+         sum(y) OVER wa AS sy,
+         sum(i * y) OVER wa AS siy,
+         sum(i * i) OVER wa AS sii,
+         sum(i) OVER wa AS si
+  FROM r WINDOW wa AS (PARTITION BY conv_id)
+),
+ab AS (
+  SELECT conv_id, y, i, n, sy, si,
+         CAST(n * siy - si * sy AS BIGINT) AS b_num,
+         CAST(n * sii - si * si AS BIGINT) AS b_den
+  FROM st
+),
+zed AS (
+  SELECT conv_id, i, n, b_num, b_den,
+         cast(b_num AS double) / cast(b_den AS double) AS b,
+         (cast(sy AS double)
+          - cast(b_num AS double) / cast(b_den AS double)
+            * cast(si AS double)) / cast(n AS double) AS a,
+         2.0 * cast(y AS double)
+           - ((cast(sy AS double)
+               - cast(b_num AS double) / cast(b_den AS double)
+                 * cast(si AS double)) / cast(n AS double)
+              + cast(b_num AS double) / cast(b_den AS double)
+                * cast(i AS double)) AS z
+  FROM ab
+),
+fold AS (
+  SELECT conv_id, i, n, a, b, b_den,
+         sum((CASE WHEN i = 1
+                   THEN power(0.5, cast(n - 1 AS double))
+                   ELSE power(0.5, cast(n - i + 1 AS double)) END) * z)
+           OVER (PARTITION BY conv_id ORDER BY i DESC
+                 ROWS UNBOUNDED PRECEDING) AS ses_cum
+  FROM zed
+),
+fit AS (
+  SELECT conv_id, n, a, b, b_den, ses_cum AS ses
+  FROM fold WHERE i = 1 AND n >= 3 AND b_den > 0
+),
+fc AS (
+  SELECT f.conv_id, f.n, st.step,
+         ((f.a + f.b * cast(f.n + st.step AS double)) + f.ses) / 2.0
+           AS fcast
+  FROM fit f, (SELECT unnest(generate_series(1, {h})) AS step) st
+),
+hold AS (
+  SELECT conv_id, CAST(gi - (cnt - {h}) AS BIGINT) AS step,
+         y AS act
+  FROM rk WHERE gi > cnt - {h}
+),
+naive AS (
+  SELECT conv_id,
+         CAST(sum(ad) AS BIGINT) AS sad,
+         CAST(count(ad) AS BIGINT) AS m1
+  FROM (SELECT conv_id,
+               abs(y - lag(y) OVER (PARTITION BY conv_id
+                                    ORDER BY t, turn_idx)) AS ad
+        FROM tr)
+  GROUP BY conv_id
+),
+scored AS (
+  SELECT f.conv_id, f.n AS n_train,
+         count(*) AS n_test_raw,
+         CAST(count(*) AS BIGINT) AS n_test,
+         sum(abs(cast(h.act AS double) - f.fcast)) AS sae,
+         avg(CASE WHEN abs(cast(h.act AS double)) + abs(f.fcast) > 0
+                  THEN 200.0 * abs(cast(h.act AS double) - f.fcast)
+                       / (abs(cast(h.act AS double)) + abs(f.fcast))
+             END) AS smape
+  FROM fc f JOIN hold h ON h.conv_id = f.conv_id AND h.step = f.step
+  GROUP BY f.conv_id, f.n
+)
+SELECT s.conv_id, s.n_train, s.n_test,
+       round(s.sae / cast(s.n_test AS double), 6) + 0.0 AS mae,
+       round(CASE WHEN n.m1 > 0 AND n.sad > 0 THEN
+             (s.sae / cast(s.n_test AS double))
+             / (cast(n.sad AS double) / cast(n.m1 AS double)) END, 6)
+         + 0.0 AS mase,
+       round(s.smape, 6) + 0.0 AS smape
+FROM scored s LEFT JOIN naive n ON n.conv_id = s.conv_id
+"""
+
+
 def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix (the classic product-analytics
     rollup): users grouped by first-activity ISO week, distinct active
@@ -14796,6 +14921,7 @@ QUERIES = {
     "ts_turning_points": q_ts_turning_points,
     "ts_esd": q_ts_esd,
     "ts_theta": q_ts_theta,
+    "ts_theta_backtest": q_ts_theta_backtest,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_vocab_topk": q_doc_vocab_topk,
@@ -15057,6 +15183,7 @@ ORACLE_SQL = {
     "ts_turning_points": SQL_TS_TURNING_POINTS,
     "ts_esd": _esd_sql(),
     "ts_theta": _theta_sql(),
+    "ts_theta_backtest": _theta_backtest_sql(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,

@@ -577,3 +577,110 @@ def theta_forecast(series: DataFrame, h: int = 3) -> DataFrame:
         cols.append(F.when(ok, (trend + F.col("__ses")) / F.lit(2.0))
                     .alias(f"fc_{step}"))
     return g.select(*cols)
+
+
+def theta_backtest(series: DataFrame, h: int = 3) -> DataFrame:
+    """Rolling-origin-free holdout backtest of the Theta forecaster
+    per (conv_id, channel): the LAST ``h`` points are held out, Theta
+    is fit on the prefix, and the h forecasts are scored with the two
+    standard scale-free accuracy metrics (Hyndman & Koehler 2006,
+    "Another look at measures of forecast accuracy"):
+
+        MASE  = mean_h |y − ŷ| / (Σ_train |y_i − y_{i−1}| / (m−1))
+        sMAPE = mean_h 200·|y − ŷ| / (|y| + |ŷ|)
+
+    MASE < 1 beats the in-sample naive-1 forecast — THE publishable
+    number for a forecaster; ``ts_ar1_backtest`` scores a different
+    model with a rolling origin, this is its fixed-origin twin for
+    the theta family.
+
+    Exactness: the naive-1 denominator Σ|Δy| is an exact int64
+    aggregate over the integer training prefix; forecasts and errors
+    are the theta fixed trees; each metric is a fixed double tree
+    with try-style NULL guards (zero denominator → NULL, never inf:
+    a constant training series has no naive error to scale by).
+    Degenerates DROP: conversations whose training prefix cannot be
+    fit (fewer than h + 3 points) yield no row — there is no forecast
+    to score.
+
+    Plan: the theta pass on the prefix (one exchange) + one holdout
+    aggregate joined on the group key — bounded, no UDF.
+    """
+    if not isinstance(h, int) or not (1 <= h <= 24):
+        raise ValueError(f"theta_backtest: h must be an int in "
+                         f"[1, 24], got {h!r}")
+    t = dict(series.dtypes).get("y")
+    if t not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"theta_backtest: column 'y' has type {t}; the exact-"
+            "sufficient-statistics contract needs integer values")
+    w_ord = Window.partitionBy("conv_id", "channel") \
+                  .orderBy("t", "turn_idx")
+    w_all = Window.partitionBy("conv_id", "channel")
+    s = (series
+         .where(F.col("t").isNotNull() & F.col("y").isNotNull())
+         .select("conv_id", "channel", "turn_idx", "t",
+                 F.col("y").cast("long").alias("__y"),
+                 F.row_number().over(w_ord).alias("__i"),
+                 F.count(F.lit(1)).over(w_all).alias("__cnt")))
+    train = (s.where(F.col("__i") <= F.col("__cnt") - h)
+             .select("conv_id", "channel", "turn_idx", "t",
+                     F.col("__y").alias("y")))
+    fc = theta_forecast(train, h=h)
+    # naive-1 denominator over the training prefix: exact int64
+    wtr = Window.partitionBy("conv_id", "channel") \
+                .orderBy("t", "turn_idx")
+    naive = (train
+             .withColumn("__d", F.abs(F.col("y").cast("long")
+                                      - F.lag(F.col("y").cast("long"))
+                                      .over(wtr)))
+             .groupBy("conv_id", "channel")
+             .agg(F.sum("__d").alias("__sad"),
+                  F.count("__d").alias("__m1")))
+    # holdout actuals keyed by step = i − (cnt − h)
+    hold = (s.where(F.col("__i") > F.col("__cnt") - h)
+            .select("conv_id", "channel",
+                    (F.col("__i") - (F.col("__cnt") - h)).alias("__st"),
+                    F.col("__y").alias("__act")))
+    fc_long = fc.select(
+        "conv_id", "channel", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("__st"),
+                     F.col(f"fc_{i}").alias("__fc"))
+            for i in range(1, h + 1)])).alias("e")) \
+        .select("conv_id", "channel", "n",
+                F.col("e.__st").alias("__st"),
+                F.col("e.__fc").alias("__fc"))
+    j = (fc_long.join(hold, ["conv_id", "channel", "__st"])
+         # a conversation whose prefix cannot be fit (n_train < 3 or
+         # degenerate ranks) has NULL forecasts — drop it entirely,
+         # matching the oracle's fit filter (no NULL-metric husk rows)
+         .where(F.col("__fc").isNotNull())
+         .withColumn("__ae", F.abs(F.col("__act").cast("double")
+                                   - F.col("__fc")))
+         .withColumn(
+             "__smape_t",
+             F.when(F.abs(F.col("__act").cast("double"))
+                    + F.abs(F.col("__fc")) > 0,
+                    F.lit(200.0) * F.col("__ae")
+                    / (F.abs(F.col("__act").cast("double"))
+                       + F.abs(F.col("__fc"))))))
+    per = (j.groupBy("conv_id", "channel")
+           .agg(F.max("n").alias("n_train"),
+                F.count("__ae").alias("n_test"),
+                F.sum("__ae").alias("__sae"),
+                F.avg("__smape_t").alias("smape")))
+    out = per.join(naive, ["conv_id", "channel"], "left")
+    mase = F.when(
+        (F.col("__m1") > 0) & (F.col("__sad") > 0)
+        & F.col("__sae").isNotNull(),
+        (F.col("__sae") / F.col("n_test").cast("double"))
+        / (F.col("__sad").cast("double")
+           / F.col("__m1").cast("double")))
+    return out.select(
+        "conv_id", "channel",
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        (F.col("__sae") / F.col("n_test").cast("double")).alias("mae"),
+        mase.alias("mase"),
+        F.col("smape"))

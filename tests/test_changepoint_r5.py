@@ -267,3 +267,34 @@ def test_theta_forecast_matches_pandas_reference(spark):
     fdf = spark.createDataFrame(pdt)
     with pytest.raises(ValueError, match="integer"):
         theta_forecast(fdf.withColumn("y", fdf["y"].cast("double")))
+
+
+def test_theta_backtest_matches_reference(spark):
+    """MASE/sMAPE of the holdout backtest replayed in numpy; MASE < 1
+    on a forecastable trend; short conversations drop."""
+    from cesium_spark.operators.smoothing import theta_backtest
+    rng = np.random.default_rng(2)
+    y = (10 + 2 * np.arange(60) + rng.integers(-4, 5, 60)).astype(np.int64)
+    pdf = pd.DataFrame({"conv_id": ["c"] * 60, "channel": ["v"] * 60,
+                        "turn_idx": range(60),
+                        "t": [float(i) for i in range(60)], "y": y})
+    [r] = theta_backtest(spark.createDataFrame(pdf), h=3).collect()
+    tr, ho = y[:57], y[57:]
+    i = np.arange(1, 58)
+    b, a = np.polyfit(i, tr, 1)
+    z = 2 * tr - (a + b * i)
+    ses = pd.Series(z).ewm(alpha=0.5, adjust=False).mean().iloc[-1]
+    fcs = np.array([((a + b * (57 + s)) + ses) / 2 for s in (1, 2, 3)])
+    ae = np.abs(ho - fcs)
+    assert r["n_train"] == 57 and r["n_test"] == 3
+    assert r["mae"] == pytest.approx(ae.mean(), abs=1e-6)
+    assert r["mase"] == pytest.approx(
+        ae.mean() / np.abs(np.diff(tr)).mean(), abs=1e-6)
+    assert r["smape"] == pytest.approx(
+        (200 * ae / (np.abs(ho) + np.abs(fcs))).mean(), abs=1e-6)
+    assert r["mase"] < 1            # theta beats naive on a trend
+    # too short to fit: no row
+    short = pdf.iloc[:4]
+    assert theta_backtest(spark.createDataFrame(short), h=3).count() == 0
+    with pytest.raises(ValueError, match="h must be"):
+        theta_backtest(spark.createDataFrame(pdf), h=0)
