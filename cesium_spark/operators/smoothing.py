@@ -532,7 +532,11 @@ def theta_forecast(series: DataFrame, h: int = 3) -> DataFrame:
     n_i = F.col("__n")
     b_num = n_i * F.col("__siy") - F.col("__si") * F.col("__sy")
     b_den = n_i * F.col("__sii") - F.col("__si") * F.col("__si")
-    b = b_num.cast("double") / b_den.cast("double")
+    # try_divide is load-bearing (the partial_corr lesson): a 1-row
+    # prefix has b_den = 0, and common-subexpression elimination can
+    # hoist a plain division out of its guarding CASE branch — ANSI
+    # then throws mid-job instead of yielding the guarded NULL
+    b = F.try_divide(b_num.cast("double"), b_den.cast("double"))
     a = ((F.col("__sy").cast("double") - b * F.col("__si").cast("double"))
          / n_i.cast("double"))
     z = F.lit(2.0) * F.col("__y").cast("double") \
@@ -564,7 +568,7 @@ def theta_forecast(series: DataFrame, h: int = 3) -> DataFrame:
     b_num2 = nn * F.col("__siy") - F.col("__si") * F.col("__sy")
     b_den2 = nn * F.col("__sii") - F.col("__si") * F.col("__si")
     ok = (nn >= 3) & (b_den2 > 0)
-    b2 = b_num2.cast("double") / b_den2.cast("double")
+    b2 = F.try_divide(b_num2.cast("double"), b_den2.cast("double"))
     a2 = ((F.col("__sy").cast("double")
            - b2 * F.col("__si").cast("double")) / nn.cast("double"))
     cols = ["conv_id", "channel",
