@@ -5519,6 +5519,67 @@ FROM scored s LEFT JOIN naive n ON n.conv_id = s.conv_id
 """
 
 
+
+
+def q_ts_stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PromQL rate() under the driver gate: the value series
+    is split into 3 turn-RANGE files (the in-order append-log ingest
+    shape) and replayed with maxFilesPerTrigger=1, so increments REALLY
+    cross micro-batch boundaries through the one-int64-per-key carry.
+    Each batch emits per-bucket partial lattice sums; the final fold
+    is a plain SUM per bucket (mergeable, like the tier fold), so the
+    result equals the batch counter_rate(grid=100) bit-for-bit and the
+    oracle is ts_counter_rate_1h's SQL verbatim."""
+    import os
+    import tempfile
+
+    from cesium_spark.streaming.stateful import stateful_counter_rate
+
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="cesium_spark_stream_rate_")
+    os.makedirs(f"{base}/src")
+    s = _value_series(spark, sf_dir)
+    # turn-RANGE thirds: per-key event order is preserved ACROSS files
+    hi = s.agg(F.max("turn_idx")).collect()[0][0] or 0
+    cuts = (hi // 3 + 1, 2 * (hi // 3 + 1))
+    parts = [s.where(F.col("turn_idx") < cuts[0]),
+             s.where((F.col("turn_idx") >= cuts[0])
+                     & (F.col("turn_idx") < cuts[1])),
+             s.where(F.col("turn_idx") >= cuts[1])]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.mode("append").parquet(
+            f"{base}/src/batch={i}")
+    schema = ("conv_id string, channel string, turn_idx int, "
+              "ts timestamp, t double, y double, e double")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{base}/src/batch=*"))
+    out = stateful_counter_rate(stream, tier="1h", grid=100)
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", f"{base}/ckpt")
+         .format("parquet").option("path", f"{base}/out")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ts_stream_counter_rate: availableNow stream did not "
+            "finish within 300s")
+    res = spark.read.parquet(f"{base}/out")
+    tot = (res.groupBy("conv_id", "bucket")
+           .agg(F.sum("inc_units").alias("__iu"),
+                F.sum("n_resets").alias("n_resets"),
+                F.sum("n").alias("n"))
+           .where(F.col("n") > 0))
+    inc = F.col("__iu").cast("double") / F.lit(100.0)
+    return tot.select(
+        "conv_id",
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        _r(inc).alias("increase"),
+        _r(inc / F.lit(3600.0)).alias("rate_per_s"),
+        F.col("n_resets").cast("long").alias("n_resets"),
+        F.col("n").cast("long").alias("n"))
+
+
 def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix (the classic product-analytics
     rollup): users grouped by first-activity ISO week, distinct active
@@ -14922,6 +14983,7 @@ QUERIES = {
     "ts_esd": q_ts_esd,
     "ts_theta": q_ts_theta,
     "ts_theta_backtest": q_ts_theta_backtest,
+    "ts_stream_counter_rate": q_ts_stream_counter_rate,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_stats": q_doc_token_stats,
     "doc_vocab_topk": q_doc_vocab_topk,
@@ -15184,6 +15246,7 @@ ORACLE_SQL = {
     "ts_esd": _esd_sql(),
     "ts_theta": _theta_sql(),
     "ts_theta_backtest": _theta_backtest_sql(),
+    "ts_stream_counter_rate": SQL_TS_COUNTER_RATE_1H,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,

@@ -167,3 +167,90 @@ def totals_to_table(totals_stream: DataFrame, path: str, checkpoint: str):
             .option("path", path)
             .trigger(availableNow=True)
             .start())
+
+
+RATE_SCHEMA = ("conv_id string, channel string, bucket timestamp, "
+               "inc_units long, n_resets long, n long")
+RATE_STATE_SCHEMA = "last_yc long"
+
+_RATE_FLOOR = {"1m": "min", "1h": "h", "1d": "D"}
+
+
+def stateful_counter_rate(series_stream: DataFrame, tier: str = "1h",
+                          grid: int = 100) -> DataFrame:
+    """Streaming twin of ``rates.counter_rate`` (PromQL ``rate()``):
+    reset-aware counter increments over an UNBOUNDED stream with TWO
+    INT64 SCALARS of state per key — the carry of the last value, on
+    the exact 1/``grid`` lattice (the batch op's ``grid`` contract).
+
+    Emission model (the continuous-aggregate fold contract): each
+    micro-batch emits PER-BUCKET PARTIAL sufficient statistics
+    (inc_units = Σ lattice increments, n_resets, n) for the buckets it
+    touched; the final per-bucket totals are the plain SUM of a
+    bucket's partials — mergeable exactly like the batch tier fold,
+    so ``increase = sum(inc_units)/grid`` downstream reproduces the
+    batch ``counter_rate(grid=...)`` bit-for-bit. Increments are
+    pairwise, so ANY split of the stream into micro-batches yields
+    the same partial sums (each consecutive pair contributes exactly
+    once, through the carry at batch boundaries).
+
+    In-order contract: rows must arrive in per-key (t, turn_idx)
+    order ACROSS micro-batches (within a batch they are sorted by the
+    kernel) — the append-only-log ingest shape. A late row older than
+    the carry would be treated as a reset; bound disorder upstream
+    with a watermark + sort, or accept PromQL's own behavior (a
+    counter sample going backwards IS a reset to Prometheus too).
+
+    State: one int64 per key, no timestamps, no per-bucket state —
+    O(active keys), the minimum any reset-aware rate can hold.
+    """
+    if tier not in _RATE_FLOOR:
+        raise ValueError(f"unknown streaming tier {tier!r}; "
+                         f"expected one of {list(_RATE_FLOOR)}")
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+    freq = _RATE_FLOOR[tier]
+    g = float(grid)
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        (carry,) = state.get if state.exists else (None,)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) \
+                .sort_values(["t", "turn_idx"], kind="stable")
+        pdf = pdf[pdf["y"].notna()]
+        if not len(pdf):
+            return
+        yc = np.rint(pdf["y"].to_numpy(dtype=float) * g).astype(np.int64)
+        if carry is None:
+            prev = np.concatenate(([yc[0]], yc[:-1]))
+            valid = np.ones(len(yc), dtype=bool)
+            valid[0] = False              # series head: no predecessor
+        else:
+            prev = np.concatenate(([carry], yc[:-1]))
+            valid = np.ones(len(yc), dtype=bool)
+        reset = valid & (yc < prev)
+        inc = np.where(yc >= prev, yc - prev, yc)
+        state.update((int(yc[-1]),))
+        if not valid.any():
+            return
+        bucket = pdf["ts"].dt.floor(freq).to_numpy()
+        out = (pd.DataFrame({
+                   "bucket": bucket[valid],
+                   "inc_units": inc[valid].astype("int64"),
+                   "reset": reset[valid].astype("int64")})
+               .groupby("bucket", as_index=False)
+               .agg(inc_units=("inc_units", "sum"),
+                    n_resets=("reset", "sum"),
+                    n=("inc_units", "size")))
+        out.insert(0, "channel", key[1])
+        out.insert(0, "conv_id", key[0])
+        yield out
+
+    return (series_stream.groupBy("conv_id", "channel")
+            .applyInPandasWithState(
+                update, RATE_SCHEMA, RATE_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

@@ -596,3 +596,50 @@ def test_disorder_stats_measures_planted_lateness(spark):
     plan = disorder_stats(df, "arrival")._jdf.queryExecution()\
         .executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_stateful_counter_rate_crosses_batches(spark, tmp_path):
+    """r5 streaming PromQL rate(): 3 turn-RANGE micro-batches; the
+    boundary pair's increment must flow through the one-int64 carry,
+    and the per-bucket partial SUMS must equal the batch
+    counter_rate(grid=100) exactly (mergeable-fold contract). A
+    planted reset inside batch 2 must be counted."""
+    from cesium_spark.operators.rates import counter_rate
+    from cesium_spark.streaming import stateful
+
+    n = 90
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.arange(n) * 600, "s")
+    y = np.cumsum(np.tile([0.25, 0.5, 1.0], n // 3))
+    y[60:] = np.round(y[60:] - y[59] + 0.25, 2)    # reset at row 60
+    pdf = pd.DataFrame({
+        "conv_id": "c", "channel": "v",
+        "turn_idx": np.arange(n, dtype=np.int32), "ts": ts,
+        "t": np.arange(n, dtype=np.float64),
+        "y": np.round(y, 2), "e": 1e-4})
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 30), (30, 66), (66, n)):
+        (spark.createDataFrame(pdf.iloc[lo:hi]).coalesce(1)
+         .write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(SERIES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful.stateful_counter_rate(stream, tier="1h", grid=100)
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .format("parquet").option("path", str(tmp_path / "out"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(240)
+
+    res = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    got = (res.groupby(["conv_id", "channel", "bucket"], as_index=False)
+           .agg(inc_units=("inc_units", "sum"),
+                n_resets=("n_resets", "sum"), n=("n", "sum")))
+    batch = counter_rate(spark.createDataFrame(pdf), "1h",
+                         grid=100).toPandas()
+    assert len(got) == len(batch)
+    m = got.merge(batch, left_on="bucket", right_on="bucket")
+    assert len(m) == len(batch)
+    assert (m["inc_units"] / 100.0 == m["increase"]).all()
+    assert (m["n_resets_x"] == m["n_resets_y"]).all()
+    assert (m["n_x"] == m["n_y"]).all()
+    assert int(got["n_resets"].sum()) == 1          # the planted reset
